@@ -1,0 +1,28 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared query from SURVEY.md §2: a DataFrame builder plus, when the
+  * semantics are deterministically SQL-expressible, the DuckDB oracle SQL
+  * the driver hash-matches against.
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The full declared inventory (SURVEY.md §2.3) wired for SparkEntry. */
+object Inventory {
+  def all: Seq[Q] =
+    RelationalQueries.all ++
+      TextQueries.all ++
+      SimilarityQueries.all ++
+      StreamingQueries.all ++
+      PipelineQueries.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+}
