@@ -37,14 +37,18 @@ object Det {
   /** 6-dp rounded similarity score for output columns. */
   def round6(c: Column): Column = round(c, 6)
 
-  /** Deterministic sample stddev from exact decimal sums:
-    * sqrt((n*Σx² − (Σx)²) / (n*(n−1))). Avoids stddev_samp whose
-    * accumulation order is engine-dependent.
+  /** Deterministic sample stddev: exact decimal sums (order-insensitive),
+    * then one fixed sequence of IEEE double ops identical on both engines:
+    * sqrt((n·Σx² − (Σx)²) / (n·(n−1))). The sums are exact — 2-dp inputs
+    * make dec2(c)·dec2(c) a 4-dp-exact decimal(37,4) product, summed as
+    * decimal(38,4) — so the decimal→double casts are deterministic and the
+    * rest is bit-identical IEEE arithmetic. (A pure-decimal formula would
+    * need precision 77 for n·Σx² and Spark caps decimals at 38.)
     */
   def exactStddev(c: Column): Column = {
-    val n   = count(lit(1)).cast("decimal(38,4)")
-    val sx  = sum(dec4(c))
-    val sxx = sum(dec4(c) * dec4(c))
-    round(sqrt(((n * sxx - sx * sx) / (n * (n - lit(1)))).cast("double")), 4)
+    val n   = count(lit(1)).cast("double")
+    val sx  = sum(dec2(c)).cast("double")
+    val sxx = sum(dec2(c) * dec2(c)).cast("double")
+    round(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))), 4)
   }
 }

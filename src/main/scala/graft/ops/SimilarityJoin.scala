@@ -19,7 +19,7 @@ import graft.Det
   *
   * Scale notes (100 TB):
   *  - candidate generation shuffles on (block…, token): high-frequency
-  *    tokens are the skew risk. `prefixFiltered` variants index only the
+  *    tokens are the skew risk. `jaccardSelfPrefix` indexes only the
   *    (|x| − ⌈τ·|x|⌉ + 1)-token prefix in ascending global-document-frequency
   *    order, which removes exactly the most frequent tokens from the index —
   *    simultaneously the correctness-preserving prune and the skew killer.
@@ -28,8 +28,11 @@ import graft.Det
   *    the shuffle proportional to distinct candidate pairs, not candidate
   *    token matches.
   *  - nothing touches the driver: no collect, no broadcast of anything
-  *    unbounded (the token-frequency relation is bounded by vocabulary size
-  *    and is broadcast explicitly).
+  *    unbounded (the token→df relation is bounded by vocabulary size and is
+  *    broadcast explicitly; on an open vocabulary switch the broadcast for
+  *    a shuffle join — the plan is otherwise unchanged).
+  *  - no global single-partition window anywhere: the q35 rank is computed
+  *    per-df with broadcast offsets from the tiny df-histogram.
   */
 object SimilarityJoin {
 
@@ -37,6 +40,14 @@ object SimilarityJoin {
   def tokenized(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("tokens", array_distinct(split(col(textCol), " +")))
       .withColumn("sz", size(col("tokens")))
+
+  /** FP-robust similarity length bound: τ·|A| ≤ |B| must not drop a true
+    * pair when |A|·τ is mathematically integral but rounds up in IEEE, so
+    * the prune side gets a tiny epsilon of slack (pruning less is always
+    * safe — verification is exact).
+    */
+  private def lenOk(aSz: Column, bSz: Column, tau: Double): Column =
+    aSz * lit(tau) - lit(1e-9) <= bSz && bSz * lit(tau) - lit(1e-9) <= aSz
 
   /** Exact token-set Jaccard self-join.
     *
@@ -46,12 +57,24 @@ object SimilarityJoin {
     *
     * Plan shape: one shuffle for the (block, token) candidate join, one for
     * the pair-count aggregation. The length filter (J ≥ τ ⇒ τ·|B| ≤ |A|)
-    * prunes candidates before the aggregate.
+    * prunes candidates before the aggregate. Indexes EVERY token — exact
+    * and simple, but skew-prone on a Zipfian vocabulary; prefer
+    * [[jaccardSelfPrefix]] at scale.
     */
   def jaccardSelf(docs: DataFrame, idCol: String, textCol: String,
-                  blockCols: Seq[String], tau: Double): DataFrame = {
-    val toks = tokenized(docs, textCol)
-      .select(col(idCol).as("id") +: col("sz") +: col("tokens") +: blockCols.map(col): _*)
+                  blockCols: Seq[String], tau: Double): DataFrame =
+    jaccardSelfOnSets(tokenized(docs, textCol), idCol, "tokens", blockCols, tau)
+
+  /** Exact set-Jaccard self-join over an arbitrary precomputed array column
+    * (distinct elements) — the generic core behind [[jaccardSelf]] (word
+    * tokens) and the char-n-gram join (gram sets). Same inverted-index +
+    * length-filter plan.
+    */
+  def jaccardSelfOnSets(sets: DataFrame, idCol: String, setCol: String,
+                        blockCols: Seq[String], tau: Double): DataFrame = {
+    val toks = sets
+      .select(col(idCol).as("id") +: size(col(setCol)).as("sz") +:
+        col(setCol).as("tokens") +: blockCols.map(col): _*)
 
     val inv = toks
       .select(col("id") +: col("sz") +: blockCols.map(col) :+ explode(col("tokens")).as("tok"): _*)
@@ -64,8 +87,7 @@ object SimilarityJoin {
     val blockEq = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
     val cond = ((col("tok") === col("b_tok")) +: blockEq).reduce(_ && _) &&
       col("a_id") < col("b_id") &&
-      // length filter [SSJoin]: J ≥ τ ⇒ min(|A|,|B|) ≥ τ·max(|A|,|B|)
-      col("a_sz") * lit(tau) <= col("b_sz") && col("b_sz") * lit(tau) <= col("a_sz")
+      lenOk(col("a_sz"), col("b_sz"), tau)
 
     a.join(b, cond)
       .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
@@ -83,20 +105,19 @@ object SimilarityJoin {
     */
   def jaccardRS(queries: DataFrame, data: DataFrame, idCol: String, textCol: String,
                 blockCols: Seq[String], tau: Double): DataFrame = {
-    def side(df: DataFrame, p: String) = {
-      val inv = tokenized(df, textCol)
+    def side(df: DataFrame, p: String) =
+      tokenized(df, textCol)
         .select(col(idCol).as(s"${p}_id") +: col("sz").as(s"${p}_sz") +:
           col("tokens") +: blockCols.map(col): _*)
         .select(col(s"${p}_id") +: col(s"${p}_sz") +:
           blockCols.map(c => col(c).as(s"${p}_$c")) :+ explode(col("tokens")).as(s"${p}_tok"): _*)
-      inv
-    }
+
     val q = side(queries, "q")
     val d = side(data, "d")
     val blockEq = blockCols.map(c => col(s"q_$c") === col(s"d_$c"))
     val cond = ((col("q_tok") === col("d_tok")) +: blockEq).reduce(_ && _) &&
       col("q_id") =!= col("d_id") &&
-      col("q_sz") * lit(tau) <= col("d_sz") && col("d_sz") * lit(tau) <= col("q_sz")
+      lenOk(col("q_sz"), col("d_sz"), tau)
 
     q.join(d, cond)
       .groupBy(col("q_id"), col("d_id"), col("q_sz"), col("d_sz"))
@@ -108,42 +129,68 @@ object SimilarityJoin {
       .orderBy("q_id", "d_id")
   }
 
-  /** Global token → document-frequency relation with a dense ordering rank.
-    * Vernica stage 1. Bounded by vocabulary size → broadcastable.
+  /** Global token → document-frequency relation. Vernica stage 1.
+    * Bounded by vocabulary size → broadcastable.
     */
   def tokenFrequency(docs: DataFrame, textCol: String): DataFrame =
     tokenized(docs, textCol)
       .select(explode(col("tokens")).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
-      .withColumn("rnk", row_number().over(Window.orderBy(col("df"), col("token"))))
+
+  /** Token-frequency relation with a dense global rank by (df, token) —
+    * WITHOUT a global single-partition window. Rank = per-df row_number
+    * (distributed: partitioned by df) + a cumulative offset computed on the
+    * df-histogram, which has one row per distinct df value — a relation
+    * orders of magnitude smaller than the vocabulary, so its tiny window
+    * is not a scale bottleneck, and it is broadcast back.
+    */
+  def tokenFrequencyRanked(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = tokenFrequency(docs, textCol)
+    val hist = freq.groupBy("df").agg(count(lit(1)).as("cnt"))
+    val offs = hist
+      .withColumn("off", coalesce(
+        sum(col("cnt")).over(
+          Window.orderBy("df").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("df", "off")
+    freq.join(broadcast(offs), "df")
+      .withColumn("rnk",
+        (col("off") + row_number().over(Window.partitionBy("df").orderBy("token"))).cast("long"))
+      .select("token", "df", "rnk")
+  }
 
   /** Prefix-filtered exact Jaccard self-join — the 100 TB plan.
     *
-    * Tokens are sorted by ascending global document frequency (rarest
-    * first); only the first |x| − ⌈τ·|x|⌉ + 1 tokens of each record are
-    * indexed [PPJoin]. Any pair with J ≥ τ must share ≥1 prefix token, so
-    * candidate generation over the prefix index is complete. Verification
-    * re-checks the full token sets via array_intersect on the carried
-    * arrays. Equivalence with [[jaccardSelf]] is property-tested.
+    * Tokens are sorted rarest-first by (global document frequency, token);
+    * only the first |x| − ⌈τ·|x|⌉ + 1 tokens of each record are indexed
+    * [PPJoin]. Any pair with J ≥ τ must share ≥1 prefix token, so candidate
+    * generation over the prefix index is complete — and the highest-
+    * frequency (skew-driving) tokens are exactly the ones never indexed.
+    * Verification re-checks the full token sets via array_intersect on the
+    * carried arrays. Equivalence with [[jaccardSelf]] is property-tested.
+    *
+    * The frequency order is applied by sorting (df, token) structs per
+    * record — no materialized global rank, no global window.
     */
   def jaccardSelfPrefix(docs: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], tau: Double): DataFrame = {
-    val spark = docs.sparkSession
     val toks = tokenized(docs, textCol)
       .select(col(idCol).as("id") +: col("sz") +: col("tokens") +: blockCols.map(col): _*)
 
     val freq = tokenFrequency(docs, textCol)
 
-    // order each record's tokens rarest-first by the global rank
+    // order each record's tokens rarest-first by (df, token)
     val ranked = toks
       .select(col("id") +: col("sz") +: blockCols.map(col) :+ explode(col("tokens")).as("token"): _*)
       .join(broadcast(freq), "token")
       .groupBy(col("id") +: col("sz") +: blockCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("rnk"), col("token")))).as("rt"))
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("rt"))
       .withColumn("sorted_tokens", col("rt.token"))
+      // FP-robust ⌈sz·τ⌉: epsilon-down so an integral sz·τ never rounds up,
+      // which would shorten the prefix and silently drop true pairs.
       .withColumn("prefix", slice(col("sorted_tokens"), lit(1),
-        (col("sz") - ceil(col("sz") * lit(tau)) + lit(1)).cast("int")))
+        (col("sz") - ceil(col("sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int")))
       .drop("rt")
 
     val a = ranked.select(col("id").as("a_id") +: col("sz").as("a_sz") +:
@@ -156,7 +203,7 @@ object SimilarityJoin {
     val blockEq = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
     val cond = ((col("tok") === col("b_tok")) +: blockEq).reduce(_ && _) &&
       col("a_id") < col("b_id") &&
-      col("a_sz") * lit(tau) <= col("b_sz") && col("b_sz") * lit(tau) <= col("a_sz")
+      lenOk(col("a_sz"), col("b_sz"), tau)
 
     a.join(b, cond)
       .select("a_id", "b_id", "a_sz", "b_sz", "a_toks", "b_toks")

@@ -1,6 +1,536 @@
 package graft.queries
 
-/** SURVEY.md §2 rows 1–29 — filled in milestone M2. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Det, Tables}
+
+/** SURVEY.md §2 rows 1–29: the relational core.
+  *
+  * Every query is a pure `org.apache.spark.sql` built-in composition —
+  * Catalyst gets a fully declarative plan (pushdown, pruning, join
+  * selection, whole-stage codegen all automatic). Determinism follows
+  * SURVEY §2.1: total ORDER BY on a unique key, exact decimal sums via
+  * [[graft.Det]], timestamps formatted to strings in output, COALESCE on
+  * rollup/cube keys so no NULL reaches an ORDER BY.
+  *
+  * Scale notes: dimension joins carry explicit broadcast() hints
+  * (region/nation/customer are small at any SF); fact-fact joins shuffle on
+  * their equi keys; window queries partition by their natural key
+  * (customer/user), never a global unpartitioned window.
+  */
 object RelationalQueries {
-  def all: Seq[Q] = Seq()
+
+  // ---- 1. scan / projection -------------------------------------------
+  val q01 = Q(
+    "q01_scan_project",
+    (s, d) => Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+      .limit(100),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"""))
+
+  // ---- 2. filter / predicates -----------------------------------------
+  val q02 = Q(
+    "q02_filter_pred",
+    (s, d) => Tables.lineitem(s, d)
+      .filter(col("l_quantity").between(10, 20)
+        && col("l_returnflag").isin("A", "R")
+        && col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+        && col("l_linestatus").like("F%"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+      .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+            FROM lineitem
+            WHERE l_quantity BETWEEN 10 AND 20
+              AND l_returnflag IN ('A','R')
+              AND l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_linestatus LIKE 'F%'
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---- 3. string functions --------------------------------------------
+  val q03 = Q(
+    "q03_str_funcs",
+    (s, d) => Tables.customer(s, d).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("up"),
+      lower(col("c_name")).as("lo"),
+      substring(col("c_name"), 1, 8).as("sub"),
+      length(col("c_name")).as("len"),
+      trim(concat(lit("  "), col("c_name"), lit("  "))).as("tr"),
+      concat(col("c_name"), lit("-"), col("c_mktsegment")).as("cc"),
+      regexp_replace(col("c_name"), lit("Customer"), lit("Cust")).as("rep"),
+      regexp_extract(col("c_name"), "(\\d+)", 1).as("digits")
+    ).orderBy("c_custkey"),
+    Some("""SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo,
+                   substring(c_name, 1, 8) AS sub, length(c_name) AS len,
+                   trim('  ' || c_name || '  ') AS tr,
+                   c_name || '-' || c_mktsegment AS cc,
+                   replace(c_name, 'Customer', 'Cust') AS rep,
+                   regexp_extract(c_name, '(\d+)', 1) AS digits
+            FROM customer ORDER BY c_custkey"""))
+
+  // ---- 4. date functions ----------------------------------------------
+  val q04 = Q(
+    "q04_date_funcs",
+    (s, d) => Tables.orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("mon"),
+      datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("dd")
+    ).orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   day(o_orderdate) AS dom,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mon,
+                   datediff('day', o_orderdate::DATE, DATE '1998-01-01') AS dd
+            FROM orders ORDER BY o_orderkey"""))
+
+  // ---- 5. math functions ----------------------------------------------
+  val q05 = Q(
+    "q05_math_funcs",
+    (s, d) => Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice"), 1).as("r1"),
+      abs(col("l_discount") - lit(0.05)).as("ab"),
+      ceil(col("l_extendedprice") / 100).cast("bigint").as("ce"),
+      floor(col("l_extendedprice") / 100).cast("bigint").as("fl"),
+      round(sqrt(col("l_quantity")), 6).as("sq"),
+      round(log(col("l_extendedprice")), 6).as("lg"),
+      round(pow(col("l_discount"), 2), 6).as("pw"),
+      (col("l_linenumber") % 3).as("md")
+    ).orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber,
+                   round(l_extendedprice, 1) AS r1,
+                   abs(l_discount - 0.05) AS ab,
+                   CAST(ceil(l_extendedprice / 100) AS BIGINT) AS ce,
+                   CAST(floor(l_extendedprice / 100) AS BIGINT) AS fl,
+                   round(sqrt(l_quantity), 6) AS sq,
+                   round(ln(l_extendedprice), 6) AS lg,
+                   round(pow(l_discount, 2), 6) AS pw,
+                   l_linenumber % 3 AS md
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  // ---- 6. CASE / COALESCE / NULLIF -------------------------------------
+  val q06 = Q(
+    "q06_case_coalesce",
+    (s, d) => Tables.orders(s, d).select(
+      col("o_orderkey"),
+      when(col("o_orderstatus") === "O", "open")
+        .when(col("o_orderstatus") === "F", "done")
+        .otherwise("other").as("st"),
+      coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("urgent-replaced")).as("pr"),
+      nullif(col("o_orderstatus"), lit("P")).as("z")
+    ).orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+                   CASE WHEN o_orderstatus = 'O' THEN 'open'
+                        WHEN o_orderstatus = 'F' THEN 'done'
+                        ELSE 'other' END AS st,
+                   coalesce(nullif(o_orderpriority, '1-URGENT'), 'urgent-replaced') AS pr,
+                   nullif(o_orderstatus, 'P') AS z
+            FROM orders ORDER BY o_orderkey"""))
+
+  // ---- 7. inner equi join + agg ----------------------------------------
+  val q07 = Q(
+    "q07_join_inner",
+    (s, d) => Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(Det.exactSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // ---- 8. multi-way join with broadcast dims ---------------------------
+  val q08 = Q(
+    "q08_join_multi_broadcast",
+    (s, d) => Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        sum(Det.dec2(col("l_extendedprice")) * (lit(1) - Det.dec2(col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  // ---- 9. left outer join ----------------------------------------------
+  val q09 = Q(
+    "q09_join_left",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  // ---- 10. semi join -----------------------------------------------------
+  val q10 = Q(
+    "q10_join_semi",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+            ORDER BY c_custkey"""))
+
+  // ---- 11. anti join -----------------------------------------------------
+  val q11 = Q(
+    "q11_join_anti",
+    (s, d) => Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  // ---- 12. theta / range join -------------------------------------------
+  // Equi key (brand) keeps this a hash join with a residual range predicate
+  // — never a cartesian product (guarded by ExplainSpec).
+  val q12 = Q(
+    "q12_join_theta_range",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val a = p.select(col("p_partkey").as("a_key"), col("p_brand"),
+        col("p_size").as("a_size"), col("p_retailprice").as("a_price"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"),
+        col("p_size").as("b_size"), col("p_retailprice").as("b_price"))
+      a.join(b, col("p_brand") === col("b_brand")
+          && col("a_size") < col("b_size")
+          && abs(col("a_price") - col("b_price")) < 100)
+        .select(col("a_key"), col("b_key"), col("p_brand"),
+          col("a_size"), col("b_size"),
+          abs(col("a_price") - col("b_price")).as("price_diff"))
+        .orderBy("a_key", "b_key")
+    },
+    Some("""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.p_brand,
+                   a.p_size AS a_size, b.p_size AS b_size,
+                   abs(a.p_retailprice - b.p_retailprice) AS price_diff
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_size < b.p_size
+             AND abs(a.p_retailprice - b.p_retailprice) < 100
+            ORDER BY a_key, b_key"""))
+
+  // ---- 13. as-of join ----------------------------------------------------
+  // Event-time as-of: latest 'click' by the same user strictly before each
+  // 'error'. Spark has no native as-of; the equi-join + windowed argmax is
+  // the declarative form (Catalyst plans partial pushdown + one shuffle per
+  // side). events.ts is ns in parquet — both engines compare at µs via the
+  // session/oracle cast, so boundaries agree.
+  val q13 = Q(
+    "q13_join_asof",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts").as("click_ts"))
+      val w = Window.partitionBy(col("err_id"))
+        .orderBy(col("click_ts").desc, col("click_id").desc)
+      err.join(clk, col("user_id") === col("c_user") && col("click_ts") < col("err_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("err_id"), col("user_id"), col("click_id"),
+          (unix_micros(col("err_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy("err_id")
+    },
+    Some("""SELECT e.event_id AS err_id, e.user_id, c.event_id AS click_id,
+                   epoch_us(e.ts::TIMESTAMP) - epoch_us(c.ts::TIMESTAMP) AS gap_us
+            FROM events e JOIN events c
+              ON c.user_id = e.user_id AND c.event_type = 'click'
+             AND c.ts::TIMESTAMP < e.ts::TIMESTAMP
+            WHERE e.event_type = 'error'
+            QUALIFY row_number() OVER (PARTITION BY e.event_id
+                                       ORDER BY c.ts::TIMESTAMP DESC, c.event_id DESC) = 1
+            ORDER BY err_id"""))
+
+  // ---- 14. cross join ----------------------------------------------------
+  val q14 = Q(
+    "q14_join_cross",
+    (s, d) => Tables.nation(s, d).select("n_name")
+      .crossJoin(Tables.region(s, d).select("r_name"))
+      .orderBy("n_name", "r_name"),
+    Some("""SELECT n_name, r_name FROM nation CROSS JOIN region
+            ORDER BY n_name, r_name"""))
+
+  // ---- 15. hash aggregation (TPC-H Q1 shape) ------------------------------
+  val q15 = Q(
+    "q15_agg_sum_group",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.exactSum(col("l_quantity")).as("sum_qty"),
+        Det.exactSum(col("l_extendedprice")).as("sum_base"),
+        sum(Det.dec2(col("l_extendedprice")) * (lit(1) - Det.dec2(col("l_discount")))).as("sum_disc"),
+        Det.exactAvg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  // ---- 16. distinct aggregation -------------------------------------------
+  val q16 = Q(
+    "q16_agg_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT l_partkey) AS n_part
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  // ---- 17. aggregation + HAVING -------------------------------------------
+  val q17 = Q(
+    "q17_agg_having",
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 15)
+      .orderBy("o_custkey"),
+    Some("""SELECT o_custkey, count(*) AS n_orders FROM orders
+            GROUP BY o_custkey HAVING count(*) > 15 ORDER BY o_custkey"""))
+
+  // ---- 18. ROLLUP grouping sets -------------------------------------------
+  val q18 = Q(
+    "q18_agg_rollup",
+    (s, d) => Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        grouping(col("r_name")).cast("int").as("gr"),
+        grouping(col("n_name")).cast("int").as("gn"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("n_cust"), col("gr"), col("gn"))
+      .orderBy("r_name", "n_name", "gr", "gn"),
+    Some("""SELECT coalesce(r_name, 'ALL') AS r_name,
+                   coalesce(n_name, 'ALL') AS n_name,
+                   count(*) AS n_cust,
+                   CAST(GROUPING(r_name) AS INT) AS gr,
+                   CAST(GROUPING(n_name) AS INT) AS gn
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+            ORDER BY r_name, n_name, gr, gn"""))
+
+  // ---- 19. CUBE grouping sets ----------------------------------------------
+  val q19 = Q(
+    "q19_agg_cube",
+    (s, d) => Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        Det.exactSum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("gf"),
+        grouping(col("l_linestatus")).cast("int").as("gs"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("n"), col("sum_qty"), col("gf"), col("gs"))
+      .orderBy("l_returnflag", "l_linestatus", "gf", "gs"),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   CAST(GROUPING(l_returnflag) AS INT) AS gf,
+                   CAST(GROUPING(l_linestatus) AS INT) AS gs
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus, gf, gs"""))
+
+  // ---- 20. statistical aggregation ------------------------------------------
+  val q20 = Q(
+    "q20_agg_stats",
+    (s, d) => Tables.customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"),
+        Det.exactStddev(col("c_acctbal")).as("sd"), count(lit(1)).as("n"))
+      .orderBy("c_mktsegment"),
+    Some("""SELECT c_mktsegment, min(c_acctbal) AS mn, max(c_acctbal) AS mx,
+                   round(sqrt((count(*)::DOUBLE
+                               * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))
+                                          * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                               - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                 * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE))
+                              / (count(*)::DOUBLE * (count(*)::DOUBLE - 1.0))), 4) AS sd,
+                   count(*) AS n
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  // ---- 21. window ranking -----------------------------------------------------
+  private val rankW = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+  val q21 = Q(
+    "q21_win_rank",
+    (s, d) => Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      rank().over(rankW).as("rnk"),
+      dense_rank().over(rankW).as("drnk"),
+      row_number().over(rankW).as("rn")
+    ).orderBy("o_custkey", "o_orderkey"),
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+                   rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+                   row_number() OVER w AS rn
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY o_custkey, o_orderkey"""))
+
+  // ---- 22. window lag / lead ---------------------------------------------------
+  val q22 = Q(
+    "q22_win_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev"),
+        lead(col("value"), 1).over(w).as("nxt"))
+        .withColumn("delta", Det.dec2(col("value")) - Det.dec2(col("prev")))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id, value,
+                   lag(value) OVER w AS prev, lead(value) OVER w AS nxt,
+                   CAST(value AS DECIMAL(18,2)) - CAST(lag(value) OVER w AS DECIMAL(18,2)) AS delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
+            ORDER BY user_id, event_id"""))
+
+  // ---- 23. window moving frame ---------------------------------------------------
+  val q23 = Q(
+    "q23_win_moving",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        sum(Det.dec2(col("value"))).over(w).as("mov"))
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+                   sum(CAST(value AS DECIMAL(18,2))) OVER
+                     (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov
+            FROM events ORDER BY user_id, event_id"""))
+
+  // ---- 24. window cumulative -------------------------------------------------------
+  val q24 = Q(
+    "q24_win_cume",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(Det.dec2(col("o_totalprice"))).over(w).as("cume"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  // ---- 25. top-k per group -----------------------------------------------------------
+  val q25 = Q(
+    "q25_topk_per_group",
+    (s, d) => Tables.orders(s, d)
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= 3)
+      .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rnk"),
+    Some("""SELECT o_custkey, row_number() OVER w AS rnk, o_orderkey, o_totalprice
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+            QUALIFY rnk <= 3
+            ORDER BY o_custkey, rnk"""))
+
+  // ---- 26. multi-column sort + limit (global top-k) ------------------------------------
+  val q26 = Q(
+    "q26_sort_multi",
+    (s, d) => Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(50)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od")),
+    Some("""SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m-%d') AS od
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC LIMIT 50"""))
+
+  // ---- 27. UNION ALL + distinct aggregation --------------------------------------------
+  val q27 = Q(
+    "q27_set_union",
+    (s, d) => Tables.supplier(s, d).select(col("s_name").as("name"))
+      .unionByName(Tables.customer(s, d).select(col("c_name").as("name")))
+      .groupBy("name").agg(count(lit(1)).as("n"))
+      .orderBy("name"),
+    Some("""SELECT name, count(*) AS n FROM (
+              SELECT s_name AS name FROM supplier
+              UNION ALL
+              SELECT c_name AS name FROM customer)
+            GROUP BY name ORDER BY name"""))
+
+  // ---- 28. INTERSECT ---------------------------------------------------------------------
+  val q28 = Q(
+    "q28_set_intersect",
+    (s, d) => Tables.nation(s, d)
+      .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"), "left_semi")
+      .select("n_name")
+      .intersect(
+        Tables.nation(s, d)
+          .join(Tables.supplier(s, d).filter(col("s_acctbal") > 5000),
+            col("n_nationkey") === col("s_nationkey"), "left_semi")
+          .select("n_name"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
+            INTERSECT
+            SELECT n_name FROM nation JOIN supplier
+              ON n_nationkey = s_nationkey AND s_acctbal > 5000
+            ORDER BY n_name"""))
+
+  // ---- 29. EXCEPT -------------------------------------------------------------------------
+  val q29 = Q(
+    "q29_set_except",
+    (s, d) => Tables.nation(s, d)
+      .join(Tables.customer(s, d), col("n_nationkey") === col("c_nationkey"), "left_semi")
+      .select("n_name")
+      .except(
+        Tables.nation(s, d)
+          .join(Tables.supplier(s, d).filter(col("s_acctbal") > 5000),
+            col("n_nationkey") === col("s_nationkey"), "left_semi")
+          .select("n_name"))
+      .orderBy("n_name"),
+    Some("""SELECT n_name FROM nation JOIN customer ON n_nationkey = c_nationkey
+            EXCEPT
+            SELECT n_name FROM nation JOIN supplier
+              ON n_nationkey = s_nationkey AND s_acctbal > 5000
+            ORDER BY n_name"""))
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
+    q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
+    q21, q22, q23, q24, q25, q26, q27, q28, q29)
 }

@@ -1,6 +1,169 @@
 package graft.queries
 
-/** SURVEY.md §2 rows 30–35, 38, 42 — filled in milestone M3. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.ops.SimilarityJoin
+
+/** SURVEY.md §2 rows 30–35, 38, 42: text / array / JSON / struct operators
+  * plus the edit-distance join and exact dedup.
+  *
+  * All array work uses codegen'd built-ins and higher-order functions —
+  * no UDFs. The explode-based queries are Catalyst `Generator`s (Hive UDTF
+  * equivalent); JSON stays a string column probed with `get_json_object`
+  * (no pre-parse — predicate/projection pushdown keeps the scan narrow).
+  */
 object TextQueries {
-  def all: Seq[Q] = Seq()
+
+  // ---- 30. array functions ------------------------------------------------
+  val q30 = Q(
+    "q30_array_ops",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " +"))
+      .withColumn("dist", array_distinct(col("toks")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        size(col("dist")).as("n_dist"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        element_at(sort_array(col("dist")), 1).as("first_tok"),
+        element_at(sort_array(col("dist")), -1).as("last_tok"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   len(regexp_split_to_array(text, ' +')) AS n_toks,
+                   len(list_distinct(regexp_split_to_array(text, ' +'))) AS n_dist,
+                   list_contains(regexp_split_to_array(text, ' +'), 'spark') AS has_spark,
+                   list_sort(list_distinct(regexp_split_to_array(text, ' +')))[1] AS first_tok,
+                   list_sort(list_distinct(regexp_split_to_array(text, ' +')))[-1] AS last_tok
+            FROM documents ORDER BY doc_id"""))
+
+  // ---- 31. explode / unnest (inverted index, Vernica stage 1) --------------
+  val q31 = Q(
+    "q31_explode_unnest",
+    (s, d) => Tables.documents(s, d)
+      .select(explode(array_distinct(split(col("text"), " +"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy("token"),
+    Some("""SELECT token, count(*) AS doc_count FROM (
+              SELECT unnest(list_distinct(regexp_split_to_array(text, ' +'))) AS token
+              FROM documents)
+            GROUP BY token ORDER BY token"""))
+
+  // ---- 32. JSON extraction --------------------------------------------------
+  val q32 = Q(
+    "q32_json_extract",
+    (s, d) => Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        round(sum(col("k")).cast("double") / count(lit(1)), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+                   CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+                   round(CAST(sum(json_extract(props, '$.k')::BIGINT) AS DOUBLE) / count(*), 4) AS avg_k,
+                   min(json_extract(props, '$.k')::BIGINT) AS min_k,
+                   max(json_extract(props, '$.k')::BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ---- 33. struct / map operations (scalar-extracted output) ----------------
+  val q33 = Q(
+    "q33_struct_ops",
+    (s, d) => Tables.events(s, d)
+      .withColumn("st", struct(col("event_type").as("t"), col("value").as("v")))
+      .withColumn("m", map_from_arrays(
+        array(lit("a"), lit("b")), array(col("value"), col("value") * 2)))
+      .select(
+        col("event_id"),
+        col("st").getField("t").as("t"),
+        col("st").getField("v").as("v"),
+        element_at(col("m"), "b").as("v2"))
+      .orderBy("event_id"),
+    Some("""SELECT event_id,
+                   struct_extract(struct_pack(t := event_type, v := value), 't') AS t,
+                   struct_extract(struct_pack(t := event_type, v := value), 'v') AS v,
+                   value * 2 AS v2
+            FROM events ORDER BY event_id"""))
+
+  // ---- 34. token statistics ---------------------------------------------------
+  val q34 = Q(
+    "q34_tok_stats",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " +"))
+      .withColumn("dist", array_distinct(col("toks")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("dist")).as("n_distinct"),
+        array_min(col("dist")).as("min_tok"),
+        array_max(col("dist")).as("max_tok"),
+        (col("n_chars") === length(col("text"))).as("chars_ok"))
+      .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+                   len(regexp_split_to_array(text, ' +')) AS n_tokens,
+                   len(list_distinct(regexp_split_to_array(text, ' +'))) AS n_distinct,
+                   list_sort(list_distinct(regexp_split_to_array(text, ' +')))[1] AS min_tok,
+                   list_sort(list_distinct(regexp_split_to_array(text, ' +')))[-1] AS max_tok,
+                   n_chars = length(text) AS chars_ok
+            FROM documents ORDER BY doc_id"""))
+
+  // ---- 35. global token-frequency ordering (Vernica stage 1) -------------------
+  val q35 = Q(
+    "q35_token_freq_rank",
+    (s, d) => SimilarityJoin.tokenFrequencyRanked(Tables.documents(s, d), "text")
+      .orderBy("rnk"),
+    Some("""SELECT token, df, rank() OVER (ORDER BY df, token) AS rnk FROM (
+              SELECT token, count(*) AS df FROM (
+                SELECT unnest(list_distinct(regexp_split_to_array(text, ' +'))) AS token
+                FROM documents)
+              GROUP BY token)
+            ORDER BY rnk"""))
+
+  // ---- 38. edit-distance similarity join -----------------------------------------
+  // Brand-blocked self-join with the codegen'd levenshtein built-in: the
+  // equi key (brand) keeps it a hash join; the distance predicate is a
+  // residual filter, never a cartesian driver.
+  val q38 = Q(
+    "q38_edit_distance_join",
+    (s, d) => {
+      val p = Tables.part(s, d)
+      val a = p.select(col("p_partkey").as("a_key"), col("p_brand"), col("p_name").as("a_name"))
+      val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"), col("p_name").as("b_name"))
+      a.join(b, col("p_brand") === col("b_brand") && col("a_key") < col("b_key")
+          && levenshtein(col("a_name"), col("b_name")) <= 2)
+        .select(col("a_key"), col("b_key"), col("p_brand"),
+          levenshtein(col("a_name"), col("b_name")).as("dist"))
+        .orderBy("a_key", "b_key")
+    },
+    Some("""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.p_brand,
+                   levenshtein(a.p_name, b.p_name) AS dist
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 2
+            ORDER BY a_key, b_key"""))
+
+  // ---- 42. exact deduplication -----------------------------------------------------
+  // Keep-first by doc_id on normalized text; one shuffle on the hash of the
+  // normalized key — the canonical exact-dedup plan at any scale.
+  val q42 = Q(
+    "q42_dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(lower(trim(col("text")))).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_survivors FROM (
+              SELECT source, row_number() OVER (PARTITION BY lower(trim(text))
+                                                ORDER BY doc_id) AS rn
+              FROM documents)
+            WHERE rn = 1 GROUP BY source ORDER BY source"""))
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42)
 }

@@ -52,11 +52,14 @@ def main(sf_dir, out_dir):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
             continue
-        files = glob.glob(os.path.join(d, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
         if not files:
             results[name] = "NO_SPARK_OUTPUT"
             continue
-        spark_tbl = pq.read_table(files[0])
+        # Concatenate ALL part files in filename order: Verify coalesce(1)s
+        # today, but a multi-file write must not silently compare a subset.
+        import pyarrow as pa
+        spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
         spark_cols = spark_tbl.column_names
         spark_rows = [tuple(r[c] for c in spark_cols) for r in spark_tbl.to_pylist()]
         if name not in oracles:
