@@ -27,8 +27,22 @@ object Det {
   /** Wider decimal for sums of squares (2-dp × 2-dp = 4-dp exact). */
   def dec4(c: Column): Column = c.cast("decimal(38,4)")
 
-  /** Order-insensitive exact sum of a ≤2-dp double column. */
-  def exactSum(c: Column): Column = sum(dec2(c))
+  /** Order-insensitive exact sum of a ≤2-dp double column, surfaced as
+    * DOUBLE. The sum itself is decimal (exact, associative at any
+    * parallelism); only the final value is converted — one correctly-rounded
+    * decimal→double conversion, identical on both engines while the unscaled
+    * sum stays below 2^53 (true by orders of magnitude at every SF).
+    *
+    * Output columns must never stay DECIMAL: engines render decimals with
+    * trailing zeros ("12.50") where doubles render shortest ("12.5"), and a
+    * text-normalizing hash compare will flag every value whose last decimal
+    * digit is 0. Doubles have one canonical shortest repr on both engines.
+    */
+  def exactSum(c: Column): Column = sum(dec2(c)).cast("double")
+
+  /** Exact sum of dec2(a)·dec2(b) products (4-dp exact), as DOUBLE. */
+  def exactSumProd(a: Column, b: Column): Column =
+    sum(dec2(a) * b).cast("double")
 
   /** Deterministic average: exact sum, single division, 4-dp round. */
   def exactAvg(c: Column): Column =

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the driver-generated test corpus
   * (TESTDATA.md: one parquet file per table under the sf dir).
@@ -23,7 +24,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) — a type Spark's vectorized
+    * reader rejects outright. Read it as raw nanos (legacy conf) and truncate
+    * to µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast does (integer
+    * floor-division; all epoch values are positive), so boundary comparisons
+    * agree between the engines to the microsecond.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

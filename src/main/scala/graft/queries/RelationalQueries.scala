@@ -23,12 +23,17 @@ object RelationalQueries {
   // ---- 1. scan / projection -------------------------------------------
   val q01 = Q(
     "q01_scan_project",
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus (FIXTURES.md) —
+    // every sort here ends with enough columns that ties are full-row
+    // duplicates, so the hash is order-proof and the LIMIT cut is stable.
     (s, d) => Tables.lineitem(s, d)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .limit(100),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-            FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100"""))
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+            LIMIT 100"""))
 
   // ---- 2. filter / predicates -----------------------------------------
   val q02 = Q(
@@ -39,14 +44,14 @@ object RelationalQueries {
         && col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
         && col("l_linestatus").like("F%"))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
-      .orderBy("l_orderkey", "l_linenumber"),
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"),
     Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
             FROM lineitem
             WHERE l_quantity BETWEEN 10 AND 20
               AND l_returnflag IN ('A','R')
               AND l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_linestatus LIKE 'F%'
-            ORDER BY l_orderkey, l_linenumber"""))
+            ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus"""))
 
   // ---- 3. string functions --------------------------------------------
   val q03 = Q(
@@ -100,7 +105,7 @@ object RelationalQueries {
       round(log(col("l_extendedprice")), 6).as("lg"),
       round(pow(col("l_discount"), 2), 6).as("pw"),
       (col("l_linenumber") % 3).as("md")
-    ).orderBy("l_orderkey", "l_linenumber"),
+    ).orderBy("l_orderkey", "l_linenumber", "r1", "ab", "sq"),
     Some("""SELECT l_orderkey, l_linenumber,
                    round(l_extendedprice, 1) AS r1,
                    abs(l_discount - 0.05) AS ab,
@@ -110,7 +115,7 @@ object RelationalQueries {
                    round(ln(l_extendedprice), 6) AS lg,
                    round(pow(l_discount, 2), 6) AS pw,
                    l_linenumber % 3 AS md
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, ab, sq"""))
 
   // ---- 6. CASE / COALESCE / NULLIF -------------------------------------
   val q06 = Q(
@@ -140,7 +145,7 @@ object RelationalQueries {
       .agg(Det.exactSum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy("c_mktsegment"),
     Some("""SELECT c_mktsegment,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
@@ -155,12 +160,12 @@ object RelationalQueries {
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        sum(Det.dec2(col("l_extendedprice")) * (lit(1) - Det.dec2(col("l_discount")))).as("revenue"),
+        Det.exactSumProd(col("l_extendedprice"), lit(1) - Det.dec2(col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name"),
     Some("""SELECT r_name, n_name,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
                    count(*) AS n_items
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -282,15 +287,15 @@ object RelationalQueries {
       .agg(
         Det.exactSum(col("l_quantity")).as("sum_qty"),
         Det.exactSum(col("l_extendedprice")).as("sum_base"),
-        sum(Det.dec2(col("l_extendedprice")) * (lit(1) - Det.dec2(col("l_discount")))).as("sum_disc"),
+        Det.exactSumProd(col("l_extendedprice"), lit(1) - Det.dec2(col("l_discount"))).as("sum_disc"),
         Det.exactAvg(col("l_quantity")).as("avg_qty"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus"),
     Some("""SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base,
-                   sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
                    round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
@@ -322,17 +327,26 @@ object RelationalQueries {
   // ---- 18. ROLLUP grouping sets -------------------------------------------
   val q18 = Q(
     "q18_agg_rollup",
-    (s, d) => Tables.customer(s, d)
-      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .rollup("r_name", "n_name")
-      .agg(count(lit(1)).as("n_cust"),
-        grouping(col("r_name")).cast("int").as("gr"),
-        grouping(col("n_name")).cast("int").as("gn"))
-      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
-        coalesce(col("n_name"), lit("ALL")).as("n_name"),
-        col("n_cust"), col("gr"), col("gn"))
-      .orderBy("r_name", "n_name", "gr", "gn"),
+    // Via the SQL surface (SURVEY §3.3): the DataFrame rollup+grouping()
+    // combination trips Spark's ambiguous-self-join detection on the
+    // Expand-duplicated grouping attributes; SQL-path resolution does not.
+    // Same Catalyst plan either way; dims carry explicit broadcast hints.
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g18_customer")
+      Tables.nation(s, d).createOrReplaceTempView("g18_nation")
+      Tables.region(s, d).createOrReplaceTempView("g18_region")
+      s.sql("""SELECT /*+ BROADCAST(g18_nation, g18_region) */
+                      coalesce(r_name, 'ALL') AS r_name,
+                      coalesce(n_name, 'ALL') AS n_name,
+                      count(*) AS n_cust,
+                      CAST(grouping(r_name) AS INT) AS gr,
+                      CAST(grouping(n_name) AS INT) AS gn
+               FROM g18_customer
+               JOIN g18_nation ON c_nationkey = n_nationkey
+               JOIN g18_region ON n_regionkey = r_regionkey
+               GROUP BY ROLLUP(r_name, n_name)
+               ORDER BY r_name, n_name, gr, gn""")
+    },
     Some("""SELECT coalesce(r_name, 'ALL') AS r_name,
                    coalesce(n_name, 'ALL') AS n_name,
                    count(*) AS n_cust,
@@ -360,7 +374,7 @@ object RelationalQueries {
     Some("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,
                    count(*) AS n,
-                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    CAST(GROUPING(l_returnflag) AS INT) AS gf,
                    CAST(GROUPING(l_linestatus) AS INT) AS gs
             FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -411,12 +425,13 @@ object RelationalQueries {
         col("user_id"), col("event_id"), col("value"),
         lag(col("value"), 1).over(w).as("prev"),
         lead(col("value"), 1).over(w).as("nxt"))
-        .withColumn("delta", Det.dec2(col("value")) - Det.dec2(col("prev")))
+        .withColumn("delta", (Det.dec2(col("value")) - Det.dec2(col("prev"))).cast("double"))
         .orderBy("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id, value,
                    lag(value) OVER w AS prev, lead(value) OVER w AS nxt,
-                   CAST(value AS DECIMAL(18,2)) - CAST(lag(value) OVER w AS DECIMAL(18,2)) AS delta
+                   CAST(CAST(value AS DECIMAL(18,2))
+                        - CAST(lag(value) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS delta
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id)
             ORDER BY user_id, event_id"""))
@@ -429,13 +444,13 @@ object RelationalQueries {
         .rowsBetween(-2, Window.currentRow)
       Tables.events(s, d).select(
         col("user_id"), col("event_id"),
-        sum(Det.dec2(col("value"))).over(w).as("mov"))
+        sum(Det.dec2(col("value"))).over(w).cast("double").as("mov"))
         .orderBy("user_id", "event_id")
     },
     Some("""SELECT user_id, event_id,
-                   sum(CAST(value AS DECIMAL(18,2))) OVER
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) OVER
                      (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov
             FROM events ORDER BY user_id, event_id"""))
 
   // ---- 24. window cumulative -------------------------------------------------------
@@ -446,13 +461,13 @@ object RelationalQueries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d).select(
         col("o_custkey"), col("o_orderkey"),
-        sum(Det.dec2(col("o_totalprice"))).over(w).as("cume"))
+        sum(Det.dec2(col("o_totalprice"))).over(w).cast("double").as("cume"))
         .orderBy("o_custkey", "o_orderkey")
     },
     Some("""SELECT o_custkey, o_orderkey,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
                      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cume
             FROM orders ORDER BY o_custkey, o_orderkey"""))
 
   // ---- 25. top-k per group -----------------------------------------------------------

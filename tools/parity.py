@@ -21,10 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
+    # Full repr for floats — no rounding slack. If a value differs by even
+    # one ulp between engines, we want to see it here, not in the driver.
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return repr(round(v, 9))
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -61,6 +63,15 @@ def main(sf_dir, out_dir):
         import pyarrow as pa
         spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
         spark_cols = spark_tbl.column_names
+        # DECIMAL output columns are banned: engines render trailing zeros
+        # differently ("12.50" vs float64 repr "12.5"), so any text-normalizing
+        # hash compare flags every value whose last decimal digit is 0.
+        # Exact decimal math stays INTERNAL; final outputs must be DOUBLE.
+        dec_cols = [f.name for f in spark_tbl.schema
+                    if pa.types.is_decimal(f.type)]
+        if dec_cols:
+            results[name] = f"DECIMAL_OUTPUT_COLUMN {dec_cols} (cast to DOUBLE)"
+            continue
         spark_rows = [tuple(r[c] for c in spark_cols) for r in spark_tbl.to_pylist()]
         if name not in oracles:
             results[name] = f"ROWS_ONLY ({len(spark_rows)} rows)"
