@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.SimilarityJoin
+import graft.ops.{MinHash, SimilarityJoin, VectorSearch}
 
 /** SURVEY.md §2 rows 36–43: the similarity-join suite. */
 object SimilarityQueries {
@@ -30,5 +30,128 @@ object SimilarityQueries {
       ORDER BY a_id, b_id
     """.stripMargin.trim))
 
-  def all: Seq[Q] = Seq(q36)
+  /** q37 — R-S similarity search: query docs (doc_id < 10) vs all same-lang
+    * docs, τ = 0.6, excluding self. Same inverted-index plan as q36, two
+    * inputs; the query side is naturally tiny, the data side never
+    * materializes pairs outside shared-token blocks.
+    */
+  val q37 = Q(
+    "q37_jaccard_rs_join",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      SimilarityJoin.jaccardRS(
+        docs.filter(col("doc_id") < 10), docs, "doc_id", "text", Seq("lang"), 0.6)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(text, ' +')) AS toks
+        FROM documents
+      )
+      SELECT q.doc_id AS q_id, d.doc_id AS d_id,
+             ROUND(len(list_intersect(q.toks, d.toks))::DOUBLE
+                   / (len(q.toks) + len(d.toks) - len(list_intersect(q.toks, d.toks))), 6) AS sim
+      FROM t q JOIN t d ON q.lang = d.lang AND q.doc_id < 10 AND q.doc_id <> d.doc_id
+      WHERE len(list_intersect(q.toks, d.toks))::DOUBLE
+            / (len(q.toks) + len(d.toks) - len(list_intersect(q.toks, d.toks))) >= 0.6
+      ORDER BY q_id, d_id
+    """.stripMargin.trim))
+
+  /** q39 — char-3-gram set-similarity join on part names, brand-blocked,
+    * τ = 0.5. Grams are built with codegen'd higher-order functions (no
+    * UDF), then flow through the same generic inverted-index engine as q36.
+    */
+  val q39 = Q(
+    "q39_ngram_join",
+    (s, d) => {
+      val grams = Tables.part(s, d).select(
+        col("p_partkey"), col("p_brand"),
+        array_distinct(transform(
+          sequence(lit(1), length(col("p_name")) - 2),
+          i => col("p_name").substr(i, lit(3)))).as("grams"))
+      SimilarityJoin.jaccardSelfOnSets(grams, "p_partkey", "grams", Seq("p_brand"), 0.5)
+    },
+    Some("""
+      WITH t AS (
+        SELECT p_partkey, p_brand,
+               list_distinct(list_transform(generate_series(1, length(p_name) - 2),
+                                            i -> p_name[i:i+2])) AS grams
+        FROM part
+      )
+      SELECT a.p_partkey AS a_id, b.p_partkey AS b_id,
+             ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+                   / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 6) AS sim
+      FROM t a JOIN t b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+      ORDER BY a_id, b_id
+    """.stripMargin.trim))
+
+  /** q40 — exact cosine top-3 for vec_id < 100 (k-NN form: random unit
+    * vectors make any useful threshold empty — FIXTURES.md). Query side is
+    * broadcast; the data side streams with no shuffle until the per-query
+    * top-k window.
+    */
+  val q40 = Q(
+    "q40_cosine_knn",
+    (s, d) => VectorSearch.cosineKnn(
+      Tables.embeddings(s, d), "vec_id", "embedding", col("id") < 100, 3),
+    Some("""
+      SELECT a.vec_id AS vec_id,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+                                         b.vec_id) AS rnk,
+             b.vec_id AS neighbor,
+             ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 100 AND a.vec_id <> b.vec_id
+      QUALIFY rnk <= 3
+      ORDER BY a.vec_id, rnk
+    """.stripMargin.trim))
+
+  /** q41 — near-dup dedup: survivors are docs never the larger id of a
+    * ≥0.8 Jaccard pair (q36's semantics); survivor counts per lang. The
+    * pair plan is reused as-is — one anti-join on the b side.
+    */
+  val q41 = Q(
+    "q41_dedup_near",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = SimilarityJoin.jaccardSelf(docs, "doc_id", "text", Seq("lang", "source"), 0.8)
+      docs.join(pairs.select(col("b_id")), col("doc_id") === col("b_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(text, ' +')) AS toks
+        FROM documents
+      ),
+      pairs AS (
+        SELECT b.doc_id AS b_id
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+      )
+      SELECT lang, count(*) AS n_survivors
+      FROM documents
+      WHERE doc_id NOT IN (SELECT b_id FROM pairs)
+      GROUP BY lang ORDER BY lang
+    """.stripMargin.trim))
+
+  /** q43 — MinHash/LSH approximate near-dup pairs (32 hashes, 8 bands of 4).
+    * No SQL oracle — engine hash functions differ; the driver records a
+    * rows-only check and MinHashSpec pins recall/error against q36's exact
+    * ground truth with fixed seeds.
+    */
+  val q43 = Q(
+    "q43_minhash_lsh",
+    (s, d) => MinHash.lshPairs(
+      Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.5),
+    None)
+
+  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43)
 }

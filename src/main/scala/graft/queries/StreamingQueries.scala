@@ -1,6 +1,145 @@
 package graft.queries
 
-/** SURVEY.md §2 rows 44–46 (batch-oracled window forms) — milestone M5. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.{Det, Tables}
+
+/** SURVEY.md §2 rows 44–47: streaming window semantics.
+  *
+  * q44–q46 are the batch-checked forms — `window()` / session
+  * gaps-and-islands produce identical results in batch and micro-batch
+  * execution for on-time data, so the DuckDB oracle grades the window
+  * semantics exactly. q47 is the true Structured Streaming runtime:
+  * MemoryStream micro-batches through a watermark in append mode, where
+  * emission timing and late-row dropping are observable.
+  *
+  * Scale: event-time windowing shuffles once on (window, key) with partial
+  * aggregation; session windows shuffle once on user. Streaming state at
+  * 100 TB/day is bounded by the watermark horizon — exactly why q47's
+  * 10-minute watermark matters: state eviction is what makes the job run
+  * forever.
+  */
 object StreamingQueries {
-  def all: Seq[Q] = Seq()
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ---- 44. tumbling window (batch-checked) -------------------------------
+  val q44 = Q(
+    "q44_tumbling_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.exactSum(col("value")).as("sum_val"))
+      .select(date_format(col("w.start"), fmt).as("ws"), col("event_type"),
+        col("n"), col("sum_val"))
+      .orderBy("ws", "event_type"),
+    Some("""SELECT strftime(time_bucket(INTERVAL '1 hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ws,
+                   event_type, count(*) AS n,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+            FROM events GROUP BY 1, 2 ORDER BY ws, event_type"""))
+
+  // ---- 45. sliding window (batch-checked) --------------------------------
+  // 1h windows sliding 30min: every event lands in exactly 2 windows whose
+  // starts are bucket30(ts) and bucket30(ts) − 30min.
+  val q45 = Q(
+    "q45_sliding_window",
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), fmt).as("ws"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type"),
+    Some("""WITH b AS (
+              SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) AS w0, event_type FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL '30 minutes', ts::TIMESTAMP) - INTERVAL '30 minutes', event_type FROM events)
+            SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS n
+            FROM b GROUP BY 1, 2 ORDER BY ws, event_type"""))
+
+  // ---- 46. session window (batch gaps-and-islands) -----------------------
+  // Per-user sessions with a 30-minute inactivity gap. The batch form is the
+  // classic lag + running-sum session id; the streaming equivalent
+  // (session_window) is exercised in StreamingSpec.
+  val q46 = Q(
+    "q46_session_window",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cume = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(cume))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("t0"), count(lit(1)).as("n_events"),
+          Det.exactSum(col("value")).as("sum_val"))
+        .select(col("user_id"), date_format(col("t0"), fmt).as("session_start"),
+          col("n_events"), col("sum_val"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, ts::TIMESTAMP AS t, value,
+                     lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *, CASE WHEN prev IS NULL OR epoch_us(t) - epoch_us(prev) > 1800000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM e),
+            g AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s)
+            SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+            FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
+  // ---- 47. true streaming runtime: watermark + append mode ---------------
+  // Feeds the events table through a MemoryStream in two event-time-ordered
+  // micro-batches (plus a deliberately late replay of the oldest event,
+  // which the 10-minute watermark must drop), runs a tumbling count in
+  // append mode, and returns the emitted rows. Append emission and late-row
+  // dropping are runtime behavior — no SQL oracle exists, so the driver's
+  // rows-only check applies; StreamingSpec pins the semantics.
+  val q47 = Q(
+    "q47_stream_watermark",
+    (s, d) => {
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .as[(Long, java.sql.Timestamp, String)]
+        .collect()
+        .sortBy(r => (r._2.getTime, r._1))
+      val (batch1, batch2) = rows.splitAt(rows.length / 2)
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val agg = stream.toDF().toDF("event_id", "ts", "event_type")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("w.start"), fmt).as("ws"), col("event_type"), col("n"))
+
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q47_ckpt").toString
+      val sinkName = "graft_q47_sink"
+      val query = agg.writeStream
+        .format("memory").queryName(sinkName).outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        stream.addData(batch1.toSeq)
+        query.processAllAvailable()
+        // batch2 plus a late replay of the globally oldest event: its event
+        // time is far below the watermark after batch1, so append mode must
+        // drop it rather than re-open the closed window.
+        stream.addData(batch2.toSeq :+ rows.head)
+        query.processAllAvailable()
+      } finally query.stop()
+      s.table(sinkName).orderBy("ws", "event_type")
+    },
+    None)
+
+  def all: Seq[Q] = Seq(q44, q45, q46, q47)
 }

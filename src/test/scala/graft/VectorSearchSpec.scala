@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorSearch
+
+class VectorSearchSpec extends SparkSpec {
+
+  private def knn(k: Int) = VectorSearch.cosineKnn(
+    Tables.embeddings(spark, sf0001), "vec_id", "embedding", col("id") < 50, k)
+
+  test("exact cosine knn: k rows per query, sims in [-1,1] descending per query") {
+    val rows = knn(3).collect()
+    assert(rows.length === 50 * 3)
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.forall(_._2.length == 3))
+    byQ.values.foreach { rs =>
+      val sims = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.toSeq === sims.sortBy(-_).toSeq)
+      assert(sims.forall(s => s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+    // never self as neighbor
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("LSH cosine knn re-ranks exactly: any returned neighbor's sim matches brute force") {
+    val exact = knn(10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val approx = VectorSearch.lshCosineKnn(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", col("id") < 50, 3)
+      .collect()
+    assert(approx.nonEmpty)
+    // precision is 1: any (q, n) pair the LSH path returns that brute force
+    // also ranked must carry the identical rounded similarity
+    approx.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach { s =>
+        assert(math.abs(s - r.getDouble(3)) < 1e-9)
+      }
+    }
+  }
+
+  test("LSH recall@3 against exact top-3 is >= 0.5 on random unit vectors") {
+    // random unit vectors are the adversarial case for hyperplane LSH (all
+    // cosines near 0, neighbors barely separated): 16 planes / 4 bands
+    // measures ~0.39 here. 32 planes / 8 bands clears 0.5 — and the
+    // recall-vs-candidate-fraction dial is exactly what a 100 TB deployment
+    // tunes. On clustered real embeddings recall is far higher.
+    val exact = knn(3).collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = VectorSearch.lshCosineKnn(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", col("id") < 50, 3,
+      nPlanes = 32, nBands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@3 = $recall")
+  }
+}
