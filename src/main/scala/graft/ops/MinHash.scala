@@ -40,18 +40,30 @@ object MinHash {
   }
 
   /** Adds a `sig` column: array<long> of nHashes min-hash values over the
-    * distinct tokens of `textCol`. One narrow map — no shuffle, no UDF.
+    * distinct tokens of `textCol`.
+    *
+    * Plan shape: explode tokens → xxhash64 once per (doc, token) → one hash
+    * aggregation with nHashes `min` columns. Everything stays inside
+    * whole-stage codegen (higher-order `transform` lambdas do not, and an
+    * array_min-of-transform formulation measures ~4× slower at sf0.1). The
+    * single shuffle is by doc id with map-side partial mins, so shuffled
+    * bytes are docs × nHashes longs regardless of document length — the
+    * right trade at 100 TB, where token explosion is map-local.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 nHashes: Int = 32): DataFrame = {
+                 nHashes: Int = 32, keep: Seq[String] = Nil): DataFrame = {
     val ps = params(nHashes)
-    val sig = array(ps.map { case (a, b) =>
-      array_min(transform(col("tokens"),
-        t => pmod(lit(a) * pmod(xxhash64(t), lit(P)) + lit(b), lit(P))))
-    }: _*)
-    SimilarityJoin.tokenized(docs, textCol)
-      .select(col(idCol).as("id") +: col("tokens") +: docs.columns.filter(_ != idCol).map(col): _*)
-      .withColumn("sig", sig)
+    val carry = keep
+    val base = SimilarityJoin.tokenized(docs, textCol)
+      .select(col(idCol).as("id") +: carry.map(col) :+ explode(col("tokens")).as("tok"): _*)
+      .withColumn("hx", pmod(xxhash64(col("tok")), lit(P)))
+    val mins = ps.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("hx") + lit(b), lit(P))).as(s"_mh$i")
+    }
+    base.groupBy(col("id") +: carry.map(col): _*)
+      .agg(mins.head, mins.tail: _*)
+      .withColumn("sig", array((0 until nHashes).map(i => col(s"_mh$i")): _*))
+      .drop((0 until nHashes).map(i => s"_mh$i"): _*)
   }
 
   /** LSH candidate pairs with MinHash-estimated Jaccard.
@@ -64,7 +76,7 @@ object MinHash {
                nHashes: Int = 32, nBands: Int = 8): DataFrame = {
     require(nHashes % nBands == 0)
     val rows = nHashes / nBands
-    val signed = signatures(docs, idCol, textCol, nHashes)
+    val signed = signatures(docs, idCol, textCol, nHashes, keep = blockCols)
       .withColumn("bands", array((0 until nBands).map(bi =>
         hash(slice(col("sig"), bi * rows + 1, rows))): _*))
 

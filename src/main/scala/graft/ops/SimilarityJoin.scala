@@ -41,6 +41,17 @@ object SimilarityJoin {
     df.withColumn("tokens", array_distinct(split(col(textCol), " +")))
       .withColumn("sz", size(col("tokens")))
 
+  /** Hash-distribute on the given keys with an EXPLICIT partition count.
+    * The input to a candidate join is often tiny (its fan-out is what's
+    * huge), so AQE would coalesce a plain repartition back toward one
+    * partition and serialize the probe; an explicit count pins the
+    * parallelism to the session's shuffle width.
+    */
+  private def spread(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    df.repartition(n, keys: _*)
+  }
+
   /** FP-robust similarity length bound: τ·|A| ≤ |B| must not drop a true
     * pair when |A|·τ is mathematically integral but rounds up in IEEE, so
     * the prune side gets a tiny epsilon of slack (pruning less is always
@@ -89,7 +100,14 @@ object SimilarityJoin {
       col("a_id") < col("b_id") &&
       lenOk(col("a_sz"), col("b_sz"), tau)
 
-    a.join(b, cond)
+    // Spread the probe side across the cluster before the candidate join:
+    // a single-file scan would otherwise leave a broadcast join probing on
+    // one partition — serial candidate generation no matter how many cores.
+    // Hash-distributing on (token, blocks) is also exactly the layout the
+    // pair join wants.
+    val aDist = spread(a, col("tok") +: blockCols.map(c => col(s"a_$c")))
+
+    aDist.join(b, cond)
       .groupBy(col("a_id"), col("b_id"), col("a_sz"), col("b_sz"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("sim",
@@ -174,11 +192,25 @@ object SimilarityJoin {
     * record — no materialized global rank, no global window.
     */
   def jaccardSelfPrefix(docs: DataFrame, idCol: String, textCol: String,
-                        blockCols: Seq[String], tau: Double): DataFrame = {
-    val toks = tokenized(docs, textCol)
-      .select(col(idCol).as("id") +: col("sz") +: col("tokens") +: blockCols.map(col): _*)
+                        blockCols: Seq[String], tau: Double): DataFrame =
+    jaccardSelfPrefixOnSets(tokenized(docs, textCol), idCol, "tokens", blockCols, tau)
 
-    val freq = tokenFrequency(docs, textCol)
+  /** Prefix-filtered exact set-Jaccard self-join over an arbitrary
+    * precomputed set column — the generic core behind [[jaccardSelfPrefix]]
+    * (word tokens) and the prefix-pruned n-gram join. The element-frequency
+    * relation is computed from the sets themselves.
+    */
+  def jaccardSelfPrefixOnSets(sets: DataFrame, idCol: String, setCol: String,
+                              blockCols: Seq[String], tau: Double): DataFrame = {
+    val withSz = sets.withColumn("_sz", size(col(setCol)))
+    val toks = withSz
+      .select(col(idCol).as("id") +: col("_sz").as("sz") +:
+        col(setCol).as("tokens") +: blockCols.map(col): _*)
+
+    val freq = sets
+      .select(explode(col(setCol)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
 
     // order each record's tokens rarest-first by (df, token)
     val ranked = toks

@@ -123,19 +123,30 @@ object TextQueries {
             ORDER BY rnk"""))
 
   // ---- 38. edit-distance similarity join -----------------------------------------
-  // Brand-blocked self-join with the codegen'd levenshtein built-in: the
-  // equi key (brand) keeps it a hash join; the distance predicate is a
-  // residual filter, never a cartesian driver.
+  // Brand-blocked self-join: the equi key keeps it a hash join. The distance
+  // runs AFTER the join as one projection (not doubled into the join
+  // condition), behind two prunes that matter at scale: the length filter
+  // (|len(a)−len(b)| ≤ k is a hard edit-distance bound, pruned before any
+  // DP) and the thresholded levenshtein built-in (banded O(n·k) with early
+  // exit instead of full O(n·m)).
   val q38 = Q(
     "q38_edit_distance_join",
     (s, d) => {
       val p = Tables.part(s, d)
       val a = p.select(col("p_partkey").as("a_key"), col("p_brand"), col("p_name").as("a_name"))
+        // single-file scan → without the explicit-count repartition the
+        // broadcast join probes on one partition (AQE coalesces a plain
+        // repartition of so small an input) and 16M candidate pairs
+        // evaluate serially
+        .repartition(64, col("a_key"))
       val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"), col("p_name").as("b_name"))
       a.join(b, col("p_brand") === col("b_brand") && col("a_key") < col("b_key")
-          && levenshtein(col("a_name"), col("b_name")) <= 2)
-        .select(col("a_key"), col("b_key"), col("p_brand"),
-          levenshtein(col("a_name"), col("b_name")).as("dist"))
+          && abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+        // threshold form returns -1 when dist exceeds the bound — keep only
+        // genuine 0..2 distances
+        .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
+        .filter(col("dist").between(0, 2))
+        .select(col("a_key"), col("b_key"), col("p_brand"), col("dist"))
         .orderBy("a_key", "b_key")
     },
     Some("""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.p_brand,
