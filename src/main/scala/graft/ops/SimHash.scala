@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate fingerprints (Charikar, STOC 2002; Manku et al.,
+  * WWW 2007 for the dedup application).
+  *
+  * A document's 64-bit signature packs the signs of per-bit vote sums over
+  * its token hashes: bit i is 1 iff Σ_tokens (±1 by bit i of xxhash64(tok))
+  * is positive. Near-identical token sets flip few votes, so Hamming
+  * distance approximates set difference.
+  *
+  * Plan shape mirrors [[MinHash.signatures]]: explode → one xxhash64 per
+  * (doc, token) → a single hash aggregation with 64 codegen'd conditional
+  * sums → pack to one BIGINT. One shuffle by doc id, map-side partials,
+  * 8 bytes of signature per document — at 100 TB the signature relation is
+  * small enough to bucket-join or even broadcast per block.
+  *
+  * Candidate pairs come from banding the 64 bits into 4×16-bit bands
+  * (equi-join on band value — any pair within Hamming ≤ 3 of 64 collides on
+  * ≥1 whole band by pigeonhole when the 3 flips hit ≤3 bands; wider radii
+  * trade off via more/narrower bands). Exact Hamming verification uses
+  * bit_count(a XOR b).
+  */
+object SimHash {
+
+  /** Adds a `sig` BIGINT column: 64-bit simhash over distinct tokens. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 keep: Seq[String] = Nil): DataFrame = {
+    val base = SimilarityJoin.tokenized(docs, textCol)
+      .select(col(idCol).as("id") +: keep.map(col) :+ explode(col("tokens")).as("tok"): _*)
+      .withColumn("hx", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("hx"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_v$i")
+    }
+    val packed: Column = (0 until 64).map { i =>
+      when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    base.groupBy(col("id") +: keep.map(col): _*)
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("sig", packed)
+      .drop((0 until 64).map(i => s"_v$i"): _*)
+  }
+
+  /** Near-dup candidate pairs within `maxHamming` (of 64), blocked by
+    * `blockCols`, banded 4×16 bits for candidate generation. Output
+    * (a_id, b_id, hamming), totally ordered.
+    */
+  def hammingPairs(docs: DataFrame, idCol: String, textCol: String,
+                   blockCols: Seq[String], maxHamming: Int): DataFrame = {
+    val signed = signatures(docs, idCol, textCol, keep = blockCols)
+      .withColumn("bands", array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+
+    def side(p: String) = signed.select(
+      col("id").as(s"${p}_id") +: col("sig").as(s"${p}_sig") +:
+        blockCols.map(c => col(c).as(s"${p}_$c")) :+
+        posexplode(col("bands")).as(Seq(s"${p}_band", s"${p}_bv")): _*)
+
+    val a = side("a")
+    val b = side("b")
+    val blockEq = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
+    val cond = (Seq(col("a_band") === col("b_band"), col("a_bv") === col("b_bv"),
+      col("a_id") < col("b_id")) ++ blockEq).reduce(_ && _)
+
+    a.join(b, cond)
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, SimHash}
+
+class PipelineSpec extends SparkSpec {
+
+  test("simhash: true near-dup pairs (J>=0.8) sit far below the random-pair hamming baseline") {
+    val sigs = SimHash.signatures(Tables.documents(spark, sf0001), "doc_id", "text")
+      .select("id", "sig").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truePairs = SparkEntry.queries("q36_jaccard_self_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(truePairs.nonEmpty)
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    val trueH = truePairs.map { case (a, b) => ham(a, b) }
+    // random unrelated pairs: expected hamming = 32 of 64
+    val ids = sigs.keys.toSeq.sorted
+    val randH = ids.zip(ids.drop(ids.length / 2)).map { case (a, b) => ham(a, b) }
+    val trueMean = trueH.sum.toDouble / trueH.length
+    val randMean = randH.sum.toDouble / randH.length
+    // the 31-word vocabulary makes even unrelated docs share most of their
+    // token SET (measured random-pair mean ≈ 14 of 64, not 32) — so the
+    // meaningful property is separation, not an absolute gap
+    assert(trueMean < 16.0, s"true-pair mean hamming $trueMean")
+    assert(trueMean * 1.5 < randMean,
+      s"no separation: true $trueMean vs random $randMean")
+  }
+
+  test("simhash banded candidates recall pairs within hamming<=3 perfectly (pigeonhole)") {
+    // 4 bands of 16: <=3 flipped bits can dirty at most 3 bands, so one band
+    // must match — recall of hamming<=3 pairs through banding is exactly 1.
+    val sigs = SimHash.signatures(Tables.documents(spark, sf0001), "doc_id", "text",
+      keep = Seq("lang", "source"))
+      .select("id", "sig", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val close = for {
+      (a, sa, la, srca) <- sigs; (b, sb, lb, srcb) <- sigs
+      if a < b && la == lb && srca == srcb &&
+        java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)
+    val found = SimHash.hammingPairs(
+      Tables.documents(spark, sf0001), "doc_id", "text", Seq("lang", "source"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(close.nonEmpty)
+    assert(close.forall(found.contains), s"missed ${close.count(!found.contains(_))} of ${close.length}")
+  }
+
+  test("multimodal decode stub: mapPartitions path equals the pure-expression path") {
+    val viaPartitions = Multimodal.decodeStub(Tables.documents(spark, sf0001), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toString)
+    val viaExprs = Tables.documents(spark, sf0001).select(
+      col("doc_id"),
+      length(col("text")).as("n_bytes"),
+      lower(hex(substring(col("text"), 1, 8))).as("header"),
+      (lit(1) + length(col("text")) % 64).as("width"),
+      (lit(1) + length(col("text")) % 48).as("height"),
+      round((lit(1) + length(col("text")) % 64).cast("double")
+        / (lit(1) + length(col("text")) % 48), 6).as("aspect"))
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(viaPartitions.toSeq === viaExprs.toSeq)
+  }
+
+  test("fingerprint is deterministic and collision-free on this corpus") {
+    val fp1 = SparkEntry.queries("q53_doc_fingerprint")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val fp2 = SparkEntry.queries("q53_doc_fingerprint")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(fp1.toSeq === fp2.toSeq)
+    // distinct texts should not collide at 1e9 space with 500 docs
+    assert(fp1.map(_._2).distinct.length >= fp1.length - 2)
+  }
+}
