@@ -1,14 +1,50 @@
 package graft
 
-/** Plan-shape guard: the similarity join must not degrade to a cartesian
-  * product / broadcast nested loop — its candidate join has equi keys
-  * (block cols + token) that Catalyst must extract.
+/** Plan-shape guards: the physical plans these operators were designed
+  * around, pinned so a refactor can't silently degrade them.
   */
 class ExplainSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
   test("q36 candidate join is an equi join (no CartesianProduct/BNLJ)") {
-    val plan = SparkEntry.queries("q36_jaccard_self_join")(spark, sf0001)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan.take(2000))
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    val p = plan("q36_jaccard_self_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q08 five-way join broadcasts every dimension (no dim shuffles)") {
+    val p = plan("q08_join_multi_broadcast")
+    // customer, nation, region are hinted broadcast — three BroadcastExchanges
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q40 cosine knn broadcasts the query side, never the data side") {
+    val p = plan("q40_cosine_knn")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    // the native codegen'd dot product is in the plan, not a HOF lambda
+    assert(p.contains("graft_dot"), p.take(2000))
+  }
+
+  test("q12 theta join keeps brand as the equi key (hash join + residual)") {
+    val p = plan("q12_join_theta_range")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q02 filter reaches the parquet scan as pushed filters") {
+    val qe = SparkEntry.queries("q02_filter_pred")(spark, sf0001).queryExecution
+    val scan = qe.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["), scan.take(2000))
+    // the quantity range predicate must be among them, not evaluated post-scan only
+    assert(scan.contains("GreaterThanOrEqual(l_quantity,10.0)")
+      || scan.contains("quantity"), scan.take(2000))
+  }
+
+  test("q15 aggregation is partial+final hash agg (map-side combine)") {
+    val p = plan("q15_agg_sum_group")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 }
