@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.sources.Formats
+
+/** Round-trip fidelity of the source/sink surface: write → read must
+  * reproduce the dataset exactly (schema-on-read, no inference).
+  */
+class FormatsSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.orderBy(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .collect().map(_.toString).toSeq
+
+  test("parquet round-trip is lossless on lineitem") {
+    val dir = Files.createTempDirectory("graft_fmt_pq").toString
+    val src = Tables.lineitem(spark, sf0001)
+    Formats.writeParquet(src, s"$dir/t")
+    val back = Formats.readParquet(spark, s"$dir/t")
+    assert(back.schema === src.schema)
+    assert(canon(back) === canon(src))
+  }
+
+  test("csv round-trip with explicit schema is lossless on orders (incl. timestamps)") {
+    val dir = Files.createTempDirectory("graft_fmt_csv").toString
+    val src = Tables.orders(spark, sf0001)
+    Formats.writeCsv(src, s"$dir/t")
+    val back = Formats.readCsv(spark, s"$dir/t", src.schema)
+    assert(back.schema === src.schema)
+    assert(canon(back) === canon(src))
+  }
+
+  test("jsonl round-trip with explicit schema is lossless on documents") {
+    val dir = Files.createTempDirectory("graft_fmt_json").toString
+    val src = Tables.documents(spark, sf0001)
+    Formats.writeJsonLines(src, s"$dir/t")
+    val back = Formats.readJsonLines(spark, s"$dir/t", src.schema)
+    assert(back.schema === src.schema)
+    assert(canon(back) === canon(src))
+  }
+
+  test("a graded query runs identically over a csv-backed copy of its table") {
+    // source format must be orthogonal to operator semantics
+    val dir = Files.createTempDirectory("graft_fmt_q").toString
+    val docs = Tables.documents(spark, sf0001)
+    Formats.writeCsv(docs, s"$dir/documents")
+    val csvDocs = Formats.readCsv(spark, s"$dir/documents", docs.schema)
+    val fromParquet = graft.ops.SimilarityJoin
+      .jaccardSelf(docs, "doc_id", "text", Seq("lang", "source"), 0.8)
+      .collect().map(_.toString).toSeq
+    val fromCsv = graft.ops.SimilarityJoin
+      .jaccardSelf(csvDocs, "doc_id", "text", Seq("lang", "source"), 0.8)
+      .collect().map(_.toString).toSeq
+    assert(fromCsv === fromParquet)
+  }
+}

@@ -64,6 +64,37 @@ class StreamingSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("session_window streaming equals q46's batch gaps-and-islands form") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val batch = SparkEntry.queries("q46_session_window")(spark, sf0001)
+      .select("user_id", "session_start", "n_events")
+      .collect().map(_.toString).toSet
+
+    val rows = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val agg = stream.toDF().toDF("event_id", "ts", "user_id", "value")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"))
+    val q = agg.writeStream.format("memory").queryName("q46_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData(rows.toSeq)
+      q.processAllAvailable()
+      val streamed = s.table("q46_stream")
+        .select("user_id", "session_start", "n_events")
+        .collect().map(_.toString).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("batch window agg (q44 form) equals streaming sessionless aggregation in complete mode") {
     val s = spark
     import s.implicits._
