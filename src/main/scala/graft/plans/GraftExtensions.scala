@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+import graft.functions.DotProduct
+
+/** Optimizer rule: recognize the higher-order-function dot-product idiom
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)
+  *
+  * and rewrite it to the native codegen'd [[graft.functions.DotProduct]].
+  * HOF lambdas evaluate interpreted (one closure dispatch per element,
+  * outside whole-stage codegen) — measured ~7× slower on the sf0.1 cosine
+  * workloads — so SQL users who write the idiom directly get the same fast
+  * path the library's Scala API uses. The match is deliberately
+  * conservative: exact shape, double element types, literal 0.0 seed,
+  * identity finish — anything else is left untouched.
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(body: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      body.exprId == arg.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case ArrayAggregate(
+            ZipWith(left, right,
+              LambdaFunction(Multiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _),
+                Seq(lx: NamedLambdaVariable, ly: NamedLambdaVariable), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(m1: NamedLambdaVariable, m2: NamedLambdaVariable, _),
+              Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+            finish)
+          if isIdentityFinish(finish) &&
+            Set(x.exprId, y.exprId) == Set(lx.exprId, ly.exprId) &&
+            Set(m1.exprId, m2.exprId) == Set(acc.exprId, v.exprId) =>
+        DotProduct(left, right)
+    }
+}
+
+/** Session extension entry point:
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (set by the graft
+  * harness mains) or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+}
