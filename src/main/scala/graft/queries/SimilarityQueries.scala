@@ -14,7 +14,10 @@ object SimilarityQueries {
     * Measured head-to-head at sf0.1 (local[32], warm, 37 937 pairs both):
     * exact 1.4 s vs prefix-filtered 2.3 s — this corpus's 31-word vocabulary
     * gives the prefix nothing to prune, so it only pays its extra
-    * sort+dedup. On a real Zipfian vocabulary the ranking flips and
+    * sort+dedup. At ×8 corpus (40k docs, PrefixBench) both variants land
+    * within noise of each other because the OUTPUT is 1.8M genuine pairs —
+    * when most candidates verify, no candidate filter can win. On a real
+    * Zipfian vocabulary with sparse true pairs the ranking flips and
     * [[SimilarityJoin.jaccardSelfPrefix]] (property-tested equivalent) is
     * the deployment default; the dispatch criterion is vocabulary skew
     * (max token df / docs), cheap to probe before planning.

@@ -124,19 +124,27 @@ object StreamingQueries {
 
       val ckpt = java.nio.file.Files.createTempDirectory("graft_q47_ckpt").toString
       val sinkName = "graft_q47_sink"
-      val query = agg.writeStream
-        .format("memory").queryName(sinkName).outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
+      // The state store commits once per shuffle partition per micro-batch;
+      // at this key cardinality (windows × event types) 8 partitions is
+      // plenty, and the session-wide width is restored afterward. The
+      // partition count is baked into the new checkpoint at first start.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       try {
-        stream.addData(batch1.toSeq)
-        query.processAllAvailable()
-        // batch2 plus a late replay of the globally oldest event: its event
-        // time is far below the watermark after batch1, so append mode must
-        // drop it rather than re-open the closed window.
-        stream.addData(batch2.toSeq :+ rows.head)
-        query.processAllAvailable()
-      } finally query.stop()
+        val query = agg.writeStream
+          .format("memory").queryName(sinkName).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          stream.addData(batch1.toSeq)
+          query.processAllAvailable()
+          // batch2 plus a late replay of the globally oldest event: its event
+          // time is far below the watermark after batch1, so append mode must
+          // drop it rather than re-open the closed window.
+          stream.addData(batch2.toSeq :+ rows.head)
+          query.processAllAvailable()
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.table(sinkName).orderBy("ws", "event_type")
     },
     None)
