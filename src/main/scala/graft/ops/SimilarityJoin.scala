@@ -131,13 +131,16 @@ object SimilarityJoin {
           blockCols.map(c => col(c).as(s"${p}_$c")) :+ explode(col("tokens")).as(s"${p}_tok"): _*)
 
     val q = side(queries, "q")
-    val d = side(data, "d")
+    // the data side is the probe (the query side is the natural build/
+    // broadcast side); spread it so a single-file scan can't serialize
+    // candidate generation — see [[spread]]
+    val d = spread(side(data, "d"), col("d_tok") +: blockCols.map(c => col(s"d_$c")))
     val blockEq = blockCols.map(c => col(s"q_$c") === col(s"d_$c"))
     val cond = ((col("q_tok") === col("d_tok")) +: blockEq).reduce(_ && _) &&
       col("q_id") =!= col("d_id") &&
       lenOk(col("q_sz"), col("d_sz"), tau)
 
-    q.join(d, cond)
+    d.join(q, cond)
       .groupBy(col("q_id"), col("d_id"), col("q_sz"), col("d_sz"))
       .agg(count(lit(1)).as("inter"))
       .withColumn("sim",

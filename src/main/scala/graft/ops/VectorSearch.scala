@@ -46,7 +46,11 @@ object VectorSearch {
       .withColumn("nrm", norm(col("v")))
     val q = v.filter(queryPred)
       .select(col("id").as("vec_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val n = emb.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit-count spread: the data side probes the broadcast queries,
+    // and a single-file scan would stream every dot product on one core
     val data = v.select(col("id").as("neighbor"), col("v").as("dv"), col("nrm").as("dn"))
+      .repartition(n, col("neighbor"))
 
     val w = Window.partitionBy("vec_id").orderBy(col("simraw").desc, col("neighbor"))
     data.join(broadcast(q), col("vec_id") =!= col("neighbor"))
@@ -101,12 +105,14 @@ object VectorSearch {
     val q = v.filter(queryPred)
       .select(col("id").as("vec_id"), col("v").as("qv"), col("nrm").as("qn"),
         posexplode(col("bands")).as(Seq("band", "bval")))
+    val n = emb.sparkSession.sessionState.conf.numShufflePartitions
     val data = v
       .select(col("id").as("neighbor"), col("v").as("dv"), col("nrm").as("dn"),
         posexplode(col("bands")).as(Seq("d_band", "d_bval")))
+      .repartition(n, col("d_band"), col("d_bval"))
 
     val w = Window.partitionBy("vec_id").orderBy(col("simraw").desc, col("neighbor"))
-    q.join(data, col("band") === col("d_band") && col("bval") === col("d_bval")
+    data.join(q, col("band") === col("d_band") && col("bval") === col("d_bval")
         && col("vec_id") =!= col("neighbor"))
       .dropDuplicates("vec_id", "neighbor")
       .withColumn("simraw", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
