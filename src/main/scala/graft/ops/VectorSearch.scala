@@ -78,6 +78,57 @@ object VectorSearch {
     Seq.fill(nPlanes)(Seq.fill(dim)(next()))
   }
 
+  /** IVF-style approximate cosine top-k: coarse quantization + probing.
+    *
+    * Every vector is assigned to its nearest of `nCells` fixed coarse
+    * centroids (deterministic pseudo-random unit directions — a real
+    * deployment would k-means them, but centroid CHOICE only affects
+    * recall, not the plan shape, and fixed seeds keep the determinism
+    * contract). A query probes the `nProbe` cells nearest to it; candidates
+    * are an equi-join on cell id — the scan shrinks from N to
+    * ~N·nProbe/nCells — and exact cosine re-ranks, so precision stays 1.
+    *
+    * This is the standard IVF layout at scale: the cell id becomes the
+    * partitioning/bucketing key, so each probe touches only its cells'
+    * partitions.
+    */
+  def ivfCosineKnn(emb: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, k: Int,
+                   nCells: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val cents = hyperplanes(nCells, dim) // unit-direction surrogate centroids
+    val n = emb.sparkSession.sessionState.conf.numShufflePartitions
+
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    // per-vector cell scores, reused for assignment and probing
+    def cellScores(vc: Column): Column = array(cents.map(c => dot(vc, typedLit(c))): _*)
+    val scored = v.withColumn("scores", cellScores(col("v")))
+
+    // data side: each vector lives in exactly its argmax cell
+    val assigned = scored.withColumn("cell",
+      expr("array_position(scores, array_max(scores)) - 1").cast("int"))
+    val data = assigned
+      .select(col("id").as("neighbor"), col("v").as("dv"), col("nrm").as("dn"), col("cell"))
+      .repartition(n, col("cell"))
+
+    // query side: explode the nProbe best cells
+    val q = scored.filter(queryPred)
+      .withColumn("probe", slice(reverse(array_sort(
+        expr("zip_with(scores, sequence(0, size(scores) - 1), (s, i) -> struct(s, i))"))),
+        1, nProbe))
+      .select(col("id").as("vec_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(col("probe.i")).as("q_cell"))
+
+    val w = Window.partitionBy("vec_id").orderBy(col("simraw").desc, col("neighbor"))
+    data.join(q, col("cell") === col("q_cell") && col("vec_id") =!= col("neighbor"))
+      .withColumn("simraw", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("vec_id"), col("rnk"), col("neighbor"), Det.round6(col("simraw")).as("sim"))
+      .orderBy("vec_id", "rnk")
+  }
+
   /** Approximate cosine top-k via random-hyperplane LSH.
     *
     * Signature = sign bits of `nPlanes` hyperplane projections, split into

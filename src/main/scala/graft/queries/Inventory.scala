@@ -13,12 +13,17 @@ final case class Q(
 
 /** The full declared inventory (SURVEY.md §2.3) wired for SparkEntry. */
 object Inventory {
-  def all: Seq[Q] =
-    RelationalQueries.all ++
+  def all: Seq[Q] = {
+    val qs = RelationalQueries.all ++
       TextQueries.all ++
       SimilarityQueries.all ++
       StreamingQueries.all ++
       PipelineQueries.all
+    require(qs.map(_.name).distinct.size == qs.size,
+      "duplicate query names in inventory: " +
+        qs.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", "))
+    qs
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -160,6 +160,16 @@ object PipelineQueries {
       nPlanes = 32, nBands = 8),
     None)
 
+  // ---- 56. ANN: IVF coarse quantization (the bucketed scale path) ----------
+  // Approximate (probing misses cells) → rows-only; recall pinned in
+  // VectorSearchSpec against q40's exact ground truth.
+  val q56 = Q(
+    "q56_ann_ivf",
+    (s, d) => VectorSearch.ivfCosineKnn(
+      Tables.embeddings(s, d), "vec_id", "embedding", col("id") < 100, 3,
+      nCells = 16, nProbe = 8),
+    None)
+
   // ---- 55. multimodal ingestion + batched decode stub ----------------------
   // Binary payloads with typed per-partition decoding (see ops.Multimodal).
   // The decode is a deterministic stub, so the whole pipeline — binary cast,
@@ -178,5 +188,5 @@ object PipelineQueries {
                          / (1 + (length(text) % 48)), 6) AS aspect
             FROM documents ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55)
+  def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56)
 }

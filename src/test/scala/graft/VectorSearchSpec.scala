@@ -38,6 +38,25 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("IVF recall@3 >= 0.35 at nProbe/nCells = 1/2, exact re-rank sims") {
+    // random unit vectors are again adversarial: a true neighbor's cell is
+    // only weakly correlated with the query's probed cells, so recall ~
+    // probe fraction + correlation bonus; clustered real embeddings
+    // concentrate neighbors in the probed cells
+    val exact = knn(3).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    val approx = VectorSearch.ivfCosineKnn(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", col("id") < 50, 3,
+      nCells = 16, nProbe = 8).collect()
+    val recall = approx.count(r => exact.contains((r.getLong(0), r.getLong(2)))).toDouble / exact.size
+    assert(recall >= 0.35, s"IVF recall@3 = $recall")
+    approx.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach { s =>
+        assert(math.abs(s - r.getDouble(3)) < 1e-9)
+      }
+    }
+  }
+
   test("LSH recall@3 against exact top-3 is >= 0.5 on random unit vectors") {
     // random unit vectors are the adversarial case for hyperplane LSH (all
     // cosines near 0, neighbors barely separated): 16 planes / 4 bands
