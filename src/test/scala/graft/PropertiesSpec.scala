@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.ops.SimilarityJoin
+
+/** Property-based correctness (SURVEY §5.3): the filtered similarity-join
+  * pipelines must equal a brute-force Scala reference on random corpora —
+  * across τ values where sz·τ is often integral (τ = 0.5, 0.75), the
+  * FP-boundary cases the round-1 ADVICE flagged for the prefix/length
+  * bounds. Corpora come from a fixed-seed generator, so failures replay.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+    "zeta", "eta", "theta", "iota", "kappa", "lam", "mu")
+
+  private def randomCorpus(rng: scala.util.Random): List[List[String]] = {
+    val n = 4 + rng.nextInt(21)
+    List.fill(n)(List.fill(1 + rng.nextInt(8))(vocab(rng.nextInt(vocab.size))))
+  }
+
+  private def bruteForce(docs: Seq[Set[String]], tau: Double): Set[(Long, Long, Double)] =
+    (for {
+      i <- docs.indices; j <- docs.indices if i < j
+      inter = (docs(i) intersect docs(j)).size
+      sim = inter.toDouble / (docs(i).size + docs(j).size - inter)
+      if sim >= tau
+    } yield (i.toLong, j.toLong, math.rint(sim * 1e6) / 1e6)).toSet
+
+  private def toDf(docs: Seq[Seq[String]]) = {
+    val rows = docs.zipWithIndex.map { case (toks, i) =>
+      Row(i.toLong, toks.mkString(" "), "b")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("blk", StringType))))
+  }
+
+  test("exact and prefix-filtered joins both equal brute force at integer-prone taus") {
+    val rng = new scala.util.Random(42)
+    val taus = Seq(0.5, 0.6, 0.75, 0.8)
+    for (trial <- 1 to 12) {
+      val docs = randomCorpus(rng)
+      val tau = taus(rng.nextInt(taus.size))
+      val df = toDf(docs)
+      val sets = docs.map(_.toSet)
+      val expected = bruteForce(sets, tau)
+      val exact = SimilarityJoin.jaccardSelf(df, "doc_id", "text", Seq("blk"), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = SimilarityJoin.jaccardSelfPrefix(df, "doc_id", "text", Seq("blk"), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact === expected, s"trial $trial tau $tau exact")
+      assert(prefix === expected, s"trial $trial tau $tau prefix")
+    }
+  }
+
+  test("jaccard bounds: every emitted sim is within [tau, 1]") {
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 6) {
+      val sims = SimilarityJoin
+        .jaccardSelf(toDf(randomCorpus(rng)), "doc_id", "text", Seq("blk"), 0.5)
+        .collect().map(_.getDouble(2))
+      assert(sims.forall(s => s >= 0.5 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+  }
+
+  test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    def dedup(df: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(lower(trim(col("text")))).orderBy(col("doc_id"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val docs = Tables.documents(spark, sf0001)
+    val once = dedup(docs)
+    val twice = dedup(once)
+    assert(twice.count() === once.count())
+    assert(twice.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      once.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("levenshtein is a metric on sampled part-name triples (triangle inequality)") {
+    import org.apache.spark.sql.functions._
+    val names = Tables.part(spark, sf0001).select("p_name")
+      .limit(30).collect().map(_.getString(0))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // Spark's built-in agrees with the reference implementation
+    val spk = Tables.part(spark, sf0001).limit(30)
+      .select(levenshtein(col("p_name"), reverse(col("p_name"))).as("d"), col("p_name"))
+      .collect().map(r => r.getString(1) -> r.getInt(0)).toMap
+    names.foreach { n => assert(spk(n) === lev(n, n.reverse)) }
+    // triangle inequality on sampled triples
+    for (a <- names.take(10); b <- names.slice(10, 20); c <- names.slice(20, 30))
+      assert(lev(a, c) <= lev(a, b) + lev(b, c))
+  }
+}
