@@ -40,9 +40,12 @@ object Det {
     */
   def exactSum(c: Column): Column = sum(dec2(c)).cast("double")
 
-  /** Exact sum of dec2(a)·dec2(b) products (4-dp exact), as DOUBLE. */
+  /** Exact sum of dec2(a)·dec2(b) products (4-dp exact), as DOUBLE. Both
+    * factors are forced decimal here — a raw-double factor would silently
+    * promote the whole product to an order-sensitive double sum.
+    */
   def exactSumProd(a: Column, b: Column): Column =
-    sum(dec2(a) * b).cast("double")
+    sum(dec2(a) * dec2(b)).cast("double")
 
   /** Deterministic average: exact sum, single division, 4-dp round. */
   def exactAvg(c: Column): Column =

@@ -27,22 +27,28 @@ object PipelineQueries {
     "q49_embedding_neardup",
     (s, d) => {
       graft.functions.VectorExprs.register(s)
+      val n = s.sessionState.conf.numShufflePartitions
+      // norms computed once per vector and carried through the join — not
+      // recomputed per candidate pair; threshold compares the ROUND(,6)
+      // value on both engines so the compared quantity is the output
+      // quantity (ulp-level accumulation differences can't flip inclusion)
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val dot = graft.functions.VectorExprs.dot(col("av"), col("bv"))
-      val nrm = (c: org.apache.spark.sql.Column) => graft.functions.VectorExprs.norm(c)
-      val a = v.select(col("vec_id").as("a_id"), col("v").as("av")).repartition(64, col("a_id"))
-      val b = v.select(col("vec_id").as("b_id"), col("v").as("bv"))
+        .withColumn("nrm", graft.functions.VectorExprs.norm(col("v")))
+      val a = v.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+        .repartition(n, col("a_id"))
+      val b = v.select(col("vec_id").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
       a.join(b, col("a_id") < col("b_id"))
-        .withColumn("sim", dot / (nrm(col("av")) * nrm(col("bv"))))
+        .withColumn("sim", Det.round6(
+          graft.functions.VectorExprs.dot(col("av"), col("bv")) / (col("an") * col("bn"))))
         .filter(col("sim") >= 0.4)
-        .select(col("a_id"), col("b_id"), Det.round6(col("sim")).as("sim"))
+        .select(col("a_id"), col("b_id"), col("sim"))
         .orderBy("a_id", "b_id")
     },
     Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+            WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
             ORDER BY a_id, b_id"""))
 
   // ---- 50. language-ID heuristic ------------------------------------------
@@ -179,13 +185,16 @@ object PipelineQueries {
     "q55_multimodal_meta",
     (s, d) => Multimodal.decodeStub(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id"),
+    // oracle measures BYTES (encode → BLOB), matching the Spark path's
+    // utf-8 payload — length(VARCHAR) counts characters and would diverge
+    // on any non-ASCII document
     Some("""SELECT doc_id,
-                   length(text) AS n_bytes,
-                   lower(hex(substring(text, 1, 8))) AS header,
-                   1 + (length(text) % 64) AS width,
-                   1 + (length(text) % 48) AS height,
-                   round((1 + (length(text) % 64))::DOUBLE
-                         / (1 + (length(text) % 48)), 6) AS aspect
+                   octet_length(encode(text)) AS n_bytes,
+                   lower(substring(hex(encode(text)), 1, 16)) AS header,
+                   1 + (octet_length(encode(text)) % 64) AS width,
+                   1 + (octet_length(encode(text)) % 48) AS height,
+                   round((1 + (octet_length(encode(text)) % 64))::DOUBLE
+                         / (1 + (octet_length(encode(text)) % 48)), 6) AS aspect
             FROM documents ORDER BY doc_id"""))
 
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56)

@@ -105,7 +105,7 @@ object RelationalQueries {
       round(log(col("l_extendedprice")), 6).as("lg"),
       round(pow(col("l_discount"), 2), 6).as("pw"),
       (col("l_linenumber") % 3).as("md")
-    ).orderBy("l_orderkey", "l_linenumber", "r1", "ab", "sq"),
+    ).orderBy("l_orderkey", "l_linenumber", "r1", "ab", "ce", "fl", "sq", "lg", "pw", "md"),
     Some("""SELECT l_orderkey, l_linenumber,
                    round(l_extendedprice, 1) AS r1,
                    abs(l_discount - 0.05) AS ab,
@@ -115,7 +115,8 @@ object RelationalQueries {
                    round(ln(l_extendedprice), 6) AS lg,
                    round(pow(l_discount, 2), 6) AS pw,
                    l_linenumber % 3 AS md
-            FROM lineitem ORDER BY l_orderkey, l_linenumber, r1, ab, sq"""))
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, r1, ab, ce, fl, sq, lg, pw, md"""))
 
   // ---- 6. CASE / COALESCE / NULLIF -------------------------------------
   val q06 = Q(

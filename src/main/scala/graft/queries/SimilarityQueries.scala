@@ -76,11 +76,16 @@ object SimilarityQueries {
   val q39 = Q(
     "q39_ngram_join",
     (s, d) => {
+      // names shorter than 3 chars get an EMPTY gram set on both engines:
+      // Spark's sequence(1, len-2) would otherwise run DESCENDING ([1, 0])
+      // where DuckDB's generate_series returns empty — a silent divergence
       val grams = Tables.part(s, d).select(
         col("p_partkey"), col("p_brand"),
-        array_distinct(transform(
-          sequence(lit(1), length(col("p_name")) - 2),
-          i => col("p_name").substr(i, lit(3)))).as("grams"))
+        when(length(col("p_name")) >= 3,
+          array_distinct(transform(
+            sequence(lit(1), length(col("p_name")) - 2),
+            i => col("p_name").substr(i, lit(3)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
       // count-based inverted-index core: on this corpus the prefix variant
       // loses — grams are so common that the prefix barely prunes, and its
       // verification carries both gram arrays through the pair shuffle,

@@ -128,6 +128,9 @@ object StreamingQueries {
       // at this key cardinality (windows × event types) 8 partitions is
       // plenty, and the session-wide width is restored afterward. The
       // partition count is baked into the new checkpoint at first start.
+      // a prior invocation in this session leaves its memory-sink view
+      // behind — drop it so the query function is re-runnable
+      s.catalog.dropTempView(sinkName)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       try {

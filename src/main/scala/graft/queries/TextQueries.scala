@@ -138,7 +138,7 @@ object TextQueries {
         // broadcast join probes on one partition (AQE coalesces a plain
         // repartition of so small an input) and 16M candidate pairs
         // evaluate serially
-        .repartition(64, col("a_key"))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("a_key"))
       val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"), col("p_name").as("b_name"))
       a.join(b, col("p_brand") === col("b_brand") && col("a_key") < col("b_key")
           && abs(length(col("a_name")) - length(col("b_name"))) <= 2)

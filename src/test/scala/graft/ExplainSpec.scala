@@ -36,11 +36,15 @@ class ExplainSpec extends SparkSpec {
 
   test("q02 filter reaches the parquet scan as pushed filters") {
     val qe = SparkEntry.queries("q02_filter_pred")(spark, sf0001).queryExecution
-    val scan = qe.executedPlan.toString
-    assert(scan.contains("PushedFilters: ["), scan.take(2000))
-    // the quantity range predicate must be among them, not evaluated post-scan only
-    assert(scan.contains("GreaterThanOrEqual(l_quantity,10.0)")
-      || scan.contains("quantity"), scan.take(2000))
+    // formatted mode carries the full (untruncated) PushedFilters metadata
+    val scan = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val idx = scan.indexOf("PushedFilters: [")
+    assert(idx >= 0, scan.take(2000))
+    // the quantity predicate must be INSIDE the pushed-filter list — the
+    // column name appearing elsewhere in the plan must not satisfy this
+    val pushed = scan.substring(idx, scan.indexOf("]", idx))
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,10.0)"), pushed)
   }
 
   test("q15 aggregation is partial+final hash agg (map-side combine)") {
