@@ -197,5 +197,37 @@ object PipelineQueries {
                          / (1 + (octet_length(encode(text)) % 48)), 6) AS aspect
             FROM documents ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56)
+  // ---- 57. pivot (Hive's classic report shape) ----------------------------
+  val q57 = Q(
+    "q57_pivot",
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  // ---- 58. approximate distinct count (HLL sketch) -------------------------
+  // Approximate by design → no cross-engine oracle (HLL implementations
+  // differ); deterministic within Spark, and PipelineSpec pins the relative
+  // error against the exact count. The sketch is THE 100 TB cardinality
+  // tool: mergeable fixed-size state instead of a distinct shuffle.
+  val q58 = Q(
+    "q58_approx_distinct",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    None)
+
+  def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
 }

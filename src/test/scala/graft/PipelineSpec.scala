@@ -60,6 +60,19 @@ class PipelineSpec extends SparkSpec {
     assert(viaPartitions.toSeq === viaExprs.toSeq)
   }
 
+  test("approx_count_distinct stays within 5% of exact per group") {
+    val approx = SparkEntry.queries("q58_approx_distinct")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("fingerprint is deterministic and collision-free on this corpus") {
     val fp1 = SparkEntry.queries("q53_doc_fingerprint")(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
