@@ -93,9 +93,11 @@ object MinHash {
 
     val nMatch = size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
       (m: Column) => m))
+    // estimate computed BEFORE the pair dedup so the dedup shuffle carries
+    // (a_id, b_id, est) instead of two nHashes-long signatures per row
     a.join(b, cond)
-      .dropDuplicates("a_id", "b_id")
       .withColumn("est_sim", nMatch.cast("double") / lit(nHashes.toDouble))
+      .groupBy("a_id", "b_id").agg(max(col("est_sim")).as("est_sim"))
       .filter(col("est_sim") >= tauEst)
       .select(col("a_id"), col("b_id"), Det.round6(col("est_sim")).as("est_sim"))
       .orderBy("a_id", "b_id")

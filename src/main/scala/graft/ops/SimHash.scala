@@ -66,8 +66,8 @@ object SimHash {
       col("a_id") < col("b_id")) ++ blockEq).reduce(_ && _)
 
     a.join(b, cond)
-      .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .groupBy("a_id", "b_id").agg(max(col("hamming")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
       .orderBy("a_id", "b_id")

@@ -163,10 +163,13 @@ object VectorSearch {
       .repartition(n, col("d_band"), col("d_bval"))
 
     val w = Window.partitionBy("vec_id").orderBy(col("simraw").desc, col("neighbor"))
+    // cosine is computed BEFORE the pair dedup: a band-duplicate pair costs
+    // one extra codegen'd 64-mult loop, but the dedup shuffle then carries
+    // (id, id, sim) instead of two 64-double vectors per row
     data.join(q, col("band") === col("d_band") && col("bval") === col("d_bval")
         && col("vec_id") =!= col("neighbor"))
-      .dropDuplicates("vec_id", "neighbor")
       .withColumn("simraw", dot(col("qv"), col("dv")) / (col("qn") * col("dn")))
+      .groupBy("vec_id", "neighbor").agg(max(col("simraw")).as("simraw"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("vec_id"), col("rnk"), col("neighbor"), Det.round6(col("simraw")).as("sim"))
