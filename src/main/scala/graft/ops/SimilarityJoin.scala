@@ -28,13 +28,37 @@ import graft.Det
   *    the shuffle proportional to distinct candidate pairs, not candidate
   *    token matches.
   *  - nothing touches the driver: no collect, no broadcast of anything
-  *    unbounded (the token→df relation is bounded by vocabulary size and is
-  *    broadcast explicitly; on an open vocabulary switch the broadcast for
-  *    a shuffle join — the plan is otherwise unchanged).
+  *    unbounded (the token→df relation broadcasts only below
+  *    [[SimilarityJoin.MaxBroadcastVocab]] rows; an open vocabulary is
+  *    dispatched to a shuffle equi-join — the plan is otherwise unchanged).
   *  - no global single-partition window anywhere: the q35 rank is computed
   *    per-df with broadcast offsets from the tiny df-histogram.
   */
 object SimilarityJoin {
+
+  /** Max vocabulary rows the element-frequency relation may hold and still
+    * be broadcast. 4M rows of (token, df) is comfortably inside the default
+    * driver/executor budget; an open 100 TB vocabulary is not.
+    */
+  val MaxBroadcastVocab: Long = 4L << 20
+
+  /** Join an exploded (…, `key`) relation with its element-frequency
+    * relation, dispatching on vocabulary size: broadcast when the
+    * vocabulary is provably small, plain shuffle equi-join otherwise.
+    *
+    * `forceBroadcast`: `Some(b)` skips the probe (callers at scale know
+    * their vocabulary); `None` auto-probes with a bounded `limit(max+1)
+    * .count()` — the limit caps the probe's work regardless of true
+    * vocabulary size, at the cost of one extra bounded pass over the
+    * aggregation (at 100 TB pass `Some(false)` instead and skip it).
+    */
+  private[graft] def freqJoined(exploded: DataFrame, freq: DataFrame, key: String,
+                                forceBroadcast: Option[Boolean]): DataFrame = {
+    val small = forceBroadcast.getOrElse(
+      freq.limit((MaxBroadcastVocab + 1).toInt).count() <= MaxBroadcastVocab)
+    if (small) exploded.join(broadcast(freq), key)
+    else exploded.join(freq, key)
+  }
 
   /** Tokenize + dedupe: adds `tokens` (distinct) and `sz` columns. */
   def tokenized(df: DataFrame, textCol: String): DataFrame =
@@ -204,7 +228,8 @@ object SimilarityJoin {
     * relation is computed from the sets themselves.
     */
   def jaccardSelfPrefixOnSets(sets: DataFrame, idCol: String, setCol: String,
-                              blockCols: Seq[String], tau: Double): DataFrame = {
+                              blockCols: Seq[String], tau: Double,
+                              vocabBroadcast: Option[Boolean] = None): DataFrame = {
     val withSz = sets.withColumn("_sz", size(col(setCol)))
     val toks = withSz
       .select(col(idCol).as("id") +: col("_sz").as("sz") +:
@@ -215,10 +240,13 @@ object SimilarityJoin {
       .groupBy("token")
       .agg(count(lit(1)).as("df"))
 
-    // order each record's tokens rarest-first by (df, token)
-    val ranked = toks
-      .select(col("id") +: col("sz") +: blockCols.map(col) :+ explode(col("tokens")).as("token"): _*)
-      .join(broadcast(freq), "token")
+    // order each record's tokens rarest-first by (df, token); the frequency
+    // relation broadcasts only while the vocabulary is provably bounded —
+    // open-vocabulary corpora take the shuffle equi-join (see [[freqJoined]])
+    val ranked = freqJoined(
+      toks.select(col("id") +: col("sz") +: blockCols.map(col) :+
+        explode(col("tokens")).as("token"): _*),
+      freq, "token", vocabBroadcast)
       .groupBy(col("id") +: col("sz") +: blockCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("rt"))
       .withColumn("sorted_tokens", col("rt.token"))

@@ -144,16 +144,24 @@ object PipelineQueries {
     "q53_doc_fingerprint",
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"),
-        pmod(aggregate(
-          transform(sequence(lit(1), length(col("text"))),
-            i => ascii(col("text").substr(i, lit(1))).cast("long")
-              * (pmod(i - 1, lit(31)) + lit(1)).cast("long")),
-          lit(0L), (acc, x) => acc + x), lit(1000000007L)).as("fp"))
+        // empty-text guard: Spark's sequence(1, 0) runs DESCENDING ([1, 0])
+        // while DuckDB's generate_series(1, 0) is empty — pin both to 0L
+        when(length(col("text")) >= 1,
+          pmod(aggregate(
+            transform(sequence(lit(1), length(col("text"))),
+              i => ascii(col("text").substr(i, lit(1))).cast("long")
+                * (pmod(i - 1, lit(31)) + lit(1)).cast("long")),
+            lit(0L), (acc, x) => acc + x), lit(1000000007L)))
+          .otherwise(lit(0L)).as("fp"))
       .orderBy("doc_id"),
+    // ::BIGINT on the whole expression: DuckDB's list_sum yields HUGEINT,
+    // which COPYs to parquet as DOUBLE — the driver would hash int64 vs
+    // float64 even though every value is identical
     Some("""SELECT doc_id,
-                   list_sum(list_transform(generate_series(1, length(text)),
-                            i -> ord(text[i:i])::BIGINT * (((i - 1) % 31) + 1)))
-                   % 1000000007 AS fp
+                   COALESCE(
+                     (list_sum(list_transform(generate_series(1, length(text)),
+                               i -> ord(text[i:i])::BIGINT * (((i - 1) % 31) + 1)))
+                      % 1000000007)::BIGINT, 0) AS fp
             FROM documents ORDER BY doc_id"""))
 
   // ---- 54. ANN: banded hyperplane LSH (scale path of q40) ------------------

@@ -123,32 +123,22 @@ object TextQueries {
             ORDER BY rnk"""))
 
   // ---- 38. edit-distance similarity join -----------------------------------------
-  // Brand-blocked self-join: the equi key keeps it a hash join. The distance
-  // runs AFTER the join as one projection (not doubled into the join
-  // condition), behind two prunes that matter at scale: the length filter
-  // (|len(a)−len(b)| ≤ k is a hard edit-distance bound, pruned before any
-  // DP) and the thresholded levenshtein built-in (banded O(n·k) with early
-  // exit instead of full O(n·m)).
+  // Ed-Join: q-gram prefix-filtered candidate generation (sub-quadratic —
+  // an equi-join on (brand, rare prefix gram) instead of enumerating every
+  // same-brand pair) feeding thresholded-levenshtein verification. See
+  // ops.EditDistanceJoin for the completeness argument; equivalence with
+  // the brute-force form is property-pinned in SimilarityJoinSpec.
   val q38 = Q(
     "q38_edit_distance_join",
-    (s, d) => {
-      val p = Tables.part(s, d)
-      val a = p.select(col("p_partkey").as("a_key"), col("p_brand"), col("p_name").as("a_name"))
-        // single-file scan → without the explicit-count repartition the
-        // broadcast join probes on one partition (AQE coalesces a plain
-        // repartition of so small an input) and 16M candidate pairs
-        // evaluate serially
-        .repartition(s.sessionState.conf.numShufflePartitions, col("a_key"))
-      val b = p.select(col("p_partkey").as("b_key"), col("p_brand").as("b_brand"), col("p_name").as("b_name"))
-      a.join(b, col("p_brand") === col("b_brand") && col("a_key") < col("b_key")
-          && abs(length(col("a_name")) - length(col("b_name"))) <= 2)
-        // threshold form returns -1 when dist exceeds the bound — keep only
-        // genuine 0..2 distances
-        .withColumn("dist", levenshtein(col("a_name"), col("b_name"), 2))
-        .filter(col("dist").between(0, 2))
-        .select(col("a_key"), col("b_key"), col("p_brand"), col("dist"))
-        .orderBy("a_key", "b_key")
-    },
+    (s, d) => graft.ops.EditDistanceJoin.selfJoin(
+        Tables.part(s, d), "p_partkey", "p_name", Seq("p_brand"), k = 2,
+        // a q-gram vocabulary is structurally ≤ |charset|^q (~4k for q=2
+        // over ASCII) at ANY corpus size — broadcast is always safe, skip
+        // the auto-probe job
+        vocabBroadcast = Some(true))
+      .select(col("a_id").as("a_key"), col("b_id").as("b_key"),
+        col("p_brand"), col("dist"))
+      .orderBy("a_key", "b_key"),
     Some("""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.p_brand,
                    levenshtein(a.p_name, b.p_name) AS dist
             FROM part a JOIN part b

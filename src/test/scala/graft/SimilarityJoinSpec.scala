@@ -35,6 +35,18 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(pref === exact)
   }
 
+  test("prefix path: vocabulary-size dispatch — shuffle join ≡ broadcast join") {
+    val sets = SimilarityJoin.tokenized(Tables.documents(spark, sf0001), "text")
+    val bcPairs = SimilarityJoin.jaccardSelfPrefixOnSets(
+        sets, "doc_id", "tokens", Seq("lang", "source"), 0.8, Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val shPairs = SimilarityJoin.jaccardSelfPrefixOnSets(
+        sets, "doc_id", "tokens", Seq("lang", "source"), 0.8, Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shPairs === bcPairs)
+    assert(bcPairs.nonEmpty)
+  }
+
   test("self-similarity sanity: doc joined with its own copy gives sim 1.0") {
     val docs = Tables.documents(spark, sf0001).limit(20)
     val shifted = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
