@@ -30,8 +30,88 @@ import org.apache.spark.sql.functions._
   * Plan shape: gram-frequency agg → per-record prefix (≤ q·k + 1 grams) →
   * one shuffle for the (block, gram) candidate equi-join → pair dedup →
   * codegen verification. No collect, no cartesian, no global window.
+  *
+  * Three tiers, coarsest prune first:
+  *  1. [[selfJoinDistinct]] — collapse to the distinct-string domain, pair
+  *     there, expand back (the default: repeated-value columns make the
+  *     quadratic term independent of row count);
+  *  2. [[selfJoin]] — gram-prefix inverted index (the open-domain path,
+  *     also the pair generator inside tier 1 when the domain is large);
+  *  3. [[selfJoinBrute]] — per-id all-pairs (correctness oracle, tiny blocks).
   */
 object EditDistanceJoin {
+
+  /** Max distinct-string domain size for [[selfJoinDistinct]]'s broadcast
+    * all-pairs tier: 8k strings → ≤ 32M length-pruned codegen comparisons,
+    * comfortably sub-second across a session's cores. Above this the pair
+    * generation delegates to the gram-prefix path over the SAME distinct
+    * domain (still row-count-independent).
+    */
+  val MaxBroadcastDomain: Long = 8192
+
+  /** Distinct-domain edit-distance self-join — same contract as
+    * [[selfJoin]], evaluated on the distinct-STRING domain first.
+    *
+    * The row count and the string-domain size are independent axes: natural
+    * key/name/title columns repeat heavily, so |distinct(s)| ≪ |rows| and
+    * stays near-constant as the table grows (this corpus: 64 names across
+    * 2k…20k rows — and still 64 at 100 TB of the same generator). Verifying
+    * edit distance per ROW pair re-verifies each STRING pair millions of
+    * times; verifying per distinct pair makes the quadratic term
+    * O(|domain|²) instead of O(rows²) and the rest of the plan output-bound.
+    *
+    * Plan: distinct(s) → pair-gen on the domain (broadcast all-pairs with
+    * length prune below [[MaxBroadcastDomain]]; the [[selfJoin]] gram-prefix
+    * index above it — `domainBroadcast` skips the bounded auto-probe, same
+    * protocol as `vocabBroadcast`) → symmetrize + add (s, s, 0) self-pairs →
+    * two expansion equi-joins back to ids on (string, block…), output-bound.
+    * No collect; the only driver-visible number is the bounded probe count.
+    */
+  def selfJoinDistinct(df: DataFrame, idCol: String, strCol: String,
+                       blockCols: Seq[String], k: Int, q: Int = 2,
+                       domainBroadcast: Option[Boolean] = None): DataFrame = {
+    require(k >= 0, s"need k >= 0, got k=$k")
+    val strs = df.select(col(strCol).as("s")).filter(col("s").isNotNull).distinct()
+    val small = domainBroadcast.getOrElse(
+      strs.limit((MaxBroadcastDomain + 1).toInt).count() <= MaxBroadcastDomain)
+
+    // strict pairs over the domain: (l_s < r_s, dist ∈ 1..k)
+    val strict =
+      if (small) {
+        val x = strs.select(col("s").as("l_s"), length(col("s")).as("l_len"))
+        val y = strs.select(col("s").as("r_s"), length(col("s")).as("r_len"))
+        x.join(broadcast(y),
+            col("l_s") < col("r_s") && abs(col("l_len") - col("r_len")) <= k)
+          .withColumn("dist", levenshtein(col("l_s"), col("r_s"), k))
+          .filter(col("dist").between(0, k))
+          .select("l_s", "r_s", "dist")
+      } else {
+        // open domain: gram-prefix candidates over distinct strings; the
+        // string is its own (totally ordered) id. The q-gram vocabulary is
+        // structurally ≤ |charset|^q — always broadcastable.
+        selfJoin(strs.withColumn("blk", lit(1)), "s", "s", Seq("blk"), k, q,
+            vocabBroadcast = Some(true))
+          .select(col("a_id").as("l_s"), col("b_id").as("r_s"), col("dist"))
+      }
+
+    // both orientations + identical-string self-pairs, so each id pair
+    // (a_id < b_id) matches exactly one row — no post-expansion dedup
+    val sym = strict
+      .unionByName(strict.select(col("r_s").as("l_s"), col("l_s").as("r_s"), col("dist")))
+      .unionByName(strs.select(col("s").as("l_s"), col("s").as("r_s"),
+        lit(0).as("dist")))
+
+    val a = df.select(col(idCol).as("a_id") +: col(strCol).as("l_s") +:
+      blockCols.map(col): _*)
+    val b = df.select(col(idCol).as("b_id") +: col(strCol).as("b_s") +:
+      blockCols.map(c => col(c).as(s"b_$c")): _*)
+    val blockEq = blockCols.map(c => col(c) === col(s"b_$c"))
+    a.join(if (small) broadcast(sym) else sym, "l_s")
+      .join(b, (blockEq :+ (col("r_s") === col("b_s")))
+        .reduce(_ && _) && col("a_id") < col("b_id"))
+      .select(col("a_id") +: col("b_id") +: blockCols.map(col) :+ col("dist"): _*)
+      .orderBy("a_id", "b_id")
+  }
 
   /** All pairs (a, b) with a.id < b.id, equal block keys, and
     * edit-distance(a.str, b.str) ≤ k. Output: (a_id, b_id, blockCols…,

@@ -123,19 +123,16 @@ object TextQueries {
             ORDER BY rnk"""))
 
   // ---- 38. edit-distance similarity join -----------------------------------------
-  // Ed-Join: q-gram prefix-filtered candidate generation (sub-quadratic —
-  // an equi-join on (brand, rare prefix gram) instead of enumerating every
-  // same-brand pair) feeding thresholded-levenshtein verification. See
-  // ops.EditDistanceJoin for the completeness argument; equivalence with
-  // the brute-force form is property-pinned in SimilarityJoinSpec.
+  // Distinct-first: p_name repeats heavily (64 distinct values at every
+  // SF), so edit distance is verified once per distinct-name pair and
+  // expanded back to id pairs by equi-join — the quadratic term is
+  // O(|name domain|²), independent of row count. Open-domain fallback is
+  // the Ed-Join gram-prefix path inside ops.EditDistanceJoin; equivalence
+  // with brute force is property-pinned in EditDistanceJoinSpec.
   val q38 = Q(
     "q38_edit_distance_join",
-    (s, d) => graft.ops.EditDistanceJoin.selfJoin(
-        Tables.part(s, d), "p_partkey", "p_name", Seq("p_brand"), k = 2,
-        // a q-gram vocabulary is structurally ≤ |charset|^q (~4k for q=2
-        // over ASCII) at ANY corpus size — broadcast is always safe, skip
-        // the auto-probe job
-        vocabBroadcast = Some(true))
+    (s, d) => graft.ops.EditDistanceJoin.selfJoinDistinct(
+        Tables.part(s, d), "p_partkey", "p_name", Seq("p_brand"), k = 2)
       .select(col("a_id").as("a_key"), col("b_id").as("b_key"),
         col("p_brand"), col("dist"))
       .orderBy("a_key", "b_key"),
