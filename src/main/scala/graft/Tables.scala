@@ -29,9 +29,17 @@ object Tables {
     * to µs exactly like DuckDB's TIMESTAMP_NS→TIMESTAMP cast does (integer
     * floor-division; all epoch values are positive), so boundary comparisons
     * agree between the engines to the microsecond.
+    *
+    * The legacy conf is consulted at scan EXECUTION, not at `read` time, so
+    * it cannot be set-and-restored here; it must be session-wide. All
+    * entry-point builders (Bench/Verify/TimeQuery/Smoke/Explain/SparkSpec)
+    * set it; a loader must not mutate shared session state as a side
+    * effect, so any other session fails loudly instead.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet holds INT64 TIMESTAMP(NANOS): build the session with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -45,14 +45,30 @@ object SimHash {
   }
 
   /** Near-dup candidate pairs within `maxHamming` (of 64), blocked by
-    * `blockCols`, banded 4×16 bits for candidate generation. Output
-    * (a_id, b_id, hamming), totally ordered.
+    * `blockCols`, banded `nBands` × (64/nBands) bits for candidate
+    * generation. Output (a_id, b_id, hamming), totally ordered.
+    *
+    * Recall contract: pigeonhole guarantees recall 1.0 only for pairs
+    * within Hamming ≤ nBands − 1 (that many flips can dirty at most
+    * nBands − 1 bands, leaving one clean). A `maxHamming` ABOVE that is an
+    * approximate query — true pairs whose flips touch every band are
+    * dropped, with collision probability decaying as distance grows.
+    * Guaranteed recall at radius r needs nBands ≥ r + 1, i.e. r = 16 needs
+    * 17+ bands of ≤ 3 bits — at which point nearly everything collides and
+    * candidates go quadratic, so wide radii are approximate BY DESIGN
+    * (Manku et al. run r = 3 with 4 bands for exactly this reason).
+    * q48's measured recall at radius 16 is pinned in PipelineSpec.
     */
   def hammingPairs(docs: DataFrame, idCol: String, textCol: String,
-                   blockCols: Seq[String], maxHamming: Int): DataFrame = {
+                   blockCols: Seq[String], maxHamming: Int,
+                   nBands: Int = 4): DataFrame = {
+    require(nBands >= 1 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    val w = 64 / nBands
+    val mask = if (w == 64) -1L else (1L << w) - 1
     val signed = signatures(docs, idCol, textCol, keep = blockCols)
-      .withColumn("bands", array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+      .withColumn("bands", array((0 until nBands).map(b =>
+        shiftright(col("sig"), b * w).bitwiseAND(lit(mask))): _*))
 
     def side(p: String) = signed.select(
       col("id").as(s"${p}_id") +: col("sig").as(s"${p}_sig") +:

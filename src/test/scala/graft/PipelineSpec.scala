@@ -45,6 +45,36 @@ class PipelineSpec extends SparkSpec {
     assert(close.forall(found.contains), s"missed ${close.count(!found.contains(_))} of ${close.length}")
   }
 
+  test("simhash banding at radius 16 is approximate: recall measured and pinned") {
+    // q48 asks for hamming <= 16 through 4x16-bit bands — past the
+    // pigeonhole-guaranteed radius of 3, so this is the approximate regime
+    // (see SimHash.hammingPairs scaladoc). Pin the measured recall on the
+    // sf0.001 corpus so a banding change that silently craters it fails here.
+    val sigs = SimHash.signatures(Tables.documents(spark, sf0001), "doc_id", "text",
+      keep = Seq("lang", "source"))
+      .select("id", "sig", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    val truth = (for {
+      (a, sa, la, srca) <- sigs; (b, sb, lb, srcb) <- sigs
+      if a < b && la == lb && srca == srcb &&
+        java.lang.Long.bitCount(sa ^ sb) <= 16
+    } yield (a, b)).toSet
+    assert(truth.nonEmpty)
+    def recall(nBands: Int): Double = {
+      val found = SimHash.hammingPairs(
+        Tables.documents(spark, sf0001), "doc_id", "text", Seq("lang", "source"),
+        16, nBands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(found.subsetOf(truth), "verification must drop false candidates")
+      truth.count(found.contains).toDouble / truth.size
+    }
+    val r4 = recall(4)
+    val r8 = recall(8)
+    info(f"radius-16 recall: 4 bands $r4%.3f, 8 bands $r8%.3f (truth ${truth.size})")
+    assert(r4 >= 0.35, f"4-band recall cratered: $r4%.3f")   // measured ~0.5
+    assert(r8 >= r4, f"narrower bands must not lose recall: $r8%.3f < $r4%.3f")
+  }
+
   test("multimodal decode stub: mapPartitions path equals the pure-expression path") {
     val viaPartitions = Multimodal.decodeStub(Tables.documents(spark, sf0001), "doc_id", "text")
       .orderBy("doc_id").collect().map(_.toString)
