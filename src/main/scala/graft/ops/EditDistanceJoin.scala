@@ -49,6 +49,15 @@ object EditDistanceJoin {
     */
   val MaxBroadcastDomain: Long = 8192
 
+  /** Max matched-pair rows the symmetrized pair relation may hold and still
+    * broadcast for the expansion joins. A domain passing the
+    * [[MaxBroadcastDomain]] probe bounds the COMPARISON count, not the
+    * MATCH count — a dense near-duplicate domain near 8k strings can emit
+    * tens of millions of matched pairs (r5 ADVICE), so the broadcast is
+    * gated on a second bounded probe of the pair relation itself.
+    */
+  val MaxBroadcastPairs: Long = 4L << 20
+
   /** Distinct-domain edit-distance self-join — same contract as
     * [[selfJoin]], evaluated on the distinct-STRING domain first.
     *
@@ -106,7 +115,13 @@ object EditDistanceJoin {
     val b = df.select(col(idCol).as("b_id") +: col(strCol).as("b_s") +:
       blockCols.map(c => col(c).as(s"b_$c")): _*)
     val blockEq = blockCols.map(c => col(c) === col(s"b_$c"))
-    a.join(if (small) broadcast(sym) else sym, "l_s")
+    // broadcast only when the PAIR relation is provably bounded too: the
+    // domain probe caps comparisons, not matches — a dense near-dup domain
+    // can pass it and still emit tens of millions of pairs. Same bounded
+    // limit(max+1).count() protocol; sym adds ≤ 2·|strict| + |domain| rows.
+    val symSmall = small &&
+      strict.limit((MaxBroadcastPairs + 1).toInt).count() <= MaxBroadcastPairs
+    a.join(if (symSmall) broadcast(sym) else sym, "l_s")
       .join(b, (blockEq :+ (col("r_s") === col("b_s")))
         .reduce(_ && _) && col("a_id") < col("b_id"))
       .select(col("a_id") +: col("b_id") +: blockCols.map(col) :+ col("dist"): _*)

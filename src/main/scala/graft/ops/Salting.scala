@@ -40,4 +40,38 @@ object Salting {
       .agg(sum(col("_psum")).cast("double").as("sum_val"),
         sum(col("_pcnt")).as("n"))
   }
+
+  /** Skew-salted replicate equi-join (fragment-and-replicate on the salt
+    * dimension — the join-side counterpart of [[saltedSumCount]]).
+    *
+    * The skewed `probe` side gets a deterministic salt in [0, nSalts)
+    * hashed from `saltBy` row content; the `build` side is replicated once
+    * per salt value (explode over 0..nSalts−1); the join keys become
+    * (`keys`…, salt). A hot key's probe rows then hash to `nSalts`
+    * different reducers instead of one, at the cost of nSalts× the build
+    * side's shuffle volume — the right trade whenever the build side is
+    * small relative to the hot key's row count but too large (or the stage
+    * too complex) for a plain broadcast, and AQE's skew split cannot fire
+    * (AQE only splits the FIRST shuffle boundary it sees; a candidate join
+    * feeding an aggregation in the same stage is out of its reach).
+    *
+    * Each probe row carries exactly one salt and every build row exists at
+    * every salt, so per-row match multiplicity is identical to the unsalted
+    * join — equivalence holds for `inner` and probe-preserving (`left`)
+    * joins, which is enforced by a require. The salt is content-hashed
+    * (never random / partition-id), so results are reproducible and safe
+    * under AQE re-execution, per the determinism contract.
+    */
+  def saltedEquiJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                     saltBy: Seq[String], nSalts: Int = 16,
+                     joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left", "left_outer", "leftouter").contains(joinType),
+      s"salted replicate join preserves semantics only for inner/left joins, got $joinType")
+    require(nSalts >= 1, s"nSalts must be positive, got $nSalts")
+    val salted = probe.withColumn("_salt",
+      pmod(xxhash64(saltBy.map(col): _*), lit(nSalts.toLong)).cast("int"))
+    val replicated = build.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, keys :+ "_salt", joinType).drop("_salt")
+  }
 }

@@ -56,8 +56,8 @@ object SimHash {
     * Guaranteed recall at radius r needs nBands ≥ r + 1, i.e. r = 16 needs
     * 17+ bands of ≤ 3 bits — at which point nearly everything collides and
     * candidates go quadratic, so wide radii are approximate BY DESIGN
-    * (Manku et al. run r = 3 with 4 bands for exactly this reason).
-    * q48's measured recall at radius 16 is pinned in PipelineSpec.
+    * (Manku et al. run r = 3 with 4 bands for exactly this reason — and so
+    * does q48). Measured radius-16 recall is pinned in PipelineSpec.
     */
   def hammingPairs(docs: DataFrame, idCol: String, textCol: String,
                    blockCols: Seq[String], maxHamming: Int,

@@ -129,6 +129,96 @@ object VectorSearch {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Exact all-pairs cosine near-dup pairs: (a_id, b_id, sim) with
+    * a_id < b_id and ROUND(sim, 6) ≥ tau, totally ordered. Quadratic by
+    * construction (a nested-loop product) — correct and fastest below
+    * [[MaxExactPairRows]] rows, a scale-killer above it; call [[cosinePairs]]
+    * for the guarded dispatch.
+    *
+    * Norms are computed once per vector and carried through the join; the
+    * threshold compares the ROUND(,6) value so the compared quantity is the
+    * output quantity (ulp-level accumulation differences can't flip
+    * inclusion against an oracle).
+    */
+  def cosinePairsExact(emb: DataFrame, idCol: String, vecCol: String,
+                       tau: Double): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val n = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val v = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = v.select(col("vid").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+      .repartition(n, col("a_id"))
+    val b = v.select(col("vid").as("b_id"), col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", Det.round6(dot(col("av"), col("bv")) / (col("an") * col("bn"))))
+      .filter(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** LSH-banded cosine near-dup pairs — the scale path of
+    * [[cosinePairsExact]]: candidates from an equi-join on (band, band
+    * value) exactly like [[lshCosineKnn]], exact cosine re-rank, so
+    * precision is 1 (every emitted pair truly clears tau) and only recall
+    * is approximate. Same output schema/ordering as the exact form.
+    */
+  def cosinePairsLsh(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+                     nPlanes: Int = 32, nBands: Int = 8, dim: Int = 64): DataFrame = {
+    require(nPlanes % nBands == 0, "nPlanes must divide into nBands")
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val rows = nPlanes / nBands
+    val planes = hyperplanes(nPlanes, dim)
+    val bits: Seq[Column] = planes.map(p =>
+      when(dot(col("v"), typedLit(p)) >= 0, lit(1)).otherwise(lit(0)))
+    val bandsCol: Column = array((0 until nBands).map { bi =>
+      (0 until rows).map(ri => bits(bi * rows + ri) * (1 << ri)).reduce(_ + _)
+    }: _*)
+
+    val v = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("bands", bandsCol)
+    def side(p: String) = v.select(
+      col("vid").as(s"${p}_id"), col("v").as(s"${p}v"), col("nrm").as(s"${p}n"),
+      posexplode(col("bands")).as(Seq(s"${p}_band", s"${p}_bv")))
+    val n = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val a = side("a").repartition(n, col("a_band"), col("a_bv"))
+    val b = side("b")
+    // sim BEFORE the pair dedup (see lshCosineKnn): the dedup shuffle then
+    // carries (id, id, sim), not two dim-double vectors per candidate
+    a.join(b, col("a_band") === col("b_band") && col("a_bv") === col("b_bv")
+        && col("a_id") < col("b_id"))
+      .withColumn("simraw", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .groupBy("a_id", "b_id").agg(max(col("simraw")).as("simraw"))
+      .withColumn("sim", Det.round6(col("simraw")))
+      .filter(col("sim") >= tau)
+      .select(col("a_id"), col("b_id"), col("sim"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Above this row count the exact all-pairs product is a scale-killer
+    * (10k rows ≈ 5·10⁷ pairs is the workable ceiling for a quadratic plan;
+    * beyond it the banded path's hash shuffle wins by orders of magnitude).
+    */
+  val MaxExactPairRows: Long = 10000L
+
+  /** Size-dispatched cosine near-dup pairs: a bounded `limit(max+1).count()`
+    * probe (same protocol as SimilarityJoin.freqJoined — the limit caps the
+    * probe's cost regardless of true input size) routes small inputs to the
+    * exact product and everything else to the LSH-banded plan, so the
+    * quadratic form can never be dispatched on an input where only the
+    * banded path is sane. `forceExact`: `Some(b)` skips the probe for
+    * callers that know their size (the 100 TB deployment passes
+    * `Some(false)`).
+    */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String, tau: Double,
+                  maxExactRows: Long = MaxExactPairRows,
+                  forceExact: Option[Boolean] = None): DataFrame = {
+    val small = forceExact.getOrElse(
+      emb.limit((maxExactRows + 1).toInt).count() <= maxExactRows)
+    if (small) cosinePairsExact(emb, idCol, vecCol, tau)
+    else cosinePairsLsh(emb, idCol, vecCol, tau)
+  }
+
   /** Approximate cosine top-k via random-hyperplane LSH.
     *
     * Signature = sign bits of `nPlanes` hyperplane projections, split into

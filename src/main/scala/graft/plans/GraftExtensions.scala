@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SetJaccard}
 
 /** Optimizer rule: recognize the higher-order-function dot-product idiom
   *
@@ -47,8 +48,23 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 /** Session extension entry point:
   * `spark.sql.extensions=graft.plans.GraftExtensions` (set by the graft
   * harness mains) or `.withExtensions(new GraftExtensions)`.
+  *
+  * Injects the optimizer rewrite AND the graft SQL functions (`graft_dot`,
+  * `graft_jaccard`) so a raw-SQL user of an extension-built session can call
+  * the similarity kernels with no Scala at all — SURVEY §3.3's SQL entry
+  * point. (Sessions built without the conf use
+  * `VectorExprs.register` / `SetExprs.register` instead.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaccard"),
+      new ExpressionInfo(classOf[SetJaccard].getName, "graft_jaccard"),
+      (exprs: Seq[Expression]) => SetJaccard(exprs.head, exprs(1))))
+  }
 }

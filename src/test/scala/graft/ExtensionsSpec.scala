@@ -35,4 +35,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(!optimized.contains("graft_dot"), optimized.take(1500))
     assert(sumAgg.collect().length === 5)
   }
+
+  test("raw SQL graft_jaccard self-join matches the library jaccardSelf path") {
+    // the session is built with spark.sql.extensions=GraftExtensions
+    // (SparkSpec), so graft_jaccard resolves with NO Scala registration call
+    // — this is the SQL entry point a non-Scala user gets
+    Tables.documents(spark, sf0001).createOrReplaceTempView("docs_sqlsurface")
+    val viaSql = spark.sql("""
+      WITH t AS (
+        SELECT doc_id, lang, source, array_distinct(split(text, ' +')) AS toks
+        FROM docs_sqlsurface)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(graft_jaccard(a.toks, b.toks), 6) AS sim
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE graft_jaccard(a.toks, b.toks) >= 0.8
+      ORDER BY a_id, b_id""")
+      .collect().map(_.toString).toSeq
+    val viaLib = graft.ops.SimilarityJoin.jaccardSelf(
+      Tables.documents(spark, sf0001), "doc_id", "text", Seq("lang", "source"), 0.8)
+      .collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaLib)
+  }
+
+  test("graft_jaccard set semantics: duplicates collapse, empty union is NULL") {
+    val rows = spark.sql("""
+      SELECT graft_jaccard(array('a', 'a', 'b'), array('a', 'b', 'b')) AS dup_collapse,
+             graft_jaccard(array('a', 'b'), array('b', 'c', 'd')) AS partial,
+             graft_jaccard(cast(array() AS array<string>), cast(array() AS array<string>)) AS empty_union,
+             graft_jaccard(cast(NULL AS array<string>), array('a')) AS null_in
+      """).collect()(0)
+    assert(rows.getDouble(0) === 1.0)
+    assert(math.abs(rows.getDouble(1) - 0.25) < 1e-12)
+    assert(rows.isNullAt(2))
+    assert(rows.isNullAt(3))
+  }
 }

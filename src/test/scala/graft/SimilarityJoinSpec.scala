@@ -47,6 +47,37 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(bcPairs.nonEmpty)
   }
 
+  test("auto dispatch: flat vocabulary probes below threshold and takes the exact path") {
+    val docs = Tables.documents(spark, sf0001)
+    val skew = SimilarityJoin.vocabSkew(SimilarityJoin.tokenized(docs, "text"), "tokens")
+    info(f"documents vocab skew = $skew%.3f")
+    assert(skew < SimilarityJoin.PrefixSkewThreshold, s"corpus no longer flat: $skew")
+    val auto = SimilarityJoin.jaccardSelfAuto(docs, "doc_id", "text", Seq("lang", "source"), 0.8)
+    // the prefix path is the only one that verifies via array_intersect —
+    // its absence identifies the exact-inverted-index branch
+    assert(!auto.queryExecution.optimizedPlan.toString.contains("array_intersect"))
+    val exact = SimilarityJoin.jaccardSelf(docs, "doc_id", "text", Seq("lang", "source"), 0.8)
+    assert(auto.collect().map(_.toString).toSeq === exact.collect().map(_.toString).toSeq)
+  }
+
+  test("auto dispatch: Zipfian hot-token vocabulary probes above threshold, prefix path") {
+    // synthetic hot-token corpus: every doc shares token 'hot'; the rest are
+    // unique per doc → df(hot) = n, df(other) = 1, skew ≈ n/2
+    val n = 200
+    val docs = spark.range(n).selectExpr(
+      "id AS doc_id", "'x' AS blk",
+      "concat('hot u', id, 'a u', id, 'b') AS text")
+    val skew = SimilarityJoin.vocabSkew(SimilarityJoin.tokenized(docs, "text"), "tokens")
+    info(f"synthetic vocab skew = $skew%.3f")
+    assert(skew >= SimilarityJoin.PrefixSkewThreshold, s"synthetic corpus not skewed: $skew")
+    val auto = SimilarityJoin.jaccardSelfAuto(docs, "doc_id", "text", Seq("blk"), 0.5)
+    assert(auto.queryExecution.optimizedPlan.toString.contains("array_intersect"),
+      "expected the prefix branch on a Zipfian vocabulary")
+    // prefix refuses to index 'hot' (each doc's prefix is its rarest tokens)
+    // yet stays exact: no doc pair shares a unique token, so zero pairs
+    assert(auto.count() === 0L)
+  }
+
   test("self-similarity sanity: doc joined with its own copy gives sim 1.0") {
     val docs = Tables.documents(spark, sf0001).limit(20)
     val shifted = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))

@@ -57,6 +57,34 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("cosinePairs guard: above-bound inputs dispatch to the banded plan, no product") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // below bound: exact nested-loop product is the intended (fastest) plan
+    val exactPlan = VectorSearch.cosinePairs(emb, "vec_id", "embedding", 0.4,
+      maxExactRows = 10000).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("NestedLoop") || exactPlan.contains("Cartesian"),
+      exactPlan.take(1200))
+    // above bound (forced low): the guard fires and the plan must contain NO
+    // quadratic product — candidates come from the banded equi-join
+    val guarded = VectorSearch.cosinePairs(emb, "vec_id", "embedding", 0.4,
+      maxExactRows = 100)
+    val guardedPlan = guarded.queryExecution.executedPlan.toString
+    assert(!guardedPlan.contains("NestedLoop") && !guardedPlan.contains("Cartesian"),
+      guardedPlan.take(1200))
+    // banded output: precision 1 (subset of exact pairs, identical sims),
+    // recall pinned on this corpus
+    val exact = VectorSearch.cosinePairsExact(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val banded = guarded.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(banded.nonEmpty)
+    banded.foreach { case (k, s) =>
+      assert(exact.contains(k), s"false positive pair $k")
+      assert(math.abs(exact(k) - s) < 1e-9)
+    }
+    val recall = banded.count { case (k, _) => exact.contains(k) }.toDouble / exact.size
+    assert(recall >= 0.5, s"banded pair recall = $recall")
+  }
+
   test("LSH recall@3 against exact top-3 is >= 0.5 on random unit vectors") {
     // random unit vectors are the adversarial case for hyperplane LSH (all
     // cosines near 0, neighbors barely separated): 16 planes / 4 bands
