@@ -42,28 +42,27 @@ object MinHash {
   /** Adds a `sig` column: array<long> of nHashes min-hash values over the
     * distinct tokens of `textCol`.
     *
-    * Plan shape: explode tokens → xxhash64 once per (doc, token) → one hash
-    * aggregation with nHashes `min` columns. Everything stays inside
-    * whole-stage codegen (higher-order `transform` lambdas do not, and an
-    * array_min-of-transform formulation measures ~4× slower at sf0.1). The
-    * single shuffle is by doc id with map-side partial mins, so shuffled
-    * bytes are docs × nHashes longs regardless of document length — the
-    * right trade at 100 TB, where token explosion is map-local.
+    * Plan shape (since r6): ONE per-row codegen'd expression
+    * ([[graft.functions.SigOps.minhashSig]]) over the token array — a
+    * document's tokens are already co-located in its row, so the signature
+    * needs no data movement at all. The previous explode → nHashes-`min`
+    * aggregation paid a docs × nHashes shuffle plus an N-column agg tree
+    * that AQE re-canonicalized per stage; rounds 1–5 carried it because the
+    * HOF `array_min`-of-`transform` alternative was ~4× slower — the native
+    * expression beats both. Signatures are bit-identical (the kernel calls
+    * Spark's own XxHash64 with the same seed and replicates `pmod`), so the
+    * pinned recall/error constants in MinHashSpec are unchanged.
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  nHashes: Int = 32, keep: Seq[String] = Nil): DataFrame = {
-    val ps = params(nHashes)
-    val carry = keep
-    val base = SimilarityJoin.tokenized(docs, textCol)
-      .select(col(idCol).as("id") +: carry.map(col) :+ explode(col("tokens")).as("tok"): _*)
-      .withColumn("hx", pmod(xxhash64(col("tok")), lit(P)))
-    val mins = ps.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("hx") + lit(b), lit(P))).as(s"_mh$i")
-    }
-    base.groupBy(col("id") +: carry.map(col): _*)
-      .agg(mins.head, mins.tail: _*)
-      .withColumn("sig", array((0 until nHashes).map(i => col(s"_mh$i")): _*))
-      .drop((0 until nHashes).map(i => s"_mh$i"): _*)
+    graft.functions.SigExprs.register(docs.sparkSession)
+    val flat: Seq[Long] = params(nHashes).flatMap { case (a, b) => Seq(a, b) }
+    SimilarityJoin.tokenized(docs, textCol)
+      .select(col(idCol).as("id") +: keep.map(col) :+
+        graft.functions.SigExprs.minhashSig(col("tokens"), typedLit(flat)).as("sig"): _*)
+      // a doc with no usable token has no signature — mirror the explode
+      // formulation, where such a doc never reached the aggregation
+      .filter(col("sig").isNotNull)
   }
 
   /** LSH candidate pairs with MinHash-estimated Jaccard.
@@ -76,7 +75,13 @@ object MinHash {
                nHashes: Int = 32, nBands: Int = 8): DataFrame = {
     require(nHashes % nBands == 0)
     val rows = nHashes / nBands
+    val n = docs.sparkSession.sessionState.conf.numShufflePartitions
+    // explicit repartition = a ReuseExchange point: both join sides below
+    // read ONE materialization of the signatures instead of each recomputing
+    // tokenize+sketch from the scan (the aggregation shuffle used to provide
+    // this for free; the per-row signature expression removed it)
     val signed = signatures(docs, idCol, textCol, nHashes, keep = blockCols)
+      .repartition(n, col("id"))
       .withColumn("bands", array((0 until nBands).map(bi =>
         hash(slice(col("sig"), bi * rows + 1, rows))): _*))
 

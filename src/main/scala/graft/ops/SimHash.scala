@@ -11,11 +11,10 @@ import org.apache.spark.sql.functions._
   * is positive. Near-identical token sets flip few votes, so Hamming
   * distance approximates set difference.
   *
-  * Plan shape mirrors [[MinHash.signatures]]: explode → one xxhash64 per
-  * (doc, token) → a single hash aggregation with 64 codegen'd conditional
-  * sums → pack to one BIGINT. One shuffle by doc id, map-side partials,
-  * 8 bytes of signature per document — at 100 TB the signature relation is
-  * small enough to bucket-join or even broadcast per block.
+  * Plan shape mirrors [[MinHash.signatures]]: one per-row codegen'd
+  * expression over the document's token array — zero shuffles, 8 bytes of
+  * signature per document — at 100 TB the signature relation is small
+  * enough to bucket-join or even broadcast per block.
   *
   * Candidate pairs come from banding the 64 bits into 4×16-bit bands
   * (equi-join on band value — any pair within Hamming ≤ 3 of 64 collides on
@@ -25,23 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** Adds a `sig` BIGINT column: 64-bit simhash over distinct tokens. */
+  /** Adds a `sig` BIGINT column: 64-bit simhash over distinct tokens.
+    *
+    * Since r6 this is ONE per-row codegen'd expression
+    * ([[graft.functions.SigOps.simhashSig]]) over the already-co-located
+    * token array — no explode, no 64-conditional-sum aggregation, no
+    * shuffle at all (the previous agg tree was also an AQE
+    * re-canonicalization hazard; see LshOps). Signatures are bit-identical
+    * (same XxHash64 seed, same vote rule), so every pinned recall constant
+    * in PipelineSpec is unchanged.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
                  keep: Seq[String] = Nil): DataFrame = {
-    val base = SimilarityJoin.tokenized(docs, textCol)
-      .select(col(idCol).as("id") +: keep.map(col) :+ explode(col("tokens")).as("tok"): _*)
-      .withColumn("hx", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("hx"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"_v$i")
-    }
-    val packed: Column = (0 until 64).map { i =>
-      when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    base.groupBy(col("id") +: keep.map(col): _*)
-      .agg(votes.head, votes.tail: _*)
-      .withColumn("sig", packed)
-      .drop((0 until 64).map(i => s"_v$i"): _*)
+    graft.functions.SigExprs.register(docs.sparkSession)
+    SimilarityJoin.tokenized(docs, textCol)
+      .select(col(idCol).as("id") +: keep.map(col) :+
+        graft.functions.SigExprs.simhashSig(col("tokens")).as("sig"): _*)
+      // no usable token → no signature, mirroring the explode formulation
+      .filter(col("sig").isNotNull)
   }
 
   /** Near-dup candidate pairs within `maxHamming` (of 64), blocked by
@@ -66,6 +66,9 @@ object SimHash {
       s"nBands must divide 64, got $nBands")
     val w = 64 / nBands
     val mask = if (w == 64) -1L else (1L << w) - 1
+    // NOTE: no reuse-repartition here, unlike MinHash.lshPairs — the 1-pass
+    // simhash recompute on the second join side measures cheaper than an
+    // extra exchange (1.28 s vs 1.45 s on the q48 bench shape)
     val signed = signatures(docs, idCol, textCol, keep = blockCols)
       .withColumn("bands", array((0 until nBands).map(b =>
         shiftright(col("sig"), b * w).bitwiseAND(lit(mask))): _*))

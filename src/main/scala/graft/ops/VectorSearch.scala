@@ -96,14 +96,17 @@ object VectorSearch {
                    queryPred: Column, k: Int,
                    nCells: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
+    graft.functions.HyperplaneExprs.register(emb.sparkSession)
     val cents = hyperplanes(nCells, dim) // unit-direction surrogate centroids
     val n = emb.sparkSession.sessionState.conf.numShufflePartitions
 
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
-    // per-vector cell scores, reused for assignment and probing
-    def cellScores(vc: Column): Column = array(cents.map(c => dot(vc, typedLit(c))): _*)
-    val scored = v.withColumn("scores", cellScores(col("v")))
+    // per-vector cell scores in ONE fused codegen node (was nCells dot
+    // columns — an AQE plan-churn hazard, see LshOps), reused for
+    // assignment and probing
+    val scored = v.withColumn("scores", graft.functions.HyperplaneExprs.hpScores(
+      col("v"), typedLit(cents.flatten)))
 
     // data side: each vector lives in exactly its argmax cell
     val assigned = scored.withColumn("cell",
@@ -166,13 +169,12 @@ object VectorSearch {
                      nPlanes: Int = 32, nBands: Int = 8, dim: Int = 64): DataFrame = {
     require(nPlanes % nBands == 0, "nPlanes must divide into nBands")
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val rows = nPlanes / nBands
+    graft.functions.HyperplaneExprs.register(emb.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
-    val bits: Seq[Column] = planes.map(p =>
-      when(dot(col("v"), typedLit(p)) >= 0, lit(1)).otherwise(lit(0)))
-    val bandsCol: Column = array((0 until nBands).map { bi =>
-      (0 until rows).map(ri => bits(bi * rows + ri) * (1 << ri)).reduce(_ + _)
-    }: _*)
+    // one fused codegen node for the whole signature — see LshOps scaladoc
+    // for why N per-plane dot columns are an AQE plan-churn hazard
+    val bandsCol: Column = graft.functions.HyperplaneExprs.hpBands(
+      col("v"), typedLit(planes.flatten), lit(nBands))
 
     val v = emb.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -231,14 +233,13 @@ object VectorSearch {
                    nPlanes: Int = 16, nBands: Int = 4, dim: Int = 64): DataFrame = {
     require(nPlanes % nBands == 0, "nPlanes must divide into nBands")
     graft.functions.VectorExprs.register(emb.sparkSession)
-    val rows = nPlanes / nBands
+    graft.functions.HyperplaneExprs.register(emb.sparkSession)
     val planes = hyperplanes(nPlanes, dim)
 
-    val bits: Seq[Column] = planes.map(p =>
-      when(dot(col("v"), typedLit(p)) >= 0, lit(1)).otherwise(lit(0)))
-    val bands: Column = array((0 until nBands).map { bi =>
-      (0 until rows).map(ri => bits(bi * rows + ri) * (1 << ri)).reduce(_ + _)
-    }: _*)
+    // one fused codegen node for the whole banded signature (identical bit
+    // layout to the unfused per-plane columns — see LshOps scaladoc)
+    val bands: Column = graft.functions.HyperplaneExprs.hpBands(
+      col("v"), typedLit(planes.flatten), lit(nBands))
 
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
