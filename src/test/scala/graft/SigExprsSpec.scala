@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{HyperplaneExprs, SigExprs, VectorExprs}
+import graft.ops.{MinHash, SimilarityJoin, VectorSearch}
+
+/** The fused signature expressions must be BIT-IDENTICAL to the unfused
+  * column formulations they replaced (r6) — that identity is what lets the
+  * pinned recall/error constants in MinHashSpec / PipelineSpec /
+  * VectorSearchSpec survive the rewrite unchanged. Pin it directly.
+  */
+class SigExprsSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf0001)
+    .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("v"))
+    .limit(100)
+
+  test("graft_hp_scores equals per-plane graft_dot columns exactly") {
+    VectorExprs.register(spark)
+    HyperplaneExprs.register(spark)
+    val planes = VectorSearch.hyperplanes(8, 64)
+    val unfused = emb.select(col("id"),
+      array(planes.map(p => VectorExprs.dot(col("v"), typedLit(p))): _*).as("s"))
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    val fused = emb.select(col("id"),
+      HyperplaneExprs.hpScores(col("v"), typedLit(planes.flatten)).as("s"))
+      .orderBy("id").collect().map(_.getSeq[Double](1))
+    // exact ==: same sequential accumulation order, so bit-identical
+    assert(fused.toSeq === unfused.toSeq)
+  }
+
+  test("graft_hp_bands equals the unfused sign-bit packing exactly") {
+    VectorExprs.register(spark)
+    HyperplaneExprs.register(spark)
+    val nPlanes = 16; val nBands = 4; val rows = nPlanes / nBands
+    val planes = VectorSearch.hyperplanes(nPlanes, 64)
+    val bits = planes.map(p =>
+      when(VectorExprs.dot(col("v"), typedLit(p)) >= 0, lit(1)).otherwise(lit(0)))
+    val unfused = emb.select(col("id"), array((0 until nBands).map { bi =>
+      (0 until rows).map(ri => bits(bi * rows + ri) * (1 << ri)).reduce(_ + _)
+    }: _*).as("b")).orderBy("id").collect().map(_.getSeq[Int](1))
+    val fused = emb.select(col("id"),
+      HyperplaneExprs.hpBands(col("v"), typedLit(planes.flatten), lit(nBands)).as("b"))
+      .orderBy("id").collect().map(_.getSeq[Int](1))
+    assert(fused.toSeq === unfused.toSeq)
+  }
+
+  test("graft_minhash_sig equals the explode + min-aggregation formulation exactly") {
+    SigExprs.register(spark)
+    val nHashes = 32
+    val ps = MinHash.params(nHashes)
+    val docs = Tables.documents(spark, sf0001)
+    // the pre-r6 formulation, reconstructed verbatim
+    val base = SimilarityJoin.tokenized(docs, "text")
+      .select(col("doc_id").as("id"), explode(col("tokens")).as("tok"))
+      .withColumn("hx", pmod(xxhash64(col("tok")), lit(MinHash.P)))
+    val mins = ps.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("hx") + lit(b), lit(MinHash.P))).as(s"_mh$i")
+    }
+    val unfused = base.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until nHashes).map(i => col(s"_mh$i")): _*).as("sig"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    val fused = MinHash.signatures(docs, "doc_id", "text", nHashes)
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getSeq[Long](1))
+    assert(fused.toSeq === unfused.toSeq)
+  }
+
+  test("graft_simhash_sig equals the explode + 64-vote aggregation formulation exactly") {
+    SigExprs.register(spark)
+    val docs = Tables.documents(spark, sf0001)
+    val base = SimilarityJoin.tokenized(docs, "text")
+      .select(col("doc_id").as("id"), explode(col("tokens")).as("tok"))
+      .withColumn("hx", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("hx"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_v$i")
+    }
+    val packed = (0 until 64).map { i =>
+      when(col(s"_v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    val unfused = base.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("sig"))
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val fused = graft.ops.SimHash.signatures(docs, "doc_id", "text")
+      .orderBy("id").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(fused.toSeq === unfused.toSeq)
+  }
+
+  test("fused expressions null out on malformed input instead of mis-hashing") {
+    HyperplaneExprs.register(spark)
+    SigExprs.register(spark)
+    val r = spark.sql("""
+      SELECT graft_hp_scores(cast(array() AS array<double>), array(1.0d, 2.0d)) AS empty_vec,
+             graft_hp_scores(array(1.0d, 2.0d), array(1.0d, 2.0d, 3.0d)) AS bad_dim,
+             graft_hp_bands(array(1.0d), array(1.0d, 2.0d), 3) AS bad_bands,
+             graft_simhash_sig(cast(array() AS array<string>)) AS no_tokens
+      """).collect()(0)
+    (0 until 4).foreach(i => assert(r.isNullAt(i), s"field $i should be null"))
+  }
+}
