@@ -58,11 +58,15 @@ object MinHash {
     graft.functions.SigExprs.register(docs.sparkSession)
     val flat: Seq[Long] = params(nHashes).flatMap { case (a, b) => Seq(a, b) }
     SimilarityJoin.tokenized(docs, textCol)
+      // a doc with no usable token has no signature — mirror the explode
+      // formulation, where such a doc never reached the aggregation.
+      // Filtered on the CHEAP equivalent predicate: split() never emits
+      // null elements, so sig is null iff tokens is empty — filtering on
+      // sig itself would push the sketch kernel into the scan's DataFilters
+      // and compute every signature twice (once to filter, once to project)
+      .filter(size(col("tokens")) > 0)
       .select(col(idCol).as("id") +: keep.map(col) :+
         graft.functions.SigExprs.minhashSig(col("tokens"), typedLit(flat)).as("sig"): _*)
-      // a doc with no usable token has no signature — mirror the explode
-      // formulation, where such a doc never reached the aggregation
-      .filter(col("sig").isNotNull)
   }
 
   /** LSH candidate pairs with MinHash-estimated Jaccard.

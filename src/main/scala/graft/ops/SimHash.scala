@@ -38,10 +38,12 @@ object SimHash {
                  keep: Seq[String] = Nil): DataFrame = {
     graft.functions.SigExprs.register(docs.sparkSession)
     SimilarityJoin.tokenized(docs, textCol)
+      // no usable token → no signature, mirroring the explode formulation;
+      // the cheap equivalent of sig.isNotNull (see MinHash.signatures for
+      // why filtering on sig itself double-computes the kernel at the scan)
+      .filter(size(col("tokens")) > 0)
       .select(col(idCol).as("id") +: keep.map(col) :+
         graft.functions.SigExprs.simhashSig(col("tokens")).as("sig"): _*)
-      // no usable token → no signature, mirroring the explode formulation
-      .filter(col("sig").isNotNull)
   }
 
   /** Near-dup candidate pairs within `maxHamming` (of 64), blocked by

@@ -51,4 +51,29 @@ class ExplainSpec extends SparkSpec {
     val p = plan("q15_agg_sum_group")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
+
+  test("sketch signatures are per-row expressions: no exchange, no aggregate (r6)") {
+    // the r6 fused kernels removed the explode + N-agg shuffle — a refactor
+    // that reintroduces data movement into signature computation fails here
+    for ((label, df) <- Seq(
+      "simhash" -> graft.ops.SimHash.signatures(
+        Tables.documents(spark, sf0001), "doc_id", "text"),
+      "minhash" -> graft.ops.MinHash.signatures(
+        Tables.documents(spark, sf0001), "doc_id", "text"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"$label: ${p.take(1500)}")
+      assert(!p.contains("HashAggregate"), s"$label: ${p.take(1500)}")
+    }
+  }
+
+  test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
+    // both sides of the banded candidate join must hang off the same
+    // signature repartition — losing the reuse point silently doubles the
+    // sketch computation (measured 1.7s -> 3.1s on the q43 bench shape)
+    val df = SparkEntry.queries("q43_minhash_lsh")(spark, sf0001)
+    df.collect() // AQE finalizes reuse decisions when THIS plan executes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      p.take(2000))
+  }
 }
