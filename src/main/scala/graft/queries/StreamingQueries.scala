@@ -152,5 +152,54 @@ object StreamingQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(q44, q45, q46, q47)
+  // ---- 59. streaming exact dedup (runtime; added r6) ----------------------
+  // The documents corpus through graft.streaming.StreamDedup in two
+  // micro-batches plus a replay of the first document, whose content is
+  // already in dedup state and must be dropped. Emitted rows = one survivor
+  // per distinct normalized text — deterministic COUNT (which ids survive a
+  // duplicate group is not contractual). Runtime behavior → no SQL oracle;
+  // StreamDedupSpec pins the semantics incl. watermark state eviction.
+  val q59 = Q(
+    "q59_stream_dedup",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+      val rows = docs.map { case (id, t) =>
+        (id, new java.sql.Timestamp(base + id * 1000L), t)
+      }
+      val (batch1, batch2) = rows.splitAt(rows.length / 2)
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
+        stream.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "10 minutes")
+        .select(col("doc_id"), col("fp"))
+
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q59_ckpt").toString
+      val sinkName = "graft_q59_sink"
+      s.catalog.dropTempView(sinkName)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8") // state-store commits per partition (see q47)
+      try {
+        val query = deduped.writeStream
+          .format("memory").queryName(sinkName).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          stream.addData(batch1.toSeq)
+          query.processAllAvailable()
+          // batch2 + replay: the first doc's content is in state (its
+          // 10-minute expiry is ahead of the watermark) → dropped as dup
+          stream.addData(batch2.toSeq :+ rows.head)
+          query.processAllAvailable()
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(sinkName).orderBy("doc_id")
+    },
+    None)
+
+  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59)
 }
