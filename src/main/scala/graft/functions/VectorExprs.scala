@@ -86,13 +86,28 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 object VectorExprs {
   private val name = "graft_dot"
 
+  /** `graft_cosine(a, b)` expression tree: pure composition of the codegen'd
+    * [[DotProduct]] with Spark's Sqrt/Divide — no new kernel, whole-stage
+    * codegen throughout. One call gives raw-SQL users the full cosine
+    * (`graft_dot(a,b) / (sqrt(graft_dot(a,a)) · sqrt(graft_dot(b,b)))`).
+    */
+  private[graft] def cosineExpr(a: Expression, b: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+    Divide(DotProduct(a, b),
+      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+  }
+
   /** Idempotent session registration — `call_function` resolves the name
     * through the session's function registry at analysis time. Also makes
-    * `graft_dot(a, b)` available to raw-SQL users of the library.
+    * `graft_dot(a, b)` / `graft_cosine(a, b)` available to raw-SQL users of
+    * the library.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_cosine", exprs => cosineExpr(exprs.head, exprs(1)), "built-in")
+  }
 
   /** Column-level dot product; caller must have run [[register]] on the
     * executing session (every graft vector operator does).

@@ -53,11 +53,12 @@ object SimilarityJoin {
     * aggregation (at 100 TB pass `Some(false)` instead and skip it).
     */
   private[graft] def freqJoined(exploded: DataFrame, freq: DataFrame, key: String,
-                                forceBroadcast: Option[Boolean]): DataFrame = {
+                                forceBroadcast: Option[Boolean],
+                                joinType: String = "inner"): DataFrame = {
     val small = forceBroadcast.getOrElse(
       freq.limit((MaxBroadcastVocab + 1).toInt).count() <= MaxBroadcastVocab)
-    if (small) exploded.join(broadcast(freq), key)
-    else exploded.join(freq, key)
+    if (small) exploded.join(broadcast(freq), Seq(key), joinType)
+    else exploded.join(freq, Seq(key), joinType)
   }
 
   /** Tokenize + dedupe: adds `tokens` (distinct) and `sz` columns. */
@@ -265,6 +266,66 @@ object SimilarityJoin {
   def jaccardSelfPrefix(docs: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[String], tau: Double): DataFrame =
     jaccardSelfPrefixOnSets(tokenized(docs, textCol), idCol, "tokens", blockCols, tau)
+
+  /** Prefix-filtered exact Jaccard R-S join — the 100 TB plan for the
+    * query-vs-corpus case ([[jaccardRS]]'s scale sibling, same contract).
+    *
+    * Correctness needs both sides to rank tokens under ONE total order; the
+    * document frequency is computed on the DATA side (the side whose skew
+    * matters) and query-only tokens default to df 0 — the order stays total
+    * via the (df, token) tiebreak, and a shared prefix token of a true pair
+    * is by definition present in both records, so both sides rank it
+    * identically. Prefix lengths use the same |x| − ⌈τ·|x|⌉ + 1 bound as
+    * the self-join; verification re-intersects the full token arrays.
+    * Equivalence with [[jaccardRS]] is property-tested.
+    */
+  def jaccardRSPrefix(queries: DataFrame, data: DataFrame, idCol: String,
+                      textCol: String, blockCols: Seq[String], tau: Double,
+                      vocabBroadcast: Option[Boolean] = None): DataFrame = {
+    val freq = tokenized(data, textCol)
+      .select(explode(col("tokens")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"))
+
+    def ranked(df: DataFrame, p: String) = {
+      val toks = tokenized(df, textCol)
+        .select(col(idCol).as(s"${p}_id") +: col("sz").as(s"${p}_sz") +:
+          col("tokens") +: blockCols.map(col): _*)
+      val joined = freqJoined(
+        toks.select(col(s"${p}_id") +: col(s"${p}_sz") +: blockCols.map(col) :+
+          explode(col("tokens")).as("token"): _*),
+        freq, "token", vocabBroadcast, joinType = "left")
+        .withColumn("df", coalesce(col("df"), lit(0L)))
+      joined
+        .groupBy(col(s"${p}_id") +: col(s"${p}_sz") +: blockCols.map(col): _*)
+        .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("rt"))
+        .withColumn(s"${p}_toks", col("rt.token"))
+        .withColumn("prefix", slice(col(s"${p}_toks"), lit(1),
+          (col(s"${p}_sz") - ceil(col(s"${p}_sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int")))
+        .select(col(s"${p}_id") +: col(s"${p}_sz") +: col(s"${p}_toks") +:
+          explode(col("prefix")).as(s"${p}_tok") +:
+          blockCols.map(c => col(c).as(s"${p}_$c")): _*)
+    }
+
+    val q = ranked(queries, "q")
+    val n = data.sparkSession.sessionState.conf.numShufflePartitions
+    val d = ranked(data, "d")
+      .repartition(n, col("d_tok") +: blockCols.map(c => col(s"d_$c")): _*)
+    val blockEq = blockCols.map(c => col(s"q_$c") === col(s"d_$c"))
+    val cond = ((col("q_tok") === col("d_tok")) +: blockEq).reduce(_ && _) &&
+      col("q_id") =!= col("d_id") &&
+      lenOk(col("q_sz"), col("d_sz"), tau)
+
+    d.join(q, cond)
+      .select("q_id", "d_id", "q_sz", "d_sz", "q_toks", "d_toks")
+      .dropDuplicates("q_id", "d_id")
+      .withColumn("inter", size(array_intersect(col("q_toks"), col("d_toks"))))
+      .withColumn("sim",
+        col("inter").cast("double") / (col("q_sz") + col("d_sz") - col("inter")).cast("double"))
+      .filter(col("sim") >= tau)
+      .select(col("q_id"), col("d_id"), Det.round6(col("sim")).as("sim"))
+      .orderBy("q_id", "d_id")
+  }
 
   /** Prefix-filtered exact set-Jaccard self-join over an arbitrary
     * precomputed set column — the generic core behind [[jaccardSelfPrefix]]

@@ -66,5 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaccard"),
       new ExpressionInfo(classOf[SetJaccard].getName, "graft_jaccard"),
       (exprs: Seq[Expression]) => SetJaccard(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorExprs.cosineExpr(exprs.head, exprs(1))))
   }
 }

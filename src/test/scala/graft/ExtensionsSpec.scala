@@ -59,6 +59,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === viaLib)
   }
 
+  test("raw SQL graft_cosine matches the library cosine-pair path") {
+    Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb_sqlsurface")
+    val viaSql = spark.sql("""
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(graft_cosine(cast(a.embedding AS array<double>),
+                                cast(b.embedding AS array<double>)), 6) AS sim
+      FROM emb_sqlsurface a JOIN emb_sqlsurface b ON a.vec_id < b.vec_id
+      WHERE round(graft_cosine(cast(a.embedding AS array<double>),
+                               cast(b.embedding AS array<double>)), 6) >= 0.4
+      ORDER BY a_id, b_id""")
+      .collect().map(_.toString).toSeq
+    val viaLib = graft.ops.VectorSearch.cosinePairsExact(
+      Tables.embeddings(spark, sf0001), "vec_id", "embedding", 0.4)
+      .collect().map(_.toString).toSeq
+    assert(viaSql.nonEmpty)
+    assert(viaSql === viaLib)
+  }
+
   test("graft_jaccard set semantics: duplicates collapse, empty union is NULL") {
     val rows = spark.sql("""
       SELECT graft_jaccard(array('a', 'a', 'b'), array('a', 'b', 'b')) AS dup_collapse,

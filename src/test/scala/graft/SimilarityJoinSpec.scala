@@ -47,6 +47,19 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(bcPairs.nonEmpty)
   }
 
+  test("prefix-filtered R-S variant ≡ exact R-S variant at multiple thresholds") {
+    val docs = Tables.documents(spark, sf0001)
+    val queries = docs.filter(col("doc_id") < 10)
+    for (tau <- Seq(0.6, 0.8)) {
+      val exact = SimilarityJoin.jaccardRS(queries, docs, "doc_id", "text", Seq("lang"), tau)
+        .collect().map(_.toString).toSeq
+      val prefix = SimilarityJoin.jaccardRSPrefix(queries, docs, "doc_id", "text", Seq("lang"), tau)
+        .collect().map(_.toString).toSeq
+      assert(exact.nonEmpty, s"tau=$tau ground truth empty")
+      assert(prefix === exact, s"tau=$tau")
+    }
+  }
+
   test("auto dispatch: flat vocabulary probes below threshold and takes the exact path") {
     val docs = Tables.documents(spark, sf0001)
     val skew = SimilarityJoin.vocabSkew(SimilarityJoin.tokenized(docs, "text"), "tokens")
