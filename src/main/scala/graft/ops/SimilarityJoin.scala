@@ -267,6 +267,20 @@ object SimilarityJoin {
                         blockCols: Seq[String], tau: Double): DataFrame =
     jaccardSelfPrefixOnSets(tokenized(docs, textCol), idCol, "tokens", blockCols, tau)
 
+  /** Probe-dispatched exact Jaccard R-S join — [[jaccardSelfAuto]]'s R-S
+    * sibling: [[vocabSkew]] on the DATA side (the side whose token skew
+    * drives the candidate join) picks [[jaccardRS]] or [[jaccardRSPrefix]],
+    * both exact.
+    */
+  def jaccardRSAuto(queries: DataFrame, data: DataFrame, idCol: String,
+                    textCol: String, blockCols: Seq[String], tau: Double,
+                    usePrefix: Option[Boolean] = None): DataFrame = {
+    val prefix = usePrefix.getOrElse(
+      vocabSkew(tokenized(data, textCol), "tokens") >= PrefixSkewThreshold)
+    if (prefix) jaccardRSPrefix(queries, data, idCol, textCol, blockCols, tau)
+    else jaccardRS(queries, data, idCol, textCol, blockCols, tau)
+  }
+
   /** Prefix-filtered exact Jaccard R-S join — the 100 TB plan for the
     * query-vs-corpus case ([[jaccardRS]]'s scale sibling, same contract).
     *

@@ -60,6 +60,20 @@ class SimilarityJoinSpec extends SparkSpec {
     }
   }
 
+  test("R-S auto dispatch matches the exact R-S join on this corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val queries = docs.filter(col("doc_id") < 10)
+    val auto = SimilarityJoin.jaccardRSAuto(queries, docs, "doc_id", "text", Seq("lang"), 0.6)
+      .collect().map(_.toString).toSeq
+    val exact = SimilarityJoin.jaccardRS(queries, docs, "doc_id", "text", Seq("lang"), 0.6)
+      .collect().map(_.toString).toSeq
+    assert(auto === exact)
+    // forced-prefix branch stays exact too (equivalence is the contract)
+    val forced = SimilarityJoin.jaccardRSAuto(queries, docs, "doc_id", "text", Seq("lang"), 0.6,
+      usePrefix = Some(true)).collect().map(_.toString).toSeq
+    assert(forced === exact)
+  }
+
   test("auto dispatch: flat vocabulary probes below threshold and takes the exact path") {
     val docs = Tables.documents(spark, sf0001)
     val skew = SimilarityJoin.vocabSkew(SimilarityJoin.tokenized(docs, "text"), "tokens")
