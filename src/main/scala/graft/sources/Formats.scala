@@ -45,4 +45,25 @@ object Formats {
       .schema(schema)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
       .json(path)
+
+  /** ORC — the Hive-native columnar format the reference's warehouse would
+    * hold; Spark's reader supports the same pushdown/pruning as parquet.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Hive-style partitioned layout (`path/col=value/…`) — the scale layout
+    * for time/tenant-keyed 100 TB tables: a filter on the partition column
+    * prunes whole directories BEFORE any file is opened (shows as
+    * `PartitionFilters` on the scan, pinned in FormatsSpec). Choose
+    * partition columns with bounded cardinality (date, source), never
+    * high-cardinality keys — millions of tiny directories defeat listing.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
 }

@@ -40,6 +40,35 @@ class FormatsSpec extends SparkSpec {
     assert(canon(back) === canon(src))
   }
 
+  test("orc round-trip is lossless on lineitem") {
+    val dir = Files.createTempDirectory("graft_fmt_orc").toString
+    val src = Tables.lineitem(spark, sf0001)
+    Formats.writeOrc(src, s"$dir/t")
+    val back = Formats.readOrc(spark, s"$dir/t")
+    assert(back.schema === src.schema)
+    assert(canon(back) === canon(src))
+  }
+
+  test("partitioned layout: a partition-column filter prunes at the scan") {
+    val dir = Files.createTempDirectory("graft_fmt_part").toString
+    val src = Tables.documents(spark, sf0001)
+    Formats.writePartitioned(src, s"$dir/t", Seq("lang"))
+    val back = Formats.readParquet(spark, s"$dir/t")
+    // content survives the layout change (partition col moves to the end)
+    assert(canon(back.select(src.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+      === canon(src))
+    // the lang predicate must prune DIRECTORIES, not filter rows post-scan:
+    // formatted explain shows it under PartitionFilters
+    val qe = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .queryExecution
+    val plan = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val idx = plan.indexOf("PartitionFilters: [")
+    assert(idx >= 0, plan.take(2000))
+    val pf = plan.substring(idx, plan.indexOf("]", idx))
+    assert(pf.contains("lang"), pf)
+  }
+
   test("a graded query runs identically over a csv-backed copy of its table") {
     // source format must be orthogonal to operator semantics
     val dir = Files.createTempDirectory("graft_fmt_q").toString
