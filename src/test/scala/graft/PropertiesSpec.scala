@@ -58,6 +58,34 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("R-S exact and prefix-filtered joins equal brute force on random corpora") {
+    val rng = new scala.util.Random(4242)
+    val taus = Seq(0.5, 0.6, 0.75)
+    for (trial <- 1 to 8) {
+      val qDocs = randomCorpus(rng)
+      val dDocs = randomCorpus(rng)
+      val tau = taus(rng.nextInt(taus.size))
+      // distinct id spaces so q_id != d_id never accidentally matches
+      val qDf = toDf(qDocs).withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 1000L)
+      val dDf = toDf(dDocs)
+      val qSets = qDocs.map(_.toSet)
+      val dSets = dDocs.map(_.toSet)
+      val expected = (for {
+        i <- qSets.indices; j <- dSets.indices
+        inter = (qSets(i) intersect dSets(j)).size
+        sim = inter.toDouble / (qSets(i).size + dSets(j).size - inter)
+        if sim >= tau
+      } yield (i.toLong + 1000L, j.toLong, math.rint(sim * 1e6) / 1e6)).toSet
+      val exact = SimilarityJoin.jaccardRS(qDf, dDf, "doc_id", "text", Seq("blk"), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = SimilarityJoin.jaccardRSPrefix(qDf, dDf, "doc_id", "text", Seq("blk"), tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact === expected, s"trial $trial tau $tau R-S exact")
+      assert(prefix === expected, s"trial $trial tau $tau R-S prefix")
+    }
+  }
+
   test("jaccard bounds: every emitted sim is within [tau, 1]") {
     val rng = new scala.util.Random(7)
     for (_ <- 1 to 6) {
