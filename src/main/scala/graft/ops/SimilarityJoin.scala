@@ -219,6 +219,59 @@ object SimilarityJoin {
       .orderBy("q_id", "d_id")
   }
 
+  /** Word n-gram shingles: adds `shingles` (distinct, space-joined) and
+    * `sh_sz`. Records with fewer than `n` tokens get an EMPTY shingle set
+    * (guarding Spark's descending `sequence(1, 0)` — the q39 trap) on both
+    * engines.
+    */
+  def shingled(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val toks = split(col(textCol), " +")
+    df.withColumn("shingles",
+        when(size(toks) >= n,
+          array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("sh_sz", size(col("shingles")))
+  }
+
+  /** Containment R-S join — the decontamination primitive: for each QUERY
+    * document (an eval/benchmark item), every data document containing at
+    * least `tau` of the query's word `n`-gram shingles.
+    * C(Q, D) = |S(Q) ∩ S(D)| / |S(Q)| — asymmetric by design: a test item
+    * fully quoted inside a long training document scores 1.0 where Jaccard
+    * would vanish, which is exactly why decontamination uses containment.
+    *
+    * Plan: same shingle inverted-index equi-join as [[jaccardRS]]
+    * ((block…, shingle) shuffle, partial+final pair count), with the
+    * containment-specific length prune |S(D)| ≥ τ·|S(Q)| (containment has
+    * no upper length bound — D may be arbitrarily large). Output
+    * (q_id, d_id, contain ROUND 6), totally ordered.
+    */
+  def containmentRS(queries: DataFrame, data: DataFrame, idCol: String,
+                    textCol: String, blockCols: Seq[String], tau: Double,
+                    n: Int = 3): DataFrame = {
+    def side(df: DataFrame, p: String) =
+      shingled(df, textCol, n)
+        .select(col(idCol).as(s"${p}_id") +: col("sh_sz").as(s"${p}_sz") +:
+          blockCols.map(c => col(c).as(s"${p}_$c")) :+
+          explode(col("shingles")).as(s"${p}_sh"): _*)
+
+    val q = side(queries, "q")
+    val d = spread(side(data, "d"), col("d_sh") +: blockCols.map(c => col(s"d_$c")))
+    val blockEq = blockCols.map(c => col(s"q_$c") === col(s"d_$c"))
+    val cond = ((col("q_sh") === col("d_sh")) +: blockEq).reduce(_ && _) &&
+      col("q_id") =!= col("d_id") &&
+      col("d_sz") >= col("q_sz") * lit(tau) - lit(1e-9)
+
+    d.join(q, cond)
+      .groupBy(col("q_id"), col("d_id"), col("q_sz"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("contain", col("inter").cast("double") / col("q_sz").cast("double"))
+      .filter(col("contain") >= tau)
+      .select(col("q_id"), col("d_id"), Det.round6(col("contain")).as("contain"))
+      .orderBy("q_id", "d_id")
+  }
+
   /** Global token → document-frequency relation. Vernica stage 1.
     * Bounded by vocabulary size → broadcastable.
     */

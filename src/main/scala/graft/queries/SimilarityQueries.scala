@@ -178,5 +178,37 @@ object SimilarityQueries {
       Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.5),
     None)
 
-  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43)
+  /** q60 (added r6) — decontamination: word-3-gram shingle CONTAINMENT of
+    * each "eval" doc (doc_id < 10) inside every other doc, τ = 0.5.
+    * Containment |S(Q)∩S(D)|/|S(Q)| is the industry decontamination metric:
+    * a benchmark item quoted inside a long training document scores 1.0
+    * where Jaccard vanishes. Deliberately UNBLOCKED — contamination crosses
+    * languages and sources. Same inverted-index plan as q37.
+    */
+  val q60 = Q(
+    "q60_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      SimilarityJoin.containmentRS(
+        docs.filter(col("doc_id") < 10), docs, "doc_id", "text", Nil, 0.5)
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN len(regexp_split_to_array(text, ' +')) >= 3 THEN
+                 list_distinct(list_transform(
+                   generate_series(1, len(regexp_split_to_array(text, ' +')) - 2),
+                   i -> array_to_string(regexp_split_to_array(text, ' +')[i:i+2], ' ')))
+               ELSE []::VARCHAR[] END AS sh
+        FROM documents
+      )
+      SELECT q.doc_id AS q_id, d.doc_id AS d_id,
+             ROUND(len(list_intersect(q.sh, d.sh))::DOUBLE / len(q.sh), 6) AS contain
+      FROM t q JOIN t d ON q.doc_id < 10 AND q.doc_id <> d.doc_id
+      WHERE len(q.sh) > 0
+        AND len(list_intersect(q.sh, d.sh))::DOUBLE / len(q.sh) >= 0.5
+      ORDER BY q_id, d_id
+    """.stripMargin.trim))
+
+  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60)
 }

@@ -86,6 +86,30 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("containment R-S equals brute force on random corpora") {
+    val rng = new scala.util.Random(777)
+    def shingles(toks: Seq[String]): Set[String] =
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    for (trial <- 1 to 8) {
+      val qDocs = randomCorpus(rng)
+      val dDocs = randomCorpus(rng)
+      val tau = Seq(0.4, 0.5, 0.75)(rng.nextInt(3))
+      val qDf = toDf(qDocs).withColumn("doc_id",
+        org.apache.spark.sql.functions.col("doc_id") + 1000L)
+      val expected = (for {
+        i <- qDocs.indices
+        sq = shingles(qDocs(i)) if sq.nonEmpty
+        j <- dDocs.indices
+        c = (sq intersect shingles(dDocs(j))).size.toDouble / sq.size
+        if c >= tau - 1e-9
+      } yield (i.toLong + 1000L, j.toLong, math.rint(c * 1e6) / 1e6)).toSet
+      val got = SimilarityJoin.containmentRS(qDf, toDf(dDocs), "doc_id", "text", Nil, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"trial $trial tau $tau")
+    }
+  }
+
   test("jaccard bounds: every emitted sim is within [tau, 1]") {
     val rng = new scala.util.Random(7)
     for (_ <- 1 to 6) {

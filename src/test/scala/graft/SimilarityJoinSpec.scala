@@ -60,6 +60,19 @@ class SimilarityJoinSpec extends SparkSpec {
     }
   }
 
+  test("containment: a query fully quoted inside a longer doc scores 1.0, asymmetric") {
+    import spark.implicits._
+    val q = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val d = Seq(
+      (2L, "xx yy alpha beta gamma delta zz ww qq"),
+      (3L, "totally different words entirely here")).toDF("doc_id", "text")
+    val out = SimilarityJoin.containmentRS(q, d, "doc_id", "text", Nil, 0.5).collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(1) === 2L)
+    assert(math.abs(out(0).getDouble(2) - 1.0) < 1e-9,
+      "full quotation must score containment 1.0 (Jaccard here would be 2/9)")
+  }
+
   test("R-S auto dispatch matches the exact R-S join on this corpus") {
     val docs = Tables.documents(spark, sf0001)
     val queries = docs.filter(col("doc_id") < 10)
