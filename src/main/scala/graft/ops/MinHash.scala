@@ -69,6 +69,57 @@ object MinHash {
         graft.functions.SigExprs.minhashSig(col("tokens"), typedLit(flat)).as("sig"): _*)
   }
 
+  /** MinHash signature of each GROUP's union token set: since
+    * min over A∪B = min(min over A, min over B), the union's signature is
+    * the element-wise min of the member documents' signatures — computed
+    * distributed as posexplode(sig) → (group, pos) min → re-pack. Output:
+    * (groupCols…, sig array<long>). State is groups × nHashes longs —
+    * corpus-slice sketches this small can sit on the driver at any scale.
+    */
+  def groupSignatures(docs: DataFrame, groupCols: Seq[String], textCol: String,
+                      nHashes: Int = 32): DataFrame = {
+    graft.functions.SigExprs.register(docs.sparkSession)
+    val flat: Seq[Long] = params(nHashes).flatMap { case (a, b) => Seq(a, b) }
+    SimilarityJoin.tokenized(docs, textCol)
+      .filter(size(col("tokens")) > 0)
+      .select(groupCols.map(col) :+
+        graft.functions.SigExprs.minhashSig(col("tokens"), typedLit(flat)).as("sig"): _*)
+      .select(groupCols.map(col) :+ posexplode(col("sig")).as(Seq("pos", "v")): _*)
+      .groupBy(groupCols.map(col) :+ col("pos"): _*)
+      .agg(min(col("v")).as("mv"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("pos"), col("mv")))).as("sv"))
+      .withColumn("sig", col("sv.mv"))
+      .drop("sv")
+  }
+
+  /** Pairwise estimated Jaccard between corpus SLICES (e.g. sources,
+    * languages): the dataset-overlap / cross-source-contamination view.
+    * Output ((a_…groupCols), (b_…groupCols), est_sim ROUND 6), one row per
+    * unordered slice pair, totally ordered. The slice-sig relation is tiny
+    * (slices × nHashes), so the pair join broadcasts; the HOF match count
+    * is fine here — it runs once per slice pair, not per document.
+    */
+  def groupSimilarity(docs: DataFrame, groupCols: Seq[String], textCol: String,
+                      nHashes: Int = 32): DataFrame = {
+    require(groupCols.nonEmpty)
+    val sigs = groupSignatures(docs, groupCols, textCol, nHashes)
+      .withColumn("_key", concat_ws("", groupCols.map(col): _*))
+    val a = sigs.select(col("_key").as("a_key") +: col("sig").as("a_sig") +:
+      groupCols.map(c => col(c).as(s"a_$c")): _*)
+    val b = sigs.select(col("_key").as("b_key") +: col("sig").as("b_sig") +:
+      groupCols.map(c => col(c).as(s"b_$c")): _*)
+    val nMatch = size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+      (m: Column) => m))
+    a.join(broadcast(b), col("a_key") < col("b_key"))
+      .withColumn("est_sim",
+        graft.Det.round6(nMatch.cast("double") / lit(nHashes.toDouble)))
+      .select(groupCols.map(c => col(s"a_$c")) ++
+        groupCols.map(c => col(s"b_$c")) :+ col("est_sim"): _*)
+      .orderBy((groupCols.map(c => col(s"a_$c")) ++
+        groupCols.map(c => col(s"b_$c"))): _*)
+  }
+
   /** LSH candidate pairs with MinHash-estimated Jaccard.
     *
     * Output (a_id, b_id, est_sim ROUND 6) for candidate pairs (≥1 equal

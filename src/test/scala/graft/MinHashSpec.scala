@@ -37,6 +37,39 @@ class MinHashSpec extends SparkSpec {
     assert(errs.max <= 0.25, s"max err ${errs.max}")
   }
 
+  test("group signatures sketch the union set: est slice-Jaccard tracks exact") {
+    val docs = Tables.documents(spark, sf0001)
+    // exact union-token-set Jaccard per lang pair (slices are few — the
+    // reference computation collects)
+    val byLang = docs.select("lang", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.flatMap(_.getString(1).split(" +")).toSet
+      }
+    val langs = byLang.keys.toSeq.sorted
+    val exact = (for {
+      a <- langs; b <- langs if a < b
+      inter = (byLang(a) intersect byLang(b)).size
+    } yield (a, b) ->
+      inter.toDouble / (byLang(a).size + byLang(b).size - inter)).toMap
+    val est = MinHash.groupSimilarity(docs, Seq("lang"), "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet === exact.keySet)
+    // 32 hashes → stderr ≈ sqrt(J(1−J)/32) ≤ 0.09; allow 3σ
+    exact.foreach { case (k, j) =>
+      assert(math.abs(est(k) - j) <= 0.27, s"$k: est ${est(k)} vs exact $j")
+    }
+    // element-wise-min property: each group sig is the min of its docs' sigs
+    val docSigs = MinHash.signatures(docs, "doc_id", "text", keep = Seq("lang"))
+      .collect().map(r => r.getString(1) -> r.getSeq[Long](2))
+    val groupSigs = MinHash.groupSignatures(docs, Seq("lang"), "text")
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    docSigs.groupBy(_._1).foreach { case (lang, rs) =>
+      val expectedSig = rs.map(_._2).reduce((x, y) => x.zip(y).map(t => math.min(t._1, t._2)))
+      assert(groupSigs(lang) === expectedSig, s"lang $lang")
+    }
+  }
+
   test("signatures are deterministic: two plans give identical sigs") {
     val a = MinHash.signatures(Tables.documents(spark, sf0001), "doc_id", "text")
       .select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
