@@ -546,7 +546,36 @@ object RelationalQueries {
               ON n_nationkey = s_nationkey AND s_acctbal > 5000
             ORDER BY n_name"""))
 
+  /** q61 (added r6) — bucketized point-in-interval join: heavy lineitems
+    * (quantity ≥ 49.5) inside each F-order's 7-day window, WITHOUT the
+    * nested-loop product Spark plans for a bare range theta-join:
+    * [[graft.ops.RangeJoin.pointInInterval]] rewrites it to a bucket
+    * equi-join + residual (no-product pinned in ExplainSpec; equivalence
+    * with the direct theta join pinned in PropertiesSpec).
+    */
+  val q61 = Q(
+    "q61_range_bucket_join",
+    (s, d) => {
+      val pts = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 49.5)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+      val ivs = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+      graft.ops.RangeJoin.pointInInterval(
+          pts, ivs, "l_shipdate", "o_orderdate", "o_end", 7L * 86400)
+        .select("l_orderkey", "l_linenumber", "o_orderkey")
+        .orderBy("l_orderkey", "l_linenumber", "o_orderkey")
+    },
+    Some("""SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey
+            FROM lineitem l JOIN orders o
+              ON l.l_quantity >= 49.5 AND o.o_orderstatus = 'F'
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+            ORDER BY 1, 2, 3"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q61)
 }

@@ -120,6 +120,31 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("bucketized interval join equals the direct theta join (incl. boundary cases)") {
+    import org.apache.spark.sql.functions._
+    val pts = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") >= 49.5)
+      .select("l_orderkey", "l_linenumber", "l_shipdate")
+    val ivs = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("o_end"))
+    val direct = pts.join(ivs,
+        col("l_shipdate") >= col("o_orderdate") && col("l_shipdate") < col("o_end"))
+      .select("l_orderkey", "l_linenumber", "o_orderkey")
+      .collect().map(_.toString).sorted.toSeq
+    // widths that do NOT divide the interval length exercise the
+    // bucket-spill edge; 1-day width forces multi-bucket intervals
+    for (w <- Seq(86400L, 5L * 86400, 7L * 86400, 11L * 86400)) {
+      val bucketed = graft.ops.RangeJoin.pointInInterval(
+          pts, ivs, "l_shipdate", "o_orderdate", "o_end", w)
+        .select("l_orderkey", "l_linenumber", "o_orderkey")
+        .collect().map(_.toString).sorted.toSeq
+      assert(bucketed === direct, s"width $w")
+    }
+    assert(direct.nonEmpty)
+  }
+
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
