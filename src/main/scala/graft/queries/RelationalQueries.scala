@@ -546,6 +546,29 @@ object RelationalQueries {
               ON n_nationkey = s_nationkey AND s_acctbal > 5000
             ORDER BY n_name"""))
 
+  /** q62 (added r6) — exact percentiles per group: Spark's sort-based
+    * `percentile` and DuckDB's `quantile_cont` share the linear-interpolation
+    * definition (Hive/NIST R-7), and the inputs are ≤2-dp doubles, so the
+    * interpolated values are bit-comparable; ROUND(,4) guards the one
+    * division in the interpolation.
+    */
+  val q62 = Q(
+    "q62_percentiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** q61 (added r6) — bucketized point-in-interval join: heavy lineitems
     * (quantity ≥ 49.5) inside each F-order's 7-day window, WITHOUT the
     * nested-loop product Spark plans for a bare range theta-join:
@@ -577,5 +600,5 @@ object RelationalQueries {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q61)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62)
 }
