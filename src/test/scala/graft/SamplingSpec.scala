@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  test("uniform hash sample: deterministic, near target fraction, partitioning-invariant") {
+    val li = Tables.lineitem(spark, sf001)
+    val n = li.count().toDouble
+    val sampled = Sampling.uniformByHash(li, Seq("l_orderkey", "l_linenumber"), 0.2)
+    val ids = sampled.select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // binomial 3σ bound at n=60k, p=0.2: ±~0.5pp. NOTE counted on ROWS:
+    // (l_orderkey, l_linenumber) is not unique in lineitem, so the id SET
+    // undercounts (duplicate rows hash identically and are kept together —
+    // itself a property of content-hash sampling)
+    val frac = sampled.count() / n
+    assert(math.abs(frac - 0.2) < 0.01, s"realized fraction $frac")
+    // same salt → same set; different salt → a genuinely different draw
+    val again = Sampling.uniformByHash(li, Seq("l_orderkey", "l_linenumber"), 0.2)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(again === ids)
+    val other = Sampling.uniformByHash(li, Seq("l_orderkey", "l_linenumber"), 0.2, salt = 7L)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(other !== ids)
+    // partitioning-invariant: repartitioned input selects the SAME rows —
+    // the property rand(seed)-based sample() does NOT have
+    val reparted = Sampling.uniformByHash(li.repartition(13), Seq("l_orderkey", "l_linenumber"), 0.2)
+      .select("l_orderkey", "l_linenumber").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(reparted === ids)
+  }
+
+  test("stratified hash sample: per-stratum fractions realized, default drops") {
+    val docs = Tables.documents(spark, sf001)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = perLang.keys.toSeq.sorted
+    val fracs = Map(langs.head -> 1.0, langs(1) -> 0.5)
+    val sampled = Sampling.stratifiedByHash(docs, "lang", fracs,
+      defaultFraction = 0.0, idCols = Seq("doc_id"))
+    val got = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // fraction 1.0 keeps everything, default 0.0 drops whole strata
+    assert(got(langs.head) === perLang(langs.head))
+    assert(langs.drop(2).forall(l => !got.contains(l)), got.toString)
+    // 0.5 stratum within binomial tolerance (n≈100 → 3σ ≈ 15pp)
+    val f = got(langs(1)).toDouble / perLang(langs(1))
+    assert(math.abs(f - 0.5) < 0.2, s"stratum fraction $f")
+    // pure filter: no exchange in the plan
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+}
