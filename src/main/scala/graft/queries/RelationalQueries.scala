@@ -546,6 +546,36 @@ object RelationalQueries {
               ON n_nationkey = s_nationkey AND s_acctbal > 5000
             ORDER BY n_name"""))
 
+  /** q63 (added r6) — FULL OUTER join, completing the join taxonomy
+    * (inner/left/semi/anti/cross/theta/as-of were covered; full outer was
+    * not). Negative-balance customers FULL OUTER per-customer order stats:
+    * both null sides are non-empty (negative-balance customers without
+    * orders; ordering customers outside the negative-balance slice).
+    */
+  val q63 = Q(
+    "q63_join_full",
+    (s, d) => {
+      val negCust = Tables.customer(s, d)
+        .filter(col("c_acctbal") < 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+      val ordStats = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      negCust.join(ordStats, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"),
+          col("n_orders"))
+        .orderBy("custkey")
+    },
+    Some("""SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_name, o.n_orders
+            FROM (SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal < 0) c
+            FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                             FROM orders GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+            ORDER BY custkey"""))
+
   /** q62 (added r6) — exact percentiles per group: Spark's sort-based
     * `percentile` and DuckDB's `quantile_cont` share the linear-interpolation
     * definition (Hive/NIST R-7), and the inputs are ≤2-dp doubles, so the
@@ -600,5 +630,5 @@ object RelationalQueries {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63)
 }
