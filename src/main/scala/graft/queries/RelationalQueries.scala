@@ -576,6 +576,80 @@ object RelationalQueries {
               ON c.c_custkey = o.o_custkey
             ORDER BY custkey"""))
 
+  /** q64 (added r6) — correlated scalar subquery: customers above their
+    * nation's average balance. Exercises Catalyst's decorrelation (the
+    * subquery rewrites to an aggregate + join); issued via spark.sql so the
+    * SQL subquery surface itself is what's graded.
+    */
+  val q64 = Q(
+    "q64_scalar_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("graft_q64_customer")
+      s.sql("""
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        FROM graft_q64_customer c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                           FROM graft_q64_customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+            FROM customer c
+            WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                               FROM customer c2
+                               WHERE c2.c_nationkey = c.c_nationkey)
+            ORDER BY c_custkey"""))
+
+  /** q65 (added r6) — UNPIVOT (melt): the inverse of q57's pivot, wide
+    * per-status counts back to (priority, status, cnt) long form.
+    */
+  val q65 = Q(
+    "q65_unpivot",
+    (s, d) => Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("o_cnt"), col("f_cnt"), col("p_cnt")),
+        "status_col", "cnt")
+      .orderBy("o_orderpriority", "status_col"),
+    Some("""WITH wide AS (
+              SELECT o_orderpriority,
+                     count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+                     count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+                     count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o_orderpriority, status_col, cnt
+            FROM wide
+            UNPIVOT (cnt FOR status_col IN (o_cnt, f_cnt, p_cnt))
+            ORDER BY o_orderpriority, status_col"""))
+
+  /** q66 (added r6) — value-based RANGE window frame: per-customer running
+    * order count over the trailing 30 DAYS (event-time window, not row
+    * count) — `rangeBetween` on epoch seconds, a different frame engine
+    * than q23's rowsBetween.
+    */
+  val q66 = Q(
+    "q66_win_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("n_30d", count(lit(1)).over(w))
+        .select("o_orderkey", "o_custkey", "n_30d")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   count(*) OVER (PARTITION BY o_custkey
+                                  ORDER BY epoch(o_orderdate::TIMESTAMP)
+                                  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
+            FROM orders ORDER BY o_orderkey"""))
+
   /** q62 (added r6) — exact percentiles per group: Spark's sort-based
     * `percentile` and DuckDB's `quantile_cont` share the linear-interpolation
     * definition (Hive/NIST R-7), and the inputs are ≤2-dp doubles, so the
@@ -630,5 +704,6 @@ object RelationalQueries {
 
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
-    q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63)
+    q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
+    q64, q65, q66)
 }
