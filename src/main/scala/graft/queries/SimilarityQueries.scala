@@ -210,5 +210,35 @@ object SimilarityQueries {
       ORDER BY q_id, d_id
     """.stripMargin.trim))
 
-  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60)
+  /** q67 (added r6) — Jaro-Winkler name-matching join: brand-blocked part
+    * pairs with JW ≥ 0.9 via the codegen'd `graft_jaro_winkler` (standard
+    * Winkler 1990, empirically bit-compatible with DuckDB's). Blocks are
+    * bounded (~|parts|/|brands| per block), so the in-block pair join is
+    * the right plan; at open scale the q38 distinct-domain reduction
+    * applies unchanged (p_name's domain is 64 strings at every SF).
+    * ROUND(,6) is compared on BOTH engines so an ulp can't flip inclusion.
+    */
+  val q67 = Q(
+    "q67_jaro_winkler_join",
+    (s, d) => {
+      graft.functions.StringExprs.register(s)
+      val a = Tables.part(s, d).select(col("p_partkey").as("a_key"),
+        col("p_name").as("a_name"), col("p_brand"))
+      val b = Tables.part(s, d).select(col("p_partkey").as("b_key"),
+        col("p_name").as("b_name"), col("p_brand").as("b_brand"))
+      a.join(b, col("p_brand") === col("b_brand") && col("a_key") < col("b_key"))
+        .withColumn("jw", graft.Det.round6(
+          graft.functions.StringExprs.jaroWinkler(col("a_name"), col("b_name"))))
+        .filter(col("jw") >= 0.9)
+        .select("a_key", "b_key", "p_brand", "jw")
+        .orderBy("a_key", "b_key")
+    },
+    Some("""SELECT a.p_partkey AS a_key, b.p_partkey AS b_key, a.p_brand,
+                   ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+            ORDER BY a_key, b_key"""))
+
+  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67)
 }

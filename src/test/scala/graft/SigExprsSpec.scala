@@ -86,6 +86,26 @@ class SigExprsSpec extends SparkSpec {
     assert(fused.toSeq === unfused.toSeq)
   }
 
+  test("graft_jaro_winkler pins the textbook values incl. the boost threshold") {
+    graft.functions.StringExprs.register(spark)
+    val r = spark.sql("""
+      SELECT graft_jaro_winkler('martha', 'marhta')     AS w1,
+             graft_jaro_winkler('dixon', 'dicksonx')    AS w2,
+             graft_jaro_winkler('dwayne', 'duane')      AS w3,
+             graft_jaro_winkler('ab', 'ba')             AS w4,
+             graft_jaro_winkler('abcd', 'abzz')         AS w5,
+             graft_jaro_winkler('same', 'same')         AS w6
+      """).collect()(0)
+    // Winkler 1990 canonical examples (also probed identical in DuckDB 1.0)
+    assert(math.abs(r.getDouble(0) - 0.9611111111) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 0.8133333333) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 0.84) < 1e-9)
+    assert(r.getDouble(3) === 0.0) // window 0: no matches
+    // jaro 2/3 <= 0.7: prefix bonus must NOT apply (boost threshold)
+    assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-9)
+    assert(r.getDouble(5) === 1.0)
+  }
+
   test("fused expressions null out on malformed input instead of mis-hashing") {
     HyperplaneExprs.register(spark)
     SigExprs.register(spark)
