@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.Tables
+import graft.{Det, Tables}
 import graft.ops.SimilarityJoin
 
 /** SURVEY.md §2 rows 30–35, 38, 42: text / array / JSON / struct operators
@@ -163,5 +163,61 @@ object TextQueries {
               FROM documents)
             WHERE rn = 1 GROUP BY source ORDER BY source"""))
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42)
+  /** q68 (added r6) — BM25 retrieval scoring (Robertson/Spärck Jones): top
+    * 50 documents for a fixed 3-term query. The classic search-ranking
+    * operator: tf per (doc, term), df per term, Robertson idf, length
+    * normalization by dl/avgdl (k1 = 1.2, b = 0.75). All corpus statistics
+    * stay distributed (the 1-row stats relation is crossJoin-broadcast, NOT
+    * collected); the top-k is TakeOrderedAndProject, not a global window.
+    * Per-term contributions are ROUND(,6) before the final sum so
+    * summation order (engine-dependent) cannot move the rounded total.
+    */
+  val q68 = Q(
+    "q68_bm25_rank",
+    (s, d) => {
+      val qTerms = Seq("join", "hash", "spark")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
+        .filter(col("tok").isin(qTerms: _*))
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " +")).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", Det.round6(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))))
+        .groupBy("doc_id")
+        .agg(Det.round6(sum(col("contrib"))).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok
+              FROM documents),
+            dl AS (
+              SELECT doc_id, len(regexp_split_to_array(text, ' +'))::DOUBLE AS dl
+              FROM documents),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+                   WHERE tok IN ('join', 'hash', 'spark') GROUP BY 1, 2),
+            df AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                   WHERE tok IN ('join', 'hash', 'spark') GROUP BY 1),
+            c AS (
+              SELECT tf.doc_id,
+                     ROUND(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
+              FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats)
+            SELECT doc_id, ROUND(sum(contrib), 6) AS score
+            FROM c GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 50"""))
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68)
 }
