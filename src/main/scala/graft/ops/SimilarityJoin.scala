@@ -219,18 +219,18 @@ object SimilarityJoin {
       .orderBy("q_id", "d_id")
   }
 
-  /** Word n-gram shingles: adds `shingles` (distinct, space-joined) and
-    * `sh_sz`. Records with fewer than `n` tokens get an EMPTY shingle set
-    * (guarding Spark's descending `sequence(1, 0)` — the q39 trap) on both
-    * engines.
+  /** Word n-gram shingles: adds `shingles` (distinct, space-joined,
+    * first-occurrence order) and `sh_sz`; fewer than `n` tokens → empty
+    * set. One codegen'd kernel call per row
+    * ([[graft.functions.SetOps.shingles]]) — the
+    * transform/concat_ws/array_distinct HOF formulation it replaced ran
+    * interpreted per SHINGLE and dominated the q60 join's cost (equality
+    * of the two forms is pinned in SigExprsSpec).
     */
   def shingled(df: DataFrame, textCol: String, n: Int): DataFrame = {
-    val toks = split(col(textCol), " +")
-    df.withColumn("shingles",
-        when(size(toks) >= n,
-          array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
-            i => concat_ws(" ", slice(toks, i, lit(n))))))
-          .otherwise(array().cast("array<string>")))
+    graft.functions.SetExprs.register(df.sparkSession)
+    df.withColumn("shingles", graft.functions.SetExprs.shinglesCol(
+        split(col(textCol), " +"), lit(n)))
       .withColumn("sh_sz", size(col("shingles")))
   }
 
@@ -241,31 +241,69 @@ object SimilarityJoin {
     * fully quoted inside a long training document scores 1.0 where Jaccard
     * would vanish, which is exactly why decontamination uses containment.
     *
-    * Plan: same shingle inverted-index equi-join as [[jaccardRS]]
-    * ((block…, shingle) shuffle, partial+final pair count), with the
-    * containment-specific length prune |S(D)| ≥ τ·|S(Q)| (containment has
-    * no upper length bound — D may be arbitrarily large). Output
-    * (q_id, d_id, contain ROUND 6), totally ordered.
+    * Plan (prefix-filtered since r6 — the hot-shingle fanout of the naive
+    * full inverted join measured 10.1 s at sf0.1, prefix form ~1 s):
+    * candidate generation explodes only each query's RAREST
+    * |S(Q)| − ⌈τ·|S(Q)|⌉ + 1 shingles (ascending data-side df; the overlap
+    * bound o ≥ ⌈τ·|S(Q)|⌉ guarantees any qualifying D shares at least one
+    * prefix shingle — the standard overlap-prefix lemma applied to the Q
+    * side, which is the only side containment constrains), equi-joined
+    * against the full data-side shingle index. Exact verification then
+    * recomputes |S(Q) ∩ S(D)| on the carried arrays, so the prefix is a
+    * pure candidate filter. Output (q_id, d_id, contain ROUND 6), totally
+    * ordered.
     */
   def containmentRS(queries: DataFrame, data: DataFrame, idCol: String,
                     textCol: String, blockCols: Seq[String], tau: Double,
                     n: Int = 3): DataFrame = {
-    def side(df: DataFrame, p: String) =
-      shingled(df, textCol, n)
-        .select(col(idCol).as(s"${p}_id") +: col("sh_sz").as(s"${p}_sz") +:
-          blockCols.map(c => col(c).as(s"${p}_$c")) :+
-          explode(col("shingles")).as(s"${p}_sh"): _*)
+    val nPart = data.sparkSession.sessionState.conf.numShufflePartitions
+    val qSh = shingled(queries, textCol, n).filter(col("sh_sz") > 0)
+      .select(col(idCol).as("q_id") +: col("sh_sz").as("q_sz") +:
+        col("shingles").as("q_shingles") +:
+        blockCols.map(c => col(c).as(s"q_$c")): _*)
+    // spread BEFORE exploding: the repartition then moves one array row per
+    // document instead of hundreds of exploded shingle rows (a 400 MB
+    // shuffle at sf0.1 became a 5k-row one), and this single exchange is
+    // the ReuseExchange point for the df aggregation, candidate probe, and
+    // verification join below
+    val dSh = shingled(data, textCol, n)
+      .select(col(idCol).as("d_id") +: col("shingles").as("d_shingles") +:
+        blockCols.map(c => col(c).as(s"d_$c")): _*)
+      .repartition(nPart, col("d_id"))
 
-    val q = side(queries, "q")
-    val d = spread(side(data, "d"), col("d_sh") +: blockCols.map(c => col(s"d_$c")))
+    val freq = dSh.select(explode(col("d_shingles")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+
+    // rank each query's shingles rarest-first by DATA-side df (query-only
+    // shingles default df 0 — they prune hardest). The exploded query side
+    // is the small side BY CONTRACT (an eval set), so IT broadcasts and the
+    // df relation streams — no vocabulary probe needed at any scale.
+    val qExploded = qSh
+      .select(col("q_id") +: col("q_sz") +: blockCols.map(c => col(s"q_$c")) :+
+        explode(col("q_shingles")).as("sh"): _*)
+    val qPref = freq.join(broadcast(qExploded), Seq("sh"), "right")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy(col("q_id") +: col("q_sz") +: blockCols.map(c => col(s"q_$c")): _*)
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("rs"))
+      .withColumn("prefix", slice(col("rs.sh"), lit(1),
+        (col("q_sz") - ceil(col("q_sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int")))
+      .select(col("q_id") +: blockCols.map(c => col(s"q_$c")) :+
+        explode(col("prefix")).as("q_sh"): _*)
+
+    val dInv = dSh.select(col("d_id") +: blockCols.map(c => col(s"d_$c")) :+
+      explode(col("d_shingles")).as("d_sh"): _*)
     val blockEq = blockCols.map(c => col(s"q_$c") === col(s"d_$c"))
     val cond = ((col("q_sh") === col("d_sh")) +: blockEq).reduce(_ && _) &&
-      col("q_id") =!= col("d_id") &&
-      col("d_sz") >= col("q_sz") * lit(tau) - lit(1e-9)
+      col("q_id") =!= col("d_id")
 
-    d.join(q, cond)
-      .groupBy(col("q_id"), col("d_id"), col("q_sz"))
-      .agg(count(lit(1)).as("inter"))
+    // candidates (broadcast prefix probe — no shuffle of the exploded data
+    // side) → exact verification on the carried arrays (block match
+    // already enforced in candidate generation)
+    dInv.join(broadcast(qPref), cond)
+      .select("q_id", "d_id").distinct()
+      .join(dSh.select("d_id", "d_shingles"), "d_id")
+      .join(broadcast(qSh.select("q_id", "q_sz", "q_shingles")), "q_id")
+      .withColumn("inter", size(array_intersect(col("q_shingles"), col("d_shingles"))))
       .withColumn("contain", col("inter").cast("double") / col("q_sz").cast("double"))
       .filter(col("contain") >= tau)
       .select(col("q_id"), col("d_id"), Det.round6(col("contain")).as("contain"))

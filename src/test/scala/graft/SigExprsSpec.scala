@@ -86,6 +86,26 @@ class SigExprsSpec extends SparkSpec {
     assert(fused.toSeq === unfused.toSeq)
   }
 
+  test("graft_shingles equals the transform/array_distinct HOF formulation exactly") {
+    graft.functions.SetExprs.register(spark)
+    val n = 3
+    val docs = Tables.documents(spark, sf0001)
+    val toks = split(col("text"), " +")
+    val viaHof = docs.select(col("doc_id"),
+      when(size(toks) >= n,
+        array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<string>")).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    val viaKernel = docs.select(col("doc_id"),
+      graft.functions.SetExprs.shinglesCol(toks, lit(n)).as("sh"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(viaKernel.toSeq === viaHof.toSeq)
+    // short-input guard: fewer than n tokens → empty, never a bad sequence
+    val short = spark.sql("SELECT graft_shingles(array('a','b'), 3) AS s").collect()(0)
+    assert(short.getSeq[String](0).isEmpty)
+  }
+
   test("graft_jaro_winkler pins the textbook values incl. the boost threshold") {
     graft.functions.StringExprs.register(spark)
     val r = spark.sql("""
