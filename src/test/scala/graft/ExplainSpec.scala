@@ -52,6 +52,12 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q60 containment candidates are an equi-join on shingles (no product)") {
+    val p = plan("q60_decontaminate")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q61 interval join is a bucket equi-join, not a nested-loop product") {
     val p = plan("q61_range_bucket_join")
     assert(!p.contains("CartesianProduct"), p.take(2000))
