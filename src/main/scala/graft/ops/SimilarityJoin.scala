@@ -253,10 +253,21 @@ object SimilarityJoin {
     * pure candidate filter. Output (q_id, d_id, contain ROUND 6), totally
     * ordered.
     */
+  /** Max query-side rows the containment join may broadcast: eval sets are
+    * small by the operator's nature, but the broadcast is still GATED by a
+    * bounded probe (the r3 `broadcast(freq)` lesson: never broadcast on an
+    * assumption) — an over-bound query side dispatches to shuffle joins.
+    */
+  val MaxBroadcastQueries: Long = 100000L
+
   def containmentRS(queries: DataFrame, data: DataFrame, idCol: String,
                     textCol: String, blockCols: Seq[String], tau: Double,
-                    n: Int = 3): DataFrame = {
+                    n: Int = 3,
+                    queriesBroadcast: Option[Boolean] = None): DataFrame = {
     val nPart = data.sparkSession.sessionState.conf.numShufflePartitions
+    val qSmall = queriesBroadcast.getOrElse(
+      queries.limit((MaxBroadcastQueries + 1).toInt).count() <= MaxBroadcastQueries)
+    def maybeBroadcast(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
     val qSh = shingled(queries, textCol, n).filter(col("sh_sz") > 0)
       .select(col(idCol).as("q_id") +: col("sh_sz").as("q_sz") +:
         col("shingles").as("q_shingles") +:
@@ -281,7 +292,7 @@ object SimilarityJoin {
     val qExploded = qSh
       .select(col("q_id") +: col("q_sz") +: blockCols.map(c => col(s"q_$c")) :+
         explode(col("q_shingles")).as("sh"): _*)
-    val qPref = freq.join(broadcast(qExploded), Seq("sh"), "right")
+    val qPref = freq.join(maybeBroadcast(qExploded), Seq("sh"), "right")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .groupBy(col("q_id") +: col("q_sz") +: blockCols.map(c => col(s"q_$c")): _*)
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("rs"))
@@ -299,10 +310,10 @@ object SimilarityJoin {
     // candidates (broadcast prefix probe — no shuffle of the exploded data
     // side) → exact verification on the carried arrays (block match
     // already enforced in candidate generation)
-    dInv.join(broadcast(qPref), cond)
+    dInv.join(maybeBroadcast(qPref), cond)
       .select("q_id", "d_id").distinct()
       .join(dSh.select("d_id", "d_shingles"), "d_id")
-      .join(broadcast(qSh.select("q_id", "q_sz", "q_shingles")), "q_id")
+      .join(maybeBroadcast(qSh.select("q_id", "q_sz", "q_shingles")), "q_id")
       .withColumn("inter", size(array_intersect(col("q_shingles"), col("d_shingles"))))
       .withColumn("contain", col("inter").cast("double") / col("q_sz").cast("double"))
       .filter(col("contain") >= tau)
