@@ -103,8 +103,12 @@ object MinHash {
   def groupSimilarity(docs: DataFrame, groupCols: Seq[String], textCol: String,
                       nHashes: Int = 32): DataFrame = {
     require(groupCols.nonEmpty)
+    // struct comparison, NOT a concatenated string key: concatenation is
+    // ambiguous for multi-column groups (("ab","c") vs ("a","bc")) — a
+    // collision makes a_key < b_key false in BOTH orientations and silently
+    // drops that slice pair; struct ordering is lexicographic per field
     val sigs = groupSignatures(docs, groupCols, textCol, nHashes)
-      .withColumn("_key", concat_ws("", groupCols.map(col): _*))
+      .withColumn("_key", struct(groupCols.map(col): _*))
     val a = sigs.select(col("_key").as("a_key") +: col("sig").as("a_sig") +:
       groupCols.map(c => col(c).as(s"a_$c")): _*)
     val b = sigs.select(col("_key").as("b_key") +: col("sig").as("b_sig") +:

@@ -35,10 +35,15 @@ object RangeJoin {
     val w = lit(bucketWidthSec)
     val iv = intervals.withColumn("_bkt",
       explode(sequence(floor(unix_timestamp(col(loCol)) / w),
-        // hi is EXCLUSIVE: a zero-length or bucket-aligned end must not
-        // leak into the next bucket — subtract one second before flooring,
-        // guarded to never precede the lo bucket
-        greatest(floor((unix_timestamp(col(hiCol)) - 1) / w),
+        // ALWAYS include hi's own bucket: unix_timestamp truncates to whole
+        // seconds, so on sub-second timestamps a point can share hi's
+        // fractional second yet precede the exclusive bound — subtracting a
+        // second before flooring (the old code) dropped that candidate
+        // bucket and MISSED the match. The exact residual filter below
+        // removes the (at most one bucket of) false positives this admits;
+        // the greatest() guard keeps degenerate hi<lo inputs from making
+        // sequence() run backwards
+        greatest(floor(unix_timestamp(col(hiCol)) / w),
           floor(unix_timestamp(col(loCol)) / w)))))
     val pt = points.withColumn("_bkt", floor(unix_timestamp(col(pointCol)) / w))
       .repartition(n, col("_bkt"))

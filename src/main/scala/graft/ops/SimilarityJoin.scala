@@ -287,12 +287,19 @@ object SimilarityJoin {
 
     // rank each query's shingles rarest-first by DATA-side df (query-only
     // shingles default df 0 — they prune hardest). The exploded query side
-    // is the small side BY CONTRACT (an eval set), so IT broadcasts and the
-    // df relation streams — no vocabulary probe needed at any scale.
+    // is the small side BY CONTRACT (an eval set), so the full df relation
+    // never shuffles: first an inner join restricts freq to the query
+    // shingles (broadcast the query-shingle set, stream freq), then the
+    // outer df-attach joins that RESTRICTED — hence small — relation back
+    // broadcast-side. Two broadcast joins, deliberately: a single outer
+    // join can't broadcast the small side here (BroadcastHashJoin only
+    // builds the non-preserved side, so a right-outer with the query side
+    // preserved would silently shuffle both inputs).
     val qExploded = qSh
       .select(col("q_id") +: col("q_sz") +: blockCols.map(c => col(s"q_$c")) :+
         explode(col("q_shingles")).as("sh"): _*)
-    val qPref = freq.join(maybeBroadcast(qExploded), Seq("sh"), "right")
+    val qFreq = freq.join(maybeBroadcast(qExploded.select("sh").distinct()), Seq("sh"))
+    val qPref = qExploded.join(maybeBroadcast(qFreq), Seq("sh"), "left")
       .withColumn("df", coalesce(col("df"), lit(0L)))
       .groupBy(col("q_id") +: col("q_sz") +: blockCols.map(c => col(s"q_$c")): _*)
       .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("rs"))

@@ -199,8 +199,12 @@ object SimilarityQueries {
     },
     Some("""
       WITH q AS (
+        -- series bound derived from the snippet's ACTUAL token count (not a
+        -- hard-coded 10): a snippet shorter than 12 tokens must not emit
+        -- partial <3-token shingles or a wrong |S(Q)| denominator
         SELECT doc_id + 1000000 AS q_id,
-               list_distinct(list_transform(generate_series(1, 10),
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(regexp_split_to_array(text, ' +')[1:12]) - 2, 0)),
                  i -> array_to_string((regexp_split_to_array(text, ' +')[1:12])[i:i+2], ' '))) AS sh
         FROM documents WHERE doc_id < 10
       ),

@@ -145,6 +145,27 @@ class PropertiesSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("bucketized interval join keeps sub-second matches near an exclusive hi (r7)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // p shares hi's fractional second but precedes the exclusive bound:
+    // unix_timestamp truncation used to drop hi's own bucket and MISS this
+    // match (ADVICE r6). Also pin the boundary exclusions around it.
+    val pts = Seq(
+      (1L, "2024-01-01 00:02:00.2"),  // < hi=00:02:00.5 → MUST match
+      (2L, "2024-01-01 00:02:00.5"),  // == hi (exclusive) → must NOT match
+      (3L, "2024-01-01 00:00:00.0"),  // == lo (inclusive) → MUST match
+      (4L, "2024-01-01 00:02:01.0")   // past hi's second → must NOT match
+    ).toDF("p_id", "s").select(col("p_id"), col("s").cast("timestamp").as("p_ts"))
+    val ivs = Seq((10L, "2024-01-01 00:00:00.0", "2024-01-01 00:02:00.5"))
+      .toDF("iv_id", "lo_s", "hi_s")
+      .select(col("iv_id"), col("lo_s").cast("timestamp").as("lo"),
+        col("hi_s").cast("timestamp").as("hi"))
+    val got = graft.ops.RangeJoin.pointInInterval(pts, ivs, "p_ts", "lo", "hi", 60L)
+      .select("p_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
