@@ -128,20 +128,45 @@ object SimilarityJoin {
     */
   val PrefixSkewThreshold: Double = 8.0
 
+  /** Skew ratio at which even the PREFIX index's candidate join gets salted.
+    * The prefix filter drops each record's most frequent tokens from the
+    * index, but on an extreme-skew corpus (near-duplicate-heavy: many
+    * records share their rarest tokens too) the surviving prefix tokens are
+    * still hot enough that one reducer owns most candidate pairs. AQE's
+    * skew split cannot help — the candidate join feeds the pair aggregation
+    * inside one stage — so the join is routed through
+    * [[Salting.saltedEquiJoin]], spreading each hot (token, block) key over
+    * [[CandidateSalts]] reducers at the cost of replicating the build-side
+    * index that many times.
+    */
+  val SaltSkewThreshold: Double = 64.0
+
+  /** Salt fan-out for the extreme-skew candidate join: build-side shuffle
+    * volume scales linearly with it, hot-reducer width inversely — 8 spreads
+    * a hot key across a quarter of a 32-slot stage without tripling the
+    * index shuffle.
+    */
+  val CandidateSalts: Int = 8
+
   /** Probe-dispatched exact Jaccard self-join — the deployment default the
     * q36 scaladoc promises: [[vocabSkew]] picks [[jaccardSelf]] (flat
     * vocabulary) or [[jaccardSelfPrefix]] (Zipfian), both exact and
-    * property-tested equivalent, so the choice affects only the plan.
-    * `usePrefix`: `Some(b)` skips the probe (callers at scale know their
-    * vocabulary shape).
+    * property-tested equivalent, so the choice affects only the plan; at
+    * extreme skew (≥ [[SaltSkewThreshold]]) the prefix plan's candidate
+    * join is additionally salted ([[Salting.saltedEquiJoin]]).
+    * `usePrefix` / `saltCandidates`: `Some(b)` skips the probe (callers at
+    * scale know their vocabulary shape — pass BOTH to skip it entirely).
     */
   def jaccardSelfAuto(docs: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], tau: Double,
-                      usePrefix: Option[Boolean] = None): DataFrame = {
+                      usePrefix: Option[Boolean] = None,
+                      saltCandidates: Option[Boolean] = None): DataFrame = {
     val sets = tokenized(docs, textCol)
-    val prefix = usePrefix.getOrElse(
-      vocabSkew(sets, "tokens") >= PrefixSkewThreshold)
-    if (prefix) jaccardSelfPrefixOnSets(sets, idCol, "tokens", blockCols, tau)
+    lazy val skew = vocabSkew(sets, "tokens")
+    val prefix = usePrefix.getOrElse(skew >= PrefixSkewThreshold)
+    val salted = prefix && saltCandidates.getOrElse(skew >= SaltSkewThreshold)
+    if (prefix) jaccardSelfPrefixOnSets(sets, idCol, "tokens", blockCols, tau,
+      nSalts = if (salted) CandidateSalts else 1)
     else jaccardSelfOnSets(sets, idCol, "tokens", blockCols, tau)
   }
 
@@ -383,10 +408,13 @@ object SimilarityJoin {
     */
   def jaccardRSAuto(queries: DataFrame, data: DataFrame, idCol: String,
                     textCol: String, blockCols: Seq[String], tau: Double,
-                    usePrefix: Option[Boolean] = None): DataFrame = {
-    val prefix = usePrefix.getOrElse(
-      vocabSkew(tokenized(data, textCol), "tokens") >= PrefixSkewThreshold)
-    if (prefix) jaccardRSPrefix(queries, data, idCol, textCol, blockCols, tau)
+                    usePrefix: Option[Boolean] = None,
+                    saltCandidates: Option[Boolean] = None): DataFrame = {
+    lazy val skew = vocabSkew(tokenized(data, textCol), "tokens")
+    val prefix = usePrefix.getOrElse(skew >= PrefixSkewThreshold)
+    val salted = prefix && saltCandidates.getOrElse(skew >= SaltSkewThreshold)
+    if (prefix) jaccardRSPrefix(queries, data, idCol, textCol, blockCols, tau,
+      nSalts = if (salted) CandidateSalts else 1)
     else jaccardRS(queries, data, idCol, textCol, blockCols, tau)
   }
 
@@ -404,7 +432,8 @@ object SimilarityJoin {
     */
   def jaccardRSPrefix(queries: DataFrame, data: DataFrame, idCol: String,
                       textCol: String, blockCols: Seq[String], tau: Double,
-                      vocabBroadcast: Option[Boolean] = None): DataFrame = {
+                      vocabBroadcast: Option[Boolean] = None,
+                      nSalts: Int = 1): DataFrame = {
     val freq = tokenized(data, textCol)
       .select(explode(col("tokens")).as("token"))
       .groupBy("token")
@@ -430,17 +459,38 @@ object SimilarityJoin {
           blockCols.map(c => col(c).as(s"${p}_$c")): _*)
     }
 
-    val q = ranked(queries, "q")
-    val n = data.sparkSession.sessionState.conf.numShufflePartitions
-    val d = ranked(data, "d")
-      .repartition(n, col("d_tok") +: blockCols.map(c => col(s"d_$c")): _*)
-    val blockEq = blockCols.map(c => col(s"q_$c") === col(s"d_$c"))
-    val cond = ((col("q_tok") === col("d_tok")) +: blockEq).reduce(_ && _) &&
-      col("q_id") =!= col("d_id") &&
-      lenOk(col("q_sz"), col("d_sz"), tau)
+    val candidates = if (nSalts <= 1) {
+      val q = ranked(queries, "q")
+      val n = data.sparkSession.sessionState.conf.numShufflePartitions
+      val d = ranked(data, "d")
+        .repartition(n, col("d_tok") +: blockCols.map(c => col(s"d_$c")): _*)
+      val blockEq = blockCols.map(c => col(s"q_$c") === col(s"d_$c"))
+      val cond = ((col("q_tok") === col("d_tok")) +: blockEq).reduce(_ && _) &&
+        col("q_id") =!= col("d_id") &&
+        lenOk(col("q_sz"), col("d_sz"), tau)
+      d.join(q, cond)
+        .select("q_id", "d_id", "q_sz", "d_sz", "q_toks", "d_toks")
+    } else {
+      // extreme-skew path: shared key names turn the candidate join into a
+      // pure usingColumns equi-join so [[Salting.saltedEquiJoin]] can spread
+      // each hot (token, block) key over nSalts reducers — the data side is
+      // the salted probe (its skew is what's being treated), the query-side
+      // prefix index is the replicated build (small by the R-S contract).
+      // No explicit pre-repartition: the salted join's own shuffle on
+      // (keys…, salt) IS the spread.
+      def shared(df: DataFrame, p: String) = {
+        val renamed = blockCols.foldLeft(ranked(df, p).withColumnRenamed(s"${p}_tok", "tok")) {
+          case (acc, c) => acc.withColumnRenamed(s"${p}_$c", c)
+        }
+        renamed
+      }
+      Salting.saltedEquiJoin(shared(data, "d"), shared(queries, "q"),
+          "tok" +: blockCols, saltBy = Seq("d_id"), nSalts)
+        .filter(col("q_id") =!= col("d_id") && lenOk(col("q_sz"), col("d_sz"), tau))
+        .select("q_id", "d_id", "q_sz", "d_sz", "q_toks", "d_toks")
+    }
 
-    d.join(q, cond)
-      .select("q_id", "d_id", "q_sz", "d_sz", "q_toks", "d_toks")
+    candidates
       .dropDuplicates("q_id", "d_id")
       .withColumn("inter", size(array_intersect(col("q_toks"), col("d_toks"))))
       .withColumn("sim",
@@ -457,7 +507,8 @@ object SimilarityJoin {
     */
   def jaccardSelfPrefixOnSets(sets: DataFrame, idCol: String, setCol: String,
                               blockCols: Seq[String], tau: Double,
-                              vocabBroadcast: Option[Boolean] = None): DataFrame = {
+                              vocabBroadcast: Option[Boolean] = None,
+                              nSalts: Int = 1): DataFrame = {
     val withSz = sets.withColumn("_sz", size(col(setCol)))
     val toks = withSz
       .select(col(idCol).as("id") +: col("_sz").as("sz") +:
@@ -484,20 +535,38 @@ object SimilarityJoin {
         (col("sz") - ceil(col("sz") * lit(tau) - lit(1e-9)) + lit(1)).cast("int")))
       .drop("rt")
 
-    val a = ranked.select(col("id").as("a_id") +: col("sz").as("a_sz") +:
-      col("sorted_tokens").as("a_toks") +: explode(col("prefix")).as("tok") +:
-      blockCols.map(c => col(c).as(s"a_$c")): _*)
-    val b = ranked.select(col("id").as("b_id") +: col("sz").as("b_sz") +:
-      col("sorted_tokens").as("b_toks") +: explode(col("prefix")).as("b_tok") +:
-      blockCols.map(c => col(c).as(s"b_$c")): _*)
+    val candidates = if (nSalts <= 1) {
+      val a = ranked.select(col("id").as("a_id") +: col("sz").as("a_sz") +:
+        col("sorted_tokens").as("a_toks") +: explode(col("prefix")).as("tok") +:
+        blockCols.map(c => col(c).as(s"a_$c")): _*)
+      val b = ranked.select(col("id").as("b_id") +: col("sz").as("b_sz") +:
+        col("sorted_tokens").as("b_toks") +: explode(col("prefix")).as("b_tok") +:
+        blockCols.map(c => col(c).as(s"b_$c")): _*)
+      val blockEq = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
+      val cond = ((col("tok") === col("b_tok")) +: blockEq).reduce(_ && _) &&
+        col("a_id") < col("b_id") &&
+        lenOk(col("a_sz"), col("b_sz"), tau)
+      a.join(b, cond)
+        .select("a_id", "b_id", "a_sz", "b_sz", "a_toks", "b_toks")
+    } else {
+      // extreme-skew path (see [[SaltSkewThreshold]]): shared key names make
+      // the candidate join a pure usingColumns equi-join for
+      // [[Salting.saltedEquiJoin]] — each hot (token, block) key spreads
+      // over nSalts reducers; the a-side is the salted probe, the b-side
+      // index replicates nSalts×. The a<b / length filters move to a
+      // post-join residual, which Catalyst pushes back into the join.
+      val a = ranked.select(col("id").as("a_id") +: col("sz").as("a_sz") +:
+        col("sorted_tokens").as("a_toks") +: explode(col("prefix")).as("tok") +:
+        blockCols.map(col): _*)
+      val b = ranked.select(col("id").as("b_id") +: col("sz").as("b_sz") +:
+        col("sorted_tokens").as("b_toks") +: explode(col("prefix")).as("tok") +:
+        blockCols.map(col): _*)
+      Salting.saltedEquiJoin(a, b, "tok" +: blockCols, saltBy = Seq("a_id"), nSalts)
+        .filter(col("a_id") < col("b_id") && lenOk(col("a_sz"), col("b_sz"), tau))
+        .select("a_id", "b_id", "a_sz", "b_sz", "a_toks", "b_toks")
+    }
 
-    val blockEq = blockCols.map(c => col(s"a_$c") === col(s"b_$c"))
-    val cond = ((col("tok") === col("b_tok")) +: blockEq).reduce(_ && _) &&
-      col("a_id") < col("b_id") &&
-      lenOk(col("a_sz"), col("b_sz"), tau)
-
-    a.join(b, cond)
-      .select("a_id", "b_id", "a_sz", "b_sz", "a_toks", "b_toks")
+    candidates
       .dropDuplicates("a_id", "b_id")
       .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
       .withColumn("sim",

@@ -219,5 +219,52 @@ object TextQueries {
             FROM c GROUP BY doc_id
             ORDER BY score DESC, doc_id LIMIT 50"""))
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68)
+  /** q69 (added r7) — BM25 R-S retrieval: the query set is a RELATION (the
+    * first 8 tokens of docs 0–4, id-offset by 10⁶), scored against the full
+    * corpus through [[graft.ops.Bm25.scoreRS]] — every (query, doc) pair
+    * flows through one distributed tf/df/dl/stats plan; top-10 per query.
+    * Generalizes q68's fixed literal query to the form a real retrieval
+    * pipeline runs (VERDICT r6 task 3).
+    */
+  val q69 = Q(
+    "q69_bm25_rs",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " +"), 1, 8)).as("text"))
+      graft.ops.Bm25.scoreRS(queries, "doc_id", "text", docs, "doc_id", "text", k = 10)
+        .withColumnRenamed("doc_id", "d_id")
+    },
+    Some("""WITH q AS (
+              SELECT doc_id + 1000000 AS q_id,
+                     unnest(list_distinct(regexp_split_to_array(text, ' +')[1:8])) AS tok
+              FROM documents WHERE doc_id < 5),
+            tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok
+              FROM documents),
+            dl AS (
+              SELECT doc_id, len(regexp_split_to_array(text, ' +'))::DOUBLE AS dl
+              FROM documents),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+                   WHERE tok IN (SELECT tok FROM q) GROUP BY 1, 2),
+            df AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                   WHERE tok IN (SELECT tok FROM q) GROUP BY 1),
+            c AS (
+              SELECT q.q_id, tf.doc_id,
+                     ROUND(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)), 6) AS contrib
+              FROM tf JOIN q USING (tok) JOIN df USING (tok)
+                   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats)
+            SELECT q_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY ROUND(sum(contrib), 6) DESC, doc_id) AS rnk,
+                   doc_id AS d_id, ROUND(sum(contrib), 6) AS score
+            FROM c GROUP BY q_id, doc_id
+            QUALIFY rnk <= 10
+            ORDER BY q_id, rnk"""))
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69)
 }

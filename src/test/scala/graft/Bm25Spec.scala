@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Bm25
+
+class Bm25Spec extends SparkSpec {
+
+  test("scoreRS on a single fixed query reproduces q68's fixed-term scores") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val q = Seq((0L, "join hash spark")).toDF("q_id", "text")
+    val rs = Bm25.scoreRS(q, "q_id", "text", docs, "doc_id", "text", k = 50)
+      .select(col("doc_id"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val fixed = SparkEntry.queries("q68_bm25_rank")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rs === fixed, "the R-S operator must generalize the fixed-query form")
+  }
+
+  test("q69 top-k stability: dense ranks, non-increasing scores, deterministic tie order") {
+    val out = SparkEntry.queries("q69_bm25_rs")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size === 5, "five snippet queries declared")
+    byQuery.foreach { case (qid, rows) =>
+      val ranks = rows.map(_.getInt(1)).toSeq
+      assert(ranks === (1 to rows.length), s"q$qid ranks not dense: $ranks")
+      val scored = rows.sortBy(_.getInt(1)).map(r => (r.getDouble(3), r.getLong(2))).toSeq
+      scored.sliding(2).foreach {
+        case Seq((s1, d1), (s2, d2)) =>
+          assert(s1 > s2 || (s1 == s2 && d1 < d2),
+            s"q$qid order violated: ($s1,$d1) before ($s2,$d2)")
+        case _ =>
+      }
+    }
+    // two plans of the same declared query agree row-for-row (stability)
+    val again = SparkEntry.queries("q69_bm25_rs")(spark, sf0001).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("broadcast dispatch: forced-shuffle plan equals forced-broadcast plan") {
+    val docs = Tables.documents(spark, sf0001)
+    val queries = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " +"), 1, 8)).as("text"))
+    def run(bc: Boolean) = Bm25.scoreRS(queries, "doc_id", "text",
+        docs, "doc_id", "text", k = 10, queriesBroadcast = Some(bc))
+      .collect().map(_.toString).toSeq
+    assert(run(true) === run(false))
+  }
+}

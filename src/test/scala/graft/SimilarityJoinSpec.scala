@@ -118,6 +118,47 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(auto.count() === 0L)
   }
 
+  // extreme-skew corpus for the salted dispatch: every doc carries 'hot'
+  // (df = n) plus 3 tokens shared only with its twin (i, i + n/2) → twin
+  // pairs have J = 1.0, any other pair shares only 'hot' (J = 1/7 < 0.5);
+  // skew = n / avg(df) ≈ n/2.7 ≫ SaltSkewThreshold at n = 300
+  private def extremeSkewCorpus(n: Int) = spark.range(n).selectExpr(
+    "id AS doc_id", "'x' AS blk",
+    s"concat('hot u', id % ${n / 2}, 'a u', id % ${n / 2}, 'b u', id % ${n / 2}, 'c') AS text")
+
+  test("auto dispatch: extreme skew routes the candidate join through the salted plan") {
+    val docs = extremeSkewCorpus(300)
+    val skew = SimilarityJoin.vocabSkew(SimilarityJoin.tokenized(docs, "text"), "tokens")
+    info(f"extreme-skew corpus vocab skew = $skew%.1f")
+    assert(skew >= SimilarityJoin.SaltSkewThreshold, s"corpus not extreme enough: $skew")
+    val auto = SimilarityJoin.jaccardSelfAuto(docs, "doc_id", "text", Seq("blk"), 0.5)
+    // the salted join is the only source of a _salt attribute in the plan
+    assert(auto.queryExecution.optimizedPlan.toString.contains("_salt"),
+      "expected the salted candidate join at extreme skew")
+    val exact = SimilarityJoin.jaccardSelf(docs, "doc_id", "text", Seq("blk"), 0.5)
+      .collect().map(_.toString).toSeq
+    assert(exact.length === 150, "expected exactly the 150 twin pairs")
+    assert(auto.collect().map(_.toString).toSeq === exact)
+    // moderate skew (forced off) still takes the unsalted prefix plan
+    val unsalted = SimilarityJoin.jaccardSelfAuto(docs, "doc_id", "text", Seq("blk"), 0.5,
+      usePrefix = Some(true), saltCandidates = Some(false))
+    assert(!unsalted.queryExecution.optimizedPlan.toString.contains("_salt"))
+    assert(unsalted.collect().map(_.toString).toSeq === exact)
+  }
+
+  test("R-S auto dispatch: extreme data-side skew salts the candidate join, results exact") {
+    val data = extremeSkewCorpus(300)
+    val queries = data.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val auto = SimilarityJoin.jaccardRSAuto(queries, data, "doc_id", "text", Seq("blk"), 0.5)
+    assert(auto.queryExecution.optimizedPlan.toString.contains("_salt"),
+      "expected the salted candidate join at extreme skew")
+    val exact = SimilarityJoin.jaccardRS(queries, data, "doc_id", "text", Seq("blk"), 0.5)
+      .collect().map(_.toString).toSeq
+    assert(exact.nonEmpty)
+    assert(auto.collect().map(_.toString).toSeq === exact)
+  }
+
   test("self-similarity sanity: doc joined with its own copy gives sim 1.0") {
     val docs = Tables.documents(spark, sf0001).limit(20)
     val shifted = docs.withColumn("doc_id", col("doc_id") + lit(1000000L))
