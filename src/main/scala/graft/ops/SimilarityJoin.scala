@@ -285,10 +285,36 @@ object SimilarityJoin {
     */
   val MaxBroadcastQueries: Long = 100000L
 
+  /** Decontamination against an ARBITRARY eval-set relation: the query side
+    * names its own id/text columns (any schema, any id type — an eval
+    * benchmark table, not a corpus derivative), scored for shingle
+    * containment inside `data`. Because the two relations have distinct
+    * provenance, no self-exclusion applies — `containmentRS`'s
+    * `q_id ≠ d_id` guard is meaningless across heterogeneous id types (a
+    * string-vs-long comparison coerces to NULL and would silently drop
+    * every pair), so this form omits it; use [[containmentRS]] when the
+    * eval items are derived from the corpus itself. Output
+    * (q_id, d_id, contain ROUND 6) with q_id/d_id keeping their input
+    * types; blocks, plan shape, and broadcast gating identical to
+    * [[containmentRS]].
+    */
+  def containmentRSGeneral(queries: DataFrame, qIdCol: String, qTextCol: String,
+                           data: DataFrame, dIdCol: String, dTextCol: String,
+                           blockCols: Seq[String], tau: Double, n: Int = 3,
+                           queriesBroadcast: Option[Boolean] = None): DataFrame = {
+    val qNorm = queries.select(col(qIdCol).as("__cid") +:
+      col(qTextCol).as("__ctext") +: blockCols.map(col): _*)
+    val dNorm = data.select(col(dIdCol).as("__cid") +:
+      col(dTextCol).as("__ctext") +: blockCols.map(col): _*)
+    containmentRS(qNorm, dNorm, "__cid", "__ctext", blockCols, tau, n,
+      queriesBroadcast, excludeSelf = false)
+  }
+
   def containmentRS(queries: DataFrame, data: DataFrame, idCol: String,
                     textCol: String, blockCols: Seq[String], tau: Double,
                     n: Int = 3,
-                    queriesBroadcast: Option[Boolean] = None): DataFrame = {
+                    queriesBroadcast: Option[Boolean] = None,
+                    excludeSelf: Boolean = true): DataFrame = {
     val nPart = data.sparkSession.sessionState.conf.numShufflePartitions
     val qSmall = queriesBroadcast.getOrElse(
       queries.limit((MaxBroadcastQueries + 1).toInt).count() <= MaxBroadcastQueries)
@@ -336,8 +362,8 @@ object SimilarityJoin {
     val dInv = dSh.select(col("d_id") +: blockCols.map(c => col(s"d_$c")) :+
       explode(col("d_shingles")).as("d_sh"): _*)
     val blockEq = blockCols.map(c => col(s"q_$c") === col(s"d_$c"))
-    val cond = ((col("q_sh") === col("d_sh")) +: blockEq).reduce(_ && _) &&
-      col("q_id") =!= col("d_id")
+    val selfEx = if (excludeSelf) Seq(col("q_id") =!= col("d_id")) else Nil
+    val cond = (((col("q_sh") === col("d_sh")) +: blockEq) ++ selfEx).reduce(_ && _)
 
     // candidates (broadcast prefix probe — no shuffle of the exploded data
     // side) → exact verification on the carried arrays (block match

@@ -61,6 +61,34 @@ object VectorSearch {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Max query rows [[cosineKnn]] may broadcast: the exact plan's whole
+    * scale story is "the query side fits in a broadcast"; beyond this bound
+    * that premise fails and only the banded LSH plan is sane.
+    */
+  val MaxBroadcastKnnQueries: Long = 100000L
+
+  /** Size-dispatched cosine top-k — closes the q40-family scale gap the way
+    * [[cosinePairs]] does for the pair form: a bounded
+    * `limit(max+1).count()` probe on the PREDICATE-FILTERED id projection
+    * routes a broadcastable query set to the exact [[cosineKnn]] and an
+    * over-bound one to [[lshCosineKnn]] (banded candidates, exact cosine
+    * re-rank — precision stays 1, recall is the pinned approximation).
+    * `queryPred` must reference only the renamed `id` column (both
+    * downstream paths share that contract). `forceExact`: `Some(b)` skips
+    * the probe; the 100 TB deployment passes its known answer.
+    */
+  def cosineKnnAuto(emb: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int,
+                    maxBroadcastQueries: Long = MaxBroadcastKnnQueries,
+                    forceExact: Option[Boolean] = None,
+                    nPlanes: Int = 16, nBands: Int = 4, dim: Int = 64): DataFrame = {
+    val small = forceExact.getOrElse(
+      emb.select(col(idCol).as("id")).filter(queryPred)
+        .limit((maxBroadcastQueries + 1).toInt).count() <= maxBroadcastQueries)
+    if (small) cosineKnn(emb, idCol, vecCol, queryPred, k)
+    else lshCosineKnn(emb, idCol, vecCol, queryPred, k, nPlanes, nBands, dim)
+  }
+
   /** Deterministic pseudo-random hyperplanes: splitmix64-style sequence from
     * a fixed seed, mapped to [-1, 1). Plan-time constants — no runtime
     * nondeterminism ever enters the DataFrame.

@@ -114,13 +114,16 @@ object SimilarityQueries {
     """.stripMargin.trim))
 
   /** q40 — exact cosine top-3 for vec_id < 100 (k-NN form: random unit
-    * vectors make any useful threshold empty — FIXTURES.md). Query side is
-    * broadcast; the data side streams with no shuffle until the per-query
-    * top-k window.
+    * vectors make any useful threshold empty — FIXTURES.md). Graded through
+    * the size-dispatched [[VectorSearch.cosineKnnAuto]] (since r7): a
+    * bounded probe confirms the query set is broadcastable and takes the
+    * exact path — query side broadcast, data side streaming with no shuffle
+    * until the per-query top-k window; an over-bound query set would route
+    * to the banded LSH plan instead (dispatch pinned in VectorSearchSpec).
     */
   val q40 = Q(
     "q40_cosine_knn",
-    (s, d) => VectorSearch.cosineKnn(
+    (s, d) => VectorSearch.cosineKnnAuto(
       Tables.embeddings(s, d), "vec_id", "embedding", col("id") < 100, 3),
     Some("""
       SELECT a.vec_id AS vec_id,

@@ -203,5 +203,56 @@ object StreamingQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59)
+  // ---- 70. streaming NEAR-dup dedup (runtime; added r7) --------------------
+  // The corpus through StreamDedup.nearDedupWithinWatermark (single MinHash
+  // band as the state key — the streaming counterpart of q43's batch LSH):
+  // batch 1 streams the corpus, batch 2 appends one token to each of docs
+  // 0–49 (J = n/(n+1) near-dups, ids offset 10⁶). A variant whose band
+  // fingerprint collides with its source — P = J^4, most of them — drops;
+  // the emitted count is deterministic (fixed seeds, fixed data). Runtime
+  // behavior → no SQL oracle; StreamDedupSpec pins the semantics.
+  val q70 = Q(
+    "q70_stream_neardup",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+      val batch1 = docs.map { case (id, t) =>
+        (id, new java.sql.Timestamp(base + id * 1000L), t)
+      }
+      val lastTs = base + docs.length * 1000L
+      val batch2 = docs.take(50).map { case (id, t) =>
+        (id + 1000000L, new java.sql.Timestamp(lastTs + id * 1000L), t + " xtra")
+      }
+
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val deduped = graft.streaming.StreamDedup.nearDedupWithinWatermark(
+        stream.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "60 minutes")
+        .select(col("doc_id"), col("fp"))
+
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_q70_ckpt").toString
+      val sinkName = "graft_q70_sink"
+      s.catalog.dropTempView(sinkName)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4") // state-store commits per partition (see q47)
+      try {
+        val query = deduped.writeStream
+          .format("memory").queryName(sinkName).outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try {
+          stream.addData(batch1.toSeq)
+          query.processAllAvailable()
+          stream.addData(batch2.toSeq)
+          query.processAllAvailable()
+        } finally query.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.table(sinkName).orderBy("doc_id")
+    },
+    None)
+
+  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70)
 }

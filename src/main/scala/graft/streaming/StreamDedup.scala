@@ -48,4 +48,43 @@ object StreamDedup {
       keyed.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark("fp")
     else keyed.dropDuplicates("fp")
   }
+
+  /** NEAR-dup fingerprint: a single MinHash band over the distinct tokens —
+    * the xxhash64 of the first `bandRows` minhash values (fixed seeds, so a
+    * pure deterministic function of the token set).
+    *
+    * Streaming keyed dedup can express only ONE key per row, so the batch
+    * LSH's OR-over-bands candidate semantics (a join) is out of reach; a
+    * single band is the bounded-state compromise, with P(collide | J) = J^r:
+    * at r = 4, J = 0.95 docs collide w.p. ≈ 0.81, J = 0.5 w.p. ≈ 0.06 —
+    * near-identical documents dedup, merely-related ones pass. Smaller r
+    * widens the net, larger r tightens it. A document with no tokens falls
+    * back to the exact normalized-content fingerprint.
+    */
+  def nearFingerprint(textCol: String, nHashes: Int = 32,
+                      bandRows: Int = 4): org.apache.spark.sql.Column = {
+    val flat: Seq[Long] = graft.ops.MinHash.params(nHashes)
+      .flatMap { case (a, b) => Seq(a, b) }
+    val toks = array_distinct(split(col(textCol), " +"))
+    val sig = graft.functions.SigExprs.minhashSig(toks, typedLit(flat))
+    coalesce(xxhash64(slice(sig, 1, bandRows)), fingerprint(textCol))
+  }
+
+  /** Drop documents NEAR-duplicating one seen within the watermark horizon:
+    * [[dedupWithinWatermark]]'s semantics with [[nearFingerprint]] as the
+    * state key — the streaming counterpart of the MinHash/LSH batch dedup
+    * (q43), with the same bounded-state argument as the exact form: one
+    * 8-byte band hash per distinct bucket per horizon, so the job runs
+    * forever at 100 TB/day. Batch frames dedup globally on the same key
+    * (batch/stream parity, pinned in StreamDedupSpec).
+    */
+  def nearDedupWithinWatermark(docs: DataFrame, tsCol: String, textCol: String,
+                               horizon: String, nHashes: Int = 32,
+                               bandRows: Int = 4): DataFrame = {
+    graft.functions.SigExprs.register(docs.sparkSession)
+    val keyed = docs.withColumn("fp", nearFingerprint(textCol, nHashes, bandRows))
+    if (docs.isStreaming)
+      keyed.withWatermark(tsCol, horizon).dropDuplicatesWithinWatermark("fp")
+    else keyed.dropDuplicates("fp")
+  }
 }

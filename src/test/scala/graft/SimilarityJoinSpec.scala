@@ -73,6 +73,33 @@ class SimilarityJoinSpec extends SparkSpec {
       "full quotation must score containment 1.0 (Jaccard here would be 2/9)")
   }
 
+  test("decontamination accepts a foreign eval relation: different schema, id type, source") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    // contamination planted ACROSS sources: the eval prompt quotes the first
+    // 12 tokens of a real corpus doc, but lives in a benchmark-shaped
+    // relation (string ids, 'prompt' column) that shares nothing with the
+    // documents schema — and no blocking, because contamination crosses
+    // lang/source boundaries
+    val target = docs.orderBy("doc_id").limit(1).collect()(0)
+    val quoted = target.getAs[String]("text").split(" +").take(12).mkString(" ")
+    val eval = Seq(
+      ("mmlu-00017", s"Q: $quoted"),
+      ("mmlu-00018", "an uncontaminated prompt mentioning nothing from anywhere")
+    ).toDF("eval_id", "prompt")
+      // strip the 'Q:' prefix the way a real decontam pipeline normalizes
+      .withColumn("prompt", regexp_replace(col("prompt"), "^Q: ", ""))
+    val hits = SimilarityJoin.containmentRSGeneral(eval, "eval_id", "prompt",
+        docs, "doc_id", "text", Nil, tau = 0.5).collect()
+    assert(hits.nonEmpty, "planted contamination must be found")
+    // the planted prompt hits its source doc with containment 1.0 (fully quoted)
+    assert(hits.exists(r => r.getString(0) == "mmlu-00017" &&
+      r.getLong(1) == target.getAs[Long]("doc_id") &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-9))
+    // the clean prompt matches nothing
+    assert(!hits.exists(_.getString(0) == "mmlu-00018"))
+  }
+
   test("R-S auto dispatch matches the exact R-S join on this corpus") {
     val docs = Tables.documents(spark, sf0001)
     val queries = docs.filter(col("doc_id") < 10)

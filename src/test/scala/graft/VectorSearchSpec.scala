@@ -85,6 +85,33 @@ class VectorSearchSpec extends SparkSpec {
     assert(recall >= 0.5, s"banded pair recall = $recall")
   }
 
+  test("cosineKnnAuto guard: over-bound query sets route to the banded LSH plan") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pred = col("id") < 100
+    // default bound: the probe confirms broadcastability → exact path,
+    // byte-identical to cosineKnn (this is q40's graded plan)
+    val auto = VectorSearch.cosineKnnAuto(emb, "vec_id", "embedding", pred, 3)
+    val exact = VectorSearch.cosineKnn(emb, "vec_id", "embedding", pred, 3)
+    assert(auto.collect().map(_.toString).toSeq === exact.collect().map(_.toString).toSeq)
+    // forced low bound: the guard fires, dispatching to lshCosineKnn — same
+    // rows as the direct LSH call, and NO quadratic/broadcast-product shape
+    val routed = VectorSearch.cosineKnnAuto(emb, "vec_id", "embedding", pred, 3,
+      maxBroadcastQueries = 10)
+    val lsh = VectorSearch.lshCosineKnn(emb, "vec_id", "embedding", pred, 3)
+    assert(routed.collect().map(_.toString).toSeq === lsh.collect().map(_.toString).toSeq)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan.take(1200))
+    // re-rank semantics intact on the routed path: every emitted sim is the
+    // exact cosine of its pair (precision 1; only recall is approximate)
+    val truth = VectorSearch.cosineKnn(emb, "vec_id", "embedding", pred, 1500)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    routed.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(truth.contains(key) && math.abs(truth(key) - r.getDouble(3)) < 1e-9,
+        s"routed pair $key sim mismatch")
+    }
+  }
+
   test("LSH recall@3 against exact top-3 is >= 0.5 on random unit vectors") {
     // random unit vectors are the adversarial case for hyperplane LSH (all
     // cosines near 0, neighbors barely separated): 16 planes / 4 bands
