@@ -24,6 +24,14 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   val Runs = 3
+  /** The slowest queries dominate both the total and its run-to-run spread
+    * (BASELINE.md r6: two identical-code totals ranged 27.8–33.0 s, almost
+    * entirely from the top of the cost table), so they get extra timing
+    * runs: min-of-5 where everything else is min-of-3 — ~10% more bench
+    * wall-clock for most of the variance reduction of a global Runs bump.
+    */
+  val NSlowest = 5
+  val ExtraRunsSlowest = 2
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,24 +56,35 @@ object Bench {
       .foreach(t => Tables.load(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
     var failed = 0
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Runs).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            None
-        }
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          None
       }
+    }
+    val queryFns = SparkEntry.queries
+    val firstPass = queryFns.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to Runs).flatMap(_ => timeOnce(name, fn))
       // `failed` counts QUERIES with zero successful runs (rounds 1–5
       // semantics), not failed runs; a query that failed every run still
       // contributes a (large) penalty time so the total can't improve by
       // crashing
       if (times.isEmpty) failed += 1
       name -> (if (times.nonEmpty) times.min else 999.0)
+    }
+    // refine the slowest queries with extra runs (min across all runs)
+    val slowest = firstPass.filter(_._2 < 999.0).sortBy(-_._2).take(NSlowest).map(_._1).toSet
+    val results = firstPass.map { case (name, t) =>
+      if (slowest(name)) {
+        val extra = (1 to ExtraRunsSlowest).flatMap(_ => timeOnce(name, queryFns(name)))
+        name -> (t +: extra).min
+      } else name -> t
     }
     // 4-decimal seconds: keeps the 70-query JSON line ~1.6 KB so it fits the
     // driver's fixed tail-capture window (r6's full-precision 68-query line
@@ -76,7 +95,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest}}"""
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // the JSON line is the very LAST stdout before shutdown so the driver's

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the dedup-CLUSTER
+  * primitive: near-dup similarity pairs are edges, and keep-one-per-cluster
+  * dedup needs the transitive closure (a chain a–b–c is ONE duplicate
+  * group even though (a, c) was never emitted as a pair).
+  *
+  * Algorithm: iterative min-label propagation. Every node starts labeled
+  * with its own id; each round takes the min of its own and its neighbors'
+  * labels; convergence in O(component diameter) rounds. Dedup clusters are
+  * shallow (near-dup graphs are dense cliques-of-cliques, diameter is
+  * almost always < 10), so the simple propagation beats the
+  * alternating-star optimizations (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC 2014) in round count for this workload
+  * while staying two shuffles per round (join + min-agg).
+  *
+  * Scale notes:
+  *  - each round is an equi-join of the edge list against the label
+  *    relation plus a partial+final min aggregation — no driver data path.
+  *  - `localCheckpoint` truncates plan lineage per round; without it the
+  *    logical plan doubles every iteration and Catalyst re-analysis, not
+  *    the shuffle, becomes the bottleneck (the standard iterative-DataFrame
+  *    pattern).
+  *  - convergence is probed with a bounded `isEmpty` (limit-1 scan) on the
+  *    changed-label set — a scalar per round, same protocol as every other
+  *    bounded probe in this library.
+  */
+object GraphOps {
+
+  /** Label each node of the undirected graph `edges` with the MINIMUM node
+    * id reachable from it. Output: (`srcCol` → node id, `cluster_id`), one
+    * row per distinct endpoint, totally ordered by node id.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    // materialize the (typically expensive) edge relation ONCE — without
+    // this every round's join would recompute the upstream plan (for the
+    // dedup use case, the whole similarity join) from the scan
+    val und = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    var labels = und.select(col("u")).distinct()
+      .withColumn("lbl", col("u")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = und.join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy("u").agg(min(col("vlbl")).as("nlbl"))
+      // the convergence check rides on the SAME materialized round result
+      // (old label carried as a column) — no second join, no extra shuffle
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      labels = next.select("u", "lbl")
+      i += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds " +
+      "— component diameter exceeds the cap; raise maxIter")
+    labels.select(col("u").as(srcCol), col("lbl").as("cluster_id"))
+      .orderBy(srcCol)
+  }
+}

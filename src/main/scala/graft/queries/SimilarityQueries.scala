@@ -256,5 +256,46 @@ object SimilarityQueries {
             WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
             ORDER BY a_key, b_key"""))
 
-  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67)
+  /** q71 (added r7) — dedup CLUSTERS: connected components over the q36
+    * near-dup pair graph ([[graft.ops.GraphOps.connectedComponents]],
+    * iterative min-label propagation). Keep-one-per-cluster dedup needs the
+    * transitive closure — a chain a–b–c is ONE duplicate group even though
+    * (a, c) was never emitted as a pair (q41's pair-level anti-join can't
+    * see that). Output: (doc_id, cluster_id = min reachable doc id) for
+    * every doc in ≥1 pair; oracle = the same closure via DuckDB's
+    * recursive CTE.
+    */
+  val q71 = Q(
+    "q71_dedup_clusters",
+    (s, d) => {
+      val pairs = SimilarityJoin.jaccardSelf(
+        Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.8)
+      graft.ops.GraphOps.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("a_id", "doc_id")
+    },
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(text, ' +')) AS toks
+        FROM documents
+      ),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+      ),
+      und AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT und.u, r.v FROM und JOIN reach r ON und.v = r.u
+      )
+      SELECT u AS doc_id, min(v) AS cluster_id
+      FROM reach GROUP BY u ORDER BY doc_id
+    """.stripMargin.trim))
+
+  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71)
 }

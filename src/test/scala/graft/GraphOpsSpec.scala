@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+class GraphOpsSpec extends SparkSpec {
+
+  test("connected components: handcrafted graph resolves to per-component min labels") {
+    import spark.implicits._
+    // components: {1,2,3,4} (a triangle plus a pendant), {10,11}, and a
+    // 2-hop chain {20,21,22} where (20,22) is never an edge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L), (20L, 21L), (21L, 22L)).toDF("a_id", "b_id")
+    val out = GraphOps.connectedComponents(edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("long chain converges (diameter-bound rounds) and over-cap fails loudly") {
+    import spark.implicits._
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = GraphOps.connectedComponents(chain, "a_id", "b_id", maxIter = 40)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === 30 && out.forall(_._2 === 0L))
+    // a 30-node path has diameter 29 > the default 20-round cap — the
+    // operator must refuse rather than return a partial labeling
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.connectedComponents(chain, "a_id", "b_id", maxIter = 5).collect()
+    }
+    assert(ex.getMessage.contains("converge"))
+  }
+
+  test("q71: cluster ids are component minima consistent with the q36 pair graph") {
+    val pairs = SparkEntry.queries("q36_jaccard_self_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = SparkEntry.queries("q71_dedup_clusters")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.nonEmpty)
+    // every pair endpoint is labeled, both endpoints agree, label <= id
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+      assert(clusters(a) <= a)
+    }
+    // every cluster id is itself a member labeled with itself (the root)
+    clusters.values.toSet.foreach { c: Long => assert(clusters(c) === c) }
+    // membership is exactly the pair-graph node set
+    assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
+  }
+}
