@@ -230,5 +230,45 @@ object PipelineQueries {
       .orderBy("l_returnflag"),
     None)
 
-  def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58)
+  /** q72 (added r7) — deterministic stratified sampling
+    * ([[graft.ops.Sampling.stratifiedByHash]]): per-lang target fractions
+    * applied as a pure content-hash predicate — the mixture-control
+    * primitive (resample a 100 TB corpus to a target language distribution
+    * with ONE codegen'd filter: no shuffle, no state, reproducible under
+    * any partitioning). Output: kept count per lang. No SQL oracle —
+    * membership is decided by Spark's xxhash64, which DuckDB lacks;
+    * determinism, fraction concentration, and repartition invariance are
+    * pinned in SamplingSpec.
+    */
+  val q72 = Q(
+    "q72_sample_stratified",
+    (s, d) => graft.ops.Sampling.stratifiedByHash(
+        Tables.documents(s, d), "lang",
+        Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25), defaultFraction = 0.1,
+        idCols = Seq("doc_id"), salt = 7L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang"),
+    None)
+
+  /** q73 (added r7) — corpus-slice overlap matrix
+    * ([[graft.ops.MinHash.groupSimilarity]]): MinHash-estimated Jaccard
+    * between per-lang token UNIONS — the dataset-overlap /
+    * cross-source-contamination dashboard view. Slice signatures are
+    * element-wise mins of the per-doc signatures (distributed), the pair
+    * join runs on the tiny slices×hashes relation. Estimates are
+    * deterministic (fixed seeds) but engine-hash-based → no SQL oracle;
+    * MinHashSpec pins the estimator, PipelineSpec pins this query's shape.
+    * On THIS corpus's shared 31-word vocabulary every slice pair overlaps
+    * near-totally — the honest output, and exactly what the operator is
+    * for: detecting that slices are NOT distinct.
+    */
+  val q73 = Q(
+    "q73_source_overlap",
+    (s, d) => graft.ops.MinHash.groupSimilarity(
+      Tables.documents(s, d), Seq("lang"), "text"),
+    None)
+
+  def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
+    q72, q73)
 }

@@ -297,5 +297,46 @@ object SimilarityQueries {
       FROM reach GROUP BY u ORDER BY doc_id
     """.stripMargin.trim))
 
-  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71)
+  /** q75 (added r7) — TF-IDF weighted cosine document similarity
+    * ([[graft.ops.TfIdf.cosineRS]]): docs 0–9 against the corpus, top-5
+    * each. The weighted upgrade of the q37 token-set join — common tokens
+    * contribute ~nothing (idf ≈ ln 1), so ranking is driven by rare shared
+    * vocabulary. Weights/norms/dots/cosine each ROUND(,6) (the
+    * round-terms-then-round-sums protocol) so engine summation order can't
+    * move the compared value.
+    */
+  val q75 = Q(
+    "q75_tfidf_cosine",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.ops.TfIdf.cosineRS(docs.filter(col("doc_id") < 10), "doc_id", "text",
+        docs, "doc_id", "text", k = 5)
+    },
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok FROM documents),
+      tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+      dfr AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY 1),
+      nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+      w AS (
+        SELECT doc_id, tok, ROUND(tf * (ln(n_docs / df) + 1.0), 6) AS w
+        FROM tf JOIN dfr USING (tok) CROSS JOIN nd),
+      norms AS (SELECT doc_id, ROUND(sum(w * w), 6) AS n2 FROM w GROUP BY 1),
+      q AS (SELECT doc_id AS q_id, tok, w AS qw FROM w WHERE doc_id < 10),
+      qn AS (SELECT doc_id AS q_id, n2 AS qn2 FROM norms WHERE doc_id < 10),
+      dots AS (
+        SELECT q.q_id, w.doc_id AS d_id, ROUND(sum(q.qw * w.w), 6) AS dot
+        FROM q JOIN w USING (tok) GROUP BY 1, 2)
+      SELECT q_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY ROUND(dot / sqrt(qn2 * n2), 6) DESC, d_id) AS rnk,
+             d_id,
+             ROUND(dot / sqrt(qn2 * n2), 6) AS sim
+      FROM dots JOIN norms ON dots.d_id = norms.doc_id JOIN qn USING (q_id)
+      WHERE q_id <> d_id
+      QUALIFY rnk <= 5
+      ORDER BY q_id, rnk
+    """.stripMargin.trim))
+
+  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75)
 }

@@ -254,5 +254,36 @@ object StreamingQueries {
     },
     None)
 
-  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70)
+  // ---- 74. typed stateful sessionization, batch-graded (added r7) ----------
+  // graft.streaming.Sessionize.sessionCounts — flatMapGroupsWithState with a
+  // per-user SessionState — executed on the BATCH events table, where the
+  // typed state fold must reproduce the gaps-and-islands SQL exactly: per
+  // user, n_sessions = count of >30-min gaps + 1, n_events = count. That
+  // gives the custom-state operator a full DuckDB oracle; its STREAMING
+  // runtime (state carried across micro-batches, update-mode emission) is
+  // pinned separately in StatefulStreamingSpec.
+  val q74 = Q(
+    "q74_stateful_sessionize",
+    (s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"), col("user_id"))
+        .as[graft.streaming.Sessionize.UserEvent]
+      graft.streaming.Sessionize.sessionCounts(ev, 30).toDF()
+        .orderBy("user_id")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, ts::TIMESTAMP AS t,
+                     lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+                                              ORDER BY ts::TIMESTAMP, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT user_id,
+                     CASE WHEN prev IS NULL OR epoch_us(t) - epoch_us(prev) > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM e)
+            SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*) AS n_events
+            FROM s GROUP BY user_id ORDER BY user_id"""))
+
+  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74)
 }

@@ -38,6 +38,34 @@ class Bm25Spec extends SparkSpec {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("q75 tf-idf cosine: dense ranks, sims in (0,1], rare-vocabulary ranking sane") {
+    val out = SparkEntry.queries("q75_tfidf_cosine")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byQuery = out.groupBy(_.getLong(0))
+    assert(byQuery.size === 10)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.map(_.getInt(1)).toSeq === (1 to rows.length), s"q$qid ranks")
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq
+      assert(sims === sims.sorted.reverse, s"q$qid sims not descending")
+      assert(sims.forall(s => s > 0.0 && s <= 1.0 + 1e-9))
+    }
+    // NOTE: token-SET near-dups (q36) need not top the tf-weighted cosine
+    // on this 31-word shared vocabulary — idf is nearly flat, so ranking is
+    // driven by tf PROFILES; the oracle hash-match grades the values, this
+    // spec pins shape + stability
+    val again = SparkEntry.queries("q75_tfidf_cosine")(spark, sf0001).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+
+  test("tfidf broadcast dispatch: forced-shuffle plan equals forced-broadcast plan") {
+    val docs = Tables.documents(spark, sf0001)
+    val queries = docs.filter(col("doc_id") < 10)
+    def run(bc: Boolean) = graft.ops.TfIdf.cosineRS(queries, "doc_id", "text",
+        docs, "doc_id", "text", k = 5, queriesBroadcast = Some(bc))
+      .collect().map(_.toString).toSeq
+    assert(run(true) === run(false))
+  }
+
   test("broadcast dispatch: forced-shuffle plan equals forced-broadcast plan") {
     val docs = Tables.documents(spark, sf0001)
     val queries = docs.filter(col("doc_id") < 5)

@@ -70,6 +70,17 @@ class MinHashSpec extends SparkSpec {
     }
   }
 
+  test("q73: slice-overlap matrix is one ordered row per unordered lang pair, run-stable") {
+    val out1 = SparkEntry.queries("q73_source_overlap")(spark, sf0001).collect()
+    assert(out1.length === 10, "5 langs -> 10 unordered pairs")
+    assert(out1.forall(r => r.getString(0) < r.getString(1)))
+    assert(out1.forall { r => val e = r.getDouble(2); e >= 0.0 && e <= 1.0 })
+    val keys = out1.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys === keys.sorted)
+    val out2 = SparkEntry.queries("q73_source_overlap")(spark, sf0001).collect()
+    assert(out1.map(_.toString).toSeq === out2.map(_.toString).toSeq)
+  }
+
   test("signatures are deterministic: two plans give identical sigs") {
     val a = MinHash.signatures(Tables.documents(spark, sf0001), "doc_id", "text")
       .select("id", "sig").collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
