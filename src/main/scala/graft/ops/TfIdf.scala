@@ -41,7 +41,8 @@ object TfIdf {
   def cosineRS(queries: DataFrame, qIdCol: String, qTextCol: String,
                docs: DataFrame, idCol: String, textCol: String,
                k: Int,
-               queriesBroadcast: Option[Boolean] = None): DataFrame = {
+               queriesBroadcast: Option[Boolean] = None,
+               vocabBroadcast: Option[Boolean] = None): DataFrame = {
     val qSmall = queriesBroadcast.getOrElse(
       queries.limit((MaxBroadcastQueries + 1).toInt).count() <= MaxBroadcastQueries)
     def maybeBroadcast(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
@@ -52,9 +53,15 @@ object TfIdf {
     val dfr = toks.select("doc_id", "tok").distinct()
       .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
     val nDocs = docs.select(count(lit(1)).cast("double").as("n_docs"))
+    // the vocabulary relation broadcasts only while provably bounded —
+    // probed ONCE here, shared by both weight joins (freqJoined protocol)
+    val vocabSmall = vocabBroadcast.getOrElse(
+      dfr.limit((SimilarityJoin.MaxBroadcastVocab + 1).toInt).count() <=
+        SimilarityJoin.MaxBroadcastVocab)
 
     // corpus tf-idf vectors: weight per (doc, token), norm² per doc
-    val w = tf.join(dfr, "tok").crossJoin(broadcast(nDocs))
+    val w = SimilarityJoin.freqJoined(tf, dfr, "tok", Some(vocabSmall))
+      .crossJoin(broadcast(nDocs))
       .withColumn("w", Det.round6(col("tf") * (log(col("n_docs") / col("df")) + 1.0)))
       .select("doc_id", "tok", "w")
     val norms = w.groupBy("doc_id").agg(Det.round6(sum(col("w") * col("w"))).as("n2"))
@@ -64,7 +71,8 @@ object TfIdf {
     val qToks = queries.select(col(qIdCol).as("q_id"),
       explode(split(col(qTextCol), " +")).as("tok"))
     val qTf = qToks.groupBy("q_id", "tok").agg(count(lit(1)).cast("double").as("qtf"))
-    val qW = qTf.join(dfr, "tok").crossJoin(broadcast(nDocs))
+    val qW = SimilarityJoin.freqJoined(qTf, dfr, "tok", Some(vocabSmall))
+      .crossJoin(broadcast(nDocs))
       .withColumn("qw", Det.round6(col("qtf") * (log(col("n_docs") / col("df")) + 1.0)))
       .select("q_id", "tok", "qw")
     val qNorms = qW.groupBy("q_id").agg(Det.round6(sum(col("qw") * col("qw"))).as("qn2"))
