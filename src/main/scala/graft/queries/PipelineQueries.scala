@@ -269,6 +269,29 @@ object PipelineQueries {
       Tables.documents(s, d), Seq("lang"), "text"),
     None)
 
+  /** q78 (added r7) — mergeable QUANTILE sketch: `percentile_approx`
+    * (Greenwald-Khanna summaries) per returnflag at accuracy 10⁴ — the
+    * sketch sibling of q58's HLL and the 100 TB answer when q62's exact
+    * sort-based percentile is too expensive: fixed-size per-partition
+    * state, one merge, no full sort. Sketch internals are engine-specific
+    * → no SQL oracle; PipelineSpec pins the relative error against q62's
+    * exact values.
+    */
+  val q78 = Q(
+    "q78_approx_quantiles",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .cast("double").as("ap50"),
+        percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+          .cast("double").as("ap90"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .cast("double").as("ap99"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    None)
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73)
+    q72, q73, q78)
 }

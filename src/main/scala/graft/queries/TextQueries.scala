@@ -266,5 +266,58 @@ object TextQueries {
             QUALIFY rnk <= 10
             ORDER BY q_id, rnk"""))
 
-  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69)
+  /** q76 (added r7) — corpus phrase statistics: top-50 word BIGRAMS by
+    * occurrence count (with multiplicity — phrase mining wants frequencies,
+    * not the per-doc sets the shingle joins use). One explode → one
+    * count aggregation → TakeOrderedAndProject; ties at the cut are
+    * impossible to mis-order because the sort key is (cnt DESC, bigram).
+    * Docs with <2 tokens contribute nothing (Spark's `sequence(1, 0)` runs
+    * DESCENDING where DuckDB's `generate_series` returns empty — the q39
+    * guard pattern).
+    */
+  val q76 = Q(
+    "q76_bigram_counts",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " +"))
+      .withColumn("bigrams",
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(1, size(toks) - 1), " +
+            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
+          .otherwise(array().cast("array<string>")))
+      .select(explode(col("bigrams")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50),
+    Some("""WITH t AS (
+              SELECT regexp_split_to_array(text, ' +') AS toks FROM documents),
+            b AS (
+              SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+              FROM t)
+            SELECT bigram, count(*) AS cnt FROM b
+            GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50"""))
+
+  /** q77 (added r7) — PII-style masking: identifier digits in `c_name`
+    * ("Customer#000000042") replaced with '#', plus the redaction count —
+    * the cleanup transform every training-data pipeline runs before
+    * publication. Pure per-row codegen'd regex (both engines replace
+    * globally; DuckDB needs the explicit 'g' flag).
+    */
+  val q77 = Q(
+    "q77_redact_pii",
+    (s, d) => Tables.customer(s, d)
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked_name"),
+        (length(col("c_name")) -
+          length(regexp_replace(col("c_name"), "[0-9]", ""))).as("n_redacted"))
+      .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+                   regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+                   length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_redacted
+            FROM customer ORDER BY c_custkey"""))
+
+  def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
+    q76, q77)
 }

@@ -107,6 +107,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles stay within 1% relative error of exact per group") {
+    val approx = SparkEntry.queries("q78_approx_quantiles")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Tables.lineitem(spark, sf001)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99"))
+      .collect().map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (flag, es) =>
+      approx(flag).zip(es).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(math.abs(a - e) / e <= 0.01,
+          s"$flag p${Seq(50, 90, 99)(i)}: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("fingerprint is deterministic and collision-free on this corpus") {
     val fp1 = SparkEntry.queries("q53_doc_fingerprint")(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
