@@ -78,6 +78,24 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("q69/q75 retrieval: rank pushdown fires, only 1-row stats cross-joins (r7)") {
+    for (name <- Seq("q69_bm25_rs", "q75_tfidf_cosine")) {
+      val p = plan(name)
+      // top-k via row_number <= k must plan the WindowGroupLimit pushdown —
+      // without it every (query, doc) candidate sorts through a full window
+      assert(p.contains("WindowGroupLimit"), s"$name: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+      // the only nested-loop joins are the declared 1-row stats attaches
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(1500)}")
+    }
+  }
+
+  test("q77 masking is a pure per-row projection: no exchange before the sort (r7)") {
+    val p = plan("q77_redact_pii")
+    // one global sort for the ORDER BY is the ONLY exchange in the plan
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(1500))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
