@@ -42,8 +42,12 @@ object GraphOps {
     val und = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
       .localCheckpoint(true)
-    var labels = und.select(col("u")).distinct()
-      .withColumn("lbl", col("u")).localCheckpoint(true)
+    // seed with the 1-HOP minimum (min over self and direct neighbors) —
+    // one aggregation on the already-materialized edge list, no join: the
+    // first propagation round comes free, and a diameter-1 clique (the
+    // dominant dedup-cluster shape) then converges in a single loop round
+    var labels = und.groupBy("u")
+      .agg(least(col("u"), min(col("v"))).as("lbl")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -318,6 +318,40 @@ object TextQueries {
                    length(c_name) - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS n_redacted
             FROM customer ORDER BY c_custkey"""))
 
+  /** q79 (added r7) — source/sink fidelity, graded: the documents table
+    * chained through THREE interchange round-trips (parquet → CSV → ORC →
+    * JSONL, each schema-on-read per [[graft.sources.Formats]]'s
+    * conventions), then aggregated per lang with a content checksum
+    * (`sum(length(text))`). The oracle reads the ORIGINAL parquet — any
+    * quoting, encoding, type-widening, or row-loss anywhere in the chain
+    * breaks the hash match. Aggregation is row-order-independent, so the
+    * file-per-partition layout stays deterministic.
+    */
+  val q79 = Q(
+    "q79_format_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q79").toString
+      graft.sources.Formats.writeCsv(docs, s"$tmp/csv")
+      val viaCsv = graft.sources.Formats.readCsv(s, s"$tmp/csv", docs.schema)
+      graft.sources.Formats.writeOrc(viaCsv, s"$tmp/orc")
+      val viaOrc = graft.sources.Formats.readOrc(s, s"$tmp/orc")
+      graft.sources.Formats.writeJsonLines(viaOrc, s"$tmp/jsonl")
+      graft.sources.Formats.readJsonLines(s, s"$tmp/jsonl", docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   sum(length(text))::BIGINT AS sum_text_len,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77)
+    q76, q77, q79)
 }
