@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{Det, Tables}
 import graft.ops.{Multimodal, SimHash, VectorSearch}
 
@@ -292,6 +293,78 @@ object PipelineQueries {
       .orderBy("l_returnflag"),
     None)
 
+  /** q80 (added r7) — document CHUNKING: overlapping token windows (size 8,
+    * stride 6) per document — the standard long-document preprocessing step
+    * before embedding/training. One generator expression per row
+    * (`posexplode` over the chunk count), no shuffle until the output sort;
+    * chunk boundaries are pure arithmetic on token positions, so the DuckDB
+    * oracle reproduces them exactly.
+    */
+  val q80 = Q(
+    "q80_chunk_documents",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " +"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") <= 8, lit(1L))
+          .otherwise(ceil((col("n") - 8).cast("double") / 6.0).cast("long") + 1L))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .withColumn("chunk",
+        slice(col("toks"), (col("chunk_id") * 6 + 1).cast("int"), lit(8)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).as("n_tok"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id"),
+    Some("""WITH t AS (
+              SELECT doc_id, regexp_split_to_array(text, ' +') AS toks,
+                     len(regexp_split_to_array(text, ' +')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                       CASE WHEN n <= 8 THEN 0
+                            ELSE ceil((n - 8) / 6.0)::BIGINT END)) AS chunk_id
+              FROM t)
+            SELECT doc_id, chunk_id,
+                   len(toks[(chunk_id * 6 + 1):(chunk_id * 6 + 8)]) AS n_tok,
+                   array_to_string(toks[(chunk_id * 6 + 1):(chunk_id * 6 + 8)], ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id"""))
+
+  /** q81 (added r7) — SEQUENCE PACKING: group documents into fixed
+    * token-budget packs (64 tokens) per lang — the training-batch
+    * construction step. Deterministic start-offset bucketing: a doc joins
+    * the pack where its cumulative-token START falls
+    * (`floor((cumsum − n_tok) / budget)`) — the standard streaming
+    * approximation (packs can overflow by at most one doc's tokens, never
+    * undershoot); one window + one aggregation, both partitioned by lang.
+    */
+  val q81 = Q(
+    "q81_sequence_packing",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " +")).cast("long"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("pack_id", floor((col("cum") - col("n_tok")).cast("double") / 64.0).cast("long"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+    Some("""WITH t AS (
+              SELECT lang, doc_id,
+                     len(regexp_split_to_array(text, ' +'))::BIGINT AS n_tok
+              FROM documents),
+            c AS (
+              SELECT lang, n_tok,
+                     sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+            SELECT lang, floor((cum - n_tok) / 64.0)::BIGINT AS pack_id,
+                   count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tokens
+            FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73, q78)
+    q72, q73, q78, q80, q81)
 }
