@@ -166,6 +166,32 @@ class PropertiesSpec extends SparkSpec {
     assert(got === Seq(1L, 3L))
   }
 
+  test("degenerate inputs: every operator family returns empty, never throws (r7)") {
+    import spark.implicits._
+    import graft.ops._
+    val emptyDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "blk")
+    val oneDoc = Seq((1L, "alpha beta gamma", "x")).toDF("doc_id", "text", "blk")
+    // similarity joins on empty / single-row inputs
+    assert(SimilarityJoin.jaccardSelf(emptyDocs, "doc_id", "text", Seq("blk"), 0.5).isEmpty)
+    assert(SimilarityJoin.jaccardSelf(oneDoc, "doc_id", "text", Seq("blk"), 0.5).isEmpty)
+    assert(SimilarityJoin.jaccardSelfPrefix(emptyDocs, "doc_id", "text", Seq("blk"), 0.5).isEmpty)
+    assert(SimilarityJoin.jaccardRS(emptyDocs, oneDoc, "doc_id", "text", Seq("blk"), 0.5).isEmpty)
+    // containment: queries whose every doc is too short for a 3-gram
+    val short = Seq((9L, "just two", "x")).toDF("doc_id", "text", "blk")
+    assert(SimilarityJoin.containmentRS(short, oneDoc, "doc_id", "text", Nil, 0.5).isEmpty)
+    // graph: empty edge list converges to an empty labeling
+    val noEdges = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(GraphOps.connectedComponents(noEdges, "a_id", "b_id").isEmpty)
+    // retrieval: query vocabulary absent from the corpus scores nothing
+    val alien = Seq((1L, "zz yy xx")).toDF("q_id", "text")
+    assert(Bm25.scoreRS(alien, "q_id", "text", oneDoc, "doc_id", "text", 5).isEmpty)
+    assert(TfIdf.cosineRS(alien, "q_id", "text", oneDoc, "doc_id", "text", 5).isEmpty)
+    // vector search: empty query predicate
+    val emb = Tables.embeddings(spark, sf0001)
+    assert(VectorSearch.cosineKnn(emb, "vec_id", "embedding",
+      org.apache.spark.sql.functions.col("id") < 0, 3).isEmpty)
+  }
+
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
