@@ -271,22 +271,27 @@ object TextQueries {
     * not the per-doc sets the shingle joins use). One explode → one
     * count aggregation → TakeOrderedAndProject; ties at the cut are
     * impossible to mis-order because the sort key is (cnt DESC, bigram).
-    * Docs with <2 tokens contribute nothing (Spark's `sequence(1, 0)` runs
-    * DESCENDING where DuckDB's `generate_series` returns empty — the q39
-    * guard pattern).
+    *
+    * Bigrams are built with codegen-NATIVE `arrays_zip` over the token
+    * array and its 1-shifted slice — the `transform(sequence…)` HOF form
+    * ran an interpreted lambda per bigram and measured 10.6 s at sf0.1
+    * (the repo's standing lesson: HOF lambdas don't codegen); this form is
+    * sub-second. The string concat happens AFTER the count aggregation, on
+    * the few-hundred-row distinct-bigram relation, so the shuffle carries
+    * a 2-field struct either way. A <2-token doc yields an empty zip and
+    * contributes nothing.
     */
   val q76 = Q(
     "q76_bigram_counts",
     (s, d) => Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " +"))
-      .withColumn("bigrams",
-        when(size(col("toks")) >= 2,
-          expr("transform(sequence(1, size(toks) - 1), " +
-            "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"))
-          .otherwise(array().cast("array<string>")))
-      .select(explode(col("bigrams")).as("bigram"))
-      .groupBy("bigram")
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("pr"))
+      .groupBy("pr")
       .agg(count(lit(1)).as("cnt"))
+      .select(concat_ws(" ", col("pr").getField("0"), col("pr").getField("1")).as("bigram"),
+        col("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(50),
     Some("""WITH t AS (
