@@ -374,6 +374,42 @@ object PipelineQueries {
                    count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tokens
             FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"""))
 
+  /** q85 (added r7) — corpus MIXTURE report: per (lang, source) document
+    * and token counts plus each slice's share of the total token budget —
+    * the data-mixture planning table every pretraining run starts from
+    * (and the denominator q72's stratified fractions are chosen against).
+    * Token counts come from `size(split(…))` — a per-row codegen'd scalar,
+    * no explode — so the whole query is one partial+final aggregation on
+    * (lang, source). The corpus total rides in as a 1-row broadcast
+    * crossJoin (the q68 pattern), NOT an unpartitioned window: an empty
+    * `Window.partitionBy()` funnels every group through ONE task, which is
+    * exactly the serialization a 100 TB mixture report cannot afford.
+    * Share is ROUND(,6) per the determinism protocol.
+    */
+  val q85 = Q(
+    "q85_mixture_report",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " +")).cast("long").as("n"))
+      val tot = t.agg(sum(col("n")).cast("double").as("tot"))
+      t.groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") / col("tot"), 6).as("tok_share"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH t AS (
+              SELECT lang, source,
+                     len(regexp_split_to_array(text, ' +'))::BIGINT AS n
+              FROM documents),
+            tot AS (SELECT sum(n)::DOUBLE AS tot FROM t)
+            SELECT lang, source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
+                   ROUND(sum(n) / any_value(tot), 6) AS tok_share
+            FROM t CROSS JOIN tot GROUP BY lang, source
+            ORDER BY lang, source"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73, q78, q80, q81)
+    q72, q73, q78, q80, q81, q85)
 }
