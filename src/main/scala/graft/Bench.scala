@@ -86,21 +86,40 @@ object Bench {
         name -> (t +: extra).min
       } else name -> t
     }
-    // 4-decimal seconds: keeps the 70-query JSON line ~1.6 KB so it fits the
-    // driver's fixed tail-capture window (r6's full-precision 68-query line
-    // overflowed it → BENCH_r06 "parsed": null); 0.1 ms granularity is far
-    // below run-to-run noise, nothing graded is lost
-    def fmt(v: Double): String = f"$v%.4f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // 4-decimal seconds, Locale.ROOT-pinned ('.' decimal separator even
+    // under comma-decimal default locales — f"" interpolation is
+    // locale-sensitive); 0.1 ms granularity is far below run-to-run noise
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line =
+    def queryJson(keyOf: String => String): String =
+      results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    def lineWith(qs: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest}}"""
-    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    // The driver captures only the LAST ~2,000 chars of stdout and sbt's
+    // trailing "[success] Total time…" line eats ~85 of them, so the stdout
+    // line must stay ≤ ~1,900 bytes. Full query names at 82+ queries blew
+    // that twice (BENCH_r06/r07 "parsed": null, line start cut mid-JSON).
+    // Fix: the stdout line keys each query by its unique qNN prefix
+    // ("q01":0.2654 ≈ 13 B/query → ~1.2 KB at 82 queries, headroom to ~140);
+    // bench_out.json keeps the full-name map for human/BASELINE use.
+    def shortKey(name: String): String = {
+      val cut = name.indexOf('_')
+      if (cut > 0) name.substring(0, cut) else name
+    }
+    val shortKeys = results.map { case (k, _) => shortKey(k) }
+    // fall back to full names if prefixes ever collide — a mis-keyed bench
+    // is worse than an unparsed one
+    val useShort = shortKeys.distinct.size == shortKeys.size
+    val stdoutLine = lineWith(queryJson(if (useShort) shortKey else identity))
+    val fileLine = lineWith(queryJson(identity))
+    try Files.writeString(Paths.get("bench_out.json"), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    if (stdoutLine.length > 1900)
+      System.err.println(s"[bench] WARNING stdout line ${stdoutLine.length} B exceeds the 1,900 B driver budget")
     // the JSON line is the very LAST stdout before shutdown so the driver's
     // tail capture starts at (or after) its first byte, never mid-line
-    println(line)
+    println(stdoutLine)
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Free the block-manager storage behind a `localCheckpoint(true)`-backed
+    * relation once the NEXT round is materialized — without this every
+    * round's label relation stays cached and storage grows linearly with
+    * rounds (up to maxIter copies). Safe only because nothing references
+    * the previous round after its successor is eagerly checkpointed (a
+    * local checkpoint is unrecomputable once unpersisted).
+    */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Label each node of the undirected graph `edges` with the MINIMUM node
     * id reachable from it. Output: (`srcCol` → node id, `cluster_id`), one
     * row per distinct endpoint, totally ordered by node id.
@@ -55,12 +68,17 @@ object GraphOps {
         .groupBy("u").agg(min(col("vlbl")).as("nlbl"))
       // the convergence check rides on the SAME materialized round result
       // (old label carried as a column) — no second join, no extra shuffle
+      val prev = labels
       val next = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
         .localCheckpoint(true)
       converged = next.filter(col("lbl") =!= col("old")).isEmpty
       labels = next.select("u", "lbl")
+      // `next` is eagerly materialized above, so round i−1's checkpoint
+      // blocks can be dropped now (only the newest label relation — and
+      // `und` — stay cached; the last one is the caller's result)
+      unpersistLocalCheckpoint(prev)
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +

@@ -30,7 +30,20 @@ class StatefulStreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
 
     val rows = eventRows
-    val (b1, b2) = rows.splitAt(rows.length / 2) // event-time ordered batches
+    // the cross-batch state handoff is the part the batch grade cannot
+    // see: split the event-time-ordered stream BETWEEN two consecutive
+    // events of one user that belong to the same 30-min session, so at
+    // least one session genuinely spans the micro-batch boundary and the
+    // equality below exercises the state carry-over (a blind half-split
+    // gave no spanning session on this data)
+    val gapUs = 30L * 60L * 1000000L
+    val boundaryEvent = rows.groupBy(_.user_id).valuesIterator.flatMap { es =>
+      es.sliding(2).collectFirst { case Array(a, b) if b.ts_us - a.ts_us <= gapUs => b }
+    }.toSeq.headOption
+    assert(boundaryEvent.nonEmpty,
+      "no user has two consecutive events within one session — data cannot test cross-batch state")
+    val (b1, b2) = rows.splitAt(rows.indexWhere(_.event_id == boundaryEvent.get.event_id))
+    assert(b1.nonEmpty && b2.nonEmpty)
     val stream = MemoryStream[UserEvent]
     val q = Sessionize.sessionCounts(stream.toDS(), 30).writeStream
       .format("memory").queryName("sess_state").outputMode("update").start()
@@ -47,6 +60,63 @@ class StatefulStreamingSpec extends SparkSpec {
       .filter(col("rn") === 1).drop("rn")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed === batch)
+  }
+
+  test("sessionCountsEvicting drops idle-user state; re-appearance starts a fresh session") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000L
+    // session gap 120 min, idle-evict horizon 10 min: user 1's re-appearance
+    // at 11:06 is WITHIN the session gap of their 10:00 event, so retained
+    // state would fold it into the same session (n_events=2) while evicted
+    // state starts fresh (n_events=1) — the output discriminates eviction.
+    val stream = MemoryStream[UserEvent]
+    val q = Sessionize.sessionCountsEvicting(stream.toDS(), 120, 10).writeStream
+      .format("memory").queryName("sess_evict").outputMode("update").start()
+    try {
+      // b1: user 1 active at 10:00 → watermark 09:50, timeout armed 10:10
+      stream.addData(UserEvent(1L, us("2024-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      // b2: unrelated user advances the watermark to 10:50 (> 10:10)
+      stream.addData(UserEvent(2L, us("2024-01-01 11:00:00"), 99L))
+      q.processAllAvailable()
+      // b3: another unrelated event — user 1 has no data this batch, so the
+      // timeout fires and their state is removed
+      stream.addData(UserEvent(3L, us("2024-01-01 11:05:00"), 99L))
+      q.processAllAvailable()
+      // b4: user 1 re-appears 66 min after their last event (< 120-min gap)
+      stream.addData(UserEvent(4L, us("2024-01-01 11:06:00"), 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val user1 = s.table("sess_evict").filter(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // update-mode emissions for user 1: (1,1) from b1, then (1,1) again
+    // from b4 — never (1,2), which is what surviving state would emit
+    assert(user1.nonEmpty && user1.forall(_ == (1L, 1L)),
+      s"expected fresh (1 session, 1 event) after eviction, got ${user1.toSeq}")
+
+    // contrast: the non-evicting operator on the same four events keeps
+    // user 1's state, so the final fold yields n_events = 2
+    val stream2 = MemoryStream[UserEvent]
+    val q2 = Sessionize.sessionCounts(stream2.toDS(), 120).writeStream
+      .format("memory").queryName("sess_noevict").outputMode("update").start()
+    try {
+      stream2.addData(UserEvent(1L, us("2024-01-01 10:00:00"), 1L))
+      q2.processAllAvailable()
+      stream2.addData(UserEvent(2L, us("2024-01-01 11:00:00"), 99L))
+      q2.processAllAvailable()
+      stream2.addData(UserEvent(3L, us("2024-01-01 11:05:00"), 99L))
+      q2.processAllAvailable()
+      stream2.addData(UserEvent(4L, us("2024-01-01 11:06:00"), 1L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val kept = s.table("sess_noevict").filter(col("user_id") === 1L)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(kept.contains((1L, 2L)),
+      s"non-evicting control should fold both events into one session, got ${kept.toSeq}")
   }
 
   test("dropDuplicatesWithinWatermark drops a replayed event inside the horizon") {
