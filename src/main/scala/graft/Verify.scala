@@ -22,6 +22,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // stale-dump guard (dev-loop): a filtered dump must not leave OTHER
+    // queries' previous parquet results in outDir, where parity.py would
+    // grade them as current — delete every subdirectory the filter
+    // excludes before dumping (filtered queries are overwritten below).
+    only.foreach { prefixes =>
+      def del(f: java.io.File): Unit = {
+        val cs = f.listFiles; if (cs != null) cs.foreach(del); f.delete(); ()
+      }
+      Option(new java.io.File(outDir).listFiles).getOrElse(Array.empty)
+        .foreach { f =>
+          if (f.isDirectory && !prefixes.exists(f.getName.startsWith)) del(f)
+        }
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
       .foreach { case (name, fn) =>

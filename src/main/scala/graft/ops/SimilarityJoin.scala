@@ -310,19 +310,21 @@ object SimilarityJoin {
       queriesBroadcast, excludeSelf = false)
   }
 
-  def containmentRS(queries: DataFrame, data: DataFrame, idCol: String,
-                    textCol: String, blockCols: Seq[String], tau: Double,
-                    n: Int = 3,
-                    queriesBroadcast: Option[Boolean] = None,
-                    excludeSelf: Boolean = true): DataFrame = {
+  /** The data-side shingle index `containmentRS` rebuilds per call, as a
+    * first-class value: `docs` = (d_id, d_shingles, d_<block>…) spread by
+    * d_id, `freq` = (sh, df). At 100 TB the data-side index is the dominant
+    * recurring cost across eval sets — build it ONCE (then `.persist()` or
+    * write both relations to parquet and reconstruct the case class from
+    * the reads), and run every decontamination pass through
+    * [[containmentRSIndexed]] against the same materialization.
+    */
+  final case class ContainmentIndex(docs: DataFrame, freq: DataFrame,
+                                    n: Int, blockCols: Seq[String])
+
+  /** Build the reusable data-side index for [[containmentRSIndexed]]. */
+  def buildContainmentIndex(data: DataFrame, idCol: String, textCol: String,
+                            blockCols: Seq[String], n: Int = 3): ContainmentIndex = {
     val nPart = data.sparkSession.sessionState.conf.numShufflePartitions
-    val qSmall = queriesBroadcast.getOrElse(
-      queries.limit((MaxBroadcastQueries + 1).toInt).count() <= MaxBroadcastQueries)
-    def maybeBroadcast(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
-    val qSh = shingled(queries, textCol, n).filter(col("sh_sz") > 0)
-      .select(col(idCol).as("q_id") +: col("sh_sz").as("q_sz") +:
-        col("shingles").as("q_shingles") +:
-        blockCols.map(c => col(c).as(s"q_$c")): _*)
     // spread BEFORE exploding: the repartition then moves one array row per
     // document instead of hundreds of exploded shingle rows (a 400 MB
     // shuffle at sf0.1 became a 5k-row one), and this single exchange is
@@ -332,9 +334,39 @@ object SimilarityJoin {
       .select(col(idCol).as("d_id") +: col("shingles").as("d_shingles") +:
         blockCols.map(c => col(c).as(s"d_$c")): _*)
       .repartition(nPart, col("d_id"))
-
     val freq = dSh.select(explode(col("d_shingles")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
+    ContainmentIndex(dSh, freq, n, blockCols)
+  }
+
+  def containmentRS(queries: DataFrame, data: DataFrame, idCol: String,
+                    textCol: String, blockCols: Seq[String], tau: Double,
+                    n: Int = 3,
+                    queriesBroadcast: Option[Boolean] = None,
+                    excludeSelf: Boolean = true): DataFrame =
+    containmentRSIndexed(queries,
+      buildContainmentIndex(data, idCol, textCol, blockCols, n),
+      idCol, textCol, tau, queriesBroadcast, excludeSelf)
+
+  /** [[containmentRS]] against a prebuilt (usually persisted) data-side
+    * index — the repeated-decontamination entry point: N eval sets scan the
+    * corpus once, not N times.
+    */
+  def containmentRSIndexed(queries: DataFrame, index: ContainmentIndex,
+                           idCol: String, textCol: String, tau: Double,
+                           queriesBroadcast: Option[Boolean] = None,
+                           excludeSelf: Boolean = true): DataFrame = {
+    val n = index.n
+    val blockCols = index.blockCols
+    val qSmall = queriesBroadcast.getOrElse(
+      queries.limit((MaxBroadcastQueries + 1).toInt).count() <= MaxBroadcastQueries)
+    def maybeBroadcast(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
+    val qSh = shingled(queries, textCol, n).filter(col("sh_sz") > 0)
+      .select(col(idCol).as("q_id") +: col("sh_sz").as("q_sz") +:
+        col("shingles").as("q_shingles") +:
+        blockCols.map(c => col(c).as(s"q_$c")): _*)
+    val dSh = index.docs
+    val freq = index.freq
 
     // rank each query's shingles rarest-first by DATA-side df (query-only
     // shingles default df 0 — they prune hardest). The exploded query side

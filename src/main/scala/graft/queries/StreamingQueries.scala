@@ -122,7 +122,7 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"))
         .select(date_format(col("w.start"), fmt).as("ws"), col("event_type"), col("n"))
 
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q47_ckpt").toString
+      val ckpt = graft.Scratch.ephemeral("graft_q47_ckpt")
       val sinkName = "graft_q47_sink"
       // The state store commits once per shuffle partition per micro-batch;
       // at this key cardinality (windows × event types) 4 partitions is
@@ -180,7 +180,7 @@ object StreamingQueries {
         stream.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "10 minutes")
         .select(col("doc_id"), col("fp"))
 
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q59_ckpt").toString
+      val ckpt = graft.Scratch.ephemeral("graft_q59_ckpt")
       val sinkName = "graft_q59_sink"
       s.catalog.dropTempView(sinkName)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
@@ -233,7 +233,7 @@ object StreamingQueries {
         stream.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "60 minutes")
         .select(col("doc_id"), col("fp"))
 
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_q70_ckpt").toString
+      val ckpt = graft.Scratch.ephemeral("graft_q70_ckpt")
       val sinkName = "graft_q70_sink"
       s.catalog.dropTempView(sinkName)
       val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")

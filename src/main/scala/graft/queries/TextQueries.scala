@@ -336,7 +336,9 @@ object TextQueries {
     "q79_format_roundtrip",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q79").toString
+      // per-JVM scratch, overwritten in place on re-execution and removed
+      // at exit — Bench's 3–5 runs previously leaked a corpus copy each
+      val tmp = graft.Scratch.perJvm("graft_q79")
       graft.sources.Formats.writeCsv(docs, s"$tmp/csv")
       val viaCsv = graft.sources.Formats.readCsv(s, s"$tmp/csv", docs.schema)
       graft.sources.Formats.writeOrc(viaCsv, s"$tmp/orc")

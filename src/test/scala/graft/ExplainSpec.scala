@@ -96,6 +96,36 @@ class ExplainSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 2, p.take(1500))
   }
 
+  test("q80 chunking is ONE generator with no exchange before the output sort (r8)") {
+    val p = plan("q80_chunk_documents")
+    // one posexplode/explode over the arithmetic chunk count — a second
+    // Generate means somebody re-introduced a per-chunk explode
+    assert("Generate".r.findAllIn(p).size === 1, p.take(1500))
+    // the ORDER BY's range exchange is the only data movement
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+  }
+
+  test("q81 packing is one window + one aggregation exchange (r8)") {
+    val p = plan("q81_sequence_packing")
+    // the per-lang cumsum is the single Window in the plan
+    assert("Window".r.findAllIn(p).size === 1, p.take(1500))
+    // exchanges: window/agg hash partitioning (shared via the lang key)
+    // plus the output sort — more means a redundant repartition crept in
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(1500))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
+  test("q85 mixture report attaches the corpus total as a broadcast, never a global window (r8)") {
+    val p = plan("q85_mixture_report")
+    // an empty Window.partitionBy() would funnel every group through ONE
+    // task at 100 TB — the 1-row total must ride a broadcast join instead
+    assert(!p.contains("Window"), p.take(1500))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    // partial+final agg on (lang, source) — map-side combine present
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

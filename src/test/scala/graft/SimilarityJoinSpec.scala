@@ -73,6 +73,43 @@ class SimilarityJoinSpec extends SparkSpec {
       "full quotation must score containment 1.0 (Jaccard here would be 2/9)")
   }
 
+  test("precomputed containment index: two eval sets reuse one materialized index, results equal one-shot") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val evalA = docs.filter(col("doc_id") < 5).select("doc_id", "text", "lang")
+    val evalB = docs.filter(col("doc_id") >= 5 && col("doc_id") < 10)
+      .select("doc_id", "text", "lang")
+    // the repeated-decontamination path: corpus indexed ONCE, persisted,
+    // probed by every eval set
+    val idx = SimilarityJoin.buildContainmentIndex(docs, "doc_id", "text", Nil)
+    idx.docs.persist(); idx.freq.persist()
+    try {
+      for (eval <- Seq(evalA, evalB)) {
+        val indexed = SimilarityJoin.containmentRSIndexed(eval, idx, "doc_id", "text", 0.5)
+          .collect().map(_.toString).toSeq
+        val oneShot = SimilarityJoin.containmentRS(eval, docs, "doc_id", "text", Nil, 0.5)
+          .collect().map(_.toString).toSeq
+        assert(indexed.nonEmpty, "each doc contains itself — result cannot be empty")
+        assert(indexed === oneShot)
+      }
+      // reconstruction from storage (the cross-session reuse path): the
+      // index round-trips through parquet and still matches
+      val dir = java.nio.file.Files.createTempDirectory("cidx").toFile
+      try {
+        idx.docs.write.parquet(s"$dir/docs")
+        idx.freq.write.parquet(s"$dir/freq")
+        val fromDisk = SimilarityJoin.ContainmentIndex(
+          spark.read.parquet(s"$dir/docs"), spark.read.parquet(s"$dir/freq"),
+          idx.n, idx.blockCols)
+        val viaDisk = SimilarityJoin.containmentRSIndexed(evalA, fromDisk, "doc_id", "text", 0.5)
+          .collect().map(_.toString).toSeq
+        val direct = SimilarityJoin.containmentRSIndexed(evalA, idx, "doc_id", "text", 0.5)
+          .collect().map(_.toString).toSeq
+        assert(viaDisk === direct)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    } finally { idx.docs.unpersist(); idx.freq.unpersist() }
+  }
+
   test("decontamination accepts a foreign eval relation: different schema, id type, source") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf0001)
