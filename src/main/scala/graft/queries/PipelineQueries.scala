@@ -374,6 +374,61 @@ object PipelineQueries {
                    count(*) AS n_docs, sum(n_tok)::BIGINT AS sum_tokens
             FROM c GROUP BY 1, 2 ORDER BY lang, pack_id"""))
 
+  /** q82 (added r8) — QUALITY-FILTER rule chain (the Gopher/C4-style
+    * pre-dedup gate): each document is graded against independent
+    * rule booleans — token-count bounds, mean-token-length bounds,
+    * distinct-token (repetition) ratio, and stopword presence — plus the
+    * conjunction `passed`. Emitting the per-rule booleans (not just the
+    * verdict) is the point: a pipeline tunes thresholds from the rule-level
+    * rejection profile. Every rule is per-row codegen'd scalar arithmetic —
+    * no explode, no HOF lambda (mean token length via
+    * `length(replace(text,' ','')) / n_toks`, not a per-token transform),
+    * no shuffle until the output sort — so the filter runs at scan speed
+    * at any corpus size.
+    */
+  val q82 = Q(
+    "q82_quality_filter",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " +"))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("mean_len",
+        length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_toks"))
+      .withColumn("dist_ratio",
+        size(array_distinct(col("toks"))).cast("double") / col("n_toks"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        Det.round6(col("mean_len")).as("mean_tok_len"),
+        Det.round6(col("dist_ratio")).as("dist_ratio"),
+        (col("n_toks") >= 10 && col("n_toks") <= 1000).as("r_len"),
+        (col("mean_len") >= 3.0 && col("mean_len") <= 10.0).as("r_word_len"),
+        (col("dist_ratio") >= 0.3).as("r_repetition"),
+        arrays_overlap(col("toks"), array(lit("the"), lit("a"))).as("r_stopword"))
+      .withColumn("passed",
+        col("r_len") && col("r_word_len") && col("r_repetition") && col("r_stopword"))
+      .orderBy("doc_id"),
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     len(regexp_split_to_array(text, ' +')) AS n_toks,
+                     length(replace(text, ' ', ''))::DOUBLE
+                       / len(regexp_split_to_array(text, ' +')) AS mean_len,
+                     len(list_distinct(regexp_split_to_array(text, ' +')))::DOUBLE
+                       / len(regexp_split_to_array(text, ' +')) AS dist_ratio,
+                     len(list_intersect(regexp_split_to_array(text, ' +'),
+                                        ['the', 'a'])) > 0 AS r_stopword
+              FROM documents)
+            SELECT doc_id, n_toks,
+                   round(mean_len, 6) AS mean_tok_len,
+                   round(dist_ratio, 6) AS dist_ratio,
+                   n_toks BETWEEN 10 AND 1000 AS r_len,
+                   mean_len >= 3.0 AND mean_len <= 10.0 AS r_word_len,
+                   dist_ratio >= 0.3 AS r_repetition,
+                   r_stopword,
+                   (n_toks BETWEEN 10 AND 1000) AND mean_len >= 3.0
+                     AND mean_len <= 10.0 AND dist_ratio >= 0.3
+                     AND r_stopword AS passed
+            FROM f ORDER BY doc_id"""))
+
   /** q85 (added r7) — corpus MIXTURE report: per (lang, source) document
     * and token counts plus each slice's share of the total token budget —
     * the data-mixture planning table every pretraining run starts from
@@ -411,5 +466,5 @@ object PipelineQueries {
             ORDER BY lang, source"""))
 
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73, q78, q80, q81, q85)
+    q72, q73, q78, q80, q81, q82, q85)
 }

@@ -297,6 +297,108 @@ object SimilarityQueries {
       FROM reach GROUP BY u ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** q83 (added r8) — cluster CANONICALIZATION, the keep-rule that turns
+    * q71's dedup clusters into an actual dedup decision: per cluster, keep
+    * the longest document (ties broken by lowest doc_id — deterministic),
+    * count members and discards. One row_number window + one aggregation,
+    * BOTH partitioned by cluster_id, so the window's exchange is reused by
+    * the agg — clusters are near-dup groups (bounded size), never a skew
+    * risk. Oracle: the q71 recursive-CTE closure extended with the same
+    * arg-max.
+    */
+  val q83 = Q(
+    "q83_cluster_canonical",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = SimilarityJoin.jaccardSelf(
+        docs, "doc_id", "text", Seq("lang", "source"), 0.8)
+      val clusters = graft.ops.GraphOps.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("a_id", "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+      clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+          count(lit(1)).as("n_members"),
+          (count(lit(1)) - 1L).as("n_discarded"),
+          max(when(col("rn") === 1, col("doc_id"))).as("canonical_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("canonical_chars"))
+        .orderBy("cluster_id")
+    },
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(text, ' +')) AS toks
+        FROM documents
+      ),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+      ),
+      und AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT und.u, r.v FROM und JOIN reach r ON und.v = r.u
+      ),
+      cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+      m AS (
+        SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+               row_number() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+        FROM cl JOIN documents d USING (doc_id))
+      SELECT cluster_id,
+             count(*) AS n_members,
+             count(*) - 1 AS n_discarded,
+             max(CASE WHEN rn = 1 THEN doc_id END) AS canonical_id,
+             max(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars
+      FROM m GROUP BY cluster_id ORDER BY cluster_id
+    """.stripMargin.trim))
+
+  /** q84 (added r8) — INCREMENTAL dedup: the delta-vs-base anti-join every
+    * periodically-refreshed corpus runs — new documents (doc_id ≥ 250)
+    * survive only if NO base document (doc_id < 250, same lang) is a
+    * near-duplicate at τ = 0.8. The candidate generator is the q37 R-S
+    * inverted-index join (base side spread, length-filtered), so the
+    * anti-join never materializes non-candidate pairs; the 100 TB shape is
+    * "yesterday's corpus is the data side, today's crawl is the query
+    * side", where the base-side index amortizes across daily deltas the
+    * same way [[SimilarityJoin.containmentRSIndexed]]'s does.
+    */
+  val q84 = Q(
+    "q84_incremental_dedup",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val base = docs.filter(col("doc_id") < 250)
+      val delta = docs.filter(col("doc_id") >= 250)
+      val dups = SimilarityJoin.jaccardRS(delta, base, "doc_id", "text", Seq("lang"), 0.8)
+      delta.join(dups.select(col("q_id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source, n_chars,
+               list_distinct(regexp_split_to_array(text, ' +')) AS toks
+        FROM documents
+      )
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM t d
+      WHERE d.doc_id >= 250
+        AND NOT EXISTS (
+          SELECT 1 FROM t b
+          WHERE b.doc_id < 250 AND b.lang = d.lang
+            AND len(list_intersect(d.toks, b.toks))::DOUBLE
+                / (len(d.toks) + len(b.toks) - len(list_intersect(d.toks, b.toks))) >= 0.8)
+      ORDER BY d.doc_id
+    """.stripMargin.trim))
+
   /** q75 (added r7) — TF-IDF weighted cosine document similarity
     * ([[graft.ops.TfIdf.cosineRS]]): docs 0–9 against the corpus, top-5
     * each. The weighted upgrade of the q37 token-set join — common tokens
@@ -338,5 +440,6 @@ object SimilarityQueries {
       ORDER BY q_id, rnk
     """.stripMargin.trim))
 
-  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75)
+  def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75,
+    q83, q84)
 }

@@ -359,6 +359,50 @@ object TextQueries {
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** q86 (added r8) — UNIGRAM LM surprisal scoring: train a unigram
+    * language model on the corpus (token → −log₂ p, p = corpus-frequency /
+    * total) and score every document by its mean per-token surprisal in
+    * bits — the perplexity-style quality signal (a KenLM stand-in) that
+    * flags machine-generated repetition (low bits) and noise (high bits).
+    * Two honest corpus passes: one aggregation builds the vocabulary-sized
+    * model (total rides in as a 1-row broadcast, the q85 pattern), which
+    * then BROADCASTS onto the token stream — per-doc scoring is a map-side
+    * join plus one partial+final agg, nothing all-pairs. Determinism:
+    * per-token surprisal is ROUND(,6) then summed as exact DECIMAL (the
+    * round-terms-then-sums protocol), so engine summation order cannot
+    * move the mean.
+    */
+  val q86 = Q(
+    "q86_unigram_surprisal",
+    (s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
+      val tot = tok.agg(count(lit(1)).cast("double").as("tot"))
+      val model = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .select(col("tok"),
+          round(-log2(col("cnt").cast("double") / col("tot")), 6).as("surprisal"))
+      tok.join(broadcast(model), "tok")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          round(sum(col("surprisal").cast("decimal(28,6)")).cast("double")
+            / count(lit(1)), 6).as("bits_per_token"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok
+              FROM documents),
+            tot AS (SELECT count(*)::DOUBLE AS tot FROM tok),
+            model AS (
+              SELECT tok,
+                     round(-log2(count(*)::DOUBLE / (SELECT tot FROM tot)), 6) AS surprisal
+              FROM tok GROUP BY tok)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(sum(surprisal::DECIMAL(28,6))::DOUBLE / count(*), 6) AS bits_per_token
+            FROM tok JOIN model USING (tok)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79)
+    q76, q77, q79, q86)
 }

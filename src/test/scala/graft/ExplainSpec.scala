@@ -126,6 +126,39 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(1500))
   }
 
+  test("q82 quality filter is scan-speed: zero exchanges before the output sort (r8)") {
+    val p = plan("q82_quality_filter")
+    // every rule is per-row scalar arithmetic — the range exchange feeding
+    // the ORDER BY must be the only data movement, and nothing may explode
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+  }
+
+  test("q83 canonicalization window and agg share one cluster_id exchange (r8)") {
+    val p = plan("q83_cluster_canonical")
+    // one row_number window; its hashpartitioning(cluster_id) is reused by
+    // the member-count aggregation — a second cluster exchange means the
+    // reuse broke
+    assert("Window".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q84 incremental dedup anti-join is hash-based, never a product (r8)") {
+    val p = plan("q84_incremental_dedup")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q86 unigram model broadcasts onto the token stream (r8)") {
+    val p = plan("q86_unigram_surprisal")
+    // the vocab-sized model must be the build side of a broadcast hash
+    // join — a sort-merge join here would shuffle the full token stream
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // corpus-total attach + doc scoring are aggs, never a global window
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
