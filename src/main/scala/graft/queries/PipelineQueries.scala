@@ -429,6 +429,92 @@ object PipelineQueries {
                      AND r_stopword AS passed
             FROM f ORDER BY doc_id"""))
 
+  /** q87 (added r8) — CHUNK-level exact dedup: q80's overlapping token
+    * windows grouped by chunk text, keeping spans that occur more than
+    * once — the C4-style "remove any span that repeats across the corpus"
+    * primitive, the granularity BETWEEN whole-doc exact dedup (q42) and
+    * within-doc repetition (q88). One generator + one aggregation; the
+    * group key is the chunk text itself here (the output needs it) — the
+    * 100 TB form groups on `xxhash64(chunk_text)` first and re-attaches
+    * text for the survivors only, so the shuffle moves 8-byte keys, not
+    * spans.
+    */
+  val q87 = Q(
+    "q87_chunk_dedup",
+    (s, d) => Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " +"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("n_chunks",
+        when(col("n") <= 8, lit(1L))
+          .otherwise(ceil((col("n") - 8).cast("double") / 6.0).cast("long") + 1L))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1L)).as("chunk_id"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), (col("chunk_id") * 6 + 1).cast("int"), lit(8)))
+          .as("chunk_text"))
+      .groupBy("chunk_text")
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_occ") > 1)
+      .orderBy("chunk_text"),
+    Some("""WITH t AS (
+              SELECT doc_id, regexp_split_to_array(text, ' +') AS toks,
+                     len(regexp_split_to_array(text, ' +')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                       CASE WHEN n <= 8 THEN 0
+                            ELSE ceil((n - 8) / 6.0)::BIGINT END)) AS chunk_id
+              FROM t),
+            ch AS (
+              SELECT doc_id,
+                     array_to_string(toks[(chunk_id * 6 + 1):(chunk_id * 6 + 8)], ' ') AS chunk_text
+              FROM c)
+            SELECT chunk_text, count(*) AS n_occ,
+                   count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+            FROM ch GROUP BY chunk_text HAVING count(*) > 1
+            ORDER BY chunk_text"""))
+
+  /** q88 (added r8) — WITHIN-doc repetition ratio: share of a document's
+    * word 3-grams that are duplicates of an earlier 3-gram in the same
+    * document — the Gopher "repetition" quality signal (its doc-level
+    * complement is q87's cross-corpus span dedup). Distinct-shingle
+    * counting rides the same codegen'd `graft_shingles` kernel as the
+    * q60 containment join; everything is per-row scalar arithmetic, no
+    * shuffle before the output sort.
+    */
+  val q88 = Q(
+    "q88_repetition_ratio",
+    (s, d) => {
+      graft.functions.SetExprs.register(s)
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " +"))
+        .withColumn("n_grams", greatest(size(col("toks")) - 2, lit(0)))
+        .withColumn("n_distinct",
+          size(graft.functions.SetExprs.shinglesCol(col("toks"), lit(3))))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          when(col("n_grams") > 0,
+            Det.round6(lit(1.0) - col("n_distinct").cast("double") / col("n_grams")))
+            .otherwise(lit(0.0)).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+              SELECT doc_id,
+                     greatest(len(regexp_split_to_array(text, ' +')) - 2, 0) AS n_grams,
+                     CASE WHEN len(regexp_split_to_array(text, ' +')) >= 3 THEN
+                       len(list_distinct(list_transform(
+                         generate_series(1, len(regexp_split_to_array(text, ' +')) - 2),
+                         i -> array_to_string(regexp_split_to_array(text, ' +')[i:i+2], ' '))))
+                     ELSE 0 END AS n_distinct
+              FROM documents)
+            SELECT doc_id, n_grams, n_distinct,
+                   CASE WHEN n_grams > 0
+                        THEN round(1.0 - n_distinct::DOUBLE / n_grams, 6)
+                        ELSE 0.0 END AS dup_ratio
+            FROM f ORDER BY doc_id"""))
+
   /** q85 (added r7) — corpus MIXTURE report: per (lang, source) document
     * and token counts plus each slice's share of the total token budget —
     * the data-mixture planning table every pretraining run starts from
@@ -466,5 +552,5 @@ object PipelineQueries {
             ORDER BY lang, source"""))
 
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73, q78, q80, q81, q82, q85)
+    q72, q73, q78, q80, q81, q82, q85, q87, q88)
 }

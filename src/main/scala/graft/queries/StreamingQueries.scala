@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.{Det, Tables}
+import graft.streaming.StreamJoin
 
 /** SURVEY.md §2 rows 44–47: streaming window semantics.
   *
@@ -285,5 +286,31 @@ object StreamingQueries {
             SELECT user_id, sum(ns)::BIGINT AS n_sessions, count(*) AS n_events
             FROM s GROUP BY user_id ORDER BY user_id"""))
 
-  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74)
+  // ---- 90. stream-stream interval join, batch-graded (added r8) ------------
+  // graft.streaming.StreamJoin.attributionJoin — dual-watermark time-interval
+  // join (each purchase back to same-user views in the preceding 24 h),
+  // executed on BATCH frames where EliminateEventTimeWatermark reduces it to
+  // a plain equi-join + range residual, giving the operator a full DuckDB
+  // oracle; the STREAMING runtime (cross-batch pairing, bounded join state,
+  // behind-watermark non-emission) is pinned separately in StreamJoinSpec.
+  val q90 = Q(
+    "q90_stream_interval_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      StreamJoin.attributionJoin(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase"), 24)
+        .orderBy("view_id", "purchase_id")
+    },
+    Some("""SELECT a.event_id AS view_id, b.event_id AS purchase_id,
+                   a.user_id,
+                   epoch_us(b.ts::TIMESTAMP) - epoch_us(a.ts::TIMESTAMP) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'view' AND b.event_type = 'purchase'
+             AND b.ts::TIMESTAMP >= a.ts::TIMESTAMP
+             AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 24 HOURS
+            ORDER BY view_id, purchase_id"""))
+
+  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90)
 }

@@ -403,6 +403,64 @@ object TextQueries {
             FROM tok JOIN model USING (tok)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** q89 (added r8) — ZIPF slope per language: least-squares slope of
+    * log-frequency vs log-rank over each language's token frequency table —
+    * the vocabulary-health diagnostic (natural text tracks slope ≈ −1;
+    * boilerplate and generated spam bend it). The regression runs on the
+    * VOCABULARY relation (per-lang distinct tokens — tiny however large the
+    * corpus), so the only full-data pass is the frequency aggregation; the
+    * rank window partitions by lang over that vocab-sized relation.
+    * Determinism: ln(rank)/ln(cnt) are ROUND(,6), their products are exact
+    * DECIMAL sums cast to double (unscaled values ≪ 2⁵³), and the final
+    * slope is a fixed IEEE expression over those exactly-agreed doubles —
+    * no order-sensitive float summation anywhere (the same
+    * round-terms-then-sums protocol as q75/q86).
+    */
+  val q89 = Q(
+    "q89_zipf_slope",
+    (s, d) => {
+      val cnt = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " +")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("tok"))
+      val xy = cnt.withColumn("rnk", row_number().over(w))
+        .select(col("lang"),
+          round(log(col("rnk").cast("double")), 6).as("x"),
+          round(log(col("cnt").cast("double")), 6).as("y"))
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+      xy.groupBy("lang")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(dec(col("x"))).cast("double").as("sx"),
+          sum(dec(col("y"))).cast("double").as("sy"),
+          sum(dec(col("x")) * dec(col("y"))).cast("double").as("sxy"),
+          sum(dec(col("x")) * dec(col("x"))).cast("double").as("sxx"))
+        .select(col("lang"), col("n").cast("long").as("n_vocab"),
+          round((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"))
+        .orderBy("lang")
+    },
+    Some("""WITH cnt AS (
+              SELECT lang, tok, count(*) AS cnt
+              FROM (SELECT lang, unnest(regexp_split_to_array(text, ' +')) AS tok
+                    FROM documents)
+              GROUP BY lang, tok),
+            xy AS (
+              SELECT lang,
+                     round(ln(row_number() OVER (PARTITION BY lang
+                                                 ORDER BY cnt DESC, tok)::DOUBLE), 6) AS x,
+                     round(ln(cnt::DOUBLE), 6) AS y
+              FROM cnt),
+            agg AS (
+              SELECT lang, count(*)::DOUBLE AS n,
+                     sum(x::DECIMAL(18,6))::DOUBLE AS sx,
+                     sum(y::DECIMAL(18,6))::DOUBLE AS sy,
+                     sum(x::DECIMAL(18,6) * y::DECIMAL(18,6))::DOUBLE AS sxy,
+                     sum(x::DECIMAL(18,6) * x::DECIMAL(18,6))::DOUBLE AS sxx
+              FROM xy GROUP BY lang)
+            SELECT lang, n::BIGINT AS n_vocab,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+            FROM agg ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86)
+    q76, q77, q79, q86, q89)
 }

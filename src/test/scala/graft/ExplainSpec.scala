@@ -159,6 +159,35 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("Window"), p.take(2000))
   }
 
+  test("q87 chunk dedup is one generator + one aggregation (r8)") {
+    val p = plan("q87_chunk_dedup")
+    assert("Generate".r.findAllIn(p).size === 1, p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("q88 repetition ratio is scan-speed: shingle kernel, no explode, no pre-sort exchange (r8)") {
+    val p = plan("q88_repetition_ratio")
+    assert(p.contains("graft_shingles"), p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+  }
+
+  test("q89 zipf regression windows the vocab relation, not the token stream (r8)") {
+    val p = plan("q89_zipf_slope")
+    // the rank window must sit ABOVE the (lang, tok) frequency aggregation —
+    // a window over raw tokens means the full stream serializes per lang
+    assert("Window".r.findAllIn(p).size === 1, p.take(2000))
+    val winAt = p.indexOf("Window")
+    val aggBeforeWindow = p.indexOf("HashAggregate", winAt) >= 0
+    assert(aggBeforeWindow, "frequency agg must feed the window\n" + p.take(2000))
+  }
+
+  test("q90 interval join keeps user_id as the equi key (hash/merge join + range residual)") {
+    val p = plan("q90_stream_interval_join")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
