@@ -429,6 +429,64 @@ object PipelineQueries {
                      AND r_stopword AS passed
             FROM f ORDER BY doc_id"""))
 
+  /** q91 (added r8) — deterministic K-PER-STRATUM sampling: exactly 20
+    * docs per lang, chosen by ranking a Knuth multiplicative hash of the
+    * id — the exact-count complement of q72's fraction-based sampler, and
+    * unlike q72's xxhash64 membership the permutation is plain int64
+    * arithmetic (`(id · 2654435761) mod (2³¹−1)`), so DuckDB reproduces it
+    * and the sample is ORACLE-GRADED, reproducible across engines and
+    * partitionings. The rank-≤-k filter compiles to WindowGroupLimit
+    * (Spark's windowed top-k pushdown, same as q25): each partition keeps
+    * a 20-row heap per lang — no full per-stratum sort materializes.
+    */
+  val q91 = Q(
+    "q91_sample_k_per_stratum",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("h", pmod(col("doc_id") * lit(2654435761L), lit(2147483647L)))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 20)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("h"))
+        .orderBy("lang", "rnk")
+    },
+    Some("""WITH h AS (
+              SELECT lang, doc_id,
+                     (doc_id * 2654435761) % 2147483647 AS h
+              FROM documents)
+            SELECT lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk,
+                   doc_id, h
+            FROM h QUALIFY rnk <= 20 ORDER BY lang, rnk"""))
+
+  /** q92 (added r8) — LENGTH-QUARTILE bucketing: `ntile(4)` over n_chars
+    * per lang, reduced to per-bucket stats — the length-stratified
+    * sharding step (curriculum buckets, padding-efficient batching) and
+    * the inventory's NTILE coverage. The window partitions by lang with a
+    * total (n_chars, doc_id) order; the bucket aggregation reuses the
+    * window's lang hash partitioning.
+    */
+  val q92 = Q(
+    "q92_length_quartiles",
+    (s, d) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .groupBy("lang", "quartile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "quartile")
+    },
+    Some("""WITH b AS (
+              SELECT lang, n_chars,
+                     ntile(4) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS quartile
+              FROM documents)
+            SELECT lang, quartile, count(*) AS n_docs,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars
+            FROM b GROUP BY lang, quartile ORDER BY lang, quartile"""))
+
   /** q87 (added r8) — CHUNK-level exact dedup: q80's overlapping token
     * windows grouped by chunk text, keeping spans that occur more than
     * once — the C4-style "remove any span that repeats across the corpus"
@@ -552,5 +610,5 @@ object PipelineQueries {
             ORDER BY lang, source"""))
 
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73, q78, q80, q81, q82, q85, q87, q88)
+    q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92)
 }

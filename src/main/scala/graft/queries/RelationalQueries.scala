@@ -702,8 +702,53 @@ object RelationalQueries {
              AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
             ORDER BY 1, 2, 3"""))
 
+  /** q93 (added r8) — the SQL SURFACE: TPC-H Q3 (shipping-priority) issued
+    * as SQL TEXT through `spark.sql` over temp views — every other row
+    * drives the DataFrame API, so this pins that the library's tables and
+    * determinism protocol survive the SQL front door unchanged (same
+    * Catalyst plan space: the optimizer sees identical logical plans either
+    * way). Revenue uses the exact-decimal product-sum protocol
+    * (`Det.exactSumProd` written in SQL); groups are unique per l_orderkey
+    * so the (revenue DESC, l_orderkey) top-10 is total-ordered.
+    */
+  val q93 = Q(
+    "q93_sql_surface_q3",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_orderkey,
+                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                      date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+                      o_orderpriority
+               FROM customer, orders, lineitem
+               WHERE c_mktsegment = 'BUILDING'
+                 AND c_custkey = o_custkey
+                 AND l_orderkey = o_orderkey
+                 AND o_orderdate < DATE '1995-03-15'
+                 AND l_shipdate > DATE '1995-03-15'
+               GROUP BY l_orderkey, o_orderdate, o_orderpriority
+               ORDER BY revenue DESC, l_orderkey
+               LIMIT 10""")
+    },
+    Some("""SELECT l_orderkey,
+                   (sum(l_extendedprice::DECIMAL(18,2)
+                        * (1 - l_discount)::DECIMAL(18,2)))::DOUBLE AS revenue,
+                   strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d') AS o_date,
+                   o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < DATE '1995-03-15'
+              AND l_shipdate > DATE '1995-03-15'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
-    q64, q65, q66)
+    q64, q65, q66, q93)
 }

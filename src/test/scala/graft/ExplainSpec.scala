@@ -188,6 +188,33 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("q91 per-stratum sample pushes the rank limit into the sort (WindowGroupLimit, r8)") {
+    val p = plan("q91_sample_k_per_stratum")
+    // rnk <= 20 must become a per-partition top-k heap, not a full
+    // per-stratum sort + filter — losing this pushdown is the difference
+    // between O(k) and O(stratum) memory per lang at 100 TB
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert("Window".r.findAllIn(p).size >= 1, p.take(2000))
+  }
+
+  test("q92 quartile agg reuses the ntile window's lang partitioning (r8)") {
+    val p = plan("q92_length_quartiles")
+    assert("Window".r.findAllIn(p).size === 1, p.take(2000))
+    // window exchange + output sort exchange only — a third means the
+    // bucket agg re-shuffled what the window already partitioned
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+  }
+
+  test("q93 SQL-surface Q3 broadcasts both dimensions and pushes the top-10 (r8)") {
+    val p = plan("q93_sql_surface_q3")
+    // customer and orders both fit the broadcast threshold at graded SFs;
+    // the LIMIT must fuse with the ORDER BY (TakeOrderedAndProject), never
+    // a global sort
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
