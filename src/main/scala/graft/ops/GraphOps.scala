@@ -46,9 +46,18 @@ object GraphOps {
   /** Label each node of the undirected graph `edges` with the MINIMUM node
     * id reachable from it. Output: (`srcCol` → node id, `cluster_id`), one
     * row per distinct endpoint, totally ordered by node id.
+    *
+    * Dispatch: min-label propagation (O(diameter) rounds — optimal for the
+    * dense clique-shaped clusters near-dup graphs produce) with, when the
+    * diameter exceeds `maxIter`, an automatic hand-off of the ALREADY
+    * MATERIALIZED edge relation to [[connectedComponentsAlternating]]
+    * (O(log n) rounds on any shape) — so a pathological path-shaped
+    * component degrades to the alternating-star algorithm instead of
+    * failing. `fallback = false` restores the loud `require` for callers
+    * that would rather fail than absorb the extra rounds.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, fallback: Boolean = true): DataFrame = {
     // materialize the (typically expensive) edge relation ONCE — without
     // this every round's join would recompute the upstream plan (for the
     // dedup use case, the whole similarity join) from the scan
@@ -81,9 +90,88 @@ object GraphOps {
       unpersistLocalCheckpoint(prev)
       i += 1
     }
+    if (!converged && fallback) {
+      // the propagation cap is a DIAMETER bound, not an error, when the
+      // alternating-star path is available: re-dispatch the materialized
+      // edge relation (und is checkpointed — the expensive upstream plan,
+      // e.g. the whole similarity join, is NOT recomputed)
+      unpersistLocalCheckpoint(labels)
+      return connectedComponentsAlternating(und, "u", "v")
+        .withColumnRenamed("u", srcCol)
+    }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
-      "— component diameter exceeds the cap; raise maxIter")
+      "— component diameter exceeds the cap; raise maxIter or enable fallback")
     labels.select(col("u").as(srcCol), col("lbl").as("cluster_id"))
       .orderBy(srcCol)
+  }
+
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each round hangs every node off the minimum of its
+    * neighborhood, halving tree heights — convergence in O(log n) rounds
+    * on ANY graph shape, where min-label propagation needs O(diameter).
+    * The per-round cost (two neighborhood aggregations + joins on the
+    * shrinking edge relation) is higher than propagation's, which is why
+    * this is the FALLBACK for deep graphs, not the default for the
+    * clique-shaped near-dup clusters dedup produces.
+    *
+    * large-star: for each node u with m = min(Γ(u) ∪ {u}), re-hang every
+    * LARGER neighbor onto m. small-star: with m = min over the SMALLER
+    * neighborhood only, re-hang the smaller neighbors and u itself onto
+    * m. A fixed point is reached exactly when every component is a star
+    * rooted at its minimum, read out as (child → root).
+    */
+  def connectedComponentsAlternating(edges: DataFrame, srcCol: String,
+                                     dstCol: String,
+                                     maxRounds: Int = 60): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val e0 = canon(edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b")))
+      .localCheckpoint(true)
+    // the node universe is fixed by the INPUT edges; star rounds rewire
+    // edges, so late rounds may not mention every node
+    val nodes = e0.select(col("u").as("node"))
+      .union(e0.select(col("v").as("node"))).distinct().localCheckpoint(true)
+    var e = e0
+    var converged = e.isEmpty
+    var i = 0
+    while (!converged && i < maxRounds) {
+      // large-star
+      val und = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val m = und.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+      val ls = canon(und.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+      // small-star over the large-star result
+      val lsUnd = ls.select(col("u"), col("v"))
+        .union(ls.select(col("v").as("u"), col("u").as("v")))
+      val smaller = lsUnd.filter(col("v") < col("u"))
+      val m2 = smaller.groupBy("u").agg(min(col("v")).as("m"))
+      val prev = e
+      val next = canon(
+          smaller.join(m2, "u").select(col("v").as("a"), col("m").as("b"))
+            .union(m2.select(col("u").as("a"), col("m").as("b"))))
+        .localCheckpoint(true)
+      // fixed point: same distinct edge count and no edge outside the old
+      // set (equal counts + one-sided emptiness ⇒ set equality)
+      converged = next.count() == prev.count() && next.except(prev).isEmpty
+      e = next
+      if (prev ne e0) unpersistLocalCheckpoint(prev)
+      i += 1
+    }
+    require(converged, s"alternating-star did not converge in $maxRounds rounds")
+    // stars: every edge is (root, child); roots label themselves, and any
+    // node the final edge set no longer mentions is its own root
+    val labels = e.select(col("v").as("node"), col("u").as("cluster_id"))
+      .union(e.select(col("u").as("node"), col("u").as("cluster_id")))
+      .distinct()
+    val out = nodes.join(labels, Seq("node"), "left")
+      .select(col("node").as(srcCol),
+        coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+      .orderBy(srcCol)
+    out
   }
 }

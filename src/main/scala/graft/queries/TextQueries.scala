@@ -359,6 +359,31 @@ object TextQueries {
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** q95 (added r8) — PARTITIONED sink + partition-PRUNED read: documents
+    * written `partitionBy(lang, source)`, then a lang-filtered aggregation
+    * over the re-read — the layout complement of q94's bucketing: at
+    * 100 TB, partitioning by coarse slice keys means a mixture/filter
+    * query opens ONLY the matching directories (here 1 lang of 5; the
+    * scan's PartitionFilters carry the predicate, ExplainSpec-pinned)
+    * instead of scanning the corpus. Oracle grades the round-trip +
+    * pruned aggregation against the original table.
+    */
+  val q95 = Q(
+    "q95_partitioned_sink",
+    (s, d) => {
+      val dir = graft.Scratch.perJvm("graft_q95_part")
+      Tables.documents(s, d).write.mode("overwrite")
+        .partitionBy("lang", "source").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("lang") === "de")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents WHERE lang = 'de'
+            GROUP BY source ORDER BY source"""))
+
   /** q86 (added r8) — UNIGRAM LM surprisal scoring: train a unigram
     * language model on the corpus (token → −log₂ p, p = corpus-frequency /
     * total) and score every document by its mean per-token surprisal in
@@ -462,5 +487,5 @@ object TextQueries {
             FROM agg ORDER BY lang"""))
 
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89)
+    q76, q77, q79, q86, q89, q95)
 }

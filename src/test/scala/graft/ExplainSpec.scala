@@ -215,6 +215,26 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q94 bucketed join is exchange-free below the join (co-located buckets, r8)") {
+    val p = plan("q94_bucketed_join")
+    // both scans must report bucket pruning metadata and the merge join
+    // must sit directly on them — the only exchanges allowed are the
+    // mktsegment aggregation and the output sort ABOVE the join
+    assert("SelectedBucketsCount".r.findAllIn(p).size === 2, p.take(2500))
+    assert(p.contains("SortMergeJoin"), p.take(2500))
+    assert(!p.contains("BroadcastHashJoin"), p.take(2500))
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2500))
+  }
+
+  test("q95 lang filter prunes partitions at the scan, never a post-scan filter (r8)") {
+    val p = plan("q95_partitioned_sink")
+    // the predicate must land in the scan's PartitionFilters — only the
+    // lang=de directories are opened; a plain Filter over all partitions
+    // means the layout bought nothing
+    assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*de".r.findFirstIn(p).nonEmpty,
+      p.take(2500))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

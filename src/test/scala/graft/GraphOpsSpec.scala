@@ -17,18 +17,47 @@ class GraphOpsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
-  test("long chain converges (diameter-bound rounds) and over-cap fails loudly") {
+  test("long chain converges (diameter-bound rounds) and over-cap fails loudly without fallback") {
     import spark.implicits._
     val chain = (0L until 29L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val out = GraphOps.connectedComponents(chain, "a_id", "b_id", maxIter = 40)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(out.length === 30 && out.forall(_._2 === 0L))
-    // a 30-node path has diameter 29 > the default 20-round cap — the
-    // operator must refuse rather than return a partial labeling
+    // with the fallback disabled, a 30-node path (diameter 29) past a
+    // 5-round cap must refuse rather than return a partial labeling
     val ex = intercept[IllegalArgumentException] {
-      GraphOps.connectedComponents(chain, "a_id", "b_id", maxIter = 5).collect()
+      GraphOps.connectedComponents(chain, "a_id", "b_id", maxIter = 5,
+        fallback = false).collect()
     }
     assert(ex.getMessage.contains("converge"))
+  }
+
+  test("over-cap diameter dispatches to alternating-star and still labels correctly (r8)") {
+    import spark.implicits._
+    // diameter 29 >> the 5-round propagation cap: the default path now
+    // hands the materialized edges to large-star/small-star instead of
+    // failing — same labels as the converged propagation
+    val chain = (0L until 29L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = GraphOps.connectedComponents(chain, "a_id", "b_id", maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === 30 && out.forall(_._2 === 0L))
+  }
+
+  test("alternating-star equals min-label propagation on a mixed-shape graph (r8)") {
+    import spark.implicits._
+    // triangle + pendant, 2-pair component, 3-chain, and a 60-node path
+    // (deep) sharing one edge list — the shapes exercise both the star
+    // re-hang and the multi-component bookkeeping
+    val edges = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (10L, 11L), (20L, 21L), (21L, 22L)) ++
+      (100L until 159L).map(i => (i, i + 1))).toDF("a_id", "b_id")
+    val alt = GraphOps.connectedComponentsAlternating(edges, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = GraphOps.connectedComponents(edges, "a_id", "b_id", maxIter = 80,
+        fallback = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(alt === prop)
+    assert((100L to 159L).forall(n => alt(n) === 100L))
   }
 
   test("q71: cluster ids are component minima consistent with the q36 pair graph") {

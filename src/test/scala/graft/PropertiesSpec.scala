@@ -190,6 +190,15 @@ class PropertiesSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     assert(VectorSearch.cosineKnn(emb, "vec_id", "embedding",
       org.apache.spark.sql.functions.col("id") < 0, 3).isEmpty)
+    // r8 additions: alternating-star on empty edges; interval join with an
+    // empty side (both directions)
+    assert(GraphOps.connectedComponentsAlternating(noEdges, "a_id", "b_id").isEmpty)
+    val ev = Seq((1L, 5L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val noEv = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("event_id", "user_id", "ts")
+    assert(graft.streaming.StreamJoin.attributionJoin(noEv, ev, 24).isEmpty)
+    assert(graft.streaming.StreamJoin.attributionJoin(ev, noEv, 24).isEmpty)
   }
 
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
