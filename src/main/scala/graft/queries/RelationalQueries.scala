@@ -784,8 +784,102 @@ object RelationalQueries {
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** q96 (added r8) — UPSERT (merge-into) as a snapshot transform: a
+    * change set (updated balances for every 7th customer, brand-new keys
+    * for every 13th) merged over the base dimension — updates override,
+    * inserts append, untouched rows pass through. Without a table format
+    * that speaks MERGE, the Spark-native form is a FULL OUTER join on the
+    * key + column-wise `coalesce` (change side wins) — one shuffle on the
+    * key, and at 100 TB the same plan runs as a bucketed co-located join
+    * (q94) so periodic dimension refreshes never re-shuffle the base.
+    * The change-set arithmetic is exact (negation / literal zero), so the
+    * oracle reproduces it bit-for-bit.
+    */
+  val q96 = Q(
+    "q96_upsert_snapshot",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("b_key"), col("c_name").as("b_name"),
+          col("c_acctbal").as("b_bal"))
+      val changes = Tables.customer(s, d)
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("u_key"), col("c_name").as("u_name"),
+          (-col("c_acctbal")).as("u_bal"))
+        .union(Tables.customer(s, d)
+          .filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 100000L).as("u_key"),
+            concat(lit("new_"), col("c_name")).as("u_name"),
+            lit(0.0).as("u_bal")))
+      base.join(changes, col("b_key") === col("u_key"), "full_outer")
+        .select(
+          coalesce(col("b_key"), col("u_key")).as("c_custkey"),
+          coalesce(col("u_name"), col("b_name")).as("c_name"),
+          coalesce(col("u_bal"), col("b_bal")).as("c_acctbal"),
+          col("u_key").isNotNull.as("was_upserted"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH changes AS (
+              SELECT c_custkey AS u_key, c_name AS u_name, -c_acctbal AS u_bal
+              FROM customer WHERE c_custkey % 7 = 0
+              UNION ALL
+              SELECT c_custkey + 100000, 'new_' || c_name, 0.0
+              FROM customer WHERE c_custkey % 13 = 0)
+            SELECT coalesce(b.c_custkey, c.u_key) AS c_custkey,
+                   coalesce(c.u_name, b.c_name) AS c_name,
+                   coalesce(c.u_bal, b.c_acctbal) AS c_acctbal,
+                   c.u_key IS NOT NULL AS was_upserted
+            FROM customer b FULL OUTER JOIN changes c ON b.c_custkey = c.u_key
+            ORDER BY c_custkey"""))
+
+  /** q97 (added r8) — GROUPING SETS with `grouping_id`: the explicit-sets
+    * form that completes the grouped-aggregation family (q18 ROLLUP, q19
+    * CUBE) — per (status, priority), per status, and grand total in ONE
+    * pass (Spark expands the sets into a single Expand + aggregation, one
+    * shuffle, not three queries). NULL group keys are coalesced to 'ALL'
+    * so the output ordering never touches engine NULL-sort defaults.
+    */
+  val q97 = Q(
+    "q97_grouping_sets",
+    (s, d) => Tables.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        Det.exactSum(col("o_totalprice")).as("sum_total"))
+      .select(col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_total"))
+      .orderBy("gid", "status", "priority"),
+    Some("""SELECT grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders,
+                   (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS sum_total
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+            ORDER BY gid, status, priority"""))
+
+  /** q98 (added r8) — deterministic ARRAY aggregation: per-region sorted
+    * list of nation names — `collect_list` is order-nondeterministic under
+    * parallelism, so the library's contract is `sort_array` ON TOP of the
+    * collection (the only reproducible form); grades the array-typed
+    * aggregation path end-to-end through parquet.
+    */
+  val q98 = Q(
+    "q98_array_agg",
+    (s, d) => Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey"),
+    Some("""SELECT n_regionkey, list_sort(list(n_name)) AS nations, count(*) AS n
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
-    q64, q65, q66, q93, q94)
+    q64, q65, q66, q93, q94, q96, q97, q98)
 }

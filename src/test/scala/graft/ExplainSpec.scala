@@ -235,6 +235,22 @@ class ExplainSpec extends SparkSpec {
       p.take(2500))
   }
 
+  test("q96 upsert is one keyed full-outer join, never a product (r8)") {
+    val p = plan("q96_upsert_snapshot")
+    assert(p.contains("FullOuter"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q97 grouping sets expand into ONE aggregation pass, not three queries (r8)") {
+    val p = plan("q97_grouping_sets")
+    // the three sets ride a single Expand into one partial+final agg —
+    // a plan with a Union re-computed the input per set
+    assert(p.contains("Expand"), p.take(2000))
+    assert(!p.contains("Union"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
