@@ -372,7 +372,14 @@ object TextQueries {
     "q95_partitioned_sink",
     (s, d) => {
       val dir = graft.Scratch.perJvm("graft_q95_part")
-      Tables.documents(s, d).write.mode("overwrite")
+      // one task per output directory: without this, every shuffle
+      // partition writes a sliver into every (lang, source) dir — 8×25
+      // small files here, and a small-file explosion at scale. (A heavily
+      // skewed slice would add a salt column to this repartition and
+      // accept a few files per dir; these slices are near-uniform.)
+      Tables.documents(s, d)
+        .repartition(col("lang"), col("source"))
+        .write.mode("overwrite")
         .partitionBy("lang", "source").parquet(dir)
       s.read.parquet(dir)
         .filter(col("lang") === "de")
