@@ -67,6 +67,54 @@ object VectorSearch {
     */
   val MaxBroadcastKnnQueries: Long = 100000L
 
+  /** Max centroid rows [[kmeansAssign]] will inline. A k-means/IVF model is
+    * O(k·dim) — a plan-time constant, never data-sized — so the cap is a
+    * loud-failure guard against a mis-scoped predicate, not a tuning knob.
+    */
+  val MaxCentroids: Int = 1024
+
+  /** Single-pass nearest-centroid assignment — the k-means "E step" and the
+    * IVF coarse-assignment primitive. `centroidPred` (over the renamed `id`
+    * column) selects the centroid rows; they are collected to the driver
+    * (bounded by [[MaxCentroids]], loud `require` beyond it) and inlined as
+    * codegen literals — exactly how distributed k-means ships its model
+    * (centers are O(k·dim); Spark MLlib broadcasts collected centers each
+    * iteration), so this is the one driver-side collect that IS the
+    * at-scale design, not a shortcut. The per-row argmax is then a fused
+    * chain of k codegen dot products folded through `greatest` over
+    * `(sim, -centroid_id)` structs: NO join, NO explode, and NO shuffle —
+    * at 100 TB the assignment is a pure map pass over the scan, and the
+    * centroid-side norms constant-fold at plan time.
+    *
+    * Ties (equal ROUND(,6) sim) break to the LOWEST centroid id; sims are
+    * rounded BEFORE comparison so an engine-portable oracle's argmax
+    * agrees. Output: one row per input vector, `(id, centroid_id, sim)`.
+    */
+  def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
+                   centroidPred: Column,
+                   maxCentroids: Int = MaxCentroids): DataFrame = {
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val cents = v.filter(centroidPred).orderBy("id").limit(maxCentroids + 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cents.length >= 2,
+      s"kmeansAssign needs at least 2 centroids, predicate matched ${cents.length}")
+    require(cents.length <= maxCentroids,
+      s"kmeansAssign centroid predicate matched > $maxCentroids rows — " +
+        "a k-means model is a plan-time constant; re-scope the predicate")
+    val scored = cents.map { case (cid, c) =>
+      val lv = typedLit(c)
+      // norm(lv) is literal-only → constant-folded by Catalyst at plan time
+      struct(
+        Det.round6(dot(col("v"), lv) / (norm(col("v")) * norm(lv))).as("sim"),
+        lit(-cid).as("negid"))
+    }
+    val best = greatest(scored.toIndexedSeq: _*)
+    v.select(col("id"),
+      (-best.getField("negid")).as("centroid_id"),
+      best.getField("sim").as("sim"))
+  }
+
   /** Size-dispatched cosine top-k — closes the q40-family scale gap the way
     * [[cosinePairs]] does for the pair form: a bounded
     * `limit(max+1).count()` probe on the PREDICATE-FILTERED id projection

@@ -440,6 +440,47 @@ object SimilarityQueries {
       ORDER BY q_id, rnk
     """.stripMargin.trim))
 
+  /** q100 (added r8) — k-means nearest-centroid assignment: every embedding
+    * assigned to its most-cosine-similar centroid (seeds = the 8 lowest
+    * vec_ids, the deterministic init) → per-cluster size and mean
+    * similarity — the semantic-clustering primitive behind IVF training,
+    * semantic dedup, and topic-balanced mixture planning. Graded through
+    * [[VectorSearch.kmeansAssign]]: the centroid model (O(k·dim), a
+    * plan-time constant) is collected and inlined as codegen literals the
+    * way MLlib ships k-means centers, so the assignment is a pure map pass
+    * — no join, no explode, no shuffle before the k-group final agg
+    * (ExplainSpec-pinned). Determinism: sims ROUND(,6) BEFORE the argmax
+    * (ties → lowest centroid id), mean via the round-terms-then-DECIMAL-sum
+    * protocol.
+    */
+  val q100 = Q(
+    "q100_kmeans_assign",
+    (s, d) => VectorSearch.kmeansAssign(
+      Tables.embeddings(s, d), "vec_id", "embedding", col("id") < 8)
+      .groupBy("centroid_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum(col("sim").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_sim"))
+      .orderBy("centroid_id"),
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8),
+      a AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                          c.cid) AS rnk
+        FROM embeddings e CROSS JOIN c)
+      SELECT cid AS centroid_id, count(*) AS n_members,
+             ROUND(sum(sim::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_sim
+      FROM a WHERE rnk = 1
+      GROUP BY cid ORDER BY cid
+    """.stripMargin.trim))
+
   def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75,
-    q83, q84)
+    q83, q84, q100)
 }

@@ -493,6 +493,74 @@ object TextQueries {
                    round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
             FROM agg ORDER BY lang"""))
 
+  /** q99 (added r8) — bigram PMI collocations: pointwise mutual information
+    * of adjacent word pairs, `log₂( p(ab) / (p(a)·p(b)) )` with p(ab) over
+    * the bigram stream and p(a) over the token stream — the phrase-mining
+    * signal that separates genuine collocations ("machine learning") from
+    * chance adjacency, with a min-count floor (≥3) so rare pairs can't win
+    * on noise. Completes q76 (raw counts) with the normalized form.
+    *
+    * Plan: two corpus passes (token agg, bigram agg — q76's codegen
+    * `arrays_zip` form, no HOF lambda); both totals ride in as 1-row
+    * broadcasts (q85 pattern); the two unigram attachments join the
+    * DISTINCT-bigram relation to the vocab relation — both vocabulary-
+    * sized however large the corpus, so the expensive passes stay
+    * partial+final aggregations of the scan. Determinism: PMI is computed
+    * by the identical IEEE expression in both engines from exactly-agreed
+    * integer counts, then ROUND(,6); ordering ties break on the bigram
+    * text.
+    */
+  val q99 = Q(
+    "q99_bigram_pmi",
+    (s, d) => {
+      val toks = Tables.documents(s, d).withColumn("toks", split(col("text"), " +"))
+      val uniStream = toks.select(explode(col("toks")).as("tok"))
+      val uni = uniStream.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val biStream = toks.select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("pr"))
+      val totals = uniStream.agg(count(lit(1)).cast("double").as("nu"))
+        .crossJoin(biStream.agg(count(lit(1)).cast("double").as("nb")))
+      val bi = biStream
+        .groupBy("pr").agg(count(lit(1)).as("cnt_ab"))
+        .filter(col("cnt_ab") >= 3)
+        .select(col("pr").getField("0").as("a"), col("pr").getField("1").as("b"),
+          col("cnt_ab"))
+      bi.join(uni.withColumnRenamed("tok", "a").withColumnRenamed("cnt", "cnt_a"), "a")
+        .join(uni.withColumnRenamed("tok", "b").withColumnRenamed("cnt", "cnt_b"), "b")
+        .crossJoin(broadcast(totals))
+        .select(
+          concat_ws(" ", col("a"), col("b")).as("bigram"),
+          col("cnt_ab").as("cnt"),
+          round(log2((col("cnt_ab").cast("double") / col("nb"))
+            / ((col("cnt_a").cast("double") / col("nu"))
+              * (col("cnt_b").cast("double") / col("nu")))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(50)
+    },
+    Some("""WITH t AS (
+              SELECT regexp_split_to_array(text, ' +') AS toks FROM documents),
+            uni AS (SELECT unnest(toks) AS tok FROM t),
+            ucnt AS (SELECT tok, count(*) AS cnt FROM uni GROUP BY tok),
+            bis AS (
+              SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                           i -> {'a': toks[i], 'b': toks[i + 1]})) AS pr
+              FROM t),
+            totals AS (
+              SELECT (SELECT count(*)::DOUBLE FROM uni) AS nu,
+                     (SELECT count(*)::DOUBLE FROM bis) AS nb),
+            bcnt AS (
+              SELECT pr.a AS a, pr.b AS b, count(*) AS cnt_ab
+              FROM bis GROUP BY pr.a, pr.b HAVING count(*) >= 3)
+            SELECT bcnt.a || ' ' || bcnt.b AS bigram, cnt_ab AS cnt,
+                   ROUND(log2((cnt_ab::DOUBLE / nb)
+                         / ((ua.cnt::DOUBLE / nu) * (ub.cnt::DOUBLE / nu))), 6) AS pmi
+            FROM bcnt
+            JOIN ucnt ua ON ua.tok = bcnt.a
+            JOIN ucnt ub ON ub.tok = bcnt.b
+            CROSS JOIN totals
+            ORDER BY pmi DESC, bigram LIMIT 50"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89, q95)
+    q76, q77, q79, q86, q89, q95, q99)
 }

@@ -251,6 +251,29 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q99 PMI joins stay on vocab-sized relations: hash joins, no product, no window (r8)") {
+    val p = plan("q99_bigram_pmi")
+    // unigram attachments are equi-joins on the token key; the only
+    // nested-loop joins allowed are the two 1-row total attaches
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+    // corpus passes are partial+final aggs, never a global window
+    assert(!p.contains("Window"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q100 kmeans assignment is a pure map pass: no join/explode/shuffle before the k-group agg (r8)") {
+    val p = plan("q100_kmeans_assign")
+    // the centroid model is inlined as codegen literals — ANY join or
+    // generator means the assignment regressed to a data-sized plan
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Generate"), p.take(2000))
+    assert(p.contains("graft_dot"), p.take(2000))
+    // exchanges: the k-group final agg + the output sort, nothing else
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

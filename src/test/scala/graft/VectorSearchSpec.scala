@@ -112,6 +112,39 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("kmeansAssign matches brute-force argmax, breaks ties low, guards bad k (r8)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val assigned = VectorSearch.kmeansAssign(emb, "vec_id", "embedding", col("id") < 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // brute force: every vector × every centroid through the same rounded
+    // cosine, argmax by (sim desc, centroid id asc)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = vecs.filter(_._1 < 8)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(assigned.size === vecs.size)
+    vecs.foreach { case (id, v) =>
+      val best = cents.map { case (cid, c) => (cid, cos(v, c)) }
+        .minBy { case (cid, s) => (-s, cid) }
+      assert(assigned(id) === best, s"vec $id")
+    }
+    // each centroid is its own nearest centroid at sim 1.0
+    cents.keys.foreach(cid => assert(assigned(cid) === (cid, 1.0)))
+    // loud guards: a degenerate or unbounded centroid predicate never
+    // silently produces a wrong model
+    intercept[IllegalArgumentException] {
+      VectorSearch.kmeansAssign(emb, "vec_id", "embedding", col("id") < 1)
+    }
+    intercept[IllegalArgumentException] {
+      VectorSearch.kmeansAssign(emb, "vec_id", "embedding", lit(true), maxCentroids = 16)
+    }
+  }
+
   test("LSH recall@3 against exact top-3 is >= 0.5 on random unit vectors") {
     // random unit vectors are the adversarial case for hyperplane LSH (all
     // cosines near 0, neighbors barely separated): 16 planes / 4 bands
