@@ -92,7 +92,17 @@ object VectorSearch {
     */
   def kmeansAssign(emb: DataFrame, idCol: String, vecCol: String,
                    centroidPred: Column,
-                   maxCentroids: Int = MaxCentroids): DataFrame = {
+                   maxCentroids: Int = MaxCentroids): DataFrame =
+    assignToCentroids(emb, idCol, vecCol, centroidPred, maxCentroids)
+      .select(col("id"), col("centroid_id"), col("sim"))
+
+  /** Shared E-step core: per-row nearest centroid with the input vector
+    * still attached, so [[kmeansUpdate]] can recompute centers without a
+    * join back to the data.
+    */
+  private def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                                centroidPred: Column,
+                                maxCentroids: Int): DataFrame = {
     graft.functions.VectorExprs.register(emb.sparkSession)
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val cents = v.filter(centroidPred).orderBy("id").limit(maxCentroids + 1)
@@ -110,10 +120,36 @@ object VectorSearch {
         lit(-cid).as("negid"))
     }
     val best = greatest(scored.toIndexedSeq: _*)
-    v.select(col("id"),
+    v.select(col("id"), col("v"),
       (-best.getField("negid")).as("centroid_id"),
       best.getField("sim").as("sim"))
   }
+
+  /** Distributed k-means M-step: the element-wise mean vector of every
+    * cluster produced by [[kmeansAssign]]'s E-step, emitted in long form
+    * `(centroid_id, dim, n_members, mean_val)` (dim is 1-based). One Lloyd
+    * iteration is this composed with the E-step; callers loop driver-side,
+    * collecting each round's k×dim result as the next round's model —
+    * state O(k·dim), exactly MLlib's iteration shape.
+    *
+    * Plan: the map-only assignment feeds ONE `posexplode` (a dim-fold data
+    * expansion that partial aggregation compacts back to k·dim rows per
+    * partition before the only shuffle) into a partial+final agg keyed
+    * (centroid, dim) — no join anywhere. Determinism: elements ROUND(,6)
+    * then summed as exact DECIMAL (round-terms-then-sums), so the means
+    * are engine-exact.
+    */
+  def kmeansUpdate(emb: DataFrame, idCol: String, vecCol: String,
+                   centroidPred: Column,
+                   maxCentroids: Int = MaxCentroids): DataFrame =
+    assignToCentroids(emb, idCol, vecCol, centroidPred, maxCentroids)
+      .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_val"))
+      .orderBy("centroid_id", "dim")
 
   /** Size-dispatched cosine top-k — closes the q40-family scale gap the way
     * [[cosinePairs]] does for the pair form: a bounded

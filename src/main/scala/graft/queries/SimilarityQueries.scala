@@ -481,6 +481,109 @@ object SimilarityQueries {
       GROUP BY cid ORDER BY cid
     """.stripMargin.trim))
 
+  /** q101 (added r8) — distributed k-means M-step: per-cluster element-wise
+    * mean vectors for q100's assignment, long form `(centroid_id, dim,
+    * n_members, mean_val)` — with q100 this is one full Lloyd iteration;
+    * a training loop composes the two with the driver carrying only the
+    * O(k·dim) model between rounds (MLlib's exact shape). Plan: map-only
+    * assignment → ONE posexplode → partial+final agg on (centroid, dim);
+    * the dim-fold expansion never crosses the wire un-compacted
+    * (ExplainSpec-pinned: no join, one generator). Determinism: elements
+    * ROUND(,6) then exact-DECIMAL sums.
+    */
+  val q101 = Q(
+    "q101_kmeans_update",
+    (s, d) => VectorSearch.kmeansUpdate(
+      Tables.embeddings(s, d), "vec_id", "embedding", col("id") < 8),
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8),
+      a AS (
+        SELECT e.vec_id, c.cid, e.embedding::DOUBLE[] AS v,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                          c.cid) AS rnk
+        FROM embeddings e CROSS JOIN c),
+      ex AS (
+        SELECT cid, unnest(list_transform(generate_series(1, len(v)),
+                                          i -> {'dim': i, 'x': round(v[i], 6)})) AS e
+        FROM a WHERE rnk = 1)
+      SELECT cid AS centroid_id, e.dim AS dim, count(*) AS n_members,
+             ROUND(sum((e.x)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_val
+      FROM ex GROUP BY cid, e.dim ORDER BY centroid_id, dim
+    """.stripMargin.trim))
+
+  /** q102 (added r8) — leakage-safe train/val/test split: documents are
+    * assigned to splits by their NEAR-DUP CLUSTER (q71's components;
+    * singletons are their own cluster), so two near-duplicate documents can
+    * never land in different splits — the eval-contamination failure mode
+    * of naive per-doc splitting that silently inflates held-out scores.
+    * Split = Knuth multiplicative hash of the cluster label mod 100
+    * (80/10/10), q91's engine-portable arithmetic so the oracle reproduces
+    * the exact assignment (the 100 TB production form swaps in xxhash64 as
+    * q72 does; the arithmetic hash is the grading-portable stand-in).
+    * Output: per-split cluster/doc/char totals.
+    */
+  val q102 = Q(
+    "q102_leakage_safe_split",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = SimilarityJoin.jaccardSelf(
+        docs, "doc_id", "text", Seq("lang", "source"), 0.8)
+      val clusters = graft.ops.GraphOps.connectedComponents(pairs, "a_id", "b_id")
+        .withColumnRenamed("a_id", "doc_id")
+      val bucket = pmod(pmod(col("gid") * lit(2654435761L), lit(2147483647L)), lit(100))
+      docs.select("doc_id", "n_chars")
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("gid", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("split_name",
+          when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy("split_name")
+        .agg(
+          countDistinct(col("gid")).as("n_clusters"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+        .orderBy("split_name")
+    },
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(text, ' +')) AS toks
+        FROM documents
+      ),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+      ),
+      und AS (SELECT a_id AS u, b_id AS v FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(u, v) AS (
+        SELECT u, u FROM (SELECT DISTINCT u FROM und)
+        UNION
+        SELECT und.u, r.v FROM und JOIN reach r ON und.v = r.u
+      ),
+      cl AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+      g AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(cl.cluster_id, d.doc_id) AS gid
+        FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+      s AS (
+        SELECT n_chars, gid,
+               CASE WHEN ((gid * 2654435761) % 2147483647) % 100 < 80 THEN 'train'
+                    WHEN ((gid * 2654435761) % 2147483647) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split_name
+        FROM g)
+      SELECT split_name, count(DISTINCT gid) AS n_clusters,
+             count(*) AS n_docs, sum(n_chars) AS n_chars
+      FROM s GROUP BY split_name ORDER BY split_name
+    """.stripMargin.trim))
+
   def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75,
-    q83, q84, q100)
+    q83, q84, q100, q101, q102)
 }

@@ -274,6 +274,15 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q101 kmeans M-step: map-only assignment, one generator, no join (r8)") {
+    val p = plan("q101_kmeans_update")
+    // the dim-fold posexplode is the single Generate; partial agg compacts
+    // it to k*dim rows per partition before the only keyed shuffle
+    assert("Generate".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

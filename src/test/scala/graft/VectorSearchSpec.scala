@@ -145,6 +145,29 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("kmeansUpdate means match brute-force per-cluster element means (r8)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val assigned = VectorSearch.kmeansAssign(emb, "vec_id", "embedding", col("id") < 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val byCluster = vecs.groupBy { case (id, _) => assigned(id) }
+    val upd = VectorSearch.kmeansUpdate(emb, "vec_id", "embedding", col("id") < 8)
+      .collect()
+    // k clusters × 64 dims, every cluster non-empty (each centroid is its
+    // own nearest), sizes consistent with the E-step
+    assert(upd.length === byCluster.size * 64)
+    def r6(x: Double): BigDecimal = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    upd.foreach { r =>
+      val (cid, dim, n, m) = (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+      val members = byCluster(cid)
+      assert(n === members.size, s"cluster $cid size")
+      val sum = members.map { case (_, v) => r6(v(dim - 1)) }.sum
+      val expected = r6(sum.toDouble / n).toDouble
+      assert(m === expected, s"cluster $cid dim $dim")
+    }
+  }
+
   test("LSH recall@3 against exact top-3 is >= 0.5 on random unit vectors") {
     // random unit vectors are the adversarial case for hyperplane LSH (all
     // cosines near 0, neighbors barely separated): 16 planes / 4 bands
