@@ -312,5 +312,36 @@ object StreamingQueries {
              AND b.ts::TIMESTAMP <= a.ts::TIMESTAMP + INTERVAL 24 HOURS
             ORDER BY view_id, purchase_id"""))
 
-  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90)
+  // ---- 103. stream-static enrichment join, batch-graded (added r8) ---------
+  // graft.streaming.StreamJoin.enrichJoin — broadcast dimension lookup on the
+  // event stream (STATELESS on a stream: per-micro-batch map-side hash probe,
+  // no watermark/state store), executed on the BATCH events table where the
+  // same plan is a broadcast-hash LEFT join, giving the operator a full
+  // DuckDB oracle; the per-micro-batch runtime is pinned in StreamJoinSpec.
+  // Aggregation: per (segment, event_type) traffic rollup with the
+  // round-terms-then-DECIMAL-sum protocol on the double `value`.
+  val q103 = Q(
+    "q103_stream_enrich",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      StreamJoin.enrichJoin(ev, dim, "user_id", "c_custkey")
+        .groupBy(
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(round(col("value"), 6).cast("decimal(28,6)")).cast("double"), 6)
+            .as("total_value"))
+        .orderBy("segment", "event_type")
+    },
+    Some("""SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   ROUND(sum(ROUND(value, 6)::DECIMAL(28,6))::DOUBLE, 6) AS total_value
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90, q103)
 }

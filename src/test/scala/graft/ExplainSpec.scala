@@ -283,6 +283,15 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q103 enrichment broadcasts the dim onto the event scan (r8)") {
+    val p = plan("q103_stream_enrich")
+    // the dim must be the broadcast build side — a sort-merge join here
+    // would shuffle the full event stream for a bounded lookup table
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

@@ -50,6 +50,32 @@ class StreamJoinSpec extends SparkSpec {
     assert(streamed.map(t => (t._1, t._2)) === Set((1L, 101L), (2L, 101L), (3L, 102L)))
   }
 
+  test("stream-static enrichment joins every micro-batch against the dim, keeps unmatched (r8)") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val dim = Seq((7L, "BUILDING"), (8L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val events = MemoryStream[(Long, Long, Double)]
+    val enriched = StreamJoin.enrichJoin(
+      events.toDF().toDF("event_id", "user_id", "value"),
+      dim, "user_id", "c_custkey")
+    val q = enriched.writeStream.format("memory").queryName("sj_enrich")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: the stateless join must probe the dim in EACH,
+      // and user 99 (no dim row) must survive with a null segment
+      events.addData((1L, 7L, 1.5), (2L, 99L, 2.5)); q.processAllAvailable()
+      events.addData((3L, 8L, 3.5)); q.processAllAvailable()
+    } finally q.stop()
+    val got = s.table("sj_enrich")
+      .select("event_id", "c_mktsegment")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(got === Set(
+      (1L, Some("BUILDING")), (2L, None), (3L, Some("MACHINERY"))))
+  }
+
   test("a view arriving behind the watermark is dropped, not joined") {
     val s = spark
     import s.implicits._
