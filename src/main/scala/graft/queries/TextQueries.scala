@@ -561,6 +561,44 @@ object TextQueries {
             CROSS JOIN totals
             ORDER BY pmi DESC, bigram LIMIT 50"""))
 
+  /** q104 (added r8) — SCHEMA EVOLUTION across corpus generations: an early
+    * crawl written WITHOUT `source`/`n_chars`, a later one with them, read
+    * back as ONE relation via `mergeSchema` (columns absent from older
+    * files surface as NULLs — no rewrite of the old generation), then
+    * aggregated per lang with per-generation observability. This is the
+    * long-lived-corpus reality check: schemas drift across ingestion eras
+    * and the engine must read the union without migrating petabytes.
+    * The oracle reconstructs the same answer from the original table (even
+    * doc_ids = generation 1, odd = generation 2), so any row loss, column
+    * misalignment, or wrong NULL semantics in the merged read breaks the
+    * hash. At 100 TB `mergeSchema` reads footers of (a sample of) files —
+    * the per-file cost the trade is priced for; writes land under the
+    * per-JVM scratch root (overwritten in place across Bench re-runs).
+    */
+  val q104 = Q(
+    "q104_schema_evolution",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = graft.Scratch.perJvm("graft_q104")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text", "lang")
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(col("source")).as("n_v2"),
+          sum(coalesce(col("n_chars"), lit(0L))).as("chars_v2"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_v2,
+                   sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)::BIGINT AS chars_v2
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89, q95, q99)
+    q76, q77, q79, q86, q89, q95, q99, q104)
 }

@@ -292,6 +292,19 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q104 merged read scans one relation with the evolved schema, agg partial+final (r8)") {
+    val qe = SparkEntry.queries("q104_schema_evolution")(spark, sf0001).queryExecution
+    val f = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the evolved columns must be IN the merged scan's read schema (not
+    // joined in from a second scan): one FileScan, nulls backfilled
+    val idx = f.indexOf("ReadSchema")
+    assert(idx >= 0, f.take(2000))
+    assert(f.substring(idx).contains("source"), f.substring(idx).take(500))
+    assert(!f.contains("Join"), f.take(2000))
+    assert("HashAggregate".r.findAllIn(f).size >= 2, f.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

@@ -199,6 +199,13 @@ class PropertiesSpec extends SparkSpec {
       .toDF("event_id", "user_id", "ts")
     assert(graft.streaming.StreamJoin.attributionJoin(noEv, ev, 24).isEmpty)
     assert(graft.streaming.StreamJoin.attributionJoin(ev, noEv, 24).isEmpty)
+    // r8 late additions: enrichment with an empty stream is empty; with an
+    // empty dim it keeps every event (left semantics — never drops traffic)
+    val dim = Seq((5L, "BUILDING")).toDF("c_custkey", "c_mktsegment")
+    val noDim = Seq.empty[(Long, String)].toDF("c_custkey", "c_mktsegment")
+    assert(graft.streaming.StreamJoin.enrichJoin(noEv, dim, "user_id", "c_custkey").isEmpty)
+    val kept = graft.streaming.StreamJoin.enrichJoin(ev, noDim, "user_id", "c_custkey")
+    assert(kept.count() === 1 && kept.select("c_mktsegment").head.isNullAt(0))
   }
 
   test("dedup idempotence: dedup(dedup(x)) == dedup(x)") {
