@@ -609,6 +609,49 @@ object PipelineQueries {
             FROM t CROSS JOIN tot GROUP BY lang, source
             ORDER BY lang, source"""))
 
+  /** q105 (added r8) — deterministic NEGATIVE SAMPLING for contrastive
+    * training: for each anchor doc (doc_id < 20), the 3 out-of-block
+    * negatives (different (lang, source) — in-block docs risk being
+    * near-dups, i.e. false negatives) ranked by the q91 engine-portable
+    * Knuth hash of the (anchor, candidate) pair, so the sample is
+    * reproducible across engines, partitionings, and reruns — the property
+    * that makes a training set auditable. Plan: the bounded anchor side
+    * broadcasts onto the corpus stream (q40's matrix shape) and the
+    * per-anchor rank-≤-k compiles to WindowGroupLimit — O(k) per-partition
+    * heaps, never a full per-anchor sort (ExplainSpec-pinned).
+    */
+  val q105 = Q(
+    "q105_negative_sampling",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val anchors = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("q_id"), col("lang").as("q_lang"),
+          col("source").as("q_source"))
+      val cand = docs.select(col("doc_id").as("neg_id"), col("lang"), col("source"))
+      val h = pmod(col("neg_id") * lit(2654435761L) + col("q_id") * lit(40503L),
+        lit(2147483647L))
+      val w = Window.partitionBy("q_id").orderBy(col("h"), col("neg_id"))
+      cand.join(broadcast(anchors),
+          !(col("lang") === col("q_lang") && col("source") === col("q_source")))
+        .withColumn("h", h)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("neg_id"), col("h"))
+        .orderBy("q_id", "rnk")
+    },
+    Some("""SELECT q.doc_id AS q_id,
+                   row_number() OVER (
+                     PARTITION BY q.doc_id
+                     ORDER BY (c.doc_id * 2654435761 + q.doc_id * 40503) % 2147483647,
+                              c.doc_id) AS rnk,
+                   c.doc_id AS neg_id,
+                   (c.doc_id * 2654435761 + q.doc_id * 40503) % 2147483647 AS h
+            FROM documents q JOIN documents c
+              ON q.doc_id < 20
+             AND NOT (c.lang = q.lang AND c.source = q.source)
+            QUALIFY rnk <= 3
+            ORDER BY q_id, rnk"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92)
+    q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105)
 }

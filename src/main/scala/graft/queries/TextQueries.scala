@@ -599,6 +599,40 @@ object TextQueries {
                    sum(CASE WHEN doc_id % 2 = 1 THEN n_chars ELSE 0 END)::BIGINT AS chars_v2
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** q106 (added r8) — text NORMALIZATION: the canonical cleaning transform
+    * every corpus runs before dedup/tokenization — lowercase, strip
+    * non-alphanumerics (ASCII class per the §2 locale rule), collapse
+    * whitespace runs, trim — emitted with before/after lengths and a
+    * `changed` flag so the pipeline can quantify how much cleaning each
+    * source needs. Distinct from q77 (targeted masking): this is the
+    * canonical-form rewrite whose output becomes the dedup key space.
+    * Pure per-row codegen regex chain — no exchange before the output
+    * sort; runs at scan speed at any corpus size.
+    */
+  val q106 = Q(
+    "q106_normalize_text",
+    (s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          norm.as("norm_text"),
+          length(col("text")).as("n_before"),
+          length(norm).as("n_after"),
+          (norm =!= col("text")).as("changed"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g')) AS norm_text,
+                   length(text) AS n_before,
+                   length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                              ' +', ' ', 'g'))) AS n_after,
+                   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g')) <> text AS changed
+            FROM documents ORDER BY doc_id"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89, q95, q99, q104)
+    q76, q77, q79, q86, q89, q95, q99, q104, q106)
 }

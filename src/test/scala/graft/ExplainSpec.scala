@@ -305,6 +305,22 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(f).size >= 2, f.take(2000))
   }
 
+  test("q105 negative sampling: rank pushdown fires, anchors broadcast (r8)") {
+    val p = plan("q105_negative_sampling")
+    // rank <= k must plan WindowGroupLimit (O(k) per-partition heaps); the
+    // bounded anchor side must be the broadcast side of the product
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("q106 normalization is scan-speed: no exchange before the output sort (r8)") {
+    val p = plan("q106_normalize_text")
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+    assert(!p.contains("Generate"), p.take(1500))
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
