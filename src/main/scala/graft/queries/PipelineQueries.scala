@@ -652,6 +652,60 @@ object PipelineQueries {
             QUALIFY rnk <= 3
             ORDER BY q_id, rnk"""))
 
+  /** q107 (added r8) — CORPUS DRIFT between snapshots: the q85 mixture
+    * report computed for a base snapshot (doc_id < 250) and a new one
+    * (doc_id ≥ 250) in ONE scan, emitting per-(lang, source) doc/token
+    * counts for both plus the token-share DELTA — the monitoring table a
+    * recurring ingestion watches to catch a crawl suddenly skewing toward
+    * one source/language before it trains on it. Plan: one partial+final
+    * agg over the scan (both snapshots' measures as conditional sums — no
+    * second pass, no union), per-snapshot totals ride one 1-row broadcast
+    * (q85's pattern); shares and drift are fixed IEEE expressions over
+    * exactly-agreed integer sums, ROUND(,6).
+    */
+  val q107 = Q(
+    "q107_corpus_drift",
+    (s, d) => {
+      val t = Tables.documents(s, d).select(
+        col("lang"), col("source"),
+        size(split(col("text"), " +")).cast("long").as("n"),
+        (col("doc_id") >= 250).as("is_new"))
+      val tot = t.agg(
+        sum(when(!col("is_new"), col("n")).otherwise(0L)).cast("double").as("tot_base"),
+        sum(when(col("is_new"), col("n")).otherwise(0L)).cast("double").as("tot_new"))
+      t.groupBy("lang", "source")
+        .agg(
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("docs_base"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("docs_new"),
+          sum(when(!col("is_new"), col("n")).otherwise(0L)).as("tok_base"),
+          sum(when(col("is_new"), col("n")).otherwise(0L)).as("tok_new"))
+        .crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"),
+          col("docs_base"), col("docs_new"), col("tok_base"), col("tok_new"),
+          round(col("tok_new").cast("double") / col("tot_new")
+            - col("tok_base").cast("double") / col("tot_base"), 6).as("share_drift"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH t AS (
+              SELECT lang, source,
+                     len(regexp_split_to_array(text, ' +'))::BIGINT AS n,
+                     doc_id >= 250 AS is_new
+              FROM documents),
+            tot AS (
+              SELECT sum(CASE WHEN NOT is_new THEN n ELSE 0 END)::DOUBLE AS tot_base,
+                     sum(CASE WHEN is_new THEN n ELSE 0 END)::DOUBLE AS tot_new
+              FROM t)
+            SELECT lang, source,
+                   sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::BIGINT AS docs_base,
+                   sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS docs_new,
+                   sum(CASE WHEN NOT is_new THEN n ELSE 0 END)::BIGINT AS tok_base,
+                   sum(CASE WHEN is_new THEN n ELSE 0 END)::BIGINT AS tok_new,
+                   ROUND(sum(CASE WHEN is_new THEN n ELSE 0 END)::DOUBLE / any_value(tot_new)
+                         - sum(CASE WHEN NOT is_new THEN n ELSE 0 END)::DOUBLE / any_value(tot_base),
+                         6) AS share_drift
+            FROM t CROSS JOIN tot
+            GROUP BY lang, source ORDER BY lang, source"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105)
+    q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105, q107)
 }

@@ -321,6 +321,18 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(1500))
   }
 
+  test("q107 drift report is one scan pass: conditional sums, no union, no window (r8)") {
+    val p = plan("q107_corpus_drift")
+    // both snapshots' measures ride ONE aggregation over ONE scan — a
+    // Union means someone split it into two passes
+    assert(!p.contains("Union"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    // 1-row totals attach via broadcast, never a shuffle join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
