@@ -112,17 +112,7 @@ object VectorSearch {
     require(cents.length <= maxCentroids,
       s"kmeansAssign centroid predicate matched > $maxCentroids rows — " +
         "a k-means model is a plan-time constant; re-scope the predicate")
-    val scored = cents.map { case (cid, c) =>
-      val lv = typedLit(c)
-      // norm(lv) is literal-only → constant-folded by Catalyst at plan time
-      struct(
-        Det.round6(dot(col("v"), lv) / (norm(col("v")) * norm(lv))).as("sim"),
-        lit(-cid).as("negid"))
-    }
-    val best = greatest(scored.toIndexedSeq: _*)
-    v.select(col("id"), col("v"),
-      (-best.getField("negid")).as("centroid_id"),
-      best.getField("sim").as("sim"))
+    assignFromModel(v, cents)
   }
 
   /** Distributed k-means M-step: the element-wise mean vector of every
@@ -142,14 +132,85 @@ object VectorSearch {
   def kmeansUpdate(emb: DataFrame, idCol: String, vecCol: String,
                    centroidPred: Column,
                    maxCentroids: Int = MaxCentroids): DataFrame =
-    assignToCentroids(emb, idCol, vecCol, centroidPred, maxCentroids)
+    meanByCluster(assignToCentroids(emb, idCol, vecCol, centroidPred, maxCentroids))
+      .orderBy("centroid_id", "dim")
+
+  /** k·dim element-wise means of an assignment carrying `(centroid_id, v)`
+    * — q101's plan: one posexplode, partial agg compacts the dim-fold
+    * expansion to k·dim rows per partition before the only shuffle.
+    */
+  private def meanByCluster(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("centroid_id"), (col("pos") + 1).as("dim"))
       .agg(
         count(lit(1)).as("n_members"),
         round(sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
           / count(lit(1)), 6).as("mean_val"))
-      .orderBy("centroid_id", "dim")
+
+  /** Full Lloyd loop over [[kmeansAssign]]/[[kmeansUpdate]]'s primitives:
+    * seeds from the `centroidPred` rows, then `iters` rounds of
+    * assign → element-wise mean → re-seed. Between rounds ONLY the
+    * O(k·dim) model crosses the driver (collected from the M-step's k·dim
+    * aggregated rows — the same shape MLlib collects per iteration); the
+    * data is re-scanned per round as a pure map pass, so the loop is
+    * 100 TB-safe by construction: per-round cost is one scan + one k·dim
+    * aggregation, state is the model.
+    *
+    * Returns the final assignment `(id, centroid_id, sim)` where
+    * `centroid_id` is the ORDINAL of the learned center (0..k−1 in seed
+    * order — after the first update centers are means, not input rows).
+    * Deterministic: seeds are data rows fixed by the predicate, every
+    * round's means use the ROUND(,6)/DECIMAL protocol, argmax ties break
+    * to the lowest ordinal.
+    */
+  def kmeansFit(emb: DataFrame, idCol: String, vecCol: String,
+                centroidPred: Column, iters: Int,
+                maxCentroids: Int = MaxCentroids): DataFrame = {
+    require(iters >= 1, s"kmeansFit needs iters >= 1, got $iters")
+    graft.functions.VectorExprs.register(emb.sparkSession)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val seed = v.filter(centroidPred).orderBy("id").limit(maxCentroids + 1)
+      .collect().map(r => r.getSeq[Double](1))
+    require(seed.length >= 2 && seed.length <= maxCentroids,
+      s"kmeansFit centroid predicate matched ${seed.length} rows (need 2..$maxCentroids)")
+    // ordinal ids: centers stop being input rows after the first update
+    var model: Array[(Long, Seq[Double])] =
+      seed.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    var round = 0
+    while (round < iters) {
+      val means = meanByCluster(assignFromModel(v, model)).collect()
+      // a seed cluster can empty out after a round: its ordinal simply
+      // drops from the model (k shrinks), matching MLlib's behavior
+      model = means.groupBy(_.getLong(0)).toArray.sortBy(_._1).map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq)
+      }
+      require(model.length >= 2,
+        s"kmeansFit collapsed to ${model.length} non-empty cluster(s) at round $round")
+      round += 1
+    }
+    assignFromModel(v, model)
+      .select(col("id"), col("centroid_id"), col("sim"))
+  }
+
+  /** E-step against an explicit in-memory model (shared by the public
+    * entry points; `v` must already be `(id, v: array<double>)`). Each
+    * centroid becomes a codegen literal; `norm(lv)` constant-folds at plan
+    * time, so the per-row cost is k fused dot products.
+    */
+  private def assignFromModel(v: DataFrame,
+                              model: Array[(Long, Seq[Double])]): DataFrame = {
+    val scored = model.map { case (cid, c) =>
+      val lv = typedLit(c)
+      struct(
+        Det.round6(dot(col("v"), lv) / (norm(col("v")) * norm(lv))).as("sim"),
+        lit(-cid).as("negid"))
+    }
+    val best = greatest(scored.toIndexedSeq: _*)
+    v.select(col("id"), col("v"),
+      (-best.getField("negid")).as("centroid_id"),
+      best.getField("sim").as("sim"))
+  }
 
   /** Size-dispatched cosine top-k — closes the q40-family scale gap the way
     * [[cosinePairs]] does for the pair form: a bounded

@@ -168,6 +168,45 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("kmeansFit: iteration 1 assigns against the q101 means; more rounds never degrade (r8)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // seeds are vec_ids 0..7, so fit ordinals coincide with q101's cids:
+    // the 1-iteration fit must equal a brute-force argmax against the
+    // q101 mean vectors
+    val model = VectorSearch.kmeansUpdate(emb, "vec_id", "embedding", col("id") < 8)
+      .collect().groupBy(_.getLong(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toArray
+      }
+    val fit1 = VectorSearch.kmeansFit(emb, "vec_id", "embedding", col("id") < 8, 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    vecs.foreach { case (id, v) =>
+      val best = model.toSeq.map { case (cid, c) => (cid, cos(v, c)) }
+        .minBy { case (cid, s) => (-s, cid) }
+      assert(fit1(id) === best, s"vec $id")
+    }
+    // Lloyd monotonicity (spherical form): the mean assignment similarity
+    // must not degrade with more rounds (tolerance covers the ROUND(,6)
+    // protocol's quantization)
+    def meanSim(iters: Int): Double = {
+      val rows = VectorSearch.kmeansFit(emb, "vec_id", "embedding", col("id") < 8, iters)
+        .collect().map(_.getDouble(2))
+      rows.sum / rows.length
+    }
+    val (m1, m3) = (meanSim(1), meanSim(3))
+    assert(m3 >= m1 - 1e-4, s"meanSim degraded: $m1 -> $m3")
+    intercept[IllegalArgumentException] {
+      VectorSearch.kmeansFit(emb, "vec_id", "embedding", col("id") < 8, 0)
+    }
+  }
+
   test("LSH recall@3 against exact top-3 is >= 0.5 on random unit vectors") {
     // random unit vectors are the adversarial case for hyperplane LSH (all
     // cosines near 0, neighbors barely separated): 16 planes / 4 bands
