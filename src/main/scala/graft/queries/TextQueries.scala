@@ -501,28 +501,31 @@ object TextQueries {
     * on noise. Completes q76 (raw counts) with the normalized form.
     *
     * Plan: two corpus passes (token agg, bigram agg — q76's codegen
-    * `arrays_zip` form, no HOF lambda); both totals ride in as 1-row
-    * broadcasts (q85 pattern); the two unigram attachments join the
-    * DISTINCT-bigram relation to the vocab relation — both vocabulary-
-    * sized however large the corpus, so the expensive passes stay
-    * partial+final aggregations of the scan. Determinism: PMI is computed
-    * by the identical IEEE expression in both engines from exactly-agreed
-    * integer counts, then ROUND(,6); ordering ties break on the bigram
-    * text.
+    * `arrays_zip` form, no HOF lambda) and NOT four: both stream totals
+    * are derived as `sum(cnt)` over the already-aggregated vocab-sized
+    * relations instead of re-counting the corpus, and each aggregation's
+    * shuffle is consumed twice (total + attachment) through ONE
+    * materialization — Spark's ReuseExchange collapses the identical
+    * subtrees, pinned in ExplainSpec. Totals ride in as 1-row broadcasts
+    * (q85 pattern); the two unigram attachments join the DISTINCT-bigram
+    * relation to the vocab relation — both vocabulary-sized however large
+    * the corpus. Determinism: PMI is computed by the identical IEEE
+    * expression in both engines from exactly-agreed integer counts, then
+    * ROUND(,6); ordering ties break on the bigram text.
     */
   val q99 = Q(
     "q99_bigram_pmi",
     (s, d) => {
       val toks = Tables.documents(s, d).withColumn("toks", split(col("text"), " +"))
-      val uniStream = toks.select(explode(col("toks")).as("tok"))
-      val uni = uniStream.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val biStream = toks.select(explode(arrays_zip(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1))).as("pr"))
-      val totals = uniStream.agg(count(lit(1)).cast("double").as("nu"))
-        .crossJoin(biStream.agg(count(lit(1)).cast("double").as("nb")))
-      val bi = biStream
+      val uni = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val biCnt = toks.select(explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("pr"))
         .groupBy("pr").agg(count(lit(1)).as("cnt_ab"))
+      val totals = uni.agg(sum(col("cnt")).cast("double").as("nu"))
+        .crossJoin(biCnt.agg(sum(col("cnt_ab")).cast("double").as("nb")))
+      val bi = biCnt
         .filter(col("cnt_ab") >= 3)
         .select(col("pr").getField("0").as("a"), col("pr").getField("1").as("b"),
           col("cnt_ab"))

@@ -262,6 +262,17 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q99 PMI makes TWO corpus passes, not four: totals reuse the agg exchanges (r8)") {
+    // each stream total is sum(cnt) over its aggregated vocab relation,
+    // and the aggregation shuffle is materialized ONCE for both consumers
+    // — losing the reuse silently doubles the corpus scans at 100 TB
+    val df = SparkEntry.queries("q99_bigram_pmi")(spark, sf0001)
+    df.collect() // AQE finalizes reuse decisions when the plan executes
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+      p.take(2000))
+  }
+
   test("q100 kmeans assignment is a pure map pass: no join/explode/shuffle before the k-group agg (r8)") {
     val p = plan("q100_kmeans_assign")
     // the centroid model is inlined as codegen literals — ANY join or
