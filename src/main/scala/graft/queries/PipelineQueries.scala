@@ -591,21 +591,33 @@ object PipelineQueries {
       val t = Tables.documents(s, d)
         .select(col("lang"), col("source"),
           size(split(col("text"), " +")).cast("long").as("n"))
-      val tot = t.agg(sum(col("n")).cast("double").as("tot"))
-      t.groupBy("lang", "source")
+      // ONE corpus pass: the grouped relation is group-count-sized, so the
+      // corpus total folds over IT, not over a second scan of the data;
+      // the group agg's exchange is materialized once for both consumers
+      // (ReuseExchange, ExplainSpec-pinned)
+      val g = t.groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
-        .crossJoin(broadcast(tot))
+      // totals over BOTH measures: the mixture is planned by doc share AND
+      // token share — and aggregating both keeps this branch's partial agg
+      // identical to g's, which is what lets ReuseExchange share the one
+      // materialization (a single-measure total gets column-pruned into a
+      // DIFFERENT exchange and silently re-scans the corpus)
+      val tot = g.agg(sum(col("n_docs")).cast("double").as("totd"),
+        sum(col("n_tokens")).cast("double").as("tott"))
+      g.crossJoin(broadcast(tot))
         .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
-          round(col("n_tokens") / col("tot"), 6).as("tok_share"))
+          round(col("n_docs") / col("totd"), 6).as("doc_share"),
+          round(col("n_tokens") / col("tott"), 6).as("tok_share"))
         .orderBy("lang", "source")
     },
     Some("""WITH t AS (
               SELECT lang, source,
                      len(regexp_split_to_array(text, ' +'))::BIGINT AS n
               FROM documents),
-            tot AS (SELECT sum(n)::DOUBLE AS tot FROM t)
+            tot AS (SELECT count(*)::DOUBLE AS totd, sum(n)::DOUBLE AS tott FROM t)
             SELECT lang, source, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens,
-                   ROUND(sum(n) / any_value(tot), 6) AS tok_share
+                   ROUND(count(*) / any_value(totd), 6) AS doc_share,
+                   ROUND(sum(n) / any_value(tott), 6) AS tok_share
             FROM t CROSS JOIN tot GROUP BY lang, source
             ORDER BY lang, source"""))
 
@@ -670,18 +682,28 @@ object PipelineQueries {
         col("lang"), col("source"),
         size(split(col("text"), " +")).cast("long").as("n"),
         (col("doc_id") >= 250).as("is_new"))
-      val tot = t.agg(
-        sum(when(!col("is_new"), col("n")).otherwise(0L)).cast("double").as("tot_base"),
-        sum(when(col("is_new"), col("n")).otherwise(0L)).cast("double").as("tot_new"))
-      t.groupBy("lang", "source")
+      // ONE corpus pass (the q85 pattern): per-snapshot totals fold over
+      // the group-count-sized relation, whose exchange both consumers
+      // share (ReuseExchange, ExplainSpec-pinned)
+      val g = t.groupBy("lang", "source")
         .agg(
           sum(when(!col("is_new"), 1L).otherwise(0L)).as("docs_base"),
           sum(when(col("is_new"), 1L).otherwise(0L)).as("docs_new"),
           sum(when(!col("is_new"), col("n")).otherwise(0L)).as("tok_base"),
           sum(when(col("is_new"), col("n")).otherwise(0L)).as("tok_new"))
-        .crossJoin(broadcast(tot))
+      // totals over all four grouped measures — identical partials to g's,
+      // so ReuseExchange shares one materialization (see q85), and doc
+      // drift comes free alongside token drift
+      val tot = g.agg(
+        sum(col("docs_base")).cast("double").as("totd_base"),
+        sum(col("docs_new")).cast("double").as("totd_new"),
+        sum(col("tok_base")).cast("double").as("tot_base"),
+        sum(col("tok_new")).cast("double").as("tot_new"))
+      g.crossJoin(broadcast(tot))
         .select(col("lang"), col("source"),
           col("docs_base"), col("docs_new"), col("tok_base"), col("tok_new"),
+          round(col("docs_new").cast("double") / col("totd_new")
+            - col("docs_base").cast("double") / col("totd_base"), 6).as("doc_drift"),
           round(col("tok_new").cast("double") / col("tot_new")
             - col("tok_base").cast("double") / col("tot_base"), 6).as("share_drift"))
         .orderBy("lang", "source")
@@ -692,7 +714,9 @@ object PipelineQueries {
                      doc_id >= 250 AS is_new
               FROM documents),
             tot AS (
-              SELECT sum(CASE WHEN NOT is_new THEN n ELSE 0 END)::DOUBLE AS tot_base,
+              SELECT sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::DOUBLE AS totd_base,
+                     sum(CASE WHEN is_new THEN 1 ELSE 0 END)::DOUBLE AS totd_new,
+                     sum(CASE WHEN NOT is_new THEN n ELSE 0 END)::DOUBLE AS tot_base,
                      sum(CASE WHEN is_new THEN n ELSE 0 END)::DOUBLE AS tot_new
               FROM t)
             SELECT lang, source,
@@ -700,6 +724,9 @@ object PipelineQueries {
                    sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS docs_new,
                    sum(CASE WHEN NOT is_new THEN n ELSE 0 END)::BIGINT AS tok_base,
                    sum(CASE WHEN is_new THEN n ELSE 0 END)::BIGINT AS tok_new,
+                   ROUND(sum(CASE WHEN is_new THEN 1 ELSE 0 END)::DOUBLE / any_value(totd_new)
+                         - sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::DOUBLE / any_value(totd_base),
+                         6) AS doc_drift,
                    ROUND(sum(CASE WHEN is_new THEN n ELSE 0 END)::DOUBLE / any_value(tot_new)
                          - sum(CASE WHEN NOT is_new THEN n ELSE 0 END)::DOUBLE / any_value(tot_base),
                          6) AS share_drift

@@ -409,8 +409,12 @@ object TextQueries {
     (s, d) => {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
-      val tot = tok.agg(count(lit(1)).cast("double").as("tot"))
-      val model = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // corpus size folds over the vocab-sized count relation, not a third
+      // scan of the token stream; the count agg's exchange is shared by
+      // both consumers (ReuseExchange, ExplainSpec-pinned)
+      val cnts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(sum(col("cnt")).cast("double").as("tot"))
+      val model = cnts
         .crossJoin(broadcast(tot))
         .select(col("tok"),
           round(-log2(col("cnt").cast("double") / col("tot")), 6).as("surprisal"))

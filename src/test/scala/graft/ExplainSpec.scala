@@ -273,6 +273,19 @@ class ExplainSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q85/q86/q107 totals fold over the grouped relation: one corpus pass, reused exchange (r8)") {
+    // the corpus/snapshot totals must aggregate the group-sized relation,
+    // whose shuffle both consumers share — a regression re-introduces a
+    // full second scan of the data just to compute a 1-row total
+    for (name <- Seq("q85_mixture_report", "q86_unigram_surprisal", "q107_corpus_drift")) {
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange") || p.contains("TableCacheQueryStage"),
+        s"$name: ${p.take(1500)}")
+    }
+  }
+
   test("q100 kmeans assignment is a pure map pass: no join/explode/shuffle before the k-group agg (r8)") {
     val p = plan("q100_kmeans_assign")
     // the centroid model is inlined as codegen literals — ANY join or
