@@ -733,6 +733,64 @@ object PipelineQueries {
             FROM t CROSS JOIN tot
             GROUP BY lang, source ORDER BY lang, source"""))
 
+  /** q113 (added r8) — COMPRESSION-RATIO quality signal: deflate-level-6
+    * ratio per document ([[graft.functions.ZlibOps]] codegen expression)
+    * + a repetition flag, the model-free redundancy gate Gopher-style
+    * quality pipelines run alongside q51's heuristics and q88's token
+    * repetition ratio (this one sees CHARACTER-level boilerplate those
+    * miss). Engine-hash grade (no zlib in DuckDB — cross-library
+    * byte-identical deflate is not a writable contract); determinism,
+    * bounds, and repetitive-vs-prose separation are pinned in
+    * PipelineSpec. Scale: pure per-row scalar inside whole-stage codegen
+    * — scan-bound at any corpus size, no shuffle before the output sort.
+    */
+  val q113 = Q(
+    "q113_compression_ratio",
+    (s, d) => {
+      graft.functions.ZlibExprs.register(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("n_chars"),
+          round(graft.functions.ZlibExprs.compressionRatio(col("text")), 6)
+            .as("ratio"))
+        .withColumn("is_repetitive", col("ratio") < 0.35)
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** q114 (added r8) — HEAVY-HITTERS token frequency via the MERGEABLE
+    * Misra–Gries sketch ([[graft.functions.FreqItemsSketch]]): top-20
+    * tokens by estimated count. At capacity 256 ≥ the corpus vocabulary
+    * no counter is ever evicted, so every estimate is EXACT and the row
+    * is DuckDB-oracle-graded against a plain GROUP BY count; the
+    * small-capacity eviction path and its `N/(capacity+1)` undercount
+    * bound are pinned in PipelineSpec. Scale: per-partition state is
+    * O(capacity) — not O(vocabulary) — and partial buffers merge
+    * associatively through ObjectHashAggregate, which is the difference
+    * between profiling token/URL/domain frequencies over 100 TB with a
+    * fixed memory budget and shuffling billions of group keys.
+    */
+  val q114 = Q(
+    "q114_frequent_items",
+    (s, d) => {
+      graft.functions.SketchExprs.register(s)
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " +")).as("token"))
+        .filter(length(col("token")) > 0)
+        .agg(graft.functions.SketchExprs.freqItems(col("token"), lit(256))
+          .as("sketch"))
+        .select(explode(col("sketch")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("est"))
+        .orderBy(desc("est"), col("token"))
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT unnest(regexp_split_to_array(lower(text), ' +')) AS token
+                       FROM documents)
+            SELECT token, count(*)::BIGINT AS est
+            FROM t WHERE len(token) > 0
+            GROUP BY token ORDER BY est DESC, token LIMIT 20"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
-    q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105, q107)
+    q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105, q107, q113,
+    q114)
 }

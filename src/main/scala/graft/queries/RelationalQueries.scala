@@ -878,8 +878,103 @@ object RelationalQueries {
     Some("""SELECT n_regionkey, list_sort(list(n_name)) AS nations, count(*) AS n
             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  /** q108 (added r8) — CORRELATED EXISTS / NOT EXISTS subqueries: customers
+    * with at least one large finished order but no urgent order, issued as
+    * SQL so the CORRELATED-PREDICATE surface is graded (q64 covers the
+    * scalar-subquery form, q93 plain joins). Catalyst DECORRELATES both
+    * predicates — `RewritePredicateSubquery` turns EXISTS into a left-SEMI
+    * and NOT EXISTS into a left-ANTI hash join on o_custkey — so nothing
+    * executes per-row: the plan is two equi-joins that broadcast or
+    * shuffle like any other (ExplainSpec-pinned: no nested-loop, no
+    * per-row subquery). At 100 TB the EXISTS side is pre-filtered before
+    * the join, so the semi/anti probe carries only qualifying orders.
+    */
+  val q108 = Q(
+    "q108_exists_subquery",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("g108_customer")
+      Tables.orders(s, d).createOrReplaceTempView("g108_orders")
+      s.sql("""SELECT c_custkey, c_mktsegment, c_acctbal
+               FROM g108_customer c
+               WHERE EXISTS (SELECT 1 FROM g108_orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_orderstatus = 'F'
+                               AND o.o_totalprice > 150000)
+                 AND NOT EXISTS (SELECT 1 FROM g108_orders o
+                                 WHERE o.o_custkey = c.c_custkey
+                                   AND o.o_orderpriority = '1-URGENT')
+               ORDER BY c_custkey""")
+    },
+    Some("""SELECT c_custkey, c_mktsegment, c_acctbal
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice > 150000)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  /** q111 (added r8) — NULL-SAFE equality join (`<=>` / IS NOT DISTINCT
+    * FROM): the corpus is NULL-free, so NULL keys are derived with
+    * `nullif` on both sides (every 5th residue class) and the join must
+    * match NULL with NULL — the semantics plain `=` silently drops.
+    * Spark plans `<=>` as an ordinary EqualNullSafe hash-join key (same
+    * shuffle/broadcast machinery, ExplainSpec-pinned: no nested-loop), so
+    * the null-bucket caveat at scale is explicit: all NULL keys co-locate
+    * in one partition — fine for dimension-sized sides like here; a
+    * fact-fact null-safe join would pre-split the NULL class instead.
+    */
+  val q111 = Q(
+    "q111_nullsafe_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(nullif(col("c_nationkey") % 5, lit(4)).as("ck"),
+          col("c_custkey"))
+      val supp = Tables.supplier(s, d)
+        .select(nullif(col("s_nationkey") % 5, lit(4)).as("sk"),
+          col("s_suppkey"))
+      cust.join(supp, col("ck") <=> col("sk"))
+        .groupBy(coalesce(col("ck"), lit(-1)).as("key_class"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy("key_class")
+    },
+    Some("""SELECT coalesce(ck, -1) AS key_class, count(*) AS n_pairs,
+                   count(DISTINCT c_custkey) AS n_cust,
+                   count(DISTINCT s_suppkey) AS n_supp
+            FROM (SELECT nullif(c_nationkey % 5, 4) AS ck, c_custkey FROM customer) c
+            JOIN (SELECT nullif(s_nationkey % 5, 4) AS sk, s_suppkey FROM supplier) s
+              ON c.ck IS NOT DISTINCT FROM s.sk
+            GROUP BY 1 ORDER BY key_class"""))
+
+  /** q112 (added r8) — EQUI-WIDTH HISTOGRAM profiling: o_totalprice in
+    * fixed 20,000-wide buckets with explicit floor arithmetic (2-dp
+    * doubles divide and floor IEEE-identically on both engines — no
+    * engine-specific width_bucket). One partial+final agg over one scan:
+    * the map side compacts to O(buckets) rows per partition before the
+    * only shuffle, so the profile of a 100 TB column costs a scan plus a
+    * bucket-count-sized exchange — the data-profiling pass that sizes
+    * range partitioners and spots value skew before a big sort/join.
+    */
+  val q112 = Q(
+    "q112_histogram",
+    (s, d) => Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 20000).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.exactSum(col("o_totalprice")).as("sum_price"))
+      .select((col("bucket") * 20000L).as("bucket_lo"), col("n_orders"),
+        col("sum_price"))
+      .orderBy("bucket_lo"),
+    Some("""SELECT (floor(o_totalprice / 20000)::INT * 20000)::BIGINT AS bucket_lo,
+                   count(*) AS n_orders,
+                   (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS sum_price
+            FROM orders GROUP BY 1 ORDER BY bucket_lo"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
-    q64, q65, q66, q93, q94, q96, q97, q98)
+    q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112)
 }

@@ -343,5 +343,53 @@ object StreamingQueries {
             FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90, q103)
+  /** q109 (added r8) — DATE-SPINE GAP FILL: hourly counts of high-value
+    * errors ZERO-FILLED over the complete hour range of the corpus (445
+    * of 720 hours are empty at sf0.01 — the gaps are real). The spine is
+    * `sequence(min_hour, max_hour, 1 hour)` exploded from the 1-row
+    * bounds aggregate — O(hours) rows generated ON the cluster whatever
+    * the data size, never a driver loop — and the filtered counts join
+    * back LEFT so absent hours surface as explicit zeros. Scale: the only
+    * full-scan work is the bounds agg and the filtered count agg (both
+    * partial+final); spine and counts are both O(hours) relations, so the
+    * gap-fill join broadcasts. Dashboards and anomaly detectors need the
+    * zero rows — a groupBy alone silently omits exactly the hours that
+    * matter.
+    */
+  val q109 = Q(
+    "q109_gapfill_spine",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      val spine = bounds.select(
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("hr"))
+      val counts = ev
+        .filter(col("event_type") === "error" && col("value") > 90)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n_errors"),
+          Det.exactSum(col("value")).as("sum_value"))
+      spine.join(counts, Seq("hr"), "left")
+        .select(date_format(col("hr"), fmt).as("hr"),
+          coalesce(col("n_errors"), lit(0L)).as("n_errors"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+        .orderBy("hr")
+    },
+    Some("""WITH b AS (SELECT date_trunc('hour', min(ts::TIMESTAMP)) AS lo,
+                              date_trunc('hour', max(ts::TIMESTAMP)) AS hi
+                       FROM events),
+                 spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+                 c AS (SELECT date_trunc('hour', ts::TIMESTAMP) AS hr,
+                              count(*) AS n_errors,
+                              (sum(value::DECIMAL(18,2)))::DOUBLE AS sum_value
+                       FROM events WHERE event_type = 'error' AND value > 90
+                       GROUP BY 1)
+            SELECT strftime(spine.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+                   coalesce(c.n_errors, 0) AS n_errors,
+                   coalesce(c.sum_value, 0.0) AS sum_value
+            FROM spine LEFT JOIN c USING (hr) ORDER BY hr"""))
+
+  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90, q103, q109)
 }

@@ -640,6 +640,30 @@ object TextQueries {
                                        ' +', ' ', 'g')) <> text AS changed
             FROM documents ORDER BY doc_id"""))
 
+  /** q110 (added r8) — ORDERED STRING AGGREGATION (LISTAGG): per
+    * (lang, source) the first 20 doc_ids as a comma-joined string. Raw
+    * `collect_list` order is partition-arrival nondeterministic, so the
+    * library contract is sort-then-slice-then-join ON TOP of the
+    * collection (q98's rule, string-typed form) — the only reproducible
+    * LISTAGG. The slice caps the output cell at O(20) regardless of group
+    * size; the full-list collect is group-bounded (≤ docs per
+    * (lang,source)) — at 100 TB a top-N window would replace the collect
+    * to keep per-group state O(N), which is why the cap is part of the
+    * declared semantics.
+    */
+  val q110 = Q(
+    "q110_listagg",
+    (s, d) => Tables.documents(s, d)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(slice(sort_array(collect_list(col("doc_id"))), 1, 20),
+            x => x.cast("string")), ",").as("first_docs"))
+      .orderBy("lang", "source"),
+    Some("""SELECT lang, source, count(*) AS n_docs,
+                   array_to_string(list_sort(list(doc_id))[1:20], ',') AS first_docs
+            FROM documents GROUP BY 1, 2 ORDER BY lang, source"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89, q95, q99, q104, q106)
+    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110)
 }

@@ -357,6 +357,47 @@ class ExplainSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q108 EXISTS/NOT EXISTS decorrelate to semi+anti hash joins, no per-row subquery (r8)") {
+    val p = plan("q108_exists_subquery")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q109 gap fill: spine join broadcasts, no product anywhere (r8)") {
+    val p = plan("q109_gapfill_spine")
+    // both join sides are O(hours); the LEFT gap-fill join must be a
+    // broadcast hash join, and sequence+explode must be a Generate node,
+    // never a driver-side loop materialized as a LocalTableScan of rows
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Generate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q111 null-safe join plans as a hash join on the <=> key, not a nested loop (r8)") {
+    val p = plan("q111_nullsafe_join")
+    assert(p.contains("HashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q114 freq-items sketch aggregates via ObjectHashAggregate with a partial pass (r8)") {
+    val p = plan("q114_frequent_items")
+    // TypedImperativeAggregate must take the object-hash path (not
+    // SortAggregate) and keep map-side partials: two ObjectHashAggregate
+    // nodes around the single-partition exchange
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(2000))
+  }
+
+  test("q113 compression ratio is a pure per-row projection: no exchange before the sort (r8)") {
+    val p = plan("q113_compression_ratio")
+    assert(p.contains("graft_compression_ratio"), p.take(2000))
+    assert(!p.contains("Join"), p.take(1500))
+    assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
