@@ -973,8 +973,54 @@ object RelationalQueries {
                    (sum(o_totalprice::DECIMAL(18,2)))::DOUBLE AS sum_price
             FROM orders GROUP BY 1 ORDER BY bucket_lo"""))
 
+  /** q117 (added r8) — WINSORIZED robust statistics: per-returnflag
+    * l_extendedprice clamped at the 2-dp-ROUNDED p05/p95 (q62's exact
+    * percentile machinery; rounding the bounds keeps every clamped value
+    * ≤2 dp so [[graft.Det]]'s exact-decimal sums still apply — declared
+    * semantics, not a shortcut), then raw vs winsorized means + clamp
+    * counts — the outlier-robust aggregation a metrics pipeline runs when
+    * a few fat-finger values would otherwise move a mean. Scale: the
+    * percentile relation is GROUP-sized (one row per flag) and broadcasts
+    * back onto the fact scan; two aggregations total, both partial+final.
+    */
+  val q117 = Q(
+    "q117_winsorize",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pct = li.groupBy("l_returnflag").agg(
+        round(expr("percentile(l_extendedprice, 0.05)"), 2).as("lo"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 2).as("hi"))
+      li.join(broadcast(pct), "l_returnflag")
+        .withColumn("w",
+          least(greatest(col("l_extendedprice"), col("lo")), col("hi")))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("lo"), 1L).otherwise(0L))
+            .as("n_clamped_lo"),
+          sum(when(col("l_extendedprice") > col("hi"), 1L).otherwise(0L))
+            .as("n_clamped_hi"),
+          Det.exactAvg(col("l_extendedprice")).as("mean_raw"),
+          Det.exactAvg(col("w")).as("mean_winsor"),
+          first(col("lo")).as("p05"), first(col("hi")).as("p95"))
+        .orderBy("l_returnflag")
+    },
+    Some("""WITH pct AS (
+              SELECT l_returnflag,
+                     round(quantile_cont(l_extendedprice, 0.05), 2) AS lo,
+                     round(quantile_cont(l_extendedprice, 0.95), 2) AS hi
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l.l_returnflag, count(*) AS n,
+                   sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)::BIGINT AS n_clamped_lo,
+                   sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)::BIGINT AS n_clamped_hi,
+                   ROUND(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*), 4) AS mean_raw,
+                   ROUND(sum(least(greatest(l_extendedprice, lo), hi)::DECIMAL(18,2))::DOUBLE
+                         / count(*), 4) AS mean_winsor,
+                   any_value(lo) AS p05, any_value(hi) AS p95
+            FROM lineitem l JOIN pct USING (l_returnflag)
+            GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
-    q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112)
+    q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112, q117)
 }

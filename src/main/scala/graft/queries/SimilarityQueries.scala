@@ -584,6 +584,68 @@ object SimilarityQueries {
       FROM s GROUP BY split_name ORDER BY split_name
     """.stripMargin.trim))
 
+  /** q116 (added r8) — INT8 SCALAR QUANTIZATION + recall audit: every
+    * embedding quantized to max-abs-scaled int8 (`round(x·127/‖v‖∞)` —
+    * 4× smaller than float32, the standard vector-index compression), then
+    * the quantized cosine top-20 for the lowest-vec_id query, each hit
+    * flagged against the EXACT-cosine top-20 — the fidelity table a team
+    * reads before switching its ANN index to int8. Quantized vectors hold
+    * integral doubles, so `graft_dot` sums are EXACT integer arithmetic
+    * and the one sqrt/div per pair is IEEE-identical on both engines
+    * (q49's proven list_cosine_similarity parity). Scale: quantization is
+    * a per-row codegen map; both rankings are TakeOrderedAndProject
+    * (never a global window); the 1-row query vector broadcasts (q40's
+    * matrix shape).
+    */
+  val q116 = Q(
+    "q116_int8_quant",
+    (s, d) => {
+      graft.functions.VectorExprs.register(s)
+      import graft.functions.VectorExprs.{dot, norm}
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val quant = emb
+        .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+        .select(col("vec_id"), col("e"),
+          transform(col("e"), x => round(x * 127.0 / col("scale"))).as("q"))
+      val qv = quant.orderBy("vec_id").limit(1)
+        .select(col("vec_id").as("q_id"), col("e").as("eq"), col("q").as("qq"))
+      val sims = quant.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("vec_id"),
+          round(dot(col("q"), col("qq")) / (norm(col("q")) * norm(col("qq"))), 6)
+            .as("qsim"),
+          round(dot(col("e"), col("eq")) / (norm(col("e")) * norm(col("eq"))), 6)
+            .as("esim"))
+      val exactTop = sims.orderBy(col("esim").desc, col("vec_id")).limit(20)
+        .select(col("vec_id").as("x_id"))
+      sims.orderBy(col("qsim").desc, col("vec_id")).limit(20)
+        .join(broadcast(exactTop), col("vec_id") === col("x_id"), "left")
+        .select(col("vec_id"), col("qsim"),
+          col("x_id").isNotNull.as("in_exact_top20"))
+        .orderBy(col("qsim").desc, col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+            sc AS (SELECT vec_id, e,
+                          list_max(list_transform(e, x -> abs(x))) AS scale
+                   FROM e),
+            q AS (SELECT vec_id, e,
+                         list_transform(e, x -> round(x * 127.0 / scale)) AS qv
+                  FROM sc),
+            qry AS (SELECT e AS eq, qv AS qq FROM q
+                    WHERE vec_id = (SELECT min(vec_id) FROM e)),
+            sims AS (SELECT vec_id,
+                            ROUND(list_cosine_similarity(qv, qq), 6) AS qsim,
+                            ROUND(list_cosine_similarity(e, eq), 6) AS esim
+                     FROM q CROSS JOIN qry
+                     WHERE vec_id <> (SELECT min(vec_id) FROM e)),
+            ex AS (SELECT vec_id FROM sims ORDER BY esim DESC, vec_id LIMIT 20),
+            top AS (SELECT vec_id, qsim FROM sims ORDER BY qsim DESC, vec_id LIMIT 20)
+            SELECT top.vec_id, top.qsim,
+                   ex.vec_id IS NOT NULL AS in_exact_top20
+            FROM top LEFT JOIN ex ON top.vec_id = ex.vec_id
+            ORDER BY top.qsim DESC, top.vec_id"""))
+
   def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75,
-    q83, q84, q100, q101, q102)
+    q83, q84, q100, q101, q102, q116)
 }

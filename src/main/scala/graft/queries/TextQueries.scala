@@ -664,6 +664,101 @@ object TextQueries {
                    array_to_string(list_sort(list(doc_id))[1:20], ',') AS first_docs
             FROM documents GROUP BY 1, 2 ORDER BY lang, source"""))
 
+  /** q115 (added r8) — RECIPROCAL-RANK FUSION of two retrieval rankings
+    * (Cormack/Clarke/Büttcher 2009): BM25 (q68's formula) fused with
+    * query-likelihood (length-normalized term frequency) for the same
+    * fixed query, `rrf = Σ 1/(60 + rank)` over the two top-50 lists —
+    * the standard hybrid-retrieval combiner (lexical × semantic in a
+    * real RAG stack; two lexical scorers here keep the oracle exact).
+    * Both scorers share ONE tf/df/dl computation (the joined relation is
+    * built once and reused); each top-50 is a TakeOrderedAndProject (never
+    * a global window over the corpus), and ranks are assigned by
+    * row_number on the 50-row relations — rank state is O(k) however
+    * large the corpus. Contributions ROUND(,6) before sums (q68's
+    * order-proofing); the fused list full-outer-joins the two top lists
+    * so a doc ranked by only one scorer still fuses.
+    */
+  val q115 = Q(
+    "q115_rrf_fusion",
+    (s, d) => {
+      val qTerms = Seq("join", "hash", "spark")
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
+        .filter(col("tok").isin(qTerms: _*))
+      val dl = docs.select(col("doc_id"),
+        size(split(col("text"), " +")).cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
+      val df = toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      val joined = tf.join(broadcast(df), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+      val bm25 = joined
+        .withColumn("contrib", Det.round6(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+            * col("tf") * 2.2
+            / (col("tf") + lit(1.2) * (lit(1.0) - 0.75 + lit(0.75) * col("dl") / col("avgdl")))))
+        .groupBy("doc_id")
+        .agg(Det.round6(sum(col("contrib"))).as("s_bm25"))
+        .orderBy(col("s_bm25").desc, col("doc_id")).limit(50)
+        .withColumn("r_bm25",
+          row_number().over(Window.orderBy(col("s_bm25").desc, col("doc_id"))))
+      val ql = joined
+        .withColumn("c_ql", Det.round6(col("tf") / col("dl")))
+        .groupBy("doc_id")
+        .agg(Det.round6(sum(col("c_ql"))).as("s_ql"))
+        .orderBy(col("s_ql").desc, col("doc_id")).limit(50)
+        .withColumn("r_ql",
+          row_number().over(Window.orderBy(col("s_ql").desc, col("doc_id"))))
+      bm25.select("doc_id", "r_bm25")
+        .join(ql.select("doc_id", "r_ql"), Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("r_bm25"), lit(-1)).as("r_bm25"),
+          coalesce(col("r_ql"), lit(-1)).as("r_ql"),
+          Det.round6(
+            coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60.0) + col("r_ql")), lit(0.0))).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok
+              FROM documents),
+            dl AS (
+              SELECT doc_id, len(regexp_split_to_array(text, ' +'))::DOUBLE AS dl
+              FROM documents),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok
+                   WHERE tok IN ('join', 'hash', 'spark') GROUP BY 1, 2),
+            df AS (SELECT tok, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+                   WHERE tok IN ('join', 'hash', 'spark') GROUP BY 1),
+            j AS (
+              SELECT tf.doc_id, tf.tok, tf.tf, df.df, dl.dl, stats.n_docs, stats.avgdl
+              FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+            bm25 AS (
+              SELECT doc_id, ROUND(sum(ROUND(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                           * tf * 2.2
+                           / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)), 6) AS s_bm25
+              FROM j GROUP BY doc_id ORDER BY s_bm25 DESC, doc_id LIMIT 50),
+            rb AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY s_bm25 DESC, doc_id) AS r_bm25
+                   FROM bm25),
+            ql AS (
+              SELECT doc_id, ROUND(sum(ROUND(tf / dl, 6)), 6) AS s_ql
+              FROM j GROUP BY doc_id ORDER BY s_ql DESC, doc_id LIMIT 50),
+            rq AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY s_ql DESC, doc_id) AS r_ql
+                   FROM ql)
+            SELECT coalesce(rb.doc_id, rq.doc_id) AS doc_id,
+                   coalesce(rb.r_bm25, -1) AS r_bm25,
+                   coalesce(rq.r_ql, -1) AS r_ql,
+                   ROUND(coalesce(1.0 / (60.0 + rb.r_bm25), 0.0)
+                         + coalesce(1.0 / (60.0 + rq.r_ql), 0.0), 6) AS rrf
+            FROM rb FULL OUTER JOIN rq ON rb.doc_id = rq.doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 20"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110)
+    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115)
 }

@@ -398,6 +398,31 @@ class ExplainSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).size <= 1, p.take(1500))
   }
 
+  test("q115 RRF fusion: both top-50s are TakeOrdered, no corpus-wide window, no product (r8)") {
+    val p = plan("q115_rrf_fusion")
+    // each scorer's top-50 must be TakeOrderedAndProject — a global
+    // Window over the scored corpus would funnel everything through one
+    // task; the only windows allowed are the row_numbers on the 50-row
+    // top lists (post-limit, bounded)
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q116 quantization recall: query side broadcasts, rankings are TakeOrdered (r8)") {
+    val p = plan("q116_int8_quant")
+    assert(p.contains("graft_dot"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q117 winsorize: group-sized bounds broadcast back onto the fact scan (r8)") {
+    val p = plan("q117_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
