@@ -759,6 +759,59 @@ object TextQueries {
             FROM rb FULL OUTER JOIN rq ON rb.doc_id = rq.doc_id
             ORDER BY rrf DESC, doc_id LIMIT 20"""))
 
+  /** DuckDB oracle for q118, unrolled one CTE level per merge step —
+    * generated rather than hand-written because every level repeats the
+    * same (pairs → top-1 → boundary-safe replace) shape with only the
+    * step index changing. Mirrors [[graft.ops.Bpe.learnMerges]] exactly:
+    * same tie-break, same `\b`-guarded whole-symbol merge (RE2 and Java
+    * regex agree on `\b` over `[a-z ]` text), `'g'` flag because DuckDB's
+    * regexp_replace is first-match-only by default where Spark's is
+    * global.
+    */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (
+              SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq,
+                     count(*)::BIGINT AS n
+              FROM (SELECT unnest(regexp_split_to_array(text, ' +')) AS w
+                    FROM documents)
+              WHERE len(w) > 0 GROUP BY 1)"""
+    for (i <- 1 to nMerges) {
+      sb ++= s""",
+            t$i AS (SELECT string_split(seq, ' ') AS s, n FROM w${i - 1}),
+            b$i AS (SELECT unnest(list_transform(generate_series(1, len(s) - 1),
+                                                 k -> {'a': s[k], 'b': s[k + 1]})) AS pr,
+                           n
+                    FROM t$i),
+            p$i AS (SELECT pr.a || ' ' || pr.b AS pair, sum(n)::BIGINT AS cnt
+                    FROM b$i GROUP BY 1),
+            top$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+            w$i AS (SELECT regexp_replace(seq,
+                             '\\b' || (SELECT pair FROM top$i) || '\\b',
+                             (SELECT replace(pair, ' ', '') FROM top$i),
+                             'g') AS seq, n
+                    FROM w${i - 1})"""
+    }
+    sb ++= (1 to nMerges).map(i =>
+      s"""SELECT $i AS step, pair, replace(pair, ' ', '') AS merged, cnt
+          FROM top$i""").mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+    sb.toString
+  }
+
+  /** q118 (added r8) — BPE MERGE LEARNING ([[graft.ops.Bpe]]): the first 5
+    * byte-pair merges over the corpus, `(step, pair, merged, cnt)` — the
+    * tokenizer-training core of a pretraining pipeline. One corpus pass
+    * builds the word-frequency dictionary; every merge step then runs on
+    * the VOCAB-sized relation (Sennrich's dictionary formulation — the
+    * corpus is never re-scanned), and driver state is only the O(merges)
+    * model, the k-means pattern. Deterministic tie-break (cnt DESC, pair
+    * ASC); merges are `\b`-guarded so only whole symbols fuse.
+    */
+  val q118 = Q(
+    "q118_bpe_merges",
+    (s, d) => graft.ops.Bpe.learnMerges(Tables.documents(s, d), "text", 5),
+    Some(bpeOracleSql(5)))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115)
+    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118)
 }
