@@ -80,4 +80,36 @@ object Bpe {
     import spark.implicits._
     merges.toSeq.toDF("step", "pair", "merged", "cnt").orderBy("step")
   }
+
+  /** Apply a learned merge list to the corpus: per-document whitespace
+    * token count, post-BPE symbol count, and symbols-per-word. The merge
+    * list is the O(nMerges) model — collected once and folded into a
+    * chain of `\b`-guarded `regexp_replace` column expressions, so the
+    * application is a pure per-row codegen projection over the corpus
+    * scan (ONE pass, no join, no shuffle before the per-doc aggregation):
+    * tokenizing 100 TB costs the scan plus a doc-keyed partial+final agg.
+    * Words ride with their doc_id, so merges can never cross a word
+    * boundary and no separator symbol is needed.
+    */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    merges.foreach { case (pair, _) =>
+      require(pair.matches("[a-z]+ [a-z]+"),
+        s"BPE pair '$pair' is not two [a-z]+ symbols")
+    }
+    val spaced = trim(regexp_replace(col("w"), "(.)", "$1 "))
+    val seq = merges.foldLeft(spaced) { case (c, (pair, merged)) =>
+      regexp_replace(c, "\\b" + pair + "\\b", merged)
+    }
+    docs
+      .select(col(idCol), explode(split(col(textCol), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col(idCol), size(split(seq, " ")).as("n_sym"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ws"),
+        sum(col("n_sym")).as("n_bpe"),
+        round(sum(col("n_sym")).cast("double") / count(lit(1)), 6)
+          .as("symbols_per_word"))
+      .orderBy(idCol)
+  }
 }

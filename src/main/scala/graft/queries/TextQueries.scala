@@ -768,7 +768,9 @@ object TextQueries {
     * regexp_replace is first-match-only by default where Spark's is
     * global.
     */
-  private def bpeOracleSql(nMerges: Int): String = {
+  /** Shared CTE prefix (w0 + per-step learn levels) for the q118/q119
+    * oracles. */
+  private def bpeLearnCtes(nMerges: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (
               SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq,
@@ -792,9 +794,45 @@ object TextQueries {
                              'g') AS seq, n
                     FROM w${i - 1})"""
     }
-    sb ++= (1 to nMerges).map(i =>
+    sb.toString
+  }
+
+  private def bpeOracleSql(nMerges: Int): String =
+    bpeLearnCtes(nMerges) + (1 to nMerges).map(i =>
       s"""SELECT $i AS step, pair, replace(pair, ' ', '') AS merged, cnt
           FROM top$i""").mkString("\n", "\nUNION ALL\n", "\nORDER BY step")
+
+  /** q119 oracle: learn CTEs + per-word merge application (same `\b`
+    * guard, words carried with doc_id so no cross-word separator is ever
+    * needed), then per-doc symbol totals.
+    */
+  private def bpeApplyOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeLearnCtes(nMerges)
+    sb ++= """,
+            dw AS (SELECT doc_id,
+                          trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
+                   FROM (SELECT doc_id,
+                                unnest(regexp_split_to_array(text, ' +')) AS w
+                         FROM documents)
+                   WHERE len(w) > 0)"""
+    for (i <- 1 to nMerges) {
+      val prev = if (i == 1) "dw" else s"a${i - 1}"
+      sb ++= s""",
+            a$i AS (SELECT doc_id,
+                           regexp_replace(seq,
+                             '\\b' || (SELECT pair FROM top$i) || '\\b',
+                             (SELECT replace(pair, ' ', '') FROM top$i),
+                             'g') AS seq
+                    FROM $prev)"""
+    }
+    sb ++= s"""
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_ws,
+                   sum(len(string_split(seq, ' ')))::BIGINT AS n_bpe,
+                   ROUND(sum(len(string_split(seq, ' ')))::DOUBLE / count(*), 6)
+                     AS symbols_per_word
+            FROM a$nMerges GROUP BY doc_id ORDER BY doc_id"""
     sb.toString
   }
 
@@ -812,6 +850,26 @@ object TextQueries {
     (s, d) => graft.ops.Bpe.learnMerges(Tables.documents(s, d), "text", 5),
     Some(bpeOracleSql(5)))
 
+  /** q119 (added r8) — BPE TOKENIZATION (apply side of q118): the 5
+    * learned merges folded into a chain of `\b`-guarded codegen
+    * `regexp_replace`s and applied per document → `(doc_id, n_ws, n_bpe,
+    * symbols_per_word)`, the train→apply tokenizer loop end-to-end. The
+    * merge model is re-derived standalone (the q83/q102 contract — no
+    * cross-query caching); application itself is ONE corpus pass: a
+    * per-row projection plus a doc-keyed partial+final agg, which is the
+    * whole point — tokenizing 100 TB costs the scan, not nMerges scans.
+    */
+  val q119 = Q(
+    "q119_bpe_tokenize",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.ops.Bpe.learnMerges(docs, "text", 5)
+        .select("pair", "merged").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      graft.ops.Bpe.tokenStats(docs, "doc_id", "text", merges)
+    },
+    Some(bpeApplyOracleSql(5)))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118)
+    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118, q119)
 }

@@ -30,6 +30,30 @@ class BpeSpec extends SparkSpec {
     assert("a b a b".replaceAll("\\ba b\\b", "ab") === "ab ab")
   }
 
+  test("q119 tokenization: each merge can only shrink, bounds hold per doc") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val merges = ops.Bpe.learnMerges(docs, "text", 5)
+      .select("pair", "merged").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val with5 = ops.Bpe.tokenStats(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val with0 = ops.Bpe.tokenStats(docs, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val chars = docs.select(col("doc_id"),
+      length(regexp_replace(col("text"), " +", ""))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    with5.foreach { case (id, (nWs, nBpe)) =>
+      // un-merged symbol count == non-space chars; merges strictly shrink
+      // or hold, and can never go below one symbol per word
+      assert(with0(id) === chars(id), s"doc $id")
+      assert(nBpe <= with0(id), s"doc $id: merges must not grow the count")
+      assert(nBpe >= nWs, s"doc $id: at least one symbol per word")
+    }
+    // 5 merges over this corpus must actually compress somewhere
+    assert(with5.exists { case (id, (_, nBpe)) => nBpe < with0(id) })
+  }
+
   test("q118 is deterministic and stops early on an exhausted corpus") {
     import spark.implicits._
     val r1 = SparkEntry.queries("q118_bpe_merges")(spark, sf0001).collect()
