@@ -1019,8 +1019,45 @@ object RelationalQueries {
             FROM lineitem l JOIN pct USING (l_returnflag)
             GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""))
 
+  /** q120 (added r8) — window VALUE functions with explicit frames:
+    * first_value (running frame), last_value and nth_value(2) (full
+    * frame) of each customer's order prices in date order — the frame
+    * surface q21–q26 left uncovered (rank/offset/moving/cume are pinned
+    * there; value-extraction frames complete the window family).
+    * last_value's default frame (… AND CURRENT ROW) is the classic
+    * footgun — the explicit UNBOUNDED FOLLOWING frame here is the
+    * declared semantics. One shuffle on o_custkey serves all three
+    * windows (same partitioning + ordering → one Window node).
+    */
+  val q120 = Q(
+    "q120_win_value_fns",
+    (s, d) => {
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val full = byCust.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_totalprice")).over(byCust).as("first_price"),
+          last(col("o_totalprice")).over(full).as("last_price"),
+          coalesce(nth_value(col("o_totalprice"), 2).over(full), lit(-1.0))
+            .as("second_price"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+                   first_value(o_totalprice) OVER w AS first_price,
+                   last_value(o_totalprice) OVER
+                     (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                     AS last_price,
+                   coalesce(nth_value(o_totalprice, 2) OVER
+                     (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+                     -1.0) AS second_price
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            ORDER BY o_orderkey"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
-    q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112, q117)
+    q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112, q117, q120)
 }

@@ -870,6 +870,38 @@ object TextQueries {
     },
     Some(bpeApplyOracleSql(5)))
 
+  /** q121 (added r8) — MAP-typed column surface: per-doc token-count MAP
+    * built with `map_from_entries` over a SORTED entry list (map
+    * construction order is the only reproducible part of a map — the
+    * sort is the declared contract, q98's rule for the map type),
+    * filtered with the `map_filter` higher-order function (count ≥ 2),
+    * exploded back to rows. Completes the complex-type family: arrays
+    * (q30/q98), structs (q33), JSON (q32), and now maps end-to-end
+    * through Catalyst. Output is row-shaped, so the DuckDB oracle needs
+    * no map support at all — exactly how a map-typed intermediate should
+    * grade.
+    */
+  val q121 = Q(
+    "q121_map_ops",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " +")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("tok"), col("c"))))).as("m"))
+      .select(col("doc_id"),
+        explode(map_filter(col("m"), (_, v) => v >= 2)))
+      .select(col("doc_id"), col("key").as("token"), col("value").as("cnt"))
+      .orderBy("doc_id", "token"),
+    Some("""SELECT doc_id, tok AS token, count(*) AS cnt
+            FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' +')) AS tok
+                  FROM documents)
+            WHERE len(tok) > 0
+            GROUP BY doc_id, tok HAVING count(*) >= 2
+            ORDER BY doc_id, token"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
-    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118, q119)
+    q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118, q119,
+    q121)
 }

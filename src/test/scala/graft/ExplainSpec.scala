@@ -423,6 +423,15 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q120 value functions share ONE window node and one custkey exchange (r8)") {
+    val p = plan("q120_win_value_fns")
+    // same partitioning+ordering for all three functions must collapse to
+    // a single Window operator — two Window nodes means a frame mismatch
+    // silently doubled the sort
+    assert("Window".r.findAllIn(p).size === 1, p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
