@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.{Det, Tables}
-import graft.streaming.StreamJoin
+import graft.streaming.{StreamJoin, WindowTopK}
 
 /** SURVEY.md §2 rows 44–47: streaming window semantics.
   *
@@ -391,5 +391,29 @@ object StreamingQueries {
                    coalesce(c.sum_value, 0.0) AS sum_value
             FROM spine LEFT JOIN c USING (hr) ORDER BY hr"""))
 
-  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90, q103, q109)
+  /** q122 (added r8) — WINDOWED TOP-K ([[graft.streaming.WindowTopK]]):
+    * top-3 event types per tumbling hour, batch-graded (every window
+    * closed) like q44–q46 — the per-window leaderboard. The STREAMING
+    * runtime form (append-mode typed state emitting exactly once when the
+    * watermark closes each window, state = one count map per open window)
+    * is pinned equal to this batch fold in StatefulStreamingSpec — the
+    * emit-once-at-close semantics is the part a batch grade cannot see.
+    */
+  val q122 = Q(
+    "q122_window_topk",
+    (s, d) => WindowTopK.batchTopK(Tables.events(s, d), "ts", "event_type", 60, 3),
+    Some("""WITH c AS (
+              SELECT strftime(time_bucket(INTERVAL '60 minutes', ts::TIMESTAMP),
+                              '%Y-%m-%d %H:%M:%S') AS ws,
+                     event_type, count(*) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (SELECT ws, event_type, n,
+                         row_number() OVER (PARTITION BY ws
+                                            ORDER BY n DESC, event_type) AS rnk
+                  FROM c)
+            SELECT ws, rnk, event_type, n FROM r
+            WHERE rnk <= 3 ORDER BY ws, rnk"""))
+
+  def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90, q103, q109,
+    q122)
 }

@@ -119,6 +119,74 @@ class StatefulStreamingSpec extends SparkSpec {
       s"non-evicting control should fold both events into one session, got ${kept.toSeq}")
   }
 
+  test("window top-k stays silent while open, emits exactly once at watermark close") {
+    val s = spark
+    import s.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import graft.streaming.WindowTopK
+    import graft.streaming.WindowTopK.TypedEvent
+
+    def us(t: String) = java.sql.Timestamp.valueOf(t).getTime * 1000L
+    val hourUs = 3600L * 1000000L
+    def winOf(tsUs: Long) = tsUs - tsUs % hourUs
+
+    // W1 (10:00): a=3, b=2, c=1, d=1 -> top3 = a(3), b(2), c(1) (tie c/d
+    // broken type-ASC); W2 (12:00): z=1
+    val w1 = Seq(
+      TypedEvent(1L, us("2024-01-01 10:05:00"), "a"),
+      TypedEvent(2L, us("2024-01-01 10:10:00"), "a"),
+      TypedEvent(3L, us("2024-01-01 10:15:00"), "b"),
+      TypedEvent(4L, us("2024-01-01 10:20:00"), "a"),
+      TypedEvent(5L, us("2024-01-01 10:25:00"), "b"),
+      TypedEvent(6L, us("2024-01-01 10:30:00"), "c"),
+      TypedEvent(7L, us("2024-01-01 10:31:00"), "d"))
+    val stream = MemoryStream[TypedEvent]
+    val q = WindowTopK.topKPerWindow(stream.toDS(), 60, 3, 10).writeStream
+      .format("memory").queryName("win_topk").outputMode("append").start()
+    try {
+      stream.addData(w1)
+      q.processAllAvailable()
+      // W1 is still open (watermark 10:21 < 11:00): NOTHING may emit yet
+      assert(s.table("win_topk").count() === 0L,
+        "open window must stay silent until the watermark closes it")
+      // advance the watermark past 11:00 via a W2 event, then past 13:00 —
+      // each data batch lets pending timeouts fire
+      stream.addData(TypedEvent(8L, us("2024-01-01 12:00:00"), "z"))
+      q.processAllAvailable()
+      stream.addData(TypedEvent(9L, us("2024-01-01 14:00:00"), "y"))
+      q.processAllAvailable()
+      stream.addData(TypedEvent(10L, us("2024-01-01 16:00:00"), "x"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = s.table("win_topk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val w1Start = winOf(us("2024-01-01 10:05:00"))
+    val w2Start = winOf(us("2024-01-01 12:00:00"))
+    val w3Start = winOf(us("2024-01-01 14:00:00"))
+    // after the 16:00 batch the watermark (15:50) has closed W1, W2 AND
+    // the 14:00 window — Spark runs a follow-up batch whenever the
+    // watermark advances, so pending timeouts fire promptly; only the
+    // 16:00 window is still open
+    val expected = Seq(
+      (w1Start, 1, "a", 3L), (w1Start, 2, "b", 2L), (w1Start, 3, "c", 1L),
+      (w2Start, 1, "z", 1L), (w3Start, 1, "y", 1L))
+    // emit-once: exact multiset equality over the closed windows
+    assert(out.sorted.toSeq === expected.sorted,
+      s"got ${out.sorted.toSeq}")
+
+    // and the ranking agrees with the batch form on the same closed data
+    val batch = WindowTopK.batchTopK(
+      (w1 ++ Seq(TypedEvent(8L, us("2024-01-01 12:00:00"), "z"),
+        TypedEvent(9L, us("2024-01-01 14:00:00"), "y")))
+        .toDF("event_id", "ts_us", "event_type")
+        .withColumn("ts", timestamp_micros(col("ts_us"))),
+      "ts", "event_type", 60, 3)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(batch.toSeq === expected.map { case (_, r, t, n) => (r, t, n) },
+      s"batch fold disagrees: ${batch.toSeq}")
+  }
+
   test("dropDuplicatesWithinWatermark drops a replayed event inside the horizon") {
     val s = spark
     import s.implicits._
