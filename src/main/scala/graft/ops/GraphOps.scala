@@ -174,4 +174,42 @@ object GraphOps {
       .orderBy(srcCol)
     out
   }
+
+  /** Per-node TRIANGLE counts over an ORIENTED (src < dst) edge relation —
+    * the cluster-cohesion signal for a near-dup graph: nodes in dense
+    * triangles sit inside genuine duplicate cliques, nodes with many
+    * edges but few triangles are hub-shaped false-positive suspects.
+    *
+    * The classic two-join enumeration with every edge oriented low→high:
+    * each triangle x<y<z is produced exactly once as (x,y)+(y,z)+(x,z),
+    * so no post-hoc dedup or /3 correction is needed. The edge relation
+    * is `localCheckpoint`ed once — the (possibly expensive) upstream plan
+    * that produced the edges is never recomputed across the three join
+    * arms. Scale: both joins are equi-joins on node ids; the well-known
+    * high-degree-node quadratic risk is bounded by orientation (a node's
+    * join fan-out is its HIGHER-neighbor count, which for the
+    * min-oriented form of a skewed graph is the standard mitigation) and
+    * by dedup graphs being clique-shaped with bounded clique sizes.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("a0"), col(dstCol).cast("long").as("b0"))
+      .filter(col("a0") =!= col("b0"))
+      // canonicalize rather than assume orientation: a reversed or
+      // duplicated input edge must not silently drop (or double) a triangle
+      .select(least(col("a0"), col("b0")).as("a"),
+        greatest(col("a0"), col("b0")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val tri = e.select(col("a").as("x"), col("b").as("y"))
+      .join(e.select(col("a").as("y"), col("b").as("z")), "y")
+      .join(e.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .select("x", "y", "z")
+    val out = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .select(col("node").as(srcCol), col("n_triangles"))
+      .orderBy(srcCol)
+    out
+  }
 }

@@ -646,6 +646,47 @@ object SimilarityQueries {
             FROM top LEFT JOIN ex ON top.vec_id = ex.vec_id
             ORDER BY top.qsim DESC, top.vec_id"""))
 
+  /** q123 (added r8) — TRIANGLE counts over the q36 near-dup graph
+    * ([[graft.ops.GraphOps.triangleCounts]]): per-doc triangle
+    * participation, the cluster-cohesion metric that separates genuine
+    * duplicate cliques (dense triangles) from hub-shaped false-positive
+    * suspects (many edges, few triangles) — the graph-quality audit run
+    * before trusting q71's components for deletion. Edge relation
+    * re-derived standalone (q83/q102 contract) and checkpointed once;
+    * the enumeration is two equi-joins with every edge oriented low→high
+    * so each triangle lands exactly once.
+    */
+  val q123 = Q(
+    "q123_triangle_count",
+    (s, d) => graft.ops.GraphOps.triangleCounts(
+      SimilarityJoin.jaccardSelfAuto(
+        Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.8),
+      "a_id", "b_id").withColumnRenamed("a_id", "doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(text, ' +')) AS toks
+        FROM documents
+      ),
+      e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+      ),
+      tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+      )
+      SELECT node AS doc_id, count(*) AS n_triangles
+      FROM (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node ORDER BY doc_id
+    """.stripMargin.trim))
+
   def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75,
-    q83, q84, q100, q101, q102, q116)
+    q83, q84, q100, q101, q102, q116, q123)
 }

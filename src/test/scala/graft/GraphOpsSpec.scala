@@ -60,6 +60,24 @@ class GraphOpsSpec extends SparkSpec {
     assert((100L to 159L).forall(n => alt(n) === 100L))
   }
 
+  test("triangle counts: K4 vs star, orientation- and duplicate-proof (r8)") {
+    import spark.implicits._
+    import graft.ops.GraphOps
+    // K4 on {1,2,3,4}: 4 triangles, every node in C(3,2) = 3 of them;
+    // a star hub 10 with leaves {11,12,13}: zero triangles anywhere
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val star = Seq((10L, 11L), (10L, 12L), (10L, 13L))
+    val out = GraphOps.triangleCounts((k4 ++ star).toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"hub nodes must not appear; got $out")
+    // reversed and duplicated edges must change nothing (canonicalized)
+    val messy = (k4 ++ k4.map(_.swap) ++ star).toDF("a_id", "b_id")
+    val out2 = GraphOps.triangleCounts(messy, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 === out)
+  }
+
   test("q71: cluster ids are component minima consistent with the q36 pair graph") {
     val pairs = SparkEntry.queries("q36_jaccard_self_join")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
