@@ -1056,8 +1056,103 @@ object RelationalQueries {
             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             ORDER BY o_orderkey"""))
 
+  /** q124 (added r8) — CONVERSION FUNNEL: view → click (≤6 h after the
+    * first view) → purchase (≤6 h after that click) per user, counted per
+    * stage with the step conversion rate — the ordered-sequence analytics
+    * every event warehouse runs (at sf0.01: 150 → 19 → 1, so the window
+    * genuinely discriminates; an unbounded chain trivially passes
+    * everyone on this dense corpus). Each stage is one filtered scan
+    * joined to the USER-sized previous-stage relation (broadcast), then a
+    * user-keyed min agg — stage depth adds scans, never shuffled
+    * fact-fact joins.
+    */
+  val q124 = Q(
+    "q124_funnel_stages",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(broadcast(v), "user_id")
+        .filter(col("ts") > col("t_view") &&
+          col("ts") <= col("t_view") + expr("interval 6 hours"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(c), "user_id")
+        .filter(col("ts") > col("t_click") &&
+          col("ts") <= col("t_click") + expr("interval 6 hours"))
+        .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
+      val nv = v.agg(count(lit(1)).as("n")).select(
+        lit(1).as("stage_id"), lit("view").as("stage"), col("n"))
+      val nc = c.agg(count(lit(1)).as("n")).select(
+        lit(2).as("stage_id"), lit("click").as("stage"), col("n"))
+      val np = p.agg(count(lit(1)).as("n")).select(
+        lit(3).as("stage_id"), lit("purchase").as("stage"), col("n"))
+      nv.union(nc).union(np)
+        .withColumn("conv_from_first",
+          round(col("n").cast("double") /
+            first(col("n")).over(Window.orderBy("stage_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)), 6))
+        .orderBy("stage_id")
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                       WHERE event_type = 'view' GROUP BY 1),
+                 c AS (SELECT e.user_id, min(ts) AS t_click
+                       FROM events e JOIN v USING (user_id)
+                       WHERE event_type = 'click' AND ts > t_view
+                         AND ts <= t_view + INTERVAL '6 hours' GROUP BY 1),
+                 p AS (SELECT e.user_id, min(ts) AS t_purchase
+                       FROM events e JOIN c USING (user_id)
+                       WHERE event_type = 'purchase' AND ts > t_click
+                         AND ts <= t_click + INTERVAL '6 hours' GROUP BY 1),
+                 st AS (
+                   SELECT 1 AS stage_id, 'view' AS stage, (SELECT count(*) FROM v) AS n
+                   UNION ALL
+                   SELECT 2, 'click', (SELECT count(*) FROM c)
+                   UNION ALL
+                   SELECT 3, 'purchase', (SELECT count(*) FROM p))
+            SELECT stage_id, stage, n,
+                   ROUND(n::DOUBLE / first_value(n) OVER (ORDER BY stage_id), 6)
+                     AS conv_from_first
+            FROM st ORDER BY stage_id"""))
+
+  /** q125 (added r8) — SCD2 VALIDITY INTERVALS: each customer's order
+    * stream turned into a type-2 slowly-changing timeline — every order
+    * opens an interval `[o_orderdate, next order's date)`, the latest
+    * stays open (NULL → 9999-12-31 sentinel, `is_current` flag) — the
+    * temporal-dimension build every warehouse runs to answer "what was
+    * the state as of T". One window (lead) over one shuffle on the
+    * natural key; interval correctness needs no self-join.
+    */
+  val q125 = Q(
+    "q125_scd2_intervals",
+    (s, d) => {
+      val byCust = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("next_date", lead(col("o_orderdate"), 1).over(byCust))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          date_format(coalesce(col("next_date"),
+            lit("9999-12-31").cast("timestamp")), "yyyy-MM-dd").as("valid_to"),
+          col("next_date").isNull.as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_orderstatus,
+                   strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d') AS valid_from,
+                   strftime(coalesce(
+                     lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                     TIMESTAMP '9999-12-31')::TIMESTAMP, '%Y-%m-%d') AS valid_to,
+                   lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_orderdate, o_orderkey)
+                     IS NULL AS is_current
+            FROM orders
+            ORDER BY o_custkey, valid_from, o_orderkey"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
-    q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112, q117, q120)
+    q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112, q117, q120,
+    q124, q125)
 }
