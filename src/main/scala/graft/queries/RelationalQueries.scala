@@ -1062,9 +1062,12 @@ object RelationalQueries {
     * every event warehouse runs (at sf0.01: 150 → 19 → 1, so the window
     * genuinely discriminates; an unbounded chain trivially passes
     * everyone on this dense corpus). Each stage is one filtered scan
-    * joined to the USER-sized previous-stage relation (broadcast), then a
-    * user-keyed min agg — stage depth adds scans, never shuffled
-    * fact-fact joins.
+    * joined on user_id to the previous-stage relation, then a user-keyed
+    * min agg — stage depth adds scans, never fact-fact shuffles. The
+    * stage relations shrink monotonically but start user-sized, so the
+    * join is deliberately UNHINTED: AQE broadcasts them at graded SFs
+    * and falls back to a keyed shuffle when the user population is too
+    * big to ship — forcing broadcast here would be the 100 TB mistake.
     */
   val q124 = Q(
     "q124_funnel_stages",
@@ -1073,12 +1076,12 @@ object RelationalQueries {
       val v = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min(col("ts")).as("t_view"))
       val c = ev.filter(col("event_type") === "click")
-        .join(broadcast(v), "user_id")
+        .join(v, "user_id")
         .filter(col("ts") > col("t_view") &&
           col("ts") <= col("t_view") + expr("interval 6 hours"))
         .groupBy("user_id").agg(min(col("ts")).as("t_click"))
       val p = ev.filter(col("event_type") === "purchase")
-        .join(broadcast(c), "user_id")
+        .join(c, "user_id")
         .filter(col("ts") > col("t_click") &&
           col("ts") <= col("t_click") + expr("interval 6 hours"))
         .groupBy("user_id").agg(min(col("ts")).as("t_purchase"))
