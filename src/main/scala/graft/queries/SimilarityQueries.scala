@@ -687,6 +687,64 @@ object SimilarityQueries {
       GROUP BY node ORDER BY doc_id
     """.stripMargin.trim))
 
+  /** q126 (added r8) — SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): the
+    * k-means clusters (q100's deterministic 8-seed assignment) bound the
+    * quadratic — cosine pairs are enumerated WITHIN each cluster only —
+    * and any vector with a lower-id cluster-mate at cos ≥ 0.4 is dropped
+    * in favor of that mate (one-pass keep-lowest rule, the declared
+    * semantics) → `(vec_id, kept_by, sim)` per dropped vector. This is
+    * the embedding-space dedup that catches paraphrase-level duplicates
+    * exact and MinHash dedup miss; at 100 TB the cluster blocking is the
+    * whole trick — k clusters turn an O(n²) pair space into k·O((n/k)²)
+    * co-partitioned joins on centroid_id.
+    */
+  val q126 = Q(
+    "q126_semantic_dedup",
+    (s, d) => {
+      graft.functions.VectorExprs.register(s)
+      import graft.functions.VectorExprs.{dot, norm}
+      val emb = Tables.embeddings(s, d)
+      val asg = VectorSearch.kmeansAssign(emb, "vec_id", "embedding", col("id") < 8)
+        .select(col("id").as("vec_id"), col("centroid_id"))
+      val e = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val withVec = asg.join(e, "vec_id")
+      val a = withVec.select(col("vec_id").as("aid"), col("centroid_id"),
+        col("v").as("va"))
+      val b = withVec.select(col("vec_id").as("bid"), col("centroid_id"),
+        col("v").as("vb"))
+      a.join(b, Seq("centroid_id"))
+        .filter(col("aid") < col("bid"))
+        .withColumn("sim_raw",
+          dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+        .filter(col("sim_raw") >= 0.4)
+        .groupBy(col("bid").as("vec_id"))
+        .agg(min(struct(col("aid"), round(col("sim_raw"), 6).as("s"))).as("m"))
+        .select(col("vec_id"), col("m.aid").as("kept_by"), col("m.s").as("sim"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      sims AS (SELECT e.vec_id, c.cid,
+                      round(list_cosine_similarity(v, cv), 6) AS s
+               FROM e CROSS JOIN c),
+      asg AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cid) AS rn
+                FROM sims) WHERE rn = 1),
+      p AS (SELECT a.vec_id AS aid, b.vec_id AS bid,
+                   list_cosine_similarity(ea.v, eb.v) AS sr
+            FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id)
+      SELECT bid AS vec_id, min(aid) AS kept_by,
+             round(arg_min(sr, aid), 6) AS sim
+      FROM p WHERE sr >= 0.4
+      GROUP BY bid ORDER BY vec_id
+    """.stripMargin.trim))
+
   def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75,
-    q83, q84, q100, q101, q102, q116, q123)
+    q83, q84, q100, q101, q102, q116, q123, q126)
 }

@@ -432,6 +432,15 @@ class ExplainSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q126 semantic dedup pairs only within clusters: equi-join, no product (r8)") {
+    val p = plan("q126_semantic_dedup")
+    // the SemDeDup trick is the centroid_id equi-join bounding the pair
+    // space — a product here means the blocking was silently lost
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("graft_dot"), p.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
