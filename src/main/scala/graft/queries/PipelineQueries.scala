@@ -790,7 +790,46 @@ object PipelineQueries {
             FROM t WHERE len(token) > 0
             GROUP BY token ORDER BY est DESC, token LIMIT 20"""))
 
+  /** q127 (added r8) — MIXTURE REBALANCING plan: per-language
+    * downsample-only rates that move the corpus toward a uniform language
+    * mixture — `rate = min(1, target_share / actual_share)` and the doc
+    * count that survives — the planning table between q85's mixture
+    * REPORT and q72/q91's sampling EXECUTION (rate feeds the hash
+    * predicate directly). Downsample-only is the declared semantics:
+    * upsampling is a training-loop decision, not a data-prep one. One
+    * partial+final agg + a 1-row broadcast total (q85's shape); all
+    * arithmetic is fixed-order IEEE over exactly-agreed integer counts.
+    */
+  val q127 = Q(
+    "q127_mixture_rebalance",
+    (s, d) => {
+      val g = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = g.agg(sum(col("n_docs")).cast("double").as("n_total"),
+        count(lit(1)).cast("double").as("n_langs"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("share", col("n_docs").cast("double") / col("n_total"))
+        .withColumn("target_share", lit(1.0) / col("n_langs"))
+        .withColumn("rate",
+          least(lit(1.0), col("target_share") / col("share")))
+        .select(col("lang"), col("n_docs"),
+          round(col("share"), 6).as("share"),
+          round(col("target_share"), 6).as("target_share"),
+          round(col("rate"), 6).as("rate"),
+          floor(col("n_docs") * col("rate")).cast("bigint").as("n_keep"))
+        .orderBy("lang")
+    },
+    Some("""WITH g AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+                 tot AS (SELECT sum(n_docs)::DOUBLE AS n_total,
+                                count(*)::DOUBLE AS n_langs FROM g)
+            SELECT lang, n_docs,
+                   round(n_docs::DOUBLE / n_total, 6) AS share,
+                   round(1.0 / n_langs, 6) AS target_share,
+                   round(least(1.0, (1.0 / n_langs) / (n_docs::DOUBLE / n_total)), 6) AS rate,
+                   floor(n_docs * least(1.0, (1.0 / n_langs) / (n_docs::DOUBLE / n_total)))::BIGINT AS n_keep
+            FROM g CROSS JOIN tot ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105, q107, q113,
-    q114)
+    q114, q127)
 }
