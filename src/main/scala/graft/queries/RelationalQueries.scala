@@ -1153,9 +1153,49 @@ object RelationalQueries {
             FROM orders
             ORDER BY o_custkey, valid_from, o_orderkey"""))
 
+  /** q128 (added r8) — BENFORD first-digit audit: the first significant
+    * digit of o_totalprice vs Benford's log10(1+1/d) expectation — the
+    * fraud/synthetic-data screen auditors run on naturally-grown numeric
+    * columns. On THIS corpus it fires loudly (digits 1–4 near-uniform at
+    * ~22% each, 5–9 at ~2% — the generator's uniform ranges, nothing like
+    * Benford), which is the point: the audit detects manufactured
+    * distributions. First digit extracted via the exact DECIMAL(18,2)
+    * string rendering ("1013.70" on both engines) — no float log/pow at
+    * digit boundaries; one partial+final agg + a 1-row broadcast total.
+    */
+  val q128 = Q(
+    "q128_benford_audit",
+    (s, d) => {
+      val digits = Tables.orders(s, d)
+        .select(substring(col("o_totalprice").cast("decimal(18,2)")
+          .cast("string"), 1, 1).as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+      val tot = digits.agg(sum(col("n_orders")).cast("double").as("n_total"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_orders"),
+          round(col("n_orders").cast("double") / col("n_total"), 6).as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+            .as("benford_share"),
+          round(col("n_orders").cast("double") / col("n_total")
+            - log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6)
+            .as("deviation"))
+        .orderBy("digit")
+    },
+    Some("""WITH g AS (
+              SELECT substr((o_totalprice::DECIMAL(18,2))::VARCHAR, 1, 1) AS digit,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1),
+            tot AS (SELECT sum(n_orders)::DOUBLE AS n_total FROM g)
+            SELECT digit, n_orders,
+                   round(n_orders::DOUBLE / n_total, 6) AS share,
+                   round(log10(1.0 + 1.0 / digit::DOUBLE), 6) AS benford_share,
+                   round(n_orders::DOUBLE / n_total
+                         - log10(1.0 + 1.0 / digit::DOUBLE), 6) AS deviation
+            FROM g CROSS JOIN tot ORDER BY digit"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
     q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112, q117, q120,
-    q124, q125)
+    q124, q125, q128)
 }
