@@ -441,6 +441,25 @@ class ExplainSpec extends SparkSpec {
     assert(p.contains("graft_dot"), p.take(2000))
   }
 
+  test("remaining r8 surface rows are product-free; cheap shapes hold (r8)") {
+    // umbrella pin for the rows without a dedicated shape test: none may
+    // plan a cartesian product, and the structurally-obvious properties
+    // are asserted so a refactor can't silently degrade them
+    for (name <- Seq("q110_listagg", "q112_histogram", "q119_bpe_tokenize",
+      "q121_map_ops", "q124_funnel_stages", "q125_scd2_intervals",
+      "q127_mixture_rebalance", "q128_benford_audit")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name: ${p.take(1500)}")
+    }
+    // q125: one lead window, one Window node
+    assert("Window".r.findAllIn(plan("q125_scd2_intervals")).size === 1)
+    // q121: two aggregation levels (per-(doc,tok) counts, then the map)
+    assert("HashAggregate".r.findAllIn(plan("q121_map_ops")).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(plan("q121_map_ops")).size >= 2)
+    // q112/q128/q127: single-pass partial+final aggregation over the scan
+    assert("HashAggregate".r.findAllIn(plan("q112_histogram")).size >= 2)
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
