@@ -91,8 +91,14 @@ object Bench {
     // locale-sensitive); 0.1 ms granularity is far below run-to-run noise
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    def queryJson(keyOf: String => String): String =
-      results.map { case (k, v) => "\"" + keyOf(k) + "\":" + fmt(v) }
+    // stdout uses 3-dp per-query values (1 ms granularity, far below the
+    // run-to-run noise floor): at 130 short-keyed queries the 4-dp line
+    // measured 1,855 B — past the 1,850 B fallback — where 3 dp is 1,725 B
+    // with headroom to ~140 queries. bench_out.json keeps 4 dp.
+    def fmt3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def queryJson(keyOf: String => String, f: Double => String): String =
+      results.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
     def lineWith(qs: String): String =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest}}"""
@@ -111,8 +117,8 @@ object Bench {
     // fall back to full names if prefixes ever collide — a mis-keyed bench
     // is worse than an unparsed one
     val useShort = shortKeys.distinct.size == shortKeys.size
-    val stdoutLine = lineWith(queryJson(if (useShort) shortKey else identity))
-    val fileLine = lineWith(queryJson(identity))
+    val stdoutLine = lineWith(queryJson(if (useShort) shortKey else identity, fmt3))
+    val fileLine = lineWith(queryJson(identity, fmt))
     try Files.writeString(Paths.get("bench_out.json"), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // hard fallback (r8): if the short-key line ever outgrows the budget

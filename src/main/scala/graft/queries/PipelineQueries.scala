@@ -829,7 +829,52 @@ object PipelineQueries {
                    floor(n_docs * least(1.0, (1.0 / n_langs) / (n_docs::DOUBLE / n_total)))::BIGINT AS n_keep
             FROM g CROSS JOIN tot ORDER BY lang"""))
 
+  /** q130 (added r8) — CHI-SQUARE contingency audit: observed vs
+    * independence-expected counts for the lang × source cross-tab, with
+    * each cell's χ² contribution — the statistical dependence screen a
+    * mixture pipeline runs before treating lang and source as independent
+    * sampling axes (q72/q91/q127 all implicitly assume it). All three
+    * marginal relations are GROUP-sized and broadcast back onto the cell
+    * relation; expected counts and contributions are fixed-order IEEE
+    * over exactly-agreed integer counts, ROUND(,6) in the output.
+    */
+  val q130 = Q(
+    "q130_chi_square",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val lt = g.groupBy("lang").agg(sum(col("n")).as("lang_tot"))
+      val st = g.groupBy("source").agg(sum(col("n")).as("src_tot"))
+      val tot = g.agg(sum(col("n")).cast("double").as("n_total"))
+      g.join(broadcast(lt), "lang")
+        .join(broadcast(st), "source")
+        .crossJoin(broadcast(tot))
+        .withColumn("expected",
+          col("lang_tot").cast("double") * col("src_tot").cast("double")
+            / col("n_total"))
+        .select(col("lang"), col("source"), col("n"),
+          round(col("expected"), 6).as("expected"),
+          round((col("n").cast("double") - col("expected"))
+            * (col("n").cast("double") - col("expected")) / col("expected"), 6)
+            .as("chi2_contrib"))
+        .orderBy("lang", "source")
+    },
+    Some("""WITH g AS (SELECT lang, source, count(*) AS n
+                       FROM documents GROUP BY 1, 2),
+                 lt AS (SELECT lang, sum(n) AS lang_tot FROM g GROUP BY 1),
+                 st AS (SELECT source, sum(n) AS src_tot FROM g GROUP BY 1),
+                 tot AS (SELECT sum(n)::DOUBLE AS n_total FROM g)
+            SELECT g.lang, g.source, n,
+                   round(lang_tot::DOUBLE * src_tot::DOUBLE / n_total, 6) AS expected,
+                   round((n::DOUBLE - lang_tot::DOUBLE * src_tot::DOUBLE / n_total)
+                         * (n::DOUBLE - lang_tot::DOUBLE * src_tot::DOUBLE / n_total)
+                         / (lang_tot::DOUBLE * src_tot::DOUBLE / n_total), 6)
+                     AS chi2_contrib
+            FROM g JOIN lt USING (lang) JOIN st USING (source)
+            CROSS JOIN tot
+            ORDER BY g.lang, g.source"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105, q107, q113,
-    q114, q127)
+    q114, q127, q130)
 }

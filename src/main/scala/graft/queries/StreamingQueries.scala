@@ -414,6 +414,50 @@ object StreamingQueries {
             SELECT ws, rnk, event_type, n FROM r
             WHERE rnk <= 3 ORDER BY ws, rnk"""))
 
+  /** q129 (added r8) — EXACTLY-ONCE STREAMING SINK
+    * ([[graft.streaming.IdempotentSink]]): documents streamed through a
+    * `foreachBatch` parquet sink in two micro-batches, then batch 0 is
+    * REPLAYED with the same id — structured streaming's at-least-once
+    * failure contract — before reading the sink back for per-lang totals.
+    * The batch-id-partitioned dynamic overwrite makes the replay replace
+    * its own previous attempt instead of appending, so the oracle (plain
+    * per-lang counts over the table) grades the END STATE: an append sink
+    * would double batch 0's rows and hash-mismatch. The sink side is the
+    * last leg of the streaming story (sources q47, transforms q44–q46,
+    * state q59/q70/q74/q122 — and now the write path).
+    */
+  val q129 = Q(
+    "q129_stream_sink",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val out = graft.Scratch.ephemeral("graft_q129_sink")
+      val ckpt = graft.Scratch.ephemeral("graft_q129_ckpt")
+      val stream = MemoryStream[(Long, String, Long)]
+      val query = stream.toDF().toDF("doc_id", "lang", "n_chars").writeStream
+        .foreachBatch((df: DataFrame, id: Long) =>
+          graft.streaming.IdempotentSink.writeBatch(out)(df, id))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try {
+        stream.addData(b1.toSeq); query.processAllAvailable()
+        stream.addData(b2.toSeq); query.processAllAvailable()
+      } finally query.stop()
+      // the crash contract: batch 0 delivered AGAIN with the same id
+      graft.streaming.IdempotentSink.writeBatch(out)(
+        b1.toSeq.toDF("doc_id", "lang", "n_chars"), 0L)
+      graft.streaming.IdempotentSink.read(s, out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90, q103, q109,
-    q122)
+    q122, q129)
 }
