@@ -212,4 +212,58 @@ object GraphOps {
       .orderBy(srcCol)
     out
   }
+
+  /** PageRank over an UNDIRECTED edge list (each edge contributes both
+    * directions), fixed iteration count, damping 0.85 — centrality over
+    * the near-dup graph: a high-rank node is the hub its duplicate
+    * neighborhood points at, i.e. the natural canonical-document choice.
+    * The node set is the edge endpoints (symmetrized edges mean every node
+    * has out-degree ≥ 1 — no dangling-mass redistribution needed).
+    *
+    * Determinism at any parallelism: the per-node incoming sum is the ONE
+    * order-sensitive reduction in the algorithm, so each contribution
+    * `rank/degree` (an IEEE division — correctly rounded, bit-identical
+    * on every engine) is cast to DECIMAL(38,18) before summing: the cast
+    * is value-correct (round the double's exact binary value at 18 dp) on
+    * both engines where a double `round()` can differ by an ulp, and the
+    * decimal sum is associative in any shuffle order. The rest of the
+    * update (`0.15/n + 0.85·sum`) is a fixed IEEE sequence. Same
+    * exact-sum discipline as [[graft.Det]].
+    *
+    * Scale: each iteration is one equi-join (edges × ranks, shuffled on
+    * the node key) plus a partial+final agg — the q71 connected-components
+    * cost model; lineage is truncated per round and the previous round's
+    * checkpoint is unpersisted. Fixed `iters` (no convergence probe):
+    * rank consumers want a bounded-cost estimate, not a fixpoint.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters $iters")
+    val se = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val sym = se.union(se.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = deg.agg(count(lit(1)).cast("double").as("n"))
+    var ranks = deg.crossJoin(broadcast(n))
+      .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = sym.join(deg, "src")
+        .join(ranks, sym("src") === ranks("node"))
+        .select(col("dst"),
+          (col("r") / col("deg")).cast("decimal(38,18)").as("contrib"))
+        .groupBy("dst").agg(sum(col("contrib")).cast("double").as("in_sum"))
+        .crossJoin(broadcast(n))
+        .select(col("dst").as("node"),
+          (lit(1.0 - damping) / col("n") + lit(damping) * col("in_sum")).as("r"))
+        .localCheckpoint(true)
+      unpersistLocalCheckpoint(ranks)
+      ranks = next
+    }
+    ranks
+  }
 }

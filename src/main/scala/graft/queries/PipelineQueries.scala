@@ -874,7 +874,114 @@ object PipelineQueries {
             CROSS JOIN tot
             ORDER BY g.lang, g.source"""))
 
+  /** q132 (added r8) — ROC-AUC of a score against a binary label, the
+    * classifier-eval primitive every filter model in a data pipeline is
+    * judged by (here: does a length-derived score predict `lang = 'en'`?).
+    * Computed as the tie-corrected Mann–Whitney statistic
+    * `AUC = Σ_s n_pos(s)·(2·cum_neg(<s) + n_neg(s)) / (2·N⁺·N⁻)` — the
+    * numerator stays in EXACT INTEGERS until the single final division,
+    * so the hash is engine- and order-proof (a per-row global rank window
+    * would both funnel 100 TB through one task and sum doubles in
+    * arbitrary order). The cumulative window runs over the GROUP-SIZED
+    * distinct-score relation, never the corpus.
+    */
+  val q132 = Q(
+    "q132_auc_eval",
+    (s, d) => {
+      val scored = Tables.documents(s, d).select(
+        expr("n_chars div 50").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"))
+      val byScore = scored.groupBy("score")
+        .agg(sum(col("label")).as("n_pos"),
+          sum(lit(1L) - col("label")).as("n_neg"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = byScore.withColumn("cum_neg",
+        coalesce(sum(col("n_neg")).over(w), lit(0L)))
+      ranked.agg(
+        sum(col("n_pos")).as("total_pos"),
+        sum(col("n_neg")).as("total_neg"),
+        sum(col("n_pos") * (col("cum_neg") * 2 + col("n_neg"))).as("num"))
+        .select(col("total_pos").as("n_pos"), col("total_neg").as("n_neg"),
+          round(col("num").cast("double")
+            / (col("total_pos").cast("double") * col("total_neg") * 2), 6)
+            .as("auc"))
+    },
+    Some("""WITH scored AS (
+              SELECT CAST(n_chars // 50 AS BIGINT) AS score,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+              FROM documents),
+            g AS (SELECT score, sum(label)::BIGINT AS n_pos,
+                         sum(1 - label)::BIGINT AS n_neg
+                  FROM scored GROUP BY 1),
+            r AS (SELECT score, n_pos, n_neg,
+                         coalesce(sum(n_neg) OVER (ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0)::BIGINT AS cum_neg
+                  FROM g)
+            SELECT sum(n_pos)::BIGINT AS n_pos, sum(n_neg)::BIGINT AS n_neg,
+                   round(sum(n_pos * (cum_neg * 2 + n_neg))::DOUBLE
+                         / (sum(n_pos)::DOUBLE * sum(n_neg) * 2), 6) AS auc
+            FROM r"""))
+
+  /** q136 (added r8) — COHEN'S KAPPA: chance-corrected agreement between
+    * q50's "en-like" heuristic rater and the truth label (`lang = 'en'`)
+    * — the annotation-pipeline primitive (rater-vs-rater, model-vs-gold)
+    * that raw accuracy overstates whenever classes are imbalanced. With
+    * a 2×2 confusion (n = total, n11/n00 = agreements, a1/b1 = each
+    * rater's positives) the statistic reduces to
+    * `κ = (n·(n11+n00) − (a1·b1 + a0·b0)) / (n² − (a1·b1 + a0·b0))` —
+    * EXACT INTEGERS until the one final division, so the hash is engine-
+    * and order-proof. One partial+final aggregation over the corpus.
+    */
+  val q136 = Q(
+    "q136_cohens_kappa",
+    (s, d) => {
+      val rated = Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " +"))
+        .withColumn("n_func",
+          size(filter(col("toks"), t => t === "a" || t === "the")))
+        .select(
+          when(col("n_func").cast("double") / size(col("toks")) >= 0.08, 1L)
+            .otherwise(0L).as("a"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("b"))
+      rated.agg(
+        count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"),
+        sum(col("a")).as("a1"),
+        sum(col("b")).as("b1"))
+        .select(col("n"), col("n11"), col("n00"), col("a1"), col("b1"),
+          round((col("n11") + col("n00")).cast("double") / col("n"), 6)
+            .as("p_observed"),
+          round((col("n") * (col("n11") + col("n00"))
+            - (col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1"))))
+            .cast("double")
+            / (col("n") * col("n")
+              - (col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1")))),
+            6).as("kappa"))
+    },
+    Some("""WITH r AS (
+              SELECT CASE WHEN len(list_filter(regexp_split_to_array(text, ' +'),
+                                               t -> t = 'a' OR t = 'the'))::DOUBLE
+                               / len(regexp_split_to_array(text, ' +')) >= 0.08
+                          THEN 1 ELSE 0 END AS a,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+              FROM documents),
+            c AS (SELECT count(*)::BIGINT AS n,
+                         sum(a * b)::BIGINT AS n11,
+                         sum((1 - a) * (1 - b))::BIGINT AS n00,
+                         sum(a)::BIGINT AS a1, sum(b)::BIGINT AS b1
+                  FROM r)
+            SELECT n, n11, n00, a1, b1,
+                   round((n11 + n00)::DOUBLE / n, 6) AS p_observed,
+                   round((n * (n11 + n00)
+                          - (a1 * b1 + (n - a1) * (n - b1)))::DOUBLE
+                         / (n * n - (a1 * b1 + (n - a1) * (n - b1))), 6)
+                     AS kappa
+            FROM c"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105, q107, q113,
-    q114, q127, q130)
+    q114, q127, q130, q132, q136)
 }

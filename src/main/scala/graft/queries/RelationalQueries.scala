@@ -1193,9 +1193,137 @@ object RelationalQueries {
                          - log10(1.0 + 1.0 / digit::DOUBLE), 6) AS deviation
             FROM g CROSS JOIN tot ORDER BY digit"""))
 
+  /** q131 (added r8) — BLOOM-FILTERED JOIN PRUNING
+    * ([[graft.ops.BloomJoin]]): lineitem pruned by a bloom filter built
+    * over urgent orders' keys BEFORE the exact equi-join — the pattern
+    * that cuts a 100 TB probe-side scan down to near-matching rows before
+    * any shuffle. The bitmap is a partial+final `bit_or` aggregation
+    * (state ≤ numBits/64 words at any key count) collapsed to ONE row and
+    * broadcast; membership is a pure codegen projection. No false
+    * negatives (BloomJoinSpec), so the exact join downstream makes the
+    * result — and the oracle — identical to the unpruned join.
+    */
+  val q131 = Q(
+    "q131_bloom_join",
+    (s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+      val bloom = graft.ops.BloomJoin.build(
+        urgent.select("o_orderkey"), "o_orderkey")
+      val pruned = graft.ops.BloomJoin.prune(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"),
+        "l_orderkey", bloom)
+      pruned.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          Det.exactSum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_year")
+    },
+    Some("""SELECT year(o_orderdate) AS o_year, count(*) AS n_items,
+                   (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY 1 ORDER BY 1"""))
+
+  /** q133 (added r8) — JOIN-KEY SKEW DIAGNOSIS: the audit a pipeline runs
+    * BEFORE choosing a shuffle strategy ([[graft.ops.Salting]] exists for
+    * when this report says so). Per-key counts of lineitem's supplier key
+    * reduce to one summary row: key count, max/min/avg multiplicity, the
+    * max-over-avg skew ratio, and how many keys exceed 1.5× the mean —
+    * the hot-key predicate kept in exact integers
+    * (`2·cnt·n_keys > 3·n_rows`), so no float compare decides hotness
+    * differently across engines. Two partial+final aggregations, both
+    * over the group-sized key relation.
+    */
+  val q133 = Q(
+    "q133_skew_diagnosis",
+    (s, d) => {
+      val perKey = Tables.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      val tot = perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("n_rows"))
+      perKey.crossJoin(broadcast(tot))
+        .groupBy("n_keys", "n_rows")
+        .agg(max(col("cnt")).as("max_cnt"), min(col("cnt")).as("min_cnt"),
+          sum(when(col("cnt") * 2 * col("n_keys") > col("n_rows") * 3, 1)
+            .otherwise(0)).as("n_hot_keys"))
+        .select(col("n_keys"), col("n_rows"), col("max_cnt"), col("min_cnt"),
+          round(col("n_rows").cast("double") / col("n_keys"), 6).as("avg_cnt"),
+          round(col("max_cnt").cast("double") * col("n_keys")
+            / col("n_rows"), 6).as("max_over_avg"),
+          col("n_hot_keys"))
+    },
+    Some("""WITH k AS (SELECT l_suppkey, count(*) AS cnt
+                       FROM lineitem GROUP BY 1),
+                 t AS (SELECT count(*) AS n_keys, sum(cnt)::BIGINT AS n_rows
+                       FROM k)
+            SELECT n_keys, n_rows, max(cnt) AS max_cnt, min(cnt) AS min_cnt,
+                   round(n_rows::DOUBLE / n_keys, 6) AS avg_cnt,
+                   round(max(cnt)::DOUBLE * n_keys / n_rows, 6) AS max_over_avg,
+                   sum(CASE WHEN cnt * 2 * n_keys > n_rows * 3
+                       THEN 1 ELSE 0 END)::BIGINT AS n_hot_keys
+            FROM k CROSS JOIN t GROUP BY n_keys, n_rows"""))
+
+  /** q134 (added r8) — LAG-1 AUTOCORRELATION of the daily revenue series:
+    * the time-series health check (is yesterday predictive of today?)
+    * behind trend monitoring and anomaly baselining. Pearson r over
+    * (dayₜ, dayₜ₋₁) pairs with EVERY sum kept exact: daily revenues are
+    * exact DECIMAL(18,2) sums, their pairwise products are 4-dp-exact
+    * decimals, and the correlation is one fixed IEEE sequence over six
+    * exact sums ([[graft.Det.exactStddev]]'s discipline — a raw
+    * `corr(double)` would be summation-order-dependent and hash-unstable
+    * across engines/parallelism). The lag window runs over the
+    * GROUP-SIZED daily relation (~2.4 k rows at any SF), never the fact
+    * table.
+    */
+  val q134 = Q(
+    "q134_autocorr_daily",
+    (s, d) => {
+      // re-narrow the exact sum to (18,2): sum() widens to decimal(28,2),
+      // whose self-product would overflow precision 38 and rescale lossily;
+      // daily totals sit far below 10^16 so the narrow cast is exact
+      val daily = Tables.orders(s, d)
+        .groupBy("o_orderdate")
+        .agg(sum(Det.dec2(col("o_totalprice"))).cast("decimal(18,2)").as("rev"))
+      val w = Window.orderBy("o_orderdate")
+      val pairs = daily
+        .select(col("rev").as("x"), lag(col("rev"), 1).over(w).as("y"))
+        .filter(col("y").isNotNull)
+      val agg = pairs.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      agg.select(col("n").cast("bigint").as("n_pairs"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("autocorr_lag1"))
+    },
+    Some("""WITH daily AS (
+              SELECT o_orderdate AS d,
+                     sum(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS rev
+              FROM orders GROUP BY 1),
+            p AS (SELECT rev AS x, lag(rev) OVER (ORDER BY d) AS y
+                  FROM daily),
+            a AS (SELECT count(*)::DOUBLE AS n,
+                         sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+                         sum(x * y)::DOUBLE AS sxy,
+                         sum(x * x)::DOUBLE AS sxx,
+                         sum(y * y)::DOUBLE AS syy
+                  FROM p WHERE y IS NOT NULL)
+            SELECT n::BIGINT AS n_pairs,
+                   round((n * sxy - sx * sy)
+                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                     AS autocorr_lag1
+            FROM a"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
     q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112, q117, q120,
-    q124, q125, q128)
+    q124, q125, q128, q131, q133, q134)
 }

@@ -745,6 +745,63 @@ object SimilarityQueries {
       GROUP BY bid ORDER BY vec_id
     """.stripMargin.trim))
 
+  /** q135 (added r8) — PAGERANK over the q36 near-dup graph
+    * ([[graft.ops.GraphOps.pageRank]], 3 iterations, damping 0.85): the
+    * centrality completion of the graph family (components q71, triangles
+    * q123) — a high-rank node is the hub its duplicate neighborhood
+    * points at, the natural canonical-document choice when a dedup
+    * cluster needs one representative picked by STRUCTURE rather than by
+    * lowest-id (q83's rule). Per-node incoming sums ride DECIMAL(38,18)
+    * casts of IEEE-exact quotients so the one order-sensitive reduction
+    * is associative at any parallelism; the oracle unrolls the same three
+    * iterations with the teleport constant written `(1.0 - 0.85)` so both
+    * engines derive the identical IEEE value.
+    */
+  val q135 = Q(
+    "q135_pagerank",
+    (s, d) => graft.ops.GraphOps.pageRank(
+      SimilarityJoin.jaccardSelfAuto(
+        Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.8),
+      "a_id", "b_id", iters = 3)
+      .select(col("node").as("doc_id"), round(col("r"), 6).as("pagerank"))
+      .orderBy("doc_id"),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, source,
+               list_distinct(regexp_split_to_array(text, ' +')) AS toks
+        FROM documents
+      ),
+      e AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.8
+      ),
+      se AS (SELECT a AS src, b AS dst FROM e
+             UNION ALL SELECT b AS src, a AS dst FROM e),
+      deg AS (SELECT src, count(*) AS deg FROM se GROUP BY 1),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+      r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+      r1 AS (SELECT dst AS node,
+                    (1.0 - 0.85) / (SELECT n FROM nn)
+                    + 0.85 * (sum((r / deg)::DECIMAL(38,18)))::DOUBLE AS r
+             FROM se JOIN deg USING (src) JOIN r0 ON r0.node = se.src
+             GROUP BY dst),
+      r2 AS (SELECT dst AS node,
+                    (1.0 - 0.85) / (SELECT n FROM nn)
+                    + 0.85 * (sum((r / deg)::DECIMAL(38,18)))::DOUBLE AS r
+             FROM se JOIN deg USING (src) JOIN r1 ON r1.node = se.src
+             GROUP BY dst),
+      r3 AS (SELECT dst AS node,
+                    (1.0 - 0.85) / (SELECT n FROM nn)
+                    + 0.85 * (sum((r / deg)::DECIMAL(38,18)))::DOUBLE AS r
+             FROM se JOIN deg USING (src) JOIN r2 ON r2.node = se.src
+             GROUP BY dst)
+      SELECT node AS doc_id, round(r, 6) AS pagerank
+      FROM r3 ORDER BY node
+    """.stripMargin.trim))
+
   def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75,
-    q83, q84, q100, q101, q102, q116, q123, q126)
+    q83, q84, q100, q101, q102, q116, q123, q126, q135)
 }

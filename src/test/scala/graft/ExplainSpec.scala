@@ -460,6 +460,36 @@ class ExplainSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan("q112_histogram")).size >= 2)
   }
 
+  test("late-r8 rows: bloom probe prunes pre-join; eval/audit shapes hold") {
+    for (name <- Seq("q131_bloom_join", "q132_auc_eval",
+      "q133_skew_diagnosis", "q134_autocorr_daily")) {
+      assert(!plan(name).contains("CartesianProduct"),
+        s"$name: ${plan(name).take(1500)}")
+    }
+    // q131: the bitmap build is a real partial+final bit_or aggregation,
+    // and the probe-side membership filter (xxhash64 against the broadcast
+    // map) sits in the plan BEFORE the exact equi-join does its shuffle —
+    // i.e. the fact scan is pruned by the bloom, not by the join
+    val p131 = plan("q131_bloom_join")
+    assert(p131.contains("bit_or"), p131.take(2000))
+    val probeIdx = p131.indexOf("xxhash64")
+    assert(probeIdx >= 0, p131.take(2000))
+    // q132/q134: the only Window runs over the group-sized relation — one
+    // Window node, downstream of an aggregation
+    assert("Window".r.findAllIn(plan("q132_auc_eval")).size === 1)
+    assert("Window".r.findAllIn(plan("q134_autocorr_daily")).size === 1)
+    // q133: two aggregation levels (per-key counts, then the summary)
+    assert("HashAggregate".r.findAllIn(plan("q133_skew_diagnosis")).size >= 2)
+    // q136: one partial+final confusion agg, no join anywhere
+    val p136 = plan("q136_cohens_kappa")
+    assert(!p136.contains("Join"), p136.take(1500))
+    assert("HashAggregate".r.findAllIn(p136).size >= 2, p136.take(1500))
+    // q135's iterative plan is checkpoint-truncated per round (the shape
+    // lives in GraphOps.pageRank and is pinned behaviorally in
+    // GraphOpsSpec); here only product-freedom of the final select
+    assert(!plan("q135_pagerank").contains("CartesianProduct"))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

@@ -94,4 +94,32 @@ class GraphOpsSpec extends SparkSpec {
     // membership is exactly the pair-graph node set
     assert(clusters.keySet === pairs.flatMap(p => Seq(p._1, p._2)).toSet)
   }
+
+  test("pagerank: mass conserved, hub outranks leaves, orientation-proof (r8)") {
+    import spark.implicits._
+    // star: 1 is the hub of 2..5, plus a detached pair 10-11; mixed edge
+    // orientations and a duplicate edge must not change anything
+    val edges = Seq((1L, 2L), (3L, 1L), (1L, 4L), (5L, 1L), (1L, 2L),
+      (10L, 11L)).toDF("a", "b")
+    val r = graft.ops.GraphOps.pageRank(edges, "a", "b", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L, 5L, 10L, 11L))
+    // total rank mass is conserved (no dangling nodes after symmetrizing)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9, r.values.sum)
+    // the hub strictly outranks every leaf; detached-pair nodes tie
+    for (leaf <- Seq(2L, 3L, 4L, 5L)) assert(r(1L) > r(leaf), s"leaf $leaf")
+    assert(math.abs(r(10L) - r(11L)) < 1e-15)
+    // deterministic across runs (exact decimal contribution sums)
+    val r2 = graft.ops.GraphOps.pageRank(edges, "a", "b", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r === r2)
+  }
+
+  test("pagerank: empty and self-loop-only edge lists yield empty ranks (r8)") {
+    import spark.implicits._
+    assert(graft.ops.GraphOps.pageRank(
+      Seq.empty[(Long, Long)].toDF("a", "b"), "a", "b").count() === 0L)
+    assert(graft.ops.GraphOps.pageRank(
+      Seq((7L, 7L)).toDF("a", "b"), "a", "b").count() === 0L)
+  }
 }
