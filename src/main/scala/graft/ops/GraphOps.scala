@@ -247,13 +247,17 @@ object GraphOps {
       .localCheckpoint(true)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
+    // out-degree rides the edge list ONCE — joining deg inside the loop
+    // would re-pay an edge-sized shuffle every iteration
+    val symDeg = sym.join(deg, "src").localCheckpoint(true)
+    unpersistLocalCheckpoint(sym)
     val n = deg.agg(count(lit(1)).cast("double").as("n"))
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val next = sym.join(deg, "src")
-        .join(ranks, sym("src") === ranks("node"))
+      val next = symDeg
+        .join(ranks, col("src") === col("node"))
         .select(col("dst"),
           (col("r") / col("deg")).cast("decimal(38,18)").as("contrib"))
         .groupBy("dst").agg(sum(col("contrib")).cast("double").as("in_sum"))
