@@ -461,7 +461,7 @@ class ExplainSpec extends SparkSpec {
   }
 
   test("late-r8 rows: bloom probe prunes pre-join; eval/audit shapes hold") {
-    for (name <- Seq("q131_bloom_join", "q132_auc_eval",
+    for (name <- Seq("q130_chi_square", "q131_bloom_join", "q132_auc_eval",
       "q133_skew_diagnosis", "q134_autocorr_daily")) {
       assert(!plan(name).contains("CartesianProduct"),
         s"$name: ${plan(name).take(1500)}")
