@@ -51,7 +51,22 @@ object Det {
   def exactAvg(c: Column): Column =
     round(sum(dec2(c)).cast("double") / count(lit(1)), 4)
 
-  /** 6-dp rounded similarity score for output columns. */
+  /** 6-dp rounded similarity score for output columns.
+    *
+    * TIE CAVEAT (found by the r8 sf0.1 parity audit): when the value
+    * being rounded is the RATIO OF EXACTLY-AGREED INTEGERS a/n, the true
+    * rational lands EXACTLY on a 6-dp tie whenever a ≡ n/2 (mod n) — and
+    * rounding the nearest double at a true tie is an engine coin-flip
+    * (Spark rounds the double's exact binary value; DuckDB rounds its
+    * shortest decimal repr — they disagree when the binary value sits
+    * just below a tie whose shortest repr IS the tie string). For such
+    * ratio outputs, do the half-up division in exact integer arithmetic
+    * instead: `(2·a + n) div (2·n)` at the output scale, then one exact
+    * small-int→double conversion and one division by the scale power
+    * (q86's protocol). round6 stays correct for values that are already
+    * engine-agreed doubles NOT of that ratio form, where a tie landing is
+    * measure-zero rather than structural.
+    */
   def round6(c: Column): Column = round(c, 6)
 
   /** Deterministic sample stddev: exact decimal sums (order-insensitive),

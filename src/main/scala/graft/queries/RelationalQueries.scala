@@ -1307,13 +1307,18 @@ object RelationalQueries {
               SELECT o_orderdate AS d,
                      sum(o_totalprice::DECIMAL(18,2))::DECIMAL(18,2) AS rev
               FROM orders GROUP BY 1),
-            p AS (SELECT rev AS x, lag(rev) OVER (ORDER BY d) AS y
+            p AS (SELECT rev AS x, rev::DECIMAL(19,2) AS xw,
+                         lag(rev) OVER (ORDER BY d) AS y,
+                         lag(rev) OVER (ORDER BY d)::DECIMAL(19,2) AS yw
                   FROM daily),
+            -- one factor widened to DECIMAL(19,2): at sf>=0.1 daily totals
+            -- pass 10^9 and DuckDB's (18,2)x(18,2) int64 multiply path
+            -- overflows; p>18 forces the int128 path, 19+18 stays <= 38
             a AS (SELECT count(*)::DOUBLE AS n,
                          sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
-                         sum(x * y)::DOUBLE AS sxy,
-                         sum(x * x)::DOUBLE AS sxx,
-                         sum(y * y)::DOUBLE AS syy
+                         sum(xw * y)::DOUBLE AS sxy,
+                         sum(xw * x)::DOUBLE AS sxx,
+                         sum(yw * y)::DOUBLE AS syy
                   FROM p WHERE y IS NOT NULL)
             SELECT n::BIGINT AS n_pairs,
                    round((n * sxy - sx * sy)

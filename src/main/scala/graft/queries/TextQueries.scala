@@ -418,12 +418,23 @@ object TextQueries {
         .crossJoin(broadcast(tot))
         .select(col("tok"),
           round(-log2(col("cnt").cast("double") / col("tot")), 6).as("surprisal"))
+      // the per-doc mean is sum_micro/n with BOTH operands exactly agreed
+      // integers — and such rationals land on TRUE 6-dp ties whenever
+      // sum_micro ≡ n/2 (mod n), where rounding the closest double is an
+      // engine coin-flip (Spark rounds its exact binary value, DuckDB its
+      // shortest repr; observed flipping 1 doc of 5,000 at sf0.1). So the
+      // HALF-UP division happens in exact INTEGER arithmetic —
+      // (2a+n) div 2n — identical on any engine, then one exact ≤2^26
+      // integer → double conversion and one division by 10^6
       tok.join(broadcast(model), "tok")
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_tokens"),
-          round(sum(col("surprisal").cast("decimal(28,6)")).cast("double")
-            / count(lit(1)), 6).as("bits_per_token"))
+          (sum(col("surprisal").cast("decimal(28,6)")) * 1000000)
+            .cast("bigint").as("micro_sum"))
+        .select(col("doc_id"), col("n_tokens"),
+          (expr("(2 * micro_sum + n_tokens) div (2 * n_tokens)")
+            .cast("double") / lit(1000000.0)).as("bits_per_token"))
         .orderBy("doc_id")
     },
     Some("""WITH tok AS (
@@ -435,7 +446,8 @@ object TextQueries {
                      round(-log2(count(*)::DOUBLE / (SELECT tot FROM tot)), 6) AS surprisal
               FROM tok GROUP BY tok)
             SELECT doc_id, count(*) AS n_tokens,
-                   round(sum(surprisal::DECIMAL(28,6))::DOUBLE / count(*), 6) AS bits_per_token
+                   ((2 * (sum(surprisal::DECIMAL(28,6)) * 1000000)::BIGINT + count(*))
+                    // (2 * count(*)))::DOUBLE / 1000000.0 AS bits_per_token
             FROM tok JOIN model USING (tok)
             GROUP BY doc_id ORDER BY doc_id"""))
 
