@@ -359,6 +359,36 @@ object TextQueries {
                    min(doc_id) AS min_id, max(doc_id) AS max_id
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** q137 (added r8) — XML ROUND-TRIP: documents written through the
+    * Spark-4-native XML datasource (`sources.Formats.writeXml/readXml` —
+    * the spark-xml donation, in core since 4.0) and read back
+    * schema-on-read, graded against the ORIGINAL table with q79's
+    * checksum aggregation — so entity escaping (`&`, `<`), whitespace
+    * preservation in element text, and numeric fidelity are all verified
+    * end-to-end, not assumed. Completes the interchange-format family
+    * (CSV/JSONL/ORC in q79, Hive-partitioned in q95, bucketed in q94).
+    */
+  val q137 = Q(
+    "q137_xml_roundtrip",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = graft.Scratch.perJvm("graft_q137")
+      graft.sources.Formats.writeXml(docs, s"$tmp/xml")
+      graft.sources.Formats.readXml(s, s"$tmp/xml", docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars,
+                   sum(length(text))::BIGINT AS sum_text_len,
+                   min(doc_id) AS min_id, max(doc_id) AS max_id
+            FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** q95 (added r8) — PARTITIONED sink + partition-PRUNED read: documents
     * written `partitionBy(lang, source)`, then a lang-filtered aggregation
     * over the re-read — the layout complement of q94's bucketing: at
@@ -915,5 +945,5 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
     q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118, q119,
-    q121)
+    q121, q137)
 }

@@ -55,6 +55,25 @@ object Formats {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** XML — built into Spark core since 4.0 (the spark-xml donation); the
+    * interchange format feeds/dumps still arrive in. Same schema-ON-READ
+    * discipline as CSV/JSONL (inference is a full extra corpus pass), a
+    * fixed `rowTag`, and writer-side entity escaping handled by the
+    * datasource — round-trip fidelity is graded end-to-end by q137.
+    */
+  def writeXml(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("rowTag", "row")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .format("xml").save(path)
+
+  def readXml(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("rowTag", "row")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .format("xml").load(path)
+
   /** Hive-style partitioned layout (`path/col=value/…`) — the scale layout
     * for time/tenant-keyed 100 TB tables: a filter on the partition column
     * prunes whole directories BEFORE any file is opened (shows as

@@ -83,4 +83,24 @@ class FormatsSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(fromCsv === fromParquet)
   }
+
+  test("xml round-trip is lossless, including markup chars in text (r8)") {
+    import spark.implicits._
+    // adversarial content: entities, angle brackets, quotes, multi-space
+    // runs — exactly what an XML writer must escape and a reader must
+    // restore byte-for-byte
+    val rows = Seq(
+      (1L, "a & b < c > d \"quoted\" 'apos'"),
+      (2L, "spaces   preserved   between words"),
+      (3L, "plain text"),
+      (4L, "&amp; literal entity text &#38;"))
+      .toDF("id", "text")
+    val tmp = graft.Scratch.perJvm("graft_xmlspec")
+    graft.sources.Formats.writeXml(rows, s"$tmp/x")
+    val back = graft.sources.Formats.readXml(spark, s"$tmp/x", rows.schema)
+    assert(back.count() === 4L)
+    val orig = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rt = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt === orig)
+  }
 }
