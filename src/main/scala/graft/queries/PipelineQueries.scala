@@ -981,7 +981,116 @@ object PipelineQueries {
                      AS kappa
             FROM c"""))
 
+  /** q138 (added r8) — TEMPERATURE-SCALED mixture weights: the α-scaled
+    * multilingual sampling distribution `w_i ∝ p_i^α` (Lample & Conneau
+    * 2019's XLM recipe; the knob every multilingual pretraining mixture
+    * uses to lift low-resource languages without drowning high-resource
+    * ones). α is pinned to 0.5 so the power is `sqrt` — IEEE-754 requires
+    * sqrt to be CORRECTLY rounded, so each term agrees bit-for-bit across
+    * engines where a general `pow(x, 0.3)` would not; terms are ROUND(,6)
+    * then summed as exact DECIMAL (the round-terms-then-sums protocol), so
+    * engine summation order cannot move the normalizer. Completes the
+    * mixture family: q85 reports, q138 reweights, q127 plans the
+    * downsample, q72/q91 execute. Scale: two group-sized aggregations and
+    * two 1-row broadcasts — the corpus is touched once.
+    */
+  val q138 = Q(
+    "q138_mixture_temperature",
+    (s, d) => {
+      val g = Tables.documents(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("lang_chars"))
+      val tot = g.agg(sum(col("lang_chars")).cast("double").as("total_chars"))
+      val p = g.crossJoin(broadcast(tot))
+        .withColumn("nat_share",
+          col("lang_chars").cast("double") / col("total_chars"))
+        .withColumn("sq",
+          round(sqrt(col("nat_share")), 6).cast("decimal(18,6)"))
+      val dn = p.agg(sum(col("sq")).as("denom")) // exact decimal sum
+      p.crossJoin(broadcast(dn))
+        .select(col("lang"), col("n_docs"), col("lang_chars"),
+          round(col("nat_share"), 6).as("nat_share"),
+          round(col("sq").cast("double") / col("denom").cast("double"), 6)
+            .as("temp_weight"),
+          // fixed-order IEEE: (sq / denom) / nat_share, then round
+          round(col("sq").cast("double") / col("denom").cast("double")
+            / col("nat_share"), 6).as("boost"))
+        .orderBy("lang")
+    },
+    Some("""WITH g AS (SELECT lang, count(*) AS n_docs,
+                              sum(n_chars)::BIGINT AS lang_chars
+                       FROM documents GROUP BY 1),
+                 tot AS (SELECT sum(lang_chars)::DOUBLE AS total_chars FROM g),
+                 p AS (SELECT lang, n_docs, lang_chars,
+                              lang_chars::DOUBLE / total_chars AS nat_share,
+                              round(sqrt(lang_chars::DOUBLE / total_chars), 6)::DECIMAL(18,6) AS sq
+                       FROM g CROSS JOIN tot),
+                 dn AS (SELECT sum(sq) AS denom FROM p)
+            SELECT lang, n_docs, lang_chars,
+                   round(nat_share, 6) AS nat_share,
+                   round(sq::DOUBLE / denom::DOUBLE, 6) AS temp_weight,
+                   round(sq::DOUBLE / denom::DOUBLE / nat_share, 6) AS boost
+            FROM p CROSS JOIN dn ORDER BY lang"""))
+
+  /** q139 (added r8) — TOKEN-BUDGET curation: per language, keep the
+    * highest-quality documents best-first until half the language's
+    * whitespace tokens are spent — the budget-constrained selection step
+    * between scoring (q51/q82) and mixture execution (q72/q91). Quality
+    * is an EXACT-INTEGER rank (alphabetic chars per million of n_chars,
+    * integer division) and the budget predicate is exact-integer
+    * (`2·cum ≤ lang_total`), so no float compare can reorder or
+    * tie-flip the greedy frontier across engines; doc_id breaks score
+    * ties. Scale: the cumulative window is PARTITIONED BY lang (per-key,
+    * distributes like q25 — never a global ORDER BY window); a single
+    * heavily-skewed language would swap in a quantile-sketch score
+    * cutoff (q78's machinery) instead of an exact per-key scan.
+    */
+  val q139 = Q(
+    "q139_token_budget_select",
+    (s, d) => {
+      val t = Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " +")).as("n_tok"),
+          expr("CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)" +
+            " * 1000000 DIV n_chars").as("score_ppm"))
+      val wCum = Window.partitionBy("lang")
+        .orderBy(col("score_ppm").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("lang")
+      t.withColumn("cum_tok", sum(col("n_tok")).over(wCum))
+        .withColumn("lang_tok", sum(col("n_tok")).over(wTot))
+        .filter(col("cum_tok") * 2 <= col("lang_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_sel"),
+          sum(col("n_tok")).cast("bigint").as("n_tok_sel"),
+          max(col("lang_tok")).cast("bigint").as("lang_tok"))
+        .select(col("lang"), col("n_docs_sel"), col("n_tok_sel"), col("lang_tok"),
+          round(col("n_tok_sel").cast("double") / col("lang_tok").cast("double"), 6)
+            .as("tok_share"))
+        .orderBy("lang")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, lang,
+                     len(regexp_split_to_array(text, ' +')) AS n_tok,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT
+                       * 1000000 // n_chars AS score_ppm
+              FROM documents WHERE length(text) > 0),
+            c AS (
+              SELECT lang, n_tok,
+                     sum(n_tok) OVER (PARTITION BY lang
+                                      ORDER BY score_ppm DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum_tok,
+                     sum(n_tok) OVER (PARTITION BY lang) AS lang_tok
+              FROM t)
+            SELECT lang, count(*) AS n_docs_sel,
+                   sum(n_tok)::BIGINT AS n_tok_sel,
+                   max(lang_tok)::BIGINT AS lang_tok,
+                   round(sum(n_tok)::DOUBLE / max(lang_tok)::DOUBLE, 6) AS tok_share
+            FROM c WHERE cum_tok * 2 <= lang_tok
+            GROUP BY lang ORDER BY lang"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105, q107, q113,
-    q114, q127, q130, q132, q136)
+    q114, q127, q130, q132, q136, q138, q139)
 }

@@ -490,6 +490,28 @@ class ExplainSpec extends SparkSpec {
     assert(!plan("q135_pagerank").contains("CartesianProduct"))
   }
 
+  test("q138/q139: temperature weights broadcast their stats; budget window is per-lang") {
+    // q138: both normalizer relations are 1-row BROADCASTS (the q85
+    // pattern) — never an empty Window.partitionBy() funnel, never a
+    // cartesian product; the corpus feeds one partial+final agg
+    val p138 = plan("q138_mixture_temperature")
+    assert(!p138.contains("CartesianProduct"), p138.take(1500))
+    assert(!p138.contains("Window"), p138.take(1500))
+    assert(p138.contains("BroadcastNestedLoopJoin") || p138.contains("BroadcastExchange"),
+      p138.take(2000))
+    // q139: the greedy frontier is a SINGLE Window node PARTITIONED BY
+    // lang (per-key — distributes at scale like q25); an empty
+    // partitionBy would funnel the corpus through one task
+    val p139 = plan("q139_token_budget_select")
+    assert(!p139.contains("CartesianProduct"), p139.take(1500))
+    assert("Window".r.findAllIn(p139).size <= 2, p139.take(2000))
+    // every window spec leads with the lang partition column — an empty
+    // partition list would start with the ORDER column or the frame
+    val specs = "windowspecdefinition\\(\\w+#".r.findAllIn(p139).toSeq
+    assert(specs.nonEmpty && specs.forall(_.startsWith("windowspecdefinition(lang#")),
+      s"q139 window specs $specs:\n${p139.take(2000)}")
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

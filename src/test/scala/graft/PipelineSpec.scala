@@ -210,4 +210,41 @@ class PipelineSpec extends SparkSpec {
     assert(est("item_0") >= 2000L - bound)
     assert(est("item_0") === est.values.max)
   }
+
+  test("q139 equals an independent driver-side greedy fold (budget respected AND maximal)") {
+    // reimplement the per-lang greedy selection sequentially on collected
+    // rows — an oracle independent of both Spark windows and DuckDB SQL
+    val docs = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " +")).as("n_tok"),
+        expr("CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)" +
+          " * 1000000 DIV n_chars").as("score_ppm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getLong(3)))
+    val expected = docs.groupBy(_._2).map { case (lang, rows) =>
+      val total = rows.map(_._3).sum
+      val ordered = rows.sortBy { case (id, _, _, score) => (-score, id) }
+      var cum = 0L
+      val sel = ordered.takeWhile { case (_, _, tok, _) =>
+        cum += tok; cum * 2 <= total
+      }
+      // maximality: the fold stopped exactly at the frontier — the first
+      // rejected doc (if any) would have blown the budget
+      val selTok = sel.map(_._3).sum
+      ordered.drop(sel.length).headOption.foreach { case (_, _, tok, _) =>
+        assert((selTok + tok) * 2 > total, s"$lang greedy stopped early")
+      }
+      lang -> (sel.length.toLong, selTok, total)
+    }
+    val got = SparkEntry.queries("q139_token_budget_select")(spark, sf0001)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (lang, (nSel, tokSel, total)) =>
+      assert(got(lang) === ((nSel, tokSel, total)), s"lang=$lang")
+      assert(tokSel * 2 <= total, s"$lang budget violated")
+    }
+  }
 }
