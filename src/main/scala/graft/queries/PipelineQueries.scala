@@ -1040,9 +1040,10 @@ object PipelineQueries {
     * (`2·cum ≤ lang_total`), so no float compare can reorder or
     * tie-flip the greedy frontier across engines; doc_id breaks score
     * ties. Scale: the cumulative window is PARTITIONED BY lang (per-key,
-    * distributes like q25 — never a global ORDER BY window); a single
-    * heavily-skewed language would swap in a quantile-sketch score
-    * cutoff (q78's machinery) instead of an exact per-key scan.
+    * distributes like q25 — never a global ORDER BY window); for a single
+    * pathologically large key, [[graft.ops.Curation.tokenBudgetSelect]]
+    * ships the SAME selection with bucket-bounded windows (spec-proven
+    * equal in CurationSpec, frontier ties included).
     */
   val q139 = Q(
     "q139_token_budget_select",

@@ -211,6 +211,30 @@ class PipelineSpec extends SparkSpec {
     assert(est("item_0") === est.values.max)
   }
 
+  test("q138 temperature weights: normalized, order-preserving, and boost-direction-correct") {
+    val rows = SparkEntry.queries("q138_mixture_temperature")(spark, sf0001)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.length >= 2, "needs at least two languages to be a mixture")
+    // weights are a distribution (rounding slack: one ulp6 per language)
+    val wSum = rows.map(_._3).sum
+    assert(math.abs(wSum - 1.0) <= rows.length * 1e-6, s"weights sum to $wSum")
+    val pSum = rows.map(_._2).sum
+    assert(math.abs(pSum - 1.0) <= rows.length * 1e-6, s"shares sum to $pSum")
+    // alpha < 1 compresses the mixture: sqrt preserves share ORDER but
+    // boosts below-average languages above their natural share and damps
+    // above-average ones toward it — the whole point of the knob
+    val byShare = rows.sortBy(_._2)
+    assert(byShare.map(_._3).sorted.sameElements(byShare.map(_._3)),
+      "temperature scaling must preserve share order")
+    val avg = 1.0 / rows.length
+    rows.foreach { case (lang, p, w, boost) =>
+      if (p < avg * 0.9) assert(boost > 1.0, s"$lang: low-resource (p=$p) must be boosted, got $boost")
+      if (p > avg * 1.1) assert(boost < 1.0, s"$lang: high-resource (p=$p) must be damped, got $boost")
+      assert(math.abs(w - p * boost) <= 5e-6, s"$lang: w=$w != p*boost=${p * boost}")
+    }
+  }
+
   test("q139 equals an independent driver-side greedy fold (budget respected AND maximal)") {
     // reimplement the per-lang greedy selection sequentially on collected
     // rows — an oracle independent of both Spark windows and DuckDB SQL
