@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.Det
+
+/** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the vector
+  * compression behind every billion-scale ANN index (FAISS IVF-PQ): split
+  * each `dim`-vector into `m` subvectors, learn a tiny k-means codebook PER
+  * SUBSPACE, and store each vector as `m` small codes (here m bytes-worth:
+  * k ≤ 256). Completes this library's ANN family — hyperplane LSH (q54),
+  * IVF (q56), int8 scalar quantization (q116) — with the member that trades
+  * 4·dim bytes for m at query-ranking quality scalar quantization can't
+  * reach.
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - TRAINING holds only the codebook on the driver — m·k·(dim/m) = k·dim
+  *    doubles, the same O(model) footprint as [[VectorSearch.kmeansFit]] —
+  *    and each Lloyd round is ONE distributed pass: every subspace's
+  *    assignment happens in the same codegen projection (m·k literal
+  *    subvector distances), and every subspace's M-step shares one
+  *    partial+final aggregation keyed `(subspace, code, dim)`.
+  *  - ENCODING is a pure per-row map pass (no shuffle, no join): m argmins
+  *    over literal centers, emitted as an `array<int>`.
+  *  - ADC QUERIES never touch raw vectors: the per-query distance table
+  *    (m·k floats) folds into ONE literal lookup array, so scoring a row is
+  *    m integer indexes + adds — a codegen projection over the code column,
+  *    top-k via TakeOrderedAndProject. The raw-vector column can be cold
+  *    storage.
+  *
+  * Determinism: codebooks seed from the lowest-id rows, means follow the
+  * ROUND(,6)/exact-DECIMAL protocol, argmin ties break to the lowest code,
+  * so codes and rankings are partitioning-invariant (pinned in
+  * ProductQuantSpec).
+  */
+object ProductQuant {
+
+  /** Codebook: `centers(s)(c)` = subspace `s`'s codeword `c` (length
+    * dim/m). `k` may shrink below the requested size if clusters empty out
+    * during training (per-subspace, mirroring kmeansFit).
+    */
+  final case class PqModel(m: Int, subDim: Int, centers: Vector[Vector[Seq[Double]]]) {
+    require(centers.length == m && centers.forall(_.nonEmpty))
+    def dim: Int = m * subDim
+  }
+
+  /** Squared-L2 between a sliced subvector column and a literal center —
+    * kept as a fixed-order codegen fold so every engine/partitioning
+    * computes the identical double.
+    */
+  private def subDist2(v: Column, start: Int, center: Seq[Double]): Column =
+    center.zipWithIndex.map { case (c, i) =>
+      val d = element_at(v, start + i + 1) - lit(c)
+      d * d
+    }.reduce(_ + _)
+
+  /** For subspace `s` of `model`, the argmin code over its centers as a
+    * codegen expression (ties → lowest code via max over (-dist, -code)).
+    */
+  private def argminCode(v: Column, s: Int, model: PqModel): Column = {
+    val scored = model.centers(s).zipWithIndex.map { case (c, code) =>
+      struct(
+        (-Det.round6(subDist2(v, s * model.subDim, c))).as("negd"),
+        lit(-code).as("negc"))
+    }
+    (-greatest(scored: _*).getField("negc")).cast("int")
+  }
+
+  /** Train per-subspace codebooks with `iters` Lloyd rounds, seeded from
+    * the `k` lowest-id rows' subvectors. One distributed pass per round;
+    * only the codebook crosses the driver.
+    */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            m: Int, k: Int, iters: Int): PqModel = {
+    require(m >= 1 && k >= 2 && k <= 256, s"m=$m k=$k")
+    require(iters >= 1, s"iters=$iters")
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val dim = v.select(size(col("v"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+
+    val seedRows = v.orderBy("id").limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    require(seedRows.length == k, s"corpus has ${seedRows.length} rows < k=$k")
+    var model = PqModel(m, subDim, Vector.tabulate(m)(s =>
+      seedRows.toVector.map(r => r.slice(s * subDim, (s + 1) * subDim))))
+
+    var it = 0
+    while (it < iters) {
+      // ONE pass: each row emits m (subspace, code, subvector) triples;
+      // the shared M-step aggregation computes every subspace's means
+      val assigned = v.select(explode(array((0 until m).map(s =>
+        struct(lit(s).as("s"), argminCode(col("v"), s, model).as("code"),
+          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("a"))
+        .select(col("a.s"), col("a.code"), posexplode(col("a.sv")).as(Seq("d", "x")))
+      val means = assigned
+        .groupBy("s", "code", "d")
+        .agg(round(sum(round(col("x"), 6).cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean"))
+        .collect()
+      model = PqModel(m, subDim, Vector.tabulate(m) { s =>
+        means.filter(_.getInt(0) == s)
+          .groupBy(_.getInt(1)).toVector.sortBy(_._1)
+          .map { case (_, rows) =>
+            rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+          }
+      })
+      require(model.centers.forall(_.length >= 2),
+        s"a subspace collapsed to < 2 codewords at round $it")
+      it += 1
+    }
+    model
+  }
+
+  /** Encode every vector to its `m` codes — a pure map pass. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             model: PqModel): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    v.select(col("id"), array((0 until model.m).map(s =>
+      argminCode(col("v"), s, model)): _*).as("codes"))
+  }
+
+  /** Asymmetric-distance top-`n` for one query vector over an encoded
+    * relation: the m·k distance table is computed once here and folded
+    * into a flat literal array (`table(s·k + code)`), so scoring is m
+    * lookups + adds per row with the raw vectors never read.
+    */
+  def adcTopK(encoded: DataFrame, query: Seq[Double], model: PqModel,
+              n: Int): DataFrame = {
+    require(query.length == model.dim,
+      s"query dim ${query.length} != model dim ${model.dim}")
+    val k = model.centers.map(_.length).max
+    val table: Seq[Double] = (0 until model.m).flatMap { s =>
+      (0 until k).map { c =>
+        if (c < model.centers(s).length)
+          model.centers(s)(c).zipWithIndex.map { case (x, i) =>
+            val d = x - query(s * model.subDim + i); d * d
+          }.sum
+        else Double.MaxValue // padding for shrunken subspace codebooks
+      }
+    }
+    val lut = typedLit(table)
+    val dist = (0 until model.m).map(s =>
+      element_at(lut, element_at(col("codes"), s + 1) + lit(s * k) + 1))
+      .reduce(_ + _)
+    encoded.select(col("id"), Det.round6(dist).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("id"))
+      .limit(n)
+  }
+}

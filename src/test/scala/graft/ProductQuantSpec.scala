@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.ProductQuant
+
+/** [[graft.ops.ProductQuant]]: the PQ/ADC member of the ANN family. Pins
+  * the model shape, partitioning-invariance of training and encoding
+  * (the determinism contract every graded operator carries), the
+  * zero-quantization-error limit (codeword-exact vectors ADC to distance
+  * 0 and rank themselves first), and the ADC recall against exact L2 on
+  * the real embedding corpus.
+  */
+class ProductQuantSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf0001)
+
+  test("model shape and code ranges; training is partitioning-invariant") {
+    val a = ProductQuant.train(emb.repartition(3), "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    val b = ProductQuant.train(emb.repartition(11), "vec_id", "embedding",
+      m = 8, k = 16, iters = 2)
+    assert(a.m === 8 && a.subDim === 8 && a.dim === 64)
+    assert(a.centers.forall(sub => sub.length >= 2 && sub.length <= 16))
+    assert(a.centers.forall(_.forall(_.length === 8)))
+    assert(a === b, "codebooks must not depend on partitioning")
+    val codes = ProductQuant.encode(emb.repartition(5), "vec_id", "embedding", a)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.size === 500)
+    codes.values.foreach { cs =>
+      assert(cs.length === 8)
+      cs.zipWithIndex.foreach { case (c, s) =>
+        assert(c >= 0 && c < a.centers(s).length, s"code $c out of range in subspace $s")
+      }
+    }
+    val codes2 = ProductQuant.encode(emb.repartition(13), "vec_id", "embedding", a)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes === codes2, "codes must not depend on partitioning")
+  }
+
+  test("zero quantization error: codeword-exact vectors ADC to 0 and rank first") {
+    import spark.implicits._
+    // 4 distinct prototype vectors repeated 10x: k-means with k=4 recovers
+    // them exactly (each cluster's mean IS the prototype), so every
+    // vector's reconstruction error is 0
+    val protos = Seq(
+      Seq.fill(8)(1.0), Seq.fill(8)(-1.0),
+      (0 until 8).map(_.toDouble), (0 until 8).map(i => -i.toDouble))
+    // ids interleave the prototypes so the k lowest-id SEED rows are the 4
+    // DISTINCT prototypes (seeding 4 copies of one vector would tie every
+    // assignment into code 0 and collapse the other clusters)
+    val rows = for (p <- protos.indices; r <- 0 until 10)
+      yield ((r * 4 + p).toLong, protos(p))
+    val df = rows.toDF("vec_id", "embedding").repartition(6)
+    val model = ProductQuant.train(df, "vec_id", "embedding", m = 2, k = 4, iters = 3)
+    val enc = ProductQuant.encode(df, "vec_id", "embedding", model)
+    for ((proto, pi) <- protos.zipWithIndex) {
+      val top = ProductQuant.adcTopK(enc, proto, model, 40).collect()
+      // the 10 copies of this prototype hold distance 0 at the head
+      assert(top.take(10).forall(_.getDouble(1) === 0.0),
+        s"proto $pi: ${top.take(10).mkString(", ")}")
+      assert(top.take(10).map(_.getLong(0)).toSet ===
+        (0 until 10).map(r => (r * 4 + pi).toLong).toSet)
+      // and every other vector scores strictly positive
+      assert(top.drop(10).forall(_.getDouble(1) > 0.0))
+    }
+  }
+
+  test("ADC recall@10 vs exact L2 on the real corpus") {
+    val model = ProductQuant.train(emb, "vec_id", "embedding", m = 16, k = 32, iters = 2)
+    val enc = ProductQuant.encode(emb, "vec_id", "embedding", model).cache()
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val queries = vecs.keys.toSeq.sorted.take(20)
+    val recalls = queries.map { qid =>
+      val q = vecs(qid)
+      val exact = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (id, v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      val adc = ProductQuant.adcTopK(enc, q, model, 11).collect()
+        .map(_.getLong(0)).filter(_ != qid).take(10).toSet
+      exact.intersect(adc).size / 10.0
+    }
+    enc.unpersist()
+    val mean = recalls.sum / recalls.length
+    // synthetic near-isotropic embeddings are PQ's WORST case (no cluster
+    // structure to exploit); training is fully deterministic, so the
+    // measured means are exact: 0.325 at (m=8,k=16), 0.50 at (m=16,k=32) —
+    // vs ~0.02 for random ranking over 500 vectors. Bound sits a margin
+    // under the 0.50 this config measures.
+    assert(mean >= 0.40, s"mean ADC recall@10 $mean (per-query: $recalls)")
+  }
+}
