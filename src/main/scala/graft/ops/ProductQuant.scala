@@ -122,6 +122,54 @@ object ProductQuant {
       argminCode(col("v"), s, model)): _*).as("codes"))
   }
 
+  /** Train a COARSE quantizer — one codebook over the WHOLE vector — by
+    * running the subspace machinery with m = 1: `nlist` centroids for IVF
+    * cell routing. (PQ and coarse quantization are the same algorithm at
+    * different granularities; reusing the m=1 case keeps one Lloyd
+    * implementation.)
+    */
+  def trainCoarse(emb: DataFrame, idCol: String, vecCol: String,
+                  nlist: Int, iters: Int): PqModel =
+    train(emb, idCol, vecCol, m = 1, k = nlist, iters = iters)
+
+  /** Encode with an IVF routing cell attached: `(id, cell, codes)`. Still
+    * a pure map pass — the cell argmin and the m code argmins share the
+    * same codegen projection.
+    */
+  def encodeWithCell(emb: DataFrame, idCol: String, vecCol: String,
+                     coarse: PqModel, pq: PqModel): DataFrame = {
+    require(coarse.m == 1 && coarse.dim == pq.dim,
+      s"coarse must be an m=1 model of dim ${pq.dim}")
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    v.select(col("id"),
+      argminCode(col("v"), 0, coarse).as("cell"),
+      array((0 until pq.m).map(s => argminCode(col("v"), s, pq)): _*).as("codes"))
+  }
+
+  /** IVF-PQ search (the FAISS `use_residual=false` composition): rank only
+    * the members of the `nprobe` coarse cells nearest the query, by ADC.
+    * The cell shortlist is computed here from the O(nlist·dim) coarse
+    * model, so the scan sees a literal `cell IN (...)` predicate — with a
+    * cell-partitioned/bucketed layout that predicate is partition pruning,
+    * and the scan cost drops from the corpus to the probed cells. Probing
+    * every cell (`nprobe = nlist`) is EXACTLY [[adcTopK]]; smaller nprobe
+    * trades the recall pinned in ProductQuantSpec. (Residual PQ —
+    * codebooks over `v − coarse(v)` — is the next refinement; it buys
+    * accuracy at the cost of a per-row data-dependent center subtraction,
+    * which would put an interpreted lambda in the encode path. Documented
+    * trade, deliberately not taken here.)
+    */
+  def ivfAdcTopK(encoded: DataFrame, query: Seq[Double], coarse: PqModel,
+                 pq: PqModel, nprobe: Int, n: Int): DataFrame = {
+    require(coarse.m == 1, "coarse must be an m=1 model")
+    require(nprobe >= 1, s"nprobe=$nprobe")
+    val cells = coarse.centers(0).zipWithIndex.map { case (c, i) =>
+      (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+    }.sorted.take(nprobe).map(_._2)
+    adcTopK(encoded.filter(col("cell").isin(cells: _*)), query, pq, n)
+  }
+
   /** Asymmetric-distance top-`n` for one query vector over an encoded
     * relation: the m·k distance table is computed once here and folded
     * into a flat literal array (`table(s·k + code)`), so scoring is m

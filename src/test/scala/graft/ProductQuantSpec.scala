@@ -65,6 +65,59 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("encode is a shuffle-free map pass; ADC ranking is TakeOrderedAndProject") {
+    val model = ProductQuant.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val enc = ProductQuant.encode(emb, "vec_id", "embedding", model)
+    val encPlan = enc.queryExecution.executedPlan.toString
+    assert(!encPlan.contains("Exchange"), encPlan.take(1500))
+    assert(!encPlan.contains("Join"), encPlan.take(1500))
+    val topPlan = ProductQuant.adcTopK(enc, Seq.fill(64)(0.0), model, 5)
+      .queryExecution.executedPlan.toString
+    // bounded top-k: per-partition heaps + one driver merge — never a
+    // global sort exchange
+    assert(topPlan.contains("TakeOrderedAndProject"), topPlan.take(1500))
+  }
+
+  test("IVF routing: full probe IS adcTopK; partial probe keeps recall and prunes the scan") {
+    import org.apache.spark.sql.Row
+    val coarse = ProductQuant.trainCoarse(emb, "vec_id", "embedding", nlist = 16, iters = 2)
+    val pq = ProductQuant.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 2)
+    val enc = ProductQuant.encodeWithCell(emb, "vec_id", "embedding", coarse, pq).cache()
+    val cells = enc.select("cell").distinct().collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < coarse.centers(0).length))
+    assert(cells.length >= 2, "coarse quantizer must actually partition the corpus")
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit(8).collect().map(r => r.getSeq[Double](1))
+    for (q <- vecs) {
+      // probing every cell must reproduce adcTopK EXACTLY (rows and order)
+      val full: Seq[Row] =
+        ProductQuant.ivfAdcTopK(enc, q, coarse, pq, nprobe = 16, n = 10).collect().toSeq
+      val plain: Seq[Row] =
+        ProductQuant.adcTopK(enc.select("id", "codes"), q, pq, n = 10).collect().toSeq
+      assert(full === plain)
+    }
+    // partial probing: the true ADC winners live in the query's nearest
+    // cells most of the time — recall@10 of nprobe=4/16 vs the full ADC
+    // ranking. Training is deterministic so the measured mean is exact:
+    // 0.6625 here (near-isotropic synthetic vectors scatter true
+    // neighbors across cells — the worst case for IVF routing, same as
+    // for PQ itself; bound sits under the measured value)
+    val rec = vecs.map { q =>
+      val full = ProductQuant.adcTopK(enc.select("id", "codes"), q, pq, 10)
+        .collect().map(_.getLong(0)).toSet
+      val probed = ProductQuant.ivfAdcTopK(enc, q, coarse, pq, nprobe = 4, n = 10)
+        .collect().map(_.getLong(0)).toSet
+      full.intersect(probed).size / 10.0
+    }
+    val mean = rec.sum / rec.length
+    assert(mean >= 0.60, s"nprobe=4/16 recall vs full ADC: $mean ($rec)")
+    // and the probe is a literal IN predicate the scan can prune on
+    val plan = ProductQuant.ivfAdcTopK(enc, vecs.head, coarse, pq, 4, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cell") && plan.contains(" IN "), plan.take(1500))
+    enc.unpersist()
+  }
+
   test("ADC recall@10 vs exact L2 on the real corpus") {
     val model = ProductQuant.train(emb, "vec_id", "embedding", m = 16, k = 32, iters = 2)
     val enc = ProductQuant.encode(emb, "vec_id", "embedding", model).cache()
