@@ -75,5 +75,37 @@ class PipelineIntegrationSpec extends SparkSpec {
     val embPairs = VectorSearch.cosinePairs(emb, "vec_id", "embedding", 0.999999)
     assert(embPairs.count() === 0,
       "text-deduped corpus must contain no identical embeddings")
+
+    // 6. token-budget curation (late r8, ops.Curation): best-quality-first
+    //    per language until half that language's tokens are spent — the
+    //    selection stage between scoring and mixture execution
+    val forSelect = survivors.select(col("lang").as("k"),
+      col("doc_id").as("id"),
+      size(split(col("text"), " +")).cast("long").as("tok"),
+      expr("CAST(length(regexp_replace(text, '[^a-zA-Z]', '')) AS BIGINT)" +
+        " * 1000000 DIV n_chars").as("score"))
+    val selected = Curation.tokenBudgetSelect(forSelect, "k", "id", "score", "tok")
+    val selStats = selected.groupBy("k")
+      .agg(sum(col("tok")).as("sel_tok"), count(lit(1)).as("sel_docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val langTok = stats.map(r => r.getString(0) -> r.getLong(2)).toMap
+    selStats.foreach { case (lang, (selTok, selDocs)) =>
+      assert(selTok * 2 <= langTok(lang), s"$lang budget: $selTok of ${langTok(lang)}")
+      assert(selDocs > 0)
+    }
+    assert(selected.join(survivors,
+      selected("id") === survivors("doc_id"), "left_anti").count() === 0,
+      "curation must select only surviving documents")
+
+    // 7. PQ index over the survivor embeddings (late r8): encode every
+    //    vector to m codes and ADC-rank one probe — the compressed-index
+    //    endpoint of the pipeline
+    val pq = ProductQuant.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val enc = ProductQuant.encode(emb, "vec_id", "embedding", pq)
+    assert(enc.count() === n3, "every survivor must encode")
+    val probe = emb.orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
+    val hits = ProductQuant.adcTopK(enc, probe, pq, 5).collect()
+    assert(hits.length === 5 && hits.forall(_.getDouble(1) >= 0.0))
   }
 }
