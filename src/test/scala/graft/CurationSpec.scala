@@ -76,6 +76,25 @@ class CurationSpec extends SparkSpec {
     assert(!half.exists(_._1 == "c"))
   }
 
+  test("one giant key: 100k docs, bounded score cardinality — the case this operator exists for") {
+    import spark.implicits._
+    // a single key holding the whole corpus: the direct form funnels all
+    // 100k rows through one task's sort; the bucket form's windows see at
+    // most 1,001 distinct-score rows and one boundary bucket (~100 docs)
+    val docs = spark.range(100000).select(
+      lit("en").as("k"),
+      col("id"),
+      (pmod(col("id") * 7919, lit(97)) + 1).cast("long").as("tok"),
+      pmod(col("id") * 104729, lit(1001)).as("score"))
+    val expected = directGreedy(docs, 1, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val got = Curation.tokenBudgetSelect(docs, "k", "id", "score", "tok", 1, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got.size > 40000, s"half the tokens should select roughly half the docs: ${got.size}")
+    assert(got === expected,
+      s"diverged on the giant key: missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
+  }
+
   test("boundary window only ever sorts ONE bucket's docs (plan shape)") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => ("k", i, 1L, i % 10))
