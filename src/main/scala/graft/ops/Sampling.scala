@@ -53,4 +53,28 @@ object Sampling {
     }
     df.filter(keep(idCols, frac, salt))
   }
+
+  /** [[stratifiedByHash]] with the per-stratum rates as a RELATION instead
+    * of a literal map — the form a planning query's output (q127's
+    * mixture-rebalance rates, a curation report) feeds without a driver
+    * round-trip, and the only form that scales past a handful of strata: a
+    * literal map compiles to a when-chain O(strata) deep in every row's
+    * predicate, where this broadcast-joins the group-sized rate table and
+    * keeps the membership test one hash-compare. Strata absent from
+    * `rates` get `defaultFraction`.
+    */
+  def stratifiedByRateTable(df: DataFrame, stratumCol: String,
+                            rates: DataFrame, rateStratumCol: String,
+                            rateCol: String, idCols: Seq[String],
+                            defaultFraction: Double = 0.0,
+                            salt: Long = 0L): DataFrame = {
+    require(defaultFraction >= 0.0 && defaultFraction <= 1.0,
+      s"defaultFraction $defaultFraction")
+    val r = rates.select(col(rateStratumCol).as("graft_stratum"),
+      col(rateCol).cast("double").as("graft_rate"))
+    df.join(broadcast(r), df(stratumCol) === col("graft_stratum"), "left")
+      .withColumn("graft_rate", coalesce(col("graft_rate"), lit(defaultFraction)))
+      .filter(keep(idCols, col("graft_rate"), salt))
+      .drop("graft_stratum", "graft_rate")
+  }
 }

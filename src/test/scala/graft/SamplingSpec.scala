@@ -54,6 +54,42 @@ class SamplingSpec extends SparkSpec {
     assert(!sampled.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("rate-table form selects the EXACT same rows as the literal-map form") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf001)
+    val fracs = Map("en" -> 0.5, "de" -> 1.0, "zh" -> 0.25)
+    val viaMap = Sampling.stratifiedByHash(docs, "lang", fracs,
+      defaultFraction = 0.1, idCols = Seq("doc_id"), salt = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rates = fracs.toSeq.toDF("lang", "rate")
+    val viaTable = Sampling.stratifiedByRateTable(docs, "lang",
+      rates, "lang", "rate", idCols = Seq("doc_id"),
+      defaultFraction = 0.1, salt = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaTable === viaMap)
+    // the rate table rides a broadcast join — never a shuffle of the corpus
+    val plan = Sampling.stratifiedByRateTable(docs, "lang", rates, "lang",
+      "rate", Seq("doc_id")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!"Exchange hashpartitioning".r.findFirstIn(plan).isDefined, plan.take(1500))
+    // and q127's OUTPUT feeds it directly: downsample rates applied to the
+    // corpus produce per-lang counts within 3 sigma of n_keep
+    val q127 = SparkEntry.queries("q127_mixture_rebalance")(spark, sf001)
+    val sampled = Sampling.stratifiedByRateTable(docs, "lang",
+      q127, "lang", "rate", idCols = Seq("doc_id"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q127.collect().foreach { r =>
+      val (lang, nDocs, rate, nKeep) =
+        (r.getString(0), r.getLong(1), r.getDouble(4), r.getLong(5))
+      val tol = 3.0 * math.sqrt(rate * (1 - rate) * nDocs) + 1e-9
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      assert(math.abs(got - nKeep) <= tol + 1,
+        s"$lang: sampled $got vs planned $nKeep (tol $tol)")
+    }
+  }
+
   test("q72: stratified sample counts are deterministic and track declared fractions") {
     val perLang = Tables.documents(spark, sf001).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
