@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.sources.Compaction
+
+/** [[graft.sources.Compaction]]: small-file rewrite of a Hive-partitioned
+  * dataset. Pins the two things that matter — the file count actually
+  * collapses to the target per directory, and the rewritten dataset is
+  * CONTENT-IDENTICAL under the q79 checksum aggregation (any row loss,
+  * type widening, or partition misassignment breaks it).
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def checksum(path: String) =
+    spark.read.parquet(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+        sum(length(col("text"))).as("st"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .orderBy("lang")
+      .collect().toSeq
+
+  private def filesPerLeafDir(root: String): Map[String, Long] = {
+    val s = Files.walk(Paths.get(root))
+    try s.iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .toSeq.groupBy(_.getParent.toString)
+      .map { case (d, fs) => d -> fs.size.toLong }
+    finally s.close()
+  }
+
+  test("compaction collapses a multi-batch mess to one file per dir, content-identical") {
+    val dir = graft.Scratch.perJvm("graft_compact_spec") + "/data"
+    // simulate N ingestion batches: 6 writer tasks each drop a sliver into
+    // every (lang, source) directory
+    Tables.documents(spark, sf0001).repartition(6)
+      .write.mode("overwrite").partitionBy("lang", "source").parquet(dir)
+    val before = checksum(dir)
+    val perDirBefore = filesPerLeafDir(dir)
+    assert(perDirBefore.values.max > 1,
+      s"test setup must create a small-file mess: $perDirBefore")
+
+    val (nBefore, nAfter) = Compaction.compactPartitioned(
+      spark, dir, Seq("lang", "source"))
+    assert(nBefore === perDirBefore.values.sum)
+    assert(nAfter < nBefore, s"$nBefore -> $nAfter")
+    val perDirAfter = filesPerLeafDir(dir)
+    assert(perDirAfter.values.max === 1, s"one file per dir: $perDirAfter")
+    assert(perDirAfter.keySet === perDirBefore.keySet,
+      "compaction must preserve the partition directory tree")
+    assert(checksum(dir) === before, "content must round-trip exactly")
+  }
+
+  test("filesPerDir > 1 bounds the per-dir count and still round-trips") {
+    val dir = graft.Scratch.perJvm("graft_compact_spec3") + "/data"
+    Tables.documents(spark, sf0001).repartition(8)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val before = checksum(dir)
+    Compaction.compactPartitioned(spark, dir, Seq("lang"), filesPerDir = 3)
+    val perDir = filesPerLeafDir(dir)
+    assert(perDir.values.max <= 3, s"at most 3 files per dir: $perDir")
+    assert(checksum(dir) === before)
+  }
+}
