@@ -71,6 +71,17 @@ object StrOps {
       jaro + l * 0.1 * (1.0 - jaro)
     }
   }
+
+  /** NFC canonical composition; fast path skips the (allocating)
+    * normalizer for strings the quick-check proves already normalized —
+    * which is nearly all real text.
+    */
+  def nfc(sU: UTF8String): UTF8String = {
+    val s = sU.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) sU
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** `graft_jaro_winkler(a, b) -> double` — codegen'd Jaro-Winkler, the
@@ -101,12 +112,52 @@ case class JaroWinkler(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_nfc(s) -> string` — Unicode NFC normalization (canonical
+  * composition) as a codegen expression. Spark SQL ships no normalizer,
+  * yet a multilingual corpus NEEDS one before any hash-keyed dedup or
+  * equality join on text: "é" arrives both precomposed (U+00E9) and as
+  * "e"+COMBINING ACUTE (U+0065 U+0301) — byte-different, render-identical
+  * — so un-normalized exact dedup (q42), fingerprinting (q53), and
+  * decontamination keys silently treat the same sentence as two. JDK
+  * `java.text.Normalizer` (ICU data) does the work; per-row, stateless,
+  * whole-stage-codegen-friendly. NFC chosen over NFKC: canonical
+  * equivalence only — NFKC's compatibility folding (ﬁ→fi, ²→2) changes
+  * content, a policy decision that belongs in explicit cleaning rules
+  * (q106), not in a normalizer applied by default.
+  */
+case class NfcNormalize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_nfc"
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string input, got ${child.dataType}")
+
+  override def nullSafeEval(s: Any): Any =
+    StrOps.nfc(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.StrOps.nfc($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object StringExprs {
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro_winkler", exprs => JaroWinkler(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "built-in")
+  }
 
   def jaroWinkler(a: Column, b: Column): Column =
     call_function("graft_jaro_winkler", a, b)
+
+  def nfc(s: Column): Column = call_function("graft_nfc", s)
 }

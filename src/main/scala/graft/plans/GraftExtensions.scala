@@ -71,5 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_cosine"),
       (exprs: Seq[Expression]) =>
         graft.functions.VectorExprs.cosineExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
   }
 }

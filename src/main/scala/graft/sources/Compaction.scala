@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   *
   * Content fidelity (rows, schema, values) is checksum-graded in
   * CompactionSpec; file counts per directory are asserted before/after.
+  *
+  * Storage caveat: the swap relies on atomic directory rename — true on
+  * POSIX filesystems and HDFS, NOT on object stores (S3 "rename" is
+  * copy+delete). An object-store deployment runs the same staged rewrite
+  * but commits by metastore partition-location swap or a table format's
+  * transaction log (Iceberg/Delta OPTIMIZE), not by rename.
   */
 object Compaction {
 

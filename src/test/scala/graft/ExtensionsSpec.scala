@@ -77,6 +77,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === viaLib)
   }
 
+  test("raw SQL graft_nfc is injected by the extension (no Scala registration)") {
+    // SparkSpec's session is built WITH the extension conf — the SQL name
+    // must resolve without any StringExprs.register call in this test
+    val r = spark.sql(
+      "SELECT graft_nfc('cafe\u0301') AS c").collect()(0)
+    assert(r.getString(0) === "caf\u00e9")
+  }
+
   test("graft_jaccard set semantics: duplicates collapse, empty union is NULL") {
     val rows = spark.sql("""
       SELECT graft_jaccard(array('a', 'a', 'b'), array('a', 'b', 'b')) AS dup_collapse,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{HyperplaneExprs, SigExprs, VectorExprs}
+import graft.functions.{HyperplaneExprs, SigExprs, StringExprs, VectorExprs}
 import graft.ops.{MinHash, SimilarityJoin, VectorSearch}
 
 /** The fused signature expressions must be BIT-IDENTICAL to the unfused
@@ -124,6 +124,40 @@ class SigExprsSpec extends SparkSpec {
     // jaro 2/3 <= 0.7: prefix bonus must NOT apply (boost threshold)
     assert(math.abs(r.getDouble(4) - 2.0 / 3.0) < 1e-9)
     assert(r.getDouble(5) === 1.0)
+  }
+
+  test("graft_nfc composes combining sequences; dedup keys unify render-identical text") {
+    StringExprs.register(spark)
+    // explicit \u escapes: an editor or VCS could silently re-normalize a
+    // literal combining sequence, hollowing the test out
+    val pre = "caf\u00e9"           // precomposed e-acute
+    val comb = "cafe\u0301"         // e + COMBINING ACUTE ACCENT
+    val decN = "man\u0303ana"       // n + COMBINING TILDE
+    val r = spark.sql(
+      s"SELECT graft_nfc('$pre') AS pre, graft_nfc('$comb') AS comb, " +
+        s"graft_nfc('$decN') AS dec2, graft_nfc('plain') AS plain, " +
+        "graft_nfc(CAST(NULL AS STRING)) AS nul").collect()(0)
+    assert(pre != comb, "test inputs must be byte-different")
+    assert(r.getString(0) === pre)
+    assert(r.getString(1) === pre, "combining acute must compose to U+00E9")
+    assert(r.getString(2) === "ma\u00f1ana", "combining tilde must compose to U+00F1")
+    assert(r.getString(3) === "plain")
+    assert(r.isNullAt(4))
+    // the motivating property: byte-different render-identical texts get
+    // ONE dedup key after normalization, two before
+    import spark.implicits._
+    val docs = Seq((1L, pre + " au lait"), (2L, comb + " au lait"))
+      .toDF("doc_id", "text")
+    val rawKeys = docs.select(xxhash64(col("text"))).distinct().count()
+    val nfcKeys = docs.select(xxhash64(StringExprs.nfc(col("text"))))
+      .distinct().count()
+    assert(rawKeys === 2L && nfcKeys === 1L)
+    // idempotence + codegen path: nfc(nfc(x)) == nfc(x) over the corpus
+    val t = Tables.documents(spark, sf0001)
+    val diff = t.select(StringExprs.nfc(col("text")).as("a"),
+      StringExprs.nfc(StringExprs.nfc(col("text"))).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0L)
   }
 
   test("fused expressions null out on malformed input instead of mis-hashing") {
