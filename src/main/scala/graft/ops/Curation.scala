@@ -42,6 +42,12 @@ object Curation {
     * guarantees it). A zero-token row costs the greedy nothing and would
     * be kept by it even past the frontier, but sits outside the bucket
     * frontier here — filter such rows upstream or union them back.
+    *
+    * Continuous scores: quantize upstream (q139's parts-per-million
+    * integer division IS that quantization — 10⁶+1 granules); the
+    * selection is then exact w.r.t. the granulated order and the only
+    * approximation is the id-order tie-break inside one granule.
+    * Composite budget keys (lang × source): pass one struct column.
     */
   def tokenBudgetSelect(docs: DataFrame, keyCol: String, idCol: String,
                         scoreCol: String, tokCol: String,
