@@ -49,10 +49,16 @@ object Curation {
     * approximation is the id-order tie-break inside one granule.
     * Composite budget keys (lang × source): pass one struct column.
     */
-  def tokenBudgetSelect(docs: DataFrame, keyCol: String, idCol: String,
+  def tokenBudgetSelect(docs0: DataFrame, keyCol: String, idCol: String,
                         scoreCol: String, tokCol: String,
                         num: Int = 1, den: Int = 2): DataFrame = {
     require(num >= 0 && den >= 1, s"budget fraction $num/$den")
+    // NULL key/score rows are EXCLUDED — from selection AND from budget
+    // totals. (The direct window greedy would sort null scores last and
+    // count them in totals; an equi-join can never select them, so
+    // counting them would silently shrink every budget. One consistent
+    // rule, enforced here rather than assumed.)
+    val docs = docs0.filter(col(keyCol).isNotNull && col(scoreCol).isNotNull)
     val key = col(keyCol)
 
     val tot = docs.groupBy(key.as(keyCol))
@@ -60,7 +66,12 @@ object Curation {
 
     // per-(key, score) buckets + the running total over the distinct-score
     // relation — the ONLY corpus-order-free window, bounded by score
-    // cardinality however large the key is
+    // cardinality however large the key is. Persisted: the relation is
+    // derived from a full-corpus aggregation and consumed THREE times
+    // (broadcast probe, whole-bucket join, boundary join) — without the
+    // persist each consumer would re-scan the corpus. Bucket-sized, so
+    // the cache is bounded; Spark's LRU eviction covers the lifecycle of
+    // the returned (lazy) plan.
     val wScore = Window.partitionBy(keyCol).orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val buckets = docs.groupBy(key.as(keyCol), col(scoreCol).as(scoreCol))
@@ -68,6 +79,7 @@ object Curation {
       .withColumn("graft_b_cum", sum(col("graft_b_tok")).over(wScore))
       .join(tot, keyCol)
       .withColumn("graft_b_prev", col("graft_b_cum") - col("graft_b_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val fits: Column =
       col("graft_b_cum") * den <= col("graft_key_tok") * num
@@ -83,12 +95,15 @@ object Curation {
       broadcastIfSmall(buckets.filter(fits).select(keyCol, scoreCol)),
       Seq(keyCol, scoreCol))
 
-    // phase 2: the boundary bucket's docs only, id-ordered, offset-seeded
+    // phase 2: the boundary bucket's docs only, id-ordered, offset-seeded;
+    // the straddler relation is ≤ 1 row per key — broadcast it (same
+    // bounded probe) so restricting the corpus to boundary docs is a
+    // map-side semi-join, not a corpus shuffle
     val wId = Window.partitionBy(keyCol, scoreCol).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundary = docs.join(
-      buckets.filter(straddles)
-        .select(col(keyCol), col(scoreCol), col("graft_b_prev"), col("graft_key_tok")),
+      broadcastIfSmall(buckets.filter(straddles)
+        .select(col(keyCol), col(scoreCol), col("graft_b_prev"), col("graft_key_tok"))),
       Seq(keyCol, scoreCol))
       .withColumn("graft_d_cum",
         col("graft_b_prev") + sum(col(tokCol)).over(wId))

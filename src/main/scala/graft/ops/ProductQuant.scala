@@ -7,8 +7,9 @@ import graft.Det
 /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the vector
   * compression behind every billion-scale ANN index (FAISS IVF-PQ): split
   * each `dim`-vector into `m` subvectors, learn a tiny k-means codebook PER
-  * SUBSPACE, and store each vector as `m` small codes (here m bytes-worth:
-  * k ≤ 256). Completes this library's ANN family — hyperplane LSH (q54),
+  * SUBSPACE, and store each vector as `m` small codes (here 6-bit codes:
+  * k ≤ 64 — the expression-inlined codebook bound; see [[train]]).
+  * Completes this library's ANN family — hyperplane LSH (q54),
   * IVF (q56), int8 scalar quantization (q116) — with the member that trades
   * 4·dim bytes for m at query-ranking quality scalar quantization can't
   * reach.
@@ -72,7 +73,13 @@ object ProductQuant {
     */
   def train(emb: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): PqModel = {
-    require(m >= 1 && k >= 2 && k <= 256, s"m=$m k=$k")
+    // k is capped at 64 (6-bit codes), not the PQ-paper 256: codebooks are
+    // EXPRESSION-INLINED here (m·k struct literals per assignment, each a
+    // subDim-term fold), and past ~64 codes the generated method bodies
+    // hit JIT/codegen limits and Catalyst analysis of the tree dominates
+    // each Lloyd round. 8-bit codebooks need a lookup-table kernel (the
+    // SigExprs fused-expression pattern) — a documented non-goal for now.
+    require(m >= 1 && k >= 2 && k <= 64, s"m=$m k=$k (k capped at 64 — see scaladoc)")
     require(iters >= 1, s"iters=$iters")
     val v = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))

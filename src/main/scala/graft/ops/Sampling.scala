@@ -72,6 +72,21 @@ object Sampling {
       s"defaultFraction $defaultFraction")
     val r = rates.select(col(rateStratumCol).as("graft_stratum"),
       col(rateCol).cast("double").as("graft_rate"))
+    // one bounded action over the group-sized rate relation: duplicate
+    // strata would FAN OUT the left join (every kept row emitted once per
+    // duplicate — silent training-data duplication), and an out-of-range
+    // or NaN rate silently empties or floods a stratum. Fail loudly.
+    val audit = r.agg(count(lit(1)).as("n"),
+      countDistinct(col("graft_stratum")).as("nd"),
+      min(col("graft_rate")).as("lo"), max(col("graft_rate")).as("hi"),
+      sum(when(isnan(col("graft_rate")) || col("graft_rate").isNull, 1)
+        .otherwise(0)).as("bad")).head()
+    require(audit.getLong(0) == audit.getLong(1),
+      s"rates has duplicate strata (${audit.getLong(0)} rows, " +
+        s"${audit.getLong(1)} distinct) — the join would duplicate data")
+    require(audit.getLong(0) == 0L || (audit.getLong(4) == 0 &&
+      audit.getDouble(2) >= 0.0 && audit.getDouble(3) <= 1.0),
+      s"rates must be non-null, non-NaN, in [0,1]: bad=${audit.getLong(4)}")
     df.join(broadcast(r), df(stratumCol) === col("graft_stratum"), "left")
       .withColumn("graft_rate", coalesce(col("graft_rate"), lit(defaultFraction)))
       .filter(keep(idCols, col("graft_rate"), salt))

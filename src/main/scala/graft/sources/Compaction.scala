@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   * a content-hash salt when `filesPerDir > 1`, [[graft.ops.Salting]]'s
   * deterministic trick) so each output directory is written by exactly
   * `filesPerDir` tasks → write Hive-partitioned to a STAGING sibling →
-  * atomically swap directories. The staging/swap is load-bearing: Spark
-  * (correctly) refuses to overwrite a path that is also being read, and a
-  * failed rewrite must leave the original dataset untouched — the swap
-  * happens only after the staged write commits, so readers see the old
-  * layout or the new one, never a partial one.
+  * swap directories. The staging is load-bearing: Spark (correctly)
+  * refuses to overwrite a path that is also being read, and a failed
+  * REWRITE leaves the original dataset untouched — the swap runs only
+  * after the staged write commits. The swap itself is TWO renames
+  * (`path`→`.old`, staging→`path`): plain filesystems expose no atomic
+  * directory exchange from Java, so there is a crash window in which
+  * `path` is briefly absent while both complete copies exist on disk.
+  * [[compactPartitioned]] self-heals that window on its next invocation
+  * (restores `.old` when `path` is missing), and a concurrent READER
+  * during the swap must tolerate one listing retry. Run it as the
+  * dataset's exclusive writer, like any maintenance rewrite.
   *
   * Content fidelity (rows, schema, values) is checksum-graded in
   * CompactionSpec; file counts per directory are asserted before/after.
@@ -44,8 +50,22 @@ object Compaction {
                          filesPerDir: Int = 1): (Long, Long) = {
     require(partitionCols.nonEmpty, "compactPartitioned needs partition columns")
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
+    // self-heal a prior run that crashed inside the two-rename swap
+    // window: the data then lives only at `.graft_compact_old`
+    val oldPath = Paths.get(path.stripSuffix("/") + ".graft_compact_old")
+    if (!Files.exists(Paths.get(path)) && Files.exists(oldPath))
+      Files.move(oldPath, Paths.get(path))
     val before = countDataFiles(path)
-    val df = spark.read.parquet(path)
+    // partition-column type inference OFF for the rewrite: inference
+    // canonicalizes partition VALUES (month=01 would be read as int 1 and
+    // rewritten as month=1 — renamed directories, broken string filters).
+    // With it off, values round-trip verbatim; the compacted dataset's
+    // next reader infers exactly what it inferred before.
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.get(confKey)
+    val df =
+      try { spark.conf.set(confKey, "false"); spark.read.parquet(path) }
+      finally spark.conf.set(confKey, saved)
     val parts = partitionCols.map(col)
     val keyed =
       if (filesPerDir == 1) df.repartition(parts: _*)

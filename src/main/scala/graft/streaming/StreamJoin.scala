@@ -32,7 +32,15 @@ object StreamJoin {
     * microseconds (int64 — no float time arithmetic).
     */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
-                      horizonHours: Int): DataFrame = {
+                      horizonHours: Int): DataFrame =
+    attributionImpl(views, purchases, horizonHours, "inner")
+
+  /** Shared body of the inner and left-outer attribution joins — ONE copy
+    * of the watermark/condition block, so a horizon or condition fix can
+    * never drift between the two variants.
+    */
+  private def attributionImpl(views: DataFrame, purchases: DataFrame,
+                              horizonHours: Int, joinType: String): DataFrame = {
     val v = views
       .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
       .withWatermark("v_ts", s"$horizonHours hours")
@@ -43,7 +51,8 @@ object StreamJoin {
     v.join(p,
         col("user_id") === col("p_user") &&
           col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizonHours HOURS"))
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizonHours HOURS"),
+        joinType)
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
   }
@@ -59,22 +68,8 @@ object StreamJoin {
     * part only a multi-batch runtime test can observe (StreamJoinSpec).
     */
   def attributionJoinLeftOuter(views: DataFrame, purchases: DataFrame,
-                               horizonHours: Int): DataFrame = {
-    val v = views
-      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
-      .withWatermark("v_ts", s"$horizonHours hours")
-    val p = purchases
-      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", s"$horizonHours hours")
-    v.join(p,
-        col("user_id") === col("p_user") &&
-          col("p_ts") >= col("v_ts") &&
-          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizonHours HOURS"),
-        "leftOuter")
-      .select(col("view_id"), col("purchase_id"), col("user_id"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-  }
+                               horizonHours: Int): DataFrame =
+    attributionImpl(views, purchases, horizonHours, "leftOuter")
 
   /** Stream-STATIC enrichment join — the dimension-lookup pattern every
     * event pipeline runs (attach the user's segment/geo to each event as

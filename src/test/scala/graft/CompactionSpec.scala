@@ -55,6 +55,36 @@ class CompactionSpec extends SparkSpec {
     assert(checksum(dir) === before, "content must round-trip exactly")
   }
 
+  test("zero-padded partition values survive compaction verbatim (no type inference)") {
+    val dir = graft.Scratch.perJvm("graft_compact_pad") + "/data"
+    // month=01 … month=04: default partition inference would read these as
+    // int and REWRITE the directories as month=1 — renamed tree, broken
+    // string filters downstream
+    Tables.documents(spark, sf0001)
+      .withColumn("month", format_string("%02d", (pmod(col("doc_id"), lit(4)) + 1)))
+      .repartition(5)
+      .write.mode("overwrite").partitionBy("month").parquet(dir)
+    val dirsBefore = filesPerLeafDir(dir).keySet
+    assert(dirsBefore.exists(_.contains("month=01")), s"setup: $dirsBefore")
+    val before = checksum(dir)
+    Compaction.compactPartitioned(spark, dir, Seq("month"))
+    assert(filesPerLeafDir(dir).keySet === dirsBefore,
+      "zero-padded directory names must round-trip unchanged")
+    assert(checksum(dir) === before)
+  }
+
+  test("a crashed swap self-heals on the next invocation") {
+    val dir = graft.Scratch.perJvm("graft_compact_heal") + "/data"
+    Tables.documents(spark, sf0001).repartition(3)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val before = checksum(dir)
+    // simulate dying between the two renames: path gone, .old present
+    Files.move(Paths.get(dir), Paths.get(dir + ".graft_compact_old"))
+    Compaction.compactPartitioned(spark, dir, Seq("lang"))
+    assert(checksum(dir) === before, "restored-then-compacted content must match")
+    assert(!Files.exists(Paths.get(dir + ".graft_compact_old")))
+  }
+
   test("filesPerDir > 1 bounds the per-dir count and still round-trips") {
     val dir = graft.Scratch.perJvm("graft_compact_spec3") + "/data"
     Tables.documents(spark, sf0001).repartition(8)

@@ -95,6 +95,21 @@ class CurationSpec extends SparkSpec {
       s"diverged on the giant key: missing=${(expected -- got).take(5)}, extra=${(got -- expected).take(5)}")
   }
 
+  test("null key/score rows are excluded from selection AND budget totals") {
+    import spark.implicits._
+    // lang "a": 4 docs of 10 tokens + one NULL-score doc of 100 tokens.
+    // If the null row counted toward the total (250 half-budget = 70),
+    // all four real docs would fit; excluded, the budget is 20 → 2 docs.
+    val docs = Seq(
+      ("a", 1L, 10L, Some(9L)), ("a", 2L, 10L, Some(8L)),
+      ("a", 3L, 10L, Some(7L)), ("a", 4L, 10L, Some(6L)),
+      ("a", 5L, 100L, None))
+      .toDF("k", "id", "tok", "score")
+    val got = Curation.tokenBudgetSelect(docs, "k", "id", "score", "tok", 1, 2)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L), s"null row must not shift the frontier: $got")
+  }
+
   test("boundary window only ever sorts ONE bucket's docs (plan shape)") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => ("k", i, 1L, i % 10))

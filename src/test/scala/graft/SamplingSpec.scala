@@ -90,6 +90,28 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("rate-table form rejects duplicate strata and out-of-range rates loudly") {
+    import graft.ops.Sampling
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    // duplicate stratum: the join would FAN OUT — every kept row twice
+    val dup = Seq(("en", 0.5), ("en", 0.7), ("de", 1.0)).toDF("lang", "rate")
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.stratifiedByRateTable(docs, "lang", dup, "lang", "rate", Seq("doc_id"))
+    }
+    assert(e1.getMessage.contains("duplicate strata"))
+    // out-of-range rate: would silently flood the stratum
+    val bad = Seq(("en", 1.5)).toDF("lang", "rate")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.stratifiedByRateTable(docs, "lang", bad, "lang", "rate", Seq("doc_id"))
+    }
+    assert(e2.getMessage.contains("[0,1]"))
+    // an EMPTY rate table is legal: everything falls to defaultFraction
+    val none = Seq.empty[(String, Double)].toDF("lang", "rate")
+    assert(Sampling.stratifiedByRateTable(docs, "lang", none, "lang", "rate",
+      Seq("doc_id"), defaultFraction = 1.0).count() === docs.count())
+  }
+
   test("q72: stratified sample counts are deterministic and track declared fractions") {
     val perLang = Tables.documents(spark, sf001).groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
