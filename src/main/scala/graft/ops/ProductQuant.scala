@@ -7,8 +7,10 @@ import graft.Det
 /** Product quantization (Jégou, Douze & Schmid, TPAMI 2011) — the vector
   * compression behind every billion-scale ANN index (FAISS IVF-PQ): split
   * each `dim`-vector into `m` subvectors, learn a tiny k-means codebook PER
-  * SUBSPACE, and store each vector as `m` small codes (here 6-bit codes:
-  * k ≤ 64 — the expression-inlined codebook bound; see [[train]]).
+  * SUBSPACE, and store each vector as `m` small codes (k ≤ 256 — the
+  * paper's 8-bit setting; assignment runs through the `graft_pq_encode`
+  * kernel, whose codebook is one flattened literal child, so the
+  * expression tree stays constant-size in m·k).
   * Completes this library's ANN family — hyperplane LSH (q54),
   * IVF (q56), int8 scalar quantization (q116) — with the member that trades
   * 4·dim bytes for m at query-ranking quality scalar quantization can't
@@ -21,8 +23,8 @@ import graft.Det
   *    assignment happens in the same codegen projection (m·k literal
   *    subvector distances), and every subspace's M-step shares one
   *    partial+final aggregation keyed `(subspace, code, dim)`.
-  *  - ENCODING is a pure per-row map pass (no shuffle, no join): m argmins
-  *    over literal centers, emitted as an `array<int>`.
+  *  - ENCODING is a pure per-row map pass (no shuffle, no join): one
+  *    `graft_pq_encode` kernel node emits all m codes as an `array<int>`.
   *  - ADC QUERIES never touch raw vectors: the per-query distance table
   *    (m·k floats) folds into ONE literal lookup array, so scoring a row is
   *    m integer indexes + adds — a codegen projection over the code column,
@@ -45,26 +47,31 @@ object ProductQuant {
     def dim: Int = m * subDim
   }
 
-  /** Squared-L2 between a sliced subvector column and a literal center —
-    * kept as a fixed-order codegen fold so every engine/partitioning
-    * computes the identical double.
+  /** Flatten the codebook (subspace, code, dim)-major for the
+    * [[graft.functions.PqOps]] kernel, padding shrunken subspace
+    * codebooks to the uniform max by REPEATING that subspace's first
+    * center — a duplicate at a higher index can never win the kernel's
+    * strict-< argmin, so padding is assignment-neutral.
     */
-  private def subDist2(v: Column, start: Int, center: Seq[Double]): Column =
-    center.zipWithIndex.map { case (c, i) =>
-      val d = element_at(v, start + i + 1) - lit(c)
-      d * d
-    }.reduce(_ + _)
-
-  /** For subspace `s` of `model`, the argmin code over its centers as a
-    * codegen expression (ties → lowest code via max over (-dist, -code)).
-    */
-  private def argminCode(v: Column, s: Int, model: PqModel): Column = {
-    val scored = model.centers(s).zipWithIndex.map { case (c, code) =>
-      struct(
-        (-Det.round6(subDist2(v, s * model.subDim, c))).as("negd"),
-        lit(-code).as("negc"))
+  private def flatPadded(model: PqModel): (Seq[Double], Int) = {
+    val kMax = model.centers.map(_.length).max
+    val flat = model.centers.flatMap { sub =>
+      (sub ++ Vector.fill(kMax - sub.length)(sub.head)).flatten
     }
-    (-greatest(scored: _*).getField("negc")).cast("int")
+    (flat, kMax)
+  }
+
+  /** All m code assignments for vector column `v` — ONE kernel node
+    * (`graft_pq_encode`) whose codebook is a single flattened literal
+    * child, so the expression tree is constant-size in m·k (the reason
+    * k can honestly reach the PQ-paper 256; an expression-inlined argmin
+    * measured ~10⁵ nodes there). Distances ROUND(,6), ties → lowest code
+    * — bit-identical to the inlined formulation, pinned in
+    * ProductQuantSpec.
+    */
+  private def codesFor(v: Column, model: PqModel): Column = {
+    val (flat, kMax) = flatPadded(model)
+    graft.functions.PqExprs.pqEncode(v, typedLit(flat), lit(model.m), lit(kMax))
   }
 
   /** Train per-subspace codebooks with `iters` Lloyd rounds, seeded from
@@ -73,14 +80,13 @@ object ProductQuant {
     */
   def train(emb: DataFrame, idCol: String, vecCol: String,
             m: Int, k: Int, iters: Int): PqModel = {
-    // k is capped at 64 (6-bit codes), not the PQ-paper 256: codebooks are
-    // EXPRESSION-INLINED here (m·k struct literals per assignment, each a
-    // subDim-term fold), and past ~64 codes the generated method bodies
-    // hit JIT/codegen limits and Catalyst analysis of the tree dominates
-    // each Lloyd round. 8-bit codebooks need a lookup-table kernel (the
-    // SigExprs fused-expression pattern) — a documented non-goal for now.
-    require(m >= 1 && k >= 2 && k <= 64, s"m=$m k=$k (k capped at 64 — see scaladoc)")
+    // k reaches the PQ-paper 256 (8-bit codes) because assignment runs
+    // through the graft_pq_encode KERNEL — the codebook is one flattened
+    // literal child, not m·k inlined struct expressions (which blow past
+    // codegen method limits around k≈64; see PqExprs scaladoc).
+    require(m >= 1 && k >= 2 && k <= 256, s"m=$m k=$k")
     require(iters >= 1, s"iters=$iters")
+    graft.functions.PqExprs.register(emb.sparkSession)
     val v = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val dim = v.select(size(col("v"))).head.getInt(0)
@@ -95,11 +101,14 @@ object ProductQuant {
 
     var it = 0
     while (it < iters) {
-      // ONE pass: each row emits m (subspace, code, subvector) triples;
-      // the shared M-step aggregation computes every subspace's means
-      val assigned = v.select(explode(array((0 until m).map(s =>
-        struct(lit(s).as("s"), argminCode(col("v"), s, model).as("code"),
-          slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("a"))
+      // ONE pass: the kernel assigns all m codes in one projection, then
+      // each row emits m (subspace, code, subvector) triples; the shared
+      // M-step aggregation computes every subspace's means
+      val assigned = v
+        .select(col("v"), codesFor(col("v"), model).as("codes"))
+        .select(explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), element_at(col("codes"), s + 1).as("code"),
+            slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("a"))
         .select(col("a.s"), col("a.code"), posexplode(col("a.sv")).as(Seq("d", "x")))
       val means = assigned
         .groupBy("s", "code", "d")
@@ -120,13 +129,15 @@ object ProductQuant {
     model
   }
 
-  /** Encode every vector to its `m` codes — a pure map pass. */
+  /** Encode every vector to its `m` codes — a pure map pass through the
+    * `graft_pq_encode` kernel.
+    */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
              model: PqModel): DataFrame = {
+    graft.functions.PqExprs.register(emb.sparkSession)
     val v = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    v.select(col("id"), array((0 until model.m).map(s =>
-      argminCode(col("v"), s, model)): _*).as("codes"))
+    v.select(col("id"), codesFor(col("v"), model).as("codes"))
   }
 
   /** Train a COARSE quantizer — one codebook over the WHOLE vector — by
@@ -147,11 +158,12 @@ object ProductQuant {
                      coarse: PqModel, pq: PqModel): DataFrame = {
     require(coarse.m == 1 && coarse.dim == pq.dim,
       s"coarse must be an m=1 model of dim ${pq.dim}")
+    graft.functions.PqExprs.register(emb.sparkSession)
     val v = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     v.select(col("id"),
-      argminCode(col("v"), 0, coarse).as("cell"),
-      array((0 until pq.m).map(s => argminCode(col("v"), s, pq)): _*).as("codes"))
+      element_at(codesFor(col("v"), coarse), 1).as("cell"),
+      codesFor(col("v"), pq).as("codes"))
   }
 
   /** IVF-PQ search (the FAISS `use_residual=false` composition): rank only

@@ -65,6 +65,41 @@ class ProductQuantSpec extends SparkSpec {
     }
   }
 
+  test("the kernel equals the expression-inlined argmin bit-for-bit; 8-bit regime trains") {
+    import org.apache.spark.sql.Column
+    val model = ProductQuant.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    // the pre-kernel inlined formulation, reconstructed verbatim: per
+    // (subspace, code) a struct of (-round6(dist2), -code), argmin via
+    // greatest — the tie/rounding contract the kernel must reproduce
+    def subDist2(v: Column, start: Int, center: Seq[Double]): Column =
+      center.zipWithIndex.map { case (c, i) =>
+        val d = element_at(v, start + i + 1) - lit(c); d * d
+      }.reduce(_ + _)
+    def inlinedCode(v: Column, s: Int): Column = {
+      val scored = model.centers(s).zipWithIndex.map { case (c, code) =>
+        struct((-round(subDist2(v, s * model.subDim, c), 6)).as("negd"),
+          lit(-code).as("negc"))
+      }
+      (-greatest(scored: _*).getField("negc")).cast("int")
+    }
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val viaInlined = v.select(col("vec_id"), array((0 until 8).map(s =>
+      inlinedCode(col("v"), s)): _*).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaKernel = ProductQuant.encode(emb, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaKernel === viaInlined)
+    // the regime the kernel exists for: 8-bit-scale codebooks train and
+    // encode (the inlined form hit codegen limits near k=64)
+    val big = ProductQuant.train(emb, "vec_id", "embedding", m = 4, k = 128, iters = 1)
+    assert(big.centers.forall(sub => sub.length >= 2 && sub.length <= 128))
+    val bigCodes = ProductQuant.encode(emb, "vec_id", "embedding", big).collect()
+    assert(bigCodes.length === 500)
+    bigCodes.foreach(r => r.getSeq[Int](1).zipWithIndex.foreach { case (c, s) =>
+      assert(c >= 0 && c < big.centers(s).length)
+    })
+  }
+
   test("encode is a shuffle-free map pass; ADC ranking is TakeOrderedAndProject") {
     val model = ProductQuant.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
     val enc = ProductQuant.encode(emb, "vec_id", "embedding", model)
