@@ -75,5 +75,48 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
       (exprs: Seq[Expression]) => graft.functions.NfcNormalize(exprs.head)))
+    // the remaining public kernels, so the extension-built SQL surface is
+    // the COMPLETE function set (parity with the Scala register() helpers)
+    ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hp_scores"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneScores].getName, "graft_hp_scores"),
+      (exprs: Seq[Expression]) => graft.functions.HyperplaneScores(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hp_bands"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneBands].getName, "graft_hp_bands"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.HyperplaneBands(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[graft.functions.PqEncode].getName, "graft_pq_encode"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.PqEncode(exprs.head, exprs(1), exprs(2), exprs(3))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[graft.functions.WordShingles].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => graft.functions.WordShingles(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => graft.functions.MinHashSig(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.SimHashSig].getName, "graft_simhash_sig"),
+      (exprs: Seq[Expression]) => graft.functions.SimHashSig(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_compression_ratio"),
+      new ExpressionInfo(classOf[graft.functions.CompressionRatio].getName,
+        "graft_compression_ratio"),
+      (exprs: Seq[Expression]) => graft.functions.CompressionRatio(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[graft.functions.FreqItemsSketch].getName,
+        "graft_freq_items"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.FreqItemsSketch(exprs.head, exprs(1)).toAggregateExpression()))
   }
 }

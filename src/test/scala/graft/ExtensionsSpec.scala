@@ -85,6 +85,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getString(0) === "caf\u00e9")
   }
 
+  test("the extension injects the COMPLETE kernel set into the SQL surface") {
+    // every public graft function must be callable from raw SQL on an
+    // extension-built session; one smoke evaluation per kernel
+    val r = spark.sql("""
+      SELECT graft_jaro_winkler('martha', 'marhta') AS jw,
+             size(graft_hp_scores(array(1.0d, 0.0d), array(1.0d, 0.0d, 0.0d, 1.0d))) AS hps,
+             size(graft_hp_bands(array(1.0d, 0.0d), array(1.0d, 0.0d, 0.0d, 1.0d), 1)) AS hpb,
+             graft_pq_encode(array(1.0d, 0.0d),
+                             array(1.0d, 0.0d, 0.0d, 1.0d), 1, 2)[0] AS pq,
+             size(graft_shingles(array('a','b','c'), 2)) AS sh,
+             size(graft_minhash_sig(array('a','b'), array(3L, 7L, 11L, 13L))) AS mh,
+             graft_simhash_sig(array('a','b')) IS NOT NULL AS sim,
+             graft_compression_ratio('aaaaaaaaaaaaaaaaaaaaaaaa') < 1.5 AS zr
+      """).collect()(0)
+    assert(r.getDouble(0) > 0.9)
+    assert(r.getInt(1) === 2 && r.getInt(2) === 1)
+    assert(r.getInt(3) === 0) // (1,0) is codeword 0 of the 2-code book
+    assert(r.getInt(4) === 2 && r.getInt(5) === 2) // 2 (a,b) param pairs -> 2 hashes
+    assert(r.getBoolean(6) && r.getBoolean(7))
+    val agg = spark.sql(
+      "SELECT size(graft_freq_items(c, 4)) AS n FROM VALUES ('a'),('a'),('b') AS t(c)")
+      .collect()(0)
+    assert(agg.getInt(0) >= 1)
+  }
+
   test("graft_jaccard set semantics: duplicates collapse, empty union is NULL") {
     val rows = spark.sql("""
       SELECT graft_jaccard(array('a', 'a', 'b'), array('a', 'b', 'b')) AS dup_collapse,
