@@ -27,7 +27,10 @@ object PqOps {
     * kernel and inlined assignments tie-break identically.
     */
   private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    // Spark's RoundBase passes NaN/Infinity through unchanged;
+    // BigDecimal.valueOf would throw NumberFormatException on them
+    if (x.isNaN || x.isInfinite) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** codes[s] = argmin over c of ‖vec[s·subDim …] − codebook[(s·k+c)·subDim …]‖²
@@ -41,12 +44,21 @@ object PqOps {
     val dim = vec.numElements()
     if (dim == 0 || m <= 0 || k <= 0 || dim % m != 0) return null
     val subDim = dim / m
-    if (codebook.numElements() != m * k * subDim) return null
+    // Long arithmetic: on the SQL surface m and k are arbitrary ints, and
+    // an Int-wrapped product could alias the real length and let the code
+    // loop read past the array
+    if (codebook.numElements().toLong != m.toLong * k * subDim) return null
     val vv = new Array[Double](dim)
     var i = 0
     while (i < dim) {
       if (vec.isNullAt(i)) return null
       vv(i) = vec.getDouble(i)
+      i += 1
+    }
+    i = 0
+    val nCb = codebook.numElements()
+    while (i < nCb) { // null codebook slot: null result, never a phantom 0.0 center
+      if (codebook.isNullAt(i)) return null
       i += 1
     }
     val out = new Array[Int](m)

@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** The previous call's persisted bucket relation — released on the next
+    * call so repeated selection can't accumulate caches (blocking=false:
+    * a still-running consumer of the old plan recomputes, it doesn't
+    * fail).
+    */
+  private val lastBuckets =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   /** Rows of `docs` the greedy selection keeps: best score first, id
     * breaking ties, while `den · cumulative(tokCol) ≤ num · total(tokCol)`
     * within each `keyCol` group. All comparisons are exact integer
@@ -69,9 +77,10 @@ object Curation {
     // cardinality however large the key is. Persisted: the relation is
     // derived from a full-corpus aggregation and consumed THREE times
     // (broadcast probe, whole-bucket join, boundary join) — without the
-    // persist each consumer would re-scan the corpus. Bucket-sized, so
-    // the cache is bounded; Spark's LRU eviction covers the lifecycle of
-    // the returned (lazy) plan.
+    // persist each consumer would re-scan the corpus. Lifecycle: each
+    // call unpersists the PREVIOUS call's bucket cache (the GraphOps
+    // prev-round pattern) so repeated selection in a long-lived session
+    // holds at most one bucket relation, not an unbounded accumulation.
     val wScore = Window.partitionBy(keyCol).orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val buckets = docs.groupBy(key.as(keyCol), col(scoreCol).as(scoreCol))
@@ -80,6 +89,7 @@ object Curation {
       .join(tot, keyCol)
       .withColumn("graft_b_prev", col("graft_b_cum") - col("graft_b_tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Option(lastBuckets.getAndSet(buckets)).foreach(_.unpersist(false))
 
     val fits: Column =
       col("graft_b_cum") * den <= col("graft_key_tok") * num

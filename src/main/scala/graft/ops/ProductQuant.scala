@@ -106,6 +106,10 @@ object ProductQuant {
       // M-step aggregation computes every subspace's means
       val assigned = v
         .select(col("v"), codesFor(col("v"), model).as("codes"))
+        // a malformed row (null element, wrong dimension) yields null
+        // codes from the kernel: excluded from training rather than
+        // poisoning the M-step with a null code group
+        .filter(col("codes").isNotNull)
         .select(explode(array((0 until m).map(s =>
           struct(lit(s).as("s"), element_at(col("codes"), s + 1).as("code"),
             slice(col("v"), s * subDim + 1, subDim).as("sv"))): _*)).as("a"))

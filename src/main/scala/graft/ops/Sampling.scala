@@ -79,8 +79,16 @@ object Sampling {
     val audit = r.agg(count(lit(1)).as("n"),
       countDistinct(col("graft_stratum")).as("nd"),
       min(col("graft_rate")).as("lo"), max(col("graft_rate")).as("hi"),
-      sum(when(isnan(col("graft_rate")) || col("graft_rate").isNull, 1)
-        .otherwise(0)).as("bad")).head()
+      coalesce(sum(when(isnan(col("graft_rate")) || col("graft_rate").isNull, 1)
+        .otherwise(0)), lit(0L)).as("bad"), // sum over 0 rows is NULL
+      coalesce(sum(when(col("graft_stratum").isNull, 1).otherwise(0)), lit(0L))
+        .as("nullk")
+    ).head()
+    // null strata first: countDistinct skips nulls, so without this check
+    // a null-stratum row would be misreported as a duplicate
+    require(audit.getLong(5) == 0,
+      s"rates has ${audit.getLong(5)} null-stratum row(s) — an equi-join " +
+        "can never apply them; drop or map them to a real stratum")
     require(audit.getLong(0) == audit.getLong(1),
       s"rates has duplicate strata (${audit.getLong(0)} rows, " +
         s"${audit.getLong(1)} distinct) — the join would duplicate data")

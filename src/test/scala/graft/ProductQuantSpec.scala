@@ -100,6 +100,40 @@ class ProductQuantSpec extends SparkSpec {
     })
   }
 
+  test("dirty inputs: null elements/geometry yield null, NaN never crashes, train skips bad rows") {
+    graft.functions.PqExprs.register(spark)
+    val r = spark.sql("""
+      SELECT graft_pq_encode(array(1.0d, CAST(NULL AS DOUBLE)),
+                             array(1.0d, 0.0d, 0.0d, 1.0d), 1, 2) AS null_elem,
+             graft_pq_encode(array(1.0d, 2.0d),
+                             array(1.0d, CAST(NULL AS DOUBLE), 0.0d, 1.0d), 1, 2) AS null_cb,
+             graft_pq_encode(array(1.0d, 2.0d, 3.0d),
+                             array(1.0d, 0.0d, 0.0d, 1.0d), 2, 2) AS bad_geom,
+             graft_pq_encode(array(CAST('NaN' AS DOUBLE), 1.0d),
+                             array(1.0d, 0.0d, 0.0d, 1.0d), 1, 2) AS nan_vec
+      """).collect()(0)
+    assert(r.isNullAt(0), "null vector element must null out")
+    assert(r.isNullAt(1), "null codebook slot must null out, not act as a 0.0 center")
+    assert(r.isNullAt(2), "geometry mismatch must null out")
+    assert(!r.isNullAt(3), "NaN distances must not crash — ties resolve to code 0")
+    assert(r.getSeq[Int](3) === Seq(0))
+    // training over a corpus with one malformed row completes, excluding it
+    import spark.implicits._
+    val clean = (0 until 40).map(i =>
+      (i.toLong, Seq.tabulate(8)(d => (i % 4 + d).toDouble)))
+      .toDF("vec_id", "embedding")
+    val dirty = spark.sql(
+      "SELECT 999L AS vec_id, array(1.0d, CAST(NULL AS DOUBLE), 3.0d, 4.0d," +
+        " 5.0d, 6.0d, 7.0d, 8.0d) AS embedding")
+    val model = ProductQuant.train(clean.unionByName(dirty),
+      "vec_id", "embedding", m = 2, k = 4, iters = 2)
+    assert(model.centers.forall(_.length >= 2))
+    // the dirty row still encodes to null rather than a wrong code
+    val enc = ProductQuant.encode(clean.unionByName(dirty), "vec_id", "embedding", model)
+    assert(enc.filter(col("vec_id") === 999L).head.isNullAt(1))
+    assert(enc.filter(col("codes").isNotNull).count() === 40)
+  }
+
   test("encode is a shuffle-free map pass; ADC ranking is TakeOrderedAndProject") {
     val model = ProductQuant.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
     val enc = ProductQuant.encode(emb, "vec_id", "embedding", model)

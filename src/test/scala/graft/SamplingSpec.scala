@@ -106,6 +106,13 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedByRateTable(docs, "lang", bad, "lang", "rate", Seq("doc_id"))
     }
     assert(e2.getMessage.contains("[0,1]"))
+    // a null stratum is its own precise error, not a bogus duplicate report
+    val withNull = Seq((Option.empty[String], 0.3), (Some("en"), 0.5))
+      .toDF("lang", "rate")
+    val e3 = intercept[IllegalArgumentException] {
+      Sampling.stratifiedByRateTable(docs, "lang", withNull, "lang", "rate", Seq("doc_id"))
+    }
+    assert(e3.getMessage.contains("null-stratum"), e3.getMessage)
     // an EMPTY rate table is legal: everything falls to defaultFraction
     val none = Seq.empty[(String, Double)].toDF("lang", "rate")
     assert(Sampling.stratifiedByRateTable(docs, "lang", none, "lang", "rate",
