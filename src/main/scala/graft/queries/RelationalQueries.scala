@@ -862,20 +862,25 @@ object RelationalQueries {
                                     (o_orderstatus), ())
             ORDER BY gid, status, priority"""))
 
-  /** q98 (added r8) — deterministic ARRAY aggregation: per-region sorted
-    * list of nation names — `collect_list` is order-nondeterministic under
-    * parallelism, so the library's contract is `sort_array` ON TOP of the
-    * collection (the only reproducible form); grades the array-typed
-    * aggregation path end-to-end through parquet.
+  /** q98 (added r8, re-rendered r9) — deterministic ARRAY aggregation:
+    * per-region sorted list of nation names — `collect_list` is
+    * order-nondeterministic under parallelism, so the library's contract
+    * is `sort_array` ON TOP of the collection (the only reproducible
+    * form). The sorted array is string-rendered with `array_join` for the
+    * output (q110's proven grading pattern): the collection/sort still
+    * exercises the array-typed ObjectHashAggregate path internally, while
+    * the graded cell is a scalar the oracle comparator can sort and hash.
     */
   val q98 = Q(
     "q98_array_agg",
     (s, d) => Tables.nation(s, d)
       .groupBy("n_regionkey")
-      .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+      .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
         count(lit(1)).as("n"))
       .orderBy("n_regionkey"),
-    Some("""SELECT n_regionkey, list_sort(list(n_name)) AS nations, count(*) AS n
+    Some("""SELECT n_regionkey,
+                   array_to_string(list_sort(list(n_name)), ',') AS nations,
+                   count(*) AS n
             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
   /** q108 (added r8) — CORRELATED EXISTS / NOT EXISTS subqueries: customers

@@ -580,7 +580,7 @@ object SimilarityQueries {
                     ELSE 'test' END AS split_name
         FROM g)
       SELECT split_name, count(DISTINCT gid) AS n_clusters,
-             count(*) AS n_docs, sum(n_chars) AS n_chars
+             count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
       FROM s GROUP BY split_name ORDER BY split_name
     """.stripMargin.trim))
 

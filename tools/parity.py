@@ -4,16 +4,23 @@
 Usage: python3 tools/parity.py <sfDir> <verifyOutDir>
 
 For each query dumped by graft.Verify into <verifyOutDir>/<name>/ (parquet),
-runs the matching oracle SQL from oracle_sql.json in DuckDB (one view per
-parquet table, bare table names), and compares:
-  - row count
-  - column names (sorted)
-  - value hash over rows in result order with columns sorted by name
-This mirrors the driver's compare as documented (SURVEY.md §2.2).
+runs the matching oracle SQL from oracle_sql.json in DuckDB and compares the
+way the DRIVER does (r8 post-mortem: the old fetchall/result-order compare
+passed two queries the driver failed):
+  - BOTH sides become pandas DataFrames. The oracle side comes from
+    duckdb `.df()`, so DuckDB dtype coercions happen here too — notably
+    sum(BIGINT) -> HUGEINT -> float64, which stringifies as "13929.0" and
+    hash-mismatches Spark's int64 "13929" (the q102 r8 red).
+  - Columns are sorted by name; rows are sorted by ALL columns via pandas
+    sort_values. An array-typed column makes sort_values raise (the q98 r8
+    red) — reported as a FAIL, exactly like the driver's `err` row.
+  - Values hash as their string rendering, full precision, no slack.
 NOTE: driver-side only tooling; the Scala library never depends on this.
 """
 import sys, json, glob, os, hashlib
 import duckdb
+import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -21,22 +28,33 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
-    # Full repr for floats — no rounding slack. If a value differs by even
-    # one ulp between engines, we want to see it here, not in the driver.
+    # Full repr — no rounding slack. If a value differs by even one ulp
+    # between engines, we want to see it here, not in the driver.
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        return repr(v)
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass  # arrays etc. — unreachable after the sortability gate
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
 
 
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    """Column-sort, row-sort by all columns (driver's pandas compare).
+    Raises on unsortable (array-typed) columns, like the driver does."""
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+
+def df_hash(df):
     h = hashlib.sha256()
-    for row in rows:
-        h.update("|".join(norm(row[i]) for i in order).encode())
+    for row in df.itertuples(index=False, name=None):
+        h.update("|".join(norm(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()
 
@@ -60,39 +78,51 @@ def main(sf_dir, out_dir):
             continue
         # Concatenate ALL part files in filename order: Verify coalesce(1)s
         # today, but a multi-file write must not silently compare a subset.
-        import pyarrow as pa
         spark_tbl = pa.concat_tables([pq.read_table(f) for f in files])
-        spark_cols = spark_tbl.column_names
         # DECIMAL output columns are banned: engines render trailing zeros
-        # differently ("12.50" vs float64 repr "12.5"), so any text-normalizing
-        # hash compare flags every value whose last decimal digit is 0.
-        # Exact decimal math stays INTERNAL; final outputs must be DOUBLE.
+        # differently ("12.50" vs float64 repr "12.5"). Exact decimal math
+        # stays INTERNAL; final outputs must be DOUBLE.
         dec_cols = [f.name for f in spark_tbl.schema
                     if pa.types.is_decimal(f.type)]
         if dec_cols:
             results[name] = f"DECIMAL_OUTPUT_COLUMN {dec_cols} (cast to DOUBLE)"
             continue
-        spark_rows = [tuple(r[c] for c in spark_cols) for r in spark_tbl.to_pylist()]
+        # ARRAY/MAP/STRUCT output columns are banned: the driver's pandas
+        # sort_values cannot lexsort them -> recorded as `err` (q98, r8).
+        # String-render (array_join) before output instead.
+        nested = [f.name for f in spark_tbl.schema
+                  if pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+                  or pa.types.is_map(f.type) or pa.types.is_struct(f.type)]
+        if nested:
+            results[name] = f"NESTED_OUTPUT_COLUMN {nested} (driver err; string-render it)"
+            continue
+        spark_df = spark_tbl.to_pandas()
         if name not in oracles:
-            results[name] = f"ROWS_ONLY ({len(spark_rows)} rows)"
+            results[name] = f"ROWS_ONLY ({len(spark_df)} rows)"
             continue
         try:
-            cur = con.execute(oracles[name])
-            duck_cols = [dd[0] for dd in cur.description]
-            duck_rows = cur.fetchall()
+            duck_df = con.execute(oracles[name]).df()
         except Exception as e:
             results[name] = f"ORACLE_ERROR: {e}"
             continue
-        if sorted(spark_cols) != sorted(duck_cols):
-            results[name] = f"SCHEMA_MISMATCH spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
-        elif len(spark_rows) != len(duck_rows):
-            results[name] = f"ROWCOUNT_MISMATCH spark={len(spark_rows)} duck={len(duck_rows)}"
-        elif table_hash(spark_cols, spark_rows) != table_hash(duck_cols, duck_rows):
+        if sorted(spark_df.columns) != sorted(duck_df.columns):
+            results[name] = (f"SCHEMA_MISMATCH spark={sorted(spark_df.columns)} "
+                             f"duck={sorted(duck_df.columns)}")
+            continue
+        if len(spark_df) != len(duck_df):
+            results[name] = (f"ROWCOUNT_MISMATCH spark={len(spark_df)} "
+                             f"duck={len(duck_df)}")
+            continue
+        try:
+            s_can, d_can = canon(spark_df), canon(duck_df)
+        except Exception as e:
+            results[name] = f"DRIVER_ERR (unsortable columns): {type(e).__name__}: {e}"
+            continue
+        if df_hash(s_can) != df_hash(d_can):
             results[name] = "HASH_MISMATCH"
-            for i, (sr, dr) in enumerate(zip(
-                    [tuple(norm(v) for v in r) for r in spark_rows],
-                    [tuple(norm(duck_rows[j][duck_cols.index(c)]) for c in spark_cols)
-                     for j in range(len(duck_rows))])):
+            for i in range(len(s_can)):
+                sr = tuple(norm(v) for v in s_can.iloc[i])
+                dr = tuple(norm(v) for v in d_can.iloc[i])
                 if sr != dr:
                     results[name] += f" first_diff_row={i} spark={sr} duck={dr}"
                     break
