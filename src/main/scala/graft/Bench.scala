@@ -97,11 +97,12 @@ object Bench {
     // with headroom to ~140 queries. bench_out.json keeps 4 dp.
     def fmt3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def queryJson(keyOf: String => String, f: Double => String): String =
-      results.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v) }
+    def queryJson(rs: Seq[(String, Double)], keyOf: String => String,
+                  f: Double => String): String =
+      rs.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
-    def lineWith(qs: String): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest}}"""
+    def lineWith(qs: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs$extra,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest}}"""
     // The driver captures only the LAST ~2,000 chars of stdout and sbt's
     // trailing "[success] Total time…" line eats ~85 of them, so the stdout
     // line must stay ≤ ~1,900 bytes. Full query names at 82+ queries blew
@@ -117,21 +118,27 @@ object Bench {
     // fall back to full names if prefixes ever collide — a mis-keyed bench
     // is worse than an unparsed one
     val useShort = shortKeys.distinct.size == shortKeys.size
-    val stdoutLine = lineWith(queryJson(if (useShort) shortKey else identity, fmt3))
-    val fileLine = lineWith(queryJson(identity, fmt))
+    val keyOf: String => String = if (useShort) shortKey else identity
+    val stdoutLine = lineWith(queryJson(results, keyOf, fmt3))
+    val fileLine = lineWith(queryJson(results, identity, fmt))
     try Files.writeString(Paths.get("bench_out.json"), fileLine + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    // hard fallback (r8): if the short-key line ever outgrows the budget
-    // (the map costs ~15 B/query at 3-digit numbers → overflow near ~133
-    // queries), drop the per-query map from STDOUT entirely — the driver
-    // still gets a parseable total, and per-query times live in
-    // bench_out.json. A truncated line is unparseable; a mapless one is
-    // merely less detailed.
+    // Graded fallback (r9; replaces r8's all-or-nothing mapless line): the
+    // r8 full-map line measured 1,842 of the ~1,900 B the driver's stdout
+    // tail can hold — ~5 more queries and the line truncates mid-JSON (the
+    // r6/r7 "parsed": null failure). When the full map no longer fits the
+    // 1,700 B budget, stdout carries only the SLOWEST-40 map (the queries
+    // that move the total and where regressions live: ~40 × 13 B ≈ 520 B,
+    // headroom for hundreds of queries) plus "q_omitted" so the truncation
+    // is self-describing. bench_out.json always keeps the complete 4-dp
+    // full-name map; "n" carries the true query count either way.
     val stdoutFinal =
-      if (stdoutLine.length <= 1850) stdoutLine
+      if (stdoutLine.length <= 1700) stdoutLine
       else {
-        System.err.println(s"[bench] stdout line ${stdoutLine.length} B over budget — emitting mapless line")
-        lineWith("{}")
+        val top = results.sortBy(-_._2).take(40).sortBy(_._1)
+        System.err.println(
+          s"[bench] stdout line ${stdoutLine.length} B over budget — emitting slowest-${top.size} map")
+        lineWith(queryJson(top, keyOf, fmt3), s""","q_omitted":${results.size - top.size}""")
       }
     // the JSON line is the very LAST stdout before shutdown so the driver's
     // tail capture starts at (or after) its first byte, never mid-line
