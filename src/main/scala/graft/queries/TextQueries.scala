@@ -421,6 +421,65 @@ object TextQueries {
             FROM documents WHERE lang = 'de'
             GROUP BY source ORDER BY source"""))
 
+  /** q140 (added r9) — PARTITION-PRUNED INCREMENTAL UPSERT: q96's MERGE
+    * semantics composed with q95's partition layout, refreshed the way a
+    * daily pipeline actually refreshes a 100 TB snapshot — the change
+    * batch (updates to de/fr rows + inserted de rows) touches only its
+    * own `lang=` partitions, so [[graft.sources.IncrementalUpsert]] prunes
+    * the base read to the changed-partition set (PartitionFilters in the
+    * scan) and commits via Spark's dynamic partition overwrite: untouched
+    * partition directories are never read OR rewritten (file-mtime-pinned
+    * in IncrementalUpsertSpec), so the refresh costs O(changed
+    * partitions), not O(snapshot) — q96 by contrast rewrites everything.
+    * The oracle reconstructs the end snapshot relationally (unchanged
+    * partitions ∪ merged touched partitions) and grades the per-lang
+    * rollup of the final state — q129's end-state grading pattern.
+    */
+  val q140 = Q(
+    "q140_incremental_upsert",
+    (s, d) => {
+      val dir = graft.Scratch.perJvm("graft_q140_snap")
+      val docs = Tables.documents(s, d)
+      // rebuild the base snapshot each run (standalone-query contract;
+      // static overwrite wipes any previous run's merged state)
+      docs.repartition(col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val updates = docs
+        .filter(col("lang").isin("de", "fr") && col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .select(cols.map(col): _*)
+      val inserts = docs
+        .filter(col("lang") === "de" && col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("synthetic ingest").as("text"), col("lang"),
+          lit("ingest").as("source"), lit(42L).as("n_chars"))
+      graft.sources.IncrementalUpsert.mergeIntoSnapshot(
+        s, dir, updates.union(inserts), "lang", "doc_id")
+      s.read.parquet(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH changes AS (
+              SELECT doc_id, lang, n_chars + 1000 AS n_chars
+              FROM documents WHERE lang IN ('de','fr') AND doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 1000000, lang, 42
+              FROM documents WHERE lang = 'de' AND doc_id % 11 = 0),
+            merged AS (
+              SELECT CASE WHEN c.doc_id IS NOT NULL THEN c.lang ELSE b.lang END AS lang,
+                     CASE WHEN c.doc_id IS NOT NULL THEN c.n_chars ELSE b.n_chars END AS n_chars
+              FROM (SELECT doc_id, lang, n_chars FROM documents
+                    WHERE lang IN ('de','fr')) b
+              FULL OUTER JOIN changes c ON b.doc_id = c.doc_id),
+            final AS (
+              SELECT lang, n_chars FROM documents WHERE lang NOT IN ('de','fr')
+              UNION ALL
+              SELECT lang, n_chars FROM merged)
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM final GROUP BY lang ORDER BY lang"""))
+
   /** q86 (added r8) — UNIGRAM LM surprisal scoring: train a unigram
     * language model on the corpus (token → −log₂ p, p = corpus-frequency /
     * total) and score every document by its mean per-token surprisal in
@@ -945,5 +1004,5 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
     q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118, q119,
-    q121, q137)
+    q121, q137, q140)
 }
