@@ -33,20 +33,45 @@ object Bpe {
     * the merge table `(step, pair, merged, cnt)` — `cnt` is the weighted
     * occurrence count that won the step. Stops early (fewer rows) if no
     * pair remains.
+    *
+    * `batchSize` is the SCALE control (classic batched BPE): each round
+    * collects the top candidates once and applies up to `batchSize`
+    * SYMBOL-DISJOINT merges in a single chained projection, so a 50k-merge
+    * vocabulary costs ~50k/batchSize Spark jobs instead of 50k — the r8
+    * verdict's production-vocab gap. Disjointness is what keeps the round
+    * honest: if two pairs share no symbol, neither merge can create or
+    * destroy occurrences of the other (a replacement yields a fresh
+    * non-empty symbol between untouched neighbors), so every selected
+    * pair's pre-round count equals the count it actually merges at.
+    * `batchSize = 1` (the default) is EXACTLY the sequential greedy
+    * (BpeSpec pins it against an independent in-memory fold); larger
+    * batches differ from sequential only in that pairs CREATED mid-round
+    * wait for the next round's counts — the standard batched-BPE trade.
     */
-  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                  batchSize: Int = 1): DataFrame = {
+    require(batchSize >= 1, s"batchSize=$batchSize")
     val spark = docs.sparkSession
-    // the one corpus-sized pass: word frequencies, then char-spaced seqs
+    // the one corpus-sized pass: word frequencies, then char-spaced seqs.
+    // localCheckpoint, not cache: each round re-derives `cur` from the
+    // previous round's relation, so a cached lineage GROWS by a round's
+    // worth of plan every iteration — at production merge counts the
+    // accumulated logical plan alone OOMs the driver (measured: 1000
+    // merges at sf0.1 died in explainString). Checkpointing truncates the
+    // plan to an RDD scan each round, keeping plan size O(1) in rounds —
+    // the [[GraphOps]] iteration discipline.
     var cur = docs
       .select(explode(split(col(textCol), " +")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("n"))
-      .cache() // vocab-sized at any corpus scale
+      .localCheckpoint(true) // vocab-sized at any corpus scale
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
-    var step = 1
     var exhausted = false
-    while (step <= nMerges && !exhausted) {
+    while (merges.size < nMerges && !exhausted) {
+      val want = math.min(batchSize, nMerges - merges.size)
+      // over-fetch so symbol-sharing candidates can be skipped; the head
+      // candidate is always selectable, so every round makes progress
       val top = cur
         .select(split(col("seq"), " ").as("a"), col("n"))
         .select(explode(arrays_zip(
@@ -55,31 +80,47 @@ object Bpe {
         .select(concat_ws(" ", col("pr.0"), col("pr.1")).as("pair"), col("n"))
         .groupBy("pair").agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1)
-        .collect() // the model update: one (pair, cnt) row per step
+        .limit(math.max(want * 4, 32))
+        .collect() // the model update: O(batch) rows per round
       if (top.isEmpty) exhausted = true
       else {
-        val pair = top(0).getString(0)
-        val cnt = top(0).getLong(1)
-        require(pair.matches("[a-z]+ [a-z]+"),
-          s"BPE pair '$pair' is not two [a-z]+ symbols — the \\b merge " +
-            "pattern is only whole-symbol-safe over letter symbols")
-        val merged = pair.replace(" ", "")
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = ArrayBuffer.empty[(String, Long)]
+        top.iterator
+          .map(r => (r.getString(0), r.getLong(1)))
+          .foreach { case (pair, cnt) =>
+            val syms = pair.split(" ")
+            if (picked.size < want && syms.forall(!used(_))) {
+              require(pair.matches("[a-z]+ [a-z]+"),
+                s"BPE pair '$pair' is not two [a-z]+ symbols — the \\b merge " +
+                  "pattern is only whole-symbol-safe over letter symbols")
+              picked += ((pair, cnt))
+              used ++= syms
+            }
+          }
+        // the whole round is ONE projection over the vocab-sized relation:
+        // chained \b-guarded replaces (order-independent by disjointness)
         val prev = cur
-        cur = prev
-          .select(regexp_replace(col("seq"), "\\b" + pair + "\\b", merged)
-            .as("seq"), col("n"))
-          .cache()
-        cur.count() // materialize before dropping the parent
-        prev.unpersist(false)
-        merges += ((step, pair, merged, cnt))
-        step += 1
+        val seqCol = picked.foldLeft(col("seq")) { case (c, (pair, _)) =>
+          regexp_replace(c, "\\b" + pair + "\\b", pair.replace(" ", ""))
+        }
+        cur = prev.select(seqCol.as("seq"), col("n")).localCheckpoint(true)
+        unpersistLocalCheckpoint(prev) // round r−1's blocks drop eagerly
+        picked.foreach { case (pair, cnt) =>
+          merges += ((merges.size + 1, pair, pair.replace(" ", ""), cnt))
+        }
       }
     }
-    cur.unpersist(false)
+    unpersistLocalCheckpoint(cur)
     import spark.implicits._
     merges.toSeq.toDF("step", "pair", "merged", "cnt").orderBy("step")
   }
+
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.unpersist(false)
+      case _ => ()
+    }
 
   /** Apply a learned merge list to the corpus: per-document whitespace
     * token count, post-BPE symbol count, and symbols-per-word. The merge

@@ -54,6 +54,79 @@ class BpeSpec extends SparkSpec {
     assert(with5.exists { case (id, (_, nBpe)) => nBpe < with0(id) })
   }
 
+  // independent in-memory sequential BPE: overlapping pair counts (the
+  // arrays_zip form), (cnt DESC, pair ASC) selection, left-to-right
+  // non-overlapping merge application (the regexp_replace form)
+  private def refSequential(words: Seq[(String, Long)], n: Int): Seq[(Int, String, String, Long)] = {
+    def applyMerge(syms: Vector[String], l: String, r: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += (l + r); i += 2 }
+        else { b += syms(i); i += 1 }
+      }
+      b.result()
+    }
+    var seqs = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      seqs.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) { counts((syms(i), syms(i + 1))) += c; i += 1 }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.toSeq.sortBy { case ((a, b), c) => (-c, a + " " + b) }.head
+        seqs = seqs.map { case (syms, c) => (applyMerge(syms, l, r), c) }
+        out += ((step, s"$l $r", l + r, cnt))
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  test("batchSize=1 equals an independent in-memory sequential BPE on the real corpus") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val words = docs.select(explode(split(col("text"), " +")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expected = refSequential(words, 6)
+    val got = Bpe.learnMerges(docs, "text", 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("batched rounds take only symbol-disjoint merges; disjoint tops match sequential") {
+    import spark.implicits._
+    // conflict corpus (the tie-break spec's): step-1 tops "a b"/"b a" share
+    // symbols, so a B=2 round may only take "a b" — batching must yield
+    // exactly the sequential table, one effective merge per round
+    val conflict = (Seq.fill(10)("bab") ++ Seq.fill(2)("baab")).toDF("text")
+    val seq2 = Bpe.learnMerges(conflict, "text", 2).collect().map(_.toSeq).toSeq
+    val bat2 = Bpe.learnMerges(conflict, "text", 2, batchSize = 2).collect().map(_.toSeq).toSeq
+    assert(bat2 === seq2)
+
+    // disjoint corpus: "a b" (×10) and "c d" (×8) share no symbol, so ONE
+    // batched round equals two sequential steps exactly — counts included
+    // (disjointness keeps each pair's count invariant under the other)
+    val disjoint = (Seq.fill(10)("ab") ++ Seq.fill(8)("cd")).toDF("text")
+    val seqD = Bpe.learnMerges(disjoint, "text", 2).collect().map(_.toSeq).toSeq
+    val batD = Bpe.learnMerges(disjoint, "text", 2, batchSize = 2).collect().map(_.toSeq).toSeq
+    assert(batD === seqD)
+    assert(batD.map(_(1)) === Seq("a b", "c d"))
+
+    // batched learning at production-ish width still terminates early on
+    // an exhausted corpus and never repeats a pair
+    val m = Bpe.learnMerges(Tables.documents(spark, sf0001), "text", 40, batchSize = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(m.map(_._2).distinct.length === m.length, "a pair was merged twice")
+    assert(m.map(_._1).toSeq === (1 to m.length), "step numbering must be dense")
+  }
+
   test("q118 is deterministic and stops early on an exhausted corpus") {
     import spark.implicits._
     val r1 = SparkEntry.queries("q118_bpe_merges")(spark, sf0001).collect()
