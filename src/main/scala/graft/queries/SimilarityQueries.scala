@@ -7,6 +7,32 @@ import graft.ops.{MinHash, SimilarityJoin, VectorSearch}
 /** SURVEY.md §2 rows 36–43: the similarity-join suite. */
 object SimilarityQueries {
 
+  /** THE document near-dup pair graph — q36's exact closure (whitespace
+    * token sets, same-(lang, source) blocking, Jaccard ≥ τ) — single-
+    * sourced so every graph consumer (q36/q41/q71/q83/q102/q123/q135)
+    * shares one plan text and a future q36 plan improvement propagates to
+    * all of them (r8 verdict task 9). Uses the skew-probing AUTO dispatch
+    * everywhere (it selects the same full-inverted-index plan on the
+    * graded corpus — SimilarityJoinSpec pins the equivalence, parity
+    * re-proved zero output change). Plain composition, no caching: the
+    * standalone-query contract forbids cross-query state, and per-query
+    * materialization stays with the consumer (GraphOps checkpoints its
+    * edge input itself).
+    */
+  private[queries] def docPairs(s: org.apache.spark.sql.SparkSession, d: String,
+                                tau: Double = 0.8): org.apache.spark.sql.DataFrame =
+    SimilarityJoin.jaccardSelfAuto(
+      Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), tau)
+
+  /** The near-dup CLUSTER closure over [[docPairs]] — `(doc_id,
+    * cluster_id)` for every doc in ≥1 pair (q71's semantics), shared by
+    * q71/q83/q102.
+    */
+  private[queries] def docClusters(s: org.apache.spark.sql.SparkSession, d: String,
+                                   tau: Double = 0.8): org.apache.spark.sql.DataFrame =
+    graft.ops.GraphOps.connectedComponents(docPairs(s, d, tau), "a_id", "b_id")
+      .withColumnRenamed("a_id", "doc_id")
+
   /** q36 ★flagship — token-set Jaccard self-join on documents, blocked by
     * (lang, source), τ = 0.8. 342 pairs at sf0.001 (FIXTURES.md).
     *
@@ -28,8 +54,7 @@ object SimilarityQueries {
     */
   val q36 = Q(
     "q36_jaccard_self_join",
-    (s, d) => SimilarityJoin.jaccardSelfAuto(
-      Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.8),
+    (s, d) => docPairs(s, d),
     Some("""
       WITH t AS (
         SELECT doc_id, lang, source,
@@ -145,7 +170,7 @@ object SimilarityQueries {
     "q41_dedup_near",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = SimilarityJoin.jaccardSelf(docs, "doc_id", "text", Seq("lang", "source"), 0.8)
+      val pairs = docPairs(s, d)
       docs.join(pairs.select(col("b_id")), col("doc_id") === col("b_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_survivors"))
@@ -267,12 +292,7 @@ object SimilarityQueries {
     */
   val q71 = Q(
     "q71_dedup_clusters",
-    (s, d) => {
-      val pairs = SimilarityJoin.jaccardSelf(
-        Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.8)
-      graft.ops.GraphOps.connectedComponents(pairs, "a_id", "b_id")
-        .withColumnRenamed("a_id", "doc_id")
-    },
+    (s, d) => docClusters(s, d),
     Some("""
       WITH RECURSIVE t AS (
         SELECT doc_id, lang, source,
@@ -310,10 +330,7 @@ object SimilarityQueries {
     "q83_cluster_canonical",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = SimilarityJoin.jaccardSelf(
-        docs, "doc_id", "text", Seq("lang", "source"), 0.8)
-      val clusters = graft.ops.GraphOps.connectedComponents(pairs, "a_id", "b_id")
-        .withColumnRenamed("a_id", "doc_id")
+      val clusters = docClusters(s, d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
       clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
@@ -530,10 +547,7 @@ object SimilarityQueries {
     "q102_leakage_safe_split",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = SimilarityJoin.jaccardSelf(
-        docs, "doc_id", "text", Seq("lang", "source"), 0.8)
-      val clusters = graft.ops.GraphOps.connectedComponents(pairs, "a_id", "b_id")
-        .withColumnRenamed("a_id", "doc_id")
+      val clusters = docClusters(s, d)
       val bucket = pmod(pmod(col("gid") * lit(2654435761L), lit(2147483647L)), lit(100))
       docs.select("doc_id", "n_chars")
         .join(clusters, Seq("doc_id"), "left")
@@ -663,9 +677,7 @@ object SimilarityQueries {
   val q123 = Q(
     "q123_triangle_count",
     (s, d) => graft.ops.GraphOps.triangleCounts(
-      SimilarityJoin.jaccardSelfAuto(
-        Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.8),
-      "a_id", "b_id").withColumnRenamed("a_id", "doc_id"),
+      docPairs(s, d), "a_id", "b_id").withColumnRenamed("a_id", "doc_id"),
     Some("""
       WITH t AS (
         SELECT doc_id, lang, source,
@@ -764,9 +776,7 @@ object SimilarityQueries {
   val q135 = Q(
     "q135_pagerank",
     (s, d) => graft.ops.GraphOps.pageRank(
-      SimilarityJoin.jaccardSelfAuto(
-        Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), 0.8),
-      "a_id", "b_id", iters = 3)
+      docPairs(s, d), "a_id", "b_id", iters = 3)
       .select(col("node").as("doc_id"), round(col("r"), 6).as("pagerank"))
       .orderBy("doc_id"),
     Some("""
