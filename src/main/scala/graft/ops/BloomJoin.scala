@@ -48,8 +48,8 @@ object BloomJoin {
     val positions = (0 until numHashes).map(i =>
       pmod(xxhash64(col(keyCol), lit(salt), lit(i)), lit(numBits.toLong)))
     keys.select(explode(array(positions: _*)).as("pos"))
-      .select(expr("int(pos div 64)").as("word"),
-        expr("shiftleft(1L, int(pos % 64))").as("mask"))
+      .select(shiftright(col("pos"), 6).cast("int").as("word"),
+        call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int")).as("mask"))
       .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("bits"))))
         .as("graft_bloom"))
@@ -58,14 +58,21 @@ object BloomJoin {
   /** Membership test for one key column against the broadcast `graft_bloom`
     * map — all `numHashes` bits must be set. Parameters MUST match the
     * `build` call's (different salt/size/hash-count silently tests a
-    * different filter).
+    * different filter). Column-API construction (r8 ADVICE): safe for any
+    * column name (no SQL splicing), and the per-hash position expression
+    * appears as one shared subtree — word index and bit mask reference the
+    * SAME `pos` Column, which whole-stage codegen's subexpression
+    * elimination computes once per row per hash.
     */
   def mightContain(keyCol: String, numBits: Int = 1 << 16,
                    numHashes: Int = 3, salt: Long = 0L): Column =
     (0 until numHashes).map { i =>
-      val pos = s"pmod(xxhash64($keyCol, ${salt}L, $i), ${numBits.toLong}L)"
-      expr(s"(coalesce(element_at(graft_bloom, int($pos div 64)), 0L)" +
-        s" & shiftleft(1L, int($pos % 64))) != 0L")
+      val pos = pmod(xxhash64(col(keyCol), lit(salt), lit(i)), lit(numBits.toLong))
+      // pos ∈ [0, numBits): pos >> 6 IS pos div 64, and pos % 64 is exact
+      val word = shiftright(pos, 6).cast("int")
+      val mask = call_function("shiftleft", lit(1L), (pos % 64).cast("int"))
+      coalesce(element_at(col("graft_bloom"), word), lit(0L))
+        .bitwiseAND(mask) =!= lit(0L)
     }.reduce(_ && _)
 
   /** Prune `fact` to rows whose `keyCol` might be in the bloom filter:
@@ -74,8 +81,12 @@ object BloomJoin {
     */
   def prune(fact: DataFrame, keyCol: String, bloom: DataFrame,
             numBits: Int = 1 << 16, numHashes: Int = 3,
-            salt: Long = 0L): DataFrame =
+            salt: Long = 0L): DataFrame = {
+    require(!fact.columns.contains("graft_bloom"),
+      "fact side already carries a graft_bloom column — rename it before pruning " +
+        "(the probe would resolve the membership test against the wrong relation)")
     fact.crossJoin(broadcast(bloom))
       .filter(mightContain(keyCol, numBits, numHashes, salt))
       .drop("graft_bloom")
+  }
 }

@@ -33,14 +33,6 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** The previous call's persisted bucket relation — released on the next
-    * call so repeated selection can't accumulate caches (blocking=false:
-    * a still-running consumer of the old plan recomputes, it doesn't
-    * fail).
-    */
-  private val lastBuckets =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   /** Rows of `docs` the greedy selection keeps: best score first, id
     * breaking ties, while `den · cumulative(tokCol) ≤ num · total(tokCol)`
     * within each `keyCol` group. All comparisons are exact integer
@@ -74,13 +66,17 @@ object Curation {
 
     // per-(key, score) buckets + the running total over the distinct-score
     // relation — the ONLY corpus-order-free window, bounded by score
-    // cardinality however large the key is. Persisted: the relation is
-    // derived from a full-corpus aggregation and consumed THREE times
-    // (broadcast probe, whole-bucket join, boundary join) — without the
-    // persist each consumer would re-scan the corpus. Lifecycle: each
-    // call unpersists the PREVIOUS call's bucket cache (the GraphOps
-    // prev-round pattern) so repeated selection in a long-lived session
-    // holds at most one bucket relation, not an unbounded accumulation.
+    // cardinality however large the key is. Materialized (eager
+    // localCheckpoint): the relation is derived from a full-corpus
+    // aggregation and consumed THREE times (broadcast probe, whole-bucket
+    // join, boundary join) — unmaterialized, each consumer would re-scan
+    // the corpus. localCheckpoint over persist (r8 ADVICE): cached blocks
+    // are pinned by the CacheManager until explicitly unpersisted, which
+    // forced a process-global "previous call" reference that could yank
+    // the cache out from under an earlier call's still-unconsumed result;
+    // checkpoint blocks are ContextCleaner-managed — released when this
+    // call's relations become unreachable — so each result owns its own
+    // materialization and repeated calls cannot accumulate pinned caches.
     val wScore = Window.partitionBy(keyCol).orderBy(col(scoreCol).desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val buckets = docs.groupBy(key.as(keyCol), col(scoreCol).as(scoreCol))
@@ -88,8 +84,7 @@ object Curation {
       .withColumn("graft_b_cum", sum(col("graft_b_tok")).over(wScore))
       .join(tot, keyCol)
       .withColumn("graft_b_prev", col("graft_b_cum") - col("graft_b_tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    Option(lastBuckets.getAndSet(buckets)).foreach(_.unpersist(false))
+      .localCheckpoint(true)
 
     val fits: Column =
       col("graft_b_cum") * den <= col("graft_key_tok") * num

@@ -96,11 +96,19 @@ object GraphOps {
       // edge relation (und is checkpointed — the expensive upstream plan,
       // e.g. the whole similarity join, is NOT recomputed)
       unpersistLocalCheckpoint(labels)
-      return connectedComponentsAlternating(und, "u", "v")
+      val out = connectedComponentsAlternating(und, "u", "v")
         .withColumnRenamed("u", srcCol)
+      // the callee eagerly checkpointed its own canonical edge relation,
+      // so und's blocks are droppable the moment it returns
+      unpersistLocalCheckpoint(und)
+      return out
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds " +
       "— component diameter exceeds the cap; raise maxIter or enable fallback")
+    // the result depends only on the FINAL label checkpoint (released by
+    // the ContextCleaner when the caller drops the result); the edge
+    // relation served its last consumer in the loop above
+    unpersistLocalCheckpoint(und)
     labels.select(col("u").as(srcCol), col("lbl").as("cluster_id"))
       .orderBy(srcCol)
   }
@@ -163,6 +171,10 @@ object GraphOps {
       i += 1
     }
     require(converged, s"alternating-star did not converge in $maxRounds rounds")
+    // the result depends on `nodes` and the FINAL `e` (ContextCleaner-
+    // released with the result); the seed edge checkpoint is dead unless
+    // the loop never replaced it
+    if (e ne e0) unpersistLocalCheckpoint(e0)
     // stars: every edge is (root, child); roots label themselves, and any
     // node the final edge set no longer mentions is its own root
     val labels = e.select(col("v").as("node"), col("u").as("cluster_id"))
@@ -268,6 +280,11 @@ object GraphOps {
       unpersistLocalCheckpoint(ranks)
       ranks = next
     }
+    // every iteration's plan materialized eagerly above, so the degree
+    // relations have no remaining consumer; the returned `ranks`
+    // checkpoint is ContextCleaner-released when the caller drops it
+    unpersistLocalCheckpoint(deg)
+    unpersistLocalCheckpoint(symDeg)
     ranks
   }
 }

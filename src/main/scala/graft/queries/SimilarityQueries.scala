@@ -624,6 +624,11 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
       val quant = emb
         .withColumn("scale", array_max(transform(col("e"), x => abs(x))))
+        // an all-zero embedding has no max-abs scale: rather than emit a
+        // NaN/null quantized row that silently corrupts the ranking, such
+        // rows are excluded — loudly, as a declared predicate on BOTH
+        // engines (r8 ADVICE; the corpus has none, so output is unchanged)
+        .filter(col("scale") > 0)
         .select(col("vec_id"), col("e"),
           transform(col("e"), x => round(x * 127.0 / col("scale"))).as("q"))
       val qv = quant.orderBy("vec_id").limit(1)
@@ -649,7 +654,7 @@ object SimilarityQueries {
                    FROM e),
             q AS (SELECT vec_id, e,
                          list_transform(e, x -> round(x * 127.0 / scale)) AS qv
-                  FROM sc),
+                  FROM sc WHERE scale > 0),
             qry AS (SELECT e AS eq, qv AS qq FROM q
                     WHERE vec_id = (SELECT min(vec_id) FROM e)),
             sims AS (SELECT vec_id,

@@ -42,8 +42,12 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Rewrite `path` (Hive-partitioned parquet) so every partition
-    * directory holds `filesPerDir` files. Returns (filesBefore,
-    * filesAfter) parquet data-file counts.
+    * directory holds AT MOST `filesPerDir` files — the salt values that
+    * spread a directory across writers are themselves hash-assigned to
+    * tasks, so two salts can land in one task and produce fewer, larger
+    * files (the compaction goal is an upper bound on file count, which
+    * hash collisions only help). Returns (filesBefore, filesAfter)
+    * parquet data-file counts.
     */
   def compactPartitioned(spark: SparkSession, path: String,
                          partitionCols: Seq[String],
