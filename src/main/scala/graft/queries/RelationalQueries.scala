@@ -1331,9 +1331,128 @@ object RelationalQueries {
                      AS autocorr_lag1
             FROM a"""))
 
+  /** q141 (added r9) — DATA-QUALITY CONSTRAINT AUDIT (the Deequ pattern):
+    * declared constraints over a table — completeness of o_orderpriority, key uniqueness, a
+    * range predicate, a value-domain predicate — evaluated in ONE corpus
+    * pass (a single aggregation computes every check's counters; the
+    * checks then unpivot into an audit row each), so auditing 100 TB
+    * costs one scan regardless of how many constraints are declared —
+    * never one job per check. Output: `(check_name, metric, passed)` —
+    * the table a pipeline gates ingestion on. Determinism: metrics are
+    * exact-count ratios ROUND(,6); `passed` is integer count equality.
+    */
+  val q141 = Q(
+    "q141_constraint_audit",
+    (s, d) => {
+      val a = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("nn_prio"),
+        countDistinct(col("o_orderkey")).as("d_key"),
+        sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).as("pos_price"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+          .as("dom_status"))
+      a.select(explode(array(
+          struct(lit("completeness_o_orderpriority").as("check_name"),
+            round(col("nn_prio").cast("double") / col("n"), 6).as("metric"),
+            (col("nn_prio") === col("n")).as("passed")),
+          struct(lit("domain_o_orderstatus").as("check_name"),
+            round(col("dom_status").cast("double") / col("n"), 6).as("metric"),
+            (col("dom_status") === col("n")).as("passed")),
+          struct(lit("range_o_totalprice_positive").as("check_name"),
+            round(col("pos_price").cast("double") / col("n"), 6).as("metric"),
+            (col("pos_price") === col("n")).as("passed")),
+          struct(lit("uniqueness_o_orderkey").as("check_name"),
+            round(col("d_key").cast("double") / col("n"), 6).as("metric"),
+            (col("d_key") === col("n")).as("passed")))).as("c"))
+        .select(col("c.check_name"), col("c.metric"), col("c.passed"))
+        .orderBy("check_name")
+    },
+    Some("""WITH a AS (
+              SELECT count(*) AS n,
+                     count(o_orderpriority) AS nn_prio,
+                     count(DISTINCT o_orderkey) AS d_key,
+                     count(*) FILTER (WHERE o_totalprice > 0) AS pos_price,
+                     count(*) FILTER (WHERE o_orderstatus IN ('F','O','P')) AS dom_status
+              FROM orders)
+            SELECT 'completeness_o_orderpriority' AS check_name,
+                   round(nn_prio::DOUBLE / n, 6) AS metric,
+                   nn_prio = n AS passed FROM a
+            UNION ALL
+            SELECT 'domain_o_orderstatus', round(dom_status::DOUBLE / n, 6),
+                   dom_status = n FROM a
+            UNION ALL
+            SELECT 'range_o_totalprice_positive', round(pos_price::DOUBLE / n, 6),
+                   pos_price = n FROM a
+            UNION ALL
+            SELECT 'uniqueness_o_orderkey', round(d_key::DOUBLE / n, 6),
+                   d_key = n FROM a
+            ORDER BY check_name"""))
+
+  /** q142 (added r9) — CDC SNAPSHOT DIFF: derive the change set BETWEEN
+    * two snapshot versions — the inverse of q96/q140 (which APPLY a known
+    * change batch, this RECOVERS one): a full-outer join on the key
+    * classifies every row as insert (new only), delete (old only), or
+    * update (both, any tracked column differing); unchanged rows drop
+    * out. The synthetic new snapshot deletes every 11th customer, negates
+    * every remaining 7th balance, and inserts a key-shifted copy of every
+    * 13th — the diff must recover exactly those. At 100 TB the column
+    * comparison rides a content hash (xxhash64 of the tracked columns)
+    * computed in the scan projection; the graded form compares the
+    * columns directly so the oracle is engine-portable. One shuffle on
+    * the key (or zero with q94's bucketed layout).
+    */
+  val q142 = Q(
+    "q142_snapshot_diff",
+    (s, d) => {
+      val old = Tables.customer(s, d)
+        .select(col("c_custkey").as("key"), col("c_name").as("o_name"),
+          col("c_acctbal").as("o_bal"))
+      val neu = Tables.customer(s, d)
+        .filter(col("c_custkey") % 11 =!= 0)
+        .select(col("c_custkey").as("key"), col("c_name").as("n_name"),
+          when(col("c_custkey") % 7 === 0, -col("c_acctbal"))
+            .otherwise(col("c_acctbal")).as("n_bal"))
+        .union(Tables.customer(s, d)
+          .filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 200000L).as("key"),
+            concat(lit("copy_"), col("c_name")).as("n_name"),
+            col("c_acctbal").as("n_bal")))
+      old.join(neu, Seq("key"), "full_outer")
+        .withColumn("change_type",
+          when(col("o_name").isNull, lit("insert"))
+            .when(col("n_name").isNull, lit("delete"))
+            .when(col("o_name") =!= col("n_name") ||
+              col("o_bal") =!= col("n_bal"), lit("update")))
+        .filter(col("change_type").isNotNull)
+        .select(col("change_type"), col("key").as("c_custkey"))
+        .orderBy("change_type", "c_custkey")
+    },
+    Some("""WITH old AS (
+              SELECT c_custkey AS key, c_name AS o_name, c_acctbal AS o_bal
+              FROM customer),
+            neu AS (
+              SELECT c_custkey AS key, c_name AS n_name,
+                     CASE WHEN c_custkey % 7 = 0 THEN -c_acctbal
+                          ELSE c_acctbal END AS n_bal
+              FROM customer WHERE c_custkey % 11 <> 0
+              UNION ALL
+              SELECT c_custkey + 200000, 'copy_' || c_name, c_acctbal
+              FROM customer WHERE c_custkey % 13 = 0)
+            SELECT CASE WHEN o_name IS NULL THEN 'insert'
+                        WHEN n_name IS NULL THEN 'delete'
+                        WHEN o_name <> n_name OR o_bal <> n_bal THEN 'update'
+                   END AS change_type,
+                   key AS c_custkey
+            FROM old FULL OUTER JOIN neu USING (key)
+            WHERE CASE WHEN o_name IS NULL THEN 'insert'
+                       WHEN n_name IS NULL THEN 'delete'
+                       WHEN o_name <> n_name OR o_bal <> n_bal THEN 'update'
+                  END IS NOT NULL
+            ORDER BY change_type, c_custkey"""))
+
   def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10,
     q11, q12, q13, q14, q15, q16, q17, q18, q19, q20,
     q21, q22, q23, q24, q25, q26, q27, q28, q29, q61, q62, q63,
     q64, q65, q66, q93, q94, q96, q97, q98, q108, q111, q112, q117, q120,
-    q124, q125, q128, q131, q133, q134)
+    q124, q125, q128, q131, q133, q134, q141, q142)
 }

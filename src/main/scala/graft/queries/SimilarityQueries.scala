@@ -821,6 +821,89 @@ object SimilarityQueries {
       FROM r3 ORDER BY node
     """.stripMargin.trim))
 
+  /** q144 (added r9) — K-MEANS CLUSTER-QUALITY AUDIT: the table a team
+    * reads before trusting q100's clustering (or q126's SemDeDup blocks):
+    * per centroid, member count, mean member cosine (cohesion), mean
+    * assignment MARGIN (best-vs-second-best similarity — low margin means
+    * members sit on a cluster boundary), and the nearest other centroid's
+    * cosine (separation; the Davies–Bouldin ingredient). Plan: ONE score
+    * matrix (embeddings × k broadcast centroids, q100's map-side shape) →
+    * a per-vector top-2 window (partitioned by vec_id — distributes like
+    * q25) → per-centroid partial+final agg; the k×k centroid separation
+    * table is a broadcast-sized self-join. Determinism: q100's protocol —
+    * sims ROUND(,6) before ranking (ties broken by centroid id), means as
+    * exact DECIMAL sums over rounded terms.
+    */
+  val q144 = Q(
+    "q144_cluster_quality",
+    (s, d) => {
+      graft.functions.VectorExprs.register(s)
+      import graft.functions.VectorExprs.{dot, norm}
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("e").as("cv"))
+      val scored = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          round(dot(col("e"), col("cv")) / (norm(col("e")) * norm(col("cv"))), 6)
+            .as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+      val top2 = scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .groupBy("vec_id")
+        .agg(max(when(col("rnk") === 1, col("cid"))).as("cid"),
+          max(when(col("rnk") === 1, col("sim"))).as("sim"),
+          max(when(col("rnk") === 2, col("sim"))).as("sim2"))
+      val sep = cents.select(col("cid"), col("cv"))
+        .join(cents.select(col("cid").as("cid2"), col("cv").as("cv2")),
+          col("cid") =!= col("cid2"))
+        .groupBy("cid")
+        .agg(max(round(dot(col("cv"), col("cv2"))
+          / (norm(col("cv")) * norm(col("cv2"))), 6)).as("nearest_other_sim"))
+      top2.groupBy("cid")
+        .agg(count(lit(1)).as("n_members"),
+          round(sum(col("sim").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_sim"),
+          round(sum((col("sim") - col("sim2")).cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_margin"))
+        .join(broadcast(sep), "cid")
+        .select(col("cid").as("centroid_id"), col("n_members"),
+          col("mean_sim"), col("mean_margin"), col("nearest_other_sim"))
+        .orderBy("centroid_id")
+    },
+    Some("""
+      WITH c AS (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8),
+      a AS (
+        SELECT e.vec_id, c.cid,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) AS sim,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.cv), 6) DESC,
+                          c.cid) AS rnk
+        FROM embeddings e CROSS JOIN c),
+      b AS (
+        SELECT vec_id,
+               max(CASE WHEN rnk = 1 THEN cid END) AS cid,
+               max(CASE WHEN rnk = 1 THEN sim END) AS sim,
+               max(CASE WHEN rnk = 2 THEN sim END) AS sim2
+        FROM a WHERE rnk <= 2 GROUP BY vec_id),
+      sep AS (
+        SELECT c1.cid,
+               max(ROUND(list_cosine_similarity(c1.cv, c2.cv), 6)) AS nearest_other_sim
+        FROM c c1 JOIN c c2 ON c1.cid <> c2.cid
+        GROUP BY c1.cid)
+      SELECT b.cid AS centroid_id, count(*) AS n_members,
+             ROUND(sum(b.sim::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_sim,
+             ROUND(sum((b.sim - b.sim2)::DECIMAL(18,6))::DOUBLE / count(*), 6) AS mean_margin,
+             sep.nearest_other_sim
+      FROM b JOIN sep ON b.cid = sep.cid
+      GROUP BY b.cid, sep.nearest_other_sim
+      ORDER BY b.cid
+    """.stripMargin.trim))
+
   def all: Seq[Q] = Seq(q36, q37, q39, q40, q41, q43, q60, q67, q71, q75,
-    q83, q84, q100, q101, q102, q116, q123, q126, q135)
+    q83, q84, q100, q101, q102, q116, q123, q126, q135, q144)
 }

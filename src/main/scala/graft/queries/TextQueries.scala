@@ -1002,7 +1002,60 @@ object TextQueries {
             GROUP BY doc_id, tok HAVING count(*) >= 2
             ORDER BY doc_id, token"""))
 
+  /** q143 (added r9) — N-GRAM CONTAMINATION RATE: per eval document, the
+    * fraction of its distinct word 3-gram shingles that appear anywhere in
+    * the training split — the standard train/eval overlap metric a team
+    * reads before trusting a benchmark number (the GPT-3 appendix-C
+    * methodology, shrunk from 13-grams to 3-grams so the graded corpus
+    * has signal). q60 DROPS contaminated eval docs; this REPORTS the
+    * per-doc rate so the threshold is a reviewable decision, not a
+    * hard-coded one. Split: doc_id % 10 (eval) — q72's hash-split rule.
+    * Plan: one explode to distinct (doc, shingle) pairs → the train side
+    * collapses to a distinct shingle set → one LEFT equi-join on the
+    * shingle + per-doc partial+final agg. At 100 TB the join key is
+    * xxhash64(shingle) (q60's documented swap) and the stop-gram skew the
+    * common shingles create is AQE's problem per the SaltingSpec decision;
+    * the graded form joins the strings so the oracle is portable.
+    */
+  val q143 = Q(
+    "q143_contamination_rate",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " +").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+          .as("sh"))
+        .distinct()
+      val train = sh.filter(col("doc_id") % 10 =!= 0)
+        .select(col("sh").as("tr_sh")).distinct()
+      sh.filter(col("doc_id") % 10 === 0)
+        .join(train, col("sh") === col("tr_sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(col("tr_sh")).as("n_matched"),
+          round(count(col("tr_sh")).cast("double") / count(lit(1)), 6)
+            .as("contamination"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, regexp_split_to_array(text, ' +') AS t
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(len(t) - 2),
+                         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+                FROM t WHERE len(t) >= 3)),
+            train AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 10 <> 0),
+            ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 10 = 0)
+            SELECT ev.doc_id, count(*) AS n_shingles,
+                   count(train.sh) AS n_matched,
+                   round(count(train.sh)::DOUBLE / count(*), 6) AS contamination
+            FROM ev LEFT JOIN train ON ev.sh = train.sh
+            GROUP BY ev.doc_id ORDER BY ev.doc_id"""))
+
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
     q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118, q119,
-    q121, q137, q140)
+    q121, q137, q140, q143)
 }
