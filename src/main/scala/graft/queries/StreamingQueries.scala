@@ -458,6 +458,53 @@ object StreamingQueries {
     Some("""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars
             FROM documents GROUP BY lang ORDER BY lang"""))
 
+  /** q145 (added r9) — SESSION TABLE (batch face of
+    * [[graft.streaming.Sessionize.sessionRows]]): one row per closed
+    * session `(user_id, session_start, session_end, n_events)` — the sink
+    * shape the streaming operator emits at watermark close, graded here
+    * relationally so the emit-row semantics are oracle-checked, not only
+    * spec-pinned (StatefulStreamingSpec separately proves the streaming
+    * fold equals this gaps-and-islands result on the same events). q46
+    * grades the session AGGREGATE face; this grades the row face.
+    */
+  val q145 = Q(
+    "q145_session_table",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val cume = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("prev", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum(col("new_sess")).over(cume))
+        .groupBy("user_id", "sid")
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("t0"), fmt).as("session_start"),
+          date_format(col("t1"), fmt).as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_id, ts::TIMESTAMP AS t,
+                     lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id) AS prev
+              FROM events),
+            s AS (
+              SELECT *, CASE WHEN prev IS NULL OR epoch_us(t) - epoch_us(prev) > 1800000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM e),
+            g AS (
+              SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM s)
+            SELECT user_id, strftime(min(t), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(t), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
+
   def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90, q103, q109,
-    q122, q129)
+    q122, q129, q145)
 }
