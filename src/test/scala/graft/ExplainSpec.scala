@@ -512,6 +512,47 @@ class ExplainSpec extends SparkSpec {
       s"q139 window specs $specs:\n${p139.take(2000)}")
   }
 
+  test("r9 rows: audit is one scan; diff is one key join; contamination collapses train first") {
+    // q141: every declared check rides ONE aggregation over ONE scan —
+    // exactly one FileScan of orders and one partial+final agg pair; the
+    // unpivot is a generator, never a per-check job or union of scans
+    val p141 = plan("q141_constraint_audit")
+    assert("Scan parquet".r.findAllIn(p141).size === 1, p141.take(2000))
+    assert(p141.contains("Generate") || p141.contains("explode"), p141.take(2000))
+    // q142: one join, keyed — no product; both snapshot derivations scan
+    // customer (the synthetic-new construction is 2 scans + the old side)
+    val p142 = plan("q142_snapshot_diff")
+    assert(!p142.contains("CartesianProduct"), p142.take(1500))
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p142).size === 1, p142.take(2000))
+    // q143: the train side collapses to a DISTINCT shingle set (an
+    // aggregation) BEFORE the left join probes it — the join must never
+    // carry duplicate train shingles (row-count fan-out)
+    val p143 = plan("q143_contamination_rate")
+    assert(!p143.contains("CartesianProduct"), p143.take(1500))
+    assert("HashAggregate".r.findAllIn(p143).size >= 4, p143.take(2000))
+    // q144: score matrix is a 1-row-class BROADCAST product (q100's
+    // shape); every window spec is the per-vec top-2 rank (an empty
+    // partition list would funnel the corpus through one task)
+    val p144 = plan("q144_cluster_quality")
+    assert(p144.contains("BroadcastExchange"), p144.take(2000))
+    val specs144 = "windowspecdefinition\\(\\w+#".r.findAllIn(p144).toSeq
+    assert(specs144.nonEmpty &&
+      specs144.forall(_.startsWith("windowspecdefinition(vec_id#")),
+      s"q144 window specs $specs144:\n${p144.take(2000)}")
+    // q145: one gaps-and-islands window chain partitioned by user_id —
+    // every window spec leads with the user partition column
+    val p145 = plan("q145_session_table")
+    val specs145 = "windowspecdefinition\\(\\w+#".r.findAllIn(p145).toSeq
+    assert(specs145.nonEmpty &&
+      specs145.forall(_.startsWith("windowspecdefinition(user_id#")),
+      s"q145 window specs $specs145:\n${p145.take(2000)}")
+    // q140: the merge's base read carries the touched-partition filter
+    // (PartitionFilters pin lives in IncrementalUpsertSpec — here only
+    // product-freedom of the final rollup)
+    assert(!plan("q140_incremental_upsert").contains("CartesianProduct"))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
