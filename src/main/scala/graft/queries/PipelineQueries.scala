@@ -1091,7 +1091,88 @@ object PipelineQueries {
             FROM c WHERE cum_tok * 2 <= lang_tok
             GROUP BY lang ORDER BY lang"""))
 
+  /** q146 (added r9) — CHUNK SCRUB + RECONSTRUCTION: the sub-document
+    * dedup step the C4/RefinedWeb lineage applies BEFORE doc-level dedup —
+    * where q87 REPORTS duplicated chunks, this REMOVES them and rebuilds
+    * the documents: every repeated 10-word chunk survives only at its
+    * first occurrence (min doc_id, then min position — two nested min
+    * aggregations, both skew-safe partial+final aggs, never a window over
+    * the hot chunk text), surviving chunks reassemble per doc in position
+    * order (`sort_array` over the group-bounded chunk list — q98's rule),
+    * and the audit row reports per-doc retention + rebuilt length. A doc
+    * whose every chunk is elsewhere-first keeps 0 (the LEFT join from the
+    * totals side makes that row explicit, not absent). Non-overlapping
+    * windows (vs q87's stride-6 detection windows) so the reconstruction
+    * is a partition of the original token stream.
+    */
+  val q146 = Q(
+    "q146_chunk_scrub",
+    (s, d) => {
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " +").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(0L),
+            ceil(col("n").cast("double") / 10.0).cast("long") - 1L)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          concat_ws(" ", slice(col("toks"),
+            (col("chunk_id") * 10 + 1).cast("int"), lit(10))).as("chunk_text"))
+      val firstDoc = ch.groupBy(col("chunk_text").as("ft"))
+        .agg(min(col("doc_id")).as("fdoc"))
+      val firstPos = ch
+        .join(firstDoc, col("chunk_text") === col("ft") && col("doc_id") === col("fdoc"))
+        .groupBy(col("ft").as("kt"), col("fdoc").as("kdoc"))
+        .agg(min(col("chunk_id")).as("kpos"))
+      val kept = ch.join(firstPos,
+        col("chunk_text") === col("kt") && col("doc_id") === col("kdoc") &&
+          col("chunk_id") === col("kpos"))
+      val tot = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val ka = kept.groupBy(col("doc_id").as("adoc"))
+        .agg(count(lit(1)).as("n_kept"),
+          length(array_join(
+            transform(sort_array(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+              x => x.getField("chunk_text")), " ")).cast("long").as("n_chars_kept"))
+      tot.join(ka, col("doc_id") === col("adoc"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_chunks"), 6)
+            .as("retention"),
+          coalesce(col("n_chars_kept"), lit(0L)).as("n_chars_kept"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (
+              SELECT doc_id, regexp_split_to_array(text, ' +') AS toks,
+                     len(regexp_split_to_array(text, ' +')) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(0, ceil(n / 10.0)::BIGINT - 1)) AS chunk_id
+              FROM t),
+            ch AS (
+              SELECT doc_id, chunk_id,
+                     array_to_string(toks[chunk_id*10 + 1 : chunk_id*10 + 10], ' ')
+                       AS chunk_text
+              FROM c),
+            fd AS (SELECT chunk_text AS ft, min(doc_id) AS fdoc
+                   FROM ch GROUP BY 1),
+            fp AS (SELECT ft, fdoc, min(chunk_id) AS fpos
+                   FROM ch JOIN fd ON ch.chunk_text = fd.ft AND ch.doc_id = fd.fdoc
+                   GROUP BY 1, 2),
+            k AS (SELECT ch.doc_id, ch.chunk_id, ch.chunk_text
+                  FROM ch JOIN fp ON ch.chunk_text = fp.ft
+                    AND ch.doc_id = fp.fdoc AND ch.chunk_id = fp.fpos),
+            tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1),
+            ka AS (SELECT doc_id, count(*) AS n_kept,
+                          len(string_agg(chunk_text, ' ' ORDER BY chunk_id)) AS n_chars_kept
+                   FROM k GROUP BY 1)
+            SELECT tot.doc_id, n_chunks,
+                   coalesce(n_kept, 0) AS n_kept,
+                   round(coalesce(n_kept, 0)::DOUBLE / n_chunks, 6) AS retention,
+                   coalesce(n_chars_kept, 0)::BIGINT AS n_chars_kept
+            FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+            ORDER BY tot.doc_id"""))
+
   def all: Seq[Q] = Seq(q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58,
     q72, q73, q78, q80, q81, q82, q85, q87, q88, q91, q92, q105, q107, q113,
-    q114, q127, q130, q132, q136, q138, q139)
+    q114, q127, q130, q132, q136, q138, q139, q146)
 }
