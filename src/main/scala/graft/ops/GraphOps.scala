@@ -60,10 +60,17 @@ object GraphOps {
                           maxIter: Int = 20, fallback: Boolean = true): DataFrame = {
     // materialize the (typically expensive) edge relation ONCE — without
     // this every round's join would recompute the upstream plan (for the
-    // dedup use case, the whole similarity join) from the scan
-    val und = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
-      .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
+    // dedup use case, the whole similarity join) from the scan. The
+    // DIRECTED edges checkpoint first (r9): the symmetrizing union
+    // references the input twice, so building `und` straight from `edges`
+    // would execute the upstream pair join twice before the checkpoint —
+    // measured ~0.7 s per graph query at sf0.1
+    val dir = edges
+      .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .localCheckpoint(true)
+    val und = dir.union(dir.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    unpersistLocalCheckpoint(dir)
     // seed with the 1-HOP minimum (min over self and direct neighbors) —
     // one aggregation on the already-materialized edge list, no join: the
     // first propagation round comes free, and a diameter-1 clique (the
@@ -251,12 +258,17 @@ object GraphOps {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters $iters")
+    // directed edges checkpoint BEFORE the symmetrizing union (r9): the
+    // union references its input twice, which would execute the upstream
+    // pair join twice (the connectedComponents lesson)
     val se = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+      .localCheckpoint(true)
     val sym = se.union(se.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    unpersistLocalCheckpoint(se)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     // out-degree rides the edge list ONCE — joining deg inside the loop
