@@ -41,10 +41,21 @@ object IncrementalUpsert {
 
   /** The pruned base read the merge joins against — exposed so the spec
     * can pin that the `isin` lands in the scan's PartitionFilters.
+    * Partition-column type inference is OFF for the read (the
+    * [[Compaction]] rule): inference canonicalizes partition VALUES
+    * (`month=01` reads as int 1 and would rewrite as a RENAMED `month=1`
+    * directory beside the original — a silently forked dataset); with it
+    * off, values round-trip verbatim.
     */
   def prunedBase(spark: SparkSession, path: String, partitionCol: String,
-                 touched: Seq[Any]): DataFrame =
-    spark.read.parquet(path).filter(col(partitionCol).isin(touched: _*))
+                 touched: Seq[Any]): DataFrame = {
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.get(confKey)
+    val df =
+      try { spark.conf.set(confKey, "false"); spark.read.parquet(path) }
+      finally spark.conf.set(confKey, saved)
+    df.filter(col(partitionCol).isin(touched: _*))
+  }
 
   /** Merge full-row `changes` (same schema as the snapshot; upsert-by-key,
     * change row replaces base row, unmatched change inserts) into the
@@ -55,6 +66,12 @@ object IncrementalUpsert {
                         partitionCol: String, keyCol: String): Seq[Any] = {
     val touched = changes.select(partitionCol).distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return Nil // no changes: zero partitions rewritten
+    // a null partition value cannot round-trip through the isin prune (it
+    // matches nothing), so the base's null partition would never be read
+    // and the merge would silently duplicate rather than upsert — reject
+    require(!touched.contains(null),
+      s"changes carry a NULL $partitionCol — the null partition cannot be " +
+        "incrementally merged; route those rows to an explicit default value")
     val base = prunedBase(spark, path, partitionCol, touched)
     val dataCols = base.columns.filterNot(_ == keyCol).toSeq
     val isChange = col(s"c.$keyCol").isNotNull

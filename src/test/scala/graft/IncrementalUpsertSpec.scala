@@ -67,6 +67,37 @@ class IncrementalUpsertSpec extends SparkSpec {
     assert(dirState(dir) === after)
   }
 
+  test("numeric-like partition values round-trip verbatim; null partition values are rejected") {
+    val s = spark
+    import s.implicits._
+    val dir = Scratch.ephemeral("graft_upsert_infer")
+    // month=01: type inference would read this as int 1 and rewrite a
+    // RENAMED month=1 directory beside the original (the Compaction bug
+    // class) — the merge must preserve the verbatim value
+    Seq((1L, "01", 10L), (2L, "01", 20L), (3L, "02", 30L))
+      .toDF("id", "month", "v")
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(dir)
+    val changes = Seq((2L, "01", 99L)).toDF("id", "month", "v")
+    val touched = sources.IncrementalUpsert.mergeIntoSnapshot(
+      spark, dir, changes, "month", "id")
+    assert(touched === Seq("01"))
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("month=")).toSeq.sorted
+    assert(dirs === Seq("month=01", "month=02"), s"partition dirs renamed: $dirs")
+    val got = spark.read.option("basePath", dir).parquet(dir)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 99L), (3L, 30L)))
+
+    // null partition value: loud rejection, not a silent duplicate-insert
+    val nullChange = Seq((9L, null.asInstanceOf[String], 1L)).toDF("id", "month", "v")
+    val e = intercept[IllegalArgumentException] {
+      sources.IncrementalUpsert.mergeIntoSnapshot(spark, dir, nullChange, "month", "id")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("the pruned base read carries the touched set as a partition filter") {
     val dir = Scratch.ephemeral("graft_upsert_prune")
     Tables.documents(spark, sf0001).select(cols.map(col): _*)
