@@ -505,6 +505,77 @@ object StreamingQueries {
                    count(*) AS n_events
             FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
+  /** q148 (added r9) — TIME-DECAYED FEATURE AGGREGATION: per user, event
+    * count and exponentially decayed value sum (half-life 1 day) anchored
+    * at the corpus's last event date — the feature-store primitive behind
+    * "recent activity" features. Engine-exactness trick: the decay base
+    * is 0.5 and ages are INTEGER days, so every weight is a power of two
+    * and `value · 2^-k` is an EXACT float operation (an exponent shift) —
+    * no cross-engine `exp()` ulp risk at all; the per-term ROUND(,6) +
+    * exact-decimal-sum protocol then makes the aggregation order-free.
+    * Plan: the anchor date is a 1-row broadcast (q85), then one
+    * partial+final agg over the scan.
+    */
+  val q148 = Q(
+    "q148_time_decay_features",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max(to_date(col("ts"))).as("d0"))
+      ev.crossJoin(broadcast(anchor))
+        .withColumn("w", round(col("value")
+          * pow(lit(0.5), datediff(col("d0"), to_date(col("ts")))), 6))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("w").cast("decimal(18,6)")).cast("double"), 6)
+            .as("decayed_value"))
+        .orderBy("user_id")
+    },
+    Some("""WITH a AS (SELECT max(ts::DATE) AS d0 FROM events),
+            w AS (SELECT user_id,
+                         round(value * power(0.5, date_diff('day', ts::DATE, d0)), 6) AS w
+                  FROM events CROSS JOIN a)
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(w::DECIMAL(18,6))::DOUBLE, 6) AS decayed_value
+            FROM w GROUP BY user_id ORDER BY user_id"""))
+
+  /** q149 (added r9) — RETENTION COHORTS: users grouped by first-active
+    * week, tracked across week offsets — the (cohort × offset →
+    * active-user count) matrix every product/engagement dashboard is
+    * built on, and for a training-data pipeline the freshness profile of
+    * its event sources. Week indexing is DAY-ARITHMETIC from the global
+    * min date (`floor(days/7)`), never `date_trunc('week')` — week-start
+    * conventions are an engine-portability trap the integer form
+    * sidesteps. Plan: one distinct (user, week) pass; first-week is a
+    * per-user min re-joined (both relations user-sized); output is
+    * cohort-count-sized.
+    */
+  val q149 = Q(
+    "q149_retention_cohorts",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val origin = ev.agg(min(to_date(col("ts"))).as("d0"))
+      val uw = ev.crossJoin(broadcast(origin))
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), col("d0")) / 7.0).cast("long").as("week_idx"))
+        .distinct()
+      val first = uw.groupBy(col("user_id").as("fu"))
+        .agg(min(col("week_idx")).as("cohort_week"))
+      uw.join(first, col("user_id") === col("fu"))
+        .groupBy(col("cohort_week"), (col("week_idx") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH o AS (SELECT min(ts::DATE) AS d0 FROM events),
+            uw AS (SELECT DISTINCT user_id,
+                          floor(date_diff('day', d0, ts::DATE) / 7.0)::BIGINT AS week_idx
+                   FROM events CROSS JOIN o),
+            f AS (SELECT user_id, min(week_idx) AS cohort_week
+                  FROM uw GROUP BY user_id)
+            SELECT f.cohort_week, uw.week_idx - f.cohort_week AS week_offset,
+                   count(DISTINCT uw.user_id) AS n_active_users
+            FROM uw JOIN f ON uw.user_id = f.user_id
+            GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   def all: Seq[Q] = Seq(q44, q45, q46, q47, q59, q70, q74, q90, q103, q109,
-    q122, q129, q145)
+    q122, q129, q145, q148, q149)
 }
