@@ -505,14 +505,28 @@ object StreamingQueries {
                    count(*) AS n_events
             FROM g GROUP BY user_id, sid ORDER BY user_id, session_start"""))
 
-  /** q148 (added r9) — TIME-DECAYED FEATURE AGGREGATION: per user, event
-    * count and exponentially decayed value sum (half-life 1 day) anchored
-    * at the corpus's last event date — the feature-store primitive behind
-    * "recent activity" features. Engine-exactness trick: the decay base
-    * is 0.5 and ages are INTEGER days, so every weight is a power of two
-    * and `value · 2^-k` is an EXACT float operation (an exponent shift) —
-    * no cross-engine `exp()` ulp risk at all; the per-term ROUND(,6) +
-    * exact-decimal-sum protocol then makes the aggregation order-free.
+  /** q148 (added r9, fixed r10) — TIME-DECAYED FEATURE AGGREGATION: per
+    * user, event count and exponentially decayed value sum (half-life
+    * 1 day) anchored at the corpus's last event date — the feature-store
+    * primitive behind "recent activity" features.
+    *
+    * Engine exactness (SURVEY §2.1 rule 8, the q86 protocol — 3rd
+    * appearance of the rounding-tie class): `round(value·2^-k, 6)` of a
+    * 2-dp value lands EXACTLY on a 6-dp decimal tie for every odd-cent
+    * value with k ≥ 5 (the true product has k+2 decimal digits), and at
+    * true ties Spark's exact-binary HALF_UP disagrees with DuckDB's
+    * float `·1e6 → std::round` per row (172/10000 terms at sf0.01). So
+    * the per-term round is done in EXACT INTEGER arithmetic in both
+    * engines: cents = round(value·100) :: BIGINT is exact (value is
+    * 2-dp; float noise ≤ 4e-12 cents, verified on sf0.1), then the
+    * half-up 6-dp weight in micro-units is
+    *   w_micro = (2·cents·10^4 + 2^k) div 2^(k+1)
+    * with k capped at 40 (for k ≥ 30 the weight is already 0 for any
+    * value < 549755, so the cap changes nothing; it bounds the shift so
+    * int64 never overflows: 2·cents·10^4 + 2^40 < 2^42). The exact
+    * integer micro-sums then cast to double (< 2^53, lossless) and one
+    * final /10^6 + round(,6) recovers the 6-dp decimal identically in
+    * both engines (the true value IS a 6-dp decimal, so no new ties).
     * Plan: the anchor date is a 1-row broadcast (q85), then one
     * partial+final agg over the scan.
     */
@@ -522,20 +536,27 @@ object StreamingQueries {
       val ev = Tables.events(s, d)
       val anchor = ev.agg(max(to_date(col("ts"))).as("d0"))
       ev.crossJoin(broadcast(anchor))
-        .withColumn("w", round(col("value")
-          * pow(lit(0.5), datediff(col("d0"), to_date(col("ts")))), 6))
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+        .withColumn("k",
+          least(datediff(col("d0"), to_date(col("ts"))), lit(40)).cast("int"))
+        .withColumn("w_micro",
+          expr("(2L * cents * 10000L + shiftleft(1L, k)) div shiftleft(1L, k + 1)"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("w").cast("decimal(18,6)")).cast("double"), 6)
+          round(sum(col("w_micro").cast("decimal(28,0)")).cast("double") / 1e6, 6)
             .as("decayed_value"))
         .orderBy("user_id")
     },
     Some("""WITH a AS (SELECT max(ts::DATE) AS d0 FROM events),
+            t AS (SELECT user_id,
+                         CAST(round(value * 100) AS BIGINT) AS cents,
+                         least(date_diff('day', ts::DATE, d0), 40) AS k
+                  FROM events CROSS JOIN a),
             w AS (SELECT user_id,
-                         round(value * power(0.5, date_diff('day', ts::DATE, d0)), 6) AS w
-                  FROM events CROSS JOIN a)
+                         (2 * cents * 10000 + (1::BIGINT << k)) // (1::BIGINT << (k + 1)) AS w_micro
+                  FROM t)
             SELECT user_id, count(*) AS n_events,
-                   round(sum(w::DECIMAL(18,6))::DOUBLE, 6) AS decayed_value
+                   round(sum(w_micro)::DOUBLE / 1000000, 6) AS decayed_value
             FROM w GROUP BY user_id ORDER BY user_id"""))
 
   /** q149 (added r9) — RETENTION COHORTS: users grouped by first-active
