@@ -51,10 +51,19 @@ object Bench {
     // first-touch EVERY table graded queries read (scans only — no graded
     // query logic runs here); `events` goes through Tables.events so the
     // nanos-timestamp read path is exercised too (r5 ADVICE)
+    // Warm-up must be failure-tolerant (r10 lesson: a broken events loader
+    // here killed the whole bench before a single query was timed — zero
+    // numbers instead of 18 per-query FAILED lines). Warn and continue; the
+    // per-query try/catch below charges any real failure its 999 s penalty.
+    def warm(name: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warm-up $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).count())
-    Tables.events(spark, sfDir).count()
+      .foreach(t => warm(t)(Tables.load(spark, sfDir, t).count()))
+    warm("events")(Tables.events(spark, sfDir).count())
     var failed = 0
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {

@@ -904,48 +904,42 @@ object SimilarityQueries {
       ORDER BY b.cid
     """.stripMargin.trim))
 
-  /** q147 (added r9) — SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo
-    * 1995): the third candidate-generation strategy in the library's ER
-    * toolbox — q67 blocks on an EQUALITY key (brand), q39 on shared
-    * n-grams; sorted-neighborhood sorts on the fuzzy key itself and pairs
-    * each record with its `w = 2` successors, catching near-matches that
-    * share no block key (typo in the brand) at O(n·w) candidates instead
-    * of O(n²). Verification is the q67 Jaro-Winkler (≥ 0.9), whose engine
-    * parity q67 already proves. Windows partition by the first letter of
-    * the sort key — the graded stand-in for the 100 TB form, a
-    * `repartitionByRange` on the key with per-partition neighborhoods
-    * (plus w-row boundary overlap), which keeps the sort distributed and
-    * the window state O(w).
+  /** q147 (added r9, rewired r11) — SORTED-NEIGHBORHOOD blocking
+    * (Hernández & Stolfo 1995): the third candidate-generation strategy in
+    * the library's ER toolbox — q67 blocks on an EQUALITY key (brand), q39
+    * on shared n-grams; sorted-neighborhood sorts on the fuzzy key itself
+    * and pairs each record with its `w = 2` successors in the GLOBAL sort
+    * order, catching near-matches that share no block key (typo in the
+    * brand) at O(n·w) candidates instead of O(n²). Verification is the q67
+    * Jaro-Winkler (≥ 0.9), whose engine parity q67 already proves.
+    *
+    * Candidates come from [[graft.ops.SortedNeighborhood]] — a
+    * `repartitionByRange` total sort with broadcast boundary-head overlap,
+    * so the neighborhood semantics are the single-ORDER-BY window the
+    * oracle spells (no dropped cross-boundary pairs) at cluster-wide
+    * parallelism. r9's graded stand-in partitioned by first letter: a
+    * 26-way parallelism ceiling that also missed letter-boundary pairs.
     */
   val q147 = Q(
     "q147_sorted_neighborhood",
     (s, d) => {
       graft.functions.StringExprs.register(s)
       import graft.functions.StringExprs.jaroWinkler
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("blk").orderBy(col("name"), col("key"))
-      val led = Tables.part(s, d)
-        .select(col("p_partkey").as("key"), col("p_name").as("name"),
-          substring(col("p_name"), 1, 1).as("blk"))
-        .withColumn("k1", lead(col("key"), 1).over(w))
-        .withColumn("n1", lead(col("name"), 1).over(w))
-        .withColumn("k2", lead(col("key"), 2).over(w))
-        .withColumn("n2", lead(col("name"), 2).over(w))
-      val p1 = led.filter(col("k1").isNotNull)
-        .select(col("key").as("a_key"), col("k1").as("b_key"),
-          round(jaroWinkler(col("name"), col("n1")), 6).as("jw"))
-      val p2 = led.filter(col("k2").isNotNull)
-        .select(col("key").as("a_key"), col("k2").as("b_key"),
-          round(jaroWinkler(col("name"), col("n2")), 6).as("jw"))
-      p1.union(p2).filter(col("jw") >= 0.9).orderBy("a_key", "b_key")
+      val base = Tables.part(s, d)
+        .select(col("p_partkey").as("key"), col("p_name").as("name"))
+      graft.ops.SortedNeighborhood
+        .pairs(base, Seq("name", "key"), w = 2,
+          parts = s.sparkContext.defaultParallelism)
+        .select(col("a_key"), col("b_key"),
+          round(jaroWinkler(col("a_name"), col("b_name")), 6).as("jw"))
+        .filter(col("jw") >= 0.9).orderBy("a_key", "b_key")
     },
     Some("""WITH s AS (
               SELECT p_partkey AS key, p_name AS name,
                      lead(p_partkey, 1) OVER w AS k1, lead(p_name, 1) OVER w AS n1,
                      lead(p_partkey, 2) OVER w AS k2, lead(p_name, 2) OVER w AS n2
               FROM part
-              WINDOW w AS (PARTITION BY substr(p_name, 1, 1)
-                           ORDER BY p_name, p_partkey)),
+              WINDOW w AS (ORDER BY p_name, p_partkey)),
             p AS (
               SELECT key AS a_key, k1 AS b_key,
                      ROUND(jaro_winkler_similarity(name, n1), 6) AS jw

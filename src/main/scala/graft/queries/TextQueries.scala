@@ -480,6 +480,44 @@ object TextQueries {
             SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
             FROM final GROUP BY lang ORDER BY lang"""))
 
+  /** q150 (added r11) — ATOMIC MULTI-PARTITION COMMIT: the manifest-based
+    * two-phase publish [[graft.sources.AtomicCommit]] that closes the
+    * crash window q140's dynamic-partition-overwrite commit documents (a
+    * crash mid-commit there can expose a half-refreshed snapshot; here
+    * the snapshot flips in ONE manifest rename — staged-but-unpublished
+    * data is invisible, pinned in AtomicCommitSpec). Commit 1 publishes a
+    * base snapshot partitioned by lang; commit 2 REPLACES the `de`
+    * partition wholesale (the replace-partitions semantic); vacuum drops
+    * the superseded generation; the graded rollup reads the final
+    * snapshot through the manifest. The oracle reconstructs the same
+    * replace relationally: de ← changes only, every other lang ← base.
+    */
+  val q150 = Q(
+    "q150_atomic_commit",
+    (s, d) => {
+      val dir = graft.Scratch.perJvm("graft_q150_table")
+      val docs = Tables.documents(s, d)
+      graft.sources.AtomicCommit.commitReplacePartitions(
+        s, dir, docs.filter(col("doc_id") % 3 =!= 0), "lang")
+      graft.sources.AtomicCommit.commitReplacePartitions(
+        s, dir, docs.filter(col("lang") === "de" && col("doc_id") % 3 === 0), "lang")
+      // superseded generations (and prior Bench-rerun snapshots) drop here;
+      // the read below must survive on the current manifest alone
+      graft.sources.AtomicCommit.vacuum(dir)
+      graft.sources.AtomicCommit.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+    Some("""WITH final AS (
+              SELECT lang, n_chars FROM documents
+              WHERE lang = 'de' AND doc_id % 3 = 0
+              UNION ALL
+              SELECT lang, n_chars FROM documents
+              WHERE lang <> 'de' AND doc_id % 3 <> 0)
+            SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM final GROUP BY lang ORDER BY lang"""))
+
   /** q86 (added r8) — UNIGRAM LM surprisal scoring: train a unigram
     * language model on the corpus (token → −log₂ p, p = corpus-frequency /
     * total) and score every document by its mean per-token surprisal in
@@ -1057,5 +1095,5 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q35, q38, q42, q68, q69,
     q76, q77, q79, q86, q89, q95, q99, q104, q106, q110, q115, q118, q119,
-    q121, q137, q140, q143)
+    q121, q137, q140, q143, q150)
 }

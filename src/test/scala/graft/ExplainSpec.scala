@@ -553,6 +553,38 @@ class ExplainSpec extends SparkSpec {
     assert(!plan("q140_incremental_upsert").contains("CartesianProduct"))
   }
 
+  test("r11 rows: q146-q149 plan shapes (scrub join, RDD neighborhood, 1-row anchors)") {
+    // q146: scrub+reconstruct is ONE keyed broadcast join between the
+    // per-doc chunk count and the kept-chunk rollup — no product, and the
+    // rollups are real partial+final pairs, never a window over all chunks
+    val p146 = plan("q146_chunk_scrub")
+    assert(!p146.contains("CartesianProduct"), p146.take(1500))
+    assert(p146.contains("BroadcastHashJoin"), p146.take(2000))
+    assert(!p146.contains("Window"), p146.take(2000))
+    // q147 (rewired r11): candidate generation is ops.SortedNeighborhood —
+    // a range-partitioned RDD sweep, NOT a window. A "Window" here means a
+    // refactor reverted to the single-partition (or 26-way first-letter)
+    // form; the verification filter and native JW must sit above the scan
+    val p147 = plan("q147_sorted_neighborhood")
+    assert(!p147.contains("Window"), p147.take(2000))
+    assert(p147.contains("Scan ExistingRDD"), p147.take(2000))
+    assert(p147.contains("graft_jaro_winkler"), p147.take(2000))
+    // q148: the decay anchor (global max date) is a 1-ROW IdentityBroadcast
+    // cross — the only acceptable BNLJ shape — and the per-user rollup is a
+    // partial+final agg pair; no window over the event stream
+    val p148 = plan("q148_time_decay_features")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p148).size === 1, p148.take(2000))
+    assert(p148.contains("IdentityBroadcastMode"), p148.take(2000))
+    assert(!p148.contains("Window"), p148.take(2000))
+    assert("HashAggregate".r.findAllIn(p148).size >= 4, p148.take(2000))
+    // q149: first-week re-join is KEYED on user (hash/broadcast, no
+    // product); the only BNLJ is the 1-row min-date anchor
+    val p149 = plan("q149_retention_cohorts")
+    assert(!p149.contains("CartesianProduct"), p149.take(1500))
+    assert(p149.contains("BroadcastHashJoin"), p149.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p149).size <= 2, p149.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** File-source runtime behavior the MemoryStream specs cannot see: the
+  * offset log. A restarted query with the same checkpoint must resume
+  * AFTER everything already committed — re-delivering none of it, and
+  * picking up files that arrived while it was down. This is the
+  * exactly-once contract every production file-fed pipeline (and the
+  * driver's own per-round reruns) rides on.
+  */
+class FileStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parquet file source + checkpoint: restart resumes from the offset log") {
+    val in = Files.createTempDirectory("graft_fs_in").toString
+    val out = Files.createTempDirectory("graft_fs_out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("graft_fs_ckpt").toString
+
+    def land(ids: Range, tag: String): Unit =
+      ids.map(i => (i.toLong, s"doc$i")).toDF("id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, text STRING")
+        .parquet(in)
+        .withColumn("n_chars", length(col("text")))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      q.exception.foreach(throw _)
+    }
+
+    land(0 until 100, "batch0")
+    runOnce()
+    val afterFirst = spark.read.parquet(out).count()
+    assert(afterFirst === 100L)
+
+    // query down; late files land
+    land(100 until 150, "batch1")
+    runOnce() // SAME checkpoint — must process ONLY the 50 new rows
+    val sink = spark.read.parquet(out)
+    assert(sink.count() === 150L, "restart re-delivered or dropped rows")
+    // exactly-once per id, and the transform ran on the late batch too
+    assert(sink.select("id").distinct().count() === 150L)
+    assert(sink.filter(col("id") === 120 && col("n_chars") === lit("doc120".length)).count() === 1L)
+
+    // the offset log is the mechanism — it must hold one entry per run
+    val offsets = Paths.get(ckpt, "offsets").toFile.listFiles
+    assert(offsets != null && offsets.length >= 2,
+      s"expected >=2 offset-log entries, found ${Option(offsets).map(_.length)}")
+
+    // a THIRD run with no new files commits nothing new
+    runOnce()
+    assert(spark.read.parquet(out).count() === 150L)
+  }
+}
