@@ -135,7 +135,43 @@ def main(sf_dir, out_dir):
             bad += 1
         print(f"[{flag}] {k}: {v}")
     print(f"\n{len(results) - bad}/{len(results)} pass")
+    write_report(sf_dir, results)
     sys.exit(1 if bad else 0)
+
+
+def src_fingerprint(repo):
+    """SHA-256 over every src/main .scala file (sorted relative path +
+    contents). ParityEvidenceSpec recomputes this: parity evidence is only
+    valid for the EXACT main-source tree it was produced from, which is the
+    mechanical form of the r9 rule 'a query may not ship unless its parity
+    evidence postdates its code'."""
+    h = hashlib.sha256()
+    base = os.path.join(repo, "src", "main", "scala")
+    for root, _, files in sorted(os.walk(base)):
+        for f in sorted(files):
+            if f.endswith(".scala"):
+                p = os.path.join(root, f)
+                h.update(os.path.relpath(p, base).encode())
+                h.update(b"\0")
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+                h.update(b"\0")
+    return h.hexdigest()
+
+
+def write_report(sf_dir, results):
+    import datetime
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    report = {
+        "sf": os.path.abspath(sf_dir),
+        "when": datetime.datetime.now(datetime.timezone.utc).isoformat(),
+        "src_sha256": src_fingerprint(repo),
+        "results": results,
+    }
+    out = os.path.join(repo, "parity_report.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    print(f"[report] {out}")
 
 
 if __name__ == "__main__":
