@@ -62,4 +62,38 @@ class FileStreamSpec extends SparkSpec {
     runOnce()
     assert(spark.read.parquet(out).count() === 150L)
   }
+
+  test("StreamDedup state survives a restart: a duplicate of a pre-restart doc is dropped") {
+    val in = Files.createTempDirectory("graft_fsd_in").toString
+    val out = Files.createTempDirectory("graft_fsd_out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("graft_fsd_ckpt").toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    def land(rows: Seq[(java.sql.Timestamp, String)]): Unit =
+      rows.toDF("ts", "text").coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val deduped = graft.streaming.StreamDedup.dedupWithinWatermark(
+        spark.readStream.schema("ts TIMESTAMP, text STRING").parquet(in),
+        "ts", "text", "1 hour")
+      val q = deduped.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      q.exception.foreach(throw _)
+    }
+    // run 1: A, B, dup-of-A within the horizon → A and B emit once
+    land(Seq((ts(0), "doc alpha"), (ts(1), "doc beta"), (ts(2), "doc alpha")))
+    runOnce()
+    assert(spark.read.parquet(out).select("text").as[String].collect().sorted
+      === Array("doc alpha", "doc beta"))
+    // query down; a dup of B and a brand-new C land. The dedup STATE (B's
+    // fingerprint) lives only in the checkpoint's state store — if restart
+    // lost it, "doc beta" would re-emit
+    land(Seq((ts(3), "doc beta"), (ts(4), "doc gamma")))
+    runOnce()
+    assert(spark.read.parquet(out).select("text").as[String].collect().sorted
+      === Array("doc alpha", "doc beta", "doc gamma"),
+      "restart lost (or re-delivered) dropDuplicatesWithinWatermark state")
+  }
 }
