@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -11,92 +11,132 @@ import org.apache.spark.sql.functions._
   * multi-partition publish [[IncrementalUpsert]] and [[Compaction]]
   * document as their open crash window. Their dynamic-partition-overwrite
   * commit replaces touched partitions one rename at a time, so a crash
-  * mid-commit exposes a half-refreshed snapshot. Here the snapshot IS the
-  * manifest, and the manifest flips in ONE atomic rename:
+  * mid-commit exposes a half-refreshed snapshot. Here the snapshot IS a
+  * manifest, and a commit is ONE atomic filesystem operation:
   *
   *   - Data layout: every commit writes its rows (partitioned by the
   *     table's partition column) under a fresh generation directory
-  *     `root/g<version>_<uuid>/<col>=<value>/…`. Existing generations are
-  *     IMMUTABLE — a writer never touches a directory a reader could hold.
-  *   - The manifest `root/_graft_manifest.json` maps each live partition
-  *     VALUE to the generation directory that owns it. Readers resolve the
-  *     manifest once (driver-side, O(#partitions) — the same metadata
-  *     scale as a table format's snapshot file) and scan only owned dirs.
-  *   - Publish = write `_graft_manifest.tmp_<uuid>`, fsync, then
-  *     `Files.move(..., ATOMIC_MOVE)` onto the manifest path. A crash
-  *     BEFORE the move leaves the old snapshot fully intact (staged data
-  *     is invisible — no reader follows unreferenced directories); a crash
-  *     AFTER the move is a completed commit. There is no in-between, which
-  *     is exactly the property the per-partition rename commit lacks.
+  *     `root/g…_<uuid>/<col>=<value>/…`. Generations are IMMUTABLE — a
+  *     writer never touches a directory a reader could hold.
+  *   - The snapshot at version N is `root/_graft_manifest.v<N>.json`,
+  *     mapping each live partition VALUE to the generation directory that
+  *     owns it. Readers resolve the HIGHEST version present (driver-side,
+  *     O(#partitions) — the same metadata scale as a table format's
+  *     snapshot file) and scan only owned dirs.
+  *   - Publish = write the full manifest body to a temp file, then
+  *     `Files.createLink(v<N+1>, tmp)` — hard-link creation is POSIX-
+  *     atomic AND fails with EEXIST if version N+1 already exists. That
+  *     is a true compare-and-swap: of two racing writers exactly ONE wins
+  *     the version; the loser re-reads the new current manifest, re-merges
+  *     its (already-written, still-invisible) generation, and retries at
+  *     N+2. This is the optimistic-concurrency commit protocol of the
+  *     table formats (Iceberg's metadata swap), on plain-parquet
+  *     primitives. A crash BEFORE the link leaves the old snapshot fully
+  *     intact (unreferenced directories are invisible); a crash AFTER is a
+  *     completed commit. No in-between exists.
   *   - Superseded generations stay on disk (snapshot-isolated readers may
   *     still be scanning them) until [[vacuum]] drops directories the
-  *     current manifest no longer references.
+  *     current manifest no longer references, along with stale manifest
+  *     versions and orphaned temp files.
   *
-  * Scope honesty: ATOMIC_MOVE is a POSIX/HDFS primitive; object stores
-  * need a catalog/conditional-put swap instead (Iceberg's metadata
-  * pointer). Concurrency is single-writer (last rename wins) — optimistic
-  * version-check-and-retry needs a compare-and-swap the plain filesystem
-  * API doesn't offer. Both are the standard table-format trade, stated
-  * rather than hidden.
+  * Scope honesty: hard-link CAS is a POSIX/HDFS-family primitive; object
+  * stores need a conditional put or a catalog. Concurrent REPLACES of the
+  * SAME partition serialize by version order (last committed version owns
+  * it) — partition-level conflict *detection* (abort instead of overwrite)
+  * would add a read-set check per retry, the standard serializable-
+  * isolation upgrade, not done here.
   */
 object AtomicCommit {
 
-  private val ManifestName = "_graft_manifest.json"
+  private val ManifestPrefix = "_graft_manifest.v"
+  private val ManifestSuffix = ".json"
+  /** CAS losers retry against the refreshed manifest; the bound only guards
+    * against a livelocking pathological writer storm. */
+  val MaxPublishRetries = 64
 
   final case class Manifest(version: Long, partitionCol: String,
                             entries: Map[String, String])
 
-  /** Two-phase commit: stage `df` as a new generation, then atomically
-    * publish a manifest where the partitions PRESENT IN `df` point at the
-    * new generation and all others keep their current owner (the
+  /** A written-but-unpublished generation: the phase-1 output. Invisible
+    * to every reader until [[publish]] links a manifest referencing it.
+    */
+  final case class Staged(gen: String, partitionCol: String,
+                          partitions: Seq[String])
+
+  final class VersionConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Two-phase commit: stage `df` as a new generation, then CAS-publish a
+    * manifest where the partitions PRESENT IN `df` point at the new
+    * generation and all others keep their current owner (the
     * replace-partitions semantic of dynamic overwrite, made atomic).
     * Returns the published version.
     */
   def commitReplacePartitions(spark: SparkSession, root: String,
-                              df: DataFrame, partitionCol: String): Long = {
-    val staged = stage(spark, root, df, partitionCol)
-    publish(root, staged)
-  }
+                              df: DataFrame, partitionCol: String): Long =
+    publish(root, stage(spark, root, df, partitionCol))
 
   /** Phase 1 (exposed for the crash-window spec): write the generation
-    * directory and return the manifest that WOULD be published. No reader
-    * can observe anything until [[publish]] renames the manifest.
+    * directory. No manifest is touched; a crash after this leaves only an
+    * unreferenced directory for [[vacuum]].
     */
   def stage(spark: SparkSession, root: String, df: DataFrame,
-            partitionCol: String): Manifest = {
+            partitionCol: String): Staged = {
     val prev = readManifest(root)
     require(prev.forall(_.partitionCol == partitionCol),
       s"table at $root is partitioned by ${prev.get.partitionCol}, not $partitionCol")
-    val version = prev.map(_.version + 1).getOrElse(1L)
-    val gen = f"g$version%05d_${java.util.UUID.randomUUID.toString.take(8)}"
+    Files.createDirectories(Paths.get(root))
+    val gen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
     df.repartition(col(partitionCol)) // one writing task per partition dir
       .write.mode("error").partitionBy(partitionCol)
       .parquet(s"$root/$gen")
-    // partition values actually written = the gen dir's <col>=<v> children
-    val written = partitionDirs(Paths.get(root, gen), partitionCol)
-    val merged = prev.map(_.entries).getOrElse(Map.empty) ++
-      written.map(_ -> gen).toMap
-    Manifest(version, partitionCol, merged)
+    Staged(gen, partitionCol, partitionDirs(Paths.get(root, gen), partitionCol))
   }
 
-  /** Phase 2: one atomic rename makes `m` the snapshot. */
-  def publish(root: String, m: Manifest): Long = {
-    val tmp = Paths.get(root,
-      s"_graft_manifest.tmp_${java.util.UUID.randomUUID.toString.take(8)}")
-    Files.write(tmp, renderJson(m).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(root, ManifestName),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    m.version
+  /** Phase 2: optimistic-concurrency publish. Merges `staged` over the
+    * CURRENT manifest and attempts the hard-link CAS at version+1; on a
+    * lost race, re-reads and retries (the staged generation directory
+    * never needs rewriting). Throws [[VersionConflictException]] only
+    * past [[MaxPublishRetries]] consecutive lost races.
+    */
+  def publish(root: String, staged: Staged): Long = {
+    var attempt = 0
+    while (attempt < MaxPublishRetries) {
+      val prev = readManifest(root)
+      require(prev.forall(_.partitionCol == staged.partitionCol),
+        s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
+      val next = Manifest(
+        prev.map(_.version + 1).getOrElse(1L),
+        staged.partitionCol,
+        prev.map(_.entries).getOrElse(Map.empty) ++
+          staged.partitions.map(_ -> staged.gen).toMap)
+      val tmp = Paths.get(root,
+        s"_graft_manifest.tmp_${java.util.UUID.randomUUID.toString.take(8)}")
+      Files.write(tmp, renderJson(next).getBytes(StandardCharsets.UTF_8))
+      try {
+        // hard-link = atomic create-if-absent of a FULLY-WRITTEN manifest:
+        // readers can never observe a partial body, and EEXIST is the CAS
+        // failure signal
+        Files.createLink(manifestPath(root, next.version), tmp)
+        Files.delete(tmp)
+        return next.version
+      } catch {
+        case _: FileAlreadyExistsException =>
+          Files.delete(tmp) // lost the race — refresh and retry
+          attempt += 1
+      }
+    }
+    throw new VersionConflictException(
+      s"lost the manifest CAS $MaxPublishRetries times at $root — writer storm?")
   }
 
-  /** Snapshot read: resolve the manifest once, scan only owned partition
-    * directories. Each generation is read with its own basePath so the
-    * partition column survives; per-partition DataFrames union by name
-    * (all generations share the table schema).
+  /** Snapshot read: resolve the highest-version manifest once, scan only
+    * owned partition directories. Each generation is read with its own
+    * basePath so the partition column survives; per-partition DataFrames
+    * union by name (all generations share the table schema).
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = readManifest(root).getOrElse(
-      sys.error(s"no $ManifestName at $root — not an AtomicCommit table"))
+      sys.error(s"no ${ManifestPrefix}N$ManifestSuffix at $root — not an AtomicCommit table"))
     // group by generation: one multi-path read per generation, not per
     // partition (driver work and file-listing stay O(#generations))
     val byGen = m.entries.groupBy(_._2).toSeq.sortBy(_._1)
@@ -107,8 +147,9 @@ object AtomicCommit {
     }.reduce(_.unionByName(_))
   }
 
-  /** Drop generation directories the current manifest no longer
-    * references. Returns the deleted directory names. Safe against
+  /** Drop generation directories the CURRENT manifest no longer
+    * references, manifest versions older than it, and orphaned temp
+    * files. Returns the deleted generation-directory names. Safe against
     * readers only after their snapshots age out — the caller picks the
     * retention moment, exactly as table-format vacuums do.
     */
@@ -116,18 +157,40 @@ object AtomicCommit {
     val m = readManifest(root).getOrElse(return Nil)
     val live = m.entries.values.toSet
     val rootPath = Paths.get(root)
-    val doomed = Option(rootPath.toFile.listFiles).getOrElse(Array.empty)
+    val children = Option(rootPath.toFile.listFiles).getOrElse(Array.empty)
+    val doomed = children
       .filter(f => f.isDirectory && f.getName.startsWith("g") && !live(f.getName))
       .map(_.getName).toSeq.sorted
     doomed.foreach(d => deleteRecursively(rootPath.resolve(d)))
+    children.filter { f =>
+      val n = f.getName
+      (n.startsWith(ManifestPrefix) && n.endsWith(ManifestSuffix) &&
+        versionOf(n).exists(_ < m.version)) ||
+        n.startsWith("_graft_manifest.tmp_")
+    }.foreach(f => Files.deleteIfExists(f.toPath))
     doomed
   }
 
-  def readManifest(root: String): Option[Manifest] = {
-    val p = Paths.get(root, ManifestName)
-    if (!Files.exists(p)) None
-    else Some(parseJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  def readManifest(root: String): Option[Manifest] =
+    currentVersion(root).map { v =>
+      parseJson(new String(Files.readAllBytes(manifestPath(root, v)),
+        StandardCharsets.UTF_8))
+    }
+
+  def currentVersion(root: String): Option[Long] = {
+    val files = Option(Paths.get(root).toFile.listFiles).getOrElse(Array.empty)
+    val vs = files.flatMap(f => versionOf(f.getName))
+    if (vs.isEmpty) None else Some(vs.max)
   }
+
+  private def manifestPath(root: String, version: Long): Path =
+    Paths.get(root, f"$ManifestPrefix$version%08d$ManifestSuffix")
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith(ManifestPrefix) && name.endsWith(ManifestSuffix))
+      name.stripPrefix(ManifestPrefix).stripSuffix(ManifestSuffix)
+        .toLongOption
+    else None
 
   private def partitionDirs(gen: Path, partitionCol: String): Seq[String] = {
     val prefix = s"$partitionCol="
