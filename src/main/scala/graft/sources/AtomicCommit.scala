@@ -147,6 +147,28 @@ object AtomicCommit {
     }.reduce(_.unionByName(_))
   }
 
+  /** Manifest-level partition-pruned read: scan ONLY the generation
+    * directories owning the requested partition values. Stronger than scan
+    * PartitionFilters — untouched partition directories are never even
+    * LISTED, so an incremental consumer's read cost is O(touched), not
+    * O(table files). Values absent from the manifest are simply not read
+    * (an upsert's brand-new partitions have no base rows by definition).
+    */
+  def readPartitions(spark: SparkSession, root: String,
+                     values: Seq[String]): Option[DataFrame] = {
+    val m = readManifest(root).getOrElse(
+      sys.error(s"no ${ManifestPrefix}N$ManifestSuffix at $root — not an AtomicCommit table"))
+    val want = values.toSet
+    val owned = m.entries.filter { case (v, _) => want(v) }
+    if (owned.isEmpty) return None
+    val byGen = owned.groupBy(_._2).toSeq.sortBy(_._1)
+    Some(byGen.map { case (gen, parts) =>
+      val base = s"$root/$gen"
+      val paths = parts.keys.toSeq.sorted.map(v => s"$base/${m.partitionCol}=$v")
+      spark.read.option("basePath", base).parquet(paths: _*)
+    }.reduce(_.unionByName(_)))
+  }
+
   /** Drop generation directories the CURRENT manifest no longer
     * references, manifest versions older than it, and orphaned temp
     * files. Returns the deleted generation-directory names. Safe against

@@ -100,4 +100,50 @@ object IncrementalUpsert {
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
       finally s.close()
     }
+
+  /** [[mergeIntoSnapshot]]'s semantics on an [[AtomicCommit]] table — the
+    * two documented gaps of the plain-parquet form closed at once:
+    *
+    *  - READ side: the base is resolved through the manifest with
+    *    [[AtomicCommit.readPartitions]], so untouched partitions are never
+    *    even LISTED (manifest-level pruning, one step past the `isin`
+    *    PartitionFilters of [[prunedBase]]).
+    *  - WRITE side: the merged partitions stage as an immutable generation
+    *    and publish via the hard-link CAS — a crash anywhere before the
+    *    manifest link leaves the old snapshot fully intact, where the
+    *    dynamic-overwrite commit could crash half-refreshed; a racing
+    *    writer on DIFFERENT partitions serializes through the version
+    *    CAS without being clobbered.
+    *
+    * String partition values only (the manifest keys partitions by their
+    * directory-encoded value; a non-string column would need the same
+    * value-encoding discipline [[Compaction]] documents for type
+    * inference). Returns the touched partition values.
+    */
+  def mergeIntoAtomicSnapshot(spark: SparkSession, root: String,
+                              changes: DataFrame, partitionCol: String,
+                              keyCol: String): Seq[String] = {
+    require(changes.schema(partitionCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"$partitionCol must be STRING — manifest entries key partitions by " +
+        "their directory-encoded value (see scaladoc)")
+    val touched = changes.select(partitionCol).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (touched.isEmpty) return Nil
+    require(!touched.contains(null),
+      s"changes carry a NULL $partitionCol — route those rows to an explicit value")
+    val touchedS = touched.map(_.toString)
+    val merged = AtomicCommit.readPartitions(spark, root, touchedS) match {
+      case None => changes // all-new partitions: nothing to merge against
+      case Some(base) =>
+        val dataCols = base.columns.filterNot(_ == keyCol).toSeq
+        val isChange = col(s"c.$keyCol").isNotNull
+        base.alias("b")
+          .join(changes.alias("c"), col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+          .select((keyCol +: dataCols).map(c =>
+            when(isChange, col(s"c.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+    }
+    AtomicCommit.commitReplacePartitions(spark, root, merged, partitionCol)
+    touchedS
+  }
 }

@@ -109,4 +109,40 @@ class IncrementalUpsertSpec extends SparkSpec {
     // post-scan data filter over all partitions
     assert("PartitionFilters: \\[[^\\]]*lang[^\\]]*".r.findFirstIn(p).nonEmpty, p)
   }
+
+  test("mergeIntoAtomicSnapshot: pruned merge + atomic publish, untouched generation untouched") {
+    import spark.implicits._
+    import graft.sources.AtomicCommit
+    val root = Files.createTempDirectory("graft_upsert_ac").toString
+    val base = Seq(
+      (1L, "alpha", "de", "web", 10L), (2L, "beta", "de", "web", 20L),
+      (3L, "gamma", "fr", "web", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    AtomicCommit.commitReplacePartitions(spark, root, base, "lang")
+    val frGenBefore = AtomicCommit.readManifest(root).get.entries("fr")
+    // update doc 2, insert doc 9 — touches ONLY lang=de
+    val changes = Seq(
+      (2L, "beta2", "de", "web", 21L), (9L, "new", "de", "ingest", 42L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val touched = IncrementalUpsert.mergeIntoAtomicSnapshot(
+      spark, root, changes, "lang", "doc_id")
+    assert(touched === Seq("de"))
+    val after = AtomicCommit.read(spark, root)
+      .select("doc_id", "text", "n_chars").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    assert(after === Array(
+      (1L, "alpha", 10L), (2L, "beta2", 21L), (3L, "gamma", 30L), (9L, "new", 42L)))
+    // the untouched fr partition still points at its ORIGINAL generation —
+    // the merge never read, listed, or rewrote it
+    val m = AtomicCommit.readManifest(root).get
+    assert(m.entries("fr") === frGenBefore)
+    assert(m.entries("de") !== frGenBefore)
+    // all-new partition: merge with no base to read
+    val t2 = IncrementalUpsert.mergeIntoAtomicSnapshot(
+      spark, root,
+      Seq((50L, "nuevo", "es", "web", 5L)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      "lang", "doc_id")
+    assert(t2 === Seq("es"))
+    assert(AtomicCommit.read(spark, root).count() === 5L)
+  }
 }
