@@ -183,21 +183,48 @@ object PipelineQueries {
   // The decode is a deterministic stub, so the whole pipeline — binary cast,
   // Dataset encoder boundary, mapPartitions batching, metadata schema — is
   // graded against a SQL oracle computing the same bytes.
+  /** q55 (upgraded r11: stub → REAL codec) — multimodal ingestion with an
+    * actual image decode: per doc, a VALID 24-bit BMP is synthesized
+    * (dims and solid color are pure doc_id arithmetic), travels as a
+    * binary column, and is decoded by [[Multimodal.decodeBmp24]] — a real
+    * dependency-free parser whose header offsets, little-endian fields,
+    * BGR order, and 4-byte row padding are all graded: the oracle predicts
+    * n_bytes (file-header size + padded rows), dims, channel means, and
+    * the packed-pixel XOR canary INDEPENDENTLY from doc_id, so an
+    * encoder or parser slip anywhere hash-mismatches. Width spans 1–31,
+    * so most rows carry nonzero padding (the classic BMP bug surface).
+    */
   val q55 = Q(
     "q55_multimodal_meta",
-    (s, d) => Multimodal.decodeStub(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("doc_id"),
-    // oracle measures BYTES (encode → BLOB), matching the Spark path's
-    // utf-8 payload — length(VARCHAR) counts characters and would diverge
-    // on any non-ASCII document
-    Some("""SELECT doc_id,
-                   octet_length(encode(text)) AS n_bytes,
-                   lower(substring(hex(encode(text)), 1, 16)) AS header,
-                   1 + (octet_length(encode(text)) % 64) AS width,
-                   1 + (octet_length(encode(text)) % 48) AS height,
-                   round((1 + (octet_length(encode(text)) % 64))::DOUBLE
-                         / (1 + (octet_length(encode(text)) % 48)), 6) AS aspect
-            FROM documents ORDER BY doc_id"""))
+    (s, d) => {
+      val sess = s
+      import sess.implicits._
+      val imgs = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (1 + id % 31).toInt
+            val h = (1 + id % 17).toInt
+            (id, Multimodal.encodeBmp24(w, h, (id % 256).toInt,
+              ((id * 7) % 256).toInt, ((id * 13) % 256).toInt))
+          }
+        }.toDF("doc_id", "payload")
+      Multimodal.decodeBmp(imgs, "doc_id", "payload").orderBy("doc_id")
+    },
+    Some("""WITH g AS (
+              SELECT doc_id,
+                     1 + (doc_id % 31) AS w, 1 + (doc_id % 17) AS h,
+                     doc_id % 256 AS r, (doc_id * 7) % 256 AS grn,
+                     (doc_id * 13) % 256 AS b
+              FROM documents)
+            SELECT doc_id,
+                   (54 + (3*w + (4 - (3*w) % 4) % 4) * h)::INT AS n_bytes,
+                   w::INT AS width, h::INT AS height, 24 AS bpp,
+                   round(r::DOUBLE, 6) AS mean_r,
+                   round(grn::DOUBLE, 6) AS mean_g,
+                   round(b::DOUBLE, 6) AS mean_b,
+                   CASE WHEN (w * h) % 2 = 1
+                        THEN r * 65536 + grn * 256 + b ELSE 0 END AS xor_pixels
+            FROM g ORDER BY doc_id"""))
 
   // ---- 57. pivot (Hive's classic report shape) ----------------------------
   val q57 = Q(
