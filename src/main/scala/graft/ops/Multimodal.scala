@@ -118,6 +118,118 @@ object Multimodal {
       .toDF()
   }
 
+  // ---------------------------------------------------------------- real WAV
+  // The audio counterpart of the BMP codec: RIFF/WAVE with 16-bit PCM is
+  // also dependency-free byte arithmetic. Chunk WALKING is load-bearing —
+  // real WAV files carry LIST/fact/cue chunks between fmt and data, and
+  // odd-sized chunks pad one byte (both covered in MultimodalSpec), so a
+  // parser that assumes "data at offset 36" breaks on real-world files.
+
+  /** Typed output of the real audio decode: format fields from the fmt
+    * chunk, duration derived, and two exact content statistics (sum of
+    * |sample| and peak) computed over the interleaved PCM frames — integer
+    * math, so engine-portable without float-sum concerns.
+    */
+  final case class AudioMeta(
+      doc_id: Long, n_bytes: Int, sample_rate: Int, channels: Int,
+      bits: Int, n_frames: Long, duration_ms: Double,
+      sum_abs: Long, peak: Int)
+
+  /** Encode interleaved 16-bit PCM samples as a canonical RIFF/WAVE file
+    * (44-byte header + data chunk; one extra chunk injectable for the
+    * parser-robustness spec).
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, samples: Array[Short],
+                     extraChunk: Option[(String, Array[Byte])] = None): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      s"${samples.length} samples not a multiple of $channels channels")
+    val extra = extraChunk.map { case (id, body) =>
+      require(id.length == 4, s"chunk id '$id'")
+      val pad = body.length % 2 // RIFF: odd chunks pad one byte
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }.getOrElse(Array.empty[Byte])
+    val dataBytes = samples.length * 2
+    val riffBody = 4 + (8 + 16) + extra.length + (8 + dataBytes)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffBody)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(riffBody)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)
+      .put(extra)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Decode a RIFF/WAVE 16-bit PCM payload by WALKING the chunk list
+    * (unknown chunks skipped, odd sizes padded) — throws on non-WAV or
+    * non-PCM-16 so callers can route elsewhere.
+    */
+  def decodeWavPcm16(id: Long, payload: Array[Byte]): AudioMeta = {
+    require(payload.length >= 44 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "WAVE",
+      s"doc $id: not a RIFF/WAVE payload")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var off = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= payload.length && (dataOff < 0 || sampleRate < 0)) {
+      val cid = new String(payload, off, 4, "US-ASCII")
+      val len = bb.getInt(off + 4)
+      require(len >= 0 && off + 8 + len <= payload.length,
+        s"doc $id: truncated chunk $cid")
+      cid match {
+        case "fmt " =>
+          require(bb.getShort(off + 8) == 1, s"doc $id: only PCM supported")
+          channels = bb.getShort(off + 10)
+          sampleRate = bb.getInt(off + 12)
+          bits = bb.getShort(off + 22)
+          require(bits == 16, s"doc $id: only 16-bit PCM supported (got $bits)")
+        case "data" =>
+          dataOff = off + 8; dataLen = len
+        case _ => () // LIST/fact/cue/… — skip
+      }
+      off += 8 + len + (len % 2) // odd chunks pad one byte
+    }
+    require(sampleRate > 0 && dataOff >= 0, s"doc $id: missing fmt/data chunk")
+    val nSamples = dataLen / 2
+    val nFrames = nSamples.toLong / channels
+    var sumAbs = 0L; var peak = 0
+    var i = 0
+    while (i < nSamples) {
+      val v = bb.getShort(dataOff + i * 2).toInt
+      val a = math.abs(v)
+      sumAbs += a
+      if (a > peak) peak = a
+      i += 1
+    }
+    AudioMeta(id, payload.length, sampleRate, channels, bits, nFrames,
+      math.rint(nFrames.toDouble / sampleRate * 1000 * 1e3) / 1e3, sumAbs, peak)
+  }
+
+  /** Batched per-partition REAL audio decode over a binary payload column —
+    * same boundary as [[decodeBmp]].
+    */
+  def decodeWav(audio: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val s = audio.sparkSession
+    import s.implicits._
+    audio
+      .select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, p) => decodeWavPcm16(id, p) })
+      .toDF()
+  }
+
   /** Typed decoder output: what a real image decode would yield. */
   final case class MediaMeta(
       doc_id: Long,

@@ -120,4 +120,43 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.decodeBmp24(0L, "not an image".getBytes)
     }
   }
+
+  test("WAV decode: round-trip, chunk walking past injected LIST chunk, odd-size padding") {
+    val samples = Array[Short](100, -200, 300, -400, 500, -32768)
+    val plain = Multimodal.encodeWavPcm16(8000, 2, samples)
+    val m = Multimodal.decodeWavPcm16(1L, plain)
+    assert(m.sample_rate === 8000 && m.channels === 2 && m.bits === 16)
+    assert(m.n_frames === 3L) // 6 samples / 2 channels
+    assert(m.duration_ms === 0.375) // 3 frames / 8000 Hz
+    assert(m.sum_abs === 100L + 200 + 300 + 400 + 500 + 32768)
+    assert(m.peak === 32768)
+    // a real-world file carries chunks between fmt and data; ODD size
+    // forces the 1-byte RIFF pad — a parser assuming data-at-36 breaks here
+    val withList = Multimodal.encodeWavPcm16(44100, 1, samples,
+      extraChunk = Some(("LIST", Array[Byte](1, 2, 3, 4, 5))))
+    val m2 = Multimodal.decodeWavPcm16(2L, withList)
+    assert(m2.sample_rate === 44100 && m2.channels === 1 && m2.n_frames === 6L)
+    assert(m2.sum_abs === m.sum_abs && m2.peak === m.peak)
+    assert(m2.n_bytes === plain.length + 8 + 5 + 1) // chunk header + body + pad
+    // non-WAV rejected loudly
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16(0L, "RIFFxxxxJUNK".getBytes)
+    }
+  }
+
+  test("WAV decode flows through the binary-column mapPartitions boundary") {
+    import spark.implicits._
+    val audio = (0L until 20L).map { id =>
+      val hz = 8000 + (id % 3).toInt * 100
+      val samples = Array.tabulate[Short](((id % 5) + 1).toInt * 2)(i =>
+        ((id * 31 + i * 7) % 1000).toShort)
+      (id, Multimodal.encodeWavPcm16(hz, 2, samples))
+    }.toDF("doc_id", "payload")
+    val out = Multimodal.decodeWav(audio, "doc_id", "payload")
+    assert(out.count() === 20)
+    val r = out.filter(col("doc_id") === 7).head()
+    // id=7: 8100 Hz, (7%5+1)*2=6 samples / 2ch = 3 frames
+    assert(r.getAs[Int]("sample_rate") === 8100)
+    assert(r.getAs[Long]("n_frames") === 3L)
+  }
 }
