@@ -52,6 +52,29 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(got.length === 199 + 198)
   }
 
+  test("randomized trials: heavy tie rates, any w/parts, always equals the naive window") {
+    // fixed-seed trials (PropertiesSpec discipline — failures replay):
+    // names drawn from a TINY vocabulary so long runs of identical sort
+    // keys straddle range-partition boundaries, the riskiest path for the
+    // overlap logic (the tiebreaker key keeps the total order strict)
+    val rng = new scala.util.Random(42)
+    val vocab = Vector("aa", "ab", "ba", "bb", "ca")
+    for (trial <- 1 to 15) {
+      val n = 5 + rng.nextInt(60)
+      val rows = (0 until n).map(i => ((i + 1).toLong, vocab(rng.nextInt(vocab.size))))
+      val df = rows.toDF("key", "name")
+      val w = 1 + rng.nextInt(4)
+      val parts = 1 + rng.nextInt(10)
+      // independent oracle: in-memory global sort + sliding pairs
+      val sorted = rows.sortBy { case (k, nm) => (nm, k) }
+      val expected = (for {
+        i <- sorted.indices; d <- 1 to w if i + d < sorted.length
+      } yield (sorted(i)._1, sorted(i + d)._1, d)).toSet
+      assert(opPairs(df, w, parts) === expected,
+        s"trial $trial: n=$n w=$w parts=$parts")
+    }
+  }
+
   test("parallelism is the requested partition count, not a key-prefix ceiling") {
     val df = Tables.part(spark, sf0001)
       .select(col("p_partkey").as("key"), col("p_name").as("name"))
