@@ -230,6 +230,164 @@ object Multimodal {
       .toDF()
   }
 
+  // ---------------------------------------------------------------- real AVI
+  // The video leg, completing the triad: AVI is RIFF again (the WAV chunk
+  // discipline) carrying uncompressed DIB frames (the BMP pixel
+  // discipline). hdrl/strl/strf parsing yields the geometry; frame
+  // sampling walks the movi LIST keeping every `every`-th '00db' chunk —
+  // the REAL form of [[frameSampleStub]]'s fan-out shape.
+
+  /** One sampled, DECODED video frame. */
+  final case class FrameMeta(
+      doc_id: Long, frame_idx: Int, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double, xor_pixels: Long)
+
+  /** Encode an uncompressed ('DIB ') AVI: RIFF('AVI ') { LIST(hdrl){avih,
+    * LIST(strl){strh, strf=BITMAPINFOHEADER}}, LIST(movi){'00db' frames} }.
+    * Frames are solid colors, stored as bottom-up BGR rows padded to 4
+    * bytes (the BMP pixel layout without the file header). No idx1 chunk —
+    * optional for sequential readers, and [[decodeAviFrames]] must cope
+    * with absent optional chunks anyway.
+    */
+  def encodeAviRawFrames(w: Int, h: Int, fps: Int,
+                         frames: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && fps >= 1 && frames.nonEmpty)
+    val rowBytes = w * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    val frameBytes = stride * h
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length % 2
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array()
+    }
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ children)
+    def le(fields: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(fields.length * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fields.foreach(bb.putInt)
+      bb.array()
+    }
+    val avih = chunk("avih", le(
+      1000000 / fps, frameBytes * fps, 0, 0, frames.length, 0, 1, frameBytes,
+      w, h, 0, 0, 0, 0))
+    val strh = chunk("strh",
+      "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+        le(0, 0, 0, 1, fps, 0, frames.length, frameBytes, -1, 0) ++
+        Array[Byte](0, 0, 0, 0, 0, 0, 0, 0))
+    val strf = chunk("strf", le(40, w, h) ++ {
+      val bb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(1).putShort(24); bb.array()
+    } ++ le(0, frameBytes, 2835, 2835, 0, 0))
+    val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
+    val movi = list("movi", frames.toArray.flatMap { case (r, g, b) =>
+      val body = new Array[Byte](frameBytes)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val off = y * stride + x * 3
+          body(off) = b.toByte; body(off + 1) = g.toByte; body(off + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", body)
+    })
+    val riffBody = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + riffBody.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(riffBody.length).put(riffBody)
+    out.array()
+  }
+
+  /** Walk a RIFF/AVI payload and decode every `every`-th uncompressed
+    * frame ('00db'/'00dc' in the movi LIST; geometry from strl/strf).
+    * Unknown chunks and LISTs (INFO, idx1, JUNK) are skipped; odd chunk
+    * sizes pad one byte. Throws on non-AVI or compressed (bpp != 24)
+    * streams.
+    */
+  def decodeAviFrames(id: Long, payload: Array[Byte], every: Int): Seq[FrameMeta] = {
+    require(every >= 1)
+    require(payload.length >= 12 &&
+        new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "AVI ",
+      s"doc $id: not a RIFF/AVI payload")
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var w = -1; var h = -1
+    val out = scala.collection.mutable.ArrayBuffer.empty[FrameMeta]
+    var frameIdx = 0
+    def walk(from: Int, to: Int, inMovi: Boolean): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val cid = new String(payload, off, 4, "US-ASCII")
+        val len = bb.getInt(off + 4)
+        require(len >= 0 && off + 8 + len <= to, s"doc $id: truncated chunk $cid")
+        if (cid == "LIST") {
+          val listType = new String(payload, off + 8, 4, "US-ASCII")
+          // hdrl/strl hold the headers; movi holds frames; others skipped
+          if (listType == "hdrl" || listType == "strl" || listType == "movi")
+            walk(off + 12, off + 8 + len, inMovi || listType == "movi")
+        } else if (cid == "strf") {
+          require(bb.getInt(off + 8) == 40, s"doc $id: unexpected strf header size")
+          w = bb.getInt(off + 12)
+          h = math.abs(bb.getInt(off + 16))
+          val bpp = bb.getShort(off + 22).toInt
+          require(bpp == 24, s"doc $id: only 24-bit uncompressed AVI supported")
+        } else if (inMovi && (cid == "00db" || cid == "00dc")) {
+          require(w > 0, s"doc $id: frame before strf geometry")
+          if (frameIdx % every == 0) {
+            val rowBytes = w * 3
+            val stride = rowBytes + (4 - rowBytes % 4) % 4
+            require(len >= stride * h, s"doc $id: short frame $frameIdx")
+            var sr = 0L; var sg = 0L; var sb = 0L; var xr = 0L
+            var y = 0
+            while (y < h) {
+              val ro = off + 8 + y * stride
+              var x = 0
+              while (x < w) {
+                val b = payload(ro + x * 3) & 0xff
+                val g = payload(ro + x * 3 + 1) & 0xff
+                val r = payload(ro + x * 3 + 2) & 0xff
+                sr += r; sg += g; sb += b
+                xr ^= (r.toLong << 16) | (g << 8) | b
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            def mean(s: Long): Double = math.rint(s.toDouble / n * 1e6) / 1e6
+            out += FrameMeta(id, frameIdx, w, h, mean(sr), mean(sg), mean(sb), xr)
+          }
+          frameIdx += 1
+        }
+        off += 8 + len + (len % 2)
+      }
+    }
+    walk(12, payload.length, inMovi = false)
+    require(frameIdx > 0, s"doc $id: no frames in movi")
+    out.toSeq
+  }
+
+  /** Batched per-partition REAL frame sampling over a binary payload
+    * column — the fan-out boundary of [[frameSampleStub]] with an actual
+    * container parser inside it (one row per sampled, decoded frame).
+    */
+  def frameSampleAvi(videos: DataFrame, idCol: String, payloadCol: String,
+                     every: Int = 4): DataFrame = {
+    val s = videos.sparkSession
+    import s.implicits._
+    videos
+      .select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.flatMap { case (id, p) => decodeAviFrames(id, p, every) })
+      .toDF()
+  }
+
   /** Typed decoder output: what a real image decode would yield. */
   final case class MediaMeta(
       doc_id: Long,

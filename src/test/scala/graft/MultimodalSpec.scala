@@ -144,6 +144,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AVI frame sampling: real container walk, every-th frame decoded exactly") {
+    // 10 solid-color frames, color = f(idx); sample every 3rd → 0,3,6,9
+    val frames = (0 until 10).map(i => (i * 20 % 256, i * 7 % 256, i * 13 % 256))
+    val avi = Multimodal.encodeAviRawFrames(5, 3, 25, frames) // w=5 → pad=1
+    val sampled = Multimodal.decodeAviFrames(3L, avi, every = 3)
+    assert(sampled.map(_.frame_idx) === Seq(0, 3, 6, 9))
+    sampled.foreach { f =>
+      val (r, g, b) = frames(f.frame_idx)
+      assert((f.width, f.height) === (5, 3), f.toString)
+      assert((f.mean_r, f.mean_g, f.mean_b) === (r.toDouble, g.toDouble, b.toDouble), f.toString)
+      // 15 px (odd count): xor of identical packed pixels = the pixel
+      assert(f.xor_pixels === ((r.toLong << 16) | (g << 8) | b), f.toString)
+    }
+    // every=1 keeps all frames; non-AVI rejected loudly
+    assert(Multimodal.decodeAviFrames(3L, avi, every = 1).size === 10)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeAviFrames(0L, Multimodal.encodeWavPcm16(8000, 1, Array[Short](1, 2)), 1)
+    }
+  }
+
+  test("AVI frame sampling flows through the fan-out mapPartitions boundary") {
+    import spark.implicits._
+    val vids = (0L until 6L).map { id =>
+      val nFrames = (id % 3).toInt * 2 + 2 // 2, 4, or 6 frames
+      (id, Multimodal.encodeAviRawFrames(4, 2, 25,
+        (0 until nFrames).map(i => ((id * 11 + i) % 256).toInt).map(c => (c, c, c))))
+    }.toDF("doc_id", "payload")
+    val out = Multimodal.frameSampleAvi(vids, "doc_id", "payload", every = 2)
+    // per video: ceil(nFrames/2) sampled rows
+    val counts = out.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+  }
+
   test("WAV decode flows through the binary-column mapPartitions boundary") {
     import spark.implicits._
     val audio = (0L until 20L).map { id =>
