@@ -63,6 +63,53 @@ class FileStreamSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 150L)
   }
 
+  test("Sessionize custom state survives a restart: an open session closes with pre-restart events counted") {
+    // flatMapGroupsWithState is the OTHER state path (user-defined state,
+    // not the built-in dedup operator's) — its checkpoint recovery is a
+    // separate runtime surface and gets its own pin
+    val in = Files.createTempDirectory("graft_fss_in").toString
+    val out = Files.createTempDirectory("graft_fss_out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("graft_fss_ckpt").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime * 1000L
+    def us(min: Int): Long = base + min.toLong * 60L * 1000000L
+    def land(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("event_id", "ts_us", "user_id")
+        .coalesce(1).write.mode("append").parquet(in)
+    def runOnce(): Unit = {
+      val sess = spark
+      import sess.implicits._
+      val events = spark.readStream
+        .schema("event_id LONG, ts_us LONG, user_id LONG").parquet(in)
+        .as[graft.streaming.Sessionize.UserEvent]
+      val q = graft.streaming.Sessionize.sessionRows(events, gapMinutes = 30, lateMinutes = 10)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      assert(!q.isActive)
+      q.exception.foreach(throw _)
+    }
+    // run 1: user 1 opens a session (2 events, 10 min apart) — stays OPEN
+    land(Seq((1L, us(0), 1L), (2L, us(10), 1L)))
+    runOnce()
+    assert(spark.read.schema("user_id LONG, session_start_us LONG, session_end_us LONG, n_events LONG")
+      .parquet(out).count() === 0L, "session closed prematurely")
+    // restart: a continuation event (within gap) then a gap-breaking one.
+    // The close row can only say (start=10:00, n=3) if the OPEN-session
+    // state crossed the restart; a state-losing restart would emit
+    // (start=10:15, n=1) instead
+    land(Seq((3L, us(15), 1L), (4L, us(120), 1L)))
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rows.contains((1L, us(0), us(15), 3L)),
+      s"restart lost flatMapGroupsWithState state: $rows")
+    assert(!rows.exists { case (_, s0, _, n) => s0 == us(15) && n == 1L },
+      s"state-loss signature present: $rows")
+  }
+
   test("StreamDedup state survives a restart: a duplicate of a pre-restart doc is dropped") {
     val in = Files.createTempDirectory("graft_fsd_in").toString
     val out = Files.createTempDirectory("graft_fsd_out").toString + "/sink"
