@@ -585,6 +585,24 @@ class ExplainSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p149).size <= 2, p149.take(2000))
   }
 
+  test("r11 rows: q55 typed codec boundary, q150 manifest-resolved read") {
+    // q55: encode and decode are typed mapPartitions boundaries (object
+    // serialization spans), ONE documents scan feeds them, and nothing
+    // shuffles before the final output sort — a Window or join here means
+    // the codec path grew a plan it doesn't need
+    val p55 = plan("q55_multimodal_meta")
+    assert(p55.contains("MapPartitions"), p55.take(2000))
+    assert("Scan parquet".r.findAllIn(p55).size === 1, p55.take(2000))
+    assert(!p55.contains("Window") && !p55.contains("Join"), p55.take(2000))
+    assert("Exchange".r.findAllIn(p55).size <= 1, p55.take(2000)) // the sort only
+    // q150: the snapshot read resolves via the manifest to plain file
+    // scans (one per generation) + one partial+final agg pair — no join,
+    // no window; reading through the manifest must not add plan weight
+    val p150 = plan("q150_atomic_commit")
+    assert(!p150.contains("Join") && !p150.contains("Window"), p150.take(2000))
+    assert("HashAggregate".r.findAllIn(p150).size >= 2, p150.take(2000))
+  }
+
   test("q43 pair join reads ONE materialization of the signatures (reused exchange)") {
     // both sides of the banded candidate join must hang off the same
     // signature repartition — losing the reuse point silently doubles the
