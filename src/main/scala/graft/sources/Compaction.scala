@@ -93,6 +93,43 @@ object Compaction {
     (before, countDataFiles(path))
   }
 
+  /** Compaction for an [[AtomicCommit]] table — the windowless form of
+    * [[compactPartitioned]]: the compacted rows stage as ONE new
+    * generation owning every partition, the manifest flips via the
+    * hard-link CAS (a crash anywhere leaves the previous fragmented-but-
+    * complete snapshot current), and [[AtomicCommit.vacuum]] then drops
+    * the superseded fragments. No rename window, no self-heal path, no
+    * exclusive-writer requirement beyond the CAS itself — this is why the
+    * maintenance story for the manifest table is strictly simpler than
+    * for the plain Hive layout. Returns (filesBefore, filesAfter) data
+    * files reachable through the respective manifests.
+    */
+  def compactAtomicTable(spark: SparkSession, root: String,
+                         filesPerDir: Int = 1): (Long, Long) = {
+    require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
+    val m = AtomicCommit.readManifest(root).getOrElse(
+      sys.error(s"$root is not an AtomicCommit table"))
+    val before = countAtomicDataFiles(root)
+    val df = AtomicCommit.read(spark, root)
+    val keyed =
+      if (filesPerDir == 1) df.repartition(col(m.partitionCol))
+      else df.repartition(col(m.partitionCol),
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(filesPerDir)))
+    AtomicCommit.commitReplacePartitions(spark, root, keyed, m.partitionCol)
+    AtomicCommit.vacuum(root)
+    (before, countAtomicDataFiles(root))
+  }
+
+  /** Parquet data files reachable through the CURRENT manifest of an
+    * [[AtomicCommit]] table (per owned partition directory).
+    */
+  def countAtomicDataFiles(root: String): Long = {
+    val m = AtomicCommit.readManifest(root).getOrElse(return 0L)
+    m.entries.map { case (v, gen) =>
+      countDataFiles(s"$root/$gen/${m.partitionCol}=$v")
+    }.sum
+  }
+
   /** Parquet data files under `root` (excludes _SUCCESS/metadata). */
   def countDataFiles(root: String): Long = {
     val s = Files.walk(Paths.get(root))

@@ -95,4 +95,40 @@ class CompactionSpec extends SparkSpec {
     assert(perDir.values.max <= 3, s"at most 3 files per dir: $perDir")
     assert(checksum(dir) === before)
   }
+
+  test("compactAtomicTable: fragmented generations collapse to one, windowless, rows identical") {
+    import spark.implicits._
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_compact").toString
+    // three fragmenting commits: partitions spread across generations
+    for (batch <- 0 until 3) {
+      val rows = (0 until 40).map { i =>
+        (batch * 100L + i, s"t$batch-$i", if (i % 2 == 0) "de" else "fr", 10L + i)
+      }
+      AtomicCommit.commitReplacePartitions(spark, root,
+        // append semantics for the test: merge prior rows so nothing is lost
+        AtomicCommit.readManifest(root).map(_ => AtomicCommit.read(spark, root))
+          .map(_.unionByName(rows.toDF("doc_id", "text", "lang", "n_chars")))
+          .getOrElse(rows.toDF("doc_id", "text", "lang", "n_chars")),
+        "lang")
+    }
+    val rowsBefore = AtomicCommit.read(spark, root)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rowsBefore.size === 120)
+    val (before, after) = Compaction.compactAtomicTable(spark, root, filesPerDir = 1)
+    assert(before >= after, s"$before -> $after")
+    assert(after <= 2L, s"one file per partition dir expected, got $after")
+    // one generation owns everything; superseded fragments vacuumed
+    val m = AtomicCommit.readManifest(root).get
+    assert(m.entries.values.toSet.size === 1)
+    val gens = java.nio.file.Paths.get(root).toFile.listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+    assert(gens.length === 1, gens.map(_.getName).mkString(","))
+    // content untouched
+    val rowsAfter = AtomicCommit.read(spark, root)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(rowsAfter === rowsBefore)
+  }
 }
