@@ -103,6 +103,34 @@ class AtomicCommitSpec extends SparkSpec {
     assert(snap(root) === Map(("A", 7L) -> 7.0))
   }
 
+  test("CAS under true thread concurrency: simultaneous publishes both land, neither clobbers") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0), (3L, "B", 3.0)).toDF("k", "flag", "v"), "flag")
+    val sA = AtomicCommit.stage(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+    val sB = AtomicCommit.stage(spark, root,
+      Seq((9L, "B", 9.0)).toDF("k", "flag", "v"), "flag")
+    // fire both publishes at once: the hard-link CAS serializes them —
+    // whichever loses version 2 re-merges onto the winner and lands at 3
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fA = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await(); AtomicCommit.publish(root, sA) }
+      })
+      val fB = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await(); AtomicCommit.publish(root, sB) }
+      })
+      gate.countDown()
+      val versions = Set(fA.get(60, java.util.concurrent.TimeUnit.SECONDS),
+        fB.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions === Set(2L, 3L), s"expected versions 2 and 3, got $versions")
+    } finally pool.shutdown()
+    // BOTH commits took effect regardless of which won the race
+    assert(snap(root) === Map(("A", 7L) -> 7.0, ("B", 9L) -> 9.0))
+  }
+
   test("vacuum drops only unreferenced generations and stale manifests; reads survive") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,
