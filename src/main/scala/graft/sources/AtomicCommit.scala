@@ -34,17 +34,27 @@ import org.apache.spark.sql.functions._
   *     primitives. A crash BEFORE the link leaves the old snapshot fully
   *     intact (unreferenced directories are invisible); a crash AFTER is a
   *     completed commit. No in-between exists.
+  *   - Serializable isolation via a READ-SET check: every stage records
+  *     the manifest version it observed and the then-current owner of each
+  *     partition it replaces. On publish, if ANY intervening committed
+  *     version changed an overlapping partition's owner, the commit aborts
+  *     with [[PartitionConflictException]] instead of silently overwriting
+  *     the concurrent writer's rows (the lost-update the last-wins version
+  *     ordering would otherwise permit). Writers on DISJOINT partitions
+  *     still serialize through the version CAS and both land.
   *   - Superseded generations stay on disk (snapshot-isolated readers may
   *     still be scanning them) until [[vacuum]] drops directories the
   *     current manifest no longer references, along with stale manifest
-  *     versions and orphaned temp files.
+  *     versions and orphaned temp files. A generation referenced by NO
+  *     manifest at all is indistinguishable from another writer's staged-
+  *     but-unpublished phase-1 output, so vacuum only removes those past an
+  *     mtime retention threshold (Iceberg's orphan-file rule), and
+  *     [[publish]] re-verifies its generation directory still exists before
+  *     linking — a vacuumed-away stage fails loudly, never commits a
+  *     manifest pointing at deleted data.
   *
   * Scope honesty: hard-link CAS is a POSIX/HDFS-family primitive; object
-  * stores need a conditional put or a catalog. Concurrent REPLACES of the
-  * SAME partition serialize by version order (last committed version owns
-  * it) — partition-level conflict *detection* (abort instead of overwrite)
-  * would add a read-set check per retry, the standard serializable-
-  * isolation upgrade, not done here.
+  * stores need a conditional put or a catalog.
   */
 object AtomicCommit {
 
@@ -59,11 +69,24 @@ object AtomicCommit {
 
   /** A written-but-unpublished generation: the phase-1 output. Invisible
     * to every reader until [[publish]] links a manifest referencing it.
+    * `baseVersion`/`baseOwners` are the commit's READ SET — the manifest
+    * version observed at stage time and the generation then owning each
+    * staged partition (absent = partition did not exist) — which [[publish]]
+    * checks for serializable-isolation conflicts.
     */
   final case class Staged(gen: String, partitionCol: String,
-                          partitions: Seq[String])
+                          partitions: Seq[String], baseVersion: Long,
+                          baseOwners: Map[String, String])
 
   final class VersionConflictException(msg: String) extends RuntimeException(msg)
+
+  /** A concurrent committed writer replaced a partition this commit also
+    * replaces — last-wins would silently drop its rows, so the commit
+    * aborts instead (the standard optimistic-concurrency validation
+    * failure). The caller re-reads the current snapshot, re-merges, and
+    * re-stages.
+    */
+  final class PartitionConflictException(msg: String) extends RuntimeException(msg)
 
   /** Two-phase commit: stage `df` as a new generation, then CAS-publish a
     * manifest where the partitions PRESENT IN `df` point at the new
@@ -72,31 +95,65 @@ object AtomicCommit {
     * Returns the published version.
     */
   def commitReplacePartitions(spark: SparkSession, root: String,
-                              df: DataFrame, partitionCol: String): Long =
-    publish(root, stage(spark, root, df, partitionCol))
+                              df: DataFrame, partitionCol: String,
+                              filesPerDir: Int = 1): Long =
+    publish(root, stage(spark, root, df, partitionCol, filesPerDir))
 
   /** Phase 1 (exposed for the crash-window spec): write the generation
     * directory. No manifest is touched; a crash after this leaves only an
-    * unreferenced directory for [[vacuum]].
+    * unreferenced directory for [[vacuum]]'s orphan aging. `filesPerDir`
+    * spreads each partition directory across that many writing tasks (a
+    * deterministic content-hash salt — [[Compaction]]'s split, owned here
+    * so the write keyed by it is the one that actually lands on disk).
     */
   def stage(spark: SparkSession, root: String, df: DataFrame,
-            partitionCol: String): Staged = {
+            partitionCol: String, filesPerDir: Int = 1): Staged = {
+    require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
     val prev = readManifest(root)
     require(prev.forall(_.partitionCol == partitionCol),
       s"table at $root is partitioned by ${prev.get.partitionCol}, not $partitionCol")
     Files.createDirectories(Paths.get(root))
     val gen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
-    df.repartition(col(partitionCol)) // one writing task per partition dir
-      .write.mode("error").partitionBy(partitionCol)
+    val keyed =
+      if (filesPerDir == 1) df.repartition(col(partitionCol))
+      // explicit numPartitions: AQE's small-partition coalescing would
+      // otherwise merge the salted splits back into one writing task,
+      // silently undoing the file-count layout the caller asked for
+      else df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(partitionCol),
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(filesPerDir)))
+    keyed.write.mode("error").partitionBy(partitionCol)
       .parquet(s"$root/$gen")
-    Staged(gen, partitionCol, partitionDirs(Paths.get(root, gen), partitionCol))
+    val parts = partitionDirs(Paths.get(root, gen), partitionCol)
+    // an empty commit would publish a manifest no read can serve (and, as
+    // the FIRST commit, a table with no schema source) — reject at the
+    // stage boundary, where the writer still has its DataFrame in hand
+    require(parts.nonEmpty,
+      s"staging produced no partition directories at $root/$gen — refusing " +
+        "to commit an empty replace (filter upstream, or skip the commit)")
+    Staged(gen, partitionCol, parts,
+      prev.map(_.version).getOrElse(0L),
+      prev.map(_.entries.filter { case (p, _) => parts.contains(p) })
+        .getOrElse(Map.empty))
   }
 
   /** Phase 2: optimistic-concurrency publish. Merges `staged` over the
     * CURRENT manifest and attempts the hard-link CAS at version+1; on a
     * lost race, re-reads and retries (the staged generation directory
-    * never needs rewriting). Throws [[VersionConflictException]] only
-    * past [[MaxPublishRetries]] consecutive lost races.
+    * never needs rewriting). Validation on every attempt, BEFORE the link:
+    *
+    *  - READ-SET check: if any intervening committed version changed the
+    *    owner of a partition in `staged.partitions` since stage time,
+    *    throws [[PartitionConflictException]] — aborting beats silently
+    *    overwriting the concurrent writer's rows. Disjoint-partition
+    *    writers pass (their owners are untouched) and serialize by version.
+    *  - The staged generation directory must still exist (a misconfigured
+    *    [[vacuum]] could have aged it out) — publishing a manifest that
+    *    points at deleted data is the one corruption worse than aborting.
+    *
+    * Throws [[VersionConflictException]] only past [[MaxPublishRetries]]
+    * consecutive lost races.
     */
   def publish(root: String, staged: Staged): Long = {
     var attempt = 0
@@ -104,6 +161,18 @@ object AtomicCommit {
       val prev = readManifest(root)
       require(prev.forall(_.partitionCol == staged.partitionCol),
         s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
+      val conflicts = staged.partitions.filter { p =>
+        prev.flatMap(_.entries.get(p)) != staged.baseOwners.get(p)
+      }
+      if (conflicts.nonEmpty)
+        throw new PartitionConflictException(
+          s"partitions ${conflicts.mkString(", ")} were replaced by a " +
+            s"concurrent commit after this one staged against version " +
+            s"${staged.baseVersion} of $root — re-read, re-merge, re-stage")
+      if (!Files.isDirectory(Paths.get(root, staged.gen)))
+        throw new IllegalStateException(
+          s"staged generation ${staged.gen} no longer exists at $root " +
+            "(vacuumed before publish?) — the commit cannot proceed")
       val next = Manifest(
         prev.map(_.version + 1).getOrElse(1L),
         staged.partitionCol,
@@ -137,6 +206,10 @@ object AtomicCommit {
   def read(spark: SparkSession, root: String): DataFrame = {
     val m = readManifest(root).getOrElse(
       sys.error(s"no ${ManifestPrefix}N$ManifestSuffix at $root — not an AtomicCommit table"))
+    // unreachable through stage() (which rejects empty commits) — guards
+    // hand-written manifests with a message instead of empty.reduce
+    require(m.entries.nonEmpty,
+      s"manifest v${m.version} at $root has no partition entries — nothing to read")
     // group by generation: one multi-path read per generation, not per
     // partition (driver work and file-listing stay O(#generations))
     val byGen = m.entries.groupBy(_._2).toSeq.sortBy(_._1)
@@ -169,26 +242,60 @@ object AtomicCommit {
     }.reduce(_.unionByName(_)))
   }
 
-  /** Drop generation directories the CURRENT manifest no longer
-    * references, manifest versions older than it, and orphaned temp
-    * files. Returns the deleted generation-directory names. Safe against
-    * readers only after their snapshots age out — the caller picks the
-    * retention moment, exactly as table-format vacuums do.
+  /** Default age a NEVER-REFERENCED generation (or manifest temp file)
+    * must reach before [[vacuum]] treats it as a crash orphan rather than
+    * another writer's in-flight stage: long enough to outlive any real
+    * stage→publish gap.
     */
-  def vacuum(root: String): Seq[String] = {
+  val OrphanRetentionMillis: Long = 60L * 60 * 1000
+
+  /** Drop generation directories superseded by the CURRENT manifest,
+    * manifest versions older than it, and aged-out orphans. Two classes,
+    * because they carry different evidence:
+    *
+    *  - A directory referenced by SOME on-disk manifest version but not
+    *    the current one was definitely published and superseded — deleted
+    *    now. Safe against readers only after their snapshots age out; the
+    *    caller picks the vacuum moment, exactly as table-format vacuums do.
+    *  - A directory referenced by NO manifest at all is EITHER a crashed
+    *    writer's garbage OR a live writer's staged-but-unpublished
+    *    phase-1 output — indistinguishable from here, so it is deleted
+    *    only when older than `orphanAgeMillis` (mtime; Iceberg's
+    *    orphan-file rule). [[publish]] still re-verifies its directory
+    *    exists, so even a misjudged deletion aborts the commit rather than
+    *    corrupting the table.
+    *
+    * Returns the deleted generation-directory names.
+    */
+  def vacuum(root: String,
+             orphanAgeMillis: Long = OrphanRetentionMillis): Seq[String] = {
     val m = readManifest(root).getOrElse(return Nil)
     val live = m.entries.values.toSet
     val rootPath = Paths.get(root)
     val children = Option(rootPath.toFile.listFiles).getOrElse(Array.empty)
+    // every generation any on-disk manifest version references — the
+    // union distinguishes "superseded" (was published) from "never
+    // published" (maybe still in a writer's hands)
+    val everReferenced = children
+      .flatMap(f => versionOf(f.getName))
+      .flatMap { v =>
+        try parseJson(new String(Files.readAllBytes(manifestPath(root, v)),
+          StandardCharsets.UTF_8)).entries.values
+        catch { case _: Throwable => Nil } // a torn manifest can't vouch
+      }.toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanAgeMillis)
     val doomed = children
-      .filter(f => f.isDirectory && f.getName.startsWith("g") && !live(f.getName))
+      .filter { f =>
+        f.isDirectory && f.getName.startsWith("g") && !live(f.getName) &&
+          (everReferenced(f.getName) || f.lastModified() < cutoff)
+      }
       .map(_.getName).toSeq.sorted
     doomed.foreach(d => deleteRecursively(rootPath.resolve(d)))
     children.filter { f =>
       val n = f.getName
       (n.startsWith(ManifestPrefix) && n.endsWith(ManifestSuffix) &&
         versionOf(n).exists(_ < m.version)) ||
-        n.startsWith("_graft_manifest.tmp_")
+        (n.startsWith("_graft_manifest.tmp_") && f.lastModified() < cutoff)
     }.foreach(f => Files.deleteIfExists(f.toPath))
     doomed
   }

@@ -95,28 +95,32 @@ object Compaction {
 
   /** Compaction for an [[AtomicCommit]] table — the windowless form of
     * [[compactPartitioned]]: the compacted rows stage as ONE new
-    * generation owning every partition, the manifest flips via the
-    * hard-link CAS (a crash anywhere leaves the previous fragmented-but-
-    * complete snapshot current), and [[AtomicCommit.vacuum]] then drops
-    * the superseded fragments. No rename window, no self-heal path, no
-    * exclusive-writer requirement beyond the CAS itself — this is why the
-    * maintenance story for the manifest table is strictly simpler than
-    * for the plain Hive layout. Returns (filesBefore, filesAfter) data
-    * files reachable through the respective manifests.
+    * generation owning every partition (the `filesPerDir` split happens
+    * INSIDE [[AtomicCommit.stage]], so the keyed write that lands on disk
+    * is the one that honors it), and the manifest flips via the hard-link
+    * CAS — a crash anywhere leaves the previous fragmented-but-complete
+    * snapshot current, and a concurrent upsert committed between this
+    * rewrite's read and its publish aborts it with
+    * [[AtomicCommit.PartitionConflictException]] instead of being silently
+    * un-written (the read-set check; re-run the compaction). No rename
+    * window, no self-heal path. The superseded fragments are NOT deleted
+    * here by default — snapshot-isolated readers may still be scanning
+    * them, and retention timing is [[AtomicCommit.vacuum]]'s contract with
+    * the caller; pass `vacuumNow = true` only when no concurrent reader
+    * can hold a pre-compaction snapshot. Returns (filesBefore, filesAfter)
+    * data files reachable through the respective manifests.
     */
   def compactAtomicTable(spark: SparkSession, root: String,
-                         filesPerDir: Int = 1): (Long, Long) = {
+                         filesPerDir: Int = 1,
+                         vacuumNow: Boolean = false): (Long, Long) = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
     val m = AtomicCommit.readManifest(root).getOrElse(
       sys.error(s"$root is not an AtomicCommit table"))
     val before = countAtomicDataFiles(root)
     val df = AtomicCommit.read(spark, root)
-    val keyed =
-      if (filesPerDir == 1) df.repartition(col(m.partitionCol))
-      else df.repartition(col(m.partitionCol),
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(filesPerDir)))
-    AtomicCommit.commitReplacePartitions(spark, root, keyed, m.partitionCol)
-    AtomicCommit.vacuum(root)
+    AtomicCommit.commitReplacePartitions(spark, root, df, m.partitionCol,
+      filesPerDir)
+    if (vacuumNow) AtomicCommit.vacuum(root)
     (before, countAtomicDataFiles(root))
   }
 

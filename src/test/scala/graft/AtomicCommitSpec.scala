@@ -148,6 +148,87 @@ class AtomicCommitSpec extends SparkSpec {
     assert(AtomicCommit.vacuum(root) === Nil)
   }
 
+  test("read-set conflict: two writers replacing the SAME partition — exactly one aborts") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0), (3L, "B", 3.0)).toDF("k", "flag", "v"), "flag")
+    // both stage against version 1, both replace partition A
+    val sA = AtomicCommit.stage(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+    val sB = AtomicCommit.stage(spark, root,
+      Seq((9L, "A", 9.0)).toDF("k", "flag", "v"), "flag")
+    assert(AtomicCommit.publish(root, sA) === 2L)
+    // last-wins would silently drop sA's rows; the read-set check aborts
+    val e = intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.publish(root, sB)
+    }
+    assert(e.getMessage.contains("A"))
+    assert(snap(root) === Map(("A", 7L) -> 7.0, ("B", 3L) -> 3.0),
+      "the winner's commit must survive the loser's abort")
+    // the loser's recovery path: re-stage against the CURRENT snapshot
+    val sB2 = AtomicCommit.stage(spark, root,
+      Seq((9L, "A", 9.0)).toDF("k", "flag", "v"), "flag")
+    assert(AtomicCommit.publish(root, sB2) === 3L)
+    assert(snap(root) === Map(("A", 9L) -> 9.0, ("B", 3L) -> 3.0))
+  }
+
+  test("read-set conflict: a partition CREATED by a concurrent commit also conflicts") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
+    // both writers introduce partition C (absent at their shared base)
+    val s1 = AtomicCommit.stage(spark, root,
+      Seq((5L, "C", 5.0)).toDF("k", "flag", "v"), "flag")
+    val s2 = AtomicCommit.stage(spark, root,
+      Seq((6L, "C", 6.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.publish(root, s1)
+    intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.publish(root, s2)
+    }
+    assert(snap(root) === Map(("A", 1L) -> 1.0, ("C", 5L) -> 5.0))
+  }
+
+  test("vacuum: a staged-but-unpublished generation is not an orphan until it ages out") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
+    val staged = AtomicCommit.stage(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+    // default retention: another writer's in-flight phase-1 output survives
+    assert(AtomicCommit.vacuum(root) === Nil)
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, staged.gen)))
+    assert(AtomicCommit.publish(root, staged) === 2L)
+    assert(snap(root) === Map(("A", 7L) -> 7.0))
+  }
+
+  test("a vacuumed-away stage fails its publish loudly instead of committing deleted data") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
+    val staged = AtomicCommit.stage(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+    // zero retention = the caller asserted no writer is in flight; the
+    // sleep puts the stage's mtime strictly before vacuum's cutoff
+    Thread.sleep(10)
+    assert(AtomicCommit.vacuum(root, orphanAgeMillis = 0L) === Seq(staged.gen))
+    val e = intercept[IllegalStateException] { AtomicCommit.publish(root, staged) }
+    assert(e.getMessage.contains(staged.gen))
+    // the table is UNHARMED — old snapshot intact, no manifest points at
+    // the deleted generation
+    assert(snap(root) === Map(("A", 1L) -> 1.0))
+  }
+
+  test("an empty replace is rejected at stage time, not published as an unreadable manifest") {
+    val root = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      AtomicCommit.commitReplacePartitions(spark, root,
+        Seq((1L, "A", 1.0)).toDF("k", "flag", "v").filter(lit(false)), "flag")
+    }
+    assert(e.getMessage.contains("no partition directories"))
+    assert(AtomicCommit.readManifest(root).isEmpty, "nothing may be published")
+  }
+
   test("mismatched partition column is rejected before any data is written") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,

@@ -96,6 +96,42 @@ class CompactionSpec extends SparkSpec {
     assert(checksum(dir) === before)
   }
 
+  test("compactAtomicTable: filesPerDir > 1 actually splits on disk (and vacuum stays opt-out)") {
+    import spark.implicits._
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_split").toString
+    val rows = (0 until 120).map { i =>
+      (i.toLong, s"text-$i", if (i % 2 == 0) "de" else "fr", 10L + i)
+    }
+    AtomicCommit.commitReplacePartitions(spark, root,
+      rows.toDF("doc_id", "text", "lang", "n_chars"), "lang")
+    val rowsBefore = AtomicCommit.read(spark, root)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSet
+    val (_, after) = Compaction.compactAtomicTable(spark, root, filesPerDir = 3)
+    // per-DIRECTORY counts through the manifest: the salt must spread each
+    // partition across >1 writing task (the r11 version silently collapsed
+    // every dir back to one file) while honoring the <= filesPerDir bound
+    val m = AtomicCommit.readManifest(root).get
+    val perDir = m.entries.map { case (v, gen) =>
+      v -> Compaction.countDataFiles(s"$root/$gen/lang=$v")
+    }
+    assert(perDir.values.forall(n => n >= 1 && n <= 3),
+      s"1..3 files per dir expected: $perDir")
+    assert(perDir.values.max > 1,
+      s"the filesPerDir split must actually happen: $perDir")
+    assert(after === perDir.values.sum)
+    // default vacuum policy: the superseded generation SURVIVES (snapshot
+    // readers may hold it); an explicit vacuum then reclaims it
+    val gens = java.nio.file.Paths.get(root).toFile.listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+    assert(gens.length === 2, gens.map(_.getName).mkString(","))
+    assert(AtomicCommit.vacuum(root).size === 1)
+    assert(AtomicCommit.read(spark, root)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSet === rowsBefore)
+  }
+
   test("compactAtomicTable: fragmented generations collapse to one, windowless, rows identical") {
     import spark.implicits._
     import graft.sources.AtomicCommit
@@ -116,7 +152,8 @@ class CompactionSpec extends SparkSpec {
       .select("doc_id", "text", "lang", "n_chars")
       .as[(Long, String, String, Long)].collect().toSet
     assert(rowsBefore.size === 120)
-    val (before, after) = Compaction.compactAtomicTable(spark, root, filesPerDir = 1)
+    val (before, after) = Compaction.compactAtomicTable(spark, root,
+      filesPerDir = 1, vacuumNow = true)
     assert(before >= after, s"$before -> $after")
     assert(after <= 2L, s"one file per partition dir expected, got $after")
     // one generation owns everything; superseded fragments vacuumed

@@ -547,10 +547,14 @@ class ExplainSpec extends SparkSpec {
     assert(specs145.nonEmpty &&
       specs145.forall(_.startsWith("windowspecdefinition(user_id#")),
       s"q145 window specs $specs145:\n${p145.take(2000)}")
-    // q140: the merge's base read carries the touched-partition filter
-    // (PartitionFilters pin lives in IncrementalUpsertSpec — here only
-    // product-freedom of the final rollup)
-    assert(!plan("q140_incremental_upsert").contains("CartesianProduct"))
+    // q140 (atomic since r12): the graded read resolves the final snapshot
+    // through the AtomicCommit manifest — plain generation file scans + the
+    // rollup agg, no product (manifest pruning of the merge's base read is
+    // pinned in IncrementalUpsertSpec; the crash-windowless commit in
+    // AtomicCommitSpec)
+    val p140 = plan("q140_incremental_upsert")
+    assert(!p140.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p140).size >= 2, p140.take(2000))
   }
 
   test("r11 rows: q146-q149 plan shapes (scrub join, RDD neighborhood, 1-row anchors)") {
