@@ -64,6 +64,24 @@ object Bench {
         "orders", "lineitem", "documents", "embeddings")
       .foreach(t => warm(t)(Tables.load(spark, sfDir, t).count()))
     warm("events")(Tables.events(spark, sfDir).count())
+    // HOST-SPEED ANCHOR (r11 lesson: the box got A/B-proven ~1.7–2× slower
+    // between r9 and r11 on identical code, so raw cross-round totals
+    // conflated host drift with plan cost). A fixed, never-changing,
+    // CPU-bound micro-query — 2^26-row codegen'd sum, no I/O, no shuffle —
+    // timed min-of-5 AFTER the JIT warm-up, emitted as "anchor_sec": every
+    // BENCH_rN then carries its own host-speed scale, and cross-era ratios
+    // compare (total/anchor) at equal "cpus" instead of raw seconds.
+    // DO NOT change this query or its run protocol; its whole value is
+    // being identical in every round.
+    def anchorOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).selectExpr("sum(id * (id % 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val anchorSec =
+      try (1 to 5).map(_ => anchorOnce()).min
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] anchor FAILED: ${e.getMessage}"); -1.0 }
     var failed = 0
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
@@ -111,7 +129,7 @@ object Bench {
       rs.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
     def lineWith(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs$extra,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs$extra,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest},"anchor_sec":${fmt(anchorSec)},"cpus":"$cpus"}"""
     // The driver captures only the LAST ~2,000 chars of stdout and sbt's
     // trailing "[success] Total time…" line eats ~85 of them, so the stdout
     // line must stay ≤ ~1,900 bytes. Full query names at 82+ queries blew

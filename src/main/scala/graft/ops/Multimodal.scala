@@ -9,11 +9,15 @@ import org.apache.spark.sql.functions._
   * The Spark-side architecture is the real deliverable here — binary
   * columns, a typed Dataset boundary, and `mapPartitions` so a decoder
   * amortizes its setup (codec init, model load) once per partition, the
-  * Scala analogue of a batched `mapInPandas` UDF. The decode itself is a
-  * clearly-marked deterministic STUB (no image/audio codecs exist in this
-  * environment): it derives fake dimensions from payload bytes, so the
-  * pipeline is testable end-to-end and swapping in a real codec touches
-  * only `decodeOne`.
+  * Scala analogue of a batched `mapInPandas` UDF. The decoders are REAL
+  * for every format this JVM can parse: hand-rolled byte codecs for
+  * 24-bit BMP, RIFF/WAVE PCM-16 and uncompressed AVI (below), and the
+  * JDK's own `javax.imageio` for JPEG/PNG/GIF ([[decodeImageIO]] — the
+  * codecs ship inside the JDK, no dependency involved). Only formats the
+  * JDK genuinely lacks (compressed video: H.264/VP9/AV1 streams; lossy
+  * audio: MP3/AAC) fall back to the clearly-marked deterministic stub in
+  * [[decodeOne]], so the pipeline stays testable end-to-end and swapping
+  * in an external codec touches one function.
   */
 object Multimodal {
 
@@ -388,6 +392,91 @@ object Multimodal {
       .toDF()
   }
 
+  // ------------------------------------------------- JPEG/PNG/GIF (ImageIO)
+  // The JDK bundles real JPEG, PNG and GIF codecs in javax.imageio — no
+  // external dependency, headless-safe. The decode produces the same
+  // [[ImageMeta]] as the BMP parser (exact integer channel sums over
+  // exactly width×height pixels, XOR canary over packed 0xRRGGBB), so the
+  // oracle-predicts-independently discipline carries over: PNG/GIF are
+  // lossless, a spec can predict every field from the encoded pattern;
+  // JPEG is lossy, so content statistics are decoder-faithful rather than
+  // pattern-exact (dims and byte counts still are).
+
+  /** Magic-number sniff for the formats [[decodeImageIO]] handles. */
+  def isImageIODecodable(payload: Array[Byte]): Boolean =
+    payload.length >= 4 && (
+      (payload(0) == 0x89.toByte && payload(1) == 'P' && payload(2) == 'N' &&
+        payload(3) == 'G') ||                                        // PNG
+      (payload(0) == 0xff.toByte && payload(1) == 0xd8.toByte &&
+        payload(2) == 0xff.toByte) ||                                // JPEG
+      (payload(0) == 'G' && payload(1) == 'I' && payload(2) == 'F')) // GIF
+
+  /** Encode a `(x, y) => packed 0xRRGGBB` pattern with the JDK's writer —
+    * spec-fixture twin of [[encodeBmp24]] ("png", "jpg", "gif").
+    */
+  def encodeImageIO(format: String, w: Int, h: Int,
+                    px: (Int, Int) => Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dims ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, px(x, y)); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"no ImageIO writer for '$format'")
+    out.toByteArray
+  }
+
+  /** Decode a JPEG/PNG/GIF payload through `javax.imageio` into the same
+    * exact-statistics [[ImageMeta]] as the BMP parser. Throws on payloads
+    * no installed reader accepts — callers route those to the stub.
+    */
+  def decodeImageIO(id: Long, payload: Array[Byte]): ImageMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $id: no ImageIO reader accepted the payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    // one bulk getRGB: per-pixel calls would re-resolve the color model
+    // w*h times; the int[] is transient per record, freed with the batch
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    var sr = 0L; var sg = 0L; var sb = 0L; var xr = 0L
+    var i = 0
+    while (i < rgb.length) {
+      val p = rgb(i) & 0xffffff
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      xr ^= p
+      i += 1
+    }
+    val n = w.toLong * h
+    def mean(s: Long): Double = math.rint(s.toDouble / n * 1e6) / 1e6
+    ImageMeta(id, payload.length, w, h, img.getColorModel.getPixelSize,
+      mean(sr), mean(sg), mean(sb), xr)
+  }
+
+  /** Batched per-partition image decode that ROUTES each payload by magic
+    * number — 24-bit BMP to the byte parser, JPEG/PNG/GIF to the JDK
+    * codec — one [[ImageMeta]] schema out; throws on anything neither
+    * handles (an image column should fail loudly on junk bytes, not
+    * fabricate dimensions — the stub path is for pipelines that opt in).
+    */
+  def decodeImage(images: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val s = images.sparkSession
+    import s.implicits._
+    images
+      .select(col(idCol).cast("long").as("id"), col(payloadCol).as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => it.map { case (id, p) =>
+        if (p.length >= 2 && p(0) == 'B' && p(1) == 'M') decodeBmp24(id, p)
+        else decodeImageIO(id, p)
+      })
+      .toDF()
+  }
+
   /** Typed decoder output: what a real image decode would yield. */
   final case class MediaMeta(
       doc_id: Long,
@@ -397,13 +486,23 @@ object Multimodal {
       height: Int,
       aspect: Double)
 
-  /** STUB decode — deterministic fake standing in for an image codec.
-    * Replace the body with a real decoder (JavaCV, TwelveMonkeys, …) when
-    * codecs are available; everything upstream/downstream stays unchanged.
+  /** Decode to [[MediaMeta]], routed by magic number: REAL dimensions for
+    * every format this JVM can parse (BMP via the byte parser, JPEG/PNG/
+    * GIF via `javax.imageio`); only payloads no codec accepts fall back to
+    * the deterministic STUB that derives fake dimensions from the byte
+    * count — the honest boundary for formats the JDK genuinely lacks
+    * (compressed video: H.264/VP9/AV1; lossy audio: MP3/AAC), kept so
+    * text-byte pipelines stay testable end-to-end.
     */
-  private def decodeOne(id: Long, payload: Array[Byte]): MediaMeta = {
-    val w = 1 + (payload.length % 64)
-    val h = 1 + (payload.length % 48)
+  private[graft] def decodeOne(id: Long, payload: Array[Byte]): MediaMeta = {
+    val real: Option[(Int, Int)] =
+      if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M') {
+        val m = decodeBmp24(id, payload); Some((m.width, m.height))
+      } else if (isImageIODecodable(payload)) {
+        val m = decodeImageIO(id, payload); Some((m.width, m.height))
+      } else None
+    val (w, h) = real.getOrElse(
+      (1 + (payload.length % 64), 1 + (payload.length % 48))) // STUB dims
     MediaMeta(
       doc_id = id,
       n_bytes = payload.length,

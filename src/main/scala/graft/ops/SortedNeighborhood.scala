@@ -96,4 +96,37 @@ object SortedNeighborhood {
       org.apache.spark.sql.functions.col("dist")
     spark.createDataFrame(pairRdd, pairSchema).select(flat: _*)
   }
+
+  /** Hernández & Stolfo's ACTUAL method is multi-pass: one sorted sweep
+    * per key ordering (last-name-first, address-first, …), candidate sets
+    * UNIONED — a true match missed by one ordering (a typo in its leading
+    * field sorts it far away) is usually caught by another. One [[pairs]]
+    * sweep per entry of `keys` (each ordering gets `idCol` appended as the
+    * total-order tiebreaker), then pair-level dedup: a pair found under
+    * several orderings — possibly with opposite orientation — counts once,
+    * canonicalized to `a_<idCol> <= b_<idCol>` with `dist` the MINIMUM
+    * neighbor rank across passes.
+    *
+    * Scale: K passes cost K independent range-sorts of O(n·w) candidates
+    * each; the dedup is one hash aggregation keyed by the pair — no
+    * all-pairs step anywhere. Driver state stays K × parts × w rows.
+    */
+  def multiPass(df: DataFrame, idCol: String, keys: Seq[Seq[String]],
+                w: Int, parts: Int): DataFrame = {
+    require(keys.nonEmpty, "multiPass needs at least one key ordering")
+    require(df.columns.contains(idCol), s"no id column '$idCol'")
+    import org.apache.spark.sql.functions.{col, min, when}
+    val cols = df.columns.toSeq
+    val unioned = keys
+      .map(k => pairs(df, if (k.contains(idCol)) k else k :+ idCol, w, parts))
+      .reduce(_.unionByName(_))
+    val keepOrder = col(s"a_$idCol") <= col(s"b_$idCol")
+    val canonical: Seq[Column] =
+      cols.map(c => when(keepOrder, col(s"a_$c")).otherwise(col(s"b_$c")).as(s"a_$c")) ++
+      cols.map(c => when(keepOrder, col(s"b_$c")).otherwise(col(s"a_$c")).as(s"b_$c")) :+
+      col("dist")
+    unioned.select(canonical: _*)
+      .groupBy(cols.map(c => col(s"a_$c")) ++ cols.map(c => col(s"b_$c")): _*)
+      .agg(min(col("dist")).as("dist"))
+  }
 }

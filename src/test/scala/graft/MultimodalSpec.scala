@@ -121,6 +121,74 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PNG decode via ImageIO: lossless, every field predicted independently") {
+    // a 9x5 deterministic gradient (45 pixels — odd, so the XOR canary is
+    // nonzero); the oracle below computes means/xor from the FORMULA, never
+    // touching the codec, and PNG's losslessness makes the match exact
+    val (w, h) = (9, 5)
+    def px(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 7 + y * 13) % 256, (x * 5 + y * 3 + 40) % 256, (x * 11 + y + 200) % 256)
+    val png = Multimodal.encodeImageIO("png", w, h,
+      (x, y) => { val (r, g, b) = px(x, y); (r << 16) | (g << 8) | b })
+    assert(Multimodal.isImageIODecodable(png))
+    val m = Multimodal.decodeImageIO(42L, png)
+    assert(m.doc_id === 42L && m.n_bytes === png.length)
+    assert(m.width === w && m.height === h && m.bpp === 24)
+    val pts = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+    assert(m.mean_r === math.rint(pts.map(_._1).sum.toDouble / pts.size * 1e6) / 1e6)
+    assert(m.mean_g === math.rint(pts.map(_._2).sum.toDouble / pts.size * 1e6) / 1e6)
+    assert(m.mean_b === math.rint(pts.map(_._3).sum.toDouble / pts.size * 1e6) / 1e6)
+    val expXor = pts.map { case (r, g, b) => (r.toLong << 16) | (g << 8) | b }
+      .reduce(_ ^ _)
+    assert(m.xor_pixels === expXor)
+  }
+
+  test("JPEG decode via ImageIO: exact geometry, content faithful within lossy tolerance") {
+    val jpg = Multimodal.encodeImageIO("jpg", 16, 12, (_, _) => (120 << 16) | (60 << 8) | 200)
+    assert(Multimodal.isImageIODecodable(jpg))
+    val m = Multimodal.decodeImageIO(7L, jpg)
+    // geometry and byte counts are exact even for a lossy codec
+    assert(m.width === 16 && m.height === 12 && m.bpp === 24 && m.n_bytes === jpg.length)
+    // a solid color survives DCT quantization nearly exactly; ±3 per
+    // channel still catches a channel swap (|200-120| = 80) or row drift
+    assert(math.abs(m.mean_r - 120.0) <= 3.0, s"mean_r ${m.mean_r}")
+    assert(math.abs(m.mean_g - 60.0) <= 3.0, s"mean_g ${m.mean_g}")
+    assert(math.abs(m.mean_b - 200.0) <= 3.0, s"mean_b ${m.mean_b}")
+  }
+
+  test("decodeImage routes BMP/PNG/JPEG payloads by magic through one typed boundary") {
+    import spark.implicits._
+    val payloads = Seq(
+      (1L, Multimodal.encodeBmp24(4, 3, 10, 20, 30)),
+      (2L, Multimodal.encodeImageIO("png", 6, 2, (_, _) => (5 << 16) | (6 << 8) | 7)),
+      (3L, Multimodal.encodeImageIO("jpg", 8, 8, (_, _) => 0x808080)))
+    val out = Multimodal.decodeImage(payloads.toDF("doc_id", "payload"),
+      "doc_id", "payload")
+      .select("doc_id", "width", "height", "mean_r")
+      .as[(Long, Int, Int, Double)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)) ===
+      Array((1L, 4, 3), (2L, 6, 2), (3L, 8, 8)))
+    assert(out(0)._4 === 10.0 && out(1)._4 === 5.0)
+    assert(math.abs(out(2)._4 - 128.0) <= 3.0)
+    // junk bytes fail loudly on the image boundary (the stub path is a
+    // separate, opt-in entry point)
+    intercept[Exception] {
+      Multimodal.decodeImage(Seq((9L, "junk".getBytes)).toDF("doc_id", "payload"),
+        "doc_id", "payload").collect()
+    }
+  }
+
+  test("decodeOne: real dimensions for decodable payloads, stub fallback for the rest") {
+    val png = Multimodal.encodeImageIO("png", 31, 17, (_, _) => 0x123456)
+    val real = Multimodal.decodeOne(1L, png)
+    assert(real.width === 31 && real.height === 17)
+    assert(real.header.startsWith("89504e47")) // PNG magic in the hex slot
+    // non-image bytes keep the deterministic stub dims (length-derived)
+    val txt = "no codec for plain text".getBytes
+    val stub = Multimodal.decodeOne(2L, txt)
+    assert(stub.width === 1 + txt.length % 64 && stub.height === 1 + txt.length % 48)
+  }
+
   test("WAV decode: round-trip, chunk walking past injected LIST chunk, odd-size padding") {
     val samples = Array[Short](100, -200, 300, -400, 500, -32768)
     val plain = Multimodal.encodeWavPcm16(8000, 2, samples)

@@ -75,6 +75,53 @@ class SortedNeighborhoodSpec extends SparkSpec {
     }
   }
 
+  test("multiPass equals the canonicalized union of its single passes, dist = min across passes") {
+    // two orderings over 80 rows with DIFFERENT leading fields: the pair
+    // sets overlap heavily but not fully, and orientation can flip between
+    // passes (x before y under one ordering, after it under the other)
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("aa", "ab", "ba", "bb")
+    val rows = (1L to 80L).map(i =>
+      (i, vocab(rng.nextInt(vocab.size)), vocab(rng.nextInt(vocab.size))))
+    val df = rows.toDF("key", "name", "zip")
+    val w = 2; val parts = 5
+    val orderings = Seq(Seq("name", "zip"), Seq("zip", "name"))
+
+    // independent oracle: per-ordering in-memory sliding pairs, then the
+    // same canonicalize-and-min-dist fold, in plain Scala collections
+    def passPairs(by: ((Long, String, String)) => (String, String, Long)) = {
+      val sorted = rows.sortBy(by)
+      for { i <- sorted.indices; d <- 1 to w if i + d < sorted.length }
+        yield (sorted(i)._1, sorted(i + d)._1, d)
+    }
+    val expected = (passPairs(r => (r._2, r._3, r._1)) ++ passPairs(r => (r._3, r._2, r._1)))
+      .map { case (a, b, d) => if (a <= b) (a, b, d) else (b, a, d) }
+      .groupBy { case (a, b, _) => (a, b) }
+      .map { case ((a, b), ps) => (a, b, ps.map(_._3).min) }.toSet
+
+    val got = SortedNeighborhood.multiPass(df, "key", orderings, w, parts)
+      .select(col("a_key"), col("b_key"), col("dist"))
+      .as[(Long, Long, Int)].collect()
+    assert(got.length === got.distinct.length, "dedup must leave no duplicate pairs")
+    assert(got.map { case (a, b, d) => (a, b, d.toLong) }.toSet === expected)
+    // the union is genuinely multi-pass: strictly more pairs than either
+    // single pass alone, strictly fewer than their non-deduped sum
+    val single = passPairs(r => (r._2, r._3, r._1)).size
+    assert(got.length > single && got.length < 2 * single)
+  }
+
+  test("multiPass with one ordering reduces to pairs() with canonical orientation") {
+    val df = (1L to 30L).map(i => (i, f"n${(i * 7) % 30}%02d")).toDF("key", "name")
+    val one = SortedNeighborhood.multiPass(df, "key", Seq(Seq("name")), 2, 3)
+      .select(col("a_key"), col("b_key"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    val base = SortedNeighborhood.pairs(df, Seq("name", "key"), 2, 3)
+      .select(col("a_key"), col("b_key"), col("dist"))
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => if (a <= b) (a, b, d) else (b, a, d) }.toSet
+    assert(one === base)
+  }
+
   test("parallelism is the requested partition count, not a key-prefix ceiling") {
     val df = Tables.part(spark, sf0001)
       .select(col("p_partkey").as("key"), col("p_name").as("name"))
