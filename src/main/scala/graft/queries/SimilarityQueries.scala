@@ -904,21 +904,28 @@ object SimilarityQueries {
       ORDER BY b.cid
     """.stripMargin.trim))
 
-  /** q147 (added r9, rewired r11) — SORTED-NEIGHBORHOOD blocking
-    * (Hernández & Stolfo 1995): the third candidate-generation strategy in
-    * the library's ER toolbox — q67 blocks on an EQUALITY key (brand), q39
-    * on shared n-grams; sorted-neighborhood sorts on the fuzzy key itself
-    * and pairs each record with its `w = 2` successors in the GLOBAL sort
-    * order, catching near-matches that share no block key (typo in the
-    * brand) at O(n·w) candidates instead of O(n²). Verification is the q67
+  /** q147 (added r9, rewired r11, MULTI-PASS r12) — SORTED-NEIGHBORHOOD
+    * blocking (Hernández & Stolfo 1995): the third candidate-generation
+    * strategy in the library's ER toolbox — q67 blocks on an EQUALITY key
+    * (brand), q39 on shared n-grams; sorted-neighborhood sorts on the
+    * fuzzy key itself and pairs each record with its `w = 2` successors in
+    * the GLOBAL sort order at O(n·w) candidates instead of O(n²). The
+    * graded form is the paper's ACTUAL method — MULTIPLE passes over
+    * different key orderings, unioned: pass 1 sorts on the name, pass 2 on
+    * its REVERSAL, so a typo in the leading characters (which exiles a
+    * match to the far side of pass 1's sort order) is caught where the
+    * name's TAIL still agrees. [[graft.ops.SortedNeighborhood.multiPass]]
+    * dedups pairs found by both passes (id-canonicalized, so orientation
+    * flips between orderings collapse). Verification is the q67
     * Jaro-Winkler (≥ 0.9), whose engine parity q67 already proves.
     *
-    * Candidates come from [[graft.ops.SortedNeighborhood]] — a
+    * Candidates per pass come from [[graft.ops.SortedNeighborhood]] — a
     * `repartitionByRange` total sort with broadcast boundary-head overlap,
-    * so the neighborhood semantics are the single-ORDER-BY window the
-    * oracle spells (no dropped cross-boundary pairs) at cluster-wide
-    * parallelism. r9's graded stand-in partitioned by first letter: a
-    * 26-way parallelism ceiling that also missed letter-boundary pairs.
+    * so each pass is exactly the single-ORDER-BY window the oracle spells
+    * (no dropped cross-boundary pairs) at cluster-wide parallelism; the
+    * dedup is one hash aggregation keyed by the pair. r9's graded stand-in
+    * partitioned by first letter: a 26-way parallelism ceiling that also
+    * missed letter-boundary pairs.
     */
   val q147 = Q(
     "q147_sorted_neighborhood",
@@ -927,26 +934,46 @@ object SimilarityQueries {
       import graft.functions.StringExprs.jaroWinkler
       val base = Tables.part(s, d)
         .select(col("p_partkey").as("key"), col("p_name").as("name"))
+        .withColumn("rev", reverse(col("name")))
       graft.ops.SortedNeighborhood
-        .pairs(base, Seq("name", "key"), w = 2,
+        .multiPass(base, "key", Seq(Seq("name"), Seq("rev")), w = 2,
           parts = s.sparkContext.defaultParallelism)
         .select(col("a_key"), col("b_key"),
           round(jaroWinkler(col("a_name"), col("b_name")), 6).as("jw"))
         .filter(col("jw") >= 0.9).orderBy("a_key", "b_key")
     },
-    Some("""WITH s AS (
-              SELECT p_partkey AS key, p_name AS name,
-                     lead(p_partkey, 1) OVER w AS k1, lead(p_name, 1) OVER w AS n1,
-                     lead(p_partkey, 2) OVER w AS k2, lead(p_name, 2) OVER w AS n2
-              FROM part
-              WINDOW w AS (ORDER BY p_name, p_partkey)),
-            p AS (
-              SELECT key AS a_key, k1 AS b_key,
-                     ROUND(jaro_winkler_similarity(name, n1), 6) AS jw
-              FROM s WHERE k1 IS NOT NULL
+    Some("""WITH base AS (
+              SELECT p_partkey AS key, p_name AS name, reverse(p_name) AS rev
+              FROM part),
+            s1 AS (
+              SELECT key, name,
+                     lead(key, 1) OVER w AS k1, lead(name, 1) OVER w AS n1,
+                     lead(key, 2) OVER w AS k2, lead(name, 2) OVER w AS n2
+              FROM base WINDOW w AS (ORDER BY name, key)),
+            s2 AS (
+              SELECT key, name,
+                     lead(key, 1) OVER w AS k1, lead(name, 1) OVER w AS n1,
+                     lead(key, 2) OVER w AS k2, lead(name, 2) OVER w AS n2
+              FROM base WINDOW w AS (ORDER BY rev, key)),
+            u AS (
+              SELECT key AS a, name AS na, k1 AS b, n1 AS nb FROM s1 WHERE k1 IS NOT NULL
               UNION ALL
-              SELECT key, k2, ROUND(jaro_winkler_similarity(name, n2), 6)
-              FROM s WHERE k2 IS NOT NULL)
+              SELECT key, name, k2, n2 FROM s1 WHERE k2 IS NOT NULL
+              UNION ALL
+              SELECT key, name, k1, n1 FROM s2 WHERE k1 IS NOT NULL
+              UNION ALL
+              SELECT key, name, k2, n2 FROM s2 WHERE k2 IS NOT NULL),
+            c AS (
+              SELECT DISTINCT
+                     CASE WHEN a <= b THEN a ELSE b END AS a_key,
+                     CASE WHEN a <= b THEN b ELSE a END AS b_key,
+                     CASE WHEN a <= b THEN na ELSE nb END AS a_name,
+                     CASE WHEN a <= b THEN nb ELSE na END AS b_name
+              FROM u),
+            p AS (
+              SELECT a_key, b_key,
+                     ROUND(jaro_winkler_similarity(a_name, b_name), 6) AS jw
+              FROM c)
             SELECT a_key, b_key, jw FROM p WHERE jw >= 0.9
             ORDER BY a_key, b_key"""))
 

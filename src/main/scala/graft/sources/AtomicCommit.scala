@@ -42,6 +42,10 @@ import org.apache.spark.sql.functions._
   *     the concurrent writer's rows (the lost-update the last-wins version
   *     ordering would otherwise permit). Writers on DISJOINT partitions
   *     still serialize through the version CAS and both land.
+  *   - Manifests are immutable and generations append-only, so every
+  *     version still on disk is a readable snapshot: [[readAt]] is
+  *     `VERSION AS OF` time travel for free, with [[vacuum]] retention as
+  *     the history horizon.
   *   - Superseded generations stay on disk (snapshot-isolated readers may
   *     still be scanning them) until [[vacuum]] drops directories the
   *     current manifest no longer references, along with stale manifest
@@ -203,9 +207,36 @@ object AtomicCommit {
     * basePath so the partition column survives; per-partition DataFrames
     * union by name (all generations share the table schema).
     */
-  def read(spark: SparkSession, root: String): DataFrame = {
-    val m = readManifest(root).getOrElse(
-      sys.error(s"no ${ManifestPrefix}N$ManifestSuffix at $root — not an AtomicCommit table"))
+  def read(spark: SparkSession, root: String): DataFrame =
+    scanManifest(spark, root, readManifest(root).getOrElse(
+      sys.error(s"no ${ManifestPrefix}N$ManifestSuffix at $root — not an AtomicCommit table")))
+
+  /** TIME TRAVEL: the snapshot exactly as version `version` published it —
+    * manifests are immutable and generations append-only, so any version
+    * still on disk replays byte-identically (the Iceberg `VERSION AS OF`
+    * read). History depth is the caller's [[vacuum]] retention choice;
+    * reading a vacuumed version fails with a clear error, never a partial
+    * result.
+    */
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val p = manifestPath(root, version)
+    if (!Files.exists(p))
+      sys.error(s"no manifest v$version at $root — never published, or " +
+        s"vacuumed (on disk: ${versions(root).mkString(", ")})")
+    scanManifest(spark, root,
+      parseJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  }
+
+  /** Snapshot versions still readable (ascending). [[vacuum]] prunes all
+    * but the current one, so this is also the time-travel horizon.
+    */
+  def versions(root: String): Seq[Long] = {
+    val files = Option(Paths.get(root).toFile.listFiles).getOrElse(Array.empty)
+    files.flatMap(f => versionOf(f.getName)).toSeq.sorted
+  }
+
+  private def scanManifest(spark: SparkSession, root: String,
+                           m: Manifest): DataFrame = {
     // unreachable through stage() (which rejects empty commits) — guards
     // hand-written manifests with a message instead of empty.reduce
     require(m.entries.nonEmpty,

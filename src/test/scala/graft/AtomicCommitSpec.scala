@@ -229,6 +229,28 @@ class AtomicCommitSpec extends SparkSpec {
     assert(AtomicCommit.readManifest(root).isEmpty, "nothing may be published")
   }
 
+  test("time travel: every on-disk version replays its exact snapshot; vacuum sets the horizon") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0), (3L, "B", 3.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+    assert(AtomicCommit.versions(root) === Seq(1L, 2L))
+    def at(v: Long) = AtomicCommit.readAt(spark, root, v)
+      .select("k", "flag", "v").as[(Long, String, Double)].collect()
+      .map { case (k, f, x) => (f, k) -> x }.toMap
+    // v1 replays the pre-replace snapshot byte-identically; v2 == current
+    assert(at(1L) === Map(("A", 1L) -> 1.0, ("B", 3L) -> 3.0))
+    assert(at(2L) === snap(root))
+    // vacuum prunes history to the current version; a vacuumed version
+    // fails with a clear error, never a partial read
+    AtomicCommit.vacuum(root)
+    assert(AtomicCommit.versions(root) === Seq(2L))
+    assert(at(2L) === Map(("A", 7L) -> 7.0, ("B", 3L) -> 3.0))
+    val e = intercept[RuntimeException] { at(1L) }
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("vacuumed"))
+  }
+
   test("mismatched partition column is rejected before any data is written") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,
