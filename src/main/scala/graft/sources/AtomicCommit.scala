@@ -218,14 +218,8 @@ object AtomicCommit {
     * reading a vacuumed version fails with a clear error, never a partial
     * result.
     */
-  def readAt(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val p = manifestPath(root, version)
-    if (!Files.exists(p))
-      sys.error(s"no manifest v$version at $root — never published, or " +
-        s"vacuumed (on disk: ${versions(root).mkString(", ")})")
-    scanManifest(spark, root,
-      parseJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
-  }
+  def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
+    scanManifest(spark, root, manifestAt(root, version))
 
   /** Snapshot versions still readable (ascending). [[vacuum]] prunes all
     * but the current one, so this is also the time-travel horizon.
@@ -233,6 +227,74 @@ object AtomicCommit {
   def versions(root: String): Seq[Long] = {
     val files = Option(Paths.get(root).toFile.listFiles).getOrElse(Array.empty)
     files.flatMap(f => versionOf(f.getName)).toSeq.sorted
+  }
+
+  /** Partition values whose OWNING GENERATION differs between two on-disk
+    * versions (including appears/disappears). Because generations are
+    * immutable, same owner ⇒ byte-identical partition — this set is the
+    * EXACT change surface between the snapshots, resolved driver-side
+    * from two manifest files (O(#partitions), no data I/O).
+    */
+  def changedPartitions(root: String, fromVersion: Long,
+                        toVersion: Long): Seq[String] = {
+    val a = manifestAt(root, fromVersion).entries
+    val b = manifestAt(root, toVersion).entries
+    (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p)).toSeq.sorted
+  }
+
+  /** Row-level CDC between two snapshot versions — q142's classification
+    * (insert / delete / update by `keyCol`, any column differing) made
+    * INCREMENTAL by the manifest: only [[changedPartitions]] are scanned
+    * on either side, so the diff costs O(changed partitions), not
+    * O(snapshot) — the immutability argument above is what makes skipping
+    * the rest sound, where a file-level diff of a mutable layout would
+    * have to checksum everything. Returns `change_type` + the key + every
+    * `<col>_from`/`<col>_to` pair; empty when the versions share every
+    * owner.
+    */
+  def diff(spark: SparkSession, root: String, fromVersion: Long,
+           toVersion: Long, keyCol: String): DataFrame = {
+    val changed = changedPartitions(root, fromVersion, toVersion)
+    val mA = manifestAt(root, fromVersion)
+    val mB = manifestAt(root, toVersion)
+    def side(m: Manifest): Option[DataFrame] = {
+      val owned = m.entries.filter { case (p, _) => changed.contains(p) }
+      if (owned.isEmpty) None
+      else Some(scanManifest(spark, root, m.copy(entries = owned)))
+    }
+    (side(mA), side(mB)) match {
+      case (None, None) =>
+        spark.emptyDataFrame // identical manifests: nothing to scan at all
+      case (a, b) =>
+        // one side can still be empty (all-new or all-dropped partitions)
+        val probe = a.orElse(b).get
+        val dataCols = probe.columns.filterNot(_ == keyCol).toSeq
+        val empty = probe.filter(lit(false))
+        val av = a.getOrElse(empty).alias("a")
+        val bv = b.getOrElse(empty).alias("b")
+        val joined = av.join(bv, col(s"a.$keyCol") === col(s"b.$keyCol"), "full_outer")
+        val changedRow = dataCols
+          .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val outCols =
+          when(col(s"a.$keyCol").isNull, lit("insert"))
+            .when(col(s"b.$keyCol").isNull, lit("delete"))
+            .when(changedRow, lit("update"))
+            .otherwise(lit("unchanged")).as("change_type") +:
+          coalesce(col(s"a.$keyCol"), col(s"b.$keyCol")).as(keyCol) +:
+          dataCols.flatMap(c =>
+            Seq(col(s"a.$c").as(s"${c}_from"), col(s"b.$c").as(s"${c}_to")))
+        joined.select(outCols: _*)
+          .filter(col("change_type") =!= "unchanged")
+    }
+  }
+
+  private def manifestAt(root: String, version: Long): Manifest = {
+    val p = manifestPath(root, version)
+    if (!Files.exists(p))
+      sys.error(s"no manifest v$version at $root — never published, or " +
+        s"vacuumed (on disk: ${versions(root).mkString(", ")})")
+    parseJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
   }
 
   private def scanManifest(spark: SparkSession, root: String,

@@ -251,6 +251,29 @@ class AtomicCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("v1") && e.getMessage.contains("vacuumed"))
   }
 
+  test("version diff: manifest-pruned CDC scans only partitions whose owner changed") {
+    val root = freshRoot()
+    // v1: A{1,2} B{3} C{4}; v2 replaces ONLY A (drop k=2, update k=1, add k=9)
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0), (2L, "A", 2.0), (3L, "B", 3.0), (4L, "C", 4.0))
+        .toDF("k", "flag", "v"), "flag")
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 10.0), (9L, "A", 9.0)).toDF("k", "flag", "v"), "flag")
+    // the change surface is resolved from the manifests alone: just A
+    assert(AtomicCommit.changedPartitions(root, 1L, 2L) === Seq("A"))
+    val d = AtomicCommit.diff(spark, root, 1L, 2L, "k")
+      .select("change_type", "k", "v_from", "v_to")
+      .as[(String, Long, Option[Double], Option[Double])].collect().toSet
+    // untouched partitions (B, C) contribute NOTHING — their rows are
+    // byte-identical by the immutability argument and are never scanned
+    assert(d === Set(
+      ("update", 1L, Some(1.0), Some(10.0)),
+      ("delete", 2L, Some(2.0), None),
+      ("insert", 9L, None, Some(9.0))))
+    // identical versions diff to empty
+    assert(AtomicCommit.diff(spark, root, 2L, 2L, "k").isEmpty)
+  }
+
   test("mismatched partition column is rejected before any data is written") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,
