@@ -1,7 +1,7 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -12,26 +12,25 @@ import org.apache.spark.sql.functions._
   * document as their open crash window. Their dynamic-partition-overwrite
   * commit replaces touched partitions one rename at a time, so a crash
   * mid-commit exposes a half-refreshed snapshot. Here the snapshot IS a
-  * manifest, and a commit is ONE atomic filesystem operation:
+  * manifest, and a commit is ONE atomic storage operation:
   *
   *   - Data layout: every commit writes its rows (partitioned by the
   *     table's partition column) under a fresh generation directory
   *     `root/g…_<uuid>/<col>=<value>/…`. Generations are IMMUTABLE — a
   *     writer never touches a directory a reader could hold.
-  *   - The snapshot at version N is `root/_graft_manifest.v<N>.json`,
-  *     mapping each live partition VALUE to the generation directory that
-  *     owns it. Readers resolve the HIGHEST version present (driver-side,
-  *     O(#partitions) — the same metadata scale as a table format's
-  *     snapshot file) and scan only owned dirs.
-  *   - Publish = write the full manifest body to a temp file, then
-  *     `Files.createLink(v<N+1>, tmp)` — hard-link creation is POSIX-
-  *     atomic AND fails with EEXIST if version N+1 already exists. That
-  *     is a true compare-and-swap: of two racing writers exactly ONE wins
+  *   - The snapshot at version N is the manifest object
+  *     `_graft_manifest.v<N>.json`, mapping each live partition VALUE to
+  *     the generation directory that owns it. Readers resolve the HIGHEST
+  *     version present (driver-side, O(#partitions) — the same metadata
+  *     scale as a table format's snapshot file) and scan only owned dirs.
+  *   - Publish = atomic create-if-absent of version N+1's manifest via
+  *     [[ManifestStore.putIfAbsent]] — create-if-absent on a versioned
+  *     name IS a compare-and-swap: of two racing writers exactly ONE wins
   *     the version; the loser re-reads the new current manifest, re-merges
   *     its (already-written, still-invisible) generation, and retries at
   *     N+2. This is the optimistic-concurrency commit protocol of the
   *     table formats (Iceberg's metadata swap), on plain-parquet
-  *     primitives. A crash BEFORE the link leaves the old snapshot fully
+  *     primitives. A crash BEFORE the put leaves the old snapshot fully
   *     intact (unreferenced directories are invisible); a crash AFTER is a
   *     completed commit. No in-between exists.
   *   - Serializable isolation via a READ-SET check: every stage records
@@ -54,11 +53,17 @@ import org.apache.spark.sql.functions._
   *     but-unpublished phase-1 output, so vacuum only removes those past an
   *     mtime retention threshold (Iceberg's orphan-file rule), and
   *     [[publish]] re-verifies its generation directory still exists before
-  *     linking — a vacuumed-away stage fails loudly, never commits a
+  *     the put — a vacuumed-away stage fails loudly, never commits a
   *     manifest pointing at deleted data.
   *
-  * Scope honesty: hard-link CAS is a POSIX/HDFS-family primitive; object
-  * stores need a conditional put or a catalog.
+  * Storage portability: the protocol's only atomic primitive is
+  * [[ManifestStore.putIfAbsent]]. Every method takes a root-only form
+  * (manifests beside the data through [[PosixManifestStore]]'s hard-link
+  * create-if-absent — the POSIX/HDFS deployment) and a `store` form for
+  * any backend exposing a conditional put (S3 `If-None-Match: *`, GCS
+  * `ifGenerationMatch=0`); [[InMemoryObjectStore]] models that contract
+  * exactly and the spec runs the full protocol against it. Data files
+  * never need the primitive — generations are write-once.
   */
 object AtomicCommit {
 
@@ -68,11 +73,13 @@ object AtomicCommit {
     * against a livelocking pathological writer storm. */
   val MaxPublishRetries = 64
 
+  private def posix(root: String): ManifestStore = new PosixManifestStore(root)
+
   final case class Manifest(version: Long, partitionCol: String,
                             entries: Map[String, String])
 
   /** A written-but-unpublished generation: the phase-1 output. Invisible
-    * to every reader until [[publish]] links a manifest referencing it.
+    * to every reader until [[publish]] puts a manifest referencing it.
     * `baseVersion`/`baseOwners` are the commit's READ SET — the manifest
     * version observed at stage time and the generation then owning each
     * staged partition (absent = partition did not exist) — which [[publish]]
@@ -101,7 +108,16 @@ object AtomicCommit {
   def commitReplacePartitions(spark: SparkSession, root: String,
                               df: DataFrame, partitionCol: String,
                               filesPerDir: Int = 1): Long =
-    publish(root, stage(spark, root, df, partitionCol, filesPerDir))
+    commitReplacePartitions(spark, root, posix(root), df, partitionCol,
+      filesPerDir)
+
+  /** [[commitReplacePartitions]] with the manifest CAS running against an
+    * explicit [[ManifestStore]] (object-store deployments).
+    */
+  def commitReplacePartitions(spark: SparkSession, root: String,
+                              store: ManifestStore, df: DataFrame,
+                              partitionCol: String, filesPerDir: Int): Long =
+    publish(root, store, stage(spark, root, store, df, partitionCol, filesPerDir))
 
   /** Phase 1 (exposed for the crash-window spec): write the generation
     * directory. No manifest is touched; a crash after this leaves only an
@@ -111,9 +127,13 @@ object AtomicCommit {
     * so the write keyed by it is the one that actually lands on disk).
     */
   def stage(spark: SparkSession, root: String, df: DataFrame,
-            partitionCol: String, filesPerDir: Int = 1): Staged = {
+            partitionCol: String, filesPerDir: Int = 1): Staged =
+    stage(spark, root, posix(root), df, partitionCol, filesPerDir)
+
+  def stage(spark: SparkSession, root: String, store: ManifestStore,
+            df: DataFrame, partitionCol: String, filesPerDir: Int): Staged = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
-    val prev = readManifest(root)
+    val prev = readManifest(store)
     require(prev.forall(_.partitionCol == partitionCol),
       s"table at $root is partitioned by ${prev.get.partitionCol}, not $partitionCol")
     Files.createDirectories(Paths.get(root))
@@ -143,9 +163,9 @@ object AtomicCommit {
   }
 
   /** Phase 2: optimistic-concurrency publish. Merges `staged` over the
-    * CURRENT manifest and attempts the hard-link CAS at version+1; on a
-    * lost race, re-reads and retries (the staged generation directory
-    * never needs rewriting). Validation on every attempt, BEFORE the link:
+    * CURRENT manifest and attempts the create-if-absent CAS at version+1;
+    * on a lost race, re-reads and retries (the staged generation directory
+    * never needs rewriting). Validation on every attempt, BEFORE the put:
     *
     *  - READ-SET check: if any intervening committed version changed the
     *    owner of a partition in `staged.partitions` since stage time,
@@ -159,10 +179,13 @@ object AtomicCommit {
     * Throws [[VersionConflictException]] only past [[MaxPublishRetries]]
     * consecutive lost races.
     */
-  def publish(root: String, staged: Staged): Long = {
+  def publish(root: String, staged: Staged): Long =
+    publish(root, posix(root), staged)
+
+  def publish(root: String, store: ManifestStore, staged: Staged): Long = {
     var attempt = 0
     while (attempt < MaxPublishRetries) {
-      val prev = readManifest(root)
+      val prev = readManifest(store)
       require(prev.forall(_.partitionCol == staged.partitionCol),
         s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
       val conflicts = staged.partitions.filter { p =>
@@ -182,21 +205,13 @@ object AtomicCommit {
         staged.partitionCol,
         prev.map(_.entries).getOrElse(Map.empty) ++
           staged.partitions.map(_ -> staged.gen).toMap)
-      val tmp = Paths.get(root,
-        s"_graft_manifest.tmp_${java.util.UUID.randomUUID.toString.take(8)}")
-      Files.write(tmp, renderJson(next).getBytes(StandardCharsets.UTF_8))
-      try {
-        // hard-link = atomic create-if-absent of a FULLY-WRITTEN manifest:
-        // readers can never observe a partial body, and EEXIST is the CAS
-        // failure signal
-        Files.createLink(manifestPath(root, next.version), tmp)
-        Files.delete(tmp)
+      // atomic create-if-absent of the fully-rendered body: readers can
+      // never observe a partial manifest, and an occupied version is the
+      // CAS failure signal — refresh and retry
+      if (store.putIfAbsent(manifestName(next.version),
+        renderJson(next).getBytes(StandardCharsets.UTF_8)))
         return next.version
-      } catch {
-        case _: FileAlreadyExistsException =>
-          Files.delete(tmp) // lost the race — refresh and retry
-          attempt += 1
-      }
+      attempt += 1
     }
     throw new VersionConflictException(
       s"lost the manifest CAS $MaxPublishRetries times at $root — writer storm?")
@@ -208,7 +223,10 @@ object AtomicCommit {
     * union by name (all generations share the table schema).
     */
   def read(spark: SparkSession, root: String): DataFrame =
-    scanManifest(spark, root, readManifest(root).getOrElse(
+    read(spark, root, posix(root))
+
+  def read(spark: SparkSession, root: String, store: ManifestStore): DataFrame =
+    scanManifest(spark, root, readManifest(store).getOrElse(
       sys.error(s"no ${ManifestPrefix}N$ManifestSuffix at $root — not an AtomicCommit table")))
 
   /** TIME TRAVEL: the snapshot exactly as version `version` published it —
@@ -219,15 +237,19 @@ object AtomicCommit {
     * result.
     */
   def readAt(spark: SparkSession, root: String, version: Long): DataFrame =
-    scanManifest(spark, root, manifestAt(root, version))
+    readAt(spark, root, posix(root), version)
+
+  def readAt(spark: SparkSession, root: String, store: ManifestStore,
+             version: Long): DataFrame =
+    scanManifest(spark, root, manifestAt(store, root, version))
 
   /** Snapshot versions still readable (ascending). [[vacuum]] prunes all
     * but the current one, so this is also the time-travel horizon.
     */
-  def versions(root: String): Seq[Long] = {
-    val files = Option(Paths.get(root).toFile.listFiles).getOrElse(Array.empty)
-    files.flatMap(f => versionOf(f.getName)).toSeq.sorted
-  }
+  def versions(root: String): Seq[Long] = versions(posix(root))
+
+  def versions(store: ManifestStore): Seq[Long] =
+    store.list().flatMap(versionOf).sorted
 
   /** Partition values whose OWNING GENERATION differs between two on-disk
     * versions (including appears/disappears). Because generations are
@@ -236,9 +258,13 @@ object AtomicCommit {
     * from two manifest files (O(#partitions), no data I/O).
     */
   def changedPartitions(root: String, fromVersion: Long,
+                        toVersion: Long): Seq[String] =
+    changedPartitions(posix(root), root, fromVersion, toVersion)
+
+  def changedPartitions(store: ManifestStore, root: String, fromVersion: Long,
                         toVersion: Long): Seq[String] = {
-    val a = manifestAt(root, fromVersion).entries
-    val b = manifestAt(root, toVersion).entries
+    val a = manifestAt(store, root, fromVersion).entries
+    val b = manifestAt(store, root, toVersion).entries
     (a.keySet ++ b.keySet).filter(p => a.get(p) != b.get(p)).toSeq.sorted
   }
 
@@ -253,10 +279,14 @@ object AtomicCommit {
     * owner.
     */
   def diff(spark: SparkSession, root: String, fromVersion: Long,
-           toVersion: Long, keyCol: String): DataFrame = {
-    val changed = changedPartitions(root, fromVersion, toVersion)
-    val mA = manifestAt(root, fromVersion)
-    val mB = manifestAt(root, toVersion)
+           toVersion: Long, keyCol: String): DataFrame =
+    diff(spark, root, posix(root), fromVersion, toVersion, keyCol)
+
+  def diff(spark: SparkSession, root: String, store: ManifestStore,
+           fromVersion: Long, toVersion: Long, keyCol: String): DataFrame = {
+    val changed = changedPartitions(store, root, fromVersion, toVersion)
+    val mA = manifestAt(store, root, fromVersion)
+    val mB = manifestAt(store, root, toVersion)
     def side(m: Manifest): Option[DataFrame] = {
       val owned = m.entries.filter { case (p, _) => changed.contains(p) }
       if (owned.isEmpty) None
@@ -289,16 +319,17 @@ object AtomicCommit {
     }
   }
 
-  private def manifestAt(root: String, version: Long): Manifest = {
-    val p = manifestPath(root, version)
-    if (!Files.exists(p))
-      sys.error(s"no manifest v$version at $root — never published, or " +
-        s"vacuumed (on disk: ${versions(root).mkString(", ")})")
-    parseJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-  }
+  private def manifestAt(store: ManifestStore, root: String,
+                         version: Long): Manifest =
+    store.get(manifestName(version)) match {
+      case Some(bytes) => parseJson(new String(bytes, StandardCharsets.UTF_8))
+      case None =>
+        sys.error(s"no manifest v$version at $root — never published, or " +
+          s"vacuumed (on disk: ${versions(store).mkString(", ")})")
+    }
 
-  private def scanManifest(spark: SparkSession, root: String,
-                           m: Manifest): DataFrame = {
+  private[sources] def scanManifest(spark: SparkSession, root: String,
+                                    m: Manifest): DataFrame = {
     // unreachable through stage() (which rejects empty commits) — guards
     // hand-written manifests with a message instead of empty.reduce
     require(m.entries.nonEmpty,
@@ -321,8 +352,12 @@ object AtomicCommit {
     * (an upsert's brand-new partitions have no base rows by definition).
     */
   def readPartitions(spark: SparkSession, root: String,
+                     values: Seq[String]): Option[DataFrame] =
+    readPartitions(spark, root, posix(root), values)
+
+  def readPartitions(spark: SparkSession, root: String, store: ManifestStore,
                      values: Seq[String]): Option[DataFrame] = {
-    val m = readManifest(root).getOrElse(
+    val m = readManifest(store).getOrElse(
       sys.error(s"no ${ManifestPrefix}N$ManifestSuffix at $root — not an AtomicCommit table"))
     val want = values.toSet
     val owned = m.entries.filter { case (v, _) => want(v) }
@@ -361,19 +396,23 @@ object AtomicCommit {
     * Returns the deleted generation-directory names.
     */
   def vacuum(root: String,
-             orphanAgeMillis: Long = OrphanRetentionMillis): Seq[String] = {
-    val m = readManifest(root).getOrElse(return Nil)
+             orphanAgeMillis: Long = OrphanRetentionMillis): Seq[String] =
+    vacuum(root, posix(root), orphanAgeMillis)
+
+  def vacuum(root: String, store: ManifestStore,
+             orphanAgeMillis: Long): Seq[String] = {
+    val m = readManifest(store).getOrElse(return Nil)
     val live = m.entries.values.toSet
     val rootPath = Paths.get(root)
     val children = Option(rootPath.toFile.listFiles).getOrElse(Array.empty)
     // every generation any on-disk manifest version references — the
     // union distinguishes "superseded" (was published) from "never
     // published" (maybe still in a writer's hands)
-    val everReferenced = children
-      .flatMap(f => versionOf(f.getName))
+    val everReferenced = versions(store)
       .flatMap { v =>
-        try parseJson(new String(Files.readAllBytes(manifestPath(root, v)),
-          StandardCharsets.UTF_8)).entries.values
+        try store.get(manifestName(v))
+          .map(b => parseJson(new String(b, StandardCharsets.UTF_8)).entries.values)
+          .getOrElse(Nil)
         catch { case _: Throwable => Nil } // a torn manifest can't vouch
       }.toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanAgeMillis)
@@ -384,29 +423,30 @@ object AtomicCommit {
       }
       .map(_.getName).toSeq.sorted
     doomed.foreach(d => deleteRecursively(rootPath.resolve(d)))
-    children.filter { f =>
-      val n = f.getName
-      (n.startsWith(ManifestPrefix) && n.endsWith(ManifestSuffix) &&
-        versionOf(n).exists(_ < m.version)) ||
-        (n.startsWith("_graft_manifest.tmp_") && f.lastModified() < cutoff)
-    }.foreach(f => Files.deleteIfExists(f.toPath))
+    versions(store).filter(_ < m.version)
+      .foreach(v => store.delete(manifestName(v)))
+    store.vacuumTemps(cutoff)
     doomed
   }
 
-  def readManifest(root: String): Option[Manifest] =
-    currentVersion(root).map { v =>
-      parseJson(new String(Files.readAllBytes(manifestPath(root, v)),
+  def readManifest(root: String): Option[Manifest] = readManifest(posix(root))
+
+  def readManifest(store: ManifestStore): Option[Manifest] =
+    currentVersion(store).map { v =>
+      parseJson(new String(store.get(manifestName(v)).getOrElse(
+        sys.error(s"manifest v$v vanished between list and read")),
         StandardCharsets.UTF_8))
     }
 
-  def currentVersion(root: String): Option[Long] = {
-    val files = Option(Paths.get(root).toFile.listFiles).getOrElse(Array.empty)
-    val vs = files.flatMap(f => versionOf(f.getName))
+  def currentVersion(root: String): Option[Long] = currentVersion(posix(root))
+
+  def currentVersion(store: ManifestStore): Option[Long] = {
+    val vs = store.list().flatMap(versionOf)
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def manifestPath(root: String, version: Long): Path =
-    Paths.get(root, f"$ManifestPrefix$version%08d$ManifestSuffix")
+  private def manifestName(version: Long): String =
+    f"$ManifestPrefix$version%08d$ManifestSuffix"
 
   private def versionOf(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix) && name.endsWith(ManifestSuffix))
