@@ -1,0 +1,235 @@
+package graft.sources
+
+import java.math.BigDecimal
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Column-statistics data skipping for [[AtomicCommit]] tables — the
+  * Iceberg/Delta min-max file-skipping idea at partition granularity.
+  * Partition-column pruning is free (the manifest maps values to
+  * directories), but a predicate on any OTHER column still scans every
+  * owned partition. At 100 TB that difference is the whole game: a query
+  * for `n_chars BETWEEN 5000 AND 6000` over a lang-partitioned corpus
+  * touches every language unless something records that `lang=de` only
+  * holds 12..4031.
+  *
+  * Mechanics, riding the module's immutability invariant:
+  *
+  *   - Between stage and publish, [[annotateStaged]] aggregates per
+  *     (partition, column) `min` / `max` / `nulls` / `rows` from the rows
+  *     the generation actually landed on disk (ONE `groupBy(partitionCol)`
+  *     job over the staged directory; result is O(#partitions × #cols)
+  *     driver rows — manifest scale) and writes them as
+  *     `_graft_stats.jsonl` INSIDE the generation directory. The sidecar
+  *     is created before any manifest references the generation and never
+  *     touched after, so it inherits the generation's immutability: same
+  *     owner ⇒ same stats, no refresh problem, vacuumed with its data.
+  *   - [[readWhere]] resolves the manifest, keeps only partitions whose
+  *     recorded `[min, max]` interval intersects `[lower, upper]` (plus a
+  *     residual row filter — stats are partition-granular), and scans
+  *     nothing else: pruned directories are never even listed, the same
+  *     guarantee [[AtomicCommit.readPartitions]] gives for partition-key
+  *     reads, now for arbitrary numeric/string columns.
+  *
+  * Soundness before aggressiveness: a partition with NO stats for the
+  * column (older generation, un-annotated commit, unknown column) is
+  * always KEPT — skipping is an optimization that can only narrow where
+  * evidence exists. Numeric min/max are stored as exact decimal strings
+  * and compared as [[BigDecimal]] (an int64 near 2^63 round-tripped
+  * through double could round the wrong way and prune a matching
+  * partition); string bounds compare by CODE POINT, matching Spark's
+  * binary UTF8String ordering, not UTF-16 `compareTo` (which disagrees on
+  * supplementary characters).
+  */
+object DataSkipping {
+
+  val StatsFile = "_graft_stats.jsonl"
+
+  /** One (partition, column) statistics record. `min`/`max` are None only
+    * when every value in the partition is null.
+    */
+  final case class ColStats(partition: String, col: String, kind: String,
+                            min: Option[String], max: Option[String],
+                            nulls: Long, rows: Long)
+
+  /** Stage → annotate → publish: [[AtomicCommit.commitReplacePartitions]]
+    * with stats for `cols` recorded on the new generation.
+    */
+  def commitWithStats(spark: SparkSession, root: String, df: DataFrame,
+                      partitionCol: String, cols: Seq[String]): Long =
+    commitWithStats(spark, root, new PosixManifestStore(root), df,
+      partitionCol, cols)
+
+  def commitWithStats(spark: SparkSession, root: String, store: ManifestStore,
+                      df: DataFrame, partitionCol: String,
+                      cols: Seq[String]): Long = {
+    val staged = AtomicCommit.stage(spark, root, store, df, partitionCol, 1)
+    annotateStaged(spark, root, staged, cols)
+    AtomicCommit.publish(root, store, staged)
+  }
+
+  /** Compute and write the stats sidecar for a staged-but-unpublished
+    * generation. Reads back the directory the stage actually wrote (not
+    * the caller's DataFrame) so the recorded bounds are the bounds of the
+    * bytes on disk, whatever the write's lineage did.
+    */
+  def annotateStaged(spark: SparkSession, root: String,
+                     staged: AtomicCommit.Staged, cols: Seq[String]): Unit = {
+    val genPath = s"$root/${staged.gen}"
+    // partition-type inference OFF: the sidecar keys must equal the
+    // manifest's partition VALUES verbatim ("01" must not become 1, or
+    // readWhere's lookup misses and the partition is scanned needlessly)
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.get(confKey)
+    val data =
+      try {
+        spark.conf.set(confKey, "false")
+        spark.read.option("basePath", genPath).parquet(
+          staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"): _*)
+      } finally spark.conf.set(confKey, saved)
+    val kinds: Map[String, String] = cols.map { c =>
+      data.schema.find(_.name == c).getOrElse(
+        sys.error(s"stats column $c not in generation schema")) match {
+        case f if f.dataType.isInstanceOf[NumericType] => c -> "num"
+        case f if f.dataType == StringType => c -> "str"
+        case f => sys.error(
+          s"stats column $c has unsupported type ${f.dataType.simpleString} " +
+            "(numeric and string columns only)")
+      }
+    }.toMap
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+    val rows = data.groupBy(col(staged.partitionCol).cast("string").as("__p"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    val records = rows.flatMap { r =>
+      val p = r.getAs[String]("__p")
+      val n = r.getAs[Long]("__rows")
+      cols.map { c =>
+        val mn = Option(r.getAs[Any](s"__min_$c")).map(_.toString)
+        val mx = Option(r.getAs[Any](s"__max_$c")).map(_.toString)
+        ColStats(p, c, kinds(c), mn, mx, r.getAs[Long](s"__nulls_$c"), n)
+      }
+    }
+    val body = records.sortBy(s => (s.partition, s.col))
+      .map(renderRecord).mkString("", "\n", "\n")
+    Files.write(Paths.get(genPath, StatsFile),
+      body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Snapshot read of rows with `colName` between `lower` and `upper`
+    * (inclusive), scanning ONLY partitions whose stats interval intersects
+    * — un-annotated partitions are scanned too (soundness). Bounds are
+    * compared exactly: numbers as decimals, strings by code point.
+    */
+  def readWhere(spark: SparkSession, root: String, colName: String,
+                lower: Any, upper: Any): DataFrame =
+    readWhere(spark, root, new PosixManifestStore(root), colName, lower, upper)
+
+  def readWhere(spark: SparkSession, root: String, store: ManifestStore,
+                colName: String, lower: Any, upper: Any): DataFrame = {
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val statsByGen: Map[String, Map[(String, String), ColStats]] =
+      m.entries.values.toSeq.distinct
+        .map(g => g -> readStats(root, g).map(s => (s.partition, s.col) -> s).toMap)
+        .toMap
+    val keep = m.entries.filter { case (pv, gen) =>
+      statsByGen(gen).get((pv, colName)) match {
+        case None => true // no evidence — must scan
+        case Some(s) => intersects(s, lower, upper)
+      }
+    }
+    val residual: Column =
+      col(colName) >= lit(lower) && col(colName) <= lit(upper)
+    if (keep.isEmpty) {
+      // every partition provably disjoint — nothing to scan; probe one
+      // owned directory for the SCHEMA only (footer read), then hand back
+      // a scan-free empty relation so the plan touches zero data files
+      val (pv, gen) = m.entries.head
+      val schema = spark.read.option("basePath", s"$root/$gen")
+        .parquet(s"$root/$gen/${m.partitionCol}=$pv").schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      AtomicCommit.scanManifest(spark, root, m.copy(entries = keep))
+        .filter(residual)
+  }
+
+  /** The stats records of a generation (empty when un-annotated). */
+  def readStats(root: String, gen: String): Seq[ColStats] = {
+    val p = Paths.get(root, gen, StatsFile)
+    if (!Files.exists(p)) return Nil
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map(parseRecord)
+  }
+
+  /** Keep iff some row COULD fall in [lower, upper]: all-null partitions
+    * cannot (a between predicate never matches null), and a recorded
+    * interval strictly outside the bounds cannot.
+    */
+  private def intersects(s: ColStats, lower: Any, upper: Any): Boolean =
+    (s.min, s.max) match {
+      case (None, None) => s.rows == 0 // all-null ⇒ no match possible
+      case (Some(mn), Some(mx)) =>
+        if (s.kind == "num") {
+          // NaN/Infinity bounds (a double column holding them) are not
+          // decimals — no usable evidence, keep the partition
+          try {
+            val lo = new BigDecimal(lower.toString)
+            val hi = new BigDecimal(upper.toString)
+            new BigDecimal(mx).compareTo(lo) >= 0 &&
+              new BigDecimal(mn).compareTo(hi) <= 0
+          } catch { case _: NumberFormatException => true }
+        } else {
+          cpCompare(mx, lower.toString) >= 0 && cpCompare(mn, upper.toString) <= 0
+        }
+      case _ => true // half-recorded — treat as no evidence
+    }
+
+  /** Lexicographic comparison by Unicode CODE POINT — the order Spark's
+    * binary UTF8String comparison realizes. Java's `String.compareTo`
+    * (UTF-16 units) would rank supplementary characters below U+E000..
+    * U+FFFF and could prune a partition that actually matches.
+    */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    val ai = a.codePoints().iterator()
+    val bi = b.codePoints().iterator()
+    while (ai.hasNext && bi.hasNext) {
+      val c = Integer.compare(ai.nextInt(), bi.nextInt())
+      if (c != 0) return c
+    }
+    java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+  }
+
+  // same hand-rolled JSON discipline as the manifest: flat string fields,
+  // two escaped characters, one record per line
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+  private def renderRecord(s: ColStats): String = {
+    def f(o: Option[String]) = o.map(v => s""""${esc(v)}"""").getOrElse("null")
+    s"""{"partition":"${esc(s.partition)}","col":"${esc(s.col)}","kind":"${s.kind}",""" +
+      s""""min":${f(s.min)},"max":${f(s.max)},"nulls":${s.nulls},"rows":${s.rows}}"""
+  }
+  private def parseRecord(line: String): ColStats = {
+    def str(name: String): String =
+      (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(line)
+        .map(m => unesc(m.group(1)))
+        .getOrElse(sys.error(s"bad stats record (no $name): $line"))
+    def optStr(name: String): Option[String] =
+      if ((s""""$name"\\s*:\\s*null""").r.findFirstIn(line).isDefined) None
+      else Some(str(name))
+    def num(name: String): Long =
+      (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(line)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"bad stats record (no $name): $line"))
+    ColStats(str("partition"), str("col"), str("kind"),
+      optStr("min"), optStr("max"), num("nulls"), num("rows"))
+  }
+}

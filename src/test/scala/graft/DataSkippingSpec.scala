@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{AtomicCommit, DataSkipping}
+
+/** The two claims [[graft.sources.DataSkipping]] makes: pruning is REAL
+  * (provably-disjoint partitions are never even listed — checked through
+  * `inputFiles`, the ground truth of what a scan touches) and SOUND (the
+  * pruned result always equals the full-scan filter, including the cases
+  * that trip naive implementations: missing stats, all-null partitions,
+  * int64 bounds a double round-trip would mis-compare, supplementary
+  * characters a UTF-16 compare would mis-order).
+  */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_ds").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Long)] =
+    df.select("k", "flag", "v").as[(Long, String, Long)].collect().toSet
+
+  private def scannedFlags(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.flatMap(f => "flag=([A-Z])".r.findFirstMatchIn(f).map(_.group(1))).toSet
+
+  test("numeric pruning: only the intersecting partition's directory is scanned") {
+    val root = freshRoot()
+    val df = (
+      (1L to 10L).map(i => (i, "A", i)) ++
+      (100L to 110L).map(i => (i, "B", i)) ++
+      (1000L to 1010L).map(i => (i, "C", i))).toDF("k", "flag", "v")
+    DataSkipping.commitWithStats(spark, root, df, "flag", Seq("v"))
+    val pruned = DataSkipping.readWhere(spark, root, "v", 100L, 120L)
+    assert(rows(pruned) === rows(AtomicCommit.read(spark, root)
+      .filter($"v" >= 100L && $"v" <= 120L)))
+    assert(scannedFlags(pruned) === Set("B"),
+      "partitions A and C are provably disjoint and must not be listed")
+    // a range covering nothing scans nothing and still returns the schema
+    val none = DataSkipping.readWhere(spark, root, "v", 2000L, 3000L)
+    assert(none.count() === 0L)
+    assert(none.inputFiles.isEmpty, "an all-pruned read must scan no files")
+  }
+
+  test("soundness: an un-annotated generation's partitions are always scanned") {
+    val root = freshRoot()
+    DataSkipping.commitWithStats(spark, root,
+      (1L to 10L).map(i => (i, "A", i)).toDF("k", "flag", "v"), "flag", Seq("v"))
+    // plain commit, NO stats: partition D holds an in-range row
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((500L, "D", 105L)).toDF("k", "flag", "v"), "flag")
+    val got = DataSkipping.readWhere(spark, root, "v", 100L, 120L)
+    assert(rows(got) === Set((500L, "D", 105L)),
+      "no stats = no evidence = must scan (pruning may only narrow)")
+    assert(scannedFlags(got) === Set("D"), "A's stats still prune it")
+  }
+
+  test("all-null partition is pruned: BETWEEN can never match null") {
+    val root = freshRoot()
+    val df = Seq[(Long, String, Option[Long])](
+      (1L, "A", Some(5L)), (2L, "N", None), (3L, "N", None))
+      .toDF("k", "flag", "v")
+    DataSkipping.commitWithStats(spark, root, df, "flag", Seq("v"))
+    val got = DataSkipping.readWhere(spark, root, "v", 0L, 1000L)
+    assert(got.count() === 1L)
+    assert(scannedFlags(got) === Set("A"),
+      "the all-null partition holds no matchable row and must be pruned")
+  }
+
+  test("int64 exactness: bounds a double round-trip would conflate still prune") {
+    val root = freshRoot()
+    // 2^63-2 and 2^63-1 are distinct longs but the SAME double; a
+    // double-based compare would keep partition A for the [2^63-1, 2^63-1]
+    // probe it provably cannot match
+    val big = Long.MaxValue - 1 // 9223372036854775806
+    DataSkipping.commitWithStats(spark, root,
+      Seq((1L, "A", big)).toDF("k", "flag", "v"), "flag", Seq("v"))
+    val got = DataSkipping.readWhere(spark, root, "v", Long.MaxValue, Long.MaxValue)
+    assert(got.count() === 0L)
+    assert(got.inputFiles.isEmpty,
+      "decimal-exact compare must prove A disjoint where double cannot")
+    val hit = DataSkipping.readWhere(spark, root, "v", big, big)
+    assert(hit.count() === 1L)
+  }
+
+  test("string pruning by code point, and correctness of the string path") {
+    val root = freshRoot()
+    val df = Seq(
+      (1L, "A", "apple"), (2L, "A", "banana"),
+      (3L, "B", "melon"), (4L, "B", "peach")).toDF("k", "flag", "name")
+    DataSkipping.commitWithStats(spark, root, df, "flag", Seq("name"))
+    val got = DataSkipping.readWhere(spark, root, "name", "a", "c")
+    assert(got.select("k").as[Long].collect().toSet === Set(1L, 2L))
+    assert(scannedFlags(got) === Set("A"), "B's [melon, peach] is disjoint from [a, c]")
+    // supplementary plane: U+1F600 must compare ABOVE U+FFFD (code-point
+    // order, Spark's binary ordering) — UTF-16 compareTo gets this wrong
+    assert(DataSkipping.cpCompare(new String(Character.toChars(0x1F600)), "�") > 0)
+    assert("😀".compareTo("�") < 0,
+      "the java ordering really does disagree — the guard is load-bearing")
+  }
+
+  test("stats sidecar is immutable table metadata: survives vacuum, replays under time travel") {
+    val root = freshRoot()
+    DataSkipping.commitWithStats(spark, root,
+      (1L to 10L).map(i => (i, "A", i)).toDF("k", "flag", "v"), "flag", Seq("v"))
+    DataSkipping.commitWithStats(spark, root,
+      (100L to 110L).map(i => (i, "B", i)).toDF("k", "flag", "v"), "flag", Seq("v"))
+    AtomicCommit.vacuum(root)
+    val got = DataSkipping.readWhere(spark, root, "v", 1L, 5L)
+    assert(got.count() === 5L)
+    assert(scannedFlags(got) === Set("A"))
+    // the sidecar lives INSIDE its generation dir, so the generation's
+    // lifecycle is its lifecycle
+    val m = AtomicCommit.readManifest(root).get
+    m.entries.values.toSeq.distinct.foreach { gen =>
+      assert(Files.exists(Paths.get(root, gen, DataSkipping.StatsFile)))
+    }
+  }
+}
