@@ -75,19 +75,28 @@ object AtomicCommit {
 
   private def posix(root: String): ManifestStore = new PosixManifestStore(root)
 
+  /** `props` is durable commit metadata riding the snapshot swap:
+    * whatever key→value pairs a commit attaches become visible atomically
+    * WITH its data and are carried forward by later commits (new keys
+    * win). [[AtomicStreamSink]] uses this for its exactly-once batch
+    * watermark — the same mechanism as Delta's `txn` action.
+    */
   final case class Manifest(version: Long, partitionCol: String,
-                            entries: Map[String, String])
+                            entries: Map[String, String],
+                            props: Map[String, String] = Map.empty)
 
   /** A written-but-unpublished generation: the phase-1 output. Invisible
     * to every reader until [[publish]] puts a manifest referencing it.
     * `baseVersion`/`baseOwners` are the commit's READ SET — the manifest
     * version observed at stage time and the generation then owning each
     * staged partition (absent = partition did not exist) — which [[publish]]
-    * checks for serializable-isolation conflicts.
+    * checks for serializable-isolation conflicts. `props` entries are
+    * merged into the published manifest's props atomically with the flip.
     */
   final case class Staged(gen: String, partitionCol: String,
                           partitions: Seq[String], baseVersion: Long,
-                          baseOwners: Map[String, String])
+                          baseOwners: Map[String, String],
+                          props: Map[String, String] = Map.empty)
 
   final class VersionConflictException(msg: String) extends RuntimeException(msg)
 
@@ -183,6 +192,13 @@ object AtomicCommit {
     publish(root, posix(root), staged)
 
   def publish(root: String, store: ManifestStore, staged: Staged): Long = {
+    // the hand-rolled parser bounds the flat props blob by braces — a
+    // brace inside a key/value would corrupt every later read of the
+    // table, so reject it at the commit boundary
+    staged.props.foreach { case (k, v) =>
+      require(!(k + v).exists(c => c == '{' || c == '}'),
+        s"manifest props must not contain braces: $k -> $v")
+    }
     var attempt = 0
     while (attempt < MaxPublishRetries) {
       val prev = readManifest(store)
@@ -204,7 +220,8 @@ object AtomicCommit {
         prev.map(_.version + 1).getOrElse(1L),
         staged.partitionCol,
         prev.map(_.entries).getOrElse(Map.empty) ++
-          staged.partitions.map(_ -> staged.gen).toMap)
+          staged.partitions.map(_ -> staged.gen).toMap,
+        prev.map(_.props).getOrElse(Map.empty) ++ staged.props)
       // atomic create-if-absent of the fully-rendered body: readers can
       // never observe a partial manifest, and an occupied version is the
       // CAS failure signal — refresh and retry
@@ -219,8 +236,12 @@ object AtomicCommit {
 
   /** Snapshot read: resolve the highest-version manifest once, scan only
     * owned partition directories. Each generation is read with its own
-    * basePath so the partition column survives; per-partition DataFrames
-    * union by name (all generations share the table schema).
+    * basePath so the partition column survives; per-generation DataFrames
+    * union by name with ADDITIVE schema evolution: a column present in
+    * some generations and absent in others reads as null where absent
+    * (the Iceberg/Delta add-column semantic — old data is never
+    * rewritten). Type CHANGES are not evolution and fail the union with
+    * Spark's mismatch error.
     */
   def read(spark: SparkSession, root: String): DataFrame =
     read(spark, root, posix(root))
@@ -341,7 +362,7 @@ object AtomicCommit {
       val base = s"$root/$gen"
       val paths = parts.keys.toSeq.sorted.map(v => s"$base/${m.partitionCol}=$v")
       spark.read.option("basePath", base).parquet(paths: _*)
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Manifest-level partition-pruned read: scan ONLY the generation
@@ -367,7 +388,7 @@ object AtomicCommit {
       val base = s"$root/$gen"
       val paths = parts.keys.toSeq.sorted.map(v => s"$base/${m.partitionCol}=$v")
       spark.read.option("basePath", base).parquet(paths: _*)
-    }.reduce(_.unionByName(_)))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** Default age a NEVER-REFERENCED generation (or manifest temp file)
@@ -467,9 +488,12 @@ object AtomicCommit {
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
   private def renderJson(m: Manifest): String = {
-    val entries = m.entries.toSeq.sortBy(_._1)
+    def obj(kv: Map[String, String]): String = kv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
-    s"""{"version":${m.version},"partitionCol":"${esc(m.partitionCol)}","entries":{$entries}}"""
+    // props BEFORE entries: the entries extractor below captures greedily
+    // to the end of the document, so entries must stay the last field
+    s"""{"version":${m.version},"partitionCol":"${esc(m.partitionCol)}",""" +
+      s""""props":{${obj(m.props)}},"entries":{${obj(m.entries)}}}"""
   }
   private def parseJson(s: String): Manifest = {
     val version = """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
@@ -477,12 +501,17 @@ object AtomicCommit {
     val partitionCol = """"partitionCol"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
       .findFirstMatchIn(s).map(m => unesc(m.group(1)))
       .getOrElse(sys.error(s"bad manifest: $s"))
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    def pairs(blob: String): Map[String, String] =
+      entry.findAllMatchIn(blob)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
     val entriesBlob = """"entries"\s*:\s*\{(.*)\}""".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse(sys.error(s"bad manifest: $s"))
-    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val entries = entry.findAllMatchIn(entriesBlob)
-      .map(m => unesc(m.group(1)) -> unesc(m.group(2))).toMap
-    Manifest(version, partitionCol, entries)
+    // props holds no nested braces (flat string pairs), so the lazy
+    // bounded capture is exact; absent in pre-r12 manifests → empty
+    val propsBlob = """"props"\s*:\s*\{([^{}]*)\}""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    Manifest(version, partitionCol, pairs(entriesBlob), pairs(propsBlob))
   }
   private def unesc(s: String): String =
     s.replace("\\\"", "\"").replace("\\\\", "\\")

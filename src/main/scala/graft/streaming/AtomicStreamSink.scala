@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.sources.{AtomicCommit, ManifestStore, PosixManifestStore}
+
+/** Exactly-once streaming ingest into an [[graft.sources.AtomicCommit]]
+  * table — the transactional `foreachBatch` sink a continuously-fed
+  * 100 TB corpus needs. Structured Streaming's `foreachBatch` contract is
+  * at-least-once: after a crash between the sink's write and the
+  * checkpoint advance, the engine REPLAYS the last micro-batch with the
+  * same `batchId`, and a plain append would duplicate it. The fix is
+  * Delta's `txn` idea on manifest props: each batch's commit carries
+  * `graft.stream.<queryKey>.lastBatchId = <batchId>` in the SAME atomic
+  * manifest swap as its rows, so "data landed" and "batch recorded" are
+  * one indivisible fact. A replayed batch sees its own id already at or
+  * below the watermark and becomes a no-op. Combined with the engine's
+  * replay-the-same-offsets guarantee (the batch CONTENT of a given id is
+  * deterministic from the checkpointed offset range), ingestion is
+  * exactly-once end to end.
+  *
+  * Semantics per batch: APPEND. The touched partitions' current rows are
+  * read back through manifest pruning (O(touched partitions), never the
+  * table), unioned with the batch (by name, additive schema evolution
+  * included), and committed as a replace of exactly those partitions.
+  * A [[graft.sources.AtomicCommit.PartitionConflictException]] from a
+  * concurrent maintenance writer (compaction, upsert) fails the batch;
+  * Structured Streaming's restart then replays it against the refreshed
+  * snapshot — idempotence makes that retry safe, which is precisely why
+  * the sink does NOT retry internally.
+  *
+  * Multiple independent streams may feed one table: give each a distinct
+  * `queryKey` and their watermarks ride separate props keys (Delta's
+  * `txn.appId`), while their commits serialize through the manifest CAS.
+  */
+object AtomicStreamSink {
+
+  private[streaming] def watermarkKey(queryKey: String): String =
+    s"graft.stream.$queryKey.lastBatchId"
+
+  /** The committed batch watermark for `queryKey`, if any batch has ever
+    * committed (monitoring/tests).
+    */
+  def lastBatchId(store: ManifestStore, queryKey: String): Option[Long] =
+    AtomicCommit.readManifest(store)
+      .flatMap(_.props.get(watermarkKey(queryKey))).map(_.toLong)
+
+  /** The `foreachBatch` handler:
+    * {{{
+    * df.writeStream.option("checkpointLocation", cp)
+    *   .foreachBatch(AtomicStreamSink.exactlyOnce(root, "lang", "ingest"))
+    *   .start()
+    * }}}
+    */
+  def exactlyOnce(root: String, partitionCol: String, queryKey: String,
+                  statsCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    exactlyOnce(root, new PosixManifestStore(root), partitionCol, queryKey,
+      statsCols)
+
+  def exactlyOnce(root: String, store: ManifestStore, partitionCol: String,
+                  queryKey: String, statsCols: Seq[String])
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => commitBatch(root, store, partitionCol, queryKey,
+      batch, batchId, statsCols)
+
+  /** One micro-batch's transactional append (the handler's body, exposed
+    * so replay semantics are testable without a streaming runtime).
+    * `statsCols` non-empty additionally writes each committed generation's
+    * [[graft.sources.DataSkipping]] min/max sidecar — streaming ingest is
+    * exactly where generations accumulate, so skipping evidence should
+    * accumulate with them.
+    */
+  def commitBatch(root: String, store: ManifestStore, partitionCol: String,
+                  queryKey: String, batch: DataFrame, batchId: Long,
+                  statsCols: Seq[String] = Nil): Unit = {
+    require(batchId >= 0, s"batchId=$batchId")
+    // replay check FIRST: at-least-once delivery means this batch may
+    // already be durable — its id at or below the watermark proves it
+    if (lastBatchId(store, queryKey).exists(_ >= batchId)) return
+    val spark = batch.sparkSession
+    // an empty batch commits nothing and advances nothing: replaying an
+    // empty batch is vacuously idempotent, and stage() rejects empties
+    if (batch.isEmpty) return
+    val touched = batch.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val merged =
+      if (AtomicCommit.readManifest(store).isEmpty) batch // table bootstrap
+      else AtomicCommit.readPartitions(spark, root, store, touched) match {
+        case Some(base) => base.unionByName(batch, allowMissingColumns = true)
+        case None => batch // all-new partitions: nothing to merge
+      }
+    val staged = AtomicCommit.stage(spark, root, store, merged, partitionCol, 1)
+      .copy(props = Map(watermarkKey(queryKey) -> batchId.toString))
+    if (statsCols.nonEmpty)
+      graft.sources.DataSkipping.annotateStaged(spark, root, staged, statsCols)
+    AtomicCommit.publish(root, store, staged)
+    ()
+  }
+}

@@ -274,6 +274,42 @@ class AtomicCommitSpec extends SparkSpec {
     assert(AtomicCommit.diff(spark, root, 2L, 2L, "k").isEmpty)
   }
 
+  test("additive schema evolution: a column new to one generation reads as null in the rest") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
+    // the new generation carries an extra column — old data is NOT rewritten
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((2L, "B", 2.0, 0.9)).toDF("k", "flag", "v", "score"), "flag")
+    val got = AtomicCommit.read(spark, root)
+      .select("k", "flag", "v", "score")
+      .as[(Long, String, Double, Option[Double])].collect().toSet
+    assert(got === Set((1L, "A", 1.0, None), (2L, "B", 2.0, Some(0.9))))
+  }
+
+  test("manifest props ride the atomic swap, carry forward, and reject braces") {
+    val root = freshRoot()
+    val s1 = AtomicCommit.stage(spark, root,
+      Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.publish(root, s1.copy(props = Map("owner" -> "ingest", "n" -> "1")))
+    assert(AtomicCommit.readManifest(root).get.props ===
+      Map("owner" -> "ingest", "n" -> "1"))
+    // a later commit overrides the keys it sets and inherits the rest
+    val s2 = AtomicCommit.stage(spark, root,
+      Seq((3L, "B", 3.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.publish(root, s2.copy(props = Map("n" -> "2")))
+    assert(AtomicCommit.readManifest(root).get.props ===
+      Map("owner" -> "ingest", "n" -> "2"))
+    // a brace would corrupt the flat-blob parser for every later reader —
+    // rejected at the commit boundary, nothing published
+    val s3 = AtomicCommit.stage(spark, root,
+      Seq((5L, "C", 5.0)).toDF("k", "flag", "v"), "flag")
+    intercept[IllegalArgumentException] {
+      AtomicCommit.publish(root, s3.copy(props = Map("bad" -> "{oops}")))
+    }
+    assert(AtomicCommit.currentVersion(root) === Some(2L))
+  }
+
   test("mismatched partition column is rejected before any data is written") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,
