@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AtomicCommit, DataSkipping}
+
+/** Scale probe for the AtomicCommit table-format stack (BASELINE.md
+  * records the numbers): an N-row table over P partition values, then
+  * the four read/write paths whose COST MODEL carries the 100 TB claims:
+  *
+  *   1. full snapshot read — the O(table) baseline;
+  *   2. manifest-pruned `readPartitions` of 2 of P partitions — must cost
+  *      O(touched), not O(table) (untouched dirs never listed);
+  *   3. `DataSkipping.readWhere` on a CLUSTERED value column (partition
+  *      ranges disjoint) — stats prove all but 2 partitions disjoint, so
+  *      it must track the pruned read, not the full scan;
+  *   4. the same predicate on a SHUFFLED layout (every partition spans
+  *      the whole value range) — stats can prove nothing, the read
+  *      honestly degrades to the full scan + filter. Skipping buys
+  *      exactly what the layout's clustering affords, as in any
+  *      min/max-skipping format;
+  *   5. one incremental merge-commit touching 1 of P partitions — the
+  *      write-side O(touched) claim behind the streaming sink and q140.
+  *
+  * Usage: runMain graft.TableBench [N] [P] (default 4,000,000 rows, 200
+  * partitions).
+  */
+object TableBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(4000000L)
+    val p = args.drop(1).headOption.map(_.toInt).getOrElse(200)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
+
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      println(f"[tablebench] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+    val rowsPer = n / p
+    // clustered: partition k owns exactly [k*rowsPer, (k+1)*rowsPer)
+    val clustered = spark.range(n).select(
+      format_string("p%04d", (col("id") / rowsPer).cast("int")).as("pk"),
+      col("id").as("v"), md5(col("id").cast("string")).as("payload"))
+    // shuffled: same rows, every partition spans the full v range
+    val shuffled = clustered.withColumn("pk",
+      format_string("p%04d", pmod(xxhash64(col("v")), lit(p)).cast("int")))
+
+    val rootC = Files.createTempDirectory("graft_tb_c").toString
+    val rootS = Files.createTempDirectory("graft_tb_s").toString
+    timed(s"commit clustered ($n rows, $p parts)") {
+      DataSkipping.commitWithStats(spark, rootC, clustered, "pk", Seq("v"))
+    }
+    timed(s"commit shuffled  ($n rows, $p parts)") {
+      DataSkipping.commitWithStats(spark, rootS, shuffled, "pk", Seq("v"))
+    }
+
+    // parquet count() answers from row-group metadata without touching
+    // data pages — aggregate over the payload BYTES so "read" means read
+    def scanned(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(length(col("payload")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val full = timed("full snapshot scan+agg") {
+      scanned(AtomicCommit.read(spark, rootC))
+    }
+    require(full == ((n, 32 * n)), s"full read: $full")
+
+    val two = timed("manifest-pruned scan (2 parts)") {
+      scanned(AtomicCommit.readPartitions(spark, rootC, Seq("p0003", "p0004")).get)
+    }
+    require(two._1 == 2 * rowsPer, s"pruned read: $two")
+
+    // a v-interval exactly covering partitions 3 and 4 of the clustered table
+    val lo = 3L * rowsPer
+    val hi = 5L * rowsPer - 1
+    val skipC = timed("readWhere clustered (2-part range)") {
+      scanned(DataSkipping.readWhere(spark, rootC, "v", lo, hi))._1
+    }
+    require(skipC == 2 * rowsPer, s"clustered skip: $skipC")
+    val filesC = DataSkipping.readWhere(spark, rootC, "v", lo, hi)
+      .inputFiles.length
+    val skipS = timed("readWhere shuffled (same range)") {
+      scanned(DataSkipping.readWhere(spark, rootS, "v", lo, hi))._1
+    }
+    require(skipS == 2 * rowsPer, s"shuffled skip: $skipS")
+    val filesS = DataSkipping.readWhere(spark, rootS, "v", lo, hi)
+      .inputFiles.length
+    println(s"[tablebench] files scanned: clustered=$filesC shuffled=$filesS " +
+      s"(of ${Seq(rootC).map(r => AtomicCommit.readManifest(r).get.entries.size).head} partitions)")
+
+    // write-side O(touched): replace ONE partition by merge (read base
+    // partition + union + commit) on the full-size table
+    timed("merge-commit touching 1 partition") {
+      val batch = spark.range(5).select(
+        lit("p0007").as("pk"), (col("id") + n).as("v"),
+        md5(col("id").cast("string")).as("payload"))
+      val base = AtomicCommit.readPartitions(spark, rootC, Seq("p0007")).get
+      AtomicCommit.commitReplacePartitions(spark, rootC,
+        base.unionByName(batch), "pk")
+    }
+    spark.stop()
+  }
+}
