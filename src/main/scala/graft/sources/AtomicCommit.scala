@@ -92,11 +92,15 @@ object AtomicCommit {
     * staged partition (absent = partition did not exist) — which [[publish]]
     * checks for serializable-isolation conflicts. `props` entries are
     * merged into the published manifest's props atomically with the flip.
+    * `drops` are partition values the commit REMOVES from the manifest
+    * (a row-level delete that empties a partition) — they join the
+    * read-set, so their `baseOwners` entries must be recorded too.
     */
   final case class Staged(gen: String, partitionCol: String,
                           partitions: Seq[String], baseVersion: Long,
                           baseOwners: Map[String, String],
-                          props: Map[String, String] = Map.empty)
+                          props: Map[String, String] = Map.empty,
+                          drops: Seq[String] = Nil)
 
   final class VersionConflictException(msg: String) extends RuntimeException(msg)
 
@@ -204,7 +208,7 @@ object AtomicCommit {
       val prev = readManifest(store)
       require(prev.forall(_.partitionCol == staged.partitionCol),
         s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
-      val conflicts = staged.partitions.filter { p =>
+      val conflicts = (staged.partitions ++ staged.drops).filter { p =>
         prev.flatMap(_.entries.get(p)) != staged.baseOwners.get(p)
       }
       if (conflicts.nonEmpty)
@@ -212,7 +216,9 @@ object AtomicCommit {
           s"partitions ${conflicts.mkString(", ")} were replaced by a " +
             s"concurrent commit after this one staged against version " +
             s"${staged.baseVersion} of $root — re-read, re-merge, re-stage")
-      if (!Files.isDirectory(Paths.get(root, staged.gen)))
+      // a drop-only commit stages no generation (partitions empty, gen "")
+      if (staged.partitions.nonEmpty &&
+        !Files.isDirectory(Paths.get(root, staged.gen)))
         throw new IllegalStateException(
           s"staged generation ${staged.gen} no longer exists at $root " +
             "(vacuumed before publish?) — the commit cannot proceed")
@@ -220,8 +226,11 @@ object AtomicCommit {
         prev.map(_.version + 1).getOrElse(1L),
         staged.partitionCol,
         prev.map(_.entries).getOrElse(Map.empty) ++
-          staged.partitions.map(_ -> staged.gen).toMap,
+          staged.partitions.map(_ -> staged.gen).toMap -- staged.drops,
         prev.map(_.props).getOrElse(Map.empty) ++ staged.props)
+      require(next.entries.nonEmpty,
+        s"commit would leave $root with zero partitions — an empty table " +
+          "has no manifest form; drop the table directory instead")
       // atomic create-if-absent of the fully-rendered body: readers can
       // never observe a partial manifest, and an occupied version is the
       // CAS failure signal — refresh and retry
@@ -338,6 +347,42 @@ object AtomicCommit {
         joined.select(outCols: _*)
           .filter(col("change_type") =!= "unchanged")
     }
+  }
+
+  /** ROLLBACK: republish version `version`'s exact partition→generation
+    * mapping as a NEW version (props carried from the current manifest —
+    * a rollback undoes data, not e.g. the streaming watermark, or
+    * replayed batches would double-append after the revert). Pure
+    * metadata: no data moves, cost O(#partitions), and the rolled-back
+    * state is itself a version — rolling back a rollback works. Requires
+    * the target version to still be on disk (vacuum is the horizon).
+    */
+  def rollbackTo(root: String, version: Long): Long =
+    rollbackTo(root, posix(root), version)
+
+  def rollbackTo(root: String, store: ManifestStore, version: Long): Long = {
+    val target = manifestAt(store, root, version)
+    // every generation the target references must still exist — a
+    // vacuumed generation would make the rollback a manifest pointing at
+    // deleted data (the one corruption worse than failing)
+    val missing = target.entries.values.toSeq.distinct
+      .filterNot(g => Files.isDirectory(Paths.get(root, g)))
+    require(missing.isEmpty,
+      s"cannot roll back to v$version at $root: generation(s) " +
+        s"${missing.mkString(", ")} were vacuumed")
+    var attempt = 0
+    while (attempt < MaxPublishRetries) {
+      val cur = readManifest(store).getOrElse(
+        sys.error(s"no manifest at $root — nothing to roll back"))
+      val next = Manifest(cur.version + 1, target.partitionCol,
+        target.entries, cur.props)
+      if (store.putIfAbsent(manifestName(next.version),
+        renderJson(next).getBytes(StandardCharsets.UTF_8)))
+        return next.version
+      attempt += 1
+    }
+    throw new VersionConflictException(
+      s"lost the manifest CAS $MaxPublishRetries times at $root — writer storm?")
   }
 
   private def manifestAt(store: ManifestStore, root: String,

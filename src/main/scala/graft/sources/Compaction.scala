@@ -112,14 +112,21 @@ object Compaction {
     */
   def compactAtomicTable(spark: SparkSession, root: String,
                          filesPerDir: Int = 1,
-                         vacuumNow: Boolean = false): (Long, Long) = {
+                         vacuumNow: Boolean = false,
+                         statsCols: Seq[String] = Nil): (Long, Long) = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
     val m = AtomicCommit.readManifest(root).getOrElse(
       sys.error(s"$root is not an AtomicCommit table"))
     val before = countAtomicDataFiles(root)
     val df = AtomicCommit.read(spark, root)
-    AtomicCommit.commitReplacePartitions(spark, root, df, m.partitionCol,
+    // the rewrite's generation replaces every old one, so any skipping
+    // evidence dies with them — statsCols re-annotates the compacted
+    // generation (a compaction should never LOSE read performance)
+    val staged = AtomicCommit.stage(spark, root, df, m.partitionCol,
       filesPerDir)
+    if (statsCols.nonEmpty)
+      DataSkipping.annotateStaged(spark, root, staged, statsCols)
+    AtomicCommit.publish(root, staged)
     if (vacuumNow) AtomicCommit.vacuum(root)
     (before, countAtomicDataFiles(root))
   }

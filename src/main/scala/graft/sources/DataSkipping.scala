@@ -130,20 +130,30 @@ object DataSkipping {
                 lower: Any, upper: Any): DataFrame =
     readWhere(spark, root, new PosixManifestStore(root), colName, lower, upper)
 
-  def readWhere(spark: SparkSession, root: String, store: ManifestStore,
-                colName: String, lower: Any, upper: Any): DataFrame = {
-    val m = AtomicCommit.readManifest(store).getOrElse(
-      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+  /** The manifest entries that COULD hold a row with `colName` in
+    * `[lower, upper]` — the pruning decision, shared by [[readWhere]] and
+    * [[Deletes]]' range delete.
+    */
+  private[sources] def prunedEntries(root: String, m: AtomicCommit.Manifest,
+                                     colName: String, lower: Any,
+                                     upper: Any): Map[String, String] = {
     val statsByGen: Map[String, Map[(String, String), ColStats]] =
       m.entries.values.toSeq.distinct
         .map(g => g -> readStats(root, g).map(s => (s.partition, s.col) -> s).toMap)
         .toMap
-    val keep = m.entries.filter { case (pv, gen) =>
+    m.entries.filter { case (pv, gen) =>
       statsByGen(gen).get((pv, colName)) match {
         case None => true // no evidence — must scan
         case Some(s) => intersects(s, lower, upper)
       }
     }
+  }
+
+  def readWhere(spark: SparkSession, root: String, store: ManifestStore,
+                colName: String, lower: Any, upper: Any): DataFrame = {
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val keep = prunedEntries(root, m, colName, lower, upper)
     val residual: Column =
       col(colName) >= lit(lower) && col(colName) <= lit(upper)
     if (keep.isEmpty) {

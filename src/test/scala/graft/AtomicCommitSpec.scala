@@ -310,6 +310,29 @@ class AtomicCommitSpec extends SparkSpec {
     assert(AtomicCommit.currentVersion(root) === Some(2L))
   }
 
+  test("rollbackTo republishes an old snapshot as a new version; vacuum bounds it") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0), (3L, "B", 3.0)).toDF("k", "flag", "v"), "flag")
+    val s2 = AtomicCommit.stage(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.publish(root, s2.copy(props = Map("wm" -> "9")))
+    // rollback = metadata-only commit: v3 replays v1's data...
+    assert(AtomicCommit.rollbackTo(root, 1L) === 3L)
+    assert(snap(root) === Map(("A", 1L) -> 1.0, ("B", 3L) -> 3.0))
+    // ...but keeps the CURRENT props (reverting data must not revert the
+    // streaming watermark, or replayed batches would double-append)
+    assert(AtomicCommit.readManifest(root).get.props === Map("wm" -> "9"))
+    // a rollback is itself a version: rolling back the rollback works
+    assert(AtomicCommit.rollbackTo(root, 2L) === 4L)
+    assert(snap(root) === Map(("A", 7L) -> 7.0, ("B", 3L) -> 3.0))
+    // vacuum drops v1's superseded generation → rolling back to it must
+    // fail loudly instead of publishing a manifest onto deleted data
+    AtomicCommit.vacuum(root)
+    val e = intercept[RuntimeException] { AtomicCommit.rollbackTo(root, 1L) }
+    assert(e.getMessage.contains("vacuum"))
+  }
+
   test("mismatched partition column is rejected before any data is written") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,

@@ -132,6 +132,23 @@ class CompactionSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSet === rowsBefore)
   }
 
+  test("compactAtomicTable: statsCols re-annotates, so skipping survives the rewrite") {
+    import spark.implicits._
+    import graft.sources.{AtomicCommit, DataSkipping}
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_cstats").toString
+    DataSkipping.commitWithStats(spark, root,
+      ((1L to 10L).map(i => (i, "A", i)) ++ (100L to 110L).map(i => (i, "B", i)))
+        .toDF("k", "flag", "v"), "flag", Seq("v"))
+    Compaction.compactAtomicTable(spark, root, filesPerDir = 1,
+      vacuumNow = true, statsCols = Seq("v"))
+    // the compacted generation carries fresh evidence: the probe prunes
+    // to B's single directory instead of scanning the whole table
+    val got = DataSkipping.readWhere(spark, root, "v", 100L, 120L)
+    assert(got.count() === 11L)
+    assert(got.inputFiles.forall(_.contains("flag=B")),
+      "compaction without re-annotation would have lost the pruning")
+  }
+
   test("compactAtomicTable: fragmented generations collapse to one, windowless, rows identical") {
     import spark.implicits._
     import graft.sources.AtomicCommit
