@@ -109,6 +109,24 @@ object TableBench {
       AtomicCommit.commitReplacePartitions(spark, rootC,
         base.unionByName(batch), "pk")
     }
+
+    // retention delete (v < rowsPer = exactly partition 0's range):
+    // clustered + stats → scan/rewrite only the one candidate (here it
+    // empties, so the commit is a metadata-only drop); the same delete on
+    // the shuffled layout must scan everything and rewrite all P
+    // partitions — the full copy-on-write cost skipping exists to avoid
+    timed("deleteRange clustered (1-part range)") {
+      graft.sources.Deletes.deleteRange(spark, rootC, "v", 0L, rowsPer - 1,
+        Seq("v"))
+    }
+    require(AtomicCommit.readManifest(rootC).get.entries.size == p - 1,
+      "partition 0 must be dropped")
+    timed("deleteWhere shuffled (same rows)") {
+      graft.sources.Deletes.deleteWhere(spark, rootS,
+        col("v") < rowsPer)
+    }
+    require(AtomicCommit.read(spark, rootS).count() == n - rowsPer,
+      "shuffled delete removed the wrong rows")
     spark.stop()
   }
 }
