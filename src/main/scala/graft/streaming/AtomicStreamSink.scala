@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 import graft.sources.{AtomicCommit, ManifestStore, PosixManifestStore}
 
@@ -94,6 +94,97 @@ object AtomicStreamSink {
       .copy(props = Map(watermarkKey(queryKey) -> batchId.toString))
     if (statsCols.nonEmpty)
       graft.sources.DataSkipping.annotateStaged(spark, root, staged, statsCols)
+    AtomicCommit.publish(root, store, staged)
+    ()
+  }
+
+  /** CDC-APPLY mode: the batch is a stream of row VERSIONS keyed by
+    * `keyCol` — last version per key wins, not append. This is the
+    * consumer side of [[graft.sources.AtomicCommit.diff]] / a Debezium-
+    * style feed, with the same exactly-once watermark as [[exactlyOnce]]:
+    *
+    *  - `seqCol` orders versions WITHIN a batch (an offset/LSN column);
+    *    without it, duplicate keys in one batch pick an arbitrary row —
+    *    fine for idempotent snapshots, wrong for real CDC, so pass it.
+    *  - `deleteCol` (boolean) marks tombstones: the key's row is removed
+    *    from the table. A partition the tombstones empty entirely is
+    *    DROPPED from the manifest in the same commit ([[graft.sources
+    *    .AtomicCommit.Staged.drops]]) — without that, the partition's old
+    *    generation would stay current and the "deleted" rows would
+    *    resurface.
+    *  - Keys must be PARTITION-STABLE (a key's partition value never
+    *    changes across versions): the merge only reads partitions the
+    *    batch touches, so a key that moved would leave its old row behind
+    *    in an untouched partition. The same contract as
+    *    [[graft.sources.IncrementalUpsert.mergeIntoAtomicSnapshot]].
+    */
+  def exactlyOnceUpsert(root: String, store: ManifestStore,
+                        partitionCol: String, keyCol: String,
+                        queryKey: String, seqCol: Option[String] = None,
+                        deleteCol: Option[String] = None,
+                        statsCols: Seq[String] = Nil)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => upsertBatch(root, store, partitionCol, keyCol,
+      queryKey, batch, batchId, seqCol, deleteCol, statsCols)
+
+  def upsertBatch(root: String, store: ManifestStore, partitionCol: String,
+                  keyCol: String, queryKey: String, batch: DataFrame,
+                  batchId: Long, seqCol: Option[String] = None,
+                  deleteCol: Option[String] = None,
+                  statsCols: Seq[String] = Nil): Unit = {
+    require(batchId >= 0, s"batchId=$batchId")
+    if (lastBatchId(store, queryKey).exists(_ >= batchId)) return
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    // last version per key within the batch (seqCol descending; ties and
+    // the no-seqCol case take an arbitrary-but-single row)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(seqCol.map(s => col(s).desc).getOrElse(monotonically_increasing_id().desc))
+    val latest = batch.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    val isTombstone = deleteCol
+      .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
+    val touched = latest.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+    val hasTable = AtomicCommit.readManifest(store).isDefined
+    val changes = latest.withColumn("__graft_del", isTombstone)
+      .drop(deleteCol.toSeq ++ seqCol.toSeq: _*)
+    val merged =
+      if (!hasTable)
+        changes.filter(!col("__graft_del")).drop("__graft_del")
+      else AtomicCommit.readPartitions(spark, root, store, touched) match {
+        case None => changes.filter(!col("__graft_del")).drop("__graft_del")
+        case Some(base) =>
+          val dataCols = base.columns.filterNot(_ == keyCol).toSeq
+          val isChange = col(s"c.$keyCol").isNotNull
+          base.alias("b")
+            .join(changes.alias("c"),
+              col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+            .filter(!(isChange && col(s"c.__graft_del")))
+            .select((keyCol +: dataCols).map(c =>
+              when(isChange, col(s"c.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+      }
+    val survivingParts = merged.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0)).toSet
+    // tombstones with no table (or none matching) leave nothing to commit
+    if (!hasTable && survivingParts.isEmpty) return
+    val drops = touched.filterNot(survivingParts)
+    val dropOwners = AtomicCommit.readManifest(store)
+      .map(m => drops.flatMap(p => m.entries.get(p).map(p -> _)).toMap)
+      .getOrElse(Map.empty)
+    val wmProps = Map(watermarkKey(queryKey) -> batchId.toString)
+    val staged =
+      if (survivingParts.nonEmpty) {
+        val s = AtomicCommit.stage(spark, root, store, merged, partitionCol, 1)
+        if (statsCols.nonEmpty)
+          graft.sources.DataSkipping.annotateStaged(spark, root, s, statsCols)
+        s.copy(props = wmProps, drops = drops,
+          baseOwners = s.baseOwners ++ dropOwners)
+      } else // tombstone-only batch that empties every touched partition
+        AtomicCommit.Staged("", partitionCol, Nil,
+          AtomicCommit.currentVersion(store).getOrElse(0L), dropOwners,
+          props = wmProps, drops = drops)
     AtomicCommit.publish(root, store, staged)
     ()
   }

@@ -105,6 +105,56 @@ class AtomicStreamSinkSpec extends SparkSpec {
       "de's [10,20] evidence must prune its directory")
   }
 
+  test("CDC-apply: last version per key wins, tombstones delete, emptied partitions drop") {
+    val root = freshRoot()
+    val store = new InMemoryObjectStore
+    def cdc(rows: Seq[(Long, String, Long, Long, Boolean)]) =
+      rows.toDF("id", "lang", "score", "seq", "op_del")
+    def state(): Set[(Long, String, Long)] =
+      AtomicCommit.read(spark, root, store)
+        .select("id", "lang", "score").as[(Long, String, Long)].collect().toSet
+
+    // batch 0: inserts, including TWO versions of id=1 — seq 5 must win
+    AtomicStreamSink.upsertBatch(root, store, "lang", "id", "cdc",
+      cdc(Seq((1L, "de", 10L, 1L, false), (1L, "de", 11L, 5L, false),
+        (2L, "fr", 20L, 2L, false))), 0L,
+      seqCol = Some("seq"), deleteCol = Some("op_del"))
+    assert(state() === Set((1L, "de", 11L), (2L, "fr", 20L)))
+
+    // batch 1: update id=1, insert id=3, tombstone id=2 — fr empties → drops
+    AtomicStreamSink.upsertBatch(root, store, "lang", "id", "cdc",
+      cdc(Seq((1L, "de", 12L, 6L, false), (3L, "de", 30L, 7L, false),
+        (2L, "fr", 0L, 8L, true))), 1L,
+      seqCol = Some("seq"), deleteCol = Some("op_del"))
+    assert(state() === Set((1L, "de", 12L), (3L, "de", 30L)))
+    assert(AtomicCommit.readManifest(store).get.entries.keySet === Set("de"),
+      "the tombstone-emptied partition must leave the manifest")
+
+    // replay of batch 1 (at-least-once) is a no-op
+    AtomicStreamSink.upsertBatch(root, store, "lang", "id", "cdc",
+      cdc(Seq((1L, "de", 12L, 6L, false), (3L, "de", 30L, 7L, false),
+        (2L, "fr", 0L, 8L, true))), 1L,
+      seqCol = Some("seq"), deleteCol = Some("op_del"))
+    assert(state() === Set((1L, "de", 12L), (3L, "de", 30L)))
+    assert(AtomicStreamSink.lastBatchId(store, "cdc") === Some(1L))
+
+    // within one batch, a key's tombstone then re-insert resolves by seq:
+    // the LATER insert wins over the earlier delete
+    AtomicStreamSink.upsertBatch(root, store, "lang", "id", "cdc",
+      cdc(Seq((1L, "de", 0L, 9L, true), (1L, "de", 99L, 10L, false))), 2L,
+      seqCol = Some("seq"), deleteCol = Some("op_del"))
+    assert(state() === Set((1L, "de", 99L), (3L, "de", 30L)))
+  }
+
+  test("CDC-apply bootstrap: tombstones against a missing table are a harmless no-op") {
+    val root = freshRoot()
+    val store = new InMemoryObjectStore
+    AtomicStreamSink.upsertBatch(root, store, "lang", "id", "cdc",
+      Seq((1L, "de", 0L, 1L, true)).toDF("id", "lang", "score", "seq", "op_del"),
+      0L, seqCol = Some("seq"), deleteCol = Some("op_del"))
+    assert(AtomicCommit.readManifest(store).isEmpty)
+  }
+
   test("end-to-end: file-source query with checkpoint restart lands every row exactly once") {
     val in = Files.createTempDirectory("graft_ass_in").toString
     val ckpt = Files.createTempDirectory("graft_ass_ckpt").toString

@@ -99,6 +99,49 @@ class DataSkippingSpec extends SparkSpec {
       "the java ordering really does disagree — the guard is load-bearing")
   }
 
+  test("cpCompare orders exactly like UTF-8 bytes (Spark's binary ordering), fuzzed") {
+    // UTF-8 encoding preserves code-point order, so the two must agree in
+    // SIGN on every pair — including supplementary-plane characters where
+    // UTF-16 compareTo diverges. Fixed seed: the Det protocol, no flakes.
+    def byteCompare(a: String, b: String): Int = {
+      val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
+    val rnd = new scala.util.Random(42)
+    def randString(): String = {
+      val sb = new java.lang.StringBuilder
+      (0 until rnd.nextInt(6)).foreach { _ =>
+        val cp = rnd.nextInt(4) match {
+          case 0 => rnd.nextInt(0x80)                  // ASCII
+          case 1 => 0x80 + rnd.nextInt(0x800 - 0x80)   // 2-byte
+          case 2 => // 3-byte BMP, skipping the surrogate block
+            val c = 0x800 + rnd.nextInt(0x10000 - 0x800)
+            if (c >= 0xD800 && c <= 0xDFFF) 0xFFFD else c
+          case _ => 0x10000 + rnd.nextInt(0x10FFFF - 0x10000) // supplementary
+        }
+        sb.appendCodePoint(cp)
+      }
+      sb.toString
+    }
+    var checked = 0
+    (1 to 2000).foreach { _ =>
+      val (a, b) = (randString(), randString())
+      assert(Integer.signum(DataSkipping.cpCompare(a, b)) ===
+        Integer.signum(byteCompare(a, b)),
+        s"disagree on ${a.codePoints.toArray.mkString(",")} vs " +
+          s"${b.codePoints.toArray.mkString(",")}")
+      checked += 1
+    }
+    assert(checked === 2000)
+  }
+
   test("stats sidecar is immutable table metadata: survives vacuum, replays under time travel") {
     val root = freshRoot()
     DataSkipping.commitWithStats(spark, root,
