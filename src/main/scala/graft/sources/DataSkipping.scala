@@ -170,6 +170,173 @@ object DataSkipping {
         .filter(residual)
   }
 
+  val BloomFile = "_graft_bloom.jsonl"
+
+  /** One (partition, column) bloom record: `words` maps 64-bit word index
+    * → set bits (sparse — zero words are absent), built with
+    * [[graft.ops.BloomJoin]]'s hash family so build and probe share
+    * Spark's own `xxhash64`. `dataType` is the column's Spark type name;
+    * the probe casts its literal to it, because `xxhash64` hashes by type
+    * width and a long-vs-int mismatch would probe a different filter.
+    */
+  final case class ColBloom(partition: String, col: String, dataType: String,
+                            numBits: Int, numHashes: Int, salt: Long,
+                            words: Map[Int, Long])
+
+  /** Per-partition bloom sidecar for POINT-LOOKUP skipping — the probe
+    * min/max cannot serve: a high-cardinality key (doc_id) spans nearly
+    * the full value range in every partition, so interval stats prune
+    * nothing, but each partition holds only its own keys and a bloom over
+    * them rejects foreign probes with certainty-of-membership semantics
+    * reversed: NO FALSE NEGATIVES (a present key always survives), false
+    * positives only cost one partition scan. Written between stage and
+    * publish like the min/max sidecar, immutable with its generation.
+    * Null keys are excluded (an equality probe never matches null);
+    * partitions with no non-null keys carry an EMPTY bloom that rejects
+    * every probe.
+    *
+    * Sizing (the [[graft.ops.BloomJoin]] fpp math): the default
+    * `numBits = 2^16` holds fpp < 1% to ~5k distinct keys per partition —
+    * a 8 KiB-per-partition sidecar. Scale `numBits` with per-partition
+    * key count (2^20 ≈ 80k keys at ~1%), but remember the sidecar and its
+    * driver-side build grow with `partitions × numBits/64` words: past
+    * ~10^5 keys per partition this belongs in parquet row-group bloom
+    * filters (`parquet.bloom.filter.enabled`), not a manifest-scale
+    * sidecar — the two compose (partition-level rejection first, row-group
+    * level within scanned files).
+    */
+  def annotateStagedBloom(spark: SparkSession, root: String,
+                          staged: AtomicCommit.Staged, cols: Seq[String],
+                          numBits: Int = 1 << 16, numHashes: Int = 3,
+                          salt: Long = 0L): Unit = {
+    require(numBits > 0 && numBits % 64 == 0, s"numBits=$numBits")
+    require(numHashes >= 1, s"numHashes=$numHashes")
+    val genPath = s"$root/${staged.gen}"
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.get(confKey)
+    val data =
+      try {
+        spark.conf.set(confKey, "false")
+        spark.read.option("basePath", genPath).parquet(
+          staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"): _*)
+      } finally spark.conf.set(confKey, saved)
+    val records = cols.flatMap { c =>
+      val dt = data.schema.find(_.name == c).getOrElse(
+        sys.error(s"bloom column $c not in generation schema")).dataType
+      val positions = (0 until numHashes).map(i =>
+        pmod(xxhash64(col(c), lit(salt), lit(i)), lit(numBits.toLong)))
+      val built = data.filter(col(c).isNotNull)
+        .select(col(staged.partitionCol).cast("string").as("__p"),
+          explode(array(positions: _*)).as("pos"))
+        .select(col("__p"), shiftright(col("pos"), 6).cast("int").as("word"),
+          call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
+            .as("mask"))
+        .groupBy("__p", "word").agg(expr("bit_or(mask)").as("bits"))
+        .collect()
+        .groupBy(_.getAs[String]("__p"))
+        .map { case (p, rows) =>
+          p -> rows.map(r => r.getAs[Int]("word") -> r.getAs[Long]("bits")).toMap
+        }
+      staged.partitions.map { p =>
+        ColBloom(p, c, dt.simpleString, numBits, numHashes, salt,
+          built.getOrElse(p, Map.empty))
+      }
+    }
+    val body = records.sortBy(b => (b.partition, b.col))
+      .map(renderBloom).mkString("", "\n", "\n")
+    Files.write(Paths.get(genPath, BloomFile),
+      body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Point-lookup read: rows with `colName = value`, scanning only
+    * partitions whose bloom (if any) admits the probe — partitions
+    * without bloom evidence are scanned (soundness), empty blooms reject.
+    */
+  def readWhereEq(spark: SparkSession, root: String, colName: String,
+                  value: Any): DataFrame =
+    readWhereEq(spark, root, new PosixManifestStore(root), colName, value)
+
+  def readWhereEq(spark: SparkSession, root: String, store: ManifestStore,
+                  colName: String, value: Any): DataFrame = {
+    require(value != null, "equality probe for null never matches — filter isNull instead")
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val bloomsByGen: Map[String, Map[(String, String), ColBloom]] =
+      m.entries.values.toSeq.distinct
+        .map(g => g -> readBlooms(root, g).map(b => (b.partition, b.col) -> b).toMap)
+        .toMap
+    // probe positions computed BY SPARK with the record's declared type,
+    // so build and probe run the identical xxhash64 — one tiny local job
+    // per distinct (type, params) tuple, cached across partitions
+    val posCache = scala.collection.mutable.Map.empty[(String, Int, Int, Long), Seq[Long]]
+    def positions(b: ColBloom): Seq[Long] =
+      posCache.getOrElseUpdate((b.dataType, b.numBits, b.numHashes, b.salt), {
+        val probe = lit(value).cast(b.dataType)
+        val cols = (0 until b.numHashes).map(i =>
+          pmod(xxhash64(probe, lit(b.salt), lit(i)), lit(b.numBits.toLong)).as(s"p$i"))
+        val row = spark.range(1).select(cols: _*).head()
+        (0 until b.numHashes).map(row.getLong)
+      })
+    def admits(b: ColBloom): Boolean = positions(b).forall { pos =>
+      (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
+    }
+    val keep = m.entries.filter { case (pv, gen) =>
+      bloomsByGen(gen).get((pv, colName)) match {
+        case None => true // no evidence — must scan
+        case Some(b) => admits(b)
+      }
+    }
+    val residual = col(colName) === lit(value)
+    if (keep.isEmpty) {
+      val (pv, gen) = m.entries.head
+      val schema = spark.read.option("basePath", s"$root/$gen")
+        .parquet(s"$root/$gen/${m.partitionCol}=$pv").schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      AtomicCommit.scanManifest(spark, root, m.copy(entries = keep))
+        .filter(residual)
+  }
+
+  /** The bloom records of a generation (empty when un-annotated). */
+  def readBlooms(root: String, gen: String): Seq[ColBloom] = {
+    val p = Paths.get(root, gen, BloomFile)
+    if (!Files.exists(p)) return Nil
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map(parseBloom)
+  }
+
+  private def renderBloom(b: ColBloom): String = {
+    val words = b.words.toSeq.sortBy(_._1)
+      .map { case (w, bits) => s"$w:${java.lang.Long.toHexString(bits)}" }
+      .mkString(";")
+    s"""{"partition":"${esc(b.partition)}","col":"${esc(b.col)}",""" +
+      s""""dataType":"${esc(b.dataType)}","numBits":${b.numBits},""" +
+      s""""numHashes":${b.numHashes},"salt":${b.salt},"words":"$words"}"""
+  }
+  private def parseBloom(line: String): ColBloom = {
+    def str(name: String): String =
+      (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(line)
+        .map(m => unesc(m.group(1)))
+        .getOrElse(sys.error(s"bad bloom record (no $name): $line"))
+    def num(name: String): Long =
+      (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(line)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"bad bloom record (no $name): $line"))
+    // the words blob is long (kilobytes) but escape-free by construction
+    // (digits/colon/semicolon/hex) — the generic escaped-string regex
+    // would recurse once per character and overflow the stack on it, so
+    // it gets a linear single-char-class pattern instead
+    val wordsBlob = """"words"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse(sys.error(s"bad bloom record (no words): $line"))
+    val words = wordsBlob.split(';').toSeq.filter(_.nonEmpty).map { kv =>
+      val Array(w, hex) = kv.split(':')
+      w.toInt -> java.lang.Long.parseUnsignedLong(hex, 16)
+    }.toMap
+    ColBloom(str("partition"), str("col"), str("dataType"),
+      num("numBits").toInt, num("numHashes").toInt, num("salt"), words)
+  }
+
   /** The stats records of a generation (empty when un-annotated). */
   def readStats(root: String, gen: String): Seq[ColStats] = {
     val p = Paths.get(root, gen, StatsFile)

@@ -99,6 +99,49 @@ class DataSkippingSpec extends SparkSpec {
       "the java ordering really does disagree — the guard is load-bearing")
   }
 
+  test("bloom point lookup: present keys scan one partition, absent keys scan none") {
+    val root = freshRoot()
+    // high-cardinality interleaved keys: every partition spans the full
+    // range, so MIN/MAX stats prune nothing here — the bloom must
+    val rows = (0L until 300L).map(i => (i, s"P${(i % 3).toInt}", i * 7L))
+    val staged = AtomicCommit.stage(spark, root,
+      rows.toDF("k", "flag", "v"), "flag")
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("k"))
+    AtomicCommit.publish(root, staged)
+    // NO false negatives: every existing key found, scanning exactly its
+    // own partition's directory
+    for (k <- Seq(0L, 7L, 11L, 100L, 299L)) {
+      val got = DataSkipping.readWhereEq(spark, root, "k", k)
+      assert(got.select("v").as[Long].collect().toSeq === Seq(k * 7L), s"k=$k")
+      val dirs = got.inputFiles.flatMap(
+        f => "flag=(P[0-9])".r.findFirstMatchIn(f).map(_.group(1))).toSet
+      assert(dirs === Set(s"P${k % 3}"),
+        s"k=$k must scan only its own partition, scanned $dirs")
+    }
+    // absent key: all three blooms reject (fpp at this density ~1e-10)
+    val none = DataSkipping.readWhereEq(spark, root, "k", 100000L)
+    assert(none.count() === 0L)
+    assert(none.inputFiles.isEmpty, "an all-rejected probe must scan nothing")
+  }
+
+  test("bloom soundness: all-null partitions reject, un-annotated generations scan") {
+    val root = freshRoot()
+    val staged = AtomicCommit.stage(spark, root,
+      Seq[(Option[Long], String, Long)]((Some(1L), "A", 10L), (None, "N", 0L))
+        .toDF("k", "flag", "v"), "flag")
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("k"))
+    AtomicCommit.publish(root, staged)
+    // the all-null partition has an EMPTY bloom: = probes never match null
+    val got = DataSkipping.readWhereEq(spark, root, "k", 1L)
+    assert(got.count() === 1L)
+    assert(got.inputFiles.forall(_.contains("flag=A")))
+    // a later generation WITHOUT bloom evidence must be scanned
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((5L, "B", 50L)).toDF("k", "flag", "v"), "flag")
+    val b = DataSkipping.readWhereEq(spark, root, "k", 5L)
+    assert(b.select("v").as[Long].collect().toSeq === Seq(50L))
+  }
+
   test("cpCompare orders exactly like UTF-8 bytes (Spark's binary ordering), fuzzed") {
     // UTF-8 encoding preserves code-point order, so the two must agree in
     // SIGN on every pair — including supplementary-plane characters where
