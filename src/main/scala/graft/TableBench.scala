@@ -110,6 +110,18 @@ object TableBench {
         base.unionByName(batch), "pk")
     }
 
+    // TRUE append: the batch commits as its own generation appended to
+    // the partition's owner list — no read-back of the partition's
+    // existing rows, so the cost is the batch's own bytes + one manifest
+    // edit regardless of table size (compare with the merge-commit above,
+    // which reads and rewrites the whole touched partition)
+    timed("append-commit (5 rows, 1 partition)") {
+      val batch = spark.range(5).select(
+        lit("p0007").as("pk"), (col("id") + 2 * n).as("v"),
+        md5(col("id").cast("string")).as("payload"))
+      AtomicCommit.commitAppendPartitions(spark, rootC, batch, "pk")
+    }
+
     // retention delete (v < rowsPer = exactly partition 0's range):
     // clustered + stats → scan/rewrite only the one candidate (here it
     // empties, so the commit is a metadata-only drop); the same delete on

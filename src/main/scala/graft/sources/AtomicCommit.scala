@@ -75,7 +75,17 @@ object AtomicCommit {
 
   private def posix(root: String): ManifestStore = new PosixManifestStore(root)
 
-  /** `props` is durable commit metadata riding the snapshot swap:
+  /** `entries` maps each live partition VALUE to its OWNER LIST — one or
+    * more generation directories, comma-joined (generation names are
+    * `g<hex>`, comma-free by construction). A single owner is the replace
+    * layout; multiple owners are APPENDS ([[commitAppendPartitions]]):
+    * the partition's rows are the union of its slice of every owning
+    * generation, in list order. This is the Iceberg append model — an
+    * append commits O(batch) bytes and a manifest edit, never a rewrite
+    * of the partition it lands in; [[Compaction.compactAtomicTable]]
+    * folds long owner lists back to one.
+    *
+    * `props` is durable commit metadata riding the snapshot swap:
     * whatever key→value pairs a commit attaches become visible atomically
     * WITH its data and are carried forward by later commits (new keys
     * win). [[AtomicStreamSink]] uses this for its exactly-once batch
@@ -84,6 +94,10 @@ object AtomicCommit {
   final case class Manifest(version: Long, partitionCol: String,
                             entries: Map[String, String],
                             props: Map[String, String] = Map.empty)
+
+  /** Decode an entry's comma-joined owner list. */
+  def ownersOf(entry: String): Seq[String] =
+    entry.split(',').toSeq.filter(_.nonEmpty)
 
   /** A written-but-unpublished generation: the phase-1 output. Invisible
     * to every reader until [[publish]] puts a manifest referencing it.
@@ -243,6 +257,72 @@ object AtomicCommit {
       s"lost the manifest CAS $MaxPublishRetries times at $root — writer storm?")
   }
 
+  /** APPEND commit: stage `df` as a new generation and publish a manifest
+    * where each staged partition's owner list GROWS by the new generation
+    * — existing rows are never read, never rewritten, never dropped. The
+    * O(batch) write path streaming ingest needs: cost is the batch's own
+    * bytes plus one manifest edit, however large the partitions it lands
+    * in have grown. Appends COMMUTE, so there is no read-set conflict to
+    * check — two racing appends to the same partition both land (the CAS
+    * loser re-reads and re-merges its generation onto the winner's owner
+    * list), and a replace racing an append still aborts THE REPLACE via
+    * its read-set check (the owner string changed), never losing the
+    * appended rows. Owner lists grow until
+    * [[Compaction.compactAtomicTable]] folds them; readers pay one scan
+    * branch per owner, the usual small-files pressure compaction exists
+    * to relieve.
+    */
+  def commitAppendPartitions(spark: SparkSession, root: String,
+                             df: DataFrame, partitionCol: String,
+                             filesPerDir: Int = 1): Long = {
+    val s = stage(spark, root, df, partitionCol, filesPerDir)
+    publishAppend(root, posix(root), s)
+  }
+
+  def commitAppendPartitions(spark: SparkSession, root: String,
+                             store: ManifestStore, df: DataFrame,
+                             partitionCol: String, filesPerDir: Int): Long =
+    publishAppend(root, store, stage(spark, root, store, df, partitionCol,
+      filesPerDir))
+
+  /** Phase 2 of an append: merge the staged generation ONTO each touched
+    * partition's current owner list and CAS-publish. No conflict abort —
+    * see [[commitAppendPartitions]].
+    */
+  def publishAppend(root: String, store: ManifestStore,
+                    staged: Staged): Long = {
+    staged.props.foreach { case (k, v) =>
+      require(!(k + v).exists(c => c == '{' || c == '}'),
+        s"manifest props must not contain braces: $k -> $v")
+    }
+    require(staged.drops.isEmpty, "an append cannot drop partitions")
+    var attempt = 0
+    while (attempt < MaxPublishRetries) {
+      val prev = readManifest(store)
+      require(prev.forall(_.partitionCol == staged.partitionCol),
+        s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
+      if (!Files.isDirectory(Paths.get(root, staged.gen)))
+        throw new IllegalStateException(
+          s"staged generation ${staged.gen} no longer exists at $root " +
+            "(vacuumed before publish?) — the commit cannot proceed")
+      val prevEntries = prev.map(_.entries).getOrElse(Map.empty)
+      val next = Manifest(
+        prev.map(_.version + 1).getOrElse(1L),
+        staged.partitionCol,
+        prevEntries ++ staged.partitions.map { p =>
+          p -> (ownersOf(prevEntries.getOrElse(p, "")) :+ staged.gen)
+            .mkString(",")
+        },
+        prev.map(_.props).getOrElse(Map.empty) ++ staged.props)
+      if (store.putIfAbsent(manifestName(next.version),
+        renderJson(next).getBytes(StandardCharsets.UTF_8)))
+        return next.version
+      attempt += 1
+    }
+    throw new VersionConflictException(
+      s"lost the manifest CAS $MaxPublishRetries times at $root — writer storm?")
+  }
+
   /** Snapshot read: resolve the highest-version manifest once, scan only
     * owned partition directories. Each generation is read with its own
     * basePath so the partition column survives; per-generation DataFrames
@@ -365,7 +445,7 @@ object AtomicCommit {
     // every generation the target references must still exist — a
     // vacuumed generation would make the rollback a manifest pointing at
     // deleted data (the one corruption worse than failing)
-    val missing = target.entries.values.toSeq.distinct
+    val missing = target.entries.values.flatMap(ownersOf).toSeq.distinct
       .filterNot(g => Files.isDirectory(Paths.get(root, g)))
     require(missing.isEmpty,
       s"cannot roll back to v$version at $root: generation(s) " +
@@ -400,12 +480,16 @@ object AtomicCommit {
     // hand-written manifests with a message instead of empty.reduce
     require(m.entries.nonEmpty,
       s"manifest v${m.version} at $root has no partition entries — nothing to read")
-    // group by generation: one multi-path read per generation, not per
-    // partition (driver work and file-listing stay O(#generations))
-    val byGen = m.entries.groupBy(_._2).toSeq.sortBy(_._1)
+    // expand owner lists, then group by generation: one multi-path read
+    // per generation, not per partition (driver work and file-listing
+    // stay O(#generations))
+    val byGen = m.entries.toSeq
+      .flatMap { case (p, entry) => ownersOf(entry).map(_ -> p) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
     byGen.map { case (gen, parts) =>
       val base = s"$root/$gen"
-      val paths = parts.keys.toSeq.sorted.map(v => s"$base/${m.partitionCol}=$v")
+      val paths = parts.map(_._2).distinct.sorted
+        .map(v => s"$base/${m.partitionCol}=$v")
       spark.read.option("basePath", base).parquet(paths: _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -428,12 +512,7 @@ object AtomicCommit {
     val want = values.toSet
     val owned = m.entries.filter { case (v, _) => want(v) }
     if (owned.isEmpty) return None
-    val byGen = owned.groupBy(_._2).toSeq.sortBy(_._1)
-    Some(byGen.map { case (gen, parts) =>
-      val base = s"$root/$gen"
-      val paths = parts.keys.toSeq.sorted.map(v => s"$base/${m.partitionCol}=$v")
-      spark.read.option("basePath", base).parquet(paths: _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    Some(scanManifest(spark, root, m.copy(entries = owned)))
   }
 
   /** Default age a NEVER-REFERENCED generation (or manifest temp file)
@@ -468,7 +547,7 @@ object AtomicCommit {
   def vacuum(root: String, store: ManifestStore,
              orphanAgeMillis: Long): Seq[String] = {
     val m = readManifest(store).getOrElse(return Nil)
-    val live = m.entries.values.toSet
+    val live = m.entries.values.flatMap(ownersOf).toSet
     val rootPath = Paths.get(root)
     val children = Option(rootPath.toFile.listFiles).getOrElse(Array.empty)
     // every generation any on-disk manifest version references — the
@@ -477,7 +556,8 @@ object AtomicCommit {
     val everReferenced = versions(store)
       .flatMap { v =>
         try store.get(manifestName(v))
-          .map(b => parseJson(new String(b, StandardCharsets.UTF_8)).entries.values)
+          .map(b => parseJson(new String(b, StandardCharsets.UTF_8))
+            .entries.values.flatMap(ownersOf))
           .getOrElse(Nil)
         catch { case _: Throwable => Nil } // a torn manifest can't vouch
       }.toSet

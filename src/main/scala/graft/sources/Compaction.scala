@@ -136,8 +136,9 @@ object Compaction {
     */
   def countAtomicDataFiles(root: String): Long = {
     val m = AtomicCommit.readManifest(root).getOrElse(return 0L)
-    m.entries.map { case (v, gen) =>
-      countDataFiles(s"$root/$gen/${m.partitionCol}=$v")
+    m.entries.map { case (v, entry) =>
+      AtomicCommit.ownersOf(entry)
+        .map(gen => countDataFiles(s"$root/$gen/${m.partitionCol}=$v")).sum
     }.sum
   }
 

@@ -138,13 +138,18 @@ object DataSkipping {
                                      colName: String, lower: Any,
                                      upper: Any): Map[String, String] = {
     val statsByGen: Map[String, Map[(String, String), ColStats]] =
-      m.entries.values.toSeq.distinct
+      m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
         .map(g => g -> readStats(root, g).map(s => (s.partition, s.col) -> s).toMap)
         .toMap
-    m.entries.filter { case (pv, gen) =>
-      statsByGen(gen).get((pv, colName)) match {
-        case None => true // no evidence — must scan
-        case Some(s) => intersects(s, lower, upper)
+    // multi-owner partitions (appends): the partition's rows are the
+    // union of its slice of EVERY owner, so it prunes only when every
+    // owner has evidence and every owner's interval is disjoint
+    m.entries.filter { case (pv, entry) =>
+      AtomicCommit.ownersOf(entry).exists { gen =>
+        statsByGen(gen).get((pv, colName)) match {
+          case None => true // no evidence — must scan
+          case Some(s) => intersects(s, lower, upper)
+        }
       }
     }
   }
@@ -262,7 +267,7 @@ object DataSkipping {
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
     val bloomsByGen: Map[String, Map[(String, String), ColBloom]] =
-      m.entries.values.toSeq.distinct
+      m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
         .map(g => g -> readBlooms(root, g).map(b => (b.partition, b.col) -> b).toMap)
         .toMap
     // probe positions computed BY SPARK with the record's declared type,
@@ -280,10 +285,14 @@ object DataSkipping {
     def admits(b: ColBloom): Boolean = positions(b).forall { pos =>
       (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
     }
-    val keep = m.entries.filter { case (pv, gen) =>
-      bloomsByGen(gen).get((pv, colName)) match {
-        case None => true // no evidence — must scan
-        case Some(b) => admits(b)
+    // the key could live in any owner (appends): scan unless every owner
+    // has a bloom and every owner's bloom rejects
+    val keep = m.entries.filter { case (pv, entry) =>
+      AtomicCommit.ownersOf(entry).exists { gen =>
+        bloomsByGen(gen).get((pv, colName)) match {
+          case None => true // no evidence — must scan
+          case Some(b) => admits(b)
+        }
       }
     }
     val residual = col(colName) === lit(value)

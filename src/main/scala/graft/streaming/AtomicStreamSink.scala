@@ -20,15 +20,17 @@ import graft.sources.{AtomicCommit, ManifestStore, PosixManifestStore}
   * deterministic from the checkpointed offset range), ingestion is
   * exactly-once end to end.
   *
-  * Semantics per batch: APPEND. The touched partitions' current rows are
-  * read back through manifest pruning (O(touched partitions), never the
-  * table), unioned with the batch (by name, additive schema evolution
-  * included), and committed as a replace of exactly those partitions.
-  * A [[graft.sources.AtomicCommit.PartitionConflictException]] from a
-  * concurrent maintenance writer (compaction, upsert) fails the batch;
-  * Structured Streaming's restart then replays it against the refreshed
-  * snapshot — idempotence makes that retry safe, which is precisely why
-  * the sink does NOT retry internally.
+  * Semantics per batch: APPEND, as a true O(batch) operation — the batch
+  * commits as its own generation appended to each touched partition's
+  * owner list; existing rows are never read back or rewritten, however
+  * large the table has grown. Appends commute, so a concurrent
+  * maintenance writer (compaction, upsert) cannot conflict an append
+  * away — the maintenance REPLACE is what aborts if it raced the append
+  * (its read-set sees the owner list change), never losing batch rows.
+  * The CDC-apply mode below does merge (it must read the keys it
+  * replaces) and inherits the replace path's conflict behavior:
+  * a conflicted batch fails, Structured Streaming replays it against the
+  * refreshed snapshot, and the watermark makes that retry exactly-once.
   *
   * Multiple independent streams may feed one table: give each a distinct
   * `queryKey` and their watermarks ride separate props keys (Delta's
@@ -66,7 +68,13 @@ object AtomicStreamSink {
 
   /** One micro-batch's transactional append (the handler's body, exposed
     * so replay semantics are testable without a streaming runtime).
-    * `statsCols` non-empty additionally writes each committed generation's
+    * The batch commits as its OWN generation appended to each touched
+    * partition's owner list ([[graft.sources.AtomicCommit
+    * .commitAppendPartitions]]): O(batch) bytes written per batch however
+    * large the table has grown — existing rows are never read back or
+    * rewritten — with [[graft.sources.Compaction.compactAtomicTable]] as
+    * the owner-list folding maintenance. `statsCols` non-empty
+    * additionally writes each committed generation's
     * [[graft.sources.DataSkipping]] min/max sidecar — streaming ingest is
     * exactly where generations accumulate, so skipping evidence should
     * accumulate with them.
@@ -82,19 +90,11 @@ object AtomicStreamSink {
     // an empty batch commits nothing and advances nothing: replaying an
     // empty batch is vacuously idempotent, and stage() rejects empties
     if (batch.isEmpty) return
-    val touched = batch.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0)).toSeq.sorted
-    val merged =
-      if (AtomicCommit.readManifest(store).isEmpty) batch // table bootstrap
-      else AtomicCommit.readPartitions(spark, root, store, touched) match {
-        case Some(base) => base.unionByName(batch, allowMissingColumns = true)
-        case None => batch // all-new partitions: nothing to merge
-      }
-    val staged = AtomicCommit.stage(spark, root, store, merged, partitionCol, 1)
+    val staged = AtomicCommit.stage(spark, root, store, batch, partitionCol, 1)
       .copy(props = Map(watermarkKey(queryKey) -> batchId.toString))
     if (statsCols.nonEmpty)
       graft.sources.DataSkipping.annotateStaged(spark, root, staged, statsCols)
-    AtomicCommit.publish(root, store, staged)
+    AtomicCommit.publishAppend(root, store, staged)
     ()
   }
 

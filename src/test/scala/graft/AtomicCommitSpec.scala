@@ -333,6 +333,72 @@ class AtomicCommitSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"))
   }
 
+  test("append commits grow the owner list O(batch): no read-back, no rewrite, union reads") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0), (3L, "B", 3.0)).toDF("k", "flag", "v"), "flag")
+    val genA1 = AtomicCommit.readManifest(root).get.entries("A")
+    val before = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, genA1, "flag=A"))
+    assert(AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag") === 2L)
+    val m = AtomicCommit.readManifest(root).get
+    // A is now owned by BOTH generations, in append order; B untouched
+    assert(AtomicCommit.ownersOf(m.entries("A")).size === 2)
+    assert(AtomicCommit.ownersOf(m.entries("A")).head === genA1)
+    assert(AtomicCommit.ownersOf(m.entries("B")) === Seq(m.entries("B")))
+    // the original generation's partition dir was never touched
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(root, genA1, "flag=A")) === before)
+    // reads union the owners
+    assert(snap(root) === Map(("A", 1L) -> 1.0, ("A", 7L) -> 7.0, ("B", 3L) -> 3.0))
+    // a REPLACE of A staged against the pre-append owner aborts (the
+    // appended rows would be silently lost) — the appended table wins
+    val stale = AtomicCommit.stage(spark, root,
+      Seq((9L, "A", 9.0)).toDF("k", "flag", "v"), "flag")
+      .copy(baseOwners = Map("A" -> genA1))
+    intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.publish(root, stale)
+    }
+    // a replace staged against the CURRENT owner list collapses A back
+    // to single ownership
+    val fresh = AtomicCommit.stage(spark, root,
+      Seq((9L, "A", 9.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.publish(root, fresh)
+    assert(AtomicCommit.ownersOf(
+      AtomicCommit.readManifest(root).get.entries("A")).size === 1)
+    assert(snap(root) === Map(("A", 9L) -> 9.0, ("B", 3L) -> 3.0))
+  }
+
+  test("racing appends to the SAME partition both land — appends commute, no conflict") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
+    val s1 = AtomicCommit.stage(spark, root,
+      Seq((2L, "A", 2.0)).toDF("k", "flag", "v"), "flag")
+    val s2 = AtomicCommit.stage(spark, root,
+      Seq((3L, "A", 3.0)).toDF("k", "flag", "v"), "flag")
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val store = new graft.sources.PosixManifestStore(root)
+      val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await(); AtomicCommit.publishAppend(root, store, s1) }
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = { gate.await(); AtomicCommit.publishAppend(root, store, s2) }
+      })
+      gate.countDown()
+      val got = Set(f1.get(60, java.util.concurrent.TimeUnit.SECONDS),
+        f2.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      assert(got === Set(2L, 3L))
+    } finally pool.shutdown()
+    assert(snap(root) ===
+      Map(("A", 1L) -> 1.0, ("A", 2L) -> 2.0, ("A", 3L) -> 3.0))
+    assert(AtomicCommit.ownersOf(
+      AtomicCommit.readManifest(root).get.entries("A")).size === 3)
+  }
+
   test("mismatched partition column is rejected before any data is written") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,

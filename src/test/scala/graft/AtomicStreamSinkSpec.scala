@@ -94,7 +94,8 @@ class AtomicStreamSinkSpec extends SparkSpec {
     AtomicStreamSink.commitBatch(root, store, "lang", "q",
       batch(Seq((3L, "de", 20L))), 1L, Seq("n_chars"))
     val m = AtomicCommit.readManifest(store).get
-    m.entries.values.toSeq.distinct.foreach { gen =>
+    // appends grow owner LISTS — every owning generation carries stats
+    m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct.foreach { gen =>
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(root, gen, graft.sources.DataSkipping.StatsFile)))
     }

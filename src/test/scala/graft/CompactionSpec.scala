@@ -132,6 +132,32 @@ class CompactionSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSet === rowsBefore)
   }
 
+  test("compactAtomicTable folds append-grown owner lists back to one generation") {
+    import spark.implicits._
+    import graft.sources.AtomicCommit
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_fold").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((0L, "de", 0L)).toDF("k", "lang", "v"), "lang")
+    for (b <- 1 to 3) // streaming-shaped appends: owner list grows to 4
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((b.toLong, "de", b.toLong)).toDF("k", "lang", "v"), "lang")
+    assert(AtomicCommit.ownersOf(
+      AtomicCommit.readManifest(root).get.entries("de")).size === 4)
+    val rowsBefore = AtomicCommit.read(spark, root)
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    val (before, after) = Compaction.compactAtomicTable(spark, root,
+      vacuumNow = true)
+    assert(before === 4L && after === 1L, s"$before -> $after")
+    assert(AtomicCommit.ownersOf(
+      AtomicCommit.readManifest(root).get.entries("de")).size === 1)
+    assert(AtomicCommit.read(spark, root)
+      .select("k", "v").as[(Long, Long)].collect().toSet === rowsBefore)
+    // the folded-away generations are really gone from disk
+    val gens = java.nio.file.Paths.get(root).toFile.listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("g"))
+    assert(gens.length === 1)
+  }
+
   test("compactAtomicTable: statsCols re-annotates, so skipping survives the rewrite") {
     import spark.implicits._
     import graft.sources.{AtomicCommit, DataSkipping}
