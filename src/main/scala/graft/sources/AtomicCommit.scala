@@ -522,9 +522,13 @@ object AtomicCommit {
     */
   val OrphanRetentionMillis: Long = 60L * 60 * 1000
 
-  /** Drop generation directories superseded by the CURRENT manifest,
-    * manifest versions older than it, and aged-out orphans. Two classes,
-    * because they carry different evidence:
+  /** Drop generation directories no KEPT manifest references, manifest
+    * versions older than the retention window, and aged-out orphans.
+    * `keepVersions` is the time-travel horizon: the most recent N
+    * snapshots stay fully readable (their manifests AND every generation
+    * they reference survive); the default 1 keeps only the current one.
+    * Unreferenced directories fall in two classes, because they carry
+    * different evidence:
     *
     *  - A directory referenced by SOME on-disk manifest version but not
     *    the current one was definitely published and superseded — deleted
@@ -541,13 +545,24 @@ object AtomicCommit {
     * Returns the deleted generation-directory names.
     */
   def vacuum(root: String,
-             orphanAgeMillis: Long = OrphanRetentionMillis): Seq[String] =
-    vacuum(root, posix(root), orphanAgeMillis)
+             orphanAgeMillis: Long = OrphanRetentionMillis,
+             keepVersions: Int = 1): Seq[String] =
+    vacuum(root, posix(root), orphanAgeMillis, keepVersions)
 
   def vacuum(root: String, store: ManifestStore,
-             orphanAgeMillis: Long): Seq[String] = {
+             orphanAgeMillis: Long): Seq[String] =
+    vacuum(root, store, orphanAgeMillis, 1)
+
+  def vacuum(root: String, store: ManifestStore, orphanAgeMillis: Long,
+             keepVersions: Int): Seq[String] = {
+    require(keepVersions >= 1, s"keepVersions=$keepVersions")
     val m = readManifest(store).getOrElse(return Nil)
-    val live = m.entries.values.flatMap(ownersOf).toSet
+    val horizon = m.version - keepVersions + 1
+    // every generation ANY kept snapshot still references must survive,
+    // or readAt within the retention window would scan deleted data
+    val live = versions(store).filter(_ >= horizon)
+      .flatMap(v => manifestAt(store, root, v).entries.values.flatMap(ownersOf))
+      .toSet
     val rootPath = Paths.get(root)
     val children = Option(rootPath.toFile.listFiles).getOrElse(Array.empty)
     // every generation any on-disk manifest version references — the
@@ -569,7 +584,7 @@ object AtomicCommit {
       }
       .map(_.getName).toSeq.sorted
     doomed.foreach(d => deleteRecursively(rootPath.resolve(d)))
-    versions(store).filter(_ < m.version)
+    versions(store).filter(_ < horizon)
       .foreach(v => store.delete(manifestName(v)))
     store.vacuumTemps(cutoff)
     doomed

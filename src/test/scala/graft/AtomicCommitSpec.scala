@@ -310,6 +310,33 @@ class AtomicCommitSpec extends SparkSpec {
     assert(AtomicCommit.currentVersion(root) === Some(2L))
   }
 
+  test("vacuum keepVersions: the retention window stays fully time-travelable") {
+    val root = freshRoot()
+    // v1: A+B on gen1; v2: replace A (gen1 still live via B); v3: replace B
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0), (3L, "B", 3.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((8L, "B", 8.0)).toDF("k", "flag", "v"), "flag")
+    AtomicCommit.vacuum(root, keepVersions = 2)
+    // v2 and v3 readable — including v2's view of B, whose generation
+    // only v2 (not v3) still references
+    assert(AtomicCommit.versions(root) === Seq(2L, 3L))
+    def at(v: Long) = AtomicCommit.readAt(spark, root, v)
+      .select("k", "flag", "v").as[(Long, String, Double)].collect()
+      .map { case (k, f, x) => (f, k) -> x }.toMap
+    assert(at(2L) === Map(("A", 7L) -> 7.0, ("B", 3L) -> 3.0))
+    assert(at(3L) === Map(("A", 7L) -> 7.0, ("B", 8L) -> 8.0))
+    intercept[RuntimeException] { at(1L) } // beyond the horizon
+    // tightening the window to 1 then drops v2 and the generation only it
+    // referenced
+    val dropped = AtomicCommit.vacuum(root)
+    assert(dropped.size === 1)
+    assert(AtomicCommit.versions(root) === Seq(3L))
+    assert(at(3L) === Map(("A", 7L) -> 7.0, ("B", 8L) -> 8.0))
+  }
+
   test("rollbackTo republishes an old snapshot as a new version; vacuum bounds it") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,
