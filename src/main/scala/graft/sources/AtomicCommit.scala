@@ -158,9 +158,25 @@ object AtomicCommit {
     stage(spark, root, posix(root), df, partitionCol, filesPerDir)
 
   def stage(spark: SparkSession, root: String, store: ManifestStore,
-            df: DataFrame, partitionCol: String, filesPerDir: Int): Staged = {
+            df: DataFrame, partitionCol: String, filesPerDir: Int): Staged =
+    stage(spark, root, store, df, partitionCol, filesPerDir, None)
+
+  /** `base` is the READ-SET ANCHOR: the manifest the commit's input data
+    * was read from. A read-modify-write commit (delete, merge, compaction)
+    * MUST pass the manifest its scan resolved — anchoring the read set at
+    * a fresh `readManifest` here instead would let a concurrent commit
+    * that landed between the data read and this stage be recorded as the
+    * base owner, and [[publish]]'s conflict check would then wave through
+    * the exact lost update it exists to prevent (the window spans the
+    * whole matching scan, so it is wide at scale). `None` means the
+    * commit's input is independent of table state (blind replace/append) —
+    * only then is observing the freshest manifest correct.
+    */
+  def stage(spark: SparkSession, root: String, store: ManifestStore,
+            df: DataFrame, partitionCol: String, filesPerDir: Int,
+            base: Option[Manifest]): Staged = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
-    val prev = readManifest(store)
+    val prev = base.orElse(readManifest(store))
     require(prev.forall(_.partitionCol == partitionCol),
       s"table at $root is partitioned by ${prev.get.partitionCol}, not $partitionCol")
     Files.createDirectories(Paths.get(root))
@@ -176,6 +192,29 @@ object AtomicCommit {
         pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(filesPerDir)))
     keyed.write.mode("error").partitionBy(partitionCol)
       .parquet(s"$root/$gen")
+    stagedFromDisk(root, gen, partitionCol, prev)
+  }
+
+  /** Stage `df` PRESERVING its partitioning and sort order: the rows land
+    * on disk exactly as the caller laid them out (one file per task per
+    * partition value), where [[stage]] re-keys by partition (+ salt).
+    * [[Compaction.recluster]]'s write path — a sort-ordered rewrite is
+    * only worth its shuffle if the write doesn't scramble it again.
+    */
+  def stageKeyed(spark: SparkSession, root: String, store: ManifestStore,
+                 df: DataFrame, partitionCol: String,
+                 base: Option[Manifest]): Staged = {
+    val prev = base.orElse(readManifest(store))
+    require(prev.forall(_.partitionCol == partitionCol),
+      s"table at $root is partitioned by ${prev.get.partitionCol}, not $partitionCol")
+    Files.createDirectories(Paths.get(root))
+    val gen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
+    df.write.mode("error").partitionBy(partitionCol).parquet(s"$root/$gen")
+    stagedFromDisk(root, gen, partitionCol, prev)
+  }
+
+  private def stagedFromDisk(root: String, gen: String, partitionCol: String,
+                             prev: Option[Manifest]): Staged = {
     val parts = partitionDirs(Paths.get(root, gen), partitionCol)
     // an empty commit would publish a manifest no read can serve (and, as
     // the FIRST commit, a table with no schema source) — reject at the
@@ -209,7 +248,29 @@ object AtomicCommit {
   def publish(root: String, staged: Staged): Long =
     publish(root, posix(root), staged)
 
-  def publish(root: String, store: ManifestStore, staged: Staged): Long = {
+  def publish(root: String, store: ManifestStore, staged: Staged): Long =
+    casLoop(root, store, staged, append = false, Set.empty).get
+
+  /** [[publish]] for EXACTLY-ONCE writers: every key in `monotonicKeys`
+    * that `staged.props` carries must STRICTLY ADVANCE the current
+    * manifest's value (compared as Long). If the current manifest already
+    * covers a staged value, the commit is skipped and None returned — the
+    * zombie-replay no-op. The check runs against the SAME manifest snapshot
+    * each CAS attempt validates and swaps against, so "has this batch
+    * already committed?" is decided atomically with the commit itself:
+    * two writers replaying one batchId (a failed-over driver's zombie
+    * racing its replacement — the scenario Delta's `txn` check guards)
+    * cannot both pass, because whichever loses the CAS re-reads a manifest
+    * where the winner's watermark already covers the batch. A pre-check
+    * before staging remains a useful fast path but is NOT the guarantee.
+    */
+  def publishIfNew(root: String, store: ManifestStore, staged: Staged,
+                   monotonicKeys: Set[String]): Option[Long] =
+    casLoop(root, store, staged, append = false, monotonicKeys)
+
+  private def casLoop(root: String, store: ManifestStore, staged: Staged,
+                      append: Boolean,
+                      monotonicKeys: Set[String]): Option[Long] = {
     // the hand-rolled parser bounds the flat props blob by braces — a
     // brace inside a key/value would corrupt every later read of the
     // table, so reject it at the commit boundary
@@ -217,30 +278,47 @@ object AtomicCommit {
       require(!(k + v).exists(c => c == '{' || c == '}'),
         s"manifest props must not contain braces: $k -> $v")
     }
+    if (append) require(staged.drops.isEmpty, "an append cannot drop partitions")
     var attempt = 0
     while (attempt < MaxPublishRetries) {
       val prev = readManifest(store)
       require(prev.forall(_.partitionCol == staged.partitionCol),
         s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
-      val conflicts = (staged.partitions ++ staged.drops).filter { p =>
-        prev.flatMap(_.entries.get(p)) != staged.baseOwners.get(p)
+      // exactly-once guard FIRST: a covered watermark means the batch is
+      // already durable — nothing below may run, least of all the CAS
+      val covered = monotonicKeys.exists { k =>
+        staged.props.get(k).exists(v =>
+          prev.flatMap(_.props.get(k)).exists(_.toLong >= v.toLong))
       }
-      if (conflicts.nonEmpty)
-        throw new PartitionConflictException(
-          s"partitions ${conflicts.mkString(", ")} were replaced by a " +
-            s"concurrent commit after this one staged against version " +
-            s"${staged.baseVersion} of $root — re-read, re-merge, re-stage")
+      if (covered) return None
+      if (!append) {
+        val conflicts = (staged.partitions ++ staged.drops).filter { p =>
+          prev.flatMap(_.entries.get(p)) != staged.baseOwners.get(p)
+        }
+        if (conflicts.nonEmpty)
+          throw new PartitionConflictException(
+            s"partitions ${conflicts.mkString(", ")} were replaced by a " +
+              s"concurrent commit after this one staged against version " +
+              s"${staged.baseVersion} of $root — re-read, re-merge, re-stage")
+      }
       // a drop-only commit stages no generation (partitions empty, gen "")
       if (staged.partitions.nonEmpty &&
         !Files.isDirectory(Paths.get(root, staged.gen)))
         throw new IllegalStateException(
           s"staged generation ${staged.gen} no longer exists at $root " +
             "(vacuumed before publish?) — the commit cannot proceed")
+      val prevEntries = prev.map(_.entries).getOrElse(Map.empty)
+      val nextEntries =
+        if (append)
+          prevEntries ++ staged.partitions.map { p =>
+            p -> (ownersOf(prevEntries.getOrElse(p, "")) :+ staged.gen)
+              .mkString(",")
+          }
+        else prevEntries ++ staged.partitions.map(_ -> staged.gen).toMap --
+          staged.drops
       val next = Manifest(
         prev.map(_.version + 1).getOrElse(1L),
-        staged.partitionCol,
-        prev.map(_.entries).getOrElse(Map.empty) ++
-          staged.partitions.map(_ -> staged.gen).toMap -- staged.drops,
+        staged.partitionCol, nextEntries,
         prev.map(_.props).getOrElse(Map.empty) ++ staged.props)
       require(next.entries.nonEmpty,
         s"commit would leave $root with zero partitions — an empty table " +
@@ -250,7 +328,7 @@ object AtomicCommit {
       // CAS failure signal — refresh and retry
       if (store.putIfAbsent(manifestName(next.version),
         renderJson(next).getBytes(StandardCharsets.UTF_8)))
-        return next.version
+        return Some(next.version)
       attempt += 1
     }
     throw new VersionConflictException(
@@ -290,38 +368,17 @@ object AtomicCommit {
     * see [[commitAppendPartitions]].
     */
   def publishAppend(root: String, store: ManifestStore,
-                    staged: Staged): Long = {
-    staged.props.foreach { case (k, v) =>
-      require(!(k + v).exists(c => c == '{' || c == '}'),
-        s"manifest props must not contain braces: $k -> $v")
-    }
-    require(staged.drops.isEmpty, "an append cannot drop partitions")
-    var attempt = 0
-    while (attempt < MaxPublishRetries) {
-      val prev = readManifest(store)
-      require(prev.forall(_.partitionCol == staged.partitionCol),
-        s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
-      if (!Files.isDirectory(Paths.get(root, staged.gen)))
-        throw new IllegalStateException(
-          s"staged generation ${staged.gen} no longer exists at $root " +
-            "(vacuumed before publish?) — the commit cannot proceed")
-      val prevEntries = prev.map(_.entries).getOrElse(Map.empty)
-      val next = Manifest(
-        prev.map(_.version + 1).getOrElse(1L),
-        staged.partitionCol,
-        prevEntries ++ staged.partitions.map { p =>
-          p -> (ownersOf(prevEntries.getOrElse(p, "")) :+ staged.gen)
-            .mkString(",")
-        },
-        prev.map(_.props).getOrElse(Map.empty) ++ staged.props)
-      if (store.putIfAbsent(manifestName(next.version),
-        renderJson(next).getBytes(StandardCharsets.UTF_8)))
-        return next.version
-      attempt += 1
-    }
-    throw new VersionConflictException(
-      s"lost the manifest CAS $MaxPublishRetries times at $root — writer storm?")
-  }
+                    staged: Staged): Long =
+    casLoop(root, store, staged, append = true, Set.empty).get
+
+  /** [[publishAppend]] with [[publishIfNew]]'s exactly-once monotonic-props
+    * guard: a replayed batch whose watermark the current manifest already
+    * covers returns None without committing, decided atomically with the
+    * CAS (see [[publishIfNew]]).
+    */
+  def publishAppendIfNew(root: String, store: ManifestStore, staged: Staged,
+                         monotonicKeys: Set[String]): Option[Long] =
+    casLoop(root, store, staged, append = true, monotonicKeys)
 
   /** Snapshot read: resolve the highest-version manifest once, scan only
     * owned partition directories. Each generation is read with its own
@@ -403,11 +460,16 @@ object AtomicCommit {
       else Some(scanManifest(spark, root, m.copy(entries = owned)))
     }
     (side(mA), side(mB)) match {
-      case (None, None) =>
-        spark.emptyDataFrame // identical manifests: nothing to scan at all
       case (a, b) =>
-        // one side can still be empty (all-new or all-dropped partitions)
-        val probe = a.orElse(b).get
+        // identical manifests scan nothing, but the result must still
+        // carry the documented schema (callers select change_type/_from/
+        // _to unconditionally) — probe ONE owned directory for the table
+        // schema (a footer read; filter(false) folds the scan away), same
+        // as [[DataSkipping.readWhere]]'s all-pruned case. One side can
+        // also be empty alone (all-new or all-dropped partitions).
+        val probe = a.orElse(b).getOrElse(
+          scanManifest(spark, root, mB.copy(entries = Map(mB.entries.head)))
+            .filter(lit(false)))
         val dataCols = probe.columns.filterNot(_ == keyCol).toSeq
         val empty = probe.filter(lit(false))
         val av = a.getOrElse(empty).alias("a")
@@ -465,8 +527,12 @@ object AtomicCommit {
       s"lost the manifest CAS $MaxPublishRetries times at $root — writer storm?")
   }
 
-  private def manifestAt(store: ManifestStore, root: String,
-                         version: Long): Manifest =
+  /** The manifest of an on-disk version (fails with the readable-versions
+    * list when vacuumed or never published) — the metadata walk a
+    * change-feed consumer ([[graft.streaming.ChangeFeed]]) drives.
+    */
+  def manifestAt(store: ManifestStore, root: String,
+                 version: Long): Manifest =
     store.get(manifestName(version)) match {
       case Some(bytes) => parseJson(new String(bytes, StandardCharsets.UTF_8))
       case None =>
@@ -509,6 +575,17 @@ object AtomicCommit {
                      values: Seq[String]): Option[DataFrame] = {
     val m = readManifest(store).getOrElse(
       sys.error(s"no ${ManifestPrefix}N$ManifestSuffix at $root — not an AtomicCommit table"))
+    readPartitions(spark, root, m, values)
+  }
+
+  /** [[readPartitions]] against an EXPLICIT snapshot — the form a
+    * read-modify-write commit must use, so the manifest its scan resolved
+    * is the same one its [[stage]] anchors the read set at (passing a
+    * fresh-read manifest to stage while the data came from an older one
+    * is the lost-update window the read-set check exists to close).
+    */
+  def readPartitions(spark: SparkSession, root: String, m: Manifest,
+                     values: Seq[String]): Option[DataFrame] = {
     val want = values.toSet
     val owned = m.entries.filter { case (v, _) => want(v) }
     if (owned.isEmpty) return None
@@ -583,11 +660,29 @@ object AtomicCommit {
           (everReferenced(f.getName) || f.lastModified() < cutoff)
       }
       .map(_.getName).toSeq.sorted
-    doomed.foreach(d => deleteRecursively(rootPath.resolve(d)))
+    // TOCTOU narrowing: between the live-set computation above and each
+    // delete, a commit can make a doomed directory CURRENT again (a
+    // rollback re-referencing it, or a slow writer's publish whose
+    // existence re-check passed just before we got here) — re-read the
+    // freshest manifest immediately before every delete and spare anything
+    // it references. The residual race (publish's CAS landing between this
+    // read and the delete) is bounded by `orphanAgeMillis`: a
+    // never-referenced directory is only doomed past that age, so the
+    // caller's contract is that orphanAgeMillis EXCEEDS any possible
+    // stage-to-publish gap (the default is an hour; a stage held open
+    // longer must re-stage). publish's existence re-check then turns a
+    // misjudged deletion into a loud abort, never a manifest pointing at
+    // deleted data.
+    val deleted = doomed.filter { d =>
+      val nowLive = readManifest(store)
+        .map(_.entries.values.flatMap(ownersOf).toSet).getOrElse(Set.empty)
+      if (nowLive(d)) false
+      else { deleteRecursively(rootPath.resolve(d)); true }
+    }
     versions(store).filter(_ < horizon)
       .foreach(v => store.delete(manifestName(v)))
     store.vacuumTemps(cutoff)
-    doomed
+    deleted
   }
 
   def readManifest(root: String): Option[Manifest] = readManifest(posix(root))

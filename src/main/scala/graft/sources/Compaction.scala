@@ -115,19 +115,83 @@ object Compaction {
                          vacuumNow: Boolean = false,
                          statsCols: Seq[String] = Nil): (Long, Long) = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
-    val m = AtomicCommit.readManifest(root).getOrElse(
+    val store = new PosixManifestStore(root)
+    val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"$root is not an AtomicCommit table"))
     val before = countAtomicDataFiles(root)
-    val df = AtomicCommit.read(spark, root)
+    // the scan AND the staged read-set both resolve through `m`: a commit
+    // landing mid-rewrite is guaranteed to conflict the publish (its rows
+    // are not in this rewrite), never to be silently folded away
+    val df = AtomicCommit.scanManifest(spark, root, m)
     // the rewrite's generation replaces every old one, so any skipping
     // evidence dies with them — statsCols re-annotates the compacted
     // generation (a compaction should never LOSE read performance)
-    val staged = AtomicCommit.stage(spark, root, df, m.partitionCol,
-      filesPerDir)
+    val staged = AtomicCommit.stage(spark, root, store, df, m.partitionCol,
+      filesPerDir, Some(m))
     if (statsCols.nonEmpty)
       DataSkipping.annotateStaged(spark, root, staged, statsCols)
-    AtomicCommit.publish(root, staged)
+    AtomicCommit.publish(root, store, staged)
     if (vacuumNow) AtomicCommit.vacuum(root)
+    (before, countAtomicDataFiles(root))
+  }
+
+  /** Sort-order maintenance rewrite for an [[AtomicCommit]] table — the
+    * OPTIMIZE-with-sort-order of the table formats, and the repair
+    * [[compactAtomicTable]] cannot perform: compaction folds generations
+    * but PRESERVES row placement, so a table ingested in arrival order
+    * keeps every partition's files spanning the full value range and
+    * [[DataSkipping]]'s min/max prove nothing (TableBench measures that
+    * layout at 2.5× slower range reads and 27× slower deletes than a
+    * clustered one at 16M rows).
+    *
+    * What reclustering CAN and CANNOT buy: partition VALUES are data — a
+    * row's `lang=de` is a fact, not a layout choice — so no rewrite moves
+    * rows between partition directories or invents a partitioning the
+    * data doesn't carry. The repairable axis is WITHIN each partition:
+    * rows are globally range-distributed and sorted on
+    * (partitionCol, sortCols), so each partition directory lands as
+    * `filesPerDir` files each owning a narrow `sortCols` range, and the
+    * regenerated FILE-granular stats sidecar ([[DataSkipping]]'s r13
+    * `file` records) lets `readWhere` scan ~1 of `filesPerDir` files per
+    * partition instead of all of them — the partition-skipping story,
+    * repeated one level down. Where the partition column CORRELATES with
+    * `sortCols`, partition-envelope pruning tightens too (each
+    * partition's envelope shrinks to its true range).
+    *
+    * Mechanics: one `repartitionByRange(P × filesPerDir)` shuffle +
+    * in-task sort, staged through [[AtomicCommit.stageKeyed]] (which
+    * preserves the layout instead of re-keying it), fresh min/max
+    * sidecar, manifest flip anchored at the pre-rewrite snapshot — a
+    * commit landing mid-recluster aborts THIS rewrite with
+    * [[AtomicCommit.PartitionConflictException]] (re-run it), never the
+    * other way around, and time travel to the pre-recluster version keeps
+    * working until vacuum. Returns (filesBefore, filesAfter).
+    */
+  def recluster(spark: SparkSession, root: String, sortCols: Seq[String],
+                filesPerDir: Int = 1,
+                statsCols: Seq[String] = Nil): (Long, Long) = {
+    require(sortCols.nonEmpty, "recluster needs at least one sort column")
+    require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
+    val store = new PosixManifestStore(root)
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"$root is not an AtomicCommit table"))
+    val before = countAtomicDataFiles(root)
+    val df = AtomicCommit.scanManifest(spark, root, m)
+    // P × filesPerDir contiguous (partition, sortKey) ranges: each
+    // partition's rows span ~filesPerDir consecutive tasks, each task
+    // writes one file per partition value it holds, so a directory gets
+    // ~filesPerDir files each owning a narrow, disjoint sort-key range
+    // (boundary tasks can straddle two partitions — the bound is
+    // approximate, which is all a maintenance target needs)
+    val numTasks = math.max(1, m.entries.size * filesPerDir)
+    val keys = col(m.partitionCol) +: sortCols.map(col)
+    val keyed = df.repartitionByRange(numTasks, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val staged = AtomicCommit.stageKeyed(spark, root, store, keyed,
+      m.partitionCol, Some(m))
+    val stats = if (statsCols.nonEmpty) statsCols else sortCols
+    DataSkipping.annotateStaged(spark, root, staged, stats)
+    AtomicCommit.publish(root, store, staged)
     (before, countAtomicDataFiles(root))
   }
 

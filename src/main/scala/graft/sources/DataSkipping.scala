@@ -50,11 +50,18 @@ object DataSkipping {
   val StatsFile = "_graft_stats.jsonl"
 
   /** One (partition, column) statistics record. `min`/`max` are None only
-    * when every value in the partition is null.
+    * when every value in the partition is null. `file` present makes the
+    * record FILE-granular — the bounds of one parquet data file (by
+    * basename) inside the partition directory, written when a partition
+    * spans multiple files (`filesPerDir > 1`, [[Compaction.recluster]]'s
+    * layout) so [[readWhere]] can prune WITHIN a partition it must touch;
+    * `file = None` is the partition-level envelope (and the only record
+    * kind pre-r13 sidecars carry — absent field parses as None).
     */
   final case class ColStats(partition: String, col: String, kind: String,
                             min: Option[String], max: Option[String],
-                            nulls: Long, rows: Long)
+                            nulls: Long, rows: Long,
+                            file: Option[String] = None)
 
   /** Stage → annotate → publish: [[AtomicCommit.commitReplacePartitions]]
     * with stats for `cols` recorded on the new generation.
@@ -104,21 +111,63 @@ object DataSkipping {
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
-    val rows = data.groupBy(col(staged.partitionCol).cast("string").as("__p"))
+    // ONE job at FILE granularity (partition, data-file basename); the
+    // partition-level envelopes are derived driver-side from the file
+    // records — manifest-scale work, no second scan of the staged bytes
+    val rows = data.groupBy(col(staged.partitionCol).cast("string").as("__p"),
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
-    val records = rows.flatMap { r =>
+    val fileRecords = rows.flatMap { r =>
       val p = r.getAs[String]("__p")
+      val f = r.getAs[String]("__f")
       val n = r.getAs[Long]("__rows")
       cols.map { c =>
         val mn = Option(r.getAs[Any](s"__min_$c")).map(_.toString)
         val mx = Option(r.getAs[Any](s"__max_$c")).map(_.toString)
-        ColStats(p, c, kinds(c), mn, mx, r.getAs[Long](s"__nulls_$c"), n)
+        ColStats(p, c, kinds(c), mn, mx, r.getAs[Long](s"__nulls_$c"), n,
+          Some(f))
       }
     }
-    val body = records.sortBy(s => (s.partition, s.col))
+    val partRecords = fileRecords.groupBy(s => (s.partition, s.col)).toSeq
+      .map { case ((p, c), fs) => combine(p, c, kinds(c), fs.toSeq) }
+    // file records are only worth their bytes where they can out-prune the
+    // envelope: partitions a single file covers entirely carry just it
+    val multiFile = fileRecords.groupBy(_.partition)
+      .filter(_._2.map(_.file).distinct.size > 1).keySet
+    val records = partRecords ++ fileRecords.filter(s => multiFile(s.partition))
+    val body = records.sortBy(s => (s.partition, s.col, s.file.getOrElse("")))
       .map(renderRecord).mkString("", "\n", "\n")
     Files.write(Paths.get(genPath, StatsFile),
       body.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Fold file-granular records into the partition envelope, preserving
+    * what Spark's global min/max would have rendered: the combined bound
+    * is one of the per-file renderings of the same typed value, compared
+    * num-as-decimal / str-by-code-point exactly as [[intersects]] reads
+    * them back. A bound that defeats decimal parsing (NaN/Infinity in a
+    * double column) is passed through verbatim — [[intersects]] treats it
+    * as no-evidence and keeps the partition, sound by construction.
+    */
+  private def combine(p: String, c: String, kind: String,
+                      fs: Seq[ColStats]): ColStats = {
+    def pick(vals: Seq[String], takeMin: Boolean): Option[String] =
+      if (vals.isEmpty) None
+      else if (kind == "num")
+        try {
+          val sorted = vals.sortBy(new BigDecimal(_))
+          Some(if (takeMin) sorted.head else sorted.last)
+        } catch { case _: NumberFormatException =>
+          Some(vals.find(v => scala.util.Try(new BigDecimal(v)).isFailure).get)
+        }
+      else {
+        val ord = Ordering.fromLessThan[String](cpCompare(_, _) < 0)
+        Some(if (takeMin) vals.min(ord) else vals.max(ord))
+      }
+    ColStats(p, c, kind,
+      pick(fs.flatMap(_.min), takeMin = true),
+      pick(fs.flatMap(_.max), takeMin = false),
+      fs.map(_.nulls).sum, fs.map(_.rows).sum)
   }
 
   /** Snapshot read of rows with `colName` between `lower` and `upper`
@@ -137,9 +186,13 @@ object DataSkipping {
   private[sources] def prunedEntries(root: String, m: AtomicCommit.Manifest,
                                      colName: String, lower: Any,
                                      upper: Any): Map[String, String] = {
+    // partition-level envelopes only: a file-granular record's narrower
+    // interval must never stand in for its partition's (the toMap would
+    // otherwise keep an arbitrary record per (partition, col) key)
     val statsByGen: Map[String, Map[(String, String), ColStats]] =
       m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
-        .map(g => g -> readStats(root, g).map(s => (s.partition, s.col) -> s).toMap)
+        .map(g => g -> readStats(root, g).filter(_.file.isEmpty)
+          .map(s => (s.partition, s.col) -> s).toMap)
         .toMap
     // multi-owner partitions (appends): the partition's rows are the
     // union of its slice of EVERY owner, so it prunes only when every
@@ -161,18 +214,70 @@ object DataSkipping {
     val keep = prunedEntries(root, m, colName, lower, upper)
     val residual: Column =
       col(colName) >= lit(lower) && col(colName) <= lit(upper)
-    if (keep.isEmpty) {
-      // every partition provably disjoint — nothing to scan; probe one
-      // owned directory for the SCHEMA only (footer read), then hand back
-      // a scan-free empty relation so the plan touches zero data files
-      val (pv, gen) = m.entries.head
-      val schema = spark.read.option("basePath", s"$root/$gen")
-        .parquet(s"$root/$gen/${m.partitionCol}=$pv").schema
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else
-      AtomicCommit.scanManifest(spark, root, m.copy(entries = keep))
-        .filter(residual)
+    if (keep.isEmpty) return emptySnapshot(spark, root, m)
+    // narrow WITHIN kept partitions, two grains the envelope check above
+    // cannot reach: (a) per OWNER — an appended partition scans only the
+    // owner generations whose slice could intersect; (b) per FILE — a
+    // multi-file partition ([[Compaction.recluster]]'s sorted layout)
+    // scans only the data files whose recorded interval intersects.
+    // Soundness rule throughout: no record ⇒ scan it.
+    val statsCache = scala.collection.mutable.Map.empty[String, Seq[ColStats]]
+    def statsOf(gen: String): Seq[ColStats] =
+      statsCache.getOrElseUpdate(gen, readStats(root, gen))
+    val byGen = keep.toSeq
+      .flatMap { case (pv, entry) => AtomicCommit.ownersOf(entry).map(_ -> pv) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (gen, pairs) =>
+        val paths = pairs.map(_._2).distinct.sorted.flatMap { pv =>
+          val dir = s"$root/$gen/${m.partitionCol}=$pv"
+          val recs = statsOf(gen).filter(s => s.partition == pv && s.col == colName)
+          val envelope = recs.find(_.file.isEmpty)
+          if (envelope.exists(!intersects(_, lower, upper)))
+            Nil // this OWNER's slice is provably disjoint
+          else {
+            val fileRecs = recs.filter(_.file.nonEmpty)
+            if (fileRecs.isEmpty) Seq(dir)
+            else {
+              val recorded = fileRecs.flatMap(_.file).toSet
+              val keepFiles = fileRecs.filter(intersects(_, lower, upper))
+                .flatMap(_.file)
+              // a data file the sidecar never recorded has no evidence
+              // against it — scanned (generations are immutable, so this
+              // only fires on a foreign or hand-edited sidecar)
+              val unrecorded = listParquet(dir).filterNot(recorded)
+              (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
+            }
+          }
+        }
+        gen -> paths
+      }
+      .filter(_._2.nonEmpty)
+    if (byGen.isEmpty) emptySnapshot(spark, root, m)
+    else byGen.map { case (gen, paths) =>
+      spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true)).filter(residual)
+  }
+
+  private def listParquet(dir: String): Seq[String] =
+    Option(Paths.get(dir).toFile.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSeq
+
+  /** Scan-free empty relation carrying the table's schema: probe ONE owned
+    * directory for the schema (a footer read — the first OWNER of the
+    * entry's list, since an appended partition's entry is a comma-joined
+    * owner list, not a directory name) and hand back an empty DataFrame
+    * so the all-pruned plan touches zero data files.
+    */
+  private def emptySnapshot(spark: SparkSession, root: String,
+                            m: AtomicCommit.Manifest)
+      : DataFrame = {
+    val (pv, entry) = m.entries.head
+    val gen = AtomicCommit.ownersOf(entry).head
+    val schema = spark.read.option("basePath", s"$root/$gen")
+      .parquet(s"$root/$gen/${m.partitionCol}=$pv").schema
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   val BloomFile = "_graft_bloom.jsonl"
@@ -296,13 +401,8 @@ object DataSkipping {
       }
     }
     val residual = col(colName) === lit(value)
-    if (keep.isEmpty) {
-      val (pv, gen) = m.entries.head
-      val schema = spark.read.option("basePath", s"$root/$gen")
-        .parquet(s"$root/$gen/${m.partitionCol}=$pv").schema
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else
+    if (keep.isEmpty) emptySnapshot(spark, root, m)
+    else
       AtomicCommit.scanManifest(spark, root, m.copy(entries = keep))
         .filter(residual)
   }
@@ -400,7 +500,10 @@ object DataSkipping {
     s.replace("\\\"", "\"").replace("\\\\", "\\")
   private def renderRecord(s: ColStats): String = {
     def f(o: Option[String]) = o.map(v => s""""${esc(v)}"""").getOrElse("null")
-    s"""{"partition":"${esc(s.partition)}","col":"${esc(s.col)}","kind":"${s.kind}",""" +
+    // `file` rendered only when present: partition-level records keep the
+    // pre-r13 byte format, and an absent field parses back as None
+    val fileField = s.file.map(v => s""""file":"${esc(v)}",""").getOrElse("")
+    s"""{"partition":"${esc(s.partition)}","col":"${esc(s.col)}",$fileField"kind":"${s.kind}",""" +
       s""""min":${f(s.min)},"max":${f(s.max)},"nulls":${s.nulls},"rows":${s.rows}}"""
   }
   private def parseRecord(line: String): ColStats = {
@@ -415,7 +518,12 @@ object DataSkipping {
       (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(line)
         .map(_.group(1).toLong)
         .getOrElse(sys.error(s"bad stats record (no $name): $line"))
+    // absent (pre-r13 records) and null both mean partition-level
+    def absentOk(name: String): Option[String] =
+      (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(line)
+        .map(m => unesc(m.group(1)))
     ColStats(str("partition"), str("col"), str("kind"),
-      optStr("min"), optStr("max"), num("nulls"), num("rows"))
+      optStr("min"), optStr("max"), num("nulls"), num("rows"),
+      absentOk("file"))
   }
 }

@@ -93,8 +93,12 @@ object Deletes {
     val dropOwners = drops.flatMap(p => m.entries.get(p).map(p -> _)).toMap
     val staged =
       if (surviving.nonEmpty) {
+        // read-set anchored at `m` — the snapshot the survivors were
+        // computed FROM. Anchoring at a fresh manifest instead would let a
+        // commit that landed during the matching scan be recorded as the
+        // base owner, and publish would silently overwrite its rows.
         val s = AtomicCommit.stage(spark, root, store, survivors,
-          m.partitionCol, 1)
+          m.partitionCol, 1, Some(m))
         if (statsCols.nonEmpty)
           DataSkipping.annotateStaged(spark, root, s, statsCols)
         s.copy(drops = drops, baseOwners = s.baseOwners ++ dropOwners)

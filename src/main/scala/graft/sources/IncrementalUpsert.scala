@@ -138,7 +138,14 @@ object IncrementalUpsert {
     require(!touched.contains(null),
       s"changes carry a NULL $partitionCol — route those rows to an explicit value")
     val touchedS = touched.map(_.toString)
-    val merged = AtomicCommit.readPartitions(spark, root, touchedS) match {
+    // one manifest observation anchors the base read AND the staged
+    // read-set: a concurrent commit on a touched partition after this
+    // point aborts the publish (re-run the merge) instead of having its
+    // rows silently overwritten by a merge that never saw them
+    val store = new PosixManifestStore(root)
+    val mOpt = AtomicCommit.readManifest(store)
+    val merged = mOpt.flatMap(m =>
+      AtomicCommit.readPartitions(spark, root, m, touchedS)) match {
       case None => changes // all-new partitions: nothing to merge against
       case Some(base) =>
         val dataCols = base.columns.filterNot(_ == keyCol).toSeq
@@ -148,7 +155,9 @@ object IncrementalUpsert {
           .select((keyCol +: dataCols).map(c =>
             when(isChange, col(s"c.$c")).otherwise(col(s"b.$c")).as(c)): _*)
     }
-    AtomicCommit.commitReplacePartitions(spark, root, merged, partitionCol)
+    val staged = AtomicCommit.stage(spark, root, store, merged, partitionCol,
+      1, mOpt)
+    AtomicCommit.publish(root, store, staged)
     touchedS
   }
 }

@@ -83,18 +83,25 @@ object AtomicStreamSink {
                   queryKey: String, batch: DataFrame, batchId: Long,
                   statsCols: Seq[String] = Nil): Unit = {
     require(batchId >= 0, s"batchId=$batchId")
-    // replay check FIRST: at-least-once delivery means this batch may
-    // already be durable — its id at or below the watermark proves it
+    // replay FAST PATH only: at-least-once delivery means this batch may
+    // already be durable — its id at or below the watermark proves it.
+    // The GUARANTEE is the monotonic-props guard inside the publish CAS
+    // loop below: two writers replaying one batchId (zombie driver racing
+    // its failover replacement) can both pass this pre-check, but the CAS
+    // loser re-reads a manifest whose watermark the winner advanced and
+    // becomes a no-op atomically with the swap — Delta's commit-time `txn`
+    // check, not just a write-time one.
     if (lastBatchId(store, queryKey).exists(_ >= batchId)) return
     val spark = batch.sparkSession
     // an empty batch commits nothing and advances nothing: replaying an
     // empty batch is vacuously idempotent, and stage() rejects empties
     if (batch.isEmpty) return
+    val wmKey = watermarkKey(queryKey)
     val staged = AtomicCommit.stage(spark, root, store, batch, partitionCol, 1)
-      .copy(props = Map(watermarkKey(queryKey) -> batchId.toString))
+      .copy(props = Map(wmKey -> batchId.toString))
     if (statsCols.nonEmpty)
       graft.sources.DataSkipping.annotateStaged(spark, root, staged, statsCols)
-    AtomicCommit.publishAppend(root, store, staged)
+    AtomicCommit.publishAppendIfNew(root, store, staged, Set(wmKey))
     ()
   }
 
@@ -147,45 +154,52 @@ object AtomicStreamSink {
       .map(d => coalesce(col(d), lit(false))).getOrElse(lit(false))
     val touched = latest.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSeq.sorted
-    val hasTable = AtomicCommit.readManifest(store).isDefined
+    // ONE manifest observation anchors the whole merge: the base rows, the
+    // drop owners, and the staged read-set all resolve through `mOpt` — a
+    // concurrent commit landing on a touched partition after this point
+    // aborts the publish (PartitionConflictException → the engine replays
+    // the batch against the refreshed snapshot, exactly-once via the
+    // watermark) instead of being silently overwritten.
+    val mOpt = AtomicCommit.readManifest(store)
     val changes = latest.withColumn("__graft_del", isTombstone)
       .drop(deleteCol.toSeq ++ seqCol.toSeq: _*)
-    val merged =
-      if (!hasTable)
-        changes.filter(!col("__graft_del")).drop("__graft_del")
-      else AtomicCommit.readPartitions(spark, root, store, touched) match {
-        case None => changes.filter(!col("__graft_del")).drop("__graft_del")
-        case Some(base) =>
-          val dataCols = base.columns.filterNot(_ == keyCol).toSeq
-          val isChange = col(s"c.$keyCol").isNotNull
-          base.alias("b")
-            .join(changes.alias("c"),
-              col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
-            .filter(!(isChange && col(s"c.__graft_del")))
-            .select((keyCol +: dataCols).map(c =>
-              when(isChange, col(s"c.$c")).otherwise(col(s"b.$c")).as(c)): _*)
-      }
+    val baseOpt = mOpt.flatMap(m =>
+      AtomicCommit.readPartitions(spark, root, m, touched))
+    val merged = baseOpt match {
+      case None => changes.filter(!col("__graft_del")).drop("__graft_del")
+      case Some(base) =>
+        val dataCols = base.columns.filterNot(_ == keyCol).toSeq
+        val isChange = col(s"c.$keyCol").isNotNull
+        base.alias("b")
+          .join(changes.alias("c"),
+            col(s"b.$keyCol") === col(s"c.$keyCol"), "full_outer")
+          .filter(!(isChange && col(s"c.__graft_del")))
+          .select((keyCol +: dataCols).map(c =>
+            when(isChange, col(s"c.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+    }
     val survivingParts = merged.select(col(partitionCol).cast("string"))
       .distinct().collect().map(_.getString(0)).toSet
     // tombstones with no table (or none matching) leave nothing to commit
-    if (!hasTable && survivingParts.isEmpty) return
+    if (mOpt.isEmpty && survivingParts.isEmpty) return
     val drops = touched.filterNot(survivingParts)
-    val dropOwners = AtomicCommit.readManifest(store)
+    val dropOwners = mOpt
       .map(m => drops.flatMap(p => m.entries.get(p).map(p -> _)).toMap)
       .getOrElse(Map.empty)
-    val wmProps = Map(watermarkKey(queryKey) -> batchId.toString)
+    val wmKey = watermarkKey(queryKey)
+    val wmProps = Map(wmKey -> batchId.toString)
     val staged =
       if (survivingParts.nonEmpty) {
-        val s = AtomicCommit.stage(spark, root, store, merged, partitionCol, 1)
+        val s = AtomicCommit.stage(spark, root, store, merged, partitionCol,
+          1, mOpt)
         if (statsCols.nonEmpty)
           graft.sources.DataSkipping.annotateStaged(spark, root, s, statsCols)
         s.copy(props = wmProps, drops = drops,
           baseOwners = s.baseOwners ++ dropOwners)
       } else // tombstone-only batch that empties every touched partition
         AtomicCommit.Staged("", partitionCol, Nil,
-          AtomicCommit.currentVersion(store).getOrElse(0L), dropOwners,
+          mOpt.map(_.version).getOrElse(0L), dropOwners,
           props = wmProps, drops = drops)
-    AtomicCommit.publish(root, store, staged)
+    AtomicCommit.publishIfNew(root, store, staged, Set(wmKey))
     ()
   }
 }

@@ -202,4 +202,110 @@ class DataSkippingSpec extends SparkSpec {
       assert(Files.exists(Paths.get(root, gen, DataSkipping.StatsFile)))
     }
   }
+
+  // ---- file-granular records (r13): pruning WITHIN a partition ----
+
+  /** A table whose single data axis `v` is range-clustered into `nFiles`
+    * files per partition directory — [[graft.sources.Compaction.recluster]]'s
+    * layout, built directly through [[AtomicCommit.stageKeyed]].
+    */
+  private def clusteredCommit(root: String,
+                              data: Seq[(Long, String, Long)],
+                              nFiles: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    val store = new graft.sources.PosixManifestStore(root)
+    val parts = data.map(_._2).distinct.size
+    val keyed = data.toDF("k", "flag", "v")
+      .repartitionByRange(parts * nFiles, col("flag"), col("v"))
+      .sortWithinPartitions(col("flag"), col("v"))
+    val staged = AtomicCommit.stageKeyed(spark, root, store, keyed, "flag", None)
+    DataSkipping.annotateStaged(spark, root, staged, Seq("v"))
+    AtomicCommit.publish(root, store, staged)
+  }
+
+  test("file-granular: a 4-file clustered partition scans 1 of its 4 files") {
+    val root = freshRoot()
+    clusteredCommit(root, (0L until 400L).map(i => (i, "A", i)), 4)
+    val dir = Paths.get(root).toFile.listFiles.filter(_.isDirectory).head
+    val nFiles = Compat.parquetFiles(s"${dir.getAbsolutePath}/flag=A")
+    assert(nFiles >= 3, s"layout should spread flag=A over ~4 files, got $nFiles")
+    // the sidecar carries one envelope plus one record per file
+    val m = AtomicCommit.readManifest(root).get
+    val gen = m.entries("A")
+    val recs = DataSkipping.readStats(root, gen).filter(_.col == "v")
+    assert(recs.count(_.file.isEmpty) === 1, "exactly one partition envelope")
+    assert(recs.count(_.file.nonEmpty) === nFiles, "one record per data file")
+    assert(recs.find(_.file.isEmpty).get.min === Some("0"))
+    assert(recs.find(_.file.isEmpty).get.max === Some("399"))
+    // a narrow range inside one file's bounds scans exactly that file
+    val got = DataSkipping.readWhere(spark, root, "v", 10L, 20L)
+    assert(rows(got) === (10L to 20L).map(i => (i, "A", i)).toSet)
+    assert(got.inputFiles.length === 1,
+      s"expected 1 of $nFiles files, scanned ${got.inputFiles.length}")
+  }
+
+  test("per-owner gap: an appended partition's generations prune independently") {
+    val root = freshRoot()
+    val store = new graft.sources.PosixManifestStore(root)
+    // owner 1: v in [0,99]; owner 2 APPENDED: v in [300,399] — partition
+    // A's combined range is [0,399] but each owner's slice is narrow
+    DataSkipping.commitWithStats(spark, root,
+      (0L until 100L).map(i => (i, "A", i)).toDF("k", "flag", "v"),
+      "flag", Seq("v"))
+    val s = AtomicCommit.stage(spark, root, store,
+      (300L until 400L).map(i => (i, "A", i)).toDF("k", "flag", "v"), "flag", 1)
+    DataSkipping.annotateStaged(spark, root, s, Seq("v"))
+    AtomicCommit.publishAppend(root, store, s)
+    // the gap between the owners: both slices provably disjoint → nothing
+    // scanned, even though the PARTITION cannot be pruned as a whole
+    val gap = DataSkipping.readWhere(spark, root, "v", 150L, 250L)
+    assert(gap.count() === 0L)
+    assert(gap.inputFiles.isEmpty,
+      "each owner's recorded interval is disjoint — r12 scanned both")
+    assert(gap.columns.contains("flag"))
+    // a range inside ONE owner's slice scans only that owner's file
+    val one = DataSkipping.readWhere(spark, root, "v", 320L, 330L)
+    assert(rows(one) === (320L to 330L).map(i => (i, "A", i)).toSet)
+    assert(one.inputFiles.length === 1, "only the second owner intersects")
+    // spanning both scans both
+    assert(DataSkipping.readWhere(spark, root, "v", 0L, 399L)
+      .inputFiles.length === 2)
+  }
+
+  test("file-granular soundness: multi-partition result equals the full-scan filter") {
+    val root = freshRoot()
+    val data = (0L until 300L).map(i => (i, if (i % 3 == 0) "A" else if (i % 3 == 1) "B" else "C", i))
+    clusteredCommit(root, data, 3)
+    for ((lo, hi) <- Seq((0L, 299L), (50L, 60L), (99L, 101L), (250L, 400L))) {
+      val pruned = DataSkipping.readWhere(spark, root, "v", lo, hi)
+      val full = AtomicCommit.read(spark, root)
+        .filter($"v" >= lo && $"v" <= hi)
+      assert(rows(pruned) === rows(full), s"range [$lo,$hi]")
+    }
+    // the narrow probe touches strictly fewer files than the partition set
+    val narrow = DataSkipping.readWhere(spark, root, "v", 50L, 60L)
+    val all = AtomicCommit.read(spark, root).inputFiles.length
+    assert(narrow.inputFiles.length < all,
+      s"file pruning did nothing: ${narrow.inputFiles.length} of $all")
+  }
+
+  test("single-file partitions carry no file records (pre-r13 byte format)") {
+    val root = freshRoot()
+    DataSkipping.commitWithStats(spark, root,
+      (1L to 10L).map(i => (i, "A", i)).toDF("k", "flag", "v"), "flag", Seq("v"))
+    val gen = AtomicCommit.readManifest(root).get.entries("A")
+    val recs = DataSkipping.readStats(root, gen)
+    assert(recs.nonEmpty && recs.forall(_.file.isEmpty),
+      "a single-file partition's file record would duplicate its envelope")
+    val body = new String(Files.readAllBytes(
+      Paths.get(root, gen, DataSkipping.StatsFile)), "UTF-8")
+    assert(!body.contains("\"file\""), "byte format must stay pre-r13")
+  }
+}
+
+/** File-count helper shared by the file-granular tests. */
+private object Compat {
+  def parquetFiles(dir: String): Int =
+    Option(new java.io.File(dir).listFiles).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
 }
