@@ -540,8 +540,8 @@ object AtomicCommit {
           s"vacuumed (on disk: ${versions(store).mkString(", ")})")
     }
 
-  private[sources] def scanManifest(spark: SparkSession, root: String,
-                                    m: Manifest): DataFrame = {
+  private[graft] def scanManifest(spark: SparkSession, root: String,
+                                  m: Manifest): DataFrame = {
     // unreachable through stage() (which rejects empty commits) — guards
     // hand-written manifests with a message instead of empty.reduce
     require(m.entries.nonEmpty,

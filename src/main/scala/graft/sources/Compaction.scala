@@ -113,12 +113,22 @@ object Compaction {
   def compactAtomicTable(spark: SparkSession, root: String,
                          filesPerDir: Int = 1,
                          vacuumNow: Boolean = false,
-                         statsCols: Seq[String] = Nil): (Long, Long) = {
+                         statsCols: Seq[String] = Nil): (Long, Long) =
+    compactAtomicTable(spark, root, new PosixManifestStore(root),
+      filesPerDir, vacuumNow, statsCols)
+
+  /** [[compactAtomicTable]] against an explicit [[ManifestStore]]
+    * (object-store deployments — the same split every other commit path
+    * offers). `vacuumNow` still drives the POSIX-side directory cleanup.
+    */
+  def compactAtomicTable(spark: SparkSession, root: String,
+                         store: ManifestStore, filesPerDir: Int,
+                         vacuumNow: Boolean,
+                         statsCols: Seq[String]): (Long, Long) = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
-    val store = new PosixManifestStore(root)
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"$root is not an AtomicCommit table"))
-    val before = countAtomicDataFiles(root)
+    val before = countAtomicDataFiles(root, store)
     // the scan AND the staged read-set both resolve through `m`: a commit
     // landing mid-rewrite is guaranteed to conflict the publish (its rows
     // are not in this rewrite), never to be silently folded away
@@ -131,8 +141,8 @@ object Compaction {
     if (statsCols.nonEmpty)
       DataSkipping.annotateStaged(spark, root, staged, statsCols)
     AtomicCommit.publish(root, store, staged)
-    if (vacuumNow) AtomicCommit.vacuum(root)
-    (before, countAtomicDataFiles(root))
+    if (vacuumNow) AtomicCommit.vacuum(root, store, AtomicCommit.OrphanRetentionMillis, 1)
+    (before, countAtomicDataFiles(root, store))
   }
 
   /** Sort-order maintenance rewrite for an [[AtomicCommit]] table — the
@@ -198,8 +208,11 @@ object Compaction {
   /** Parquet data files reachable through the CURRENT manifest of an
     * [[AtomicCommit]] table (per owned partition directory).
     */
-  def countAtomicDataFiles(root: String): Long = {
-    val m = AtomicCommit.readManifest(root).getOrElse(return 0L)
+  def countAtomicDataFiles(root: String): Long =
+    countAtomicDataFiles(root, new PosixManifestStore(root))
+
+  def countAtomicDataFiles(root: String, store: ManifestStore): Long = {
+    val m = AtomicCommit.readManifest(store).getOrElse(return 0L)
     m.entries.map { case (v, entry) =>
       AtomicCommit.ownersOf(entry)
         .map(gen => countDataFiles(s"$root/$gen/${m.partitionCol}=$v")).sum

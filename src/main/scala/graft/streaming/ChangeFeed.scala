@@ -1,0 +1,192 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AtomicCommit, ManifestStore, PosixManifestStore}
+
+/** The READ half of the change-feed loop over [[graft.sources
+  * .AtomicCommit]] tables — [[AtomicStreamSink]] writes a table's commits;
+  * this subscribes to them. A downstream consumer (an index builder, a
+  * replica, a derived-feature table) polls the manifest, and every version
+  * committed since its watermark becomes one micro-batch — the Delta
+  * change-data-feed / Iceberg incremental-read idea, driven entirely by
+  * the module's two structural facts:
+  *
+  *  - Versions are a dense, immutable history: the batch for version N is
+  *    DETERMINISTIC (re-deriving it after a crash yields byte-identical
+  *    rows), which is exactly the replay-the-same-offsets property
+  *    Structured Streaming's source contract requires — manifest versions
+  *    ARE offsets.
+  *  - Manifest diffs locate changes without scanning data:
+  *    [[AtomicCommit.changedPartitions]] is O(#partitions) driver
+  *    metadata, and the batch read touches only changed directories — a
+  *    consumer's per-tick cost is O(what changed), never O(table).
+  *
+  * Two feed shapes, matched to the two commit disciplines:
+  *
+  *  - APPEND feed ([[appendsAt]] / [[replicateAppends]]): for ingest-only
+  *    tables. The generations version N added to owner lists hold exactly
+  *    its new rows, so the batch is a direct read of the appended
+  *    directories — O(batch) bytes, no diff join at all. Non-append
+  *    history (a replace, delete, or rollback) fails loudly: those
+  *    commits' semantics are not expressible as insert-only rows.
+  *  - CDC feed ([[cdcBatchAt]] / [[replicateCdc]]): fully general. Version
+  *    N's batch is [[AtomicCommit.diff]](N-1, N) reshaped into row
+  *    versions + tombstones — the shape [[AtomicStreamSink
+  *    .exactlyOnceUpsert]] consumes, so feeding table A's changes into
+  *    table B is one closed loop.
+  *
+  * Exactly-once delivery is DELEGATED to the sink's commit-time watermark:
+  * `replicate*` applies version N with `batchId = N` through
+  * [[AtomicStreamSink]], whose monotonic-props guard makes a replayed
+  * version a no-op atomically with the destination's commit. A consumer
+  * that crashes mid-tick and restarts re-derives the same batches and
+  * skips the ones that already landed — no consumer-side state file, the
+  * destination table IS the checkpoint (its props carry the source
+  * version watermark).
+  *
+  * Retention contract: a consumer can only read history still on disk —
+  * the source's [[AtomicCommit.vacuum]] `keepVersions` must cover the
+  * maximum consumer lag, exactly Delta/Iceberg's CDF-vs-VACUUM rule; a
+  * consumer that fell behind the horizon fails with the readable-versions
+  * list rather than silently skipping changes.
+  */
+object ChangeFeed {
+
+  /** The rows version `version` APPENDED, read directly from the
+    * generation directories that version added to owner lists (no diff
+    * join — O(batch) bytes). Version 1 is the initial snapshot. Returns
+    * None when the version changed no entries (a props-only commit).
+    * Throws when the version is not a pure append — a changed partition
+    * whose old owner list is not a strict prefix of its new one (replace,
+    * delete, compaction, rollback): use the CDC feed for such history.
+    */
+  def appendsAt(spark: SparkSession, root: String, store: ManifestStore,
+                version: Long): Option[DataFrame] = {
+    val cur = AtomicCommit.manifestAt(store, root, version)
+    val prevEntries: Map[String, String] =
+      if (version <= 1L) Map.empty
+      else AtomicCommit.manifestAt(store, root, version - 1).entries
+    val dropped = prevEntries.keySet -- cur.entries.keySet
+    if (dropped.nonEmpty)
+      sys.error(s"version $version of $root dropped partitions " +
+        s"${dropped.toSeq.sorted.mkString(", ")} — not an append; use the CDC feed")
+    // per changed partition: the suffix of generations this version added
+    val added: Seq[(String, String)] = cur.entries.toSeq.flatMap {
+      case (p, entry) =>
+        val now = AtomicCommit.ownersOf(entry)
+        val before = AtomicCommit.ownersOf(prevEntries.getOrElse(p, ""))
+        if (now == before) Nil
+        else if (now.startsWith(before)) now.drop(before.size).map(p -> _)
+        else sys.error(s"version $version of $root replaced partition $p " +
+          s"(owners ${before.mkString(",")} -> ${now.mkString(",")}) — " +
+          "not an append; use the CDC feed")
+    }
+    if (added.isEmpty) None
+    else {
+      // one multi-path read per added generation, like scanManifest
+      val byGen = added.map { case (p, g) => (g, p) }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+      Some(byGen.map { case (gen, parts) =>
+        val base = s"$root/$gen"
+        val paths = parts.map(_._2).distinct.sorted
+          .map(v => s"$base/${cur.partitionCol}=$v")
+        spark.read.option("basePath", base).parquet(paths: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    }
+  }
+
+  private val TombstoneCol = "__cf_tombstone"
+
+  /** Version `version`'s row-level changes as ROW VERSIONS + tombstones —
+    * the [[AtomicStreamSink.exactlyOnceUpsert]] batch shape: the table's
+    * own columns, plus boolean `__cf_tombstone` marking deleted keys
+    * (their last-known row). Version 1 is the initial snapshot, all
+    * inserts. Cost O(changed partitions) via the manifest diff. Returns
+    * None when nothing changed.
+    */
+  def cdcBatchAt(spark: SparkSession, root: String, store: ManifestStore,
+                 version: Long, keyCol: String): Option[DataFrame] = {
+    if (version <= 1L)
+      return Some(AtomicCommit.readAt(spark, root, store, version)
+        .withColumn(TombstoneCol, lit(false)))
+    val d = AtomicCommit.diff(spark, root, store, version - 1, version, keyCol)
+    val dataCols = d.columns.filter(_.endsWith("_from"))
+      .map(_.stripSuffix("_from")).toSeq
+    val isDel = col("change_type") === "delete"
+    val batch = d.select(
+      (col(keyCol) +:
+        dataCols.map(c =>
+          when(isDel, col(s"${c}_from")).otherwise(col(s"${c}_to")).as(c))) :+
+        isDel.as(TombstoneCol): _*)
+    Some(batch)
+  }
+
+  /** The source version `feedKey` has applied to the destination, if any
+    * tick has ever landed (the consumer's watermark — stored in the
+    * DESTINATION table's props, so the destination is its own checkpoint).
+    */
+  def lastSourceVersion(dstStore: ManifestStore, feedKey: String): Option[Long] =
+    AtomicStreamSink.lastBatchId(dstStore, feedKey)
+
+  /** One polling tick of an APPEND replica: apply every source version
+    * past the feed's watermark to `dstRoot` as an exactly-once append
+    * batch (batchId = source version). Returns the source version the
+    * destination now covers. Idempotent: a tick with nothing new applies
+    * nothing; a crashed tick's completed versions are skipped by the
+    * sink's commit-time guard on the retry.
+    */
+  def replicateAppends(spark: SparkSession, srcRoot: String,
+                       srcStore: ManifestStore, dstRoot: String,
+                       dstStore: ManifestStore, feedKey: String,
+                       statsCols: Seq[String] = Nil): Long = {
+    val cur = AtomicCommit.currentVersion(srcStore).getOrElse(
+      sys.error(s"no manifest at $srcRoot — not an AtomicCommit table"))
+    val srcM = AtomicCommit.readManifest(srcStore).get
+    val from = lastSourceVersion(dstStore, feedKey).getOrElse(0L)
+    ((from + 1) to cur).foreach { v =>
+      appendsAt(spark, srcRoot, srcStore, v).foreach { batch =>
+        AtomicStreamSink.commitBatch(dstRoot, dstStore, srcM.partitionCol,
+          feedKey, batch, v, statsCols)
+      }
+    }
+    cur
+  }
+
+  /** One polling tick of a CDC replica: apply every source version past
+    * the feed's watermark as an exactly-once upsert-with-tombstones batch.
+    * Handles ANY source history (replaces, deletes, rollbacks, compaction
+    * is a no-op diff). Same idempotence contract as [[replicateAppends]];
+    * keys must be partition-stable (the [[AtomicStreamSink
+    * .exactlyOnceUpsert]] contract).
+    */
+  def replicateCdc(spark: SparkSession, srcRoot: String,
+                   srcStore: ManifestStore, dstRoot: String,
+                   dstStore: ManifestStore, feedKey: String,
+                   keyCol: String): Long = {
+    val cur = AtomicCommit.currentVersion(srcStore).getOrElse(
+      sys.error(s"no manifest at $srcRoot — not an AtomicCommit table"))
+    val srcM = AtomicCommit.readManifest(srcStore).get
+    val from = lastSourceVersion(dstStore, feedKey).getOrElse(0L)
+    ((from + 1) to cur).foreach { v =>
+      cdcBatchAt(spark, srcRoot, srcStore, v, keyCol).foreach { batch =>
+        AtomicStreamSink.upsertBatch(dstRoot, dstStore, srcM.partitionCol,
+          keyCol, feedKey, batch, v, seqCol = None,
+          deleteCol = Some(TombstoneCol))
+      }
+    }
+    cur
+  }
+
+  /** Root-only convenience forms (POSIX deployments). */
+  def replicateAppends(spark: SparkSession, srcRoot: String, dstRoot: String,
+                       feedKey: String): Long =
+    replicateAppends(spark, srcRoot, new PosixManifestStore(srcRoot),
+      dstRoot, new PosixManifestStore(dstRoot), feedKey)
+
+  def replicateCdc(spark: SparkSession, srcRoot: String, dstRoot: String,
+                   feedKey: String, keyCol: String): Long =
+    replicateCdc(spark, srcRoot, new PosixManifestStore(srcRoot),
+      dstRoot, new PosixManifestStore(dstRoot), feedKey, keyCol)
+}

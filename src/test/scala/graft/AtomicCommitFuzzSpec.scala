@@ -111,4 +111,121 @@ class AtomicCommitFuzzSpec extends SparkSpec {
     runFuzz(Files.createTempDirectory("graft_fz_o").toString,
       new InMemoryObjectStore)
   }
+
+  /** The most conflict-prone operation in the protocol is compaction — a
+    * replace of EVERY partition — racing the one operation that cannot
+    * conflict: appends. The rule under adversarial proof is
+    * appends-commute: an append that lands during a compaction's
+    * read→publish window must abort THE COMPACTION (its read-set sees the
+    * owner list change), never be silently folded away by a rewrite that
+    * never read it. Mixed append/replace writers race a continuous
+    * compactor; content is replayed commit-by-commit at the end.
+    */
+  test("mixed append/replace writers racing a compactor: appends are never folded away") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_fz_cmp").toString
+    val store = new InMemoryObjectStore
+    val writers = 4
+    val commitsPer = 6
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Partitions.map(p => (0L, p, "seed")).toDF("writer", "flag", "tag"),
+      "flag", 1)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers + 1)
+    try {
+      val compactor = pool.submit(new Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          var attempts = 0
+          while (!done.get()) {
+            attempts += 1
+            try {
+              graft.sources.Compaction.compactAtomicTable(spark, root, store,
+                filesPerDir = 1, vacuumNow = false, statsCols = Nil)
+              compactions.incrementAndGet()
+            } catch {
+              case _: AtomicCommit.PartitionConflictException => () // raced — retry
+            }
+            Thread.sleep(50)
+          }
+          attempts
+        }
+      })
+      val futures = (1 to writers).map { w =>
+        pool.submit(new Callable[Seq[(Long, Set[String], Long, Boolean)]] {
+          def call(): Seq[(Long, Set[String], Long, Boolean)] = {
+            val rnd = new scala.util.Random(7000L + w)
+            gate.await()
+            (1 to commitsPer).map { c =>
+              val targets = rnd.shuffle(Partitions).take(1 + rnd.nextInt(2)).toSet
+              val isAppend = rnd.nextInt(10) < 6
+              val tag = w * 1000L + c
+              val df = targets.toSeq.sorted
+                .map(p => (tag, p, s"w$w-c$c")).toDF("writer", "flag", "tag")
+              val version =
+                if (isAppend)
+                  AtomicCommit.commitAppendPartitions(spark, root, store,
+                    df, "flag", 1)
+                else {
+                  var v = -1L
+                  while (v < 0) {
+                    val staged = AtomicCommit.stage(spark, root, store, df, "flag", 1)
+                    try v = AtomicCommit.publish(root, store, staged)
+                    catch { case _: AtomicCommit.PartitionConflictException => () }
+                  }
+                  v
+                }
+              (tag, targets, version, isAppend)
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val commits = futures.flatMap(_.get(300, TimeUnit.SECONDS))
+      done.set(true)
+      val compactorAttempts = compactor.get(120, TimeUnit.SECONDS)
+      assert(compactorAttempts > 0)
+      // quiesced: one final fold must succeed and single-own every partition
+      graft.sources.Compaction.compactAtomicTable(spark, root, store,
+        filesPerDir = 1, vacuumNow = false, statsCols = Nil)
+      val finalFolds = compactions.get() + 1
+
+      // versions dense across writers AND compactor, no gaps, no clobbers
+      val total = 1L + commits.size + finalFolds
+      assert(AtomicCommit.currentVersion(store) === Some(total))
+      assert(AtomicCommit.versions(store).toSet === (1L to total).toSet)
+      assert(commits.map(_._3).distinct.size === commits.size)
+
+      // content replay: compactions are content-neutral, so the expected
+      // state folds ONLY writer commits in version order — seed 0, a
+      // replace resets the partition to its tag, an append adds its tag.
+      // Any append silently folded away by a racing compaction breaks this.
+      def expectedAt(v: Long): Map[String, Set[Long]] =
+        Partitions.map { p =>
+          var s = Set(0L)
+          commits.filter(c => c._3 <= v && c._2.contains(p))
+            .sortBy(_._3).foreach { case (tag, _, _, isAppend) =>
+              s = if (isAppend) s + tag else Set(tag)
+            }
+          p -> s
+        }.toMap
+      val finalState = AtomicCommit.read(spark, root, store)
+        .select("flag", "writer").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+      assert(finalState === expectedAt(Long.MaxValue))
+      // every partition folded to a single owner by the final compaction
+      val m = AtomicCommit.readManifest(store).get
+      assert(m.entries.values.forall(e => AtomicCommit.ownersOf(e).size == 1))
+      // intermediate snapshots replay their writer-commit prefix exactly,
+      // INCLUDING versions that are compaction commits
+      for (v <- Seq(3L, total / 2, total - 1)) {
+        val snap = AtomicCommit.readAt(spark, root, store, v)
+          .select("flag", "writer").as[(String, Long)].collect()
+          .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+        assert(snap === expectedAt(v), s"version $v does not replay its prefix")
+      }
+    } finally pool.shutdown()
+  }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AtomicCommit, Deletes, InMemoryObjectStore}
+import graft.streaming.{AtomicStreamSink, ChangeFeed}
+
+/** [[graft.streaming.ChangeFeed]] — the read half of the change-feed loop:
+  * a destination table subscribes to a source table's committed versions
+  * and applies them exactly once, surviving replays and restarts, with the
+  * destination's own manifest props as the only checkpoint.
+  */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot(root: String, store: InMemoryObjectStore): Set[(String, Long, String)] =
+    AtomicCommit.read(spark, root, store)
+      .select("p", "k", "v").as[(String, Long, String)].collect().toSet
+
+  test("append feed: committed batches appear downstream exactly once, replay-proof") {
+    val srcRoot = Files.createTempDirectory("graft_cf_src").toString
+    val dstRoot = Files.createTempDirectory("graft_cf_dst").toString
+    val src = new InMemoryObjectStore
+    val dst = new InMemoryObjectStore
+    // v1: initial snapshot; v2, v3: streaming appends through the sink
+    AtomicCommit.commitReplacePartitions(spark, srcRoot, src,
+      Seq(("a", 1L, "r1"), ("b", 2L, "r2")).toDF("p", "k", "v"), "p", 1)
+    AtomicStreamSink.commitBatch(srcRoot, src, "p", "ingest",
+      Seq(("a", 3L, "r3")).toDF("p", "k", "v"), 0L)
+    AtomicStreamSink.commitBatch(srcRoot, src, "p", "ingest",
+      Seq(("c", 4L, "r4")).toDF("p", "k", "v"), 1L)
+
+    val covered = ChangeFeed.replicateAppends(spark, srcRoot, src,
+      dstRoot, dst, "feed1")
+    assert(covered === 3L)
+    assert(snapshot(dstRoot, dst) === snapshot(srcRoot, src))
+    assert(ChangeFeed.lastSourceVersion(dst, "feed1") === Some(3L))
+
+    // an idle tick applies nothing (no version burn, no duplicate rows)
+    val dstVer = AtomicCommit.currentVersion(dst).get
+    assert(ChangeFeed.replicateAppends(spark, srcRoot, src,
+      dstRoot, dst, "feed1") === 3L)
+    assert(AtomicCommit.currentVersion(dst).get === dstVer)
+
+    // a crashed consumer restarts from scratch: the destination's props
+    // ARE the checkpoint, so the full replay is a no-op
+    assert(ChangeFeed.replicateAppends(spark, srcRoot, src,
+      dstRoot, dst, "feed1") === 3L)
+    assert(snapshot(dstRoot, dst) === snapshot(srcRoot, src))
+    assert(AtomicCommit.read(spark, dstRoot, dst).count() === 4L)
+
+    // new source commits flow through incrementally on the next tick
+    AtomicStreamSink.commitBatch(srcRoot, src, "p", "ingest",
+      Seq(("a", 5L, "r5")).toDF("p", "k", "v"), 2L)
+    assert(ChangeFeed.replicateAppends(spark, srcRoot, src,
+      dstRoot, dst, "feed1") === 4L)
+    assert(snapshot(dstRoot, dst) === snapshot(srcRoot, src))
+  }
+
+  test("append feed refuses non-append history with a pointer to the CDC feed") {
+    val srcRoot = Files.createTempDirectory("graft_cf_rep").toString
+    val src = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, srcRoot, src,
+      Seq(("a", 1L, "r1")).toDF("p", "k", "v"), "p", 1)
+    // v2 REPLACES partition a — not expressible as insert-only rows
+    AtomicCommit.commitReplacePartitions(spark, srcRoot, src,
+      Seq(("a", 1L, "r1-edited")).toDF("p", "k", "v"), "p", 1)
+    val ex = intercept[RuntimeException] {
+      ChangeFeed.appendsAt(spark, srcRoot, src, 2L)
+    }
+    assert(ex.getMessage.contains("CDC feed"))
+  }
+
+  test("CDC feed: inserts, updates, and deletes mirror the source through restarts") {
+    val srcRoot = Files.createTempDirectory("graft_cf_cdcs").toString
+    val dstRoot = Files.createTempDirectory("graft_cf_cdcd").toString
+    val src = new InMemoryObjectStore
+    val dst = new InMemoryObjectStore
+    // v1 snapshot
+    AtomicCommit.commitReplacePartitions(spark, srcRoot, src,
+      Seq(("a", 1L, "r1"), ("a", 2L, "r2"), ("b", 3L, "r3"))
+        .toDF("p", "k", "v"), "p", 1)
+    // v2: upsert (update k=1, insert k=4) through the CDC-apply sink
+    AtomicStreamSink.upsertBatch(srcRoot, src, "p", "k", "w",
+      Seq(("a", 1L, "r1-v2"), ("b", 4L, "r4")).toDF("p", "k", "v"), 0L)
+    // v3: row-level delete of k=2
+    Deletes.deleteWhere(spark, srcRoot, src, col("k") === 2L, Nil)
+
+    assert(ChangeFeed.replicateCdc(spark, srcRoot, src, dstRoot, dst,
+      "cdcfeed", "k") === 3L)
+    assert(snapshot(dstRoot, dst) === snapshot(srcRoot, src))
+    assert(snapshot(dstRoot, dst).map(_._2) === Set(1L, 3L, 4L))
+
+    // replay from scratch: everything already applied → no-op
+    val dstVer = AtomicCommit.currentVersion(dst).get
+    assert(ChangeFeed.replicateCdc(spark, srcRoot, src, dstRoot, dst,
+      "cdcfeed", "k") === 3L)
+    assert(AtomicCommit.currentVersion(dst).get === dstVer)
+
+    // v4 empties partition b entirely — the drop must propagate
+    Deletes.deleteWhere(spark, srcRoot, src,
+      col("k") === 3L || col("k") === 4L, Nil)
+    assert(ChangeFeed.replicateCdc(spark, srcRoot, src, dstRoot, dst,
+      "cdcfeed", "k") === 4L)
+    assert(snapshot(dstRoot, dst) === snapshot(srcRoot, src))
+    assert(AtomicCommit.readManifest(dst).get.entries.keySet === Set("a"))
+  }
+
+  test("CDC batch shape: row versions plus tombstones, the sink's input contract") {
+    val srcRoot = Files.createTempDirectory("graft_cf_shape").toString
+    val src = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, srcRoot, src,
+      Seq(("a", 1L, "r1"), ("a", 2L, "r2")).toDF("p", "k", "v"), "p", 1)
+    Deletes.deleteWhere(spark, srcRoot, src, col("k") === 2L, Nil)
+    val batch = ChangeFeed.cdcBatchAt(spark, srcRoot, src, 2L, "k").get
+    val got = batch.select(col("k"), col("v"), col("__cf_tombstone"))
+      .as[(Long, String, Boolean)].collect().toSet
+    assert(got === Set((2L, "r2", true)), "the deleted key's last row, tombstoned")
+    // version 1 is the initial snapshot, all live
+    val first = ChangeFeed.cdcBatchAt(spark, srcRoot, src, 1L, "k").get
+    assert(first.filter(col("__cf_tombstone")).count() === 0L)
+    assert(first.count() === 2L)
+  }
+
+  test("a consumer lagging past the vacuum horizon fails loudly, never skips silently") {
+    val srcRoot = Files.createTempDirectory("graft_cf_vac").toString
+    val dstRoot = Files.createTempDirectory("graft_cf_vacd").toString
+    val src = new InMemoryObjectStore
+    val dst = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, srcRoot, src,
+      Seq(("a", 1L, "r1")).toDF("p", "k", "v"), "p", 1)
+    AtomicStreamSink.commitBatch(srcRoot, src, "p", "in",
+      Seq(("a", 2L, "r2")).toDF("p", "k", "v"), 0L)
+    AtomicStreamSink.commitBatch(srcRoot, src, "p", "in",
+      Seq(("a", 3L, "r3")).toDF("p", "k", "v"), 1L)
+    // retention 1 drops v1/v2 manifests — a consumer at watermark 0 now
+    // cannot derive v1's batch
+    AtomicCommit.vacuum(srcRoot, src, 0L, 1)
+    val ex = intercept[RuntimeException] {
+      ChangeFeed.replicateAppends(spark, srcRoot, src, dstRoot, dst, "late")
+    }
+    assert(ex.getMessage.contains("v1"))
+  }
+}

@@ -211,4 +211,46 @@ class CompactionSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSet
     assert(rowsAfter === rowsBefore)
   }
+
+  test("recluster: arrival-order layout becomes file-prunable, content and history intact") {
+    import spark.implicits._
+    import graft.sources.{AtomicCommit, DataSkipping}
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_reclus").toString
+    // the worst layout for skipping: every partition holds a hash-spread
+    // slice of the full v range, committed with stats that prove nothing
+    val shuffled = (0L until 1200L)
+      .map(i => (i, s"p${(i * 2654435761L % 4).abs}", i))
+      .toDF("k", "flag", "v")
+    val v1 = DataSkipping.commitWithStats(spark, root, shuffled, "flag", Seq("v"))
+    val preRows = AtomicCommit.read(spark, root)
+      .select("k", "flag", "v").as[(Long, String, Long)].collect().toSet
+    val narrowBefore = DataSkipping.readWhere(spark, root, "v", 100L, 150L)
+    assert(narrowBefore.inputFiles.length === 4,
+      "pre-recluster, every partition's envelope spans the range — all scanned")
+
+    val (before, after) = Compaction.recluster(spark, root, Seq("v"),
+      filesPerDir = 4)
+    assert(before === 4 && after >= 4, s"$before -> $after")
+
+    // rows byte-identical, partition membership untouched
+    val postRows = AtomicCommit.read(spark, root)
+      .select("k", "flag", "v").as[(Long, String, Long)].collect().toSet
+    assert(postRows === preRows)
+    // each directory now holds ~filesPerDir files, each a narrow v range,
+    // and the regenerated file-granular sidecar prunes WITHIN partitions:
+    // the same probe touches ~1 file per partition instead of everything
+    val narrowAfter = DataSkipping.readWhere(spark, root, "v", 100L, 150L)
+    assert(narrowAfter.select("k", "flag", "v").as[(Long, String, Long)]
+      .collect().toSet === preRows.filter(r => r._3 >= 100L && r._3 <= 150L))
+    val scanned = narrowAfter.inputFiles.length
+    assert(scanned <= 8 && scanned < after,
+      s"file pruning should cut the scan well below $after files, got $scanned")
+
+    // the pre-recluster snapshot stays readable until vacuum
+    assert(AtomicCommit.readAt(spark, root, v1)
+      .select("k", "flag", "v").as[(Long, String, Long)].collect().toSet === preRows)
+    // and vacuum (retention 1) drops the superseded layout
+    AtomicCommit.vacuum(root)
+    assert(AtomicCommit.read(spark, root).count() === 1200L)
+  }
 }
