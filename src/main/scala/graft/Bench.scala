@@ -82,6 +82,33 @@ object Bench {
       try (1 to 5).map(_ => anchorOnce()).min
       catch { case e: Throwable =>
         System.err.println(s"[bench] anchor FAILED: ${e.getMessage}"); -1.0 }
+    // I/O ANCHOR (r12 verdict task 3): the CPU anchor above cannot see
+    // I/O-path drift (page cache, filesystem, parquet decode), which
+    // manufactured a spurious 1.30 close-to-close ratio in r12 — scan-bound
+    // queries need their own fixed scale. The fixture is REGENERATED
+    // DETERMINISTICALLY (seed-free column derivations of range(2^21), 8
+    // files) into the system temp dir when absent, so its logical content
+    // is identical in every round; the anchor is a min-of-5 full scan +
+    // aggregate over its ~64 MB. Like the CPU anchor: DO NOT change the
+    // fixture derivation, the aggregate, or the run protocol.
+    def ioAnchor(): Double =
+      try {
+        val fixDir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_bench_io_fixture_v1").getAbsolutePath
+        if (!Files.exists(Paths.get(fixDir, "_SUCCESS")))
+          spark.range(1L << 21).selectExpr("id",
+              "md5(cast(id as string)) as s", "id % 997 as k")
+            .repartition(8).write.mode("overwrite").parquet(fixDir)
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          spark.read.parquet(fixDir)
+            .selectExpr("sum(length(s))", "sum(k)", "count(1)").collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to 5).map(_ => once()).min
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] io anchor FAILED: ${e.getMessage}"); -1.0 }
+    val anchorIoSec = ioAnchor()
     var failed = 0
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
@@ -129,7 +156,7 @@ object Bench {
       rs.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
     def lineWith(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs$extra,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest},"anchor_sec":${fmt(anchorSec)},"cpus":"$cpus"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs$extra,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest},"anchor_sec":${fmt(anchorSec)},"anchor_io_sec":${fmt(anchorIoSec)},"cpus":"$cpus"}"""
     // The driver captures only the LAST ~2,000 chars of stdout and sbt's
     // trailing "[success] Total time…" line eats ~85 of them, so the stdout
     // line must stay ≤ ~1,900 bytes. Full query names at 82+ queries blew

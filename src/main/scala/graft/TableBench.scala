@@ -139,6 +139,36 @@ object TableBench {
     }
     require(AtomicCommit.read(spark, rootS).count() == n - rowsPer,
       "shuffled delete removed the wrong rows")
+
+    // RECLUSTER (r13): the repair for the shuffled layout's cost gap.
+    // Partition values are DATA (pk is a queryable column), so no rewrite
+    // can move rows between directories or recover the clustered table's
+    // 2-of-P partition pruning — the repairable axis is WITHIN each
+    // directory: sort by v, split into files each owning a narrow v
+    // range, regenerate FILE-granular stats. The same range probe then
+    // reads ~1 of filesPerDir files per partition instead of everything.
+    val reclusterFiles = 8
+    // bytes scanned is the metric that carries to 100 TB: at this SF the
+    // per-file open cost can mask the win, at real file sizes it cannot
+    def bytesOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.inputFiles.map(f => new java.io.File(new java.net.URI(f)).length).sum
+    val preProbe = timed("readWhere shuffled post-delete (no stats)") {
+      scanned(DataSkipping.readWhere(spark, rootS, "v", lo, hi))._1
+    }
+    val preFiles = DataSkipping.readWhere(spark, rootS, "v", lo, hi).inputFiles.length
+    val preBytes = bytesOf(DataSkipping.readWhere(spark, rootS, "v", lo, hi))
+    val (fb, fa) = timed(s"recluster shuffled (sort v, $reclusterFiles files/dir)") {
+      graft.sources.Compaction.recluster(spark, rootS, Seq("v"),
+        filesPerDir = reclusterFiles)
+    }
+    val postProbe = timed("readWhere shuffled AFTER recluster") {
+      scanned(DataSkipping.readWhere(spark, rootS, "v", lo, hi))._1
+    }
+    require(postProbe == preProbe, s"recluster changed the probe: $preProbe -> $postProbe")
+    val postFiles = DataSkipping.readWhere(spark, rootS, "v", lo, hi).inputFiles.length
+    val postBytes = bytesOf(DataSkipping.readWhere(spark, rootS, "v", lo, hi))
+    println(s"[tablebench] recluster: data files $fb -> $fa; range-probe " +
+      f"files $preFiles -> $postFiles, bytes ${preBytes / 1e6}%.1f MB -> ${postBytes / 1e6}%.1f MB")
     spark.stop()
   }
 }
