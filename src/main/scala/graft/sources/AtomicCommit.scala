@@ -114,7 +114,8 @@ object AtomicCommit {
                           partitions: Seq[String], baseVersion: Long,
                           baseOwners: Map[String, String],
                           props: Map[String, String] = Map.empty,
-                          drops: Seq[String] = Nil)
+                          drops: Seq[String] = Nil,
+                          propDrops: Seq[String] = Nil)
 
   final class VersionConflictException(msg: String) extends RuntimeException(msg)
 
@@ -319,7 +320,8 @@ object AtomicCommit {
       val next = Manifest(
         prev.map(_.version + 1).getOrElse(1L),
         staged.partitionCol, nextEntries,
-        prev.map(_.props).getOrElse(Map.empty) ++ staged.props)
+        prev.map(_.props).getOrElse(Map.empty) ++ staged.props --
+          staged.propDrops)
       require(next.entries.nonEmpty,
         s"commit would leave $root with zero partitions — an empty table " +
           "has no manifest form; drop the table directory instead")
@@ -527,6 +529,66 @@ object AtomicCommit {
       s"lost the manifest CAS $MaxPublishRetries times at $root — writer storm?")
   }
 
+  private val TagPrefix = "graft.tag."
+
+  /** TAG: pin snapshot `version` under a durable name (Iceberg's tagged
+    * references) — "the snapshot training-run X read" as table metadata,
+    * not tribal knowledge. A tag is a props-only commit (`graft.tag.<name>
+    * = version`), so it rides the same CAS as data commits and is visible
+    * atomically; [[vacuum]] KEEPS tagged versions — their manifest and
+    * every generation they reference survive any `keepVersions` horizon
+    * until [[untag]] releases them. Fails if the version is not on disk.
+    */
+  def tag(root: String, name: String, version: Long): Long =
+    tag(root, posix(root), name, version)
+
+  def tag(root: String, store: ManifestStore, name: String,
+          version: Long): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '{' || c == '}' || c == '"'),
+      s"bad tag name: $name")
+    manifestAt(store, root, version) // must exist — a tag cannot resurrect
+    propsCommit(root, store, Map(TagPrefix + name -> version.toString), Nil)
+  }
+
+  /** Release a tag (props-key removal); the pinned version becomes subject
+    * to the normal [[vacuum]] horizon on the NEXT vacuum.
+    */
+  def untag(root: String, name: String): Long = untag(root, posix(root), name)
+
+  def untag(root: String, store: ManifestStore, name: String): Long =
+    propsCommit(root, store, Map.empty, Seq(TagPrefix + name))
+
+  /** Current tags, name → version. */
+  def tags(root: String): Map[String, Long] = tags(posix(root))
+
+  def tags(store: ManifestStore): Map[String, Long] =
+    readManifest(store).map(_.props.collect {
+      case (k, v) if k.startsWith(TagPrefix) => k.stripPrefix(TagPrefix) -> v.toLong
+    }).getOrElse(Map.empty)
+
+  /** The snapshot a tag pins — [[readAt]] by name. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
+    readTag(spark, root, posix(root), name)
+
+  def readTag(spark: SparkSession, root: String, store: ManifestStore,
+              name: String): DataFrame =
+    readAt(spark, root, store, tags(store).getOrElse(name,
+      sys.error(s"no tag $name at $root (tags: ${tags(store).keys.toSeq.sorted.mkString(", ")})")))
+
+  /** A metadata-only commit: no data staged, entries unchanged, props
+    * merged (+`props`, −`propDrops`) atomically with the version bump.
+    */
+  private def propsCommit(root: String, store: ManifestStore,
+                          props: Map[String, String],
+                          propDrops: Seq[String]): Long = {
+    val cur = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    casLoop(root, store,
+      Staged("", cur.partitionCol, Nil, cur.version, Map.empty, props, Nil,
+        propDrops),
+      append = false, Set.empty).get
+  }
+
   /** The manifest of an on-disk version (fails with the readable-versions
     * list when vacuumed or never published) — the metadata walk a
     * change-feed consumer ([[graft.streaming.ChangeFeed]]) drives.
@@ -604,6 +666,8 @@ object AtomicCommit {
     * `keepVersions` is the time-travel horizon: the most recent N
     * snapshots stay fully readable (their manifests AND every generation
     * they reference survive); the default 1 keeps only the current one.
+    * [[tag]]ged versions are ALWAYS kept, whatever the horizon — a tag is
+    * the caller's explicit pin; [[untag]] releases it.
     * Unreferenced directories fall in two classes, because they carry
     * different evidence:
     *
@@ -635,9 +699,16 @@ object AtomicCommit {
     require(keepVersions >= 1, s"keepVersions=$keepVersions")
     val m = readManifest(store).getOrElse(return Nil)
     val horizon = m.version - keepVersions + 1
+    // kept snapshots: the retention window PLUS every tagged version —
+    // a tag is an explicit promise that its snapshot stays readable, so
+    // tagged manifests and their generations outlive any horizon
+    val tagged = m.props.collect {
+      case (k, v) if k.startsWith(TagPrefix) => v.toLong
+    }.toSet
+    def kept(v: Long): Boolean = v >= horizon || tagged(v)
     // every generation ANY kept snapshot still references must survive,
     // or readAt within the retention window would scan deleted data
-    val live = versions(store).filter(_ >= horizon)
+    val live = versions(store).filter(kept)
       .flatMap(v => manifestAt(store, root, v).entries.values.flatMap(ownersOf))
       .toSet
     val rootPath = Paths.get(root)
@@ -674,12 +745,21 @@ object AtomicCommit {
     // misjudged deletion into a loud abort, never a manifest pointing at
     // deleted data.
     val deleted = doomed.filter { d =>
-      val nowLive = readManifest(store)
-        .map(_.entries.values.flatMap(ownersOf).toSet).getOrElse(Set.empty)
+      // freshest current manifest, plus anything a freshly-created tag
+      // re-pinned since the live set was computed
+      val cur = readManifest(store)
+      val nowTagged = cur.map(_.props.collect {
+        case (k, v) if k.startsWith(TagPrefix) => v.toLong
+      }.toSet).getOrElse(Set.empty)
+      val nowLive =
+        cur.map(_.entries.values.flatMap(ownersOf).toSet).getOrElse(Set.empty) ++
+          (nowTagged -- tagged).flatMap(v =>
+            try manifestAt(store, root, v).entries.values.flatMap(ownersOf)
+            catch { case _: Throwable => Nil })
       if (nowLive(d)) false
       else { deleteRecursively(rootPath.resolve(d)); true }
     }
-    versions(store).filter(_ < horizon)
+    versions(store).filter(v => v < horizon && !tagged(v))
       .foreach(v => store.delete(manifestName(v)))
     store.vacuumTemps(cutoff)
     deleted

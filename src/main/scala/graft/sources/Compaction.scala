@@ -181,28 +181,97 @@ object Compaction {
                 filesPerDir: Int = 1,
                 statsCols: Seq[String] = Nil): (Long, Long) = {
     require(sortCols.nonEmpty, "recluster needs at least one sort column")
+    rewriteOrdered(spark, root, sortCols.map(col), filesPerDir,
+      if (statsCols.nonEmpty) statsCols else sortCols)
+  }
+
+  /** Z-ORDER recluster — [[recluster]] for MULTI-dimensional predicates.
+    * A lexicographic sort order prunes its leading column superbly and
+    * its trailing columns not at all; interleaving the bits of 2–4
+    * numeric columns orders rows along a Z-curve, so each output file
+    * covers a small HYPER-RECTANGLE of the value space and a range
+    * predicate on ANY of the z-columns prunes to ~the files its slab
+    * intersects (the Delta/Iceberg OPTIMIZE ZORDER BY idea; see Morton
+    * codes). Cost model identical to [[recluster]]: one range shuffle,
+    * one in-task sort, fresh file-granular stats on the z-columns,
+    * CAS-published.
+    *
+    * Each column is linearly scaled to 16 bits between its OBSERVED
+    * min/max (one tiny agg job, O(#cols) driver rows; nulls order first
+    * as 0). Linear scaling degrades toward lexicographic behavior on
+    * heavily skewed columns — where a dimension is pathologically skewed,
+    * pre-transform it (log, bucket id) before z-ordering, as the
+    * table-format OPTIMIZE docs advise.
+    */
+  def reclusterZorder(spark: SparkSession, root: String, zCols: Seq[String],
+                      filesPerDir: Int = 1,
+                      statsCols: Seq[String] = Nil): (Long, Long) = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"z-order wants 2-4 columns, got ${zCols.size} (one column = plain recluster)")
+    val store = new PosixManifestStore(root)
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"$root is not an AtomicCommit table"))
+    val df = AtomicCommit.scanManifest(spark, root, m)
+    rewriteOrdered(spark, root, Seq(zorderKey(df, zCols)), filesPerDir,
+      if (statsCols.nonEmpty) statsCols else zCols)
+  }
+
+  /** The shared rewrite: range-distribute and sort on
+    * (partitionCol, orderCols), stage layout-preserving, annotate, flip.
+    * P × filesPerDir contiguous (partition, key) ranges: each partition's
+    * rows span ~filesPerDir consecutive tasks, each task writes one file
+    * per partition value it holds, so a directory gets ~filesPerDir files
+    * each owning a narrow, disjoint key range (boundary tasks can
+    * straddle two partitions — the bound is approximate, which is all a
+    * maintenance target needs).
+    */
+  private def rewriteOrdered(spark: SparkSession, root: String,
+                             orderCols: Seq[org.apache.spark.sql.Column],
+                             filesPerDir: Int,
+                             statsCols: Seq[String]): (Long, Long) = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
     val store = new PosixManifestStore(root)
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"$root is not an AtomicCommit table"))
-    val before = countAtomicDataFiles(root)
+    val before = countAtomicDataFiles(root, store)
     val df = AtomicCommit.scanManifest(spark, root, m)
-    // P × filesPerDir contiguous (partition, sortKey) ranges: each
-    // partition's rows span ~filesPerDir consecutive tasks, each task
-    // writes one file per partition value it holds, so a directory gets
-    // ~filesPerDir files each owning a narrow, disjoint sort-key range
-    // (boundary tasks can straddle two partitions — the bound is
-    // approximate, which is all a maintenance target needs)
     val numTasks = math.max(1, m.entries.size * filesPerDir)
-    val keys = col(m.partitionCol) +: sortCols.map(col)
+    val keys = col(m.partitionCol) +: orderCols
     val keyed = df.repartitionByRange(numTasks, keys: _*)
       .sortWithinPartitions(keys: _*)
     val staged = AtomicCommit.stageKeyed(spark, root, store, keyed,
       m.partitionCol, Some(m))
-    val stats = if (statsCols.nonEmpty) statsCols else sortCols
-    DataSkipping.annotateStaged(spark, root, staged, stats)
+    DataSkipping.annotateStaged(spark, root, staged, statsCols)
     AtomicCommit.publish(root, store, staged)
-    (before, countAtomicDataFiles(root))
+    (before, countAtomicDataFiles(root, store))
+  }
+
+  /** The interleaved-bit sort key: each z-column scaled to [0, 2^16) by
+    * its observed bounds, bits interleaved LSB-first so bit i of column j
+    * lands at position i·k + j — one codegen-friendly integer expression,
+    * no UDF.
+    */
+  private def zorderKey(df: org.apache.spark.sql.DataFrame,
+                        zCols: Seq[String]): org.apache.spark.sql.Column = {
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__mn_$c"),
+      max(col(c).cast("double")).as(s"__mx_$c")))
+    val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    val k = zCols.size
+    val scaled = zCols.zipWithIndex.map { case (c, j) =>
+      val mn = Option(bounds.getAs[Any](s"__mn_$c")).map(_.toString.toDouble)
+      val mx = Option(bounds.getAs[Any](s"__mx_$c")).map(_.toString.toDouble)
+      (mn, mx) match {
+        case (Some(lo), Some(hi)) if hi > lo =>
+          coalesce(least(greatest(
+            (((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * lit(65535.0))
+              .cast("long"), lit(0L)), lit(65535L)), lit(0L))
+        case _ => lit(0L) // constant or all-null column adds no order
+      }
+    }
+    (for { i <- 0 until 16; j <- 0 until k } yield
+      shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_.bitwiseOR(_))
   }
 
   /** Parquet data files reachable through the CURRENT manifest of an

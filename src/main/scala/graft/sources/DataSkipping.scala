@@ -390,21 +390,28 @@ object DataSkipping {
     def admits(b: ColBloom): Boolean = positions(b).forall { pos =>
       (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
     }
-    // the key could live in any owner (appends): scan unless every owner
-    // has a bloom and every owner's bloom rejects
-    val keep = m.entries.filter { case (pv, entry) =>
-      AtomicCommit.ownersOf(entry).exists { gen =>
+    // PER-OWNER pruning (r13, symmetric with readWhere): the key could
+    // live in any owner of an appended partition, but each OWNER prunes
+    // independently — an appended generation whose bloom rejects the probe
+    // is never scanned even when a sibling owner admits it. No evidence
+    // for an owner ⇒ that owner is scanned (soundness).
+    val byGen = m.entries.toSeq
+      .flatMap { case (pv, entry) => AtomicCommit.ownersOf(entry).map(_ -> pv) }
+      .filter { case (gen, pv) =>
         bloomsByGen(gen).get((pv, colName)) match {
           case None => true // no evidence — must scan
           case Some(b) => admits(b)
         }
       }
-    }
+      .groupBy(_._1).toSeq.sortBy(_._1)
     val residual = col(colName) === lit(value)
-    if (keep.isEmpty) emptySnapshot(spark, root, m)
-    else
-      AtomicCommit.scanManifest(spark, root, m.copy(entries = keep))
-        .filter(residual)
+    if (byGen.isEmpty) emptySnapshot(spark, root, m)
+    else byGen.map { case (gen, pairs) =>
+      val base = s"$root/$gen"
+      val paths = pairs.map(_._2).distinct.sorted
+        .map(v => s"$base/${m.partitionCol}=$v")
+      spark.read.option("basePath", base).parquet(paths: _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true)).filter(residual)
   }
 
   /** The bloom records of a generation (empty when un-annotated). */

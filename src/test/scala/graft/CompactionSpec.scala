@@ -253,4 +253,41 @@ class CompactionSpec extends SparkSpec {
     AtomicCommit.vacuum(root)
     assert(AtomicCommit.read(spark, root).count() === 1200L)
   }
+
+  test("z-order recluster: range predicates on EITHER dimension prune files") {
+    import spark.implicits._
+    import graft.sources.{AtomicCommit, DataSkipping}
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_zorder").toString
+    // a 64x64 grid per partition: every (x, y) combination present, so a
+    // lexicographic sort on (x, y) would leave y completely unclustered
+    val grid = for { x <- 0L until 64L; y <- 0L until 64L } yield (x * 64 + y, "A", x, y)
+    DataSkipping.commitWithStats(spark, root,
+      grid.toDF("k", "flag", "x", "y"), "flag", Seq("x", "y"))
+    val pre = AtomicCommit.read(spark, root)
+      .select("k", "x", "y").as[(Long, Long, Long)].collect().toSet
+
+    val (_, after) = Compaction.reclusterZorder(spark, root, Seq("x", "y"),
+      filesPerDir = 16)
+    assert(after >= 12, s"expected ~16 files, got $after")
+    // content identical
+    assert(AtomicCommit.read(spark, root)
+      .select("k", "x", "y").as[(Long, Long, Long)].collect().toSet === pre)
+
+    // a narrow slab on EACH dimension prunes to ~its intersecting squares:
+    // 16 files tile the 64x64 space ~4x4, so an 8-wide slab on x or y
+    // intersects ~4-8 of them — never all. Lexicographic (x, y) order
+    // would make the y slab scan every file.
+    def filesFor(c: String): Int =
+      DataSkipping.readWhere(spark, root, c, 0L, 7L).inputFiles.length
+    val (fx, fy) = (filesFor("x"), filesFor("y"))
+    assert(fx < after / 2, s"x slab scanned $fx of $after files")
+    assert(fy < after / 2, s"y slab scanned $fy of $after files")
+    // correctness of both slabs
+    assert(DataSkipping.readWhere(spark, root, "x", 0L, 7L)
+      .select("k", "x", "y").as[(Long, Long, Long)].collect().toSet ===
+      pre.filter(_._2 <= 7L))
+    assert(DataSkipping.readWhere(spark, root, "y", 0L, 7L)
+      .select("k", "x", "y").as[(Long, Long, Long)].collect().toSet ===
+      pre.filter(_._3 <= 7L))
+  }
 }

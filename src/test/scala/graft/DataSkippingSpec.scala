@@ -289,6 +289,32 @@ class DataSkippingSpec extends SparkSpec {
       s"file pruning did nothing: ${narrow.inputFiles.length} of $all")
   }
 
+  test("per-owner bloom: an appended generation whose bloom rejects is never scanned") {
+    val root = freshRoot()
+    val store = new graft.sources.PosixManifestStore(root)
+    // owner 1: keys 1..10; owner 2 APPENDED: keys 101..110 — same partition
+    val s1 = AtomicCommit.stage(spark, root, store,
+      (1L to 10L).map(i => (i, "A", i)).toDF("k", "flag", "v"), "flag", 1)
+    DataSkipping.annotateStagedBloom(spark, root, s1, Seq("k"))
+    AtomicCommit.publish(root, store, s1)
+    val s2 = AtomicCommit.stage(spark, root, store,
+      (101L to 110L).map(i => (i, "A", i)).toDF("k", "flag", "v"), "flag", 1)
+    DataSkipping.annotateStagedBloom(spark, root, s2, Seq("k"))
+    AtomicCommit.publishAppend(root, store, s2)
+    // a key in the APPENDED slice scans only the appended generation
+    val hi = DataSkipping.readWhereEq(spark, root, "k", 105L)
+    assert(rows(hi) === Set((105L, "A", 105L)))
+    assert(hi.inputFiles.length === 1, "owner 1's bloom rejects 105")
+    // a key in the BASE slice scans only the base generation
+    val lo = DataSkipping.readWhereEq(spark, root, "k", 5L)
+    assert(rows(lo) === Set((5L, "A", 5L)))
+    assert(lo.inputFiles.length === 1, "owner 2's bloom rejects 5")
+    // an absent key scans nothing at all
+    val none = DataSkipping.readWhereEq(spark, root, "k", 5000L)
+    assert(none.count() === 0L)
+    assert(none.inputFiles.isEmpty)
+  }
+
   test("single-file partitions carry no file records (pre-r13 byte format)") {
     val root = freshRoot()
     DataSkipping.commitWithStats(spark, root,
