@@ -169,6 +169,27 @@ object TableBench {
     val postBytes = bytesOf(DataSkipping.readWhere(spark, rootS, "v", lo, hi))
     println(s"[tablebench] recluster: data files $fb -> $fa; range-probe " +
       f"files $preFiles -> $postFiles, bytes ${preBytes / 1e6}%.1f MB -> ${postBytes / 1e6}%.1f MB")
+
+    // CHANGE FEED cost model: a consumer's catch-up tick pays for the
+    // history it missed (here: the whole table, as CDC batches), but a
+    // steady-state tick pays O(one batch) — the manifest diff locates the
+    // changed partitions without scanning anything else
+    val feedDst = Files.createTempDirectory("graft_tb_feed").toString
+    timed("feed catch-up (4-version history -> empty replica)") {
+      graft.streaming.ChangeFeed.replicateCdc(spark, rootC, feedDst, "tb", "v")
+    }
+    require(AtomicCommit.read(spark, feedDst).count() ==
+      AtomicCommit.read(spark, rootC).count(), "replica diverged")
+    val batch = spark.range(5).select(
+      lit("p0009").as("pk"), (col("id") + 3 * n).as("v"),
+      md5(col("id").cast("string")).as("payload"))
+    graft.streaming.AtomicStreamSink.commitBatch(rootC,
+      new graft.sources.PosixManifestStore(rootC), "pk", "tbin", batch, 0L)
+    timed("feed tick (1 changed partition of 199)") {
+      graft.streaming.ChangeFeed.replicateCdc(spark, rootC, feedDst, "tb", "v")
+    }
+    require(AtomicCommit.read(spark, feedDst).count() ==
+      AtomicCommit.read(spark, rootC).count(), "replica diverged after tick")
     spark.stop()
   }
 }

@@ -365,6 +365,98 @@ object AtomicCommit {
     publishAppend(root, store, stage(spark, root, store, df, partitionCol,
       filesPerDir))
 
+  /** PARTITION EVOLUTION (rewrite form): re-key the whole table under a
+    * DIFFERENT partition column — the repair for "we partitioned by
+    * ingest batch and every query filters by language". The manifest
+    * format already carries `partitionCol` PER VERSION, so the evolution
+    * is one full-snapshot rewrite commit: old versions keep reading (and
+    * time-travelling) under the old column, the new version and
+    * everything after it under the new one, and vacuum/retention work
+    * unchanged. The old partition column becomes an ordinary data column
+    * of the new layout (it was always part of the rows); the new column
+    * must already exist in the data — evolution re-keys facts, it cannot
+    * invent them.
+    *
+    * Concurrency: a full rewrite's read set is the WHOLE table, so
+    * [[publishRewrite]] aborts with [[PartitionConflictException]] if ANY
+    * commit landed after the staged base version — there is no narrower
+    * sound rule when every partition is replaced and the key space
+    * changes. Run it like compaction: retry on conflict.
+    *
+    * Two-phase like everything else: [[stageRepartition]] writes the
+    * re-keyed generation (annotate stats on it between the phases if
+    * wanted), [[publishRewrite]] swaps. [[commitRepartition]] is the
+    * one-call form.
+    */
+  def commitRepartition(spark: SparkSession, root: String,
+                        newPartitionCol: String, filesPerDir: Int = 1): Long = {
+    val store = posix(root)
+    publishRewrite(root, store,
+      stageRepartition(spark, root, store, newPartitionCol, filesPerDir))
+  }
+
+  def stageRepartition(spark: SparkSession, root: String, store: ManifestStore,
+                       newPartitionCol: String, filesPerDir: Int): Staged = {
+    require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
+    val m = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    // the OLD partition column turns into a stored data column here —
+    // scanManifest's verbatim-partition read is what keeps `day=01` a
+    // string "01" instead of baking int 1 into the rewritten files
+    val df = scanManifest(spark, root, m)
+    require(df.columns.contains(newPartitionCol),
+      s"$newPartitionCol is not a column of $root " +
+        s"(columns: ${df.columns.mkString(", ")}) — evolution re-keys " +
+        "existing facts; derive the column first")
+    Files.createDirectories(Paths.get(root))
+    val gen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
+    val keyed =
+      if (filesPerDir == 1) df.repartition(col(newPartitionCol))
+      else df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(newPartitionCol),
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(filesPerDir)))
+    keyed.write.mode("error").partitionBy(newPartitionCol)
+      .parquet(s"$root/$gen")
+    val parts = partitionDirs(Paths.get(root, gen), newPartitionCol)
+    require(parts.nonEmpty,
+      s"repartition staged no partition directories at $root/$gen — does " +
+        s"$newPartitionCol hold only nulls?")
+    Staged(gen, newPartitionCol, parts, m.version, Map.empty)
+  }
+
+  /** Publish a [[stageRepartition]]: the manifest's entries AND partition
+    * column are replaced wholesale. Single CAS attempt by design — a lost
+    * race IS a conflict for a whole-table rewrite.
+    */
+  def publishRewrite(root: String, store: ManifestStore,
+                     staged: Staged): Long = {
+    staged.props.foreach { case (k, v) =>
+      require(!(k + v).exists(c => c == '{' || c == '}'),
+        s"manifest props must not contain braces: $k -> $v")
+    }
+    val prev = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    if (prev.version != staged.baseVersion)
+      throw new PartitionConflictException(
+        s"table at $root moved from v${staged.baseVersion} to " +
+          s"v${prev.version} during the rewrite — a whole-table re-key " +
+          "conflicts with every concurrent commit; re-run it")
+    if (!Files.isDirectory(Paths.get(root, staged.gen)))
+      throw new IllegalStateException(
+        s"staged generation ${staged.gen} no longer exists at $root " +
+          "(vacuumed before publish?) — the commit cannot proceed")
+    val next = Manifest(prev.version + 1, staged.partitionCol,
+      staged.partitions.map(_ -> staged.gen).toMap,
+      prev.props ++ staged.props)
+    if (!store.putIfAbsent(manifestName(next.version),
+      renderJson(next).getBytes(StandardCharsets.UTF_8)))
+      throw new PartitionConflictException(
+        s"a concurrent commit won v${next.version} at $root during the " +
+          "rewrite publish — re-run the re-key")
+    next.version
+  }
+
   /** Phase 2 of an append: merge the staged generation ONTO each touched
     * partition's current owner list and CAS-publish. No conflict abort —
     * see [[commitAppendPartitions]].
@@ -602,6 +694,22 @@ object AtomicCommit {
           s"vacuumed (on disk: ${versions(store).mkString(", ")})")
     }
 
+  /** Run `body` with partition-column type inference OFF: manifest tables
+    * key partitions by their directory-encoded STRING value, so every
+    * read of them must surface the partition column as that string —
+    * inference would read `day=01` back as int 1, which both breaks
+    * lookups against manifest keys and (since r13's partition evolution
+    * turns old partition columns into stored data) could bake the
+    * inferred type into rewritten files. Schema resolution is eager at
+    * `spark.read`, so wrapping the read call is sufficient.
+    */
+  private[graft] def verbatimPartitions[A](spark: SparkSession)(body: => A): A = {
+    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.get(confKey)
+    try { spark.conf.set(confKey, "false"); body }
+    finally spark.conf.set(confKey, saved)
+  }
+
   private[graft] def scanManifest(spark: SparkSession, root: String,
                                   m: Manifest): DataFrame = {
     // unreachable through stage() (which rejects empty commits) — guards
@@ -614,12 +722,14 @@ object AtomicCommit {
     val byGen = m.entries.toSeq
       .flatMap { case (p, entry) => ownersOf(entry).map(_ -> p) }
       .groupBy(_._1).toSeq.sortBy(_._1)
-    byGen.map { case (gen, parts) =>
-      val base = s"$root/$gen"
-      val paths = parts.map(_._2).distinct.sorted
-        .map(v => s"$base/${m.partitionCol}=$v")
-      spark.read.option("basePath", base).parquet(paths: _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    verbatimPartitions(spark) {
+      byGen.map { case (gen, parts) =>
+        val base = s"$root/$gen"
+        val paths = parts.map(_._2).distinct.sorted
+          .map(v => s"$base/${m.partitionCol}=$v")
+        spark.read.option("basePath", base).parquet(paths: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
   }
 
   /** Manifest-level partition-pruned read: scan ONLY the generation

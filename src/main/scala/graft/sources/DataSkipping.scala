@@ -253,9 +253,11 @@ object DataSkipping {
       }
       .filter(_._2.nonEmpty)
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
-    else byGen.map { case (gen, paths) =>
-      spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true)).filter(residual)
+    else AtomicCommit.verbatimPartitions(spark) {
+      byGen.map { case (gen, paths) =>
+        spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.filter(residual)
   }
 
   private def listParquet(dir: String): Seq[String] =
@@ -274,8 +276,10 @@ object DataSkipping {
       : DataFrame = {
     val (pv, entry) = m.entries.head
     val gen = AtomicCommit.ownersOf(entry).head
-    val schema = spark.read.option("basePath", s"$root/$gen")
-      .parquet(s"$root/$gen/${m.partitionCol}=$pv").schema
+    val schema = AtomicCommit.verbatimPartitions(spark) {
+      spark.read.option("basePath", s"$root/$gen")
+        .parquet(s"$root/$gen/${m.partitionCol}=$pv").schema
+    }
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -406,12 +410,14 @@ object DataSkipping {
       .groupBy(_._1).toSeq.sortBy(_._1)
     val residual = col(colName) === lit(value)
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
-    else byGen.map { case (gen, pairs) =>
-      val base = s"$root/$gen"
-      val paths = pairs.map(_._2).distinct.sorted
-        .map(v => s"$base/${m.partitionCol}=$v")
-      spark.read.option("basePath", base).parquet(paths: _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true)).filter(residual)
+    else AtomicCommit.verbatimPartitions(spark) {
+      byGen.map { case (gen, pairs) =>
+        val base = s"$root/$gen"
+        val paths = pairs.map(_._2).distinct.sorted
+          .map(v => s"$base/${m.partitionCol}=$v")
+        spark.read.option("basePath", base).parquet(paths: _*)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }.filter(residual)
   }
 
   /** The bloom records of a generation (empty when un-annotated). */

@@ -88,12 +88,14 @@ object ChangeFeed {
       // one multi-path read per added generation, like scanManifest
       val byGen = added.map { case (p, g) => (g, p) }
         .groupBy(_._1).toSeq.sortBy(_._1)
-      Some(byGen.map { case (gen, parts) =>
-        val base = s"$root/$gen"
-        val paths = parts.map(_._2).distinct.sorted
-          .map(v => s"$base/${cur.partitionCol}=$v")
-        spark.read.option("basePath", base).parquet(paths: _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true)))
+      Some(AtomicCommit.verbatimPartitions(spark) {
+        byGen.map { case (gen, parts) =>
+          val base = s"$root/$gen"
+          val paths = parts.map(_._2).distinct.sorted
+            .map(v => s"$base/${cur.partitionCol}=$v")
+          spark.read.option("basePath", base).parquet(paths: _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      })
     }
   }
 
