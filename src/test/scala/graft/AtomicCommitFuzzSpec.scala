@@ -228,4 +228,122 @@ class AtomicCommitFuzzSpec extends SparkSpec {
       }
     } finally pool.shutdown()
   }
+
+  /** Vacuum in the race: writers churn while a maintenance thread
+    * continuously vacuums with a retention window. The claims under
+    * adversarial proof are the retention rules themselves — a LARGE
+    * `orphanAgeMillis` means a racing writer's staged-but-unpublished
+    * generation is NEVER reaped (so no commit can fail its publish
+    * existence check), a tagged version survives every sweep with its
+    * data intact, and whatever versions remain on disk afterward replay
+    * their exact writer-commit prefix. Readers-vs-vacuum timing is the
+    * CALLER's contract (keepVersions bounds reader lag) and is not
+    * exercised here — no reader holds a snapshot across sweeps.
+    */
+  test("writers racing a continuous vacuum: staged work survives, tags pin, history replays") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_fz_vac").toString
+    val store = new graft.sources.PosixManifestStore(
+      root) // posix: vacuum's directory reaping is the POSIX deployment
+    val writers = 3
+    val commitsPer = 5
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Partitions.map(p => (0L, p, "seed")).toDF("writer", "flag", "tag"),
+      "flag", 1)
+    AtomicCommit.tag(root, store, "pinned", 1L)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sweeps = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers + 1)
+    try {
+      val vacuumer = pool.submit(new Callable[Unit] {
+        def call(): Unit = {
+          gate.await()
+          while (!done.get()) {
+            // orphanAge = 1h: a racing writer's in-flight stage is never
+            // mistaken for a crash orphan (the documented contract)
+            AtomicCommit.vacuum(root, store,
+              AtomicCommit.OrphanRetentionMillis, 2)
+            sweeps.incrementAndGet()
+            Thread.sleep(40)
+          }
+        }
+      })
+      val futures = (1 to writers).map { w =>
+        pool.submit(new Callable[Seq[(Long, Set[String], Long, Boolean)]] {
+          def call(): Seq[(Long, Set[String], Long, Boolean)] = {
+            val rnd = new scala.util.Random(9000L + w)
+            gate.await()
+            (1 to commitsPer).map { c =>
+              val targets = rnd.shuffle(Partitions).take(1 + rnd.nextInt(2)).toSet
+              val isAppend = rnd.nextBoolean()
+              val tag = w * 1000L + c
+              val df = targets.toSeq.sorted
+                .map(p => (tag, p, s"w$w-c$c")).toDF("writer", "flag", "tag")
+              val version =
+                if (isAppend)
+                  AtomicCommit.commitAppendPartitions(spark, root, store,
+                    df, "flag", 1)
+                else {
+                  var v = -1L
+                  while (v < 0) {
+                    val staged = AtomicCommit.stage(spark, root, store, df, "flag", 1)
+                    try v = AtomicCommit.publish(root, store, staged)
+                    catch { case _: AtomicCommit.PartitionConflictException => () }
+                  }
+                  v
+                }
+              (tag, targets, version, isAppend)
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val commits = futures.flatMap(_.get(300, TimeUnit.SECONDS))
+      done.set(true)
+      vacuumer.get(60, TimeUnit.SECONDS)
+      AtomicCommit.vacuum(root, store, AtomicCommit.OrphanRetentionMillis, 2)
+      assert(sweeps.get() > 0, "the vacuum thread never swept")
+
+      // every commit succeeded with a distinct version — no publish was
+      // broken by a sweep (the orphan-age rule protected every stage)
+      val total = 2L + commits.size // seed + tag commit + writers
+      assert(AtomicCommit.currentVersion(store) === Some(total))
+      assert(commits.map(_._3).distinct.size === commits.size)
+
+      def expectedAt(v: Long): Map[String, Set[Long]] =
+        Partitions.map { p =>
+          var s = Set(0L)
+          commits.filter(c => c._3 <= v && c._2.contains(p))
+            .sortBy(_._3).foreach { case (tag, _, _, isAppend) =>
+              s = if (isAppend) s + tag else Set(tag)
+            }
+          p -> s
+        }.toMap
+      // final state exact
+      val finalState = AtomicCommit.read(spark, root, store)
+        .select("flag", "writer").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+      assert(finalState === expectedAt(Long.MaxValue))
+      // retention: the window survived, everything else is gone except
+      // the tagged snapshot, which replays its exact seed state
+      val remaining = AtomicCommit.versions(store).toSet
+      assert(remaining.contains(total) && remaining.contains(total - 1),
+        s"keepVersions=2 window missing from $remaining")
+      assert(remaining.contains(1L), s"tagged v1 vacuumed: $remaining")
+      assert(remaining.size <= 3, s"stale versions not reaped: $remaining")
+      val pinned = AtomicCommit.readTag(spark, root, store, "pinned")
+        .select("flag", "writer").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+      assert(pinned === Partitions.map(_ -> Set(0L)).toMap,
+        "the pinned snapshot's data must survive every sweep byte-intact")
+      // every version still on disk replays its writer-commit prefix
+      remaining.filter(_ > 1L).foreach { v =>
+        val snap = AtomicCommit.readAt(spark, root, store, v)
+          .select("flag", "writer").as[(String, Long)].collect()
+          .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+        assert(snap === expectedAt(v), s"version $v does not replay its prefix")
+      }
+    } finally pool.shutdown()
+  }
 }
