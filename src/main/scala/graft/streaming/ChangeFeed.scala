@@ -181,6 +181,86 @@ object ChangeFeed {
     cur
   }
 
+  /** INCREMENTAL MATERIALIZED AGGREGATE — a derived rollup table
+    * maintained from the change feed: `agg` turns a slice of source rows
+    * into result rows (both carrying the source's partition column), and
+    * each tick recomputes it ONLY for partitions that changed since the
+    * last applied source version, replacing exactly those partitions of
+    * the destination in one exactly-once commit. The materialized-view
+    * maintenance loop of an incremental ETL pipeline, with the module's
+    * usual cost shape: a tick costs O(changed partitions), never
+    * O(source) and never O(view).
+    *
+    *  - `agg` must GROUP WITHIN partitions (its output's partition-column
+    *    values must be a subset of its input's) — per-partition rollups,
+    *    top-k per partition, profiles. Cross-partition aggregates have no
+    *    incremental form at this granularity.
+    *  - A source partition that disappears (or for which `agg` emits no
+    *    rows) is dropped from the view in the same commit.
+    *  - Exactly-once: watermark = source version in the view's props,
+    *    enforced in the publish CAS loop; replays and restarts are no-ops;
+    *    the view is its own checkpoint.
+    *
+    * Returns the source version the view now reflects.
+    */
+  def syncAggregate(spark: SparkSession, srcRoot: String,
+                    srcStore: ManifestStore, dstRoot: String,
+                    dstStore: ManifestStore, feedKey: String)
+                   (agg: DataFrame => DataFrame): Long = {
+    val srcM = AtomicCommit.readManifest(srcStore).getOrElse(
+      sys.error(s"no manifest at $srcRoot — not an AtomicCommit table"))
+    val cur = srcM.version
+    val from = lastSourceVersion(dstStore, feedKey).getOrElse(0L)
+    if (cur <= from) return from
+    val changed: Seq[String] =
+      if (from == 0L) srcM.entries.keys.toSeq.sorted
+      else AtomicCommit.changedPartitions(srcStore, srcRoot, from, cur)
+    if (changed.isEmpty) return from // props-only source commits: no-op
+    val pc = srcM.partitionCol
+    val live = changed.filter(srcM.entries.contains)
+    val sliceOpt =
+      if (live.isEmpty) None
+      else Some(AtomicCommit.scanManifest(spark, srcRoot,
+        srcM.copy(entries = srcM.entries.filter { case (p, _) => live.contains(p) })))
+    val resultOpt = sliceOpt.map(agg)
+    resultOpt.foreach { r =>
+      require(r.columns.contains(pc),
+        s"agg dropped the partition column $pc — the view cannot be " +
+          "incrementally maintained without it")
+    }
+    // partitions the tick REMOVES from the view: vanished from the
+    // source, or aggregated to nothing
+    val emitted = resultOpt.map(
+      _.select(col(pc).cast("string")).distinct()
+        .collect().map(_.getString(0)).toSet).getOrElse(Set.empty)
+    val changedSet = changed.toSet
+    require(emitted.subsetOf(changedSet),
+      s"agg emitted partitions outside its input slice " +
+        s"(${(emitted -- changedSet).toSeq.sorted.mkString(", ")}) — it " +
+        "must group WITHIN partitions or the view cannot be maintained " +
+        "incrementally")
+    val dstM = AtomicCommit.readManifest(dstStore)
+    val drops = changed.filterNot(emitted)
+      .filter(p => dstM.exists(_.entries.contains(p)))
+    val dropOwners = dstM
+      .map(m => drops.flatMap(p => m.entries.get(p).map(p -> _)).toMap)
+      .getOrElse(Map.empty)
+    val wmKey = AtomicStreamSink.watermarkKey(feedKey)
+    val wmProps = Map(wmKey -> cur.toString)
+    val staged =
+      if (emitted.nonEmpty) {
+        val s = AtomicCommit.stage(spark, dstRoot, dstStore, resultOpt.get,
+          pc, 1, dstM)
+        s.copy(props = wmProps, drops = drops,
+          baseOwners = s.baseOwners ++ dropOwners)
+      } else if (drops.nonEmpty)
+        AtomicCommit.Staged("", pc, Nil, dstM.map(_.version).getOrElse(0L),
+          dropOwners, props = wmProps, drops = drops)
+      else return from // nothing to emit and nothing to drop
+    AtomicCommit.publishIfNew(dstRoot, dstStore, staged, Set(wmKey))
+    cur
+  }
+
   /** Root-only convenience forms (POSIX deployments). */
   def replicateAppends(spark: SparkSession, srcRoot: String, dstRoot: String,
                        feedKey: String): Long =
@@ -191,4 +271,9 @@ object ChangeFeed {
                    feedKey: String, keyCol: String): Long =
     replicateCdc(spark, srcRoot, new PosixManifestStore(srcRoot),
       dstRoot, new PosixManifestStore(dstRoot), feedKey, keyCol)
+
+  def syncAggregate(spark: SparkSession, srcRoot: String, dstRoot: String,
+                    feedKey: String)(agg: DataFrame => DataFrame): Long =
+    syncAggregate(spark, srcRoot, new PosixManifestStore(srcRoot),
+      dstRoot, new PosixManifestStore(dstRoot), feedKey)(agg)
 }

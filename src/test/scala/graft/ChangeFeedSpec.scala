@@ -124,6 +124,63 @@ class ChangeFeedSpec extends SparkSpec {
     assert(first.count() === 2L)
   }
 
+  test("incremental aggregate view: ticks recompute only changed partitions") {
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+    val srcRoot = Files.createTempDirectory("graft_cf_mvs").toString
+    val dstRoot = Files.createTempDirectory("graft_cf_mvd").toString
+    val src = new InMemoryObjectStore
+    val dst = new InMemoryObjectStore
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("p").agg(fcount(flit(1)).as("n"), fsum("k").as("sk"))
+    def viewRows(): Map[String, (Long, Long)] =
+      AtomicCommit.read(spark, dstRoot, dst)
+        .select("p", "n", "sk").as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    def expect(): Map[String, (Long, Long)] =
+      agg(AtomicCommit.read(spark, srcRoot, src))
+        .select("p", "n", "sk").as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+
+    AtomicCommit.commitReplacePartitions(spark, srcRoot, src,
+      Seq(("a", 1L, "r1"), ("a", 2L, "r2"), ("b", 3L, "r3"))
+        .toDF("p", "k", "v"), "p", 1)
+    // initial materialization covers everything
+    ChangeFeed.syncAggregate(spark, srcRoot, src, dstRoot, dst, "mv")(agg)
+    assert(viewRows() === expect())
+    val aOwner = AtomicCommit.readManifest(dst).get.entries("a")
+    val bOwner = AtomicCommit.readManifest(dst).get.entries("b")
+
+    // append touches only partition b → the tick must leave a's view
+    // generation untouched (the O(changed) proof at manifest level)
+    AtomicStreamSink.commitBatch(srcRoot, src, "p", "in",
+      Seq(("b", 10L, "r10")).toDF("p", "k", "v"), 0L)
+    ChangeFeed.syncAggregate(spark, srcRoot, src, dstRoot, dst, "mv")(agg)
+    assert(viewRows() === expect())
+    val m2 = AtomicCommit.readManifest(dst).get
+    assert(m2.entries("a") === aOwner, "partition a was needlessly rewritten")
+    assert(m2.entries("b") !== bOwner)
+
+    // idle tick: no new source version → no view commit
+    val dv = AtomicCommit.currentVersion(dst).get
+    ChangeFeed.syncAggregate(spark, srcRoot, src, dstRoot, dst, "mv")(agg)
+    assert(AtomicCommit.currentVersion(dst).get === dv)
+
+    // deleting all of partition a from the source drops it from the view
+    Deletes.deleteWhere(spark, srcRoot, src, col("p") === "a", Nil)
+    ChangeFeed.syncAggregate(spark, srcRoot, src, dstRoot, dst, "mv")(agg)
+    assert(viewRows() === expect())
+    assert(AtomicCommit.readManifest(dst).get.entries.keySet === Set("b"))
+
+    // an agg that groups ACROSS partitions is rejected loudly
+    AtomicStreamSink.commitBatch(srcRoot, src, "p", "in",
+      Seq(("b", 11L, "r11")).toDF("p", "k", "v"), 1L)
+    intercept[IllegalArgumentException] {
+      ChangeFeed.syncAggregate(spark, srcRoot, src, dstRoot, dst, "mv")(
+        df => df.withColumn("p", flit("GLOBAL"))
+          .groupBy("p").agg(fcount(flit(1)).as("n"), fsum("k").as("sk")))
+    }
+  }
+
   test("a consumer lagging past the vacuum horizon fails loudly, never skips silently") {
     val srcRoot = Files.createTempDirectory("graft_cf_vac").toString
     val dstRoot = Files.createTempDirectory("graft_cf_vacd").toString
