@@ -208,39 +208,61 @@ object DataSkipping {
   }
 
   def readWhere(spark: SparkSession, root: String, store: ManifestStore,
-                colName: String, lower: Any, upper: Any): DataFrame = {
+                colName: String, lower: Any, upper: Any): DataFrame =
+    readWhereAll(spark, root, store, Seq((colName, lower, upper)))
+
+  /** Conjunction pruning: rows satisfying EVERY `(col, lower, upper)`
+    * range, pruned with every predicate's evidence at every grain —
+    * partition envelope, per owner, per file. This is where a
+    * [[Compaction.reclusterZorder]] layout earns its keep: each file
+    * covers a hyper-rectangle, so an AND of ranges prunes to ~the files
+    * whose rectangles intersect the query box (single-column probes keep
+    * the slab behavior). Soundness rule per grain and per predicate: no
+    * record for (slice, column) ⇒ that predicate cannot prune that slice.
+    */
+  def readWhereAll(spark: SparkSession, root: String,
+                   preds: Seq[(String, Any, Any)]): DataFrame =
+    readWhereAll(spark, root, new PosixManifestStore(root), preds)
+
+  def readWhereAll(spark: SparkSession, root: String, store: ManifestStore,
+                   preds: Seq[(String, Any, Any)]): DataFrame = {
+    require(preds.nonEmpty, "readWhereAll needs at least one predicate")
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
-    val keep = prunedEntries(root, m, colName, lower, upper)
-    val residual: Column =
-      col(colName) >= lit(lower) && col(colName) <= lit(upper)
-    if (keep.isEmpty) return emptySnapshot(spark, root, m)
-    // narrow WITHIN kept partitions, two grains the envelope check above
-    // cannot reach: (a) per OWNER — an appended partition scans only the
-    // owner generations whose slice could intersect; (b) per FILE — a
-    // multi-file partition ([[Compaction.recluster]]'s sorted layout)
-    // scans only the data files whose recorded interval intersects.
-    // Soundness rule throughout: no record ⇒ scan it.
+    val residual: Column = preds
+      .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+      .reduce(_ && _)
+    // per (owner, partition): keep unless SOME predicate's evidence is
+    // disjoint; per (owner, partition, file): same test on file records.
+    // The exists-an-owner partition rule of the single-column path is
+    // subsumed: a partition contributes nothing exactly when every owner
+    // slice is pruned.
     val statsCache = scala.collection.mutable.Map.empty[String, Seq[ColStats]]
     def statsOf(gen: String): Seq[ColStats] =
       statsCache.getOrElseUpdate(gen, readStats(root, gen))
-    val byGen = keep.toSeq
+    val byGen = m.entries.toSeq
       .flatMap { case (pv, entry) => AtomicCommit.ownersOf(entry).map(_ -> pv) }
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (gen, pairs) =>
         val paths = pairs.map(_._2).distinct.sorted.flatMap { pv =>
           val dir = s"$root/$gen/${m.partitionCol}=$pv"
-          val recs = statsOf(gen).filter(s => s.partition == pv && s.col == colName)
-          val envelope = recs.find(_.file.isEmpty)
-          if (envelope.exists(!intersects(_, lower, upper)))
-            Nil // this OWNER's slice is provably disjoint
+          val recs = statsOf(gen).filter(_.partition == pv)
+          def keepSlice(recsFor: String => Option[ColStats]): Boolean =
+            preds.forall { case (c, lo, hi) =>
+              recsFor(c) match {
+                case None => true // no evidence — cannot prune on c
+                case Some(s) => intersects(s, lo, hi)
+              }
+            }
+          if (!keepSlice(c => recs.find(s => s.col == c && s.file.isEmpty)))
+            Nil // this OWNER's slice is provably disjoint on some predicate
           else {
             val fileRecs = recs.filter(_.file.nonEmpty)
             if (fileRecs.isEmpty) Seq(dir)
             else {
               val recorded = fileRecs.flatMap(_.file).toSet
-              val keepFiles = fileRecs.filter(intersects(_, lower, upper))
-                .flatMap(_.file)
+              val keepFiles = recorded.toSeq.filter(f =>
+                keepSlice(c => fileRecs.find(s => s.col == c && s.file.contains(f))))
               // a data file the sidecar never recorded has no evidence
               // against it — scanned (generations are immutable, so this
               // only fires on a foreign or hand-edited sidecar)
@@ -259,6 +281,100 @@ object DataSkipping {
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     }.filter(residual)
   }
+
+  /** COUNT of rows with `colName` in `[lower, upper]`, answered from
+    * METADATA wherever the stats allow — the table-format trick behind
+    * instant `SELECT count(*)` dashboards at 100 TB. Three-way
+    * classification per (owner, partition) slice, refined per FILE where
+    * file records exist:
+    *
+    *   - recorded interval DISJOINT from the range → contributes 0;
+    *   - recorded interval fully CONTAINED in the range → contributes
+    *     `rows - nulls` (a BETWEEN never matches null) with no I/O;
+    *   - straddling, or no evidence → queued for one residual scan.
+    *
+    * The residual scan is a single Spark count over only the straddling
+    * files; a probe the stats fully decide touches ZERO data files — the
+    * spec proves that by answering over a partition whose data files were
+    * physically removed.
+    */
+  def countWhere(spark: SparkSession, root: String, colName: String,
+                 lower: Any, upper: Any): Long =
+    countWhere(spark, root, new PosixManifestStore(root), colName, lower, upper)
+
+  def countWhere(spark: SparkSession, root: String, store: ManifestStore,
+                 colName: String, lower: Any, upper: Any): Long = {
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val statsCache = scala.collection.mutable.Map.empty[String, Seq[ColStats]]
+    def statsOf(gen: String): Seq[ColStats] =
+      statsCache.getOrElseUpdate(gen, readStats(root, gen))
+    var metaCount = 0L
+    val scanPaths = scala.collection.mutable.Map
+      .empty[String, Vector[String]] // gen -> paths needing the residual scan
+    def queue(gen: String, path: String): Unit =
+      scanPaths.updateWith(gen)(v => Some(v.getOrElse(Vector.empty) :+ path))
+    // returns the record's decided contribution, or None = must scan
+    def decide(s: ColStats): Option[Long] =
+      if (!intersects(s, lower, upper)) Some(0L)
+      else if (containedIn(s, lower, upper)) Some(s.rows - s.nulls)
+      else None
+    m.entries.foreach { case (pv, entry) =>
+      AtomicCommit.ownersOf(entry).foreach { gen =>
+        val dir = s"$root/$gen/${m.partitionCol}=$pv"
+        val recs = statsOf(gen).filter(s => s.partition == pv && s.col == colName)
+        val fileRecs = recs.filter(_.file.nonEmpty)
+        if (fileRecs.nonEmpty) {
+          fileRecs.foreach { fr =>
+            decide(fr) match {
+              case Some(n) => metaCount += n
+              case None => queue(gen, s"$dir/${fr.file.get}")
+            }
+          }
+          // soundness: files the sidecar never recorded must be scanned
+          val recorded = fileRecs.flatMap(_.file).toSet
+          listParquet(dir).filterNot(recorded)
+            .foreach(f => queue(gen, s"$dir/$f"))
+        } else recs.find(_.file.isEmpty) match {
+          case Some(env) => decide(env) match {
+            case Some(n) => metaCount += n
+            case None => queue(gen, dir)
+          }
+          case None => queue(gen, dir) // no evidence at all
+        }
+      }
+    }
+    val scanned =
+      if (scanPaths.isEmpty) 0L
+      else AtomicCommit.verbatimPartitions(spark) {
+        scanPaths.toSeq.sortBy(_._1).map { case (gen, paths) =>
+          spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
+      }.filter(col(colName) >= lit(lower) && col(colName) <= lit(upper))
+        .count()
+    metaCount + scanned
+  }
+
+  /** Every non-null value provably inside [lower, upper]: the record's
+    * interval is contained. All-null slices are vacuously contained
+    * (they contribute rows − nulls = 0). Unparseable numeric bounds
+    * (NaN/Infinity) are never "contained" — no evidence, scan.
+    */
+  private def containedIn(s: ColStats, lower: Any, upper: Any): Boolean =
+    (s.min, s.max) match {
+      case (None, None) => true // all-null: zero matching rows either way
+      case (Some(mn), Some(mx)) =>
+        if (s.kind == "num")
+          try {
+            val lo = new BigDecimal(lower.toString)
+            val hi = new BigDecimal(upper.toString)
+            new BigDecimal(mn).compareTo(lo) >= 0 &&
+              new BigDecimal(mx).compareTo(hi) <= 0
+          } catch { case _: NumberFormatException => false }
+        else
+          cpCompare(mn, lower.toString) >= 0 && cpCompare(mx, upper.toString) <= 0
+      case _ => false // half-recorded — no containment evidence
+    }
 
   private def listParquet(dir: String): Seq[String] =
     Option(Paths.get(dir).toFile.listFiles).getOrElse(Array.empty)

@@ -289,5 +289,14 @@ class CompactionSpec extends SparkSpec {
     assert(DataSkipping.readWhere(spark, root, "y", 0L, 7L)
       .select("k", "x", "y").as[(Long, Long, Long)].collect().toSet ===
       pre.filter(_._3 <= 7L))
+    // the CONJUNCTION is where z-order shines: the query box x,y∈[0,7]²
+    // intersects ~1 of the ~16 z-squares, not a whole slab
+    val box = DataSkipping.readWhereAll(spark, root,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L)))
+    assert(box.select("k", "x", "y").as[(Long, Long, Long)].collect().toSet ===
+      pre.filter(r => r._2 <= 7L && r._3 <= 7L))
+    val fbox = box.inputFiles.length
+    assert(fbox <= math.min(fx, fy) && fbox <= after / 4,
+      s"box probe scanned $fbox of $after files (slabs: x=$fx y=$fy)")
   }
 }

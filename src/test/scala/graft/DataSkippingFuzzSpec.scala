@@ -76,6 +76,19 @@ class DataSkippingFuzzSpec extends SparkSpec {
       val exact = full.filter($"v" >= lo && $"v" <= hi)
         .select("k").as[Long].collect().sorted.toSeq
       assert(pruned === exact, s"range [$lo,$hi] after step $step")
+      // the metadata-count path must agree with the scan at every step
+      assert(DataSkipping.countWhere(spark, root, store, "v", lo, hi) ===
+        exact.size.toLong, s"countWhere [$lo,$hi] after step $step")
+      // conjunction probe on (v, k): every grain of every predicate
+      val kLo = rnd.nextLong(300000L)
+      val kHi = kLo + rnd.nextLong(400000L)
+      val both = DataSkipping.readWhereAll(spark, root, store,
+        Seq(("v", lo, hi), ("k", kLo, kHi)))
+        .select("k").as[Long].collect().sorted.toSeq
+      val bothExact = full
+        .filter($"v" >= lo && $"v" <= hi && $"k" >= kLo && $"k" <= kHi)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(both === bothExact, s"conj v[$lo,$hi] k[$kLo,$kHi] after step $step")
       // point probe on k: half the time a key that exists
       val existing = full.select("k").as[Long].head(1)
       val key =

@@ -315,6 +315,33 @@ class DataSkippingSpec extends SparkSpec {
     assert(none.inputFiles.isEmpty)
   }
 
+  test("countWhere answers fully-decided probes from metadata alone — proven on removed data") {
+    val root = freshRoot()
+    val df = (
+      (1L to 10L).map(i => (i, "A", i)) ++
+      (100L to 110L).map(i => (i, "B", i)) ++
+      (1000L to 1010L).map(i => (i, "C", i))).toDF("k", "flag", "v")
+    DataSkipping.commitWithStats(spark, root, df, "flag", Seq("v"))
+    // mixed probe: A contained, B straddles, C disjoint
+    assert(DataSkipping.countWhere(spark, root, "v", 1L, 105L) === 16L)
+    // fully-decided probe: physically remove A's data files — the count
+    // must still answer (nothing straddles, so nothing is scanned)
+    val gen = AtomicCommit.readManifest(root).get.entries("A")
+    val aDir = Paths.get(root, gen, "flag=A")
+    val removed = Option(aDir.toFile.listFiles).get
+      .filter(_.getName.endsWith(".parquet"))
+    removed.foreach(f => Files.delete(f.toPath))
+    assert(DataSkipping.countWhere(spark, root, "v", 0L, 50L) === 10L,
+      "A is fully contained — its rows count from the sidecar, no I/O")
+    assert(DataSkipping.countWhere(spark, root, "v", 2000L, 9999L) === 0L)
+    // nulls never count toward a BETWEEN
+    val root2 = freshRoot()
+    DataSkipping.commitWithStats(spark, root2,
+      Seq[(Long, String, Option[Long])]((1L, "D", Some(5L)), (2L, "D", None))
+        .toDF("k", "flag", "v"), "flag", Seq("v"))
+    assert(DataSkipping.countWhere(spark, root2, "v", 0L, 10L) === 1L)
+  }
+
   test("single-file partitions carry no file records (pre-r13 byte format)") {
     val root = freshRoot()
     DataSkipping.commitWithStats(spark, root,
