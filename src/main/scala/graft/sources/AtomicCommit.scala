@@ -193,7 +193,9 @@ object AtomicCommit {
         pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(filesPerDir)))
     keyed.write.mode("error").partitionBy(partitionCol)
       .parquet(s"$root/$gen")
-    stagedFromDisk(root, gen, partitionCol, prev)
+    val staged = stagedFromDisk(root, gen, partitionCol, prev)
+    enforceConstraints(spark, root, staged, prev)
+    staged
   }
 
   /** Stage `df` PRESERVING its partitioning and sort order: the rows land
@@ -211,7 +213,9 @@ object AtomicCommit {
     Files.createDirectories(Paths.get(root))
     val gen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
     df.write.mode("error").partitionBy(partitionCol).parquet(s"$root/$gen")
-    stagedFromDisk(root, gen, partitionCol, prev)
+    val staged = stagedFromDisk(root, gen, partitionCol, prev)
+    enforceConstraints(spark, root, staged, prev)
+    staged
   }
 
   private def stagedFromDisk(root: String, gen: String, partitionCol: String,
@@ -422,7 +426,9 @@ object AtomicCommit {
     require(parts.nonEmpty,
       s"repartition staged no partition directories at $root/$gen — does " +
         s"$newPartitionCol hold only nulls?")
-    Staged(gen, newPartitionCol, parts, m.version, Map.empty)
+    val staged = Staged(gen, newPartitionCol, parts, m.version, Map.empty)
+    enforceConstraints(spark, root, staged, Some(m))
+    staged
   }
 
   /** Publish a [[stageRepartition]]: the manifest's entries AND partition
@@ -622,6 +628,90 @@ object AtomicCommit {
   }
 
   private val TagPrefix = "graft.tag."
+  private val ConstraintPrefix = "graft.constraint."
+
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** CHECK CONSTRAINTS (the Delta/ANSI table-constraint idea): a named
+    * boolean SQL expression every committed row must satisfy, stored in
+    * manifest props so it travels with the snapshot and binds EVERY
+    * writer — batch replace, append, delete rewrite, streaming sink,
+    * merge, compaction, all of which stage through [[stage]]/
+    * [[stageKeyed]] where enforcement lives. Validation reads the STAGED
+    * bytes (one O(batch) filter job over the generation just written,
+    * before any manifest references it), so a violating commit aborts
+    * with [[ConstraintViolationException]] leaving the table untouched —
+    * the orphaned generation ages out via [[vacuum]]. SQL semantics: a
+    * row violates iff the expression is FALSE; null passes (add
+    * `IS NOT NULL` to forbid nulls).
+    *
+    * [[addConstraint]] first validates ALL current data (one full scan —
+    * a constraint that existing rows break would make every future
+    * rewrite of their partitions fail), then publishes the constraint as
+    * a props-only commit, atomic with the version bump.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    sqlExpr: String): Long =
+    addConstraint(spark, root, posix(root), name, sqlExpr)
+
+  def addConstraint(spark: SparkSession, root: String, store: ManifestStore,
+                    name: String, sqlExpr: String): Long = {
+    require(name.nonEmpty && !name.exists(c => c == '{' || c == '}' || c == '"'),
+      s"bad constraint name: $name")
+    require(!sqlExpr.exists(c => c == '{' || c == '}'),
+      s"constraint expressions must not contain braces (manifest props): $sqlExpr")
+    val m = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val bad = scanManifest(spark, root, m)
+      .filter(!coalesce(expr(sqlExpr), lit(true))).limit(3).collect()
+    if (bad.nonEmpty)
+      throw new ConstraintViolationException(
+        s"cannot add constraint $name ($sqlExpr) to $root: existing rows " +
+          s"violate it, e.g. ${bad.mkString("; ")}")
+    propsCommit(root, store, Map(ConstraintPrefix + name -> sqlExpr), Nil)
+  }
+
+  def dropConstraint(root: String, name: String): Long =
+    dropConstraint(root, posix(root), name)
+
+  def dropConstraint(root: String, store: ManifestStore, name: String): Long =
+    propsCommit(root, store, Map.empty, Seq(ConstraintPrefix + name))
+
+  /** Current constraints, name → SQL expression. */
+  def constraints(root: String): Map[String, String] = constraints(posix(root))
+
+  def constraints(store: ManifestStore): Map[String, String] =
+    readManifest(store).map(_.props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }).getOrElse(Map.empty)
+
+  /** The enforcement point: every stage path calls this on the bytes it
+    * just wrote, against the constraints of the manifest it staged
+    * against. One filter job; no-op when the table has no constraints.
+    */
+  private def enforceConstraints(spark: SparkSession, root: String,
+                                 staged: Staged,
+                                 prev: Option[Manifest]): Unit = {
+    val rules = prev.map(_.props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }).getOrElse(Map.empty)
+    if (rules.isEmpty) return
+    val genPath = s"$root/${staged.gen}"
+    val data = verbatimPartitions(spark) {
+      spark.read.option("basePath", genPath).parquet(
+        staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"): _*)
+    }
+    rules.toSeq.sortBy(_._1).foreach { case (name, rule) =>
+      val bad = data.filter(!coalesce(expr(rule), lit(true))).limit(3).collect()
+      if (bad.nonEmpty)
+        throw new ConstraintViolationException(
+          s"commit to $root violates constraint $name ($rule), e.g. " +
+            s"${bad.mkString("; ")} — nothing was published")
+    }
+  }
 
   /** TAG: pin snapshot `version` under a durable name (Iceberg's tagged
     * references) — "the snapshot training-run X read" as table metadata,
