@@ -303,7 +303,24 @@ object DataSkipping {
     countWhere(spark, root, new PosixManifestStore(root), colName, lower, upper)
 
   def countWhere(spark: SparkSession, root: String, store: ManifestStore,
-                 colName: String, lower: Any, upper: Any): Long = {
+                 colName: String, lower: Any, upper: Any): Long =
+    countWhereAll(spark, root, store, Seq((colName, lower, upper)))
+
+  /** [[countWhere]] for a CONJUNCTION of ranges: a slice contributes 0
+    * when ANY predicate's evidence is disjoint, its full row count when
+    * EVERY predicate's evidence proves containment (for multi-predicate
+    * probes additionally `nulls == 0` per column — per-column null counts
+    * say nothing about their co-occurrence, so only null-free slices are
+    * decidable; single-predicate probes subtract the one null count
+    * exactly), and is scanned otherwise.
+    */
+  def countWhereAll(spark: SparkSession, root: String,
+                    preds: Seq[(String, Any, Any)]): Long =
+    countWhereAll(spark, root, new PosixManifestStore(root), preds)
+
+  def countWhereAll(spark: SparkSession, root: String, store: ManifestStore,
+                    preds: Seq[(String, Any, Any)]): Long = {
+    require(preds.nonEmpty, "countWhereAll needs at least one predicate")
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
     val statsCache = scala.collection.mutable.Map.empty[String, Seq[ColStats]]
@@ -314,33 +331,42 @@ object DataSkipping {
       .empty[String, Vector[String]] // gen -> paths needing the residual scan
     def queue(gen: String, path: String): Unit =
       scanPaths.updateWith(gen)(v => Some(v.getOrElse(Vector.empty) :+ path))
-    // returns the record's decided contribution, or None = must scan
-    def decide(s: ColStats): Option[Long] =
-      if (!intersects(s, lower, upper)) Some(0L)
-      else if (containedIn(s, lower, upper)) Some(s.rows - s.nulls)
-      else None
+    val single = preds.size == 1
+    // the slice's decided contribution, or None = must scan
+    def decide(recFor: String => Option[ColStats]): Option[Long] = {
+      var allContained = true
+      var contribution = 0L
+      preds.foreach { case (c, lo, hi) =>
+        recFor(c) match {
+          case Some(s) =>
+            if (!intersects(s, lo, hi)) return Some(0L)
+            if (containedIn(s, lo, hi) && (single || s.nulls == 0L))
+              contribution = s.rows - (if (single) s.nulls else 0L)
+            else allContained = false
+          case None => allContained = false
+        }
+      }
+      if (allContained) Some(contribution) else None
+    }
     m.entries.foreach { case (pv, entry) =>
       AtomicCommit.ownersOf(entry).foreach { gen =>
         val dir = s"$root/$gen/${m.partitionCol}=$pv"
-        val recs = statsOf(gen).filter(s => s.partition == pv && s.col == colName)
+        val recs = statsOf(gen).filter(_.partition == pv)
         val fileRecs = recs.filter(_.file.nonEmpty)
         if (fileRecs.nonEmpty) {
-          fileRecs.foreach { fr =>
-            decide(fr) match {
+          val files = fileRecs.flatMap(_.file).distinct
+          files.foreach { f =>
+            decide(c => fileRecs.find(s => s.col == c && s.file.contains(f))) match {
               case Some(n) => metaCount += n
-              case None => queue(gen, s"$dir/${fr.file.get}")
+              case None => queue(gen, s"$dir/$f")
             }
           }
           // soundness: files the sidecar never recorded must be scanned
-          val recorded = fileRecs.flatMap(_.file).toSet
-          listParquet(dir).filterNot(recorded)
+          listParquet(dir).filterNot(files.toSet)
             .foreach(f => queue(gen, s"$dir/$f"))
-        } else recs.find(_.file.isEmpty) match {
-          case Some(env) => decide(env) match {
-            case Some(n) => metaCount += n
-            case None => queue(gen, dir)
-          }
-          case None => queue(gen, dir) // no evidence at all
+        } else decide(c => recs.find(s => s.col == c && s.file.isEmpty)) match {
+          case Some(n) => metaCount += n
+          case None => queue(gen, dir)
         }
       }
     }
@@ -350,7 +376,9 @@ object DataSkipping {
         scanPaths.toSeq.sortBy(_._1).map { case (gen, paths) =>
           spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
         }.reduce(_.unionByName(_, allowMissingColumns = true))
-      }.filter(col(colName) >= lit(lower) && col(colName) <= lit(upper))
+      }.filter(preds
+        .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
+        .reduce(_ && _))
         .count()
     metaCount + scanned
   }
@@ -408,10 +436,16 @@ object DataSkipping {
     * Spark's own `xxhash64`. `dataType` is the column's Spark type name;
     * the probe casts its literal to it, because `xxhash64` hashes by type
     * width and a long-vs-int mismatch would probe a different filter.
+    * `file` present makes the record FILE-granular (the [[ColStats.file]]
+    * pattern): the bloom of one data file, written when a partition spans
+    * multiple files so [[readWhereEq]] can prune WITHIN a partition it
+    * must touch; `file = None` is the partition-level bloom (the union of
+    * its files' blooms) and the only record kind pre-r13 sidecars carry.
     */
   final case class ColBloom(partition: String, col: String, dataType: String,
                             numBits: Int, numHashes: Int, salt: Long,
-                            words: Map[Int, Long])
+                            words: Map[Int, Long],
+                            file: Option[String] = None)
 
   /** Per-partition bloom sidecar for POINT-LOOKUP skipping — the probe
     * min/max cannot serve: a high-cardinality key (doc_id) spans nearly
@@ -455,24 +489,47 @@ object DataSkipping {
         sys.error(s"bloom column $c not in generation schema")).dataType
       val positions = (0 until numHashes).map(i =>
         pmod(xxhash64(col(c), lit(salt), lit(i)), lit(numBits.toLong)))
-      val built = data.filter(col(c).isNotNull)
-        .select(col(staged.partitionCol).cast("string").as("__p"),
-          explode(array(positions: _*)).as("pos"))
-        .select(col("__p"), shiftright(col("pos"), 6).cast("int").as("word"),
-          call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
-            .as("mask"))
-        .groupBy("__p", "word").agg(expr("bit_or(mask)").as("bits"))
-        .collect()
-        .groupBy(_.getAs[String]("__p"))
-        .map { case (p, rows) =>
-          p -> rows.map(r => r.getAs[Int]("word") -> r.getAs[Long]("bits")).toMap
+      // ONE job at FILE granularity; partition-level blooms are the
+      // bitwise OR of their files' words, folded driver-side
+      val perFile: Map[(String, String), Map[Int, Long]] =
+        data.filter(col(c).isNotNull)
+          .select(col(staged.partitionCol).cast("string").as("__p"),
+            regexp_extract(input_file_name(), "[^/]+$", 0).as("__f"),
+            explode(array(positions: _*)).as("pos"))
+          .select(col("__p"), col("__f"),
+            shiftright(col("pos"), 6).cast("int").as("word"),
+            call_function("shiftleft", lit(1L), (col("pos") % 64).cast("int"))
+              .as("mask"))
+          .groupBy("__p", "__f", "word").agg(expr("bit_or(mask)").as("bits"))
+          .collect()
+          .groupBy(r => (r.getAs[String]("__p"), r.getAs[String]("__f")))
+          .map { case (k, rows) =>
+            k -> rows.map(r => r.getAs[Int]("word") -> r.getAs[Long]("bits")).toMap
+          }
+      val byPartition = perFile.groupBy(_._1._1)
+      def orWords(ws: Iterable[Map[Int, Long]]): Map[Int, Long] =
+        ws.foldLeft(Map.empty[Int, Long]) { (acc, w) =>
+          w.foldLeft(acc) { case (a, (i, bits)) =>
+            a.updated(i, a.getOrElse(i, 0L) | bits)
+          }
         }
-      staged.partitions.map { p =>
+      val partRecords = staged.partitions.map { p =>
         ColBloom(p, c, dt.simpleString, numBits, numHashes, salt,
-          built.getOrElse(p, Map.empty))
+          orWords(byPartition.getOrElse(p, Map.empty).values))
       }
+      // file records only where they can out-prune the partition bloom —
+      // and only for files holding non-null keys (an all-null file would
+      // need an explicit empty record; the partition union covers it by
+      // the unrecorded-file-scans soundness rule)
+      val multiFile = byPartition.filter(_._2.size > 1).keySet
+      val fileRecords = perFile.collect {
+        case ((p, f), words) if multiFile(p) =>
+          ColBloom(p, c, dt.simpleString, numBits, numHashes, salt, words,
+            Some(f))
+      }
+      partRecords ++ fileRecords
     }
-    val body = records.sortBy(b => (b.partition, b.col))
+    val body = records.sortBy(b => (b.partition, b.col, b.file.getOrElse("")))
       .map(renderBloom).mkString("", "\n", "\n")
     Files.write(Paths.get(genPath, BloomFile),
       body.getBytes(StandardCharsets.UTF_8))
@@ -491,10 +548,9 @@ object DataSkipping {
     require(value != null, "equality probe for null never matches — filter isNull instead")
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
-    val bloomsByGen: Map[String, Map[(String, String), ColBloom]] =
-      m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
-        .map(g => g -> readBlooms(root, g).map(b => (b.partition, b.col) -> b).toMap)
-        .toMap
+    val bloomCache = scala.collection.mutable.Map.empty[String, Seq[ColBloom]]
+    def bloomsOf(gen: String): Seq[ColBloom] =
+      bloomCache.getOrElseUpdate(gen, readBlooms(root, gen))
     // probe positions computed BY SPARK with the record's declared type,
     // so build and probe run the identical xxhash64 — one tiny local job
     // per distinct (type, params) tuple, cached across partitions
@@ -510,28 +566,42 @@ object DataSkipping {
     def admits(b: ColBloom): Boolean = positions(b).forall { pos =>
       (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
     }
-    // PER-OWNER pruning (r13, symmetric with readWhere): the key could
-    // live in any owner of an appended partition, but each OWNER prunes
-    // independently — an appended generation whose bloom rejects the probe
-    // is never scanned even when a sibling owner admits it. No evidence
-    // for an owner ⇒ that owner is scanned (soundness).
+    // PER-OWNER and PER-FILE pruning (r13, symmetric with readWhere): the
+    // key could live in any owner of an appended partition, but each
+    // OWNER prunes independently, and within a multi-file owner slice
+    // each FILE's bloom prunes independently. No evidence for a slice ⇒
+    // that slice is scanned (soundness).
     val byGen = m.entries.toSeq
       .flatMap { case (pv, entry) => AtomicCommit.ownersOf(entry).map(_ -> pv) }
-      .filter { case (gen, pv) =>
-        bloomsByGen(gen).get((pv, colName)) match {
-          case None => true // no evidence — must scan
-          case Some(b) => admits(b)
-        }
-      }
       .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (gen, pairs) =>
+        val paths = pairs.map(_._2).distinct.sorted.flatMap { pv =>
+          val dir = s"$root/$gen/${m.partitionCol}=$pv"
+          val recs = bloomsOf(gen).filter(b => b.partition == pv && b.col == colName)
+          val envelope = recs.find(_.file.isEmpty)
+          if (envelope.exists(b => !admits(b)))
+            Nil // this OWNER's slice provably lacks the key
+          else {
+            val fileRecs = recs.filter(_.file.nonEmpty)
+            if (fileRecs.isEmpty) Seq(dir)
+            else {
+              val recorded = fileRecs.flatMap(_.file).toSet
+              val keepFiles = fileRecs.filter(admits).flatMap(_.file)
+              // unrecorded files (all-null keys, foreign sidecars) have
+              // no evidence against them — scanned
+              val unrecorded = listParquet(dir).filterNot(recorded)
+              (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
+            }
+          }
+        }
+        gen -> paths
+      }
+      .filter(_._2.nonEmpty)
     val residual = col(colName) === lit(value)
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
     else AtomicCommit.verbatimPartitions(spark) {
-      byGen.map { case (gen, pairs) =>
-        val base = s"$root/$gen"
-        val paths = pairs.map(_._2).distinct.sorted
-          .map(v => s"$base/${m.partitionCol}=$v")
-        spark.read.option("basePath", base).parquet(paths: _*)
+      byGen.map { case (gen, paths) =>
+        spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
     }.filter(residual)
   }
@@ -548,7 +618,10 @@ object DataSkipping {
     val words = b.words.toSeq.sortBy(_._1)
       .map { case (w, bits) => s"$w:${java.lang.Long.toHexString(bits)}" }
       .mkString(";")
-    s"""{"partition":"${esc(b.partition)}","col":"${esc(b.col)}",""" +
+    // `file` rendered only when present — partition-level records keep
+    // the pre-r13 byte format, absent parses back as None
+    val fileField = b.file.map(v => s""""file":"${esc(v)}",""").getOrElse("")
+    s"""{"partition":"${esc(b.partition)}","col":"${esc(b.col)}",$fileField""" +
       s""""dataType":"${esc(b.dataType)}","numBits":${b.numBits},""" +
       s""""numHashes":${b.numHashes},"salt":${b.salt},"words":"$words"}"""
   }
@@ -571,8 +644,10 @@ object DataSkipping {
       val Array(w, hex) = kv.split(':')
       w.toInt -> java.lang.Long.parseUnsignedLong(hex, 16)
     }.toMap
+    val file = (s""""file"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+      .findFirstMatchIn(line).map(m => unesc(m.group(1)))
     ColBloom(str("partition"), str("col"), str("dataType"),
-      num("numBits").toInt, num("numHashes").toInt, num("salt"), words)
+      num("numBits").toInt, num("numHashes").toInt, num("salt"), words, file)
   }
 
   /** The stats records of a generation (empty when un-annotated). */

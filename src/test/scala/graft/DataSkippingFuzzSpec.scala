@@ -89,6 +89,9 @@ class DataSkippingFuzzSpec extends SparkSpec {
         .filter($"v" >= lo && $"v" <= hi && $"k" >= kLo && $"k" <= kHi)
         .select("k").as[Long].collect().sorted.toSeq
       assert(both === bothExact, s"conj v[$lo,$hi] k[$kLo,$kHi] after step $step")
+      assert(DataSkipping.countWhereAll(spark, root, store,
+        Seq(("v", lo, hi), ("k", kLo, kHi))) === bothExact.size.toLong,
+        s"countWhereAll v[$lo,$hi] k[$kLo,$kHi] after step $step")
       // point probe on k: half the time a key that exists
       val existing = full.select("k").as[Long].head(1)
       val key =

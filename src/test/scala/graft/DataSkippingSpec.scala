@@ -342,6 +342,57 @@ class DataSkippingSpec extends SparkSpec {
     assert(DataSkipping.countWhere(spark, root2, "v", 0L, 10L) === 1L)
   }
 
+  test("file-granular bloom: a point probe scans 1 file of a multi-file partition") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val store = new graft.sources.PosixManifestStore(root)
+    val keyed = (0L until 400L).map(i => (i, "A", i)).toDF("k", "flag", "v")
+      .repartitionByRange(4, col("k"))
+      .sortWithinPartitions(col("k"))
+    val staged = AtomicCommit.stageKeyed(spark, root, store, keyed, "flag", None)
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("k"))
+    AtomicCommit.publish(root, store, staged)
+    val gen = AtomicCommit.readManifest(root).get.entries("A")
+    val recs = DataSkipping.readBlooms(root, gen).filter(_.col == "k")
+    val nFiles = recs.count(_.file.nonEmpty)
+    assert(recs.count(_.file.isEmpty) === 1, "one partition-level union bloom")
+    assert(nFiles >= 3, s"expected ~4 file blooms, got $nFiles")
+    // a present key scans exactly the one file holding it
+    val hit = DataSkipping.readWhereEq(spark, root, "k", 250L)
+    assert(rows(hit) === Set((250L, "A", 250L)))
+    assert(hit.inputFiles.length === 1,
+      s"expected 1 of $nFiles files, scanned ${hit.inputFiles.length}")
+    // an absent key is rejected by the partition-level union already
+    val none = DataSkipping.readWhereEq(spark, root, "k", 5000L)
+    assert(none.count() === 0L)
+    assert(none.inputFiles.isEmpty)
+  }
+
+  test("countWhereAll: conjunction counts from metadata, null-free containment only") {
+    val root = freshRoot()
+    // v and k correlated: containment provable on both for partition A
+    val df = (
+      (1L to 10L).map(i => (i, "A", i)) ++
+      (100L to 110L).map(i => (i, "B", i))).toDF("k", "flag", "v")
+    DataSkipping.commitWithStats(spark, root, df, "flag", Seq("v", "k"))
+    assert(DataSkipping.countWhereAll(spark, root,
+      Seq(("v", 0L, 50L), ("k", 0L, 50L))) === 10L)
+    assert(DataSkipping.countWhereAll(spark, root,
+      Seq(("v", 0L, 50L), ("k", 200L, 300L))) === 0L)
+    // straddling on one predicate falls back to the residual scan
+    assert(DataSkipping.countWhereAll(spark, root,
+      Seq(("v", 5L, 105L), ("k", 0L, 1000L))) === 12L)
+    // a column with nulls is NOT metadata-decidable in a conjunction
+    val root2 = freshRoot()
+    DataSkipping.commitWithStats(spark, root2,
+      Seq[(Long, String, Option[Long])](
+        (1L, "D", Some(5L)), (2L, "D", None), (3L, "D", Some(7L)))
+        .toDF("k", "flag", "v"), "flag", Seq("v", "k"))
+    assert(DataSkipping.countWhereAll(spark, root2,
+      Seq(("v", 0L, 10L), ("k", 0L, 10L))) === 2L,
+      "the null v row matches neither predicate conjunction")
+  }
+
   test("single-file partitions carry no file records (pre-r13 byte format)") {
     val root = freshRoot()
     DataSkipping.commitWithStats(spark, root,
