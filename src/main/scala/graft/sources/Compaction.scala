@@ -205,14 +205,17 @@ object Compaction {
     */
   def reclusterZorder(spark: SparkSession, root: String, zCols: Seq[String],
                       filesPerDir: Int = 1,
-                      statsCols: Seq[String] = Nil): (Long, Long) = {
+                      statsCols: Seq[String] = Nil,
+                      rankBased: Boolean = false): (Long, Long) = {
     require(zCols.size >= 2 && zCols.size <= 4,
       s"z-order wants 2-4 columns, got ${zCols.size} (one column = plain recluster)")
     val store = new PosixManifestStore(root)
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"$root is not an AtomicCommit table"))
     val df = AtomicCommit.scanManifest(spark, root, m)
-    rewriteOrdered(spark, root, Seq(zorderKey(df, zCols)), filesPerDir,
+    val key =
+      if (rankBased) zorderKeyRanked(df, zCols) else zorderKey(df, zCols)
+    rewriteOrdered(spark, root, Seq(key), filesPerDir,
       if (statsCols.nonEmpty) statsCols else zCols)
   }
 
@@ -270,6 +273,40 @@ object Compaction {
       }
     }
     (for { i <- 0 until 16; j <- 0 until k } yield
+      shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** RANK-BASED z-key ([[reclusterZorder]]'s `rankBased = true`): each
+    * column maps through ~255 sampled quantile boundaries to its 8-bit
+    * RANK bucket before interleaving — the fix for skew, where linear
+    * min/max scaling collapses a heavy-tailed column into one bucket and
+    * the z-curve degenerates to ordering by the other columns alone.
+    * Boundary sampling is one `approxQuantile` pass (driver state
+    * O(cols × 256)); the per-row bucket is a small fold over the literal
+    * boundary array. 8 bits of rank resolution per column is the
+    * standard trade (Delta's Z-cube range ids are similarly coarse):
+    * file-level clustering needs file-count resolution, not value
+    * resolution.
+    */
+  private def zorderKeyRanked(df: org.apache.spark.sql.DataFrame,
+                              zCols: Seq[String]): org.apache.spark.sql.Column = {
+    val k = zCols.size
+    val probs = (1 until 256).map(_ / 256.0).toArray
+    val scaled = zCols.map { c =>
+      val bounds = df.stat.approxQuantile(c, probs, 0.01)
+        .distinct.sorted
+      if (bounds.isEmpty) lit(0L)
+      else {
+        val bLit = typedLit(bounds.toSeq)
+        // bucket = #boundaries ≤ v (nulls fold to 0, ordering first);
+        // ≤ 255 by construction since at most 255 distinct boundaries
+        coalesce(aggregate(bLit, lit(0L),
+          (acc, b) => acc + when(col(c).cast("double") >= b, 1L).otherwise(0L)),
+          lit(0L))
+      }
+    }
+    (for { i <- 0 until 8; j <- 0 until k } yield
       shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * k + j))
       .reduce(_.bitwiseOR(_))
   }

@@ -299,4 +299,42 @@ class CompactionSpec extends SparkSpec {
     assert(fbox <= math.min(fx, fy) && fbox <= after / 4,
       s"box probe scanned $fbox of $after files (slabs: x=$fx y=$fy)")
   }
+
+  test("rank-based z-order clusters skewed dimensions that defeat linear scaling") {
+    import spark.implicits._
+    import graft.sources.{AtomicCommit, DataSkipping}
+    // x heavy-tailed: 15 of 16 rows dense in [0,63], the rest ~1e9
+    // outliers; y uniform. Linear min/max scaling maps every dense x to
+    // bucket 0 (the range is 1e9 wide), so the z-curve degenerates to
+    // y-only order and an x-slab probe scans everything.
+    val data = (0 until 4096).map { i =>
+      val x = if (i % 16 == 15) 1000000000L + i else (i / 16) % 64
+      (i.toLong, "A", x, (i % 64).toLong)
+    }
+    def build(rank: Boolean): String = {
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft_ac_zrank$rank").toString
+      DataSkipping.commitWithStats(spark, root,
+        data.toDF("k", "flag", "x", "y"), "flag", Seq("x", "y"))
+      Compaction.reclusterZorder(spark, root, Seq("x", "y"),
+        filesPerDir = 16, rankBased = rank)
+      root
+    }
+    val linRoot = build(rank = false)
+    val rnkRoot = build(rank = true)
+    def probe(root: String): (Int, Set[Long]) = {
+      val got = DataSkipping.readWhere(spark, root, "x", 0L, 3L)
+      (got.inputFiles.length,
+        got.select("k").as[Long].collect().toSet)
+    }
+    val (linFiles, linRows) = probe(linRoot)
+    val (rnkFiles, rnkRows) = probe(rnkRoot)
+    val expected = data.filter(r => r._3 <= 3L).map(_._1).toSet
+    assert(linRows === expected && rnkRows === expected)
+    val total = Compaction.countAtomicDataFiles(rnkRoot)
+    assert(rnkFiles < linFiles,
+      s"rank-based should out-prune linear on skewed x: $rnkFiles vs $linFiles")
+    assert(rnkFiles <= total / 2,
+      s"rank-based x-slab scanned $rnkFiles of $total files")
+  }
 }
