@@ -170,6 +170,20 @@ object TableBench {
     println(s"[tablebench] recluster: data files $fb -> $fa; range-probe " +
       f"files $preFiles -> $postFiles, bytes ${preBytes / 1e6}%.1f MB -> ${postBytes / 1e6}%.1f MB")
 
+    // METADATA COUNT: a range COUNT whose stats decide every slice costs
+    // manifest+sidecar reads only — compare with the scan it replaces
+    // range over partitions no later commit touched: their stats decide
+    // everything, so the metadata path does zero data I/O
+    val cLo = 10L * rowsPer
+    val cHi = 12L * rowsPer - 1
+    val viaScan = timed("count via scan+filter (2-part range)") {
+      AtomicCommit.read(spark, rootC).filter(col("v").between(cLo, cHi)).count()
+    }
+    val viaMeta = timed("countWhere from stats (same range)") {
+      DataSkipping.countWhere(spark, rootC, "v", cLo, cHi)
+    }
+    require(viaMeta == viaScan, s"countWhere: $viaMeta != $viaScan")
+
     // CHANGE FEED cost model: a consumer's catch-up tick pays for the
     // history it missed (here: the whole table, as CDC batches), but a
     // steady-state tick pays O(one batch) — the manifest diff locates the

@@ -771,6 +771,62 @@ object AtomicCommit {
       append = false, Set.empty).get
   }
 
+  /** One commit-log row of [[history]]. `changedPartitions` is against
+    * the previous ON-DISK version (None for the oldest retained one —
+    * its predecessor may be vacuumed); `kind` classifies the commit from
+    * its manifest delta: `replace`, `append`, `drop`, `mixed`,
+    * `metadata` (props-only — tags, constraints, watermarks), or
+    * `repartition` (partition column changed).
+    */
+  final case class CommitInfo(version: Long, partitionCol: String,
+                              numPartitions: Int, kind: String,
+                              changedPartitions: Option[Seq[String]],
+                              props: Map[String, String])
+
+  /** The readable commit log, oldest first — DESCRIBE HISTORY for
+    * manifest tables, resolved entirely from on-disk manifests
+    * (O(#versions × #partitions) driver metadata, no data I/O). Depth is
+    * whatever [[vacuum]] retention (and tags) kept.
+    */
+  def history(root: String): Seq[CommitInfo] = history(posix(root), root)
+
+  def history(store: ManifestStore, root: String): Seq[CommitInfo] = {
+    val vs = versions(store)
+    vs.map { v =>
+      val m = manifestAt(store, root, v)
+      val prevOpt =
+        if (vs.contains(v - 1)) Some(manifestAt(store, root, v - 1)) else None
+      val changed = prevOpt.map { p =>
+        (p.entries.keySet ++ m.entries.keySet)
+          .filter(k => p.entries.get(k) != m.entries.get(k)).toSeq.sorted
+      }
+      val kind = prevOpt match {
+        case None => if (v == 1L) "replace" else "unknown-base"
+        case Some(p) if p.partitionCol != m.partitionCol => "repartition"
+        case Some(p) =>
+          val keys = changed.get
+          if (keys.isEmpty) "metadata"
+          else {
+            val dropped = keys.filter(k => !m.entries.contains(k))
+            val appended = keys.filter { k =>
+              (p.entries.get(k), m.entries.get(k)) match {
+                case (Some(old), Some(now)) =>
+                  ownersOf(now).startsWith(ownersOf(old)) &&
+                    ownersOf(now).size > ownersOf(old).size
+                case (None, Some(_)) => false
+                case _ => false
+              }
+            }
+            if (dropped.size == keys.size) "drop"
+            else if (appended.size == keys.size) "append"
+            else if (dropped.isEmpty && appended.isEmpty) "replace"
+            else "mixed"
+          }
+      }
+      CommitInfo(v, m.partitionCol, m.entries.size, kind, changed, m.props)
+    }
+  }
+
   /** The manifest of an on-disk version (fails with the readable-versions
     * list when vacuumed or never published) — the metadata walk a
     * change-feed consumer ([[graft.streaming.ChangeFeed]]) drives.

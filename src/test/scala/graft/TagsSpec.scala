@@ -49,6 +49,38 @@ class TagsSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet === Set(4L))
   }
 
+  test("history classifies the commit log from manifest deltas alone") {
+    val root = Files.createTempDirectory("graft_hist").toString
+    val store = new InMemoryObjectStore
+    import org.apache.spark.sql.functions.col
+    // v1 replace (seed), v2 append, v3 metadata (tag), v4 replace,
+    // v5 drop (delete empties partition b)
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("a", 1L, "r1"), ("b", 2L, "r2")).toDF("p", "k", "v"), "p", 1)
+    AtomicCommit.commitAppendPartitions(spark, root, store,
+      Seq(("a", 3L, "r3")).toDF("p", "k", "v"), "p", 1)
+    AtomicCommit.tag(root, store, "t", 2L)
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("a", 4L, "r4")).toDF("p", "k", "v"), "p", 1)
+    graft.sources.Deletes.deleteWhere(spark, root, store, col("k") === 2L, Nil)
+    val h = AtomicCommit.history(store, root)
+    assert(h.map(c => c.version -> c.kind) ===
+      Seq(1L -> "replace", 2L -> "append", 3L -> "metadata",
+        4L -> "replace", 5L -> "drop"))
+    assert(h.find(_.version == 2L).get.changedPartitions === Some(Seq("a")))
+    assert(h.find(_.version == 5L).get.changedPartitions === Some(Seq("b")))
+    assert(h.find(_.version == 3L).get.props.contains("graft.tag.t"))
+    assert(h.forall(_.partitionCol == "p"))
+    // vacuum truncates the log to retention + tags; the oldest survivor
+    // past a vacuumed predecessor reports no change set rather than a
+    // wrong one
+    AtomicCommit.vacuum(root, store, 0L, 1)
+    val h2 = AtomicCommit.history(store, root)
+    assert(h2.map(_.version) === Seq(2L, 5L))
+    assert(h2.head.changedPartitions === None,
+      "v2's predecessor is vacuumed — the change set is unknowable")
+  }
+
   test("tagging is a props-only commit: version bumps, entries untouched, data commits unaffected") {
     val root = Files.createTempDirectory("graft_tag2").toString
     val store = new InMemoryObjectStore
