@@ -629,6 +629,95 @@ object AtomicCommit {
 
   private val TagPrefix = "graft.tag."
   private val ConstraintPrefix = "graft.constraint."
+  private val BranchBaseProp = "graft.branch.base"
+
+  /** BRANCHES (Iceberg/Nessie-style refs with independent lineage): a
+    * branch is the table seen through a [[BranchStore]] name-translating
+    * view, so EVERY API in this object — commits, reads, time travel,
+    * tags, constraints, change feeds — runs against a branch by passing
+    * `branchStore(store, name)` where it takes a store. Forking copies
+    * ONE manifest (metadata only — data generations are shared bytes),
+    * recording the fork point for the fast-forward merge check.
+    *
+    * Lifecycle: [[createBranch]] → commit freely against the branch view
+    * (its versions continue from the fork number in a private namespace;
+    * main is untouched) → [[mergeBranch]] fast-forwards main to the
+    * branch snapshot iff main has not moved since the fork (anything
+    * else aborts with [[PartitionConflictException]] — re-create the
+    * branch from current main and re-apply, the optimistic-concurrency
+    * answer) → [[dropBranch]] discards the lineage. Space: use
+    * [[vacuumBranched]] (or plain [[vacuum]], which detects branches and
+    * delegates) — a single-view sweep cannot see the generations other
+    * branches still reference.
+    */
+  def branchStore(store: ManifestStore, name: String): ManifestStore =
+    new BranchStore(store, name)
+
+  def createBranch(root: String, name: String): Long =
+    createBranch(root, posix(root), name, None)
+
+  def createBranch(root: String, store: ManifestStore, name: String,
+                   fromVersion: Option[Long] = None): Long = {
+    val bs = new BranchStore(store, name)
+    require(currentVersion(bs).isEmpty, s"branch $name already exists at $root")
+    val v = fromVersion.getOrElse(currentVersion(store).getOrElse(
+      sys.error(s"no manifest at $root — nothing to branch")))
+    val m = manifestAt(store, root, v)
+    val body = renderJson(m.copy(
+      props = m.props + (BranchBaseProp -> v.toString)))
+    if (!bs.putIfAbsent(manifestName(v), body.getBytes(StandardCharsets.UTF_8)))
+      sys.error(s"branch $name created concurrently at $root")
+    v
+  }
+
+  /** Branch names present in the store. */
+  def branches(root: String): Seq[String] = branches(posix(root))
+  def branches(store: ManifestStore): Seq[String] = BranchStore.branches(store)
+
+  /** The main version a branch forked from. */
+  def branchBase(store: ManifestStore, name: String): Option[Long] =
+    readManifest(new BranchStore(store, name))
+      .flatMap(_.props.get(BranchBaseProp)).map(_.toLong)
+
+  /** Fast-forward merge: main advances to the branch's current snapshot
+    * in one CAS — iff main still sits at the fork version. Divergence
+    * aborts (re-fork from current main and re-apply — the same
+    * re-read/re-stage loser protocol as every other conflict here). The
+    * branch's props (tags, watermarks, constraints it added) merge in;
+    * the fork marker does not.
+    */
+  def mergeBranch(root: String, name: String): Long =
+    mergeBranch(root, posix(root), name)
+
+  def mergeBranch(root: String, store: ManifestStore, name: String): Long = {
+    val bs = new BranchStore(store, name)
+    val bm = readManifest(bs).getOrElse(
+      sys.error(s"no branch $name at $root"))
+    val base = bm.props.get(BranchBaseProp).map(_.toLong).getOrElse(
+      sys.error(s"branch $name carries no fork base — not created by createBranch"))
+    val cur = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root"))
+    if (cur.version != base)
+      throw new PartitionConflictException(
+        s"main at $root moved v$base -> v${cur.version} since branch $name " +
+          "forked — re-create the branch from current main and re-apply")
+    val next = Manifest(cur.version + 1, bm.partitionCol, bm.entries,
+      bm.props - BranchBaseProp)
+    if (!store.putIfAbsent(manifestName(next.version),
+      renderJson(next).getBytes(StandardCharsets.UTF_8)))
+      throw new PartitionConflictException(
+        s"a concurrent commit won v${next.version} at $root during the " +
+          s"merge of branch $name — re-fork and re-apply")
+    next.version
+  }
+
+  /** Discard a branch's lineage (metadata only; shared generations are
+    * reclaimed by the next [[vacuumBranched]] if nothing else holds them).
+    */
+  def dropBranch(store: ManifestStore, name: String): Unit = {
+    val bs = new BranchStore(store, name)
+    bs.list().foreach(bs.delete)
+  }
 
   final class ConstraintViolationException(msg: String)
     extends RuntimeException(msg)
@@ -951,35 +1040,63 @@ object AtomicCommit {
     vacuum(root, store, orphanAgeMillis, 1)
 
   def vacuum(root: String, store: ManifestStore, orphanAgeMillis: Long,
-             keepVersions: Int): Seq[String] = {
+             keepVersions: Int): Seq[String] = store match {
+    // branch awareness is a SAFETY property, not a convenience: a
+    // single-view sweep cannot see generations other branches reference,
+    // so any vacuum over a store holding branch namespaces (or over a
+    // branch view itself) silently becomes the branched form
+    case b: BranchStore =>
+      vacuumBranched(root, b.underlying, orphanAgeMillis, keepVersions)
+    case s if BranchStore.branches(s).nonEmpty =>
+      vacuumBranched(root, s, orphanAgeMillis, keepVersions)
+    case s => vacuumViews(root, s, Seq(s), orphanAgeMillis, keepVersions)
+  }
+
+  /** [[vacuum]] for a branched table: the kept/live sets union over MAIN
+    * and every branch (each with its own retention window and tags), so
+    * a generation survives while ANY lineage can still read it. Dropped
+    * branches stop contributing and their unshared generations reclaim.
+    */
+  def vacuumBranched(root: String, store: ManifestStore,
+                     orphanAgeMillis: Long = OrphanRetentionMillis,
+                     keepVersions: Int = 1): Seq[String] =
+    vacuumViews(root, store,
+      store +: BranchStore.branches(store).map(new BranchStore(store, _)),
+      orphanAgeMillis, keepVersions)
+
+  private def vacuumViews(root: String, tempsStore: ManifestStore,
+                          views: Seq[ManifestStore], orphanAgeMillis: Long,
+                          keepVersions: Int): Seq[String] = {
     require(keepVersions >= 1, s"keepVersions=$keepVersions")
-    val m = readManifest(store).getOrElse(return Nil)
-    val horizon = m.version - keepVersions + 1
-    // kept snapshots: the retention window PLUS every tagged version —
-    // a tag is an explicit promise that its snapshot stays readable, so
-    // tagged manifests and their generations outlive any horizon
-    val tagged = m.props.collect {
+    def taggedOf(m: Manifest): Set[Long] = m.props.collect {
       case (k, v) if k.startsWith(TagPrefix) => v.toLong
     }.toSet
-    def kept(v: Long): Boolean = v >= horizon || tagged(v)
-    // every generation ANY kept snapshot still references must survive,
-    // or readAt within the retention window would scan deleted data
-    val live = versions(store).filter(kept)
-      .flatMap(v => manifestAt(store, root, v).entries.values.flatMap(ownersOf))
-      .toSet
+    val active = views.flatMap(s => readManifest(s).map(s -> _))
+    if (active.isEmpty) return Nil
+    // kept snapshots per view: the retention window PLUS every tagged
+    // version — a tag is an explicit promise that its snapshot stays
+    // readable, so tagged manifests and their generations outlive any
+    // horizon; a generation survives while ANY view's kept set holds it
+    val live = active.flatMap { case (s, m) =>
+      val horizon = m.version - keepVersions + 1
+      val tagged = taggedOf(m)
+      versions(s).filter(v => v >= horizon || tagged(v))
+        .flatMap(v => manifestAt(s, root, v).entries.values.flatMap(ownersOf))
+    }.toSet
     val rootPath = Paths.get(root)
     val children = Option(rootPath.toFile.listFiles).getOrElse(Array.empty)
-    // every generation any on-disk manifest version references — the
+    // every generation any on-disk manifest of any view references — the
     // union distinguishes "superseded" (was published) from "never
     // published" (maybe still in a writer's hands)
-    val everReferenced = versions(store)
-      .flatMap { v =>
-        try store.get(manifestName(v))
+    val everReferenced = views.flatMap { s =>
+      versions(s).flatMap { v =>
+        try s.get(manifestName(v))
           .map(b => parseJson(new String(b, StandardCharsets.UTF_8))
             .entries.values.flatMap(ownersOf))
           .getOrElse(Nil)
         catch { case _: Throwable => Nil } // a torn manifest can't vouch
-      }.toSet
+      }
+    }.toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanAgeMillis)
     val doomed = children
       .filter { f =>
@@ -989,35 +1106,38 @@ object AtomicCommit {
       .map(_.getName).toSeq.sorted
     // TOCTOU narrowing: between the live-set computation above and each
     // delete, a commit can make a doomed directory CURRENT again (a
-    // rollback re-referencing it, or a slow writer's publish whose
-    // existence re-check passed just before we got here) — re-read the
-    // freshest manifest immediately before every delete and spare anything
-    // it references. The residual race (publish's CAS landing between this
-    // read and the delete) is bounded by `orphanAgeMillis`: a
-    // never-referenced directory is only doomed past that age, so the
-    // caller's contract is that orphanAgeMillis EXCEEDS any possible
-    // stage-to-publish gap (the default is an hour; a stage held open
-    // longer must re-stage). publish's existence re-check then turns a
-    // misjudged deletion into a loud abort, never a manifest pointing at
-    // deleted data.
+    // rollback re-referencing it, a slow writer's publish whose existence
+    // re-check passed just before we got here, or a fresh tag/branch) —
+    // re-read every view's freshest manifest immediately before each
+    // delete and spare anything referenced. The residual race (publish's
+    // CAS landing between this read and the delete) is bounded by
+    // `orphanAgeMillis`: a never-referenced directory is only doomed past
+    // that age, so the caller's contract is that orphanAgeMillis EXCEEDS
+    // any possible stage-to-publish gap (the default is an hour; a stage
+    // held open longer must re-stage). publish's existence re-check then
+    // turns a misjudged deletion into a loud abort, never a manifest
+    // pointing at deleted data.
+    val priorTagged = active.map { case (s, m) => taggedOf(m) }
+      .foldLeft(Set.empty[Long])(_ ++ _)
     val deleted = doomed.filter { d =>
-      // freshest current manifest, plus anything a freshly-created tag
-      // re-pinned since the live set was computed
-      val cur = readManifest(store)
-      val nowTagged = cur.map(_.props.collect {
-        case (k, v) if k.startsWith(TagPrefix) => v.toLong
-      }.toSet).getOrElse(Set.empty)
-      val nowLive =
-        cur.map(_.entries.values.flatMap(ownersOf).toSet).getOrElse(Set.empty) ++
-          (nowTagged -- tagged).flatMap(v =>
-            try manifestAt(store, root, v).entries.values.flatMap(ownersOf)
-            catch { case _: Throwable => Nil })
+      val nowLive = views.flatMap { s =>
+        readManifest(s).toSeq.flatMap { m =>
+          m.entries.values.flatMap(ownersOf) ++
+            (taggedOf(m) -- priorTagged).flatMap(v =>
+              try manifestAt(s, root, v).entries.values.flatMap(ownersOf)
+              catch { case _: Throwable => Nil })
+        }
+      }.toSet
       if (nowLive(d)) false
       else { deleteRecursively(rootPath.resolve(d)); true }
     }
-    versions(store).filter(v => v < horizon && !tagged(v))
-      .foreach(v => store.delete(manifestName(v)))
-    store.vacuumTemps(cutoff)
+    active.foreach { case (s, m) =>
+      val horizon = m.version - keepVersions + 1
+      val tagged = taggedOf(m)
+      versions(s).filter(v => v < horizon && !tagged(v))
+        .foreach(v => s.delete(manifestName(v)))
+    }
+    tempsStore.vacuumTemps(cutoff)
     deleted
   }
 

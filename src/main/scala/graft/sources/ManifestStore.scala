@@ -115,6 +115,52 @@ final class PosixManifestStore(root: String) extends ManifestStore {
       .foreach(f => Files.deleteIfExists(f.toPath))
 }
 
+/** A BRANCH of a manifest table as a pure NAME-TRANSLATING view of its
+  * store: external manifest names (`_graft_manifest.vN.json`) map to a
+  * branch-private namespace (`_graft_branch.<name>.vN.json`), so EVERY
+  * existing commit/read/time-travel API runs against a branch unchanged —
+  * a branch IS the table, seen through this view. Data generations are
+  * shared (branches fork metadata, not bytes — the Iceberg/Nessie branch
+  * model), which is why branched deployments must reclaim space through
+  * [[AtomicCommit.vacuumBranched]]: a single-view vacuum cannot see the
+  * generations other branches still reference.
+  */
+final class BranchStore(val underlying: ManifestStore,
+                        val branch: String) extends ManifestStore {
+  require(BranchStore.validName(branch), s"bad branch name: $branch")
+  private val ext = "_graft_manifest."
+  private val int = s"_graft_branch.$branch."
+  private def toInternal(name: String): String =
+    if (name.startsWith(ext)) int + name.stripPrefix(ext) else name
+  private def toExternal(name: String): String =
+    if (name.startsWith(int)) ext + name.stripPrefix(int) else name
+
+  override def putIfAbsent(name: String, body: Array[Byte]): Boolean =
+    underlying.putIfAbsent(toInternal(name), body)
+  override def get(name: String): Option[Array[Byte]] =
+    underlying.get(toInternal(name))
+  override def list(): Seq[String] =
+    underlying.list().filter(_.startsWith(int)).map(toExternal)
+  override def delete(name: String): Unit =
+    underlying.delete(toInternal(name))
+  override def vacuumTemps(cutoffMillis: Long): Unit =
+    underlying.vacuumTemps(cutoffMillis)
+}
+
+object BranchStore {
+  private[sources] val Prefix = "_graft_branch."
+
+  def validName(name: String): Boolean =
+    name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_')
+
+  /** Branch names present in `store` (from their manifest namespaces). */
+  def branches(store: ManifestStore): Seq[String] =
+    store.list().filter(_.startsWith(Prefix))
+      .map(_.stripPrefix(Prefix).takeWhile(_ != '.'))
+      .distinct.sorted
+}
+
 /** Conditional-put object store, in memory: the exact visibility contract
   * of S3 `If-None-Match: *` (atomic whole-object create-if-absent, flat
   * keys, no rename, no partial reads). Used by the spec to prove the
