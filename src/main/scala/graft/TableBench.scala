@@ -140,6 +140,18 @@ object TableBench {
     require(AtomicCommit.read(spark, rootS).count() == n - rowsPer,
       "shuffled delete removed the wrong rows")
 
+    // MERGE-ON-READ delete (r14): the same CLASS of operation — a point
+    // delete in a partition stats cannot prune — as an O(deleted rows)
+    // deletion-vector commit instead of the partition rewrite above. The
+    // matching scan is unavoidable either way; the WRITE side collapses
+    // from rewriting the partition to one tiny vector file + manifest edit
+    timed("deleteWhereMoR point delete (1 row, unprunable)") {
+      graft.sources.Deletes.deleteWhereMoR(spark, rootS,
+        col("v") === (rowsPer + 5L))
+    }
+    require(AtomicCommit.read(spark, rootS).count() == n - rowsPer - 1,
+      "MoR delete removed the wrong rows")
+
     // RECLUSTER (r13): the repair for the shuffled layout's cost gap.
     // Partition values are DATA (pk is a queryable column), so no rewrite
     // can move rows between directories or recover the clustered table's

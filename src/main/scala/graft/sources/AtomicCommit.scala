@@ -95,9 +95,34 @@ object AtomicCommit {
                             entries: Map[String, String],
                             props: Map[String, String] = Map.empty)
 
-  /** Decode an entry's comma-joined owner list. */
+  /** Decode an entry's comma-joined owner list — DATA owners only. An
+    * entry may additionally carry ONE deletion-vector token (`~<gen>`,
+    * rendered last): the generation holding the partition's merge-on-read
+    * delete addresses ([[Deletes.deleteWhereMoR]]). Every reader of data
+    * directories wants this view; [[dvOf]] reads the vector, [[allGensOf]]
+    * is the union for liveness decisions (vacuum, rollback).
+    */
   def ownersOf(entry: String): Seq[String] =
-    entry.split(',').toSeq.filter(_.nonEmpty)
+    entry.split(',').toSeq.filter(t => t.nonEmpty && !t.startsWith("~"))
+
+  /** The entry's deletion-vector generation, if a merge-on-read delete
+    * has marked rows of this partition since its last rewrite.
+    */
+  def dvOf(entry: String): Option[String] =
+    entry.split(',').toSeq.find(_.startsWith("~")).map(_.stripPrefix("~"))
+
+  /** Every generation the entry references — data owners plus the
+    * deletion vector: the set that must stay on disk for the entry to
+    * remain readable. Vacuum liveness and rollback feasibility use THIS,
+    * never [[ownersOf]] (a vacuum blind to DV generations would delete
+    * the evidence that rows are gone — resurrecting them).
+    */
+  def allGensOf(entry: String): Seq[String] =
+    entry.split(',').toSeq.filter(_.nonEmpty).map(_.stripPrefix("~"))
+
+  private[sources] def renderEntry(owners: Seq[String],
+                                   dv: Option[String]): String =
+    (owners ++ dv.map("~" + _)).mkString(",")
 
   /** A written-but-unpublished generation: the phase-1 output. Invisible
     * to every reader until [[publish]] puts a manifest referencing it.
@@ -109,13 +134,21 @@ object AtomicCommit {
     * `drops` are partition values the commit REMOVES from the manifest
     * (a row-level delete that empties a partition) — they join the
     * read-set, so their `baseOwners` entries must be recorded too.
+    * `enforced` records the CHECK-constraint rule set validated at stage
+    * time (None = the commit stages no rows, nothing to validate);
+    * `overrides` replaces the default `partition -> gen` entry mapping
+    * with explicit entry strings — the merge-on-read delete path, whose
+    * commit edits entries (appending a deletion-vector token) without the
+    * staged generation owning data.
     */
   final case class Staged(gen: String, partitionCol: String,
                           partitions: Seq[String], baseVersion: Long,
                           baseOwners: Map[String, String],
                           props: Map[String, String] = Map.empty,
                           drops: Seq[String] = Nil,
-                          propDrops: Seq[String] = Nil)
+                          propDrops: Seq[String] = Nil,
+                          enforced: Option[Map[String, String]] = None,
+                          overrides: Map[String, String] = Map.empty)
 
   final class VersionConflictException(msg: String) extends RuntimeException(msg)
 
@@ -194,8 +227,7 @@ object AtomicCommit {
     keyed.write.mode("error").partitionBy(partitionCol)
       .parquet(s"$root/$gen")
     val staged = stagedFromDisk(root, gen, partitionCol, prev)
-    enforceConstraints(spark, root, staged, prev)
-    staged
+    staged.copy(enforced = Some(enforceConstraints(spark, root, staged, prev)))
   }
 
   /** Stage `df` PRESERVING its partitioning and sort order: the rows land
@@ -214,8 +246,7 @@ object AtomicCommit {
     val gen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
     df.write.mode("error").partitionBy(partitionCol).parquet(s"$root/$gen")
     val staged = stagedFromDisk(root, gen, partitionCol, prev)
-    enforceConstraints(spark, root, staged, prev)
-    staged
+    staged.copy(enforced = Some(enforceConstraints(spark, root, staged, prev)))
   }
 
   private def stagedFromDisk(root: String, gen: String, partitionCol: String,
@@ -296,6 +327,26 @@ object AtomicCommit {
           prev.flatMap(_.props.get(k)).exists(_.toLong >= v.toLong))
       }
       if (covered) return None
+      // constraint-change conflict: the rules enforced at stage time must
+      // still be THE rules — an addConstraint/dropConstraint landing in
+      // the stage-to-publish window means these staged rows were validated
+      // against a rule set no longer in force, so the commit aborts and
+      // the caller re-stages under the fresh rules (appends included:
+      // they add rows too). Props-only and drop-only commits stage no
+      // rows (`enforced = None`) and are exempt — which is also what lets
+      // addConstraint itself commit.
+      staged.enforced.foreach { rules =>
+        val now = prev.map(_.props.collect {
+          case (k, v) if k.startsWith(ConstraintPrefix) =>
+            k.stripPrefix(ConstraintPrefix) -> v
+        }).getOrElse(Map.empty[String, String])
+        if (now != rules)
+          throw new PartitionConflictException(
+            s"constraints of $root changed after this commit staged " +
+              s"(enforced: ${rules.keys.toSeq.sorted.mkString(", ")}; " +
+              s"current: ${now.keys.toSeq.sorted.mkString(", ")}) — " +
+              "re-stage so the new rules validate the rows")
+      }
       if (!append) {
         val conflicts = (staged.partitions ++ staged.drops).filter { p =>
           prev.flatMap(_.entries.get(p)) != staged.baseOwners.get(p)
@@ -315,11 +366,16 @@ object AtomicCommit {
       val prevEntries = prev.map(_.entries).getOrElse(Map.empty)
       val nextEntries =
         if (append)
+          // the deletion vector (if any) survives an append: it addresses
+          // rows by (file, position) in EXISTING files, which the new
+          // generation's files never collide with
           prevEntries ++ staged.partitions.map { p =>
-            p -> (ownersOf(prevEntries.getOrElse(p, "")) :+ staged.gen)
-              .mkString(",")
+            val prevE = prevEntries.getOrElse(p, "")
+            p -> renderEntry(ownersOf(prevE) :+ staged.gen, dvOf(prevE))
           }
-        else prevEntries ++ staged.partitions.map(_ -> staged.gen).toMap --
+        else prevEntries ++ (
+          if (staged.overrides.nonEmpty) staged.overrides
+          else staged.partitions.map(_ -> staged.gen).toMap) --
           staged.drops
       val next = Manifest(
         prev.map(_.version + 1).getOrElse(1L),
@@ -427,8 +483,7 @@ object AtomicCommit {
       s"repartition staged no partition directories at $root/$gen — does " +
         s"$newPartitionCol hold only nulls?")
     val staged = Staged(gen, newPartitionCol, parts, m.version, Map.empty)
-    enforceConstraints(spark, root, staged, Some(m))
-    staged
+    staged.copy(enforced = Some(enforceConstraints(spark, root, staged, Some(m))))
   }
 
   /** Publish a [[stageRepartition]]: the manifest's entries AND partition
@@ -607,7 +662,7 @@ object AtomicCommit {
     // every generation the target references must still exist — a
     // vacuumed generation would make the rollback a manifest pointing at
     // deleted data (the one corruption worse than failing)
-    val missing = target.entries.values.flatMap(ownersOf).toSeq.distinct
+    val missing = target.entries.values.flatMap(allGensOf).toSeq.distinct
       .filterNot(g => Files.isDirectory(Paths.get(root, g)))
     require(missing.isEmpty,
       s"cannot roll back to v$version at $root: generation(s) " +
@@ -679,12 +734,35 @@ object AtomicCommit {
     readManifest(new BranchStore(store, name))
       .flatMap(_.props.get(BranchBaseProp)).map(_.toLong)
 
-  /** Fast-forward merge: main advances to the branch's current snapshot
-    * in one CAS — iff main still sits at the fork version. Divergence
-    * aborts (re-fork from current main and re-apply — the same
-    * re-read/re-stage loser protocol as every other conflict here). The
-    * branch's props (tags, watermarks, constraints it added) merge in;
-    * the fork marker does not.
+  /** Merge a branch into main, in one CAS. Two regimes:
+    *
+    *  - FAST-FORWARD: main still sits at the fork version — main simply
+    *    advances to the branch's snapshot.
+    *  - THREE-WAY (r14): main moved since the fork. The merge is sound
+    *    exactly when the two lineages' change sets since the merge base
+    *    are DISJOINT at partition granularity — generations are immutable,
+    *    so a partition only one side touched carries that side's bytes
+    *    verbatim, and the merged manifest is main's entries with the
+    *    branch's changed partitions overlaid (branch-side drops apply
+    *    too). Overlapping partitions abort with BOTH write sets named —
+    *    re-fork from current main and re-apply, the module's standard
+    *    loser protocol. Also aborted as conflicts: a partition-column
+    *    change on either side (a re-key conflicts with everything), and a
+    *    constraint-set change on one side while the other committed data
+    *    (those commits were never validated under the changed rules).
+    *
+    * The branch's props (tags, watermarks, constraints) merge in; the
+    * fork marker does not. Tag values are branch-namespace versions and
+    * translate ([[translateBranchProps]]): fast-forward merges re-pin
+    * head-content tags to the merged version, three-way merges keep only
+    * shared-history tags (the merged snapshot also holds main's changes,
+    * so no main version has a branch-tagged content). A lost CAS (a main
+    * commit racing the merge
+    * itself) aborts — re-RUN the merge, which recomputes against the new
+    * main head. After a successful merge, drop and re-create the branch
+    * before further use: its recorded base predates the merge, so a
+    * second merge of the same lineage would see its own changes as
+    * overlap.
     */
   def mergeBranch(root: String, name: String): Long =
     mergeBranch(root, posix(root), name)
@@ -697,19 +775,114 @@ object AtomicCommit {
       sys.error(s"branch $name carries no fork base — not created by createBranch"))
     val cur = readManifest(store).getOrElse(
       sys.error(s"no manifest at $root"))
-    if (cur.version != base)
-      throw new PartitionConflictException(
-        s"main at $root moved v$base -> v${cur.version} since branch $name " +
-          "forked — re-create the branch from current main and re-apply")
-    val next = Manifest(cur.version + 1, bm.partitionCol, bm.entries,
-      bm.props - BranchBaseProp)
+    val next =
+      if (cur.version == base) // fast-forward
+        Manifest(cur.version + 1, bm.partitionCol, bm.entries,
+          translateBranchProps(bs, root, bm, base, cur.version + 1))
+      else {
+        // three-way: both sides diffed against the MAIN manifest at the
+        // fork version (the branch's fork copy is byte-equal by
+        // construction, and main retains the base while any consumer may
+        // lag — if vacuumed, the evidence is gone and the merge aborts)
+        val baseM =
+          try manifestAt(store, root, base)
+          catch {
+            case _: Throwable => throw new PartitionConflictException(
+              s"merge base v$base of branch $name was vacuumed on main at " +
+                s"$root — no disjointness evidence; re-fork and re-apply")
+          }
+        if (bm.partitionCol != cur.partitionCol ||
+          bm.partitionCol != baseM.partitionCol)
+          throw new PartitionConflictException(
+            s"partition column changed across the merge of branch $name at " +
+              s"$root (${baseM.partitionCol} / ${cur.partitionCol} / " +
+              s"${bm.partitionCol}) — a re-key conflicts with every " +
+              "concurrent lineage; re-fork")
+        def changedVs(m: Manifest): Set[String] =
+          (baseM.entries.keySet ++ m.entries.keySet)
+            .filter(p => baseM.entries.get(p) != m.entries.get(p))
+        val branchChanged = changedVs(bm)
+        val mainChanged = changedVs(cur)
+        val overlap = (branchChanged & mainChanged).toSeq.sorted
+        if (overlap.nonEmpty)
+          throw new PartitionConflictException(
+            s"cannot merge branch $name at $root: partitions " +
+              s"${overlap.mkString(", ")} changed on BOTH lineages since " +
+              s"fork v$base (branch wrote ${branchChanged.toSeq.sorted.mkString(", ")}; " +
+              s"main wrote ${mainChanged.toSeq.sorted.mkString(", ")}) — " +
+              "re-fork from current main and re-apply")
+        def consOf(m: Manifest): Map[String, String] =
+          m.props.filter(_._1.startsWith(ConstraintPrefix))
+        if (consOf(bm) != consOf(baseM) && mainChanged.nonEmpty)
+          throw new PartitionConflictException(
+            s"branch $name changed CHECK constraints while main committed " +
+              s"data at $root — main's post-fork rows were never validated " +
+              "under them; re-fork and re-apply (or re-add the constraint " +
+              "on main, which validates the full table)")
+        if (consOf(cur) != consOf(baseM) && branchChanged.nonEmpty)
+          throw new PartitionConflictException(
+            s"main changed CHECK constraints while branch $name committed " +
+              s"data at $root — the branch's rows were never validated " +
+              "under them; re-fork and re-apply")
+        val mergedEntries =
+          (cur.entries -- branchChanged.filter(p => !bm.entries.contains(p))) ++
+            bm.entries.filter { case (p, _) => branchChanged.contains(p) }
+        require(mergedEntries.nonEmpty,
+          s"merging branch $name would leave $root with zero partitions")
+        // props: main's, minus keys the branch dropped since base, plus
+        // keys the branch added/changed (tag values translated)
+        val branchDropped = baseM.props.keySet -- bm.props.keySet
+        val branchChangedProps = bm.props.filter { case (k, v) =>
+          baseM.props.get(k) != Some(v)
+        }
+        val translated = branchChangedProps.flatMap {
+          case (k, v) if k.startsWith(TagPrefix) =>
+            // a branch tag names a branch-namespace snapshot; the merged
+            // snapshot additionally holds main's changes, so NO main
+            // version has the tagged content — only shared-history tags
+            // (at or before the base) survive a three-way merge
+            if (v.toLong <= base) Some(k -> v) else None
+          case kv => Some(kv)
+        }
+        Manifest(cur.version + 1, cur.partitionCol, mergedEntries,
+          cur.props -- branchDropped ++ translated - BranchBaseProp)
+      }
     if (!store.putIfAbsent(manifestName(next.version),
       renderJson(next).getBytes(StandardCharsets.UTF_8)))
       throw new PartitionConflictException(
         s"a concurrent commit won v${next.version} at $root during the " +
-          s"merge of branch $name — re-fork and re-apply")
+          s"merge of branch $name — re-run the merge")
     next.version
   }
+
+  /** Tag values are BRANCH-NAMESPACE version numbers; carried across a
+    * merge verbatim they would point at main versions that do not exist
+    * yet — and once main commits again, readTag/vacuum would silently pin
+    * an unrelated future snapshot. Translation rule: a tag at or before
+    * the fork base names shared history (carried unchanged — main's own
+    * manifest for it, if still retained); a tag at a branch version whose
+    * ENTRIES equal the branch head's names exactly the snapshot the merge
+    * publishes (becomes the merged version — this covers the head itself
+    * and the tag-then-merge flow where the tag commit bumped the head
+    * past its target); a tag at any other branch-only version has no main
+    * equivalent and is DROPPED — its manifest lives only in the branch
+    * namespace, so carrying it would be a dangling (then wrong) pin.
+    */
+  private def translateBranchProps(bs: ManifestStore, root: String,
+                                   bm: Manifest, base: Long,
+                                   mergedVersion: Long): Map[String, String] =
+    (bm.props - BranchBaseProp).flatMap {
+      case (k, v) if k.startsWith(TagPrefix) =>
+        val tv = v.toLong
+        if (tv <= base) Some(k -> v)
+        else {
+          val sameSnapshot =
+            try manifestAt(bs, root, tv).entries == bm.entries
+            catch { case _: Throwable => false } // vacuumed target: drop
+          if (sameSnapshot) Some(k -> mergedVersion.toString) else None
+        }
+      case kv => Some(kv)
+    }
 
   /** Discard a branch's lineage (metadata only; shared generations are
     * reclaimed by the next [[vacuumBranched]] if nothing else holds them).
@@ -738,7 +911,12 @@ object AtomicCommit {
     * [[addConstraint]] first validates ALL current data (one full scan —
     * a constraint that existing rows break would make every future
     * rewrite of their partitions fail), then publishes the constraint as
-    * a props-only commit, atomic with the version bump.
+    * a props-only commit, atomic with the version bump. A writer already
+    * mid-flight when the constraint lands (staged before, publishing
+    * after) cannot slip unvalidated rows through: its publish CAS
+    * compares the rules it enforced at stage time against the current
+    * manifest's and aborts on any difference — the metadata-change
+    * conflict rule, so "binds every writer" holds under the race too.
     */
   def addConstraint(spark: SparkSession, root: String, name: String,
                     sqlExpr: String): Long =
@@ -779,20 +957,25 @@ object AtomicCommit {
   /** The enforcement point: every stage path calls this on the bytes it
     * just wrote, against the constraints of the manifest it staged
     * against. One filter job; no-op when the table has no constraints.
+    * Returns the rule set it enforced (name → expression) — recorded on
+    * the [[Staged]] so [[casLoop]] can detect a constraint added or
+    * changed BETWEEN stage and publish: without that commit-time check,
+    * a writer staging before an [[addConstraint]] and publishing after it
+    * would commit rows no rule ever validated (and addConstraint's own
+    * full-table scan cannot see the unpublished generation either). The
+    * Delta metadata-change conflict rule, on props.
     */
   private def enforceConstraints(spark: SparkSession, root: String,
                                  staged: Staged,
-                                 prev: Option[Manifest]): Unit = {
+                                 prev: Option[Manifest]): Map[String, String] = {
     val rules = prev.map(_.props.collect {
       case (k, v) if k.startsWith(ConstraintPrefix) =>
         k.stripPrefix(ConstraintPrefix) -> v
     }).getOrElse(Map.empty)
-    if (rules.isEmpty) return
+    if (rules.isEmpty) return rules
     val genPath = s"$root/${staged.gen}"
-    val data = verbatimPartitions(spark) {
-      spark.read.option("basePath", genPath).parquet(
-        staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"): _*)
-    }
+    val data = readVerbatim(spark, genPath, staged.partitionCol,
+      staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"))
     rules.toSeq.sortBy(_._1).foreach { case (name, rule) =>
       val bad = data.filter(!coalesce(expr(rule), lit(true))).limit(3).collect()
       if (bad.nonEmpty)
@@ -800,6 +983,7 @@ object AtomicCommit {
           s"commit to $root violates constraint $name ($rule), e.g. " +
             s"${bad.mkString("; ")} — nothing was published")
     }
+    rules
   }
 
   /** TAG: pin snapshot `version` under a durable name (Iceberg's tagged
@@ -864,8 +1048,15 @@ object AtomicCommit {
     * the previous ON-DISK version (None for the oldest retained one —
     * its predecessor may be vacuumed); `kind` classifies the commit from
     * its manifest delta: `replace`, `append`, `drop`, `mixed`,
-    * `metadata` (props-only — tags, constraints, watermarks), or
-    * `repartition` (partition column changed).
+    * `metadata` (props-only — tags, constraints, watermarks),
+    * `rowdelete` (merge-on-read delete: deletion vectors changed, data
+    * owners untouched — partitions the delete emptied drop alongside), or
+    * `repartition` (partition column changed). Classification caveat: a
+    * partition value ABSENT before the commit and present after it is
+    * counted append-compatible (appends routinely create partitions), but
+    * a replace that only creates new partition values produces the
+    * identical manifest delta — the two are indistinguishable here, and
+    * such commits read as `append`.
     */
   final case class CommitInfo(version: Long, partitionCol: String,
                               numPartitions: Int, kind: String,
@@ -897,18 +1088,37 @@ object AtomicCommit {
           if (keys.isEmpty) "metadata"
           else {
             val dropped = keys.filter(k => !m.entries.contains(k))
+            // data owners identical, deletion vector changed: rows were
+            // marked deleted in place — the merge-on-read delete commit
+            val dvOnly = keys.filter { k =>
+              (p.entries.get(k), m.entries.get(k)) match {
+                case (Some(old), Some(now)) =>
+                  ownersOf(old) == ownersOf(now) && dvOf(old) != dvOf(now)
+                case _ => false
+              }
+            }
             val appended = keys.filter { k =>
               (p.entries.get(k), m.entries.get(k)) match {
                 case (Some(old), Some(now)) =>
-                  ownersOf(now).startsWith(ownersOf(old)) &&
+                  dvOf(old) == dvOf(now) &&
+                    ownersOf(now).startsWith(ownersOf(old)) &&
                     ownersOf(now).size > ownersOf(old).size
-                case (None, Some(_)) => false
+                // a brand-new partition is append-COMPATIBLE: publishAppend
+                // commits landing in fresh partition values look exactly
+                // like this, so counting it as a replace misreported every
+                // new-partition append. The ambiguity is real (a replace
+                // touching only new values is indistinguishable at the
+                // manifest level) — see the CommitInfo docs.
+                case (None, Some(_)) => true
                 case _ => false
               }
             }
             if (dropped.size == keys.size) "drop"
+            else if (dvOnly.nonEmpty && dvOnly.size + dropped.size == keys.size)
+              "rowdelete" // MoR delete (emptied partitions drop alongside)
             else if (appended.size == keys.size) "append"
-            else if (dropped.isEmpty && appended.isEmpty) "replace"
+            else if (dropped.isEmpty && appended.isEmpty && dvOnly.isEmpty)
+              "replace"
             else "mixed"
           }
       }
@@ -929,21 +1139,60 @@ object AtomicCommit {
           s"vacuumed (on disk: ${versions(store).mkString(", ")})")
     }
 
-  /** Run `body` with partition-column type inference OFF: manifest tables
-    * key partitions by their directory-encoded STRING value, so every
-    * read of them must surface the partition column as that string —
-    * inference would read `day=01` back as int 1, which both breaks
-    * lookups against manifest keys and (since r13's partition evolution
-    * turns old partition columns into stored data) could bake the
-    * inferred type into rewritten files. Schema resolution is eager at
-    * `spark.read`, so wrapping the read call is sufficient.
+  /** VERBATIM-PARTITION parquet read: manifest tables key partitions by
+    * their directory-encoded STRING value, so every read of them must
+    * surface the partition column as that string — inference would read
+    * `day=01` back as int 1, which both breaks lookups against manifest
+    * keys and (since r13's partition evolution turns old partition
+    * columns into stored data) could bake the inferred type into
+    * rewritten files. The r13 implementation toggled the session-global
+    * inference conf around the read, which RACED concurrent reads on
+    * other threads of the same session (their inference could observe the
+    * flipped value — nondeterministic partition typing in multi-threaded
+    * drivers). Instead: probe ONE footer for the data schema and pass a
+    * USER-SPECIFIED schema declaring the partition column as string —
+    * Spark skips partition-type inference entirely when the schema is
+    * supplied, so the read is verbatim with zero session-global state.
+    * `paths` are partition directories (or individual data files — the
+    * file-granular pruning form); `basePath` is the generation root the
+    * partition column is derived against.
     */
-  private[graft] def verbatimPartitions[A](spark: SparkSession)(body: => A): A = {
-    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val saved = spark.conf.get(confKey)
-    try { spark.conf.set(confKey, "false"); body }
-    finally spark.conf.set(confKey, saved)
+  private[graft] def readVerbatim(spark: SparkSession, basePath: String,
+                                  partitionCol: String,
+                                  paths: Seq[String]): DataFrame = {
+    val dataSchema = spark.read.parquet(probeParquet(paths)).schema
+    val full = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.filterNot(_.name == partitionCol) :+
+        org.apache.spark.sql.types.StructField(partitionCol,
+          org.apache.spark.sql.types.StringType))
+    spark.read.schema(full).option("basePath", basePath).parquet(paths: _*)
   }
+
+  /** First parquet data file under `paths` (each a directory — searched
+    * recursively, so both `part=v` leaves and whole-dataset roots work —
+    * or a direct file path): the footer [[readVerbatim]] probes for the
+    * data schema. Any file serves — a generation is written by one job,
+    * so its files share a schema.
+    */
+  private[graft] def probeParquet(paths: Seq[String]): String =
+    paths.iterator.flatMap { p =>
+      if (p.endsWith(".parquet")) Iterator.single(p)
+      else {
+        val dir = Paths.get(p)
+        if (!Files.isDirectory(dir)) Iterator.empty
+        else {
+          val s = Files.walk(dir)
+          val found =
+            try {
+              val f = s.filter(f => f.toString.endsWith(".parquet") &&
+                Files.isRegularFile(f)).findFirst()
+              if (f.isPresent) Some(f.get.toString) else None
+            } finally s.close()
+          found.iterator
+        }
+      }
+    }.nextOption().getOrElse(sys.error(
+      s"no parquet data file under ${paths.take(3).mkString(", ")}"))
 
   private[graft] def scanManifest(spark: SparkSession, root: String,
                                   m: Manifest): DataFrame = {
@@ -957,15 +1206,60 @@ object AtomicCommit {
     val byGen = m.entries.toSeq
       .flatMap { case (p, entry) => ownersOf(entry).map(_ -> p) }
       .groupBy(_._1).toSeq.sortBy(_._1)
-    verbatimPartitions(spark) {
-      byGen.map { case (gen, parts) =>
-        val base = s"$root/$gen"
-        val paths = parts.map(_._2).distinct.sorted
-          .map(v => s"$base/${m.partitionCol}=$v")
-        spark.read.option("basePath", base).parquet(paths: _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-    }
+    val dv = dvFrame(spark, root, m)
+    byGen.map { case (gen, parts) =>
+      val base = s"$root/$gen"
+      val paths = parts.map(_._2).distinct.sorted
+        .map(v => s"$base/${m.partitionCol}=$v")
+      applyDv(readVerbatim(spark, base, m.partitionCol, paths),
+        m.partitionCol, gen, dv)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** The union of every deletion-vector generation the manifest's entries
+    * reference, as `(__dv_partition, __dv_owner, __dv_file, __dv_pos)`
+    * rows — None when the snapshot carries no DVs, so the common case
+    * adds zero plan nodes. The union may hold STALE rows (a partition
+    * re-vectored by a later delete leaves its old addresses in a DV
+    * generation another partition still references): harmless, because
+    * DVs only ACCUMULATE per partition until a rewrite clears them, so
+    * the union is a superset whose extra rows either duplicate current
+    * addresses or name (owner, file) pairs the owner filter in
+    * [[applyDv]] screens out.
+    */
+  private[sources] def dvFrame(spark: SparkSession, root: String,
+                               m: Manifest): Option[DataFrame] = {
+    val dvGens = m.entries.values.flatMap(dvOf).toSeq.distinct.sorted
+    if (dvGens.isEmpty) None
+    else Some(dvGens.map(g => spark.read.parquet(s"$root/$g"))
+      .reduce(_.unionByName(_)))
+  }
+
+  /** MERGE-ON-READ: remove generation `gen`'s deleted rows from `df` by
+    * anti-joining its slice of the deletion vectors on
+    * (partition, file, row position) — positions come from the parquet
+    * reader's `_metadata` columns, so the merge is one broadcast
+    * anti-join over the rows already being scanned, no second pass. A DV
+    * is small relative to its table (it is the delete set, and bulk
+    * deletes belong to the copy-on-write path), so the broadcast is the
+    * plan a 1000-executor cluster wants.
+    */
+  private[sources] def applyDv(df: DataFrame, partitionCol: String,
+                               gen: String, dv: Option[DataFrame]): DataFrame =
+    dv match {
+      case None => df
+      case Some(d) =>
+        val slice = d.filter(col("__dv_owner") === gen)
+          .select("__dv_partition", "__dv_file", "__dv_pos")
+        df.withColumn("__graft_f", col("_metadata.file_name"))
+          .withColumn("__graft_pos", col("_metadata.row_index"))
+          .join(broadcast(slice),
+            col(partitionCol).cast("string") === col("__dv_partition") &&
+              col("__graft_f") === col("__dv_file") &&
+              col("__graft_pos") === col("__dv_pos"),
+            "left_anti")
+          .drop("__graft_f", "__graft_pos")
+    }
 
   /** Manifest-level partition-pruned read: scan ONLY the generation
     * directories owning the requested partition values. Stronger than scan
@@ -1081,7 +1375,7 @@ object AtomicCommit {
       val horizon = m.version - keepVersions + 1
       val tagged = taggedOf(m)
       versions(s).filter(v => v >= horizon || tagged(v))
-        .flatMap(v => manifestAt(s, root, v).entries.values.flatMap(ownersOf))
+        .flatMap(v => manifestAt(s, root, v).entries.values.flatMap(allGensOf))
     }.toSet
     val rootPath = Paths.get(root)
     val children = Option(rootPath.toFile.listFiles).getOrElse(Array.empty)
@@ -1092,7 +1386,7 @@ object AtomicCommit {
       versions(s).flatMap { v =>
         try s.get(manifestName(v))
           .map(b => parseJson(new String(b, StandardCharsets.UTF_8))
-            .entries.values.flatMap(ownersOf))
+            .entries.values.flatMap(allGensOf))
           .getOrElse(Nil)
         catch { case _: Throwable => Nil } // a torn manifest can't vouch
       }
@@ -1122,9 +1416,9 @@ object AtomicCommit {
     val deleted = doomed.filter { d =>
       val nowLive = views.flatMap { s =>
         readManifest(s).toSeq.flatMap { m =>
-          m.entries.values.flatMap(ownersOf) ++
+          m.entries.values.flatMap(allGensOf) ++
             (taggedOf(m) -- priorTagged).flatMap(v =>
-              try manifestAt(s, root, v).entries.values.flatMap(ownersOf)
+              try manifestAt(s, root, v).entries.values.flatMap(allGensOf)
               catch { case _: Throwable => Nil })
         }
       }.toSet

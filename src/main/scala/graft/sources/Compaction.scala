@@ -60,16 +60,20 @@ object Compaction {
     if (!Files.exists(Paths.get(path)) && Files.exists(oldPath))
       Files.move(oldPath, Paths.get(path))
     val before = countDataFiles(path)
-    // partition-column type inference OFF for the rewrite: inference
-    // canonicalizes partition VALUES (month=01 would be read as int 1 and
-    // rewritten as month=1 — renamed directories, broken string filters).
-    // With it off, values round-trip verbatim; the compacted dataset's
-    // next reader infers exactly what it inferred before.
-    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val saved = spark.conf.get(confKey)
-    val df =
-      try { spark.conf.set(confKey, "false"); spark.read.parquet(path) }
-      finally spark.conf.set(confKey, saved)
+    // verbatim-partition read for the rewrite (user-specified schema, the
+    // [[AtomicCommit.readVerbatim]] discipline generalized to multiple
+    // partition columns): inference would canonicalize partition VALUES
+    // (month=01 would be read as int 1 and rewritten as month=1 — renamed
+    // directories, broken string filters). Declared as strings, values
+    // round-trip verbatim; the compacted dataset's next reader infers
+    // exactly what it inferred before.
+    val dataSchema =
+      spark.read.parquet(AtomicCommit.probeParquet(Seq(path))).schema
+    val full = org.apache.spark.sql.types.StructType(
+      dataSchema.fields.filterNot(f => partitionCols.contains(f.name)) ++
+        partitionCols.map(c => org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType)))
+    val df = spark.read.schema(full).parquet(path)
     val parts = partitionCols.map(col)
     val keyed =
       if (filesPerDir == 1) df.repartition(parts: _*)

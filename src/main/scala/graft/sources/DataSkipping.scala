@@ -87,17 +87,11 @@ object DataSkipping {
   def annotateStaged(spark: SparkSession, root: String,
                      staged: AtomicCommit.Staged, cols: Seq[String]): Unit = {
     val genPath = s"$root/${staged.gen}"
-    // partition-type inference OFF: the sidecar keys must equal the
-    // manifest's partition VALUES verbatim ("01" must not become 1, or
-    // readWhere's lookup misses and the partition is scanned needlessly)
-    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val saved = spark.conf.get(confKey)
-    val data =
-      try {
-        spark.conf.set(confKey, "false")
-        spark.read.option("basePath", genPath).parquet(
-          staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"): _*)
-      } finally spark.conf.set(confKey, saved)
+    // verbatim-partition read: the sidecar keys must equal the manifest's
+    // partition VALUES verbatim ("01" must not become 1, or readWhere's
+    // lookup misses and the partition is scanned needlessly)
+    val data = AtomicCommit.readVerbatim(spark, genPath, staged.partitionCol,
+      staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"))
     val kinds: Map[String, String] = cols.map { c =>
       data.schema.find(_.name == c).getOrElse(
         sys.error(s"stats column $c not in generation schema")) match {
@@ -274,12 +268,17 @@ object DataSkipping {
         gen -> paths
       }
       .filter(_._2.nonEmpty)
+    // min/max stats remain SOUND over merge-on-read deletes (a deletion
+    // only shrinks the value set), so pruning is unchanged — but the rows
+    // returned must have the vectors applied
+    val dv = AtomicCommit.dvFrame(spark, root, m)
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
-    else AtomicCommit.verbatimPartitions(spark) {
-      byGen.map { case (gen, paths) =>
-        spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-    }.filter(residual)
+    else byGen.map { case (gen, paths) =>
+      AtomicCommit.applyDv(
+        AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol, paths),
+        m.partitionCol, gen, dv)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(residual)
   }
 
   /** COUNT of rows with `colName` in `[lower, upper]`, answered from
@@ -349,11 +348,24 @@ object DataSkipping {
       if (allContained) Some(contribution) else None
     }
     m.entries.foreach { case (pv, entry) =>
+      // a partition with a deletion vector cannot be METADATA-decided:
+      // its recorded row counts predate the deletes (overcounts), and
+      // interval disjointness is the only still-sound evidence — but the
+      // scan path applies the vectors anyway, so the whole entry routes
+      // there. Rewrites clear vectors, restoring the metadata fast path.
+      val hasDv = AtomicCommit.dvOf(entry).nonEmpty
       AtomicCommit.ownersOf(entry).foreach { gen =>
         val dir = s"$root/$gen/${m.partitionCol}=$pv"
         val recs = statsOf(gen).filter(_.partition == pv)
         val fileRecs = recs.filter(_.file.nonEmpty)
-        if (fileRecs.nonEmpty) {
+        if (hasDv) {
+          // interval-disjoint evidence still prunes (deletes only shrink)
+          val disjoint = preds.exists { case (c, lo, hi) =>
+            recs.find(s => s.col == c && s.file.isEmpty)
+              .exists(s => !intersects(s, lo, hi))
+          }
+          if (!disjoint) queue(gen, dir)
+        } else if (fileRecs.nonEmpty) {
           val files = fileRecs.flatMap(_.file).distinct
           files.foreach { f =>
             decide(c => fileRecs.find(s => s.col == c && s.file.contains(f))) match {
@@ -370,13 +382,16 @@ object DataSkipping {
         }
       }
     }
+    val dv = AtomicCommit.dvFrame(spark, root, m)
     val scanned =
       if (scanPaths.isEmpty) 0L
-      else AtomicCommit.verbatimPartitions(spark) {
-        scanPaths.toSeq.sortBy(_._1).map { case (gen, paths) =>
-          spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
-      }.filter(preds
+      else scanPaths.toSeq.sortBy(_._1).map { case (gen, paths) =>
+        AtomicCommit.applyDv(
+          AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol,
+            paths),
+          m.partitionCol, gen, dv)
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+        .filter(preds
         .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
         .reduce(_ && _))
         .count()
@@ -420,10 +435,8 @@ object DataSkipping {
       : DataFrame = {
     val (pv, entry) = m.entries.head
     val gen = AtomicCommit.ownersOf(entry).head
-    val schema = AtomicCommit.verbatimPartitions(spark) {
-      spark.read.option("basePath", s"$root/$gen")
-        .parquet(s"$root/$gen/${m.partitionCol}=$pv").schema
-    }
+    val schema = AtomicCommit.readVerbatim(spark, s"$root/$gen",
+      m.partitionCol, Seq(s"$root/$gen/${m.partitionCol}=$pv")).schema
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -476,14 +489,8 @@ object DataSkipping {
     require(numBits > 0 && numBits % 64 == 0, s"numBits=$numBits")
     require(numHashes >= 1, s"numHashes=$numHashes")
     val genPath = s"$root/${staged.gen}"
-    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val saved = spark.conf.get(confKey)
-    val data =
-      try {
-        spark.conf.set(confKey, "false")
-        spark.read.option("basePath", genPath).parquet(
-          staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"): _*)
-      } finally spark.conf.set(confKey, saved)
+    val data = AtomicCommit.readVerbatim(spark, genPath, staged.partitionCol,
+      staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"))
     val records = cols.flatMap { c =>
       val dt = data.schema.find(_.name == c).getOrElse(
         sys.error(s"bloom column $c not in generation schema")).dataType
@@ -598,12 +605,16 @@ object DataSkipping {
       }
       .filter(_._2.nonEmpty)
     val residual = col(colName) === lit(value)
+    // blooms stay sound over MoR deletes (a deleted key is at worst a
+    // false positive — one partition scan); the returned rows merge DVs
+    val dv = AtomicCommit.dvFrame(spark, root, m)
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
-    else AtomicCommit.verbatimPartitions(spark) {
-      byGen.map { case (gen, paths) =>
-        spark.read.option("basePath", s"$root/$gen").parquet(paths: _*)
-      }.reduce(_.unionByName(_, allowMissingColumns = true))
-    }.filter(residual)
+    else byGen.map { case (gen, paths) =>
+      AtomicCommit.applyDv(
+        AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol, paths),
+        m.partitionCol, gen, dv)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(residual)
   }
 
   /** The bloom records of a generation (empty when un-annotated). */
@@ -680,6 +691,16 @@ object DataSkipping {
         }
       case _ => true // half-recorded — treat as no evidence
     }
+
+  /** Order two pushed-filter literals of one column: numbers as exact
+    * decimals, anything else by code point — [[GraftRelation]]'s bound
+    * tightening when several comparisons constrain the same column.
+    */
+  private[sources] def looseCompare(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Number, y: java.lang.Number) =>
+      new BigDecimal(x.toString).compareTo(new BigDecimal(y.toString))
+    case _ => cpCompare(String.valueOf(a), String.valueOf(b))
+  }
 
   /** Lexicographic comparison by Unicode CODE POINT — the order Spark's
     * binary UTF8String comparison realizes. Java's `String.compareTo`

@@ -67,6 +67,149 @@ object Deletes {
       col(colName) >= lit(lower) && col(colName) <= lit(upper), statsCols)
   }
 
+  /** MERGE-ON-READ delete (deletion vectors) — the repair for the
+    * copy-on-write worst case: a point delete in a partition no stats can
+    * prune rewrites the whole partition under [[deleteWhere]] (TableBench
+    * measured 26.6 s vs 1 s at 16M rows), which at 100 TB makes scattered
+    * GDPR-style deletes the dominant write cost. Here the commit is
+    * O(deleted rows): matched rows are recorded by PHYSICAL ADDRESS
+    * (owner generation, file, row position — the parquet reader's
+    * `_metadata` columns) in a deletion-vector generation, and the
+    * manifest entry of each touched partition gains a `~<dvGen>` token.
+    * Readers anti-join the vector at scan time
+    * ([[AtomicCommit.applyDv]]); no data file is rewritten, ever.
+    * The Iceberg v2 / Delta deletion-vector design on this module's
+    * primitives:
+    *
+    *   - A second MoR delete UNIONS its addresses with the partition's
+    *     current vector into a fresh DV generation (vectors accumulate;
+    *     the superseded one ages out via vacuum once unreferenced).
+    *   - A partition the delete EMPTIES drops from the manifest outright
+    *     (no vector needed), in the same commit.
+    *   - Any REWRITE of a partition — upsert, CoW delete, compaction,
+    *     recluster — scans through the merged view and publishes a plain
+    *     entry, so rewrites PURGE vectors by construction and restore the
+    *     metadata-count fast path [[DataSkipping.countWhereAll]] gives up
+    *     while a vector is live.
+    *   - Concurrency: the commit anchors its read set at the scanned
+    *     manifest like every read-modify-write here — a concurrent commit
+    *     to a touched partition aborts this delete
+    *     ([[AtomicCommit.PartitionConflictException]]; re-run it).
+    *   - Appends to a vectored partition commute: the vector addresses
+    *     rows in EXISTING files only, and the append path carries the
+    *     token forward untouched.
+    *
+    * Choose CoW for bulk deletes (it reclaims space and keeps scans
+    * merge-free), MoR for scattered small ones; compaction converts the
+    * latter into the former on the maintenance schedule. SQL DELETE null
+    * semantics, same as [[deleteWhere]]. Returns the new version, or None
+    * when nothing matched.
+    */
+  def deleteWhereMoR(spark: SparkSession, root: String,
+                     cond: Column): Option[Long] =
+    deleteWhereMoR(spark, root, new PosixManifestStore(root), cond)
+
+  def deleteWhereMoR(spark: SparkSession, root: String, store: ManifestStore,
+                     cond: Column): Option[Long] = {
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    commitDeleteMoR(spark, root, store, m, m.entries, cond)
+  }
+
+  /** [[deleteWhereMoR]] for a `[lower, upper]` range on `colName`,
+    * stats-pruning the candidate partitions first — provably-disjoint
+    * partitions are never scanned for matches (the retention-delete
+    * shape, merge-on-read flavored).
+    */
+  def deleteRangeMoR(spark: SparkSession, root: String, colName: String,
+                     lower: Any, upper: Any): Option[Long] =
+    deleteRangeMoR(spark, root, new PosixManifestStore(root), colName,
+      lower, upper)
+
+  def deleteRangeMoR(spark: SparkSession, root: String, store: ManifestStore,
+                     colName: String, lower: Any, upper: Any): Option[Long] = {
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val candidates = DataSkipping.prunedEntries(root, m, colName, lower, upper)
+    if (candidates.isEmpty) return None
+    commitDeleteMoR(spark, root, store, m, candidates,
+      col(colName) >= lit(lower) && col(colName) <= lit(upper))
+  }
+
+  private def commitDeleteMoR(spark: SparkSession, root: String,
+                              store: ManifestStore, m: AtomicCommit.Manifest,
+                              candidates: Map[String, String],
+                              cond: Column): Option[Long] = {
+    val pc = m.partitionCol
+    val dv = AtomicCommit.dvFrame(spark, root, m)
+    // live rows of the candidate partitions, each with its physical
+    // address attached (existing vectors applied first, so already-dead
+    // rows are neither re-addressed nor counted toward emptiness)
+    val byGen = candidates.toSeq
+      .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val addressed = byGen.map { case (gen, pairs) =>
+      val base = s"$root/$gen"
+      val paths = pairs.map(_._2).distinct.sorted.map(v => s"$base/$pc=$v")
+      AtomicCommit.applyDv(
+        AtomicCommit.readVerbatim(spark, base, pc, paths)
+          .withColumn("__addr_own", lit(gen))
+          .withColumn("__addr_f", col("_metadata.file_name"))
+          .withColumn("__addr_pos", col("_metadata.row_index")),
+        pc, gen, dv)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val deletes = coalesce(cond, lit(false))
+    val matched = addressed.filter(deletes).select(
+      col(pc).cast("string").as("__dv_partition"),
+      col("__addr_own").as("__dv_owner"),
+      col("__addr_f").as("__dv_file"),
+      col("__addr_pos").as("__dv_pos")).persist()
+    try {
+      val mc = matched.groupBy("__dv_partition").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (mc.isEmpty) return None
+      val touched = mc.keys.toSeq.sorted
+      val lc = addressed
+        .filter(col(pc).cast("string").isin(touched: _*))
+        .groupBy(col(pc).cast("string").as("__p")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val drops = touched.filter(p => lc(p) == mc(p))
+      val keep = touched.filterNot(drops.toSet)
+      val baseOwners = (keep ++ drops)
+        .flatMap(p => m.entries.get(p).map(p -> _)).toMap
+      val staged =
+        if (keep.isEmpty) // every touched partition emptied: plain drop
+          AtomicCommit.Staged("", pc, Nil, m.version, baseOwners,
+            drops = drops)
+        else {
+          // new DV generation = each kept partition's CURRENT vector
+          // (from the dv gen its entry references — staleness-free by
+          // construction) unioned with the fresh addresses
+          val dvGen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
+          val keepSet = keep.toSet
+          val carried = keep
+            .flatMap(p => AtomicCommit.dvOf(m.entries(p)).map(_ -> p))
+            .groupBy(_._1).toSeq.sortBy(_._1)
+            .map { case (g, pairs) =>
+              spark.read.parquet(s"$root/$g")
+                .filter(col("__dv_partition").isin(pairs.map(_._2): _*))
+            }
+          val fresh = matched.filter(col("__dv_partition").isin(keep: _*))
+          // one small file: a vector is delete-set-sized by design (bulk
+          // deletes belong to the CoW path)
+          (fresh +: carried).reduce(_.unionByName(_))
+            .repartition(1).write.mode("error").parquet(s"$root/$dvGen")
+          val overrides = keep.map { p =>
+            p -> AtomicCommit.renderEntry(
+              AtomicCommit.ownersOf(m.entries(p)), Some(dvGen))
+          }.toMap
+          AtomicCommit.Staged(dvGen, pc, keep, m.version, baseOwners,
+            drops = drops, overrides = overrides)
+        }
+      Some(AtomicCommit.publish(root, store, staged))
+    } finally { matched.unpersist(); () }
+  }
+
   /** Scan `candidates` for matches, rewrite the partitions that hold any
     * (minus their matching rows), drop the ones the delete empties, and
     * publish it all as one commit.

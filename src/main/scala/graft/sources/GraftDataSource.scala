@@ -1,0 +1,172 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** SQL-surface addressing for [[AtomicCommit]] manifest tables — the thin
+  * registration that lets the SQL layer name a table and inherit the
+  * whole stack (manifest resolution, owner lists, deletion-vector merge,
+  * partition/stats skipping, time travel, branches) without the caller
+  * touching the Scala API:
+  *
+  * {{{
+  * CREATE TEMPORARY VIEW corpus
+  * USING graft OPTIONS (path '/data/corpus')
+  * -- then: SELECT lang, count(*) FROM corpus WHERE lang = 'de' GROUP BY 1
+  * }}}
+  *
+  * or `spark.read.format("graft").option("path", root).load()`. Options:
+  *
+  *  - `path` (required) — the table root.
+  *  - `versionAsOf` — time travel to a still-retained snapshot version
+  *    (the option-form of `VERSION AS OF`; the DSv2 SQL syntax needs a
+  *    catalog-registered connector, out of this relation's scope).
+  *  - `tagAsOf` — time travel by tag name.
+  *  - `branch` — read a branch lineage instead of main.
+  *
+  * Architecture: the V1 relation API is the deliberate choice here —
+  * `PrunedFilteredScan.buildScan` hands back an RDD, which lets this
+  * relation DELEGATE the actual reading to [[AtomicCommit.scanManifest]]
+  * (the same DataFrame plan every Scala-API read uses: parquet vectorized
+  * scan, DV anti-join, schema evolution) instead of re-implementing a
+  * parquet reader behind the DSv2 `PartitionReaderFactory` contract.
+  * Pushed filters drive MANIFEST-level pruning before that plan is even
+  * built — partition-column equality/IN prunes entries directly, and
+  * range/equality bounds on stats-annotated columns prune through
+  * [[DataSkipping]]'s evidence — so directories a filter excludes are
+  * never listed, the same stronger-than-PartitionFilters guarantee the
+  * Scala API gives. All filters are reported unhandled: Spark re-applies
+  * them on top, so pruning is pure optimization and the residual
+  * evaluation runs in codegen.
+  */
+final class GraftDataSource extends RelationProvider with StreamSourceProvider
+  with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  // ---- streaming face: `spark.readStream.format("graft")` — manifest
+  // versions are the offsets; see [[graft.streaming.GraftStreamSource]]
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val root = parameters.getOrElse("path",
+      sys.error("graft stream source: the 'path' option is required"))
+    val store = graft.streaming.GraftStreamSource.storeFor(root, parameters)
+    val feed = graft.streaming.GraftStreamSource.feedFor(parameters)
+    (shortName(), schema.getOrElse(graft.streaming.GraftStreamSource
+      .schemaFor(sqlContext.sparkSession, root, store, feed)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val root = parameters.getOrElse("path",
+      sys.error("graft stream source: the 'path' option is required"))
+    val store = graft.streaming.GraftStreamSource.storeFor(root, parameters)
+    val feed = graft.streaming.GraftStreamSource.feedFor(parameters)
+    new graft.streaming.GraftStreamSource(sqlContext, root, store, feed,
+      parameters.get("keyCol"),
+      schema.getOrElse(graft.streaming.GraftStreamSource
+        .schemaFor(sqlContext.sparkSession, root, store, feed)))
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val root = parameters.getOrElse("path",
+      sys.error("graft data source: the 'path' option is required"))
+    val store: ManifestStore = parameters.get("branch") match {
+      case Some(b) => new BranchStore(new PosixManifestStore(root), b)
+      case None => new PosixManifestStore(root)
+    }
+    val m = (parameters.get("versionAsOf"), parameters.get("tagAsOf")) match {
+      case (Some(_), Some(_)) =>
+        sys.error("graft data source: versionAsOf and tagAsOf are mutually exclusive")
+      case (Some(v), None) => AtomicCommit.manifestAt(store, root, v.toLong)
+      case (None, Some(t)) =>
+        AtomicCommit.manifestAt(store, root, AtomicCommit.tags(store)
+          .getOrElse(t, sys.error(s"no tag $t at $root (tags: " +
+            s"${AtomicCommit.tags(store).keys.toSeq.sorted.mkString(", ")})")))
+      case (None, None) => AtomicCommit.readManifest(store).getOrElse(
+        sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    }
+    new GraftRelation(spark, root, m)
+  }
+}
+
+/** The snapshot relation: schema and rows come from the SAME
+  * [[AtomicCommit.scanManifest]] plan as the Scala API (so SQL reads are
+  * never a second, divergent implementation), with pushed-filter manifest
+  * pruning in front of it.
+  */
+final class GraftRelation(spark: SparkSession, root: String,
+                          m: AtomicCommit.Manifest)
+  extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType =
+    AtomicCommit.scanManifest(spark, root, m).schema
+
+  // buildScan hands back the delegate plan's InternalRow RDD directly —
+  // no external-row conversion pass on the hot path
+  override def needConversion: Boolean = false
+
+  // every filter re-applies on top (pruning here is best-effort evidence,
+  // not evaluation)
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val pc = m.partitionCol
+    // 1. partition-column pruning straight off the manifest keys
+    var entries = m.entries
+    filters.foreach {
+      case EqualTo(`pc`, v) if v != null =>
+        entries = entries.filter(_._1 == String.valueOf(v))
+      case EqualNullSafe(`pc`, v) if v != null =>
+        entries = entries.filter(_._1 == String.valueOf(v))
+      case In(`pc`, vs) =>
+        val want = vs.filter(_ != null).map(String.valueOf).toSet
+        entries = entries.filter(e => want(e._1))
+      case _ => ()
+    }
+    // 2. stats pruning: fold pushed comparisons into per-column closed
+    // intervals (a BETWEEN arrives as two one-sided filters); columns
+    // with both bounds consult the min/max sidecars. One-sided bounds
+    // prune nothing (no closed interval to test) — kept, still correct.
+    val lows = scala.collection.mutable.Map.empty[String, Any]
+    val highs = scala.collection.mutable.Map.empty[String, Any]
+    def tighten(mm: scala.collection.mutable.Map[String, Any], c: String,
+                v: Any, takeMax: Boolean): Unit =
+      if (v != null && c != pc) mm.updateWith(c) {
+        case None => Some(v)
+        case Some(old) =>
+          val cmp = DataSkipping.looseCompare(v, old)
+          Some(if (cmp == 0) old else if ((cmp > 0) == takeMax) v else old)
+      }
+    filters.foreach {
+      case EqualTo(c, v) => tighten(lows, c, v, takeMax = true)
+        tighten(highs, c, v, takeMax = false)
+      case GreaterThan(c, v) => tighten(lows, c, v, takeMax = true)
+      case GreaterThanOrEqual(c, v) => tighten(lows, c, v, takeMax = true)
+      case LessThan(c, v) => tighten(highs, c, v, takeMax = false)
+      case LessThanOrEqual(c, v) => tighten(highs, c, v, takeMax = false)
+      case _ => ()
+    }
+    (lows.keySet & highs.keySet).foreach { c =>
+      entries = DataSkipping.prunedEntries(root, m.copy(entries = entries),
+        c, lows(c), highs(c))
+    }
+    if (entries.isEmpty)
+      return spark.sparkContext.emptyRDD[Row]
+    val df = AtomicCommit.scanManifest(spark, root, m.copy(entries = entries))
+    val projected =
+      if (requiredColumns.isEmpty) df // 0-column counts keep row counts
+      else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)
+        .toIndexedSeq: _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}

@@ -44,21 +44,16 @@ object IncrementalUpsert {
 
   /** The pruned base read the merge joins against — exposed so the spec
     * can pin that the `isin` lands in the scan's PartitionFilters.
-    * Partition-column type inference is OFF for the read (the
-    * [[Compaction]] rule): inference canonicalizes partition VALUES
-    * (`month=01` reads as int 1 and would rewrite as a RENAMED `month=1`
-    * directory beside the original — a silently forked dataset); with it
-    * off, values round-trip verbatim.
+    * The read is VERBATIM-partitioned ([[AtomicCommit.readVerbatim]]'s
+    * user-schema form — no session-global conf toggle): inference would
+    * canonicalize partition VALUES (`month=01` reads as int 1 and would
+    * rewrite as a RENAMED `month=1` directory beside the original — a
+    * silently forked dataset); declared as string, values round-trip.
     */
   def prunedBase(spark: SparkSession, path: String, partitionCol: String,
-                 touched: Seq[Any]): DataFrame = {
-    val confKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val saved = spark.conf.get(confKey)
-    val df =
-      try { spark.conf.set(confKey, "false"); spark.read.parquet(path) }
-      finally spark.conf.set(confKey, saved)
-    df.filter(col(partitionCol).isin(touched: _*))
-  }
+                 touched: Seq[Any]): DataFrame =
+    AtomicCommit.readVerbatim(spark, path, partitionCol, Seq(path))
+      .filter(col(partitionCol).isin(touched: _*))
 
   /** Merge full-row `changes` (same schema as the snapshot; upsert-by-key,
     * change row replaces base row, unmatched change inserts) into the

@@ -75,27 +75,32 @@ object ChangeFeed {
     // per changed partition: the suffix of generations this version added
     val added: Seq[(String, String)] = cur.entries.toSeq.flatMap {
       case (p, entry) =>
-        val now = AtomicCommit.ownersOf(entry)
-        val before = AtomicCommit.ownersOf(prevEntries.getOrElse(p, ""))
-        if (now == before) Nil
-        else if (now.startsWith(before)) now.drop(before.size).map(p -> _)
-        else sys.error(s"version $version of $root replaced partition $p " +
-          s"(owners ${before.mkString(",")} -> ${now.mkString(",")}) — " +
-          "not an append; use the CDC feed")
+        val beforeE = prevEntries.getOrElse(p, "")
+        if (entry == beforeE) Nil
+        else if (AtomicCommit.dvOf(entry) != AtomicCommit.dvOf(beforeE))
+          sys.error(s"version $version of $root row-deleted in partition " +
+            s"$p (deletion vector changed) — not an append; use the CDC feed")
+        else {
+          val now = AtomicCommit.ownersOf(entry)
+          val before = AtomicCommit.ownersOf(beforeE)
+          if (now == before) Nil
+          else if (now.startsWith(before)) now.drop(before.size).map(p -> _)
+          else sys.error(s"version $version of $root replaced partition $p " +
+            s"(owners ${before.mkString(",")} -> ${now.mkString(",")}) — " +
+            "not an append; use the CDC feed")
+        }
     }
     if (added.isEmpty) None
     else {
       // one multi-path read per added generation, like scanManifest
       val byGen = added.map { case (p, g) => (g, p) }
         .groupBy(_._1).toSeq.sortBy(_._1)
-      Some(AtomicCommit.verbatimPartitions(spark) {
-        byGen.map { case (gen, parts) =>
-          val base = s"$root/$gen"
-          val paths = parts.map(_._2).distinct.sorted
-            .map(v => s"$base/${cur.partitionCol}=$v")
-          spark.read.option("basePath", base).parquet(paths: _*)
-        }.reduce(_.unionByName(_, allowMissingColumns = true))
-      })
+      Some(byGen.map { case (gen, parts) =>
+        val base = s"$root/$gen"
+        val paths = parts.map(_._2).distinct.sorted
+          .map(v => s"$base/${cur.partitionCol}=$v")
+        AtomicCommit.readVerbatim(spark, base, cur.partitionCol, paths)
+      }.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
   }
 
@@ -132,6 +137,30 @@ object ChangeFeed {
   def lastSourceVersion(dstStore: ManifestStore, feedKey: String): Option[Long] =
     AtomicStreamSink.lastBatchId(dstStore, feedKey)
 
+  /** Advance the feed watermark past trailing NO-OP source versions
+    * (props-only commits — tags, constraints, other feeds' watermarks —
+    * produce no batch, so no sink commit records their version). Without
+    * this, a consumer's recorded lag extends past history it has in fact
+    * fully applied, and once those no-op versions age past the source's
+    * vacuum horizon a later tick dies on `manifestAt` even though no data
+    * was ever missed. Props-only commit on the DESTINATION, riding the
+    * same monotonic guard as data batches; skipped when the destination
+    * has no manifest yet (nothing applied, nothing to record it on).
+    */
+  private def bumpWatermark(dstRoot: String, dstStore: ManifestStore,
+                            feedKey: String, version: Long): Unit = {
+    val wmKey = AtomicStreamSink.watermarkKey(feedKey)
+    AtomicCommit.readManifest(dstStore).foreach { dm =>
+      if (!dm.props.get(wmKey).exists(_.toLong >= version)) {
+        AtomicCommit.publishIfNew(dstRoot, dstStore,
+          AtomicCommit.Staged("", dm.partitionCol, Nil, dm.version, Map.empty,
+            props = Map(wmKey -> version.toString)),
+          Set(wmKey))
+        ()
+      }
+    }
+  }
+
   /** One polling tick of an APPEND replica: apply every source version
     * past the feed's watermark to `dstRoot` as an exactly-once append
     * batch (batchId = source version). Returns the source version the
@@ -153,6 +182,7 @@ object ChangeFeed {
           feedKey, batch, v, statsCols)
       }
     }
+    bumpWatermark(dstRoot, dstStore, feedKey, cur)
     cur
   }
 
@@ -178,6 +208,7 @@ object ChangeFeed {
           deleteCol = Some(TombstoneCol))
       }
     }
+    bumpWatermark(dstRoot, dstStore, feedKey, cur)
     cur
   }
 
@@ -215,7 +246,11 @@ object ChangeFeed {
     val changed: Seq[String] =
       if (from == 0L) srcM.entries.keys.toSeq.sorted
       else AtomicCommit.changedPartitions(srcStore, srcRoot, from, cur)
-    if (changed.isEmpty) return from // props-only source commits: no-op
+    if (changed.isEmpty) { // props-only source commits: nothing to apply,
+      // but the watermark still advances so the lag never outlives them
+      bumpWatermark(dstRoot, dstStore, feedKey, cur)
+      return lastSourceVersion(dstStore, feedKey).getOrElse(from)
+    }
     val pc = srcM.partitionCol
     val live = changed.filter(srcM.entries.contains)
     val sliceOpt =
@@ -256,7 +291,10 @@ object ChangeFeed {
       } else if (drops.nonEmpty)
         AtomicCommit.Staged("", pc, Nil, dstM.map(_.version).getOrElse(0L),
           dropOwners, props = wmProps, drops = drops)
-      else return from // nothing to emit and nothing to drop
+      else { // nothing to emit and nothing to drop — watermark-only
+        bumpWatermark(dstRoot, dstStore, feedKey, cur)
+        return lastSourceVersion(dstStore, feedKey).getOrElse(from)
+      }
     AtomicCommit.publishIfNew(dstRoot, dstStore, staged, Set(wmKey))
     cur
   }

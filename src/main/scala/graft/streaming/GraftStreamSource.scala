@@ -1,0 +1,139 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.{AtomicCommit, BranchStore, ManifestStore, PosixManifestStore}
+
+/** A REGISTERED Structured Streaming source over [[graft.sources
+  * .AtomicCommit]] tables — the subscription surface [[ChangeFeed]]'s
+  * polling-tick API lacks: any Spark streaming query (not just
+  * AtomicCommit-to-AtomicCommit replication) can now subscribe to a
+  * manifest table with triggers, checkpoints, and arbitrary downstream
+  * transforms:
+  *
+  * {{{
+  * spark.readStream.format("graft").option("path", root).load()
+  *   .groupBy("lang").count()
+  *   .writeStream.option("checkpointLocation", cp)...
+  * }}}
+  *
+  * MANIFEST VERSIONS ARE THE OFFSETS. The table's commit history is a
+  * dense, immutable sequence, so the offset range (start, end] maps
+  * deterministically to batches — re-deriving a batch after a crash
+  * yields byte-identical rows, which is exactly the replayability the
+  * engine's offset-log recovery contract requires. The engine's
+  * checkpoint holds nothing but version numbers; batch derivation
+  * delegates to [[ChangeFeed.appendsAt]] / [[ChangeFeed.cdcBatchAt]], so
+  * a micro-batch costs O(what changed), never O(table).
+  *
+  * Options: `path` (required); `feed` = `append` (default — insert-only
+  * history, fails loudly on replaces/deletes) or `cdc` (any history, rows
+  * plus boolean `__cf_tombstone`, requires `keyCol`); `branch` to follow
+  * a branch lineage.
+  *
+  * Retention contract, surfaced as a STREAM ERROR: a consumer that falls
+  * behind the source's vacuum horizon fails its next batch with the
+  * readable-versions message from `manifestAt` — never silently skips
+  * history (Delta/Iceberg's CDF-vs-VACUUM rule).
+  *
+  * V1 `Source` is the deliberate API choice for the same reason
+  * [[graft.sources.GraftDataSource]] uses the V1 relation: `getBatch`
+  * returns a DataFrame, letting batches reuse the exact manifest-read
+  * plans of the batch API instead of re-implementing parquet reading
+  * behind DSv2's `PartitionReaderFactory`.
+  */
+final class GraftStreamSource(sqlContext: SQLContext, root: String,
+                              store: ManifestStore, feed: String,
+                              keyCol: Option[String],
+                              override val schema: StructType)
+  extends Source {
+
+  private def spark = sqlContext.sparkSession
+
+  private def versionOf(o: V1Offset): Long = {
+    // offsets round-trip through the engine's JSON log; ours is a bare
+    // version number (possibly re-wrapped as a SerializedOffset)
+    val j = o.json.trim
+    j.stripPrefix("\"").stripSuffix("\"").toLong
+  }
+
+  override def getOffset: Option[V1Offset] =
+    AtomicCommit.currentVersion(store).map(v => GraftStreamSource.GraftOffset(v))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val from = start.map(versionOf).getOrElse(0L)
+    val to = versionOf(end)
+    val batches = ((from + 1) to to).flatMap { v =>
+      feed match {
+        case "append" => ChangeFeed.appendsAt(spark, root, store, v)
+        case "cdc" => ChangeFeed.cdcBatchAt(spark, root, store, v, keyCol.get)
+      }
+    }
+    val df =
+      if (batches.isEmpty) // props-only versions in range: empty batch
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else batches.reduce(_.unionByName(_, allowMissingColumns = true))
+    // fix column order to the declared schema (union order is read order)
+    asStreaming(df.select(schema.fieldNames
+      .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+  }
+
+  /** Wrap the derived batch plan as a STREAMING DataFrame — Spark 4's
+    * MicroBatchExecution asserts `isStreaming` on every V1 `getBatch`
+    * result. `internalCreateDataFrame` is what Spark's own V1 file
+    * source calls for exactly this; it is `private[sql]` in source but
+    * public in bytecode, reached reflectively (one driver-side call per
+    * micro-batch — the executed plan underneath is unchanged).
+    */
+  private def asStreaming(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val m = session.getClass.getMethod("internalCreateDataFrame",
+      classOf[org.apache.spark.rdd.RDD[_]], classOf[StructType],
+      java.lang.Boolean.TYPE)
+    m.invoke(session, df.queryExecution.toRdd, df.schema,
+      java.lang.Boolean.TRUE).asInstanceOf[DataFrame]
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+  /** The offset: one manifest version, serialized as its decimal form. */
+  final case class GraftOffset(version: Long) extends V1Offset {
+    override def json: String = version.toString
+  }
+
+  private[graft] def storeFor(root: String,
+                                  parameters: Map[String, String]): ManifestStore =
+    parameters.get("branch") match {
+      case Some(b) => new BranchStore(new PosixManifestStore(root), b)
+      case None => new PosixManifestStore(root)
+    }
+
+  /** The stream's schema: the table's current read schema, plus the
+    * tombstone flag in CDC mode. Resolved once at query planning; later
+    * additive schema evolution on the source surfaces on restart.
+    */
+  private[graft] def schemaFor(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, store: ManifestStore,
+                                   feed: String): StructType = {
+    val base = AtomicCommit.read(spark, root, store).schema
+    if (feed == "cdc")
+      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+        "__cf_tombstone", org.apache.spark.sql.types.BooleanType,
+        nullable = false))
+    else base
+  }
+
+  private[graft] def feedFor(parameters: Map[String, String]): String = {
+    val feed = parameters.getOrElse("feed", "append")
+    require(feed == "append" || feed == "cdc",
+      s"graft stream source: feed must be 'append' or 'cdc', got $feed")
+    require(feed != "cdc" || parameters.contains("keyCol"),
+      "graft stream source: the cdc feed requires the keyCol option")
+    feed
+  }
+}

@@ -346,4 +346,249 @@ class AtomicCommitFuzzSpec extends SparkSpec {
       }
     } finally pool.shutdown()
   }
+
+  /** r14: the merge-on-read delete joins the race. A deleter thread marks
+    * the seed rows of partitions A–D deleted (one DV commit each, E kept
+    * so the table can never empty) while mixed append/replace writers and
+    * a continuous compactor churn. The adversarial claims: a DV commit's
+    * read-set anchors like any rewrite (it aborts rather than clobbering
+    * a concurrent replace — and vice versa: a replace that lands after a
+    * DV commit OWNS the partition, seed resurrection would break replay);
+    * compaction folds the MERGED view, so vectors purge without
+    * un-deleting; and every surviving snapshot replays the exact
+    * interleaving of appends, replaces, and row deletes its version
+    * prefix implies.
+    */
+  test("append/replace writers racing a MoR deleter and a compactor: deletes serialize, replay holds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft_fz_mor").toString
+    val store = new InMemoryObjectStore
+    val writers = 3
+    val commitsPer = 5
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Partitions.map(p => (0L, p, "seed")).toDF("writer", "flag", "tag"),
+      "flag", 1)
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compactions = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(writers + 2)
+    try {
+      val compactor = pool.submit(new Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          var attempts = 0
+          while (!done.get()) {
+            attempts += 1
+            try {
+              graft.sources.Compaction.compactAtomicTable(spark, root, store,
+                filesPerDir = 1, vacuumNow = false, statsCols = Nil)
+              compactions.incrementAndGet()
+            } catch {
+              case _: AtomicCommit.PartitionConflictException => ()
+            }
+            Thread.sleep(60)
+          }
+          attempts
+        }
+      })
+      // the deleter: one MoR commit per target partition, loser-protocol
+      // retries; None = the seed was already replaced before any attempt
+      // landed (then there is nothing to delete — writer rows keep tags)
+      val deleter = pool.submit(new Callable[Seq[(String, Option[Long])]] {
+        def call(): Seq[(String, Option[Long])] = {
+          gate.await()
+          Seq("A", "B", "C", "D").map { target =>
+            var out: Option[Option[Long]] = None
+            while (out.isEmpty) {
+              try out = Some(graft.sources.Deletes.deleteWhereMoR(spark,
+                root, store, col("writer") === 0L && col("flag") === target))
+              catch { case _: AtomicCommit.PartitionConflictException => () }
+            }
+            Thread.sleep(30)
+            target -> out.get
+          }
+        }
+      })
+      val futures = (1 to writers).map { w =>
+        pool.submit(new Callable[Seq[(Long, Set[String], Long, Boolean)]] {
+          def call(): Seq[(Long, Set[String], Long, Boolean)] = {
+            val rnd = new scala.util.Random(11000L + w)
+            gate.await()
+            (1 to commitsPer).map { c =>
+              val targets = rnd.shuffle(Partitions).take(1 + rnd.nextInt(2)).toSet
+              val isAppend = rnd.nextInt(10) < 6
+              val tag = w * 1000L + c
+              val df = targets.toSeq.sorted
+                .map(p => (tag, p, s"w$w-c$c")).toDF("writer", "flag", "tag")
+              val version =
+                if (isAppend)
+                  AtomicCommit.commitAppendPartitions(spark, root, store,
+                    df, "flag", 1)
+                else {
+                  var v = -1L
+                  while (v < 0) {
+                    val staged = AtomicCommit.stage(spark, root, store, df, "flag", 1)
+                    try v = AtomicCommit.publish(root, store, staged)
+                    catch { case _: AtomicCommit.PartitionConflictException => () }
+                  }
+                  v
+                }
+              (tag, targets, version, isAppend)
+            }
+          }
+        })
+      }
+      gate.countDown()
+      val commits = futures.flatMap(_.get(300, TimeUnit.SECONDS))
+      val deletes = deleter.get(300, TimeUnit.SECONDS)
+      done.set(true)
+      compactor.get(120, TimeUnit.SECONDS)
+
+      // versions dense across all three writer kinds
+      val landedDeletes = deletes.collect { case (p, Some(v)) => (p, v) }
+      val total = 1L + commits.size + landedDeletes.size + compactions.get()
+      assert(AtomicCommit.currentVersion(store) === Some(total))
+      assert(AtomicCommit.versions(store).toSet === (1L to total).toSet)
+
+      // replay model: seed 0, replace resets to its tag, append adds its
+      // tag, a landed MoR delete removes the seed row if still present;
+      // compactions are content-neutral. An empty fold = partition absent.
+      sealed trait Ev { def v: Long }
+      case class W(tag: Long, append: Boolean, v: Long) extends Ev
+      case class D(v: Long) extends Ev
+      def expectedAt(ver: Long): Map[String, Set[Long]] =
+        Partitions.flatMap { p =>
+          val evs: Seq[Ev] =
+            (commits.filter(c => c._3 <= ver && c._2.contains(p))
+              .map(c => W(c._1, c._4, c._3)) ++
+              landedDeletes.filter(d => d._1 == p && d._2 <= ver)
+                .map(d => D(d._2))).sortBy(_.v)
+          var s = Set(0L)
+          evs.foreach {
+            case W(tag, true, _) => s = s + tag
+            case W(tag, false, _) => s = Set(tag)
+            case D(_) => s = s - 0L
+          }
+          if (s.isEmpty) None else Some(p -> s)
+        }.toMap
+      def stateAt(read: => org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+        read.select("flag", "writer").as[(String, Long)].collect()
+          .groupBy(_._1).map { case (p, rows) => p -> rows.map(_._2).toSet }
+      assert(stateAt(AtomicCommit.read(spark, root, store)) ===
+        expectedAt(Long.MaxValue))
+      for (v <- Seq(3L, total / 2, total - 1)) {
+        assert(stateAt(AtomicCommit.readAt(spark, root, store, v)) ===
+          expectedAt(v), s"version $v does not replay its prefix")
+      }
+      // quiesced compaction leaves no vectors behind
+      graft.sources.Compaction.compactAtomicTable(spark, root, store,
+        filesPerDir = 1, vacuumNow = false, statsCols = Nil)
+      val m = AtomicCommit.readManifest(store).get
+      assert(m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty))
+      assert(stateAt(AtomicCommit.read(spark, root, store)) ===
+        expectedAt(Long.MaxValue))
+    } finally pool.shutdown()
+  }
+
+  /** r14: branches under contention. Two branch writers and a main writer
+    * churn concurrently (each lineage its own partitions), then a merger
+    * three-way-merges branch 1 WHILE main keeps committing — the merge's
+    * CAS loses to concurrent main commits and must retry, never
+    * interleave (a half-merged manifest cannot exist: the merge is one
+    * putIfAbsent). Claims: fork isolation held during the race (main's
+    * manifest never referenced a branch generation), each merge lands
+    * exactly the branch's partitions, and the final state is every
+    * lineage's last word on its own partitions.
+    */
+  test("writers on two branches racing main and a live merger: isolation and merge atomicity") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_fz_br").toString
+    val store = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Partitions.map(p => (0L, p, "seed")).toDF("writer", "flag", "tag"),
+      "flag", 1)
+    AtomicCommit.createBranch(root, store, "b1")
+    AtomicCommit.createBranch(root, store, "b2")
+    val bs1 = AtomicCommit.branchStore(store, "b1")
+    val bs2 = AtomicCommit.branchStore(store, "b2")
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    def churn(view: ManifestStore, parts: Seq[String], seedBase: Long,
+              n: Int): Callable[Long] = new Callable[Long] {
+      def call(): Long = {
+        val rnd = new scala.util.Random(seedBase)
+        gate.await()
+        var last = 0L
+        (1 to n).foreach { c =>
+          val p = parts(c % parts.size) // deterministic coverage of both
+          val tag = seedBase + c
+          val df = Seq((tag, p, s"t$tag")).toDF("writer", "flag", "tag")
+          val isAppend = rnd.nextBoolean()
+          if (isAppend)
+            AtomicCommit.commitAppendPartitions(spark, root, view, df, "flag", 1)
+          else {
+            var v = -1L
+            while (v < 0) {
+              val staged = AtomicCommit.stage(spark, root, view, df, "flag", 1)
+              try v = AtomicCommit.publish(root, view, staged)
+              catch { case _: AtomicCommit.PartitionConflictException => () }
+            }
+          }
+          last = tag
+        }
+        last
+      }
+    }
+    try {
+      val fb1 = pool.submit(churn(bs1, Seq("A", "B"), 100L, 5))
+      val fb2 = pool.submit(churn(bs2, Seq("C", "D"), 200L, 5))
+      val fmainRace = pool.submit(churn(store, Seq("E"), 300L, 4))
+      gate.countDown()
+      fb1.get(300, TimeUnit.SECONDS); fb2.get(300, TimeUnit.SECONDS)
+      fmainRace.get(300, TimeUnit.SECONDS)
+      // fork isolation after the churn: main's A–D entries are exactly
+      // the seed commit's (no branch generation ever leaked into main)
+      val seedEntries = AtomicCommit.manifestAt(store, root, 1L).entries
+      val mainNow = AtomicCommit.readManifest(store).get.entries
+      Seq("A", "B", "C", "D").foreach { p =>
+        assert(mainNow(p) === seedEntries(p), s"branch write leaked into main at $p")
+      }
+      // merge b1 while main is STILL committing: the merger retries CAS
+      // losses; every abort must leave main fully unmerged or the final
+      // state check below breaks
+      val fmain2 = pool.submit(churn(store, Seq("E"), 400L, 4))
+      val merger = pool.submit(new Callable[Long] {
+        def call(): Long = {
+          var v = -1L
+          var tries = 0
+          while (v < 0) {
+            tries += 1
+            try v = AtomicCommit.mergeBranch(root, store, "b1")
+            catch { case _: AtomicCommit.PartitionConflictException =>
+              Thread.sleep(10) }
+          }
+          v
+        }
+      })
+      val lastMain = fmain2.get(300, TimeUnit.SECONDS)
+      merger.get(300, TimeUnit.SECONDS)
+      val m2 = AtomicCommit.mergeBranch(root, store, "b2")
+      // versions dense through every churn and both merges
+      assert(AtomicCommit.versions(store).toSet === (1L to m2).toSet)
+      // each partition holds its own lineage's final content
+      val finalState = AtomicCommit.read(spark, root, store)
+        .select("flag", "writer").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(finalState("E") === lastMain,
+        s"E must hold main's last word, got ${finalState("E")}")
+      Seq("A" -> 105L, "B" -> 105L, "C" -> 205L, "D" -> 205L).foreach {
+        case (p, maxTag) => assert(finalState(p) <= maxTag &&
+          finalState(p) > maxTag - 6L, s"$p holds foreign content: ${finalState(p)}")
+      }
+      // branch views survived untouched by the merges
+      assert(AtomicCommit.read(spark, root, bs2)
+        .filter($"flag" === "E").select("writer").as[Long].collect().toSet === Set(0L))
+    } finally pool.shutdown()
+  }
 }

@@ -122,4 +122,113 @@ class BranchesSpec extends SparkSpec {
     assert(AtomicCommit.readManifest(store).get.entries.keySet === Set("A"))
     assert(AtomicCommit.changedPartitions(bx, root, 1L, 2L) === Seq("B"))
   }
+
+  test("merge translates branch tags: shared kept, head re-pinned, intermediates dropped") {
+    val root = Files.createTempDirectory("graft_br_tags").toString
+    val store = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("a", 1L, "r1"), ("b", 2L, "r2")).toDF("p", "k", "v"), "p", 1)
+    AtomicCommit.tag(root, store, "prefork", 1L) // main v2 (props-only)
+    val fork = AtomicCommit.createBranch(root, store, "dev")
+    assert(fork === 2L)
+    val dev = AtomicCommit.branchStore(store, "dev")
+    AtomicCommit.commitAppendPartitions(spark, root, dev,
+      Seq(("c", 3L, "r3")).toDF("p", "k", "v"), "p", 1) // bv3
+    AtomicCommit.tag(root, dev, "mid", 3L) // bv4 — branch-only snapshot
+    AtomicCommit.commitAppendPartitions(spark, root, dev,
+      Seq(("d", 4L, "r4")).toDF("p", "k", "v"), "p", 1) // bv5
+    AtomicCommit.tag(root, dev, "head", 5L) // bv6 — entries equal the head's
+
+    val merged = AtomicCommit.mergeBranch(root, store, "dev")
+    assert(merged === 3L)
+    val tags = AtomicCommit.tags(store)
+    // shared history: carried verbatim; head: re-pinned to the version
+    // the merge published; branch-only intermediate: dropped, never a
+    // dangling pin into main's future
+    assert(tags === Map("prefork" -> 1L, "head" -> merged))
+    assert(AtomicCommit.readTag(spark, root, store, "head")
+      .count() === 4L)
+    assert(AtomicCommit.readTag(spark, root, store, "prefork")
+      .count() === 2L)
+    // main commits again: the carried tags still pin the RIGHT snapshots
+    AtomicCommit.commitAppendPartitions(spark, root, store,
+      Seq(("e", 5L, "r5")).toDF("p", "k", "v"), "p", 1)
+    assert(AtomicCommit.readTag(spark, root, store, "head").count() === 4L)
+  }
+
+  test("three-way merge: disjoint-partition lineages combine after main moves") {
+    val root = Files.createTempDirectory("graft_br3w").toString
+    val store = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("a", 1L, "r1"), ("b", 2L, "r2"), ("c", 3L, "r3"))
+        .toDF("p", "k", "v"), "p", 1)
+    AtomicCommit.createBranch(root, store, "dev")
+    val dev = AtomicCommit.branchStore(store, "dev")
+    // branch: append into a, create d, delete-empty c  →  changes {a, c, d}
+    AtomicCommit.commitAppendPartitions(spark, root, dev,
+      Seq(("a", 10L, "dev-a"), ("d", 40L, "dev-d")).toDF("p", "k", "v"), "p", 1)
+    Deletes.deleteWhere(spark, root, dev, col("p") === "c", Nil)
+    // main moves too: replace b  →  changes {b} — disjoint from the branch
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("b", 20L, "main-b")).toDF("p", "k", "v"), "p", 1)
+
+    val merged = AtomicCommit.mergeBranch(root, store, "dev")
+    assert(merged === 3L)
+    // both lineages' effects present: main's b replace, branch's a append,
+    // branch's new d, branch's c drop
+    assert(rows(root, store) === Set(
+      ("a", 1L, "r1"), ("a", 10L, "dev-a"), ("b", 20L, "main-b"),
+      ("d", 40L, "dev-d")))
+    assert(AtomicCommit.readManifest(store).get.entries.keySet ===
+      Set("a", "b", "d"))
+    // pre-merge main history still replays
+    assert(AtomicCommit.readAt(spark, root, store, 2L)
+      .filter(col("p") === "b").count() === 1L)
+  }
+
+  test("three-way merge aborts on overlapping partitions, naming both write sets") {
+    val root = Files.createTempDirectory("graft_br3w2").toString
+    val store = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("a", 1L, "r1"), ("b", 2L, "r2")).toDF("p", "k", "v"), "p", 1)
+    AtomicCommit.createBranch(root, store, "dev")
+    val dev = AtomicCommit.branchStore(store, "dev")
+    AtomicCommit.commitAppendPartitions(spark, root, dev,
+      Seq(("a", 10L, "dev")).toDF("p", "k", "v"), "p", 1)
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("a", 99L, "main")).toDF("p", "k", "v"), "p", 1)
+    val ex = intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.mergeBranch(root, store, "dev")
+    }
+    assert(ex.getMessage.contains("a") && ex.getMessage.contains("BOTH"))
+    // nothing moved: main keeps its own lineage (its replace of a dropped
+    // k=1), the branch keeps its own (its append preserved it)
+    assert(rows(root, store).map(_._2) === Set(2L, 99L))
+    assert(rows(root, dev).map(_._2) === Set(1L, 2L, 10L))
+  }
+
+  test("three-way merge: constraint changes on one side abort while the other wrote data") {
+    val root = Files.createTempDirectory("graft_br3w3").toString
+    val store = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("a", 1L, "r1"), ("b", 2L, "r2")).toDF("p", "k", "v"), "p", 1)
+    AtomicCommit.createBranch(root, store, "dev")
+    val dev = AtomicCommit.branchStore(store, "dev")
+    AtomicCommit.addConstraint(spark, root, dev, "k_pos", "k > 0")
+    // main commits data the branch's new constraint never validated
+    AtomicCommit.commitAppendPartitions(spark, root, store,
+      Seq(("b", 30L, "main")).toDF("p", "k", "v"), "p", 1)
+    intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.mergeBranch(root, store, "dev")
+    }
+    // but with an entries-clean branch and data-clean main, a pure
+    // constraint branch merges once main is quiet... (re-fork protocol)
+    AtomicCommit.dropBranch(store, "dev")
+    AtomicCommit.createBranch(root, store, "dev2")
+    val dev2 = AtomicCommit.branchStore(store, "dev2")
+    AtomicCommit.addConstraint(spark, root, dev2, "k_pos", "k > 0")
+    val merged = AtomicCommit.mergeBranch(root, store, "dev2")
+    assert(AtomicCommit.constraints(store) === Map("k_pos" -> "k > 0"))
+    assert(merged === 3L)
+  }
 }

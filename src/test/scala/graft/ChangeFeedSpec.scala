@@ -200,4 +200,29 @@ class ChangeFeedSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("v1"))
   }
+
+  test("trailing props-only source versions advance the watermark; vacuum cannot strand the feed") {
+    val srcRoot = Files.createTempDirectory("graft_cf_noop_src").toString
+    val dstRoot = Files.createTempDirectory("graft_cf_noop_dst").toString
+    val src = new InMemoryObjectStore
+    val dst = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, srcRoot, src,
+      Seq(("a", 1L, "r1")).toDF("p", "k", "v"), "p", 1)
+    ChangeFeed.replicateAppends(spark, srcRoot, src, dstRoot, dst, "noop")
+    assert(ChangeFeed.lastSourceVersion(dst, "noop") === Some(1L))
+    // v2, v3: props-only source commits — no batch derivable from them
+    AtomicCommit.tag(srcRoot, src, "x", 1L)
+    AtomicCommit.untag(srcRoot, src, "x")
+    ChangeFeed.replicateAppends(spark, srcRoot, src, dstRoot, dst, "noop")
+    // the fix under test: the recorded lag must not extend past history
+    // the consumer has fully applied (nothing in v2/v3 to apply)
+    assert(ChangeFeed.lastSourceVersion(dst, "noop") === Some(3L))
+    // the no-op versions age past the source's vacuum horizon...
+    AtomicCommit.vacuum(srcRoot, src, 0L, 1)
+    assert(AtomicCommit.versions(src) === Seq(3L))
+    // ...and the next tick neither fails on their missing manifests nor
+    // changes the replica
+    ChangeFeed.replicateAppends(spark, srcRoot, src, dstRoot, dst, "noop")
+    assert(snapshot(dstRoot, dst) === Set(("a", 1L, "r1")))
+  }
 }

@@ -74,4 +74,37 @@ class ConstraintsSpec extends SparkSpec {
       AtomicCommit.addConstraint(spark, root, store, "bad", "n >= {0}")
     }
   }
+
+  test("a constraint landing in the stage-to-publish window aborts the in-flight writer") {
+    val root = Files.createTempDirectory("graft_cons3").toString
+    val store = new InMemoryObjectStore
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq(("a", 1L, 10L)).toDF("p", "k", "n"), "p", 1)
+    // the advisory race: writer stages BEFORE the constraint exists...
+    val staged = AtomicCommit.stage(spark, root, store,
+      Seq(("a", 2L, -5L)).toDF("p", "k", "n"), "p", 1)
+    // ...the constraint lands (its full-table scan cannot see the
+    // unpublished generation)...
+    AtomicCommit.addConstraint(spark, root, store, "n_nonneg", "n >= 0")
+    // ...and the publish must NOT slip the unvalidated rows through
+    intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.publish(root, store, staged)
+    }
+    assert(AtomicCommit.read(spark, root, store).filter($"n" < 0).count() === 0L)
+
+    // the append path races identically (appends add rows too) — and a
+    // VALID batch still aborts: the point is that no rule set validated
+    // it, not that it happens to violate
+    val stagedOk = AtomicCommit.stage(spark, root, store,
+      Seq(("a", 3L, 7L)).toDF("p", "k", "n"), "p", 1)
+    AtomicCommit.dropConstraint(root, store, "n_nonneg")
+    intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.publishAppend(root, store, stagedOk)
+    }
+    // the loser protocol: re-stage against the fresh rules, then publish
+    val restaged = AtomicCommit.stage(spark, root, store,
+      Seq(("a", 3L, 7L)).toDF("p", "k", "n"), "p", 1)
+    AtomicCommit.publishAppend(root, store, restaged)
+    assert(AtomicCommit.read(spark, root, store).count() === 2L)
+  }
 }

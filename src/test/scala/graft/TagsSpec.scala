@@ -58,7 +58,7 @@ class TagsSpec extends SparkSpec {
     AtomicCommit.commitReplacePartitions(spark, root, store,
       Seq(("a", 1L, "r1"), ("b", 2L, "r2")).toDF("p", "k", "v"), "p", 1)
     AtomicCommit.commitAppendPartitions(spark, root, store,
-      Seq(("a", 3L, "r3")).toDF("p", "k", "v"), "p", 1)
+      Seq(("a", 3L, "r3"), ("c", 9L, "r9")).toDF("p", "k", "v"), "p", 1)
     AtomicCommit.tag(root, store, "t", 2L)
     AtomicCommit.commitReplacePartitions(spark, root, store,
       Seq(("a", 4L, "r4")).toDF("p", "k", "v"), "p", 1)
@@ -67,7 +67,10 @@ class TagsSpec extends SparkSpec {
     assert(h.map(c => c.version -> c.kind) ===
       Seq(1L -> "replace", 2L -> "append", 3L -> "metadata",
         4L -> "replace", 5L -> "drop"))
-    assert(h.find(_.version == 2L).get.changedPartitions === Some(Seq("a")))
+    // v2 lands rows in the existing partition a AND creates partition c:
+    // a publishAppend touching a brand-new value still reads as append
+    // (the CommitInfo docs call out the replace ambiguity)
+    assert(h.find(_.version == 2L).get.changedPartitions === Some(Seq("a", "c")))
     assert(h.find(_.version == 5L).get.changedPartitions === Some(Seq("b")))
     assert(h.find(_.version == 3L).get.props.contains("graft.tag.t"))
     assert(h.forall(_.partitionCol == "p"))
