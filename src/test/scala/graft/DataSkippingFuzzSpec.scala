@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.sources.{AtomicCommit, Compaction, DataSkipping, Deletes, PosixManifestStore}
 
 /** Randomized SOUNDNESS torture for the skipping stack: whatever history a
-  * table accrues — replaces, appends, range deletes, recluster, z-order,
-  * compaction, in any interleaving — every pruned read must equal the
+  * table accrues — replaces, appends, range deletes, MERGE-ON-READ
+  * deletes (whose vectors invalidate recorded row counts and must merge
+  * into every read path), recluster, z-order, compaction, in any
+  * interleaving — every pruned read must equal the
   * full-scan filter, and every point lookup the full-scan equality. The
   * pruning layers under test stack four deep (partition envelope →
   * per-owner envelope → per-file interval → bloom), and each layer's bug
@@ -43,7 +45,7 @@ class DataSkippingFuzzSpec extends SparkSpec {
     var step = 0
     def evolve(): Unit = {
       step += 1
-      rnd.nextInt(5) match {
+      rnd.nextInt(7) match {
         case 0 => // replace-with-stats of a fresh batch's partitions
           DataSkipping.commitWithStats(spark, root, randomBatch(step), "flag",
             Seq("v", "k"))
@@ -63,6 +65,15 @@ class DataSkippingFuzzSpec extends SparkSpec {
         case 4 => // z-order rewrite on both probe dims
           Compaction.reclusterZorder(spark, root, Seq("v", "k"),
             filesPerDir = 1 + rnd.nextInt(3))
+        case 5 => // merge-on-read range delete: stats/blooms predate the
+          // vector, so every later probe exercises the DV-merge soundness
+          Deletes.deleteRangeMoR(spark, root, store, "v",
+            rnd.nextInt(5) * 1000L, rnd.nextInt(5) * 1000L + rnd.nextInt(250))
+        case 6 => // merge-on-read delete by key (point vectors)
+          val ks = AtomicCommit.read(spark, root, store)
+            .select("k").as[Long].head(3).toSeq
+          if (ks.nonEmpty)
+            Deletes.deleteWhereMoR(spark, root, store, col("k").isin(ks: _*))
       }
     }
 
