@@ -149,6 +149,66 @@ object Compaction {
     (before, countAtomicDataFiles(root, store))
   }
 
+  /** Targeted deletion-vector purge — the MAINTENANCE half of the
+    * merge-on-read bargain: [[Deletes.deleteWhereMoR]] keeps point
+    * deletes O(deleted rows), and every vectored partition pays one
+    * broadcast anti-join per read until something rewrites it. A full
+    * [[compactAtomicTable]] purges every vector but costs O(table);
+    * this rewrites ONLY partitions whose vector marks at least
+    * `threshold` of their rows (marked / (marked + live), per
+    * partition) — the Delta PURGE / Iceberg rewrite-position-deletes
+    * policy, at O(dirty partitions). Vectors below the threshold stay
+    * (their read-side cost is proportionally small); rewritten
+    * partitions come back as clean single-owner entries with fresh
+    * `statsCols` evidence. Read set anchored at the scanned manifest —
+    * concurrent commits to a selected partition abort the purge (re-run
+    * it). Returns the partition values rewritten.
+    */
+  def purgeVectors(spark: SparkSession, root: String,
+                   threshold: Double = 0.1,
+                   statsCols: Seq[String] = Nil): Seq[String] =
+    purgeVectors(spark, root, new PosixManifestStore(root), threshold,
+      statsCols)
+
+  def purgeVectors(spark: SparkSession, root: String, store: ManifestStore,
+                   threshold: Double, statsCols: Seq[String]): Seq[String] = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold=$threshold")
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"$root is not an AtomicCommit table"))
+    val pc = m.partitionCol
+    val vectored = m.entries.filter { case (_, e) => AtomicCommit.dvOf(e).nonEmpty }
+    if (vectored.isEmpty) return Nil
+    // marked rows per partition: each entry's CURRENT vector, counting
+    // only addresses into its current data owners (stale rows screened)
+    val marked: Map[String, Long] = vectored.toSeq
+      .flatMap { case (p, e) => AtomicCommit.dvOf(e).map(d => (d, p, AtomicCommit.ownersOf(e))) }
+      .groupBy(_._1).toSeq.flatMap { case (dvGen, group) =>
+        val byPart = group.map(g => g._2 -> g._3).toMap
+        spark.read.parquet(s"$root/$dvGen")
+          .filter(col("__dv_partition").isin(byPart.keys.toSeq: _*))
+          .groupBy("__dv_partition", "__dv_owner").count().collect()
+          .filter(r => byPart(r.getString(0)).contains(r.getString(1)))
+          .groupBy(_.getString(0)).map { case (p, rs) => p -> rs.map(_.getLong(2)).sum }
+      }.toMap
+    // live rows per partition, one merged scan of the vectored slice
+    val live: Map[String, Long] = AtomicCommit.scanManifest(spark, root,
+        m.copy(entries = vectored))
+      .groupBy(col(pc).cast("string").as("__p")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val selected = vectored.keys.toSeq.sorted.filter { p =>
+      val mk = marked.getOrElse(p, 0L).toDouble
+      mk > 0 && mk / (mk + live.getOrElse(p, 0L)) >= threshold
+    }
+    if (selected.isEmpty) return Nil
+    val slice = AtomicCommit.scanManifest(spark, root,
+      m.copy(entries = m.entries.filter { case (p, _) => selected.contains(p) }))
+    val staged = AtomicCommit.stage(spark, root, store, slice, pc, 1, Some(m))
+    if (statsCols.nonEmpty)
+      DataSkipping.annotateStaged(spark, root, staged, statsCols)
+    AtomicCommit.publish(root, store, staged)
+    selected
+  }
+
   /** Sort-order maintenance rewrite for an [[AtomicCommit]] table — the
     * OPTIMIZE-with-sort-order of the table formats, and the repair
     * [[compactAtomicTable]] cannot perform: compaction folds generations

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Row, SaveMode, SQLContext, SparkSession}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.StructType
   * evaluation runs in codegen.
   */
 final class GraftDataSource extends RelationProvider with StreamSourceProvider
-  with DataSourceRegister {
+  with CreatableRelationProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   // ---- streaming face: `spark.readStream.format("graft")` — manifest
@@ -69,7 +69,9 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
     new graft.streaming.GraftStreamSource(sqlContext, root, store, feed,
       parameters.get("keyCol"),
       schema.getOrElse(graft.streaming.GraftStreamSource
-        .schemaFor(sqlContext.sparkSession, root, store, feed)))
+        .schemaFor(sqlContext.sparkSession, root, store, feed)),
+      parameters.get("maxVersionsPerTrigger").map(_.toLong),
+      metadataPath)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -81,18 +83,98 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
       case Some(b) => new BranchStore(new PosixManifestStore(root), b)
       case None => new PosixManifestStore(root)
     }
-    val m = (parameters.get("versionAsOf"), parameters.get("tagAsOf")) match {
+    // versionAsOf/tagAsOf PIN a snapshot; without them the relation
+    // re-resolves the manifest per scan, so a long-lived view tracks the
+    // table across commits instead of freezing at registration time
+    val pinned = (parameters.get("versionAsOf"), parameters.get("tagAsOf")) match {
       case (Some(_), Some(_)) =>
         sys.error("graft data source: versionAsOf and tagAsOf are mutually exclusive")
-      case (Some(v), None) => AtomicCommit.manifestAt(store, root, v.toLong)
+      case (Some(v), None) =>
+        Some(AtomicCommit.manifestAt(store, root, v.toLong))
       case (None, Some(t)) =>
-        AtomicCommit.manifestAt(store, root, AtomicCommit.tags(store)
+        Some(AtomicCommit.manifestAt(store, root, AtomicCommit.tags(store)
           .getOrElse(t, sys.error(s"no tag $t at $root (tags: " +
-            s"${AtomicCommit.tags(store).keys.toSeq.sorted.mkString(", ")})")))
-      case (None, None) => AtomicCommit.readManifest(store).getOrElse(
-        sys.error(s"no manifest at $root — not an AtomicCommit table"))
+            s"${AtomicCommit.tags(store).keys.toSeq.sorted.mkString(", ")})"))))
+      case (None, None) =>
+        AtomicCommit.readManifest(store).getOrElse(
+          sys.error(s"no manifest at $root — not an AtomicCommit table"))
+        None
     }
-    new GraftRelation(spark, root, m)
+    new GraftRelation(spark, root, store, pinned)
+  }
+
+  // ---- write face: `df.write.format("graft").mode(...)` and, through
+  // [[GraftRelation]]'s InsertableRelation, `INSERT INTO view ...`.
+  // Append commits the batch as appended generations (O(batch), existing
+  // rows untouched); Overwrite replaces the WHOLE table in one commit
+  // (staged partitions replace, vanished ones drop — partition-level
+  // replace is the Scala API's commitReplacePartitions). A new table
+  // needs the `partitionCol` option; an existing one rejects a
+  // conflicting value. `statsCols`/`bloomCols` (comma-separated)
+  // annotate the staged generation so SQL-written data skips like
+  // API-written data.
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      sys.error("graft data source: the 'path' option is required"))
+    val store: ManifestStore = parameters.get("branch") match {
+      case Some(b) => new BranchStore(new PosixManifestStore(root), b)
+      case None => new PosixManifestStore(root)
+    }
+    val existing = AtomicCommit.readManifest(store)
+    mode match {
+      case SaveMode.ErrorIfExists if existing.nonEmpty =>
+        sys.error(s"graft table at $root already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if existing.nonEmpty => // no-op by contract
+      case _ =>
+        val pc = existing.map(_.partitionCol)
+          .orElse(parameters.get("partitionCol")).getOrElse(
+            sys.error("graft data source: a new table needs the " +
+              "partitionCol option"))
+        existing.foreach(m => parameters.get("partitionCol").foreach(p =>
+          require(p == m.partitionCol,
+            s"table at $root is partitioned by ${m.partitionCol}, not $p")))
+        GraftDataSource.write(data, root, store, pc,
+          overwrite = mode == SaveMode.Overwrite,
+          statsCols = splitCols(parameters, "statsCols"),
+          bloomCols = splitCols(parameters, "bloomCols"))
+    }
+    new GraftRelation(sqlContext.sparkSession, root, store, None)
+  }
+
+  private def splitCols(parameters: Map[String, String], key: String): Seq[String] =
+    parameters.get(key).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+}
+
+object GraftDataSource {
+  /** The shared write body (writer face above, `INSERT INTO` below):
+    * stage once, annotate if asked, publish as append or whole-table
+    * replace. Overwrite's read set is every current partition (the staged
+    * ones replace, the rest drop), anchored at the observed manifest —
+    * a concurrent commit aborts it like any other conflicting rewrite.
+    */
+  private[sources] def write(data: org.apache.spark.sql.DataFrame,
+                             root: String, store: ManifestStore, pc: String,
+                             overwrite: Boolean,
+                             statsCols: Seq[String] = Nil,
+                             bloomCols: Seq[String] = Nil): Unit = {
+    val spark = data.sparkSession
+    val prev = AtomicCommit.readManifest(store)
+    val staged0 = AtomicCommit.stage(spark, root, store, data, pc, 1,
+      if (overwrite) prev else None)
+    if (statsCols.nonEmpty)
+      DataSkipping.annotateStaged(spark, root, staged0, statsCols)
+    if (bloomCols.nonEmpty)
+      DataSkipping.annotateStagedBloom(spark, root, staged0, bloomCols)
+    if (overwrite) {
+      val stale = prev.map(_.entries).getOrElse(Map.empty) --
+        staged0.partitions
+      AtomicCommit.publish(root, store, staged0.copy(
+        drops = stale.keys.toSeq.sorted,
+        baseOwners = staged0.baseOwners ++ stale))
+    } else AtomicCommit.publishAppend(root, store, staged0)
+    ()
   }
 }
 
@@ -102,13 +184,35 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
   * pruning in front of it.
   */
 final class GraftRelation(spark: SparkSession, root: String,
-                          m: AtomicCommit.Manifest)
-  extends BaseRelation with PrunedFilteredScan {
+                          store: ManifestStore,
+                          pinned: Option[AtomicCommit.Manifest])
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
+  /** The snapshot this scan reads: the pinned one (versionAsOf/tagAsOf),
+    * or the CURRENT manifest re-resolved per call so views track the
+    * table across commits.
+    */
+  private def snapshot(): AtomicCommit.Manifest =
+    pinned.getOrElse(AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table")))
+
   override val schema: StructType =
-    AtomicCommit.scanManifest(spark, root, m).schema
+    AtomicCommit.scanManifest(spark, root, snapshot()).schema
+
+  /** `INSERT INTO view ...` / `INSERT OVERWRITE` land on the same commit
+    * paths as the writer face — append generations or a whole-table
+    * replace, constraints and conflicts included.
+    */
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    require(pinned.isEmpty,
+      s"cannot insert into a time-travel/tag view of $root — it names an " +
+        "immutable snapshot")
+    GraftDataSource.write(data, root, store, snapshot().partitionCol,
+      overwrite)
+  }
 
   // buildScan hands back the delegate plan's InternalRow RDD directly —
   // no external-row conversion pass on the hot path
@@ -120,6 +224,7 @@ final class GraftRelation(spark: SparkSession, root: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
+    val m = snapshot()
     val pc = m.partitionCol
     // 1. partition-column pruning straight off the manifest keys
     var entries = m.entries

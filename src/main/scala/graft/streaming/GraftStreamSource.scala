@@ -47,10 +47,53 @@ import graft.sources.{AtomicCommit, BranchStore, ManifestStore, PosixManifestSto
 final class GraftStreamSource(sqlContext: SQLContext, root: String,
                               store: ManifestStore, feed: String,
                               keyCol: Option[String],
-                              override val schema: StructType)
-  extends Source {
+                              override val schema: StructType,
+                              maxVersionsPerTrigger: Option[Long] = None,
+                              metadataPath: String = "")
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow: drain everything committed AT QUERY START over
+  // (possibly rate-limited) repeated triggers, then stop — without this
+  // the engine falls back to one uncapped batch, defeating the limiter
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = AtomicCommit.currentVersion(store)
+
+  // SupportsAdmissionControl's face of the same answer (the engine calls
+  // this form when the interface is present; read limits ride our own
+  // maxVersionsPerTrigger option instead)
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
 
   private def spark = sqlContext.sparkSession
+
+  // ---- rate limiting (`maxVersionsPerTrigger`): getOffset answers with
+  // at most that many versions past the highest offset already handed
+  // out, so a cold consumer catches up on a 10k-commit history in
+  // bounded micro-batches instead of one giant one. The high-water mark
+  // persists in the query's own metadata directory (the V1 file-source
+  // pattern); it is ADVISORY — a lost mark only changes batch BOUNDARIES,
+  // never contents, because batches are derived from the offset range
+  // the engine's log replays.
+  private val servedFile: Option[java.nio.file.Path] =
+    Option(metadataPath).filter(_.nonEmpty)
+      .map(p => java.nio.file.Paths.get(p, "graft-last-served"))
+  private var servedMem = 0L
+  private def readServed(): Long = math.max(servedMem,
+    servedFile.filter(java.nio.file.Files.exists(_)).map { f =>
+      new String(java.nio.file.Files.readAllBytes(f)).trim.toLong
+    }.getOrElse(0L))
+  private def writeServed(v: Long): Unit = if (v > readServed()) {
+    servedMem = v
+    servedFile.foreach { f =>
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.write(f, v.toString.getBytes)
+    }
+  }
 
   private def versionOf(o: V1Offset): Long = {
     // offsets round-trip through the engine's JSON log; ours is a bare
@@ -60,11 +103,20 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   }
 
   override def getOffset: Option[V1Offset] =
-    AtomicCommit.currentVersion(store).map(v => GraftStreamSource.GraftOffset(v))
+    AtomicCommit.currentVersion(store).map { cur =>
+      val target = availableNowTarget.map(math.min(cur, _)).getOrElse(cur)
+      val capped = maxVersionsPerTrigger
+        .map(mx => math.min(target, readServed() + mx)).getOrElse(target)
+      writeServed(capped)
+      GraftStreamSource.GraftOffset(capped)
+    }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(0L)
     val to = versionOf(end)
+    // keep the rate-limit mark at least at the engine's replayed range
+    // (a fresh source instance recovering a checkpointed batch)
+    writeServed(math.max(from, to))
     val batches = ((from + 1) to to).flatMap { v =>
       feed match {
         case "append" => ChangeFeed.appendsAt(spark, root, store, v)

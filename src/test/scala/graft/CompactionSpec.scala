@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
-import graft.sources.Compaction
+import graft.sources.{AtomicCommit, Compaction, DataSkipping}
 
 /** [[graft.sources.Compaction]]: small-file rewrite of a Hive-partitioned
   * dataset. Pins the two things that matter — the file count actually
@@ -336,5 +336,32 @@ class CompactionSpec extends SparkSpec {
       s"rank-based should out-prune linear on skewed x: $rnkFiles vs $linFiles")
     assert(rnkFiles <= total / 2,
       s"rank-based x-slab scanned $rnkFiles of $total files")
+  }
+
+  test("purgeVectors rewrites only heavily-vectored partitions, content intact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_purge").toString
+    val df = ((1L to 10L).map(i => (i, "A", i)) ++
+      (101L to 120L).map(i => (i, "B", i))).toDF("k", "flag", "v")
+    DataSkipping.commitWithStats(spark, root, df, "flag", Seq("v"))
+    // A: 5 of 10 rows marked (50%); B: 1 of 20 (5%)
+    graft.sources.Deletes.deleteWhereMoR(spark, root, col("k") <= 5L)
+    graft.sources.Deletes.deleteWhereMoR(spark, root, col("k") === 101L)
+    val before = AtomicCommit.readManifest(root).get.entries
+    assert(AtomicCommit.dvOf(before("A")).nonEmpty)
+    assert(AtomicCommit.dvOf(before("B")).nonEmpty)
+
+    val purged = graft.sources.Compaction.purgeVectors(spark, root,
+      threshold = 0.3, statsCols = Seq("v"))
+    assert(purged === Seq("A"), "only A crosses the 30% threshold")
+    val after = AtomicCommit.readManifest(root).get.entries
+    assert(AtomicCommit.dvOf(after("A")).isEmpty, "A's vector folded away")
+    assert(after("B") === before("B"), "B untouched — its vector stays")
+    // content identical before/after the purge, both vectors respected
+    val ks = AtomicCommit.read(spark, root)
+      .select("k").as[Long].collect().toSet
+    assert(ks === ((6L to 10L) ++ (102L to 120L)).toSet)
+    // the purge restored A's metadata-count fast path; B still scans
+    assert(DataSkipping.countWhere(spark, root, "v", 1L, 200L) === 24L)
   }
 }

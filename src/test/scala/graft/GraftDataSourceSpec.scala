@@ -88,4 +88,44 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(spark.sql("SELECT k FROM gdsv").as[Long].collect().toSet === Set(1L),
       "main view untouched by the branch commit")
   }
+
+  test("write face: DataFrameWriter modes and INSERT INTO land on the commit paths") {
+    val root = Files.createTempDirectory("graft_ds_w").toString
+    // a NEW table needs partitionCol; ErrorIfExists creates it
+    Seq((1L, "A", 10L), (2L, "B", 20L)).toDF("k", "flag", "v")
+      .write.format("graft").option("path", root)
+      .option("partitionCol", "flag").option("statsCols", "v")
+      .mode("errorifexists").save()
+    assert(AtomicCommit.read(spark, root).count() === 2L)
+    // append mode commits O(batch) appended generations
+    Seq((3L, "A", 30L)).toDF("k", "flag", "v")
+      .write.format("graft").option("path", root).mode("append").save()
+    val m = AtomicCommit.readManifest(root).get
+    assert(AtomicCommit.ownersOf(m.entries("A")).size === 2, "append must grow the owner list")
+    // INSERT INTO through a registered view
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW gdw USING graft OPTIONS (path '$root')")
+    // positional insert: the relation schema is (k, v, flag) — data
+    // columns in footer order, the partition column last
+    spark.sql("INSERT INTO gdw VALUES (4, 40, 'C')")
+    assert(spark.sql("SELECT k FROM gdw").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 4L), "the view must track the table across commits")
+    // overwrite replaces the WHOLE table in one commit (stale partitions drop)
+    Seq((9L, "A", 90L)).toDF("k", "flag", "v")
+      .write.format("graft").option("path", root).mode("overwrite").save()
+    assert(AtomicCommit.readManifest(root).get.entries.keySet === Set("A"))
+    assert(spark.sql("SELECT k FROM gdw").as[Long].collect().toSet === Set(9L))
+    // the whole history stayed time-travelable
+    assert(AtomicCommit.readAt(spark, root, 3L).count() === 4L)
+    // constraints bind SQL writers too
+    AtomicCommit.addConstraint(spark, root, new graft.sources.PosixManifestStore(root),
+      "v_pos", "v > 0")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gdw VALUES (5, -1, 'A')")
+    }
+    assert(spark.sql("SELECT k FROM gdw").as[Long].collect().toSet === Set(9L))
+    // a time-travel view refuses inserts (it names an immutable snapshot)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW gdw1 USING graft " +
+      s"OPTIONS (path '$root', versionAsOf '1')")
+    intercept[Exception] { spark.sql("INSERT INTO gdw1 VALUES (6, 60, 'A')") }
+  }
 }

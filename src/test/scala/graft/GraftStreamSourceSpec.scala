@@ -99,4 +99,34 @@ class GraftStreamSourceSpec extends SparkSpec {
     // and nothing was silently skipped into the sink
     assert(spark.read.parquet(out).count() === 1L)
   }
+
+  test("maxVersionsPerTrigger bounds catch-up batches without changing contents") {
+    val root = Files.createTempDirectory("graft_ss_rate").toString
+    val out = Files.createTempDirectory("graft_ss_rate_out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("graft_ss_rate_ck").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A")).toDF("k", "p"), "p")
+    (2L to 6L).foreach { i =>
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((i, "A")).toDF("k", "p"), "p")
+    }
+    // 6 versions of history, at most 2 per trigger: AvailableNow drains
+    // through repeated capped triggers
+    val q = spark.readStream.format("graft")
+      .option("path", root).option("maxVersionsPerTrigger", "2")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(!q.isActive)
+    q.exception.foreach(throw _)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().toSet ===
+      (1L to 6L).toSet, "rate limiting must never change batch contents")
+    val offsets = java.nio.file.Paths.get(ckpt, "offsets").toFile.listFiles
+    assert(offsets != null && offsets.length >= 3,
+      s"6 versions at <=2 per trigger must take >=3 batches, " +
+        s"saw ${Option(offsets).map(_.length)}")
+  }
 }
