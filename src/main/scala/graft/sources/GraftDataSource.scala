@@ -71,7 +71,12 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
       schema.getOrElse(graft.streaming.GraftStreamSource
         .schemaFor(sqlContext.sparkSession, root, store, feed)),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
-      metadataPath)
+      metadataPath,
+      parameters.get("startingVersion").map {
+        case "latest" => graft.sources.AtomicCommit.currentVersion(store)
+          .map(_ + 1).getOrElse(1L)
+        case v => v.toLong
+      })
   }
 
   override def createRelation(sqlContext: SQLContext,

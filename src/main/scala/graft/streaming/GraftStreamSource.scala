@@ -49,7 +49,8 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
                               keyCol: Option[String],
                               override val schema: StructType,
                               maxVersionsPerTrigger: Option[Long] = None,
-                              metadataPath: String = "")
+                              metadataPath: String = "",
+                              startingVersion: Option[Long] = None)
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -79,9 +80,19 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   // pattern); it is ADVISORY — a lost mark only changes batch BOUNDARIES,
   // never contents, because batches are derived from the offset range
   // the engine's log replays.
+  // metadataPath arrives as a URI ("file:/ckpt/sources/0") — resolve it
+  // to a local path; a non-local checkpoint filesystem falls back to the
+  // in-memory mark (the file is advisory either way)
   private val servedFile: Option[java.nio.file.Path] =
-    Option(metadataPath).filter(_.nonEmpty)
-      .map(p => java.nio.file.Paths.get(p, "graft-last-served"))
+    Option(metadataPath).filter(_.nonEmpty).flatMap { p =>
+      try {
+        val uri = java.net.URI.create(p)
+        val base =
+          if (uri.getScheme == null) java.nio.file.Paths.get(p)
+          else java.nio.file.Paths.get(uri)
+        Some(base.resolve("graft-last-served"))
+      } catch { case _: Exception => None }
+    }
   private var servedMem = 0L
   private def readServed(): Long = math.max(servedMem,
     servedFile.filter(java.nio.file.Files.exists(_)).map { f =>
@@ -104,6 +115,10 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
 
   override def getOffset: Option[V1Offset] =
     AtomicCommit.currentVersion(store).map { cur =>
+      // before anything is served, the rate limiter's base is the
+      // starting point, not version 0 — else a capped cold start would
+      // serve (0, mx] below the requested window
+      startingVersion.foreach(sv => if (readServed() < sv - 1) servedMem = sv - 1)
       val target = availableNowTarget.map(math.min(cur, _)).getOrElse(cur)
       val capped = maxVersionsPerTrigger
         .map(mx => math.min(target, readServed() + mx)).getOrElse(target)
@@ -112,7 +127,11 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
     }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(versionOf).getOrElse(0L)
+    // a fresh checkpoint begins at `startingVersion` (skipping the
+    // initial-snapshot replay — the subscribe-to-new-changes mode);
+    // without the option, version 1 IS the initial snapshot batch
+    val from = start.map(versionOf)
+      .getOrElse(startingVersion.map(_ - 1).getOrElse(0L))
     val to = versionOf(end)
     // keep the rate-limit mark at least at the engine's replayed range
     // (a fresh source instance recovering a checkpointed batch)

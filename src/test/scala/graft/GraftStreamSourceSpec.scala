@@ -128,5 +128,33 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(offsets != null && offsets.length >= 3,
       s"6 versions at <=2 per trigger must take >=3 batches, " +
         s"saw ${Option(offsets).map(_.length)}")
+    // the served mark lives INSIDE the checkpoint (metadataPath is a
+    // URI — a regression here strands marks in the process cwd)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(ckpt, "sources", "0", "graft-last-served")),
+      "the rate-limit mark must persist in the query's metadata dir")
+  }
+
+  test("startingVersion skips history: subscribe-to-new-changes mode") {
+    val root = Files.createTempDirectory("graft_ss_sv").toString
+    val out = Files.createTempDirectory("graft_ss_sv_out").toString + "/sink"
+    val ckpt = Files.createTempDirectory("graft_ss_sv_ck").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A")).toDF("k", "p"), "p") // v1: initial snapshot
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((2L, "A")).toDF("k", "p"), "p") // v2
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((3L, "A")).toDF("k", "p"), "p") // v3
+    val q = spark.readStream.format("graft")
+      .option("path", root).option("startingVersion", "2")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.exception.foreach(throw _)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().toSet ===
+      Set(2L, 3L), "v1's snapshot must be skipped, v2..v3 delivered")
   }
 }
