@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A DataSourceV2 [[TableCatalog]] for manifest tables — the full
+  * catalog-addressed SQL surface, time-travel syntax included:
+  *
+  * {{{
+  * SET spark.sql.catalog.graft=graft.sources.GraftCatalog
+  * SET spark.graft.table.docs=/data/docs
+  * SELECT * FROM graft.docs                        -- current snapshot
+  * SELECT * FROM graft.docs VERSION AS OF 3        -- snapshot version
+  * SELECT * FROM graft.docs VERSION AS OF `run7`   -- tag name
+  * SELECT * FROM graft.`docs@dev`                  -- branch lineage
+  * INSERT INTO graft.docs ... / INSERT OVERWRITE graft.docs ...
+  * }}}
+  *
+  * Identifiers resolve through the session registry
+  * (`spark.graft.table.<name> = <table root>`); `VERSION AS OF` lands on
+  * [[TableCatalog.loadTable(Identifier, String)]], the DSv2 time-travel
+  * hook, accepting a version number or a tag name.
+  *
+  * Architecture: the catalog's tables READ and WRITE through Spark's own
+  * V1 bridge interfaces — [[V1Scan]] hands the planner a relation whose
+  * scan delegates to [[GraftRelation]] (the same
+  * [[AtomicCommit.scanManifest]] plan as every other surface: parquet
+  * vectorized read, deletion-vector merge, manifest/stats pruning from
+  * the pushed filters and column pruning collected by the DSv2
+  * ScanBuilder), and [[V1Write]] hands INSERT INTO / INSERT OVERWRITE to
+  * the [[InsertableRelation]] commit paths (append generations /
+  * whole-table replace, constraints and conflicts included). All pushed
+  * filters are reported unhandled, so Spark re-evaluates them above the
+  * pruned scan — pruning stays a pure optimization.
+  */
+final class GraftCatalog extends TableCatalog {
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private val Prefix = "spark.graft.table."
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    spark.conf.getAll.keys.filter(_.startsWith(Prefix))
+      .map(k => Identifier.of(namespace, k.stripPrefix(Prefix)))
+      .toArray
+
+  override def loadTable(ident: Identifier): Table = graftTable(ident, None)
+
+  /** The DSv2 time-travel hook: `VERSION AS OF <v>` — a snapshot version
+    * number, or a tag name pinned with [[AtomicCommit.tag]].
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    graftTable(ident, Some(version))
+
+  private def graftTable(ident: Identifier, version: Option[String]): Table = {
+    val (table, branch) = ident.name().split('@') match {
+      case Array(t, b) => (t, Some(b))
+      case _ => (ident.name(), None)
+    }
+    val root = spark.conf.getOption(Prefix + table)
+      .getOrElse(throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name()))
+    val store: ManifestStore = branch match {
+      case Some(b) => new BranchStore(new PosixManifestStore(root), b)
+      case None => new PosixManifestStore(root)
+    }
+    val pinned = version.map { v =>
+      v.toLongOption match {
+        case Some(n) => AtomicCommit.manifestAt(store, root, n)
+        case None => AtomicCommit.manifestAt(store, root,
+          AtomicCommit.tags(store).getOrElse(v,
+            sys.error(s"no tag $v at $root (tags: " +
+              s"${AtomicCommit.tags(store).keys.toSeq.sorted.mkString(", ")})")))
+      }
+    }
+    new GraftTable(s"$catalogName.${ident.name()}",
+      new GraftRelation(spark, root, store, pinned))
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft tables evolve through commits (addConstraint, " +
+        "commitRepartition, schema-additive writes), not ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = false // data outlives registry entries
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"re-point the registry instead: SET $Prefix${newIdent.name()}=<root>")
+}
+
+/** One catalog table: a thin DSv2 face over [[GraftRelation]] via the
+  * V1 bridges (see [[GraftCatalog]]).
+  */
+final class GraftTable(ident: String, relation: GraftRelation)
+  extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = ident
+  override def schema(): StructType = relation.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+      with SupportsPushDownRequiredColumns {
+      private var filters: Array[Filter] = Array.empty
+      private var required: StructType = relation.schema
+
+      override def pushFilters(fs: Array[Filter]): Array[Filter] = {
+        filters = fs
+        fs // everything re-evaluates above the scan (pruning is advisory)
+      }
+      override def pushedFilters(): Array[Filter] = filters
+      override def pruneColumns(s: StructType): Unit =
+        required = if (s.isEmpty) relation.schema else s
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def needConversion: Boolean = false
+            override def buildScan(): RDD[Row] =
+              relation.buildScan(required.fieldNames, filters)
+          }.asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation(): InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ignored: Boolean): Unit =
+              relation.insert(data, overwrite)
+          }
+      }
+    }
+}

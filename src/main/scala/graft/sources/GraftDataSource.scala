@@ -82,9 +82,26 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val root = parameters.getOrElse("path",
+    val rawPath = parameters.getOrElse("path",
       sys.error("graft data source: the 'path' option is required"))
-    val store: ManifestStore = parameters.get("branch") match {
+    // CATALOG-STYLE names: `SELECT ... FROM graft.docs` arrives here via
+    // Spark's datasource-on-path resolution with path = "docs" — a bare
+    // name (no separator) resolves through the session registry
+    // `spark.graft.table.<name> = <root>`, with `name@branch` selecting
+    // a branch lineage. Real paths pass through untouched.
+    val (root, nameBranch) =
+      if (rawPath.contains('/')) (rawPath, None)
+      else {
+        val (t, b) = rawPath.split('@') match {
+          case Array(t0, b0) => (t0, Some(b0))
+          case _ => (rawPath, None)
+        }
+        (spark.conf.getOption(s"spark.graft.table.$t").getOrElse(
+          sys.error(s"graft: no table named '$t' — register it with " +
+            s"SET spark.graft.table.$t=<table root> (or pass a path)")),
+          b)
+      }
+    val store: ManifestStore = parameters.get("branch").orElse(nameBranch) match {
       case Some(b) => new BranchStore(new PosixManifestStore(root), b)
       case None => new PosixManifestStore(root)
     }
@@ -188,9 +205,9 @@ object GraftDataSource {
   * never a second, divergent implementation), with pushed-filter manifest
   * pruning in front of it.
   */
-final class GraftRelation(spark: SparkSession, root: String,
-                          store: ManifestStore,
-                          pinned: Option[AtomicCommit.Manifest])
+final class GraftRelation(spark: SparkSession, val root: String,
+                          val store: ManifestStore,
+                          val pinned: Option[AtomicCommit.Manifest])
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
