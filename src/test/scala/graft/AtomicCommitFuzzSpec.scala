@@ -591,4 +591,107 @@ class AtomicCommitFuzzSpec extends SparkSpec {
         .filter($"flag" === "E").select("writer").as[Long].collect().toSet === Set(0L))
     } finally pool.shutdown()
   }
+
+  /** r14: READERS IN THE RACE. The vacuum fuzz above verifies tagged
+    * snapshots after the churn settles; this one reads DURING it — a
+    * reader re-resolving a tagged snapshot and the trailing window while
+    * writers commit, a compactor folds, and a vacuum sweeps with a
+    * retention window covering the reader's lag. Claims: a tagged
+    * snapshot reads byte-identically every time, mid-churn; reads of
+    * retained versions never throw and are self-consistent (two reads of
+    * one version agree); and no read ever observes a half-state.
+    */
+  test("readers racing writers, a compactor, and vacuum: pinned snapshots stable mid-churn") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_fz_read").toString
+    val store = new graft.sources.PosixManifestStore(root)
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Partitions.map(p => (0L, p, "seed")).toDF("writer", "flag", "tag"),
+      "flag", 1)
+    AtomicCommit.tag(root, store, "pin", 1L)
+    val seedState = AtomicCommit.readTag(spark, root, store, "pin")
+      .select("flag", "writer").as[(String, Long)].collect().toSet
+    val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readsOk = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      val reader = pool.submit(new Callable[Option[String]] {
+        def call(): Option[String] = {
+          gate.await()
+          try {
+            while (!done.get()) {
+              // the pinned snapshot must read identically, mid-churn
+              val pinned = AtomicCommit.readTag(spark, root, store, "pin")
+                .select("flag", "writer").as[(String, Long)].collect().toSet
+              if (pinned != seedState)
+                return Some(s"pinned snapshot drifted: $pinned")
+              // a retained trailing version must be self-consistent
+              val vs = AtomicCommit.versions(store)
+              if (vs.size >= 2) {
+                val v = vs(vs.size - 2)
+                try {
+                  val a = AtomicCommit.readAt(spark, root, store, v)
+                    .select("flag", "writer").as[(String, Long)].collect().toSet
+                  val b = AtomicCommit.readAt(spark, root, store, v)
+                    .select("flag", "writer").as[(String, Long)].collect().toSet
+                  if (a != b) return Some(s"version $v self-inconsistent")
+                } catch {
+                  // the version aged out between list and read — vacuum
+                  // timing, a loud miss, never a wrong answer
+                  case e: RuntimeException
+                    if Option(e.getMessage).exists(m =>
+                      m.contains("vacuumed") || m.contains("no manifest")) => ()
+                }
+              }
+              readsOk.incrementAndGet()
+            }
+            None
+          } catch { case e: Throwable => Some(s"reader died: $e") }
+        }
+      })
+      val writer = pool.submit(new Callable[Unit] {
+        def call(): Unit = {
+          val rnd = new scala.util.Random(33L)
+          gate.await()
+          (1 to 10).foreach { c =>
+            val p = Partitions(rnd.nextInt(Partitions.size))
+            val df = Seq((c.toLong, p, s"c$c")).toDF("writer", "flag", "tag")
+            if (rnd.nextBoolean())
+              AtomicCommit.commitAppendPartitions(spark, root, store, df, "flag", 1)
+            else {
+              var v = -1L
+              while (v < 0) {
+                val staged = AtomicCommit.stage(spark, root, store, df, "flag", 1)
+                try v = AtomicCommit.publish(root, store, staged)
+                catch { case _: AtomicCommit.PartitionConflictException => () }
+              }
+            }
+            Thread.sleep(30)
+          }
+        }
+      })
+      val maintainer = pool.submit(new Callable[Unit] {
+        def call(): Unit = {
+          gate.await()
+          while (!done.get()) {
+            try graft.sources.Compaction.compactAtomicTable(spark, root, store,
+              1, vacuumNow = false, Nil)
+            catch { case _: AtomicCommit.PartitionConflictException => () }
+            AtomicCommit.vacuum(root, store,
+              AtomicCommit.OrphanRetentionMillis, 4)
+            Thread.sleep(60)
+          }
+        }
+      })
+      gate.countDown()
+      writer.get(300, TimeUnit.SECONDS)
+      Thread.sleep(200)
+      done.set(true)
+      maintainer.get(120, TimeUnit.SECONDS)
+      val failure = reader.get(120, TimeUnit.SECONDS)
+      assert(failure.isEmpty, failure.getOrElse(""))
+      assert(readsOk.get() > 0, "the reader never completed a read")
+    } finally pool.shutdown()
+  }
 }
