@@ -186,7 +186,6 @@ object Deletes {
           // (from the dv gen its entry references — staleness-free by
           // construction) unioned with the fresh addresses
           val dvGen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
-          val keepSet = keep.toSet
           val carried = keep
             .flatMap(p => AtomicCommit.dvOf(m.entries(p)).map(_ -> p))
             .groupBy(_._1).toSeq.sortBy(_._1)

@@ -291,7 +291,7 @@ final class GraftRelation(spark: SparkSession, val root: String,
       return spark.sparkContext.emptyRDD[Row]
     val df = AtomicCommit.scanManifest(spark, root, m.copy(entries = entries))
     val projected =
-      if (requiredColumns.isEmpty) df // 0-column counts keep row counts
+      if (requiredColumns.isEmpty) df.select() // 0-width rows, counts intact
       else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)
         .toIndexedSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
