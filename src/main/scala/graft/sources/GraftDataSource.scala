@@ -42,7 +42,8 @@ import org.apache.spark.sql.types.StructType
   * evaluation runs in codegen.
   */
 final class GraftDataSource extends RelationProvider with StreamSourceProvider
-  with CreatableRelationProvider with DataSourceRegister {
+  with StreamSinkProvider with CreatableRelationProvider
+  with DataSourceRegister {
   override def shortName(): String = "graft"
 
   // ---- streaming face: `spark.readStream.format("graft")` — manifest
@@ -77,6 +78,34 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
           .map(_ + 1).getOrElse(1L)
         case v => v.toLong
       })
+  }
+
+  // ---- streaming sink face: `df.writeStream.format("graft")` — see
+  // [[graft.streaming.GraftStreamSink]]
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val rawPath = parameters.getOrElse("path",
+      sys.error("graft stream sink: the 'path' option is required"))
+    val root =
+      if (rawPath.contains('/')) rawPath
+      else sqlContext.sparkSession.conf
+        .getOption(s"spark.graft.table.$rawPath").getOrElse(
+          sys.error(s"graft: no table named '$rawPath' — register it with " +
+            s"SET spark.graft.table.$rawPath=<table root> (or pass a path)"))
+    val store = graft.streaming.GraftStreamSource.storeFor(root, parameters)
+    val mode = parameters.getOrElse("mode", "append")
+    require(mode == "append" || mode == "upsert",
+      s"graft stream sink: mode must be 'append' or 'upsert', got $mode")
+    new graft.streaming.GraftStreamSink(root, store,
+      parameters.get("partitionCol").orElse(partitionColumns.headOption),
+      parameters.getOrElse("queryKey", "stream"), mode,
+      parameters.get("keyCol"), parameters.get("seqCol"),
+      parameters.get("deleteCol"),
+      parameters.get("statsCols").toSeq.flatMap(_.split(','))
+        .map(_.trim).filter(_.nonEmpty))
   }
 
   override def createRelation(sqlContext: SQLContext,

@@ -73,4 +73,42 @@ class StreamTableLoopSpec extends SparkSpec {
     assert(AtomicCommit.readAt(spark, dst, versions.head)
       .select("k").as[Long].collect().toSet === Set(1L, 2L))
   }
+
+  test("zero-plumbing loop: readStream.format(graft) into writeStream.format(graft)") {
+    val src = Files.createTempDirectory("graft_loop2_src").toString
+    val dst = Files.createTempDirectory("graft_loop2_dst").toString
+    val ckpt = Files.createTempDirectory("graft_loop2_ck").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").option("path", src)
+        .load()
+        .withColumn("v2", col("v") * 10)
+        .writeStream.format("graft")
+        .option("path", dst).option("partitionCol", "p")
+        .option("queryKey", "loop2").option("statsCols", "v2")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+    }
+    AtomicCommit.commitReplacePartitions(spark, src,
+      Seq((1L, 1L, "A"), (2L, 2L, "B")).toDF("k", "v", "p"), "p")
+    runOnce()
+    assert(AtomicCommit.read(spark, dst).select("k", "v2")
+      .as[(Long, Long)].collect().toSet === Set((1L, 10L), (2L, 20L)))
+    // stream down; a source append lands; restart replays exactly once
+    AtomicCommit.commitAppendPartitions(spark, src,
+      Seq((3L, 3L, "A")).toDF("k", "v", "p"), "p")
+    runOnce()
+    runOnce() // and a third run is a no-op end to end
+    assert(AtomicCommit.read(spark, dst).select("k", "v2")
+      .as[(Long, Long)].collect().toSet ===
+      Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the sink's commits are true appends with skipping evidence attached
+    val m = AtomicCommit.readManifest(dst).get
+    assert(AtomicCommit.ownersOf(m.entries("A")).size === 2)
+    val gen = AtomicCommit.ownersOf(m.entries("A")).head
+    assert(graft.sources.DataSkipping.readStats(dst, gen).nonEmpty,
+      "statsCols must annotate sink-committed generations")
+  }
 }
