@@ -152,6 +152,18 @@ object TableBench {
     require(AtomicCommit.read(spark, rootS).count() == n - rowsPer - 1,
       "MoR delete removed the wrong rows")
 
+    // EQUALITY delete: the same row-by-key takedown with ZERO data scan —
+    // the commit records the (key, values) predicate in the vector
+    // sidecar; without bloom sidecars every partition carries it (this
+    // table has stats only), with them the record narrows to admitting
+    // partitions. Readers pay a codegen NOT-IN filter until compaction.
+    timed("deleteKeysMoR equality delete (no scan)") {
+      graft.sources.Deletes.deleteKeysMoR(spark, rootS, "v",
+        Seq(rowsPer + 9L))
+    }
+    require(AtomicCommit.read(spark, rootS).count() == n - rowsPer - 2,
+      "equality delete removed the wrong rows")
+
     // RECLUSTER (r13): the repair for the shuffled layout's cost gap.
     // Partition values are DATA (pk is a queryable column), so no rewrite
     // can move rows between directories or recover the clustered table's

@@ -271,12 +271,12 @@ object DataSkipping {
     // min/max stats remain SOUND over merge-on-read deletes (a deletion
     // only shrinks the value set), so pruning is unchanged — but the rows
     // returned must have the vectors applied
-    val dv = AtomicCommit.dvFrame(spark, root, m)
+    val ev = AtomicCommit.deleteEvidence(spark, root, m)
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
     else byGen.map { case (gen, paths) =>
-      AtomicCommit.applyDv(
+      AtomicCommit.applyDeletes(
         AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol, paths),
-        m.partitionCol, gen, dv)
+        m.partitionCol, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(residual)
   }
@@ -382,14 +382,14 @@ object DataSkipping {
         }
       }
     }
-    val dv = AtomicCommit.dvFrame(spark, root, m)
+    val ev = AtomicCommit.deleteEvidence(spark, root, m)
     val scanned =
       if (scanPaths.isEmpty) 0L
       else scanPaths.toSeq.sortBy(_._1).map { case (gen, paths) =>
-        AtomicCommit.applyDv(
+        AtomicCommit.applyDeletes(
           AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol,
             paths),
-          m.partitionCol, gen, dv)
+          m.partitionCol, gen, ev)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(preds
         .map { case (c, lo, hi) => col(c) >= lit(lo) && col(c) <= lit(hi) }
@@ -607,14 +607,55 @@ object DataSkipping {
     val residual = col(colName) === lit(value)
     // blooms stay sound over MoR deletes (a deleted key is at worst a
     // false positive — one partition scan); the returned rows merge DVs
-    val dv = AtomicCommit.dvFrame(spark, root, m)
+    val ev = AtomicCommit.deleteEvidence(spark, root, m)
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
     else byGen.map { case (gen, paths) =>
-      AtomicCommit.applyDv(
+      AtomicCommit.applyDeletes(
         AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol, paths),
-        m.partitionCol, gen, dv)
+        m.partitionCol, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(residual)
+  }
+
+  /** Partition values whose bloom evidence ADMITS at least one of
+    * `values` on `colName` — [[Deletes.deleteKeysMoR]]'s candidate
+    * narrowing. A partition with no envelope evidence for the column
+    * (in any owner) is admitted (soundness); one whose every owner's
+    * envelope bloom rejects every value is excluded with certainty
+    * (blooms have no false negatives). Metadata-only: sidecar reads plus
+    * one tiny local hashing job per distinct bloom-parameter tuple.
+    */
+  private[sources] def partitionsAdmittingAny(spark: SparkSession,
+      root: String, m: AtomicCommit.Manifest, colName: String,
+      values: Seq[Any]): Seq[String] = {
+    val bloomCache = scala.collection.mutable.Map.empty[String, Seq[ColBloom]]
+    def bloomsOf(gen: String): Seq[ColBloom] =
+      bloomCache.getOrElseUpdate(gen, readBlooms(root, gen))
+    val posCache = scala.collection.mutable.Map
+      .empty[(String, Int, Int, Long), Seq[Seq[Long]]]
+    def positions(b: ColBloom): Seq[Seq[Long]] =
+      posCache.getOrElseUpdate((b.dataType, b.numBits, b.numHashes, b.salt), {
+        val cols = values.zipWithIndex.flatMap { case (v, i) =>
+          (0 until b.numHashes).map(h =>
+            pmod(xxhash64(lit(v).cast(b.dataType), lit(b.salt), lit(h)),
+              lit(b.numBits.toLong)).as(s"p${i}_$h"))
+        }
+        val row = spark.range(1).select(cols.toIndexedSeq: _*).head()
+        values.indices.map(i =>
+          (0 until b.numHashes).map(h => row.getLong(i * b.numHashes + h)))
+      })
+    def admitsAny(b: ColBloom): Boolean = positions(b).exists(_.forall { pos =>
+      (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
+    })
+    m.entries.toSeq.sortBy(_._1).filter { case (pv, entry) =>
+      AtomicCommit.ownersOf(entry).exists { gen =>
+        bloomsOf(gen).find(b =>
+          b.partition == pv && b.col == colName && b.file.isEmpty) match {
+          case None => true // no evidence — the keys could be here
+          case Some(b) => admitsAny(b)
+        }
+      }
+    }.map(_._1)
   }
 
   /** The bloom records of a generation (empty when un-annotated). */

@@ -141,22 +141,23 @@ object Deletes {
                               candidates: Map[String, String],
                               cond: Column): Option[Long] = {
     val pc = m.partitionCol
-    val dv = AtomicCommit.dvFrame(spark, root, m)
+    val ev = AtomicCommit.deleteEvidence(spark, root, m)
     // live rows of the candidate partitions, each with its physical
-    // address attached (existing vectors applied first, so already-dead
-    // rows are neither re-addressed nor counted toward emptiness)
+    // address attached (existing vectors AND equality deletes applied
+    // first, so already-dead rows are neither re-addressed nor counted
+    // toward emptiness)
     val byGen = candidates.toSeq
       .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
       .groupBy(_._1).toSeq.sortBy(_._1)
     val addressed = byGen.map { case (gen, pairs) =>
       val base = s"$root/$gen"
       val paths = pairs.map(_._2).distinct.sorted.map(v => s"$base/$pc=$v")
-      AtomicCommit.applyDv(
+      AtomicCommit.applyDeletes(
         AtomicCommit.readVerbatim(spark, base, pc, paths)
           .withColumn("__addr_own", lit(gen))
           .withColumn("__addr_f", col("_metadata.file_name"))
           .withColumn("__addr_pos", col("_metadata.row_index")),
-        pc, gen, dv)
+        pc, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     val deletes = coalesce(cond, lit(false))
     val matched = addressed.filter(deletes).select(
@@ -186,18 +187,13 @@ object Deletes {
           // (from the dv gen its entry references — staleness-free by
           // construction) unioned with the fresh addresses
           val dvGen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
-          val carried = keep
-            .flatMap(p => AtomicCommit.dvOf(m.entries(p)).map(_ -> p))
-            .groupBy(_._1).toSeq.sortBy(_._1)
-            .map { case (g, pairs) =>
-              spark.read.parquet(s"$root/$g")
-                .filter(col("__dv_partition").isin(pairs.map(_._2): _*))
-            }
+          val (carried, carriedEqs) = carryEvidence(spark, root, m, keep)
           val fresh = matched.filter(col("__dv_partition").isin(keep: _*))
           // one small file: a vector is delete-set-sized by design (bulk
           // deletes belong to the CoW path)
           (fresh +: carried).reduce(_.unionByName(_))
             .repartition(1).write.mode("error").parquet(s"$root/$dvGen")
+          AtomicCommit.writeEqs(s"$root/$dvGen", carriedEqs)
           val overrides = keep.map { p =>
             p -> AtomicCommit.renderEntry(
               AtomicCommit.ownersOf(m.entries(p)), Some(dvGen))
@@ -207,6 +203,119 @@ object Deletes {
         }
       Some(AtomicCommit.publish(root, store, staged))
     } finally { matched.unpersist(); () }
+  }
+
+  /** A kept partition's existing merge-on-read evidence, re-homed into
+    * a fresh vector generation: its position rows (from the vector
+    * parquet its entry references — a gen holding only equality records
+    * has none) and its equality records, each retaining its own owner
+    * scope.
+    */
+  private def carryEvidence(spark: SparkSession, root: String,
+                            m: AtomicCommit.Manifest, keep: Seq[String])
+      : (Seq[org.apache.spark.sql.DataFrame], Seq[AtomicCommit.EqDelete]) = {
+    val byDvGen = keep
+      .flatMap(p => AtomicCommit.dvOf(m.entries(p)).map(_ -> p))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val frames = byDvGen.flatMap { case (g, pairs) =>
+      if (AtomicCommit.hasParquetFiles(s"$root/$g"))
+        Some(spark.read.parquet(s"$root/$g")
+          .filter(col("__dv_partition").isin(pairs.map(_._2): _*)))
+      else None
+    }
+    val eqs = byDvGen.flatMap { case (g, pairs) =>
+      val parts = pairs.map(_._2).toSet
+      AtomicCommit.readEqs(root, g).filter(e => parts(e.partition))
+    }
+    (frames, eqs)
+  }
+
+  /** EQUALITY delete — ZERO data I/O (the instant-takedown commit):
+    * delete every row whose `keyCol` is in `values`, WITHOUT scanning
+    * anything. Where [[deleteWhereMoR]] pays one matching scan to record
+    * row positions, this records the `(keyCol, values)` predicate itself
+    * in the vector sidecar (Iceberg v2's equality-delete flavor); the
+    * commit's I/O is one footer probe (key-column type check), the bloom
+    * sidecars (candidate narrowing), and one sidecar write. Readers pay
+    * a codegen'd NOT-IN filter per affected partition until a rewrite or
+    * compaction folds it.
+    *
+    *  - OWNER-SCOPED: the record names the partition's owner list at
+    *    delete time, so rows appended AFTERWARD with the same key
+    *    survive — delete-then-reinsert behaves like SQL, not like a
+    *    tombstone (the Iceberg sequence-number rule on owner lists).
+    *  - Candidates narrow through [[DataSkipping]] bloom sidecars where
+    *    they exist: partitions whose blooms reject every value are not
+    *    even marked. No blooms ⇒ every partition carries the record
+    *    (sound; pair key columns with `annotateStagedBloom`).
+    *  - Key column must be string or integral (values compare as
+    *    rendered strings — exact for those types; doubles are not
+    *    equality-delete material).
+    *  - Emptiness is NOT detected (that would need the scan this exists
+    *    to avoid): a partition the delete empties reads as zero rows and
+    *    folds away at the next compaction.
+    *
+    * Returns the new version, or None when no partition could hold any
+    * of the keys (bloom-proven).
+    */
+  def deleteKeysMoR(spark: SparkSession, root: String, keyCol: String,
+                    values: Seq[Any]): Option[Long] =
+    deleteKeysMoR(spark, root, new PosixManifestStore(root), keyCol, values)
+
+  def deleteKeysMoR(spark: SparkSession, root: String, store: ManifestStore,
+                    keyCol: String, values: Seq[Any]): Option[Long] = {
+    require(values.nonEmpty, "deleteKeysMoR needs at least one key")
+    require(values.forall(_ != null),
+      "equality delete of null never matches — filter isNull via deleteWhereMoR")
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val pc = m.partitionCol
+    // one footer probe (tried across entries — tolerate missing files
+    // elsewhere, this is the commit's only data-adjacent I/O): the key
+    // column's type must compare exactly as a rendered string. The
+    // partition column itself is a valid string key with no probe needed.
+    if (keyCol != pc) {
+      val probePaths = m.entries.toSeq.sortBy(_._1).flatMap { case (pv, e) =>
+        AtomicCommit.ownersOf(e).map(g => s"$root/$g/$pc=$pv")
+      }
+      val keyType = spark.read
+        .parquet(AtomicCommit.probeParquet(probePaths)).schema
+        .find(_.name == keyCol).getOrElse(
+          sys.error(s"no column $keyCol at $root")).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(keyType),
+        s"equality deletes need a string/integral key column; $keyCol is " +
+          keyType.simpleString)
+    }
+    val candidates = DataSkipping.partitionsAdmittingAny(spark, root, m,
+      keyCol, values)
+    if (candidates.isEmpty) return None
+    val dvGen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
+    val (carried, carriedEqs) = carryEvidence(spark, root, m, candidates)
+    if (carried.nonEmpty)
+      carried.reduce(_.unionByName(_))
+        .repartition(1).write.mode("error").parquet(s"$root/$dvGen")
+    else // sidecar-only generation: the dir itself is the staged artifact
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(root, dvGen))
+    val fresh = candidates.map { p =>
+      AtomicCommit.EqDelete(p, keyCol, values.map(String.valueOf),
+        AtomicCommit.ownersOf(m.entries(p)))
+    }
+    AtomicCommit.writeEqs(s"$root/$dvGen", carriedEqs ++ fresh)
+    val overrides = candidates.map { p =>
+      p -> AtomicCommit.renderEntry(
+        AtomicCommit.ownersOf(m.entries(p)), Some(dvGen))
+    }.toMap
+    val baseOwners = candidates
+      .flatMap(p => m.entries.get(p).map(p -> _)).toMap
+    Some(AtomicCommit.publish(root, store,
+      AtomicCommit.Staged(dvGen, pc, candidates, m.version, baseOwners,
+        overrides = overrides)))
   }
 
   /** Scan `candidates` for matches, rewrite the partitions that hold any

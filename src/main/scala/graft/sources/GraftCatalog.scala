@@ -104,16 +104,37 @@ final class GraftCatalog extends TableCatalog {
 }
 
 /** One catalog table: a thin DSv2 face over [[GraftRelation]] via the
-  * V1 bridges (see [[GraftCatalog]]).
+  * V1 bridges (see [[GraftCatalog]]), plus the [[SupportsDelete]] face —
+  * `DELETE FROM graft.<name> WHERE ...` routes onto the MERGE-ON-READ
+  * delete paths (a lone IN/`=` on a string/integral column takes the
+  * zero-scan equality delete; the rest record positions with one
+  * matching scan — never a partition rewrite; see
+  * [[GraftRelation.deleteWhere]]).
   */
 final class GraftTable(ident: String, relation: GraftRelation)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = ident
   override def schema(): StructType = relation.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(FilterColumns.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    relation.deleteWhere(filters)
+
+  /** TRUNCATE would empty the table; the engine keeps tables non-empty
+    * by invariant (the manifest always names data). Spark treats a
+    * `false` return as a silent no-op (TruncateTableExec just skips the
+    * cache refresh), so refuse LOUDLY instead.
+    */
+  override def truncateTable(): Boolean =
+    throw new UnsupportedOperationException(
+      s"TRUNCATE is unsupported on graft table $ident — the engine keeps " +
+        "tables non-empty; DELETE with a predicate, or INSERT OVERWRITE")
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters

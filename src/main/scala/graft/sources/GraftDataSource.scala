@@ -198,6 +198,37 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
     parameters.get(key).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
 }
 
+/** V1 `Filter` → `Column` translation for the SQL DELETE face — total
+  * over the filter grammar Spark pushes for row-level deletes; `None`
+  * marks the untranslatable rest, which [[GraftTable.canDeleteWhere]]
+  * turns into an up-front rejection instead of a half-applied delete.
+  */
+private[sources] object FilterColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case And(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(x) => toColumn(x).map(not)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case AlwaysTrue() => Some(lit(true))
+    case AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}
+
 object GraftDataSource {
   /** The shared write body (writer face above, `INSERT INTO` below):
     * stage once, annotate if asked, publish as append or whole-table
@@ -264,6 +295,61 @@ final class GraftRelation(spark: SparkSession, val root: String,
     GraftDataSource.write(data, root, store, snapshot().partitionCol,
       overwrite)
   }
+
+  /** SQL `DELETE FROM graft.<name> WHERE ...` ([[GraftTable]]'s
+    * SupportsDelete face lands here): pushed filters translate onto the
+    * engine's MERGE-ON-READ delete paths. A lone `col IN (...)` /
+    * `col = v` on a string/integral column routes to the ZERO-SCAN
+    * equality delete ([[Deletes.deleteKeysMoR]] — bloom-narrowed, no
+    * data I/O); anything else conjoins into [[Deletes.deleteWhereMoR]]
+    * (positions recorded by one matching scan, no rewrite either way).
+    * SQL DELETE null semantics hold on both paths, and a no-match delete
+    * burns no version. Compaction folds the evidence back into clean
+    * files on the maintenance schedule, as with the Scala API.
+    */
+  private[sources] def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty,
+      s"cannot delete from a time-travel/tag view of $root — it names an " +
+        "immutable snapshot")
+    // `k = 2` implies k IS NOT NULL: a redundant null guard pushed
+    // alongside a null-free equality must not mask the zero-scan route
+    val significant = filters.filterNot {
+      case IsNotNull(c) => filters.exists {
+        case EqualTo(`c`, v) => v != null
+        case In(`c`, vs) => vs.nonEmpty && !vs.contains(null)
+        case _ => false
+      }
+      case _ => false
+    }
+    significant match {
+      case Array(In(c, vs)) if equalityKey(c) && vs.nonEmpty &&
+          !vs.contains(null) =>
+        Deletes.deleteKeysMoR(spark, root, store, c, vs.toIndexedSeq)
+      case Array(EqualTo(c, v)) if equalityKey(c) && v != null =>
+        Deletes.deleteKeysMoR(spark, root, store, c, Seq(v))
+      case fs =>
+        val cond = fs.flatMap(FilterColumns.toColumn)
+        require(cond.length == fs.length, // canDeleteWhere vets first
+          s"untranslatable DELETE predicate: ${fs.mkString(", ")}")
+        Deletes.deleteWhereMoR(spark, root, store,
+          cond.reduceOption(_ && _)
+            .getOrElse(org.apache.spark.sql.functions.lit(true)))
+    }
+    ()
+  }
+
+  /** Equality-delete-eligible column: rendered-string comparison is
+    * exact (the [[Deletes.deleteKeysMoR]] contract).
+    */
+  private def equalityKey(c: String): Boolean =
+    schema.find(_.name == c).exists(_.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    })
 
   // buildScan hands back the delegate plan's InternalRow RDD directly —
   // no external-row conversion pass on the hot path

@@ -8,9 +8,9 @@ import graft.sources.{AtomicCommit, Compaction, DataSkipping, Deletes, PosixMani
 
 /** Randomized SOUNDNESS torture for the skipping stack: whatever history a
   * table accrues — replaces, appends, range deletes, MERGE-ON-READ
-  * deletes (whose vectors invalidate recorded row counts and must merge
-  * into every read path), recluster, z-order, compaction, in any
-  * interleaving — every pruned read must equal the
+  * deletes — position AND equality flavored, whose evidence invalidates
+  * recorded row counts and must merge into every read path — recluster,
+  * z-order, compaction, in any interleaving — every pruned read must equal the
   * full-scan filter, and every point lookup the full-scan equality. The
   * pruning layers under test stack four deep (partition envelope →
   * per-owner envelope → per-file interval → bloom), and each layer's bug
@@ -45,7 +45,7 @@ class DataSkippingFuzzSpec extends SparkSpec {
     var step = 0
     def evolve(): Unit = {
       step += 1
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 => // replace-with-stats of a fresh batch's partitions
           DataSkipping.commitWithStats(spark, root, randomBatch(step), "flag",
             Seq("v", "k"))
@@ -74,6 +74,12 @@ class DataSkippingFuzzSpec extends SparkSpec {
             .select("k").as[Long].head(3).toSeq
           if (ks.nonEmpty)
             Deletes.deleteWhereMoR(spark, root, store, col("k").isin(ks: _*))
+        case 7 => // EQUALITY delete (zero-scan, bloom-narrowed,
+          // owner-scoped) — the probes must stay sound under it too
+          val ks = AtomicCommit.read(spark, root, store)
+            .select("k").as[Long].head(2).toSeq
+          if (ks.nonEmpty)
+            Deletes.deleteKeysMoR(spark, root, store, "k", ks)
       }
     }
 

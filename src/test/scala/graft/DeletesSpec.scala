@@ -202,4 +202,73 @@ class DeletesSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet === Set(7L))
   }
 
+
+  test("deleteKeysMoR: equality semantics, re-inserts survive, evidence accumulates, purge") {
+    val root = freshRoot()
+    val store = new graft.sources.PosixManifestStore(root)
+    val staged = AtomicCommit.stage(spark, root, store,
+      Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "A", 30L), (4L, "B", 40L))
+        .toDF("k", "flag", "v"), "flag", 1)
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("k"))
+    AtomicCommit.publish(root, store, staged)
+
+    // a key provably absent everywhere: bloom-proven no-op, no version
+    assert(Deletes.deleteKeysMoR(spark, root, "k", Seq(999999L)) === None)
+    assert(AtomicCommit.currentVersion(root) === Some(1L))
+
+    assert(Deletes.deleteKeysMoR(spark, root, "k", Seq(2L, 4L)) === Some(2L))
+    assert(snap(root).map(_._1) === Set(1L, 3L), "B reads empty, A loses k=2")
+    assert(AtomicCommit.history(root).last.kind === "rowdelete")
+    // pre-delete snapshot intact
+    assert(AtomicCommit.readAt(spark, root, 1L).count() === 4L)
+
+    // OWNER SCOPING: re-inserting a deleted key via append SURVIVES —
+    // the record binds the owner list at delete time, not the future
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((2L, "A", 21L)).toDF("k", "flag", "v"), "flag")
+    assert(snap(root) === Set((1L, "A", 10L), (3L, "A", 30L), (2L, "A", 21L)))
+
+    // a second equality delete and a position delete both CARRY the
+    // existing evidence forward
+    assert(Deletes.deleteKeysMoR(spark, root, "k", Seq(1L)).nonEmpty)
+    assert(snap(root).map(_._1) === Set(3L, 2L))
+    assert(Deletes.deleteWhereMoR(spark, root, $"k" === 3L).nonEmpty)
+    assert(snap(root) === Set((2L, "A", 21L)),
+      "position + two equality deletes all effective together")
+    // skipping surfaces agree
+    assert(DataSkipping.readWhereEq(spark, root, "k", 1L).count() === 0L)
+    assert(DataSkipping.countWhere(spark, root, "v", 0L, 100L) === 1L)
+
+    // compaction folds the merged view; equality evidence purges with it
+    graft.sources.Compaction.compactAtomicTable(spark, root)
+    assert(snap(root) === Set((2L, "A", 21L)))
+    assert(AtomicCommit.dvOf(
+      AtomicCommit.readManifest(root).get.entries("A")).isEmpty)
+  }
+
+  test("deleteKeysMoR commits with ZERO data scan: survives missing data files") {
+    val root = freshRoot()
+    val store = new graft.sources.PosixManifestStore(root)
+    val staged = AtomicCommit.stage(spark, root, store,
+      Seq((1L, "A", 10L), (2L, "B", 20L), (3L, "C", 30L))
+        .toDF("k", "flag", "v"), "flag", 1)
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("k"))
+    AtomicCommit.publish(root, store, staged)
+    // the brutal proof: physically remove every data file except one
+    // (the schema probe reads a single footer); any matching SCAN would
+    // die here — the equality delete must not even try
+    val m = AtomicCommit.readManifest(root).get
+    val gen = AtomicCommit.ownersOf(m.entries.head._2).head
+    val files = Seq("A", "B", "C").flatMap { p =>
+      Option(java.nio.file.Paths.get(s"$root/$gen/flag=$p").toFile.listFiles)
+        .get.filter(_.getName.endsWith(".parquet")).toSeq
+    }
+    files.drop(1).foreach(f => Files.delete(f.toPath))
+    assert(Deletes.deleteKeysMoR(spark, root, "k", Seq(2L)) === Some(2L))
+    // the record landed on exactly the bloom-admitted partition
+    val m2 = AtomicCommit.readManifest(root).get
+    assert(AtomicCommit.dvOf(m2.entries("B")).nonEmpty)
+    assert(AtomicCommit.dvOf(m2.entries("C")).isEmpty,
+      "bloom-rejected partitions must not carry the record")
+  }
 }

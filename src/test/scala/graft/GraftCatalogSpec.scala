@@ -74,4 +74,65 @@ class GraftCatalogSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graft")
     }
   }
+
+  test("DELETE FROM graft.<name>: MoR routing, zero-scan equality path, guards") {
+    val root = Files.createTempDirectory("graft_cat_del").toString
+    val store = new graft.sources.PosixManifestStore(root)
+    val staged = AtomicCommit.stage(spark, root, store,
+      Seq((1L, 10L, "A"), (2L, 20L, "A"), (3L, 30L, "B"), (4L, 40L, "B"),
+        (5L, 50L, "C")).toDF("k", "v", "p"), "p", 1)
+    graft.sources.DataSkipping.annotateStagedBloom(spark, root, staged,
+      Seq("k"))
+    AtomicCommit.publish(root, store, staged)
+    AtomicCommit.tag(root, "before", 1L)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.docs", root)
+    try {
+      // range DELETE → positional MoR (a matching scan, no rewrite): the
+      // data generation must keep its files
+      val gen0 = AtomicCommit.ownersOf(
+        AtomicCommit.readManifest(root).get.entries("A")).head
+      spark.sql("DELETE FROM graft.docs WHERE v > 35 AND v < 45")
+      assert(spark.sql("SELECT k FROM graft.docs").as[Long]
+        .collect().toSet === Set(1L, 2L, 3L, 5L))
+      assert(AtomicCommit.history(root).last.kind === "rowdelete")
+      assert(AtomicCommit.ownersOf(
+        AtomicCommit.readManifest(root).get.entries("B")) === Seq(gen0),
+        "MoR: the data generation survives the delete untouched")
+      // pre-delete snapshot still reads in full via the tag (checked
+      // BEFORE the file-removal proof below mutilates partition C)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.docs VERSION AS OF 'before'")
+        .as[Long].head() === 5L)
+      // key-list DELETE → the ZERO-SCAN equality path: prove no data was
+      // read by physically removing partition C's files first
+      val cDir = java.nio.file.Paths.get(s"$root/$gen0/p=C")
+      Option(cDir.toFile.listFiles).get
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => Files.delete(f.toPath))
+      spark.sql("DELETE FROM graft.docs WHERE k IN (2, 3)")
+      assert(spark.sql("SELECT k FROM graft.docs WHERE p <> 'C'")
+        .as[Long].collect().toSet === Set(1L))
+      // routing proof: the new vector generation holds an EQUALITY
+      // sidecar (the positional route would write positions only)
+      val dvg = AtomicCommit.dvOf(
+        AtomicCommit.readManifest(root).get.entries("A")).get
+      assert(Files.exists(java.nio.file.Paths.get(root, dvg, "_graft_eq.jsonl")),
+        "the key-list DELETE must take the equality (zero-scan) route")
+      // bloom narrowing kept partition C out of the delete's write set
+      assert(AtomicCommit.dvOf(
+        AtomicCommit.readManifest(root).get.entries("C")).isEmpty,
+        "bloom-rejected partition must not carry the equality record")
+      // a DELETE that matches nothing burns no version
+      val v = AtomicCommit.currentVersion(root).get
+      spark.sql("DELETE FROM graft.docs WHERE k = 999")
+      assert(AtomicCommit.currentVersion(root).get === v)
+      // TRUNCATE is refused (tables stay non-empty by invariant)
+      val t = intercept[Exception] { spark.sql("TRUNCATE TABLE graft.docs") }
+      assert(t.getMessage.toLowerCase.contains("truncate"))
+    } finally {
+      spark.conf.unset("spark.graft.table.docs")
+      spark.conf.unset("spark.sql.catalog.graft")
+    }
+  }
 }
