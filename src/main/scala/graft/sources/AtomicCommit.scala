@@ -317,7 +317,15 @@ object AtomicCommit {
     if (append) require(staged.drops.isEmpty, "an append cannot drop partitions")
     var attempt = 0
     while (attempt < MaxPublishRetries) {
-      val prev = readManifest(store)
+      // writers HELP any in-flight multi-table transaction blocking the
+      // head: a decided one is finalized, an undecided one force-aborted
+      // after its grace ([[Transactions.resolveWrite]]) — single-table
+      // traffic never blocks behind a crashed coordinator
+      val prev = readManifestRaw(store) match {
+        case Some(m) if Transactions.isPending(m) =>
+          Transactions.resolveWrite(root, store, m)
+        case other => other
+      }
       require(prev.forall(_.partitionCol == staged.partitionCol),
         s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
       // exactly-once guard FIRST: a covered watermark means the batch is
@@ -380,8 +388,12 @@ object AtomicCommit {
       val next = Manifest(
         prev.map(_.version + 1).getOrElse(1L),
         staged.partitionCol, nextEntries,
-        prev.map(_.props).getOrElse(Map.empty) ++ staged.props --
-          staged.propDrops)
+        // graft.txn.* props describe ONE specific version (a pending or
+        // revert manifest), never the lineage — committing on top always
+        // strips them, unless this commit IS a transaction prepare
+        // re-asserting its own markers via staged.props
+        prev.map(_.props.filterNot(_._1.startsWith(Transactions.TxnPrefix)))
+          .getOrElse(Map.empty) ++ staged.props -- staged.propDrops)
       require(next.entries.nonEmpty,
         s"commit would leave $root with zero partitions — an empty table " +
           "has no manifest form; drop the table directory instead")
@@ -1537,17 +1549,36 @@ object AtomicCommit {
         .foreach(v => s.delete(manifestName(v)))
     }
     tempsStore.vacuumTemps(cutoff)
+    // decision objects of fully-resolved multi-table transactions (no
+    // retained manifest of any recorded participant references them)
+    Transactions.collectibleDecisions(tempsStore).foreach(tempsStore.delete)
     deleted
   }
 
   def readManifest(root: String): Option[Manifest] = readManifest(posix(root))
 
+  /** The current COMMITTED snapshot: the freshest manifest, resolved
+    * through any in-flight multi-table transaction ([[Transactions]]) —
+    * a pending-committed head serves as-is; an undecided or aborted one
+    * steps down to the version below, so readers get snapshot isolation
+    * and never observe half a transaction.
+    */
   def readManifest(store: ManifestStore): Option[Manifest] =
+    readManifestRaw(store).flatMap(Transactions.resolveRead(store, _))
+
+  /** The freshest manifest EXACTLY as stored, pending or not — the
+    * commit protocol's own view ([[Transactions]], the publish CAS loop,
+    * crash recovery). Everything user-facing wants [[readManifest]].
+    */
+  private[sources] def readManifestRaw(store: ManifestStore): Option[Manifest] =
     currentVersion(store).map { v =>
       parseJson(new String(store.get(manifestName(v)).getOrElse(
         sys.error(s"manifest v$v vanished between list and read")),
         StandardCharsets.UTF_8))
     }
+
+  private[sources] def parseBody(bytes: Array[Byte]): Manifest =
+    parseJson(new String(bytes, StandardCharsets.UTF_8))
 
   def currentVersion(root: String): Option[Long] = currentVersion(posix(root))
 
@@ -1556,10 +1587,10 @@ object AtomicCommit {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def manifestName(version: Long): String =
+  private[sources] def manifestName(version: Long): String =
     f"$ManifestPrefix$version%08d$ManifestSuffix"
 
-  private def versionOf(name: String): Option[Long] =
+  private[sources] def versionOf(name: String): Option[Long] =
     if (name.startsWith(ManifestPrefix) && name.endsWith(ManifestSuffix))
       name.stripPrefix(ManifestPrefix).stripSuffix(ManifestSuffix)
         .toLongOption
@@ -1577,7 +1608,7 @@ object AtomicCommit {
   // characters; control chars can't appear in either by construction
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
-  private def renderJson(m: Manifest): String = {
+  private[sources] def renderJson(m: Manifest): String = {
     def obj(kv: Map[String, String]): String = kv.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     // props BEFORE entries: the entries extractor below captures greedily

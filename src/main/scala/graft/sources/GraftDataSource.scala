@@ -74,8 +74,9 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       metadataPath,
       parameters.get("startingVersion").map {
-        case "latest" => graft.sources.AtomicCommit.currentVersion(store)
-          .map(_ + 1).getOrElse(1L)
+        case "latest" => graft.sources.AtomicCommit.readManifest(store)
+          .map(_.version + 1).getOrElse(1L) // resolved head: an undecided
+          // in-flight transaction's versions still stream once decided
         case v => v.toLong
       })
   }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.{AtomicCommit, ManifestStore, PosixManifestStore}
+import graft.sources.{AtomicCommit, ManifestStore, PosixManifestStore, Transactions}
 
 /** The READ half of the change-feed loop over [[graft.sources
   * .AtomicCommit]] tables — [[AtomicStreamSink]] writes a table's commits;
@@ -62,9 +62,32 @@ object ChangeFeed {
     * whose old owner list is not a strict prefix of its new one (replace,
     * delete, compaction, rollback): use the CDC feed for such history.
     */
+  /** Multi-table-transaction versions in the feed ([[graft.sources
+    * .Transactions]]): an ABORTED pending manifest and the revert that
+    * caps it are both no-op batches (their diffs are inverses — skipping
+    * the pair nets zero), a COMMITTED pending manifest is an ordinary
+    * change, and an UNDECIDED one is unreachable below a resolved head
+    * (feeds bound their ticks by [[AtomicCommit.readManifest]], which
+    * stops under in-flight transactions) — defensively, it fails loudly
+    * rather than leaking uncommitted rows.
+    */
+  private def txnSkip(store: ManifestStore, root: String,
+                      m: AtomicCommit.Manifest): Boolean =
+    if (m.props.contains(Transactions.RevertedKey)) true
+    else if (!Transactions.isPending(m)) false
+    else Transactions.decisionOf(m) match {
+      case Transactions.Committed => false
+      case Transactions.Aborted => true
+      case Transactions.Undecided => sys.error(
+        s"version ${m.version} of $root is an UNDECIDED in-flight " +
+          "transaction — feeds must bound ticks by the resolved head " +
+          "(AtomicCommit.readManifest), not raw versions")
+    }
+
   def appendsAt(spark: SparkSession, root: String, store: ManifestStore,
                 version: Long): Option[DataFrame] = {
     val cur = AtomicCommit.manifestAt(store, root, version)
+    if (txnSkip(store, root, cur)) return None
     val prevEntries: Map[String, String] =
       if (version <= 1L) Map.empty
       else AtomicCommit.manifestAt(store, root, version - 1).entries
@@ -115,6 +138,8 @@ object ChangeFeed {
     */
   def cdcBatchAt(spark: SparkSession, root: String, store: ManifestStore,
                  version: Long, keyCol: String): Option[DataFrame] = {
+    if (txnSkip(store, root, AtomicCommit.manifestAt(store, root, version)))
+      return None
     if (version <= 1L)
       return Some(AtomicCommit.readAt(spark, root, store, version)
         .withColumn(TombstoneCol, lit(false)))
@@ -172,9 +197,11 @@ object ChangeFeed {
                        srcStore: ManifestStore, dstRoot: String,
                        dstStore: ManifestStore, feedKey: String,
                        statsCols: Seq[String] = Nil): Long = {
-    val cur = AtomicCommit.currentVersion(srcStore).getOrElse(
+    // resolved head, not raw: versions above it belong to an in-flight
+    // transaction and must not be consumed (or watermarked past) yet
+    val srcM = AtomicCommit.readManifest(srcStore).getOrElse(
       sys.error(s"no manifest at $srcRoot — not an AtomicCommit table"))
-    val srcM = AtomicCommit.readManifest(srcStore).get
+    val cur = srcM.version
     val from = lastSourceVersion(dstStore, feedKey).getOrElse(0L)
     ((from + 1) to cur).foreach { v =>
       appendsAt(spark, srcRoot, srcStore, v).foreach { batch =>
@@ -197,9 +224,9 @@ object ChangeFeed {
                    srcStore: ManifestStore, dstRoot: String,
                    dstStore: ManifestStore, feedKey: String,
                    keyCol: String): Long = {
-    val cur = AtomicCommit.currentVersion(srcStore).getOrElse(
+    val srcM = AtomicCommit.readManifest(srcStore).getOrElse(
       sys.error(s"no manifest at $srcRoot — not an AtomicCommit table"))
-    val srcM = AtomicCommit.readManifest(srcStore).get
+    val cur = srcM.version
     val from = lastSourceVersion(dstStore, feedKey).getOrElse(0L)
     ((from + 1) to cur).foreach { v =>
       cdcBatchAt(spark, srcRoot, srcStore, v, keyCol).foreach { batch =>

@@ -59,7 +59,16 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   // the engine falls back to one uncapped batch, defeating the limiter
   private var availableNowTarget: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = AtomicCommit.currentVersion(store)
+    availableNowTarget = decidedHead()
+
+  /** Offsets stop at the RESOLVED head ([[AtomicCommit.readManifest]]):
+    * versions above it belong to an undecided in-flight multi-table
+    * transaction ([[graft.sources.Transactions]]) and must not be served
+    * — they may yet abort. Decided versions stream through [[ChangeFeed]],
+    * which skips an aborted prepare and its revert as no-op batches.
+    */
+  private def decidedHead(): Option[Long] =
+    AtomicCommit.readManifest(store).map(_.version)
 
   // SupportsAdmissionControl's face of the same answer (the engine calls
   // this form when the interface is present; read limits ride our own
@@ -114,7 +123,7 @@ final class GraftStreamSource(sqlContext: SQLContext, root: String,
   }
 
   override def getOffset: Option[V1Offset] =
-    AtomicCommit.currentVersion(store).map { cur =>
+    decidedHead().map { cur =>
       // before anything is served, the rate limiter's base is the
       // starting point, not version 0 — else a capped cold start would
       // serve (0, mx] below the requested window

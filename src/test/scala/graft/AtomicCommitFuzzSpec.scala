@@ -694,4 +694,138 @@ class AtomicCommitFuzzSpec extends SparkSpec {
       assert(readsOk.get() > 0, "the reader never completed a read")
     } finally pool.shutdown()
   }
+
+  /** r14: MULTI-TABLE TRANSACTIONS in the race ([[graft.sources
+    * .Transactions]]). Two transaction writers repeatedly commit paired
+    * replaces across TWO tables while single-table appenders churn other
+    * partitions of each (force-aborting any transaction they catch
+    * undecided past its grace) and a reader snapshots both tables
+    * mid-flight. Claims:
+    *
+    *  - ATOMICITY: each transaction partition's final content is the
+    *    same successful transaction's payload on BOTH tables.
+    *  - ISOLATION: the reader NEVER observes a payload of an aborted
+    *    transaction — pending heads resolve below the transaction until
+    *    its decision exists.
+    *  - LIVENESS: appenders always get through (their commits finalize
+    *    stalled transactions rather than blocking), and under a grace
+    *    window transactions make progress too.
+    */
+  test("transactions racing single-table writers on two tables: atomic, isolated, live") {
+    import spark.implicits._
+    import graft.sources.Transactions
+    import graft.sources.Transactions.{Participant, TxnAbortedException}
+    val root1 = Files.createTempDirectory("graft_fz_tx1").toString
+    val root2 = Files.createTempDirectory("graft_fz_tx2").toString
+    val (s1, s2) = (new InMemoryObjectStore, new InMemoryObjectStore)
+    Transactions.registerStore(root1, s1)
+    Transactions.registerStore(root2, s2)
+    val saveGrace = Transactions.undecidedGraceMillis
+    Transactions.undecidedGraceMillis = 100L
+    Seq((root1, s1), (root2, s2)).foreach { case (r, s) =>
+      AtomicCommit.commitReplacePartitions(spark, r, s,
+        Partitions.map(p => (0L, p, "seed")).toDF("writer", "flag", "tag"),
+        "flag", 1)
+    }
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(5)
+    val successes =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val observed =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def txnWriter(w: Long, part: String, n: Int): Callable[Int] =
+      new Callable[Int] {
+        def call(): Int = {
+          gate.await()
+          var ok = 0
+          (1 to n).foreach { i =>
+            val marker = s"txn$w-$i"
+            val df = Seq((w, part, marker)).toDF("writer", "flag", "tag")
+            try {
+              Transactions.commitAll(Seq(
+                Participant(root1, s1,
+                  AtomicCommit.stage(spark, root1, s1, df, "flag", 1)),
+                Participant(root2, s2,
+                  AtomicCommit.stage(spark, root2, s2, df, "flag", 1))))
+              successes.add(marker); ok += 1
+            } catch {
+              case _: TxnAbortedException => () // losing is legal; lying isn't
+            }
+          }
+          ok
+        }
+      }
+    def appender(r: String, s: ManifestStore, part: String, base: Long,
+                 n: Int): Callable[Long] = new Callable[Long] {
+      def call(): Long = {
+        gate.await()
+        (1 to n).foreach { i =>
+          AtomicCommit.commitAppendPartitions(spark, r, s,
+            Seq((base + i, part, s"app$base-$i")).toDF("writer", "flag", "tag"),
+            "flag", 1)
+        }
+        n.toLong
+      }
+    }
+    val reader = new Callable[Long] {
+      def call(): Long = {
+        gate.await()
+        var reads = 0L
+        while (!stop.get()) {
+          Seq((root1, s1), (root2, s2)).foreach { case (r, s) =>
+            AtomicCommit.read(spark, r, s)
+              .filter($"flag".isin("A", "B")).select("tag").as[String]
+              .collect().foreach(observed.add)
+          }
+          reads += 1
+        }
+        reads
+      }
+    }
+    try {
+      val ft1 = pool.submit(txnWriter(1L, "A", 6))
+      val ft2 = pool.submit(txnWriter(2L, "B", 6))
+      val fa1 = pool.submit(appender(root1, s1, "C", 100L, 8))
+      val fa2 = pool.submit(appender(root2, s2, "D", 200L, 8))
+      val frd = pool.submit(reader)
+      gate.countDown()
+      val ok1 = ft1.get(300, TimeUnit.SECONDS)
+      val ok2 = ft2.get(300, TimeUnit.SECONDS)
+      fa1.get(300, TimeUnit.SECONDS); fa2.get(300, TimeUnit.SECONDS)
+      stop.set(true)
+      val reads = frd.get(300, TimeUnit.SECONDS)
+      assert(reads > 0, "the reader never completed a pass")
+      // ISOLATION: nothing the reader ever saw came from an aborted
+      // transaction
+      val legal = Set("seed") ++ successes.toArray.map(_.toString)
+      val illegal = observed.toArray.map(_.toString).toSet -- legal
+      assert(illegal.isEmpty, s"aborted payloads were visible: $illegal")
+      // ATOMICITY: per transaction partition, both tables' final content
+      // is the same successful marker (or neither was ever won)
+      Seq("A", "B").foreach { p =>
+        val t1 = AtomicCommit.read(spark, root1, s1)
+          .filter($"flag" === p).select("tag").as[String].collect().toSet
+        val t2 = AtomicCommit.read(spark, root2, s2)
+          .filter($"flag" === p).select("tag").as[String].collect().toSet
+        assert(t1 === t2, s"transaction partition $p diverged: $t1 vs $t2")
+        assert(t1.size === 1)
+        assert(legal(t1.head), s"$p holds unknown payload ${t1.head}")
+      }
+      // LIVENESS: every append landed; transactions made progress
+      val c1 = AtomicCommit.read(spark, root1, s1)
+        .filter($"flag" === "C").count()
+      val d2 = AtomicCommit.read(spark, root2, s2)
+        .filter($"flag" === "D").count()
+      assert(c1 === 9L, s"table1 C: $c1") // seed + 8 appends
+      assert(d2 === 9L, s"table2 D: $d2")
+      assert(ok1 + ok2 > 0, "no transaction ever committed under the race")
+    } finally {
+      stop.set(true)
+      pool.shutdown()
+      Transactions.undecidedGraceMillis = saveGrace
+      Transactions.unregisterStore(root1)
+      Transactions.unregisterStore(root2)
+    }
+  }
 }
