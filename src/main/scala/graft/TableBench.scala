@@ -228,6 +228,36 @@ object TableBench {
     }
     require(AtomicCommit.read(spark, feedDst).count() ==
       AtomicCommit.read(spark, rootC).count(), "replica diverged after tick")
+
+    // MULTI-TABLE TRANSACTION overhead: the protocol's cost over two
+    // independent commits is pure metadata — one extra CAS per table
+    // (the seal) plus one decision object — and is independent of table
+    // size (data is staged before either path starts). Claims the
+    // "atomicity costs manifests, not data" line in BASELINE.md.
+    import graft.sources.{PosixManifestStore, Transactions}
+    val txA = Files.createTempDirectory("graft_tb_txa").toString
+    val txB = Files.createTempDirectory("graft_tb_txb").toString
+    val (txsA, txsB) = (new PosixManifestStore(txA), new PosixManifestStore(txB))
+    def smallDf(tag: Long) = spark.range(1000).select(
+      concat(lit("p"), (col("id") % 4).cast("string")).as("pk"),
+      (col("id") + tag).as("v"))
+    AtomicCommit.commitReplacePartitions(spark, txA, txsA, smallDf(0), "pk", 1)
+    AtomicCommit.commitReplacePartitions(spark, txB, txsB, smallDf(0), "pk", 1)
+    val seqStaged = Seq((txA, txsA), (txB, txsB)).map { case (r, s) =>
+      (r, s, AtomicCommit.stage(spark, r, s, smallDf(1000000), "pk", 1))
+    }
+    timed("two sequential single-table publishes (pre-staged)") {
+      seqStaged.foreach { case (r, s, st) => AtomicCommit.publish(r, s, st) }
+    }
+    val txnStaged = Seq((txA, txsA), (txB, txsB)).map { case (r, s) =>
+      Transactions.Participant(r, s,
+        AtomicCommit.stage(spark, r, s, smallDf(2000000), "pk", 1))
+    }
+    timed("same two commits as ONE transaction (commitAll, pre-staged)") {
+      Transactions.commitAll(txnStaged)
+    }
+    require(AtomicCommit.read(spark, txA).select(max(col("v"))).head.getLong(0)
+      >= 2000000L, "transaction content missing on table A")
     spark.stop()
   }
 }

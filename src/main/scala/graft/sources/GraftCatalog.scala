@@ -2,8 +2,9 @@ package graft.sources
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Row, SparkSession, SQLContext}
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -87,7 +88,75 @@ final class GraftCatalog extends TableCatalog {
       }
     }
     new GraftTable(s"$catalogName.${ident.name()}",
-      new GraftRelation(spark, root, store, pinned))
+      new GraftRelation(spark, root, store, pinned,
+        GraftCatalog.readDeclared(store)))
+  }
+
+  /** `CREATE TABLE graft.<name> (cols…) PARTITIONED BY (col)` — and CTAS,
+    * which arrives here with the query's schema before the write runs.
+    * The table root is `LOCATION`/`path` when given, else
+    * `spark.graft.warehouse` (else the session warehouse dir) + the
+    * table name. Over a root that already holds a manifest this is pure
+    * REGISTRATION (the footers own the schema; a declared partition
+    * column must match). Over an empty root it records a
+    * `_graft_declared.json` declaration — schema and partition column —
+    * through the store's create-if-absent (racing CREATEs get one
+    * winner); the table reads as empty and the first INSERT/CTAS write
+    * commits manifest version 1. Exactly one identity partition
+    * transform is required (the engine's layout is value-partitioned by
+    * one column); the declaration also pins the SQL-facing column order
+    * across that first commit.
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table = {
+    val name = ident.name()
+    require(!name.contains('@'),
+      s"CREATE TABLE targets main — fork $name with AtomicCommit.createBranch")
+    if (spark.conf.getOption(Prefix + name).isDefined)
+      throw new TableAlreadyExistsException(ident)
+    // LOCATION arrives URI-form ("file:/tmp/t"); the store and the
+    // staging paths speak local paths
+    def localPath(p: String): String =
+      if (p.startsWith("file:"))
+        java.nio.file.Paths.get(java.net.URI.create(p)).toString
+      else p
+    val root = Option(properties.get(TableCatalog.PROP_LOCATION))
+      .orElse(Option(properties.get("path")))
+      .orElse(Option(properties.get("option.path")))
+      .map(localPath)
+      .getOrElse {
+        val wh = spark.conf.getOption("spark.graft.warehouse").getOrElse(
+          localPath(spark.conf.get("spark.sql.warehouse.dir")))
+        s"$wh/$name"
+      }
+    val store = new PosixManifestStore(root)
+    val pcDeclared = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        Some(t.references.head.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        "graft tables take exactly one identity PARTITIONED BY column, " +
+          s"got: ${other.mkString(", ")}")
+    }
+    AtomicCommit.readManifest(store) match {
+      case Some(m) => // existing data: registration, not declaration
+        pcDeclared.foreach(p => require(p == m.partitionCol,
+          s"table at $root is partitioned by ${m.partitionCol}, not $p"))
+      case None =>
+        val pc = pcDeclared.getOrElse(throw new UnsupportedOperationException(
+          s"a new graft table needs PARTITIONED BY (<column>) — $root " +
+            "holds no data to infer one from"))
+        require(schema.nonEmpty,
+          s"CREATE TABLE $catalogName.$name needs columns (or point " +
+            s"LOCATION/path at an existing table root)")
+        require(schema.exists(_.name == pc),
+          s"partition column $pc is not among the declared columns " +
+            s"${schema.fieldNames.mkString(", ")}")
+        GraftCatalog.writeDeclared(store, pc, schema)
+    }
+    spark.conf.set(Prefix + name, root)
+    graftTable(ident, None)
   }
 
   override def alterTable(ident: Identifier,
@@ -96,11 +165,61 @@ final class GraftCatalog extends TableCatalog {
       "graft tables evolve through commits (addConstraint, " +
         "commitRepartition, schema-additive writes), not ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean = false // data outlives registry entries
+  /** DROP TABLE unregisters the name. The data, its manifests, and the
+    * declaration stay on disk (external-table semantics — the registry
+    * entry is a pointer, never ownership); re-CREATE or SET the conf to
+    * point at them again, or delete the directory to truly destroy.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val key = Prefix + ident.name()
+    val existed = spark.conf.getOption(key).isDefined
+    if (existed) spark.conf.unset(key)
+    existed
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       s"re-point the registry instead: SET $Prefix${newIdent.name()}=<root>")
+}
+
+object GraftCatalog {
+  /** [[GraftCatalog.createTable]]'s declaration sidecar: the partition
+    * column and schema of a table created before its first commit,
+    * stored through the manifest store (create-if-absent = CREATE's
+    * CAS). Once a manifest exists the footers own the types and the
+    * declaration only pins column order.
+    */
+  private[sources] val DeclaredFile = "_graft_declared.json"
+
+  private def escJ(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+  private def unescJ(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  private[sources] def writeDeclared(store: ManifestStore, pc: String,
+                                     schema: StructType): Unit = {
+    val body =
+      s"""{"partitionCol":"${escJ(pc)}","ddl":"${escJ(schema.toDDL)}"}"""
+    if (!store.putIfAbsent(DeclaredFile,
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))) {
+      // a racing CREATE (or a leftover declaration) won — identical is
+      // idempotent, different is a real conflict
+      val existing = readDeclared(store)
+      require(existing.contains((pc, StructType.fromDDL(schema.toDDL))),
+        s"a different declaration already exists: $existing")
+    }
+  }
+
+  private[sources] def readDeclared(store: ManifestStore)
+      : Option[(String, StructType)] =
+    store.get(DeclaredFile).map { bytes =>
+      val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      def field(name: String): String =
+        (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
+          .findFirstMatchIn(s).map(m => unescJ(m.group(1)))
+          .getOrElse(sys.error(s"bad declaration (no $name): $s"))
+      (field("partitionCol"), StructType.fromDDL(field("ddl")))
+    }
 }
 
 /** One catalog table: a thin DSv2 face over [[GraftRelation]] via the

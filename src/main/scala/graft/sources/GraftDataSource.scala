@@ -265,36 +265,64 @@ object GraftDataSource {
   * [[AtomicCommit.scanManifest]] plan as the Scala API (so SQL reads are
   * never a second, divergent implementation), with pushed-filter manifest
   * pruning in front of it.
+  *
+  * `declared` is the catalog-DDL declaration ([[GraftCatalog
+  * .createTable]]'s `_graft_declared.json`): `(partitionCol, schema)`.
+  * Before the first commit it IS the table — declared schema, empty
+  * scans, inserts keyed by the declared partition column; after, the
+  * footers are the type truth and the declaration only pins the
+  * SQL-facing COLUMN ORDER (so `SELECT *` and positional `INSERT` stay
+  * stable across the first commit instead of jumping to the
+  * partition-column-last physical order).
   */
 final class GraftRelation(spark: SparkSession, val root: String,
                           val store: ManifestStore,
-                          val pinned: Option[AtomicCommit.Manifest])
+                          val pinned: Option[AtomicCommit.Manifest],
+                          val declared: Option[(String, StructType)] = None)
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
   /** The snapshot this scan reads: the pinned one (versionAsOf/tagAsOf),
     * or the CURRENT manifest re-resolved per call so views track the
-    * table across commits.
+    * table across commits; None = a declared table before its first
+    * commit.
     */
-  private def snapshot(): AtomicCommit.Manifest =
-    pinned.getOrElse(AtomicCommit.readManifest(store).getOrElse(
-      sys.error(s"no manifest at $root — not an AtomicCommit table")))
+  private def snapshotOpt(): Option[AtomicCommit.Manifest] =
+    pinned.orElse(AtomicCommit.readManifest(store))
 
-  override val schema: StructType =
-    AtomicCommit.scanManifest(spark, root, snapshot()).schema
+  private def snapshot(): AtomicCommit.Manifest =
+    snapshotOpt().getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+
+  override val schema: StructType = (snapshotOpt(), declared) match {
+    case (Some(m), None) => AtomicCommit.scanManifest(spark, root, m).schema
+    case (None, Some((_, ds))) => ds
+    case (None, None) =>
+      sys.error(s"no manifest at $root — not an AtomicCommit table")
+    case (Some(m), Some((_, ds))) =>
+      // declared ORDER, footer TYPES; schema-evolution columns the
+      // declaration never named append after it
+      val scan = AtomicCommit.scanManifest(spark, root, m).schema
+      val byName = scan.map(f => f.name -> f).toMap
+      StructType(ds.flatMap(f => byName.get(f.name)) ++
+        scan.filterNot(f => ds.exists(_.name == f.name)))
+  }
 
   /** `INSERT INTO view ...` / `INSERT OVERWRITE` land on the same commit
     * paths as the writer face — append generations or a whole-table
-    * replace, constraints and conflicts included.
+    * replace, constraints and conflicts included. The FIRST insert into
+    * a declared table creates it (its commit is the manifest's version 1).
     */
   override def insert(data: org.apache.spark.sql.DataFrame,
                       overwrite: Boolean): Unit = {
     require(pinned.isEmpty,
       s"cannot insert into a time-travel/tag view of $root — it names an " +
         "immutable snapshot")
-    GraftDataSource.write(data, root, store, snapshot().partitionCol,
-      overwrite)
+    val pc = snapshotOpt().map(_.partitionCol)
+      .orElse(declared.map(_._1)).getOrElse(
+        sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    GraftDataSource.write(data, root, store, pc, overwrite)
   }
 
   /** SQL `DELETE FROM graft.<name> WHERE ...` ([[GraftTable]]'s
@@ -312,6 +340,7 @@ final class GraftRelation(spark: SparkSession, val root: String,
     require(pinned.isEmpty,
       s"cannot delete from a time-travel/tag view of $root — it names an " +
         "immutable snapshot")
+    if (snapshotOpt().isEmpty) return // declared, never written: no rows
     // `k = 2` implies k IS NOT NULL: a redundant null guard pushed
     // alongside a null-free equality must not mask the zero-scan route
     val significant = filters.filterNot {
@@ -362,7 +391,10 @@ final class GraftRelation(spark: SparkSession, val root: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val m = snapshot()
+    val mOpt = snapshotOpt()
+    if (mOpt.isEmpty) // declared, never written — zero rows, any projection
+      return spark.sparkContext.emptyRDD[Row]
+    val m = mOpt.get
     val pc = m.partitionCol
     // 1. partition-column pruning straight off the manifest keys
     var entries = m.entries

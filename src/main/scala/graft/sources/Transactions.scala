@@ -142,8 +142,10 @@ object Transactions {
   private def decisionAt(decisionRoot: String, txnId: String): Decision =
     storeFor(decisionRoot).get(decisionName(txnId)) match {
       case Some(bytes) =>
-        if (new String(bytes, StandardCharsets.UTF_8).contains("\"commit\""))
-          Committed
+        // match the decision FIELD, never the whole body — the recorded
+        // table paths are arbitrary strings that could contain "commit"
+        if (new String(bytes, StandardCharsets.UTF_8)
+            .contains("\"decision\":\"commit\"")) Committed
         else Aborted
       case None => Undecided
     }

@@ -135,4 +135,64 @@ class GraftCatalogSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graft")
     }
   }
+  test("DDL: CREATE TABLE, CTAS, registration over existing data, DROP") {
+    val loc1 = Files.createTempDirectory("graft_ddl1").toString
+    val loc2 = Files.createTempDirectory("graft_ddl2").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    try {
+      // CREATE over an empty root: declaration only, reads as empty,
+      // SQL-facing column order is the declared one
+      spark.sql("CREATE TABLE graft.ddl1 (k BIGINT, v STRING, p STRING) " +
+        s"PARTITIONED BY (p) LOCATION '$loc1'")
+      assert(spark.sql("SELECT * FROM graft.ddl1").columns.toSeq ===
+        Seq("k", "v", "p"))
+      assert(spark.sql("SELECT * FROM graft.ddl1").count() === 0L)
+      // first INSERT creates the table (manifest v1); order is stable
+      // across the first commit (physical layout puts p last anyway here)
+      spark.sql("INSERT INTO graft.ddl1 VALUES (1, 'x', 'a'), (2, 'y', 'b')")
+      assert(AtomicCommit.currentVersion(loc1).get === 1L)
+      assert(spark.sql("SELECT * FROM graft.ddl1").columns.toSeq ===
+        Seq("k", "v", "p"))
+      assert(spark.sql("SELECT k FROM graft.ddl1 WHERE p = 'a'").as[Long]
+        .collect().toSet === Set(1L))
+      // declared order holds even when the partition column is NOT
+      // declared last: a second declared table, column order (p, k)
+      val loc3 = Files.createTempDirectory("graft_ddl3").toString
+      spark.sql("CREATE TABLE graft.ddl3 (p STRING, k BIGINT) " +
+        s"PARTITIONED BY (p) LOCATION '$loc3'")
+      spark.sql("INSERT INTO graft.ddl3 VALUES ('a', 10), ('b', 20)")
+      assert(spark.sql("SELECT * FROM graft.ddl3").columns.toSeq ===
+        Seq("p", "k"), "declared order must survive the first commit")
+      assert(spark.sql("SELECT k FROM graft.ddl3 WHERE p = 'b'").as[Long]
+        .collect().toSet === Set(20L))
+      // CTAS: schema from the query, write creates version 1
+      spark.sql("CREATE TABLE graft.ddl2 PARTITIONED BY (p) " +
+        s"LOCATION '$loc2' AS SELECT k, v, p FROM graft.ddl1")
+      assert(spark.sql("SELECT count(*) FROM graft.ddl2").as[Long]
+        .head() === 2L)
+      // CREATE over a root that already holds a manifest = registration
+      spark.sql(s"CREATE TABLE graft.ddl2again LOCATION '$loc2'")
+      assert(spark.sql("SELECT count(*) FROM graft.ddl2again").as[Long]
+        .head() === 2L)
+      // duplicate name is a loud conflict
+      val dup = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.ddl1 (x INT) PARTITIONED BY (x) " +
+          s"LOCATION '$loc1'")
+      }
+      assert(dup.getMessage.toLowerCase.contains("already exists"))
+      // DROP unregisters the name; data stays; re-registration revives it
+      spark.sql("DROP TABLE graft.ddl1")
+      intercept[Exception] { spark.sql("SELECT * FROM graft.ddl1").collect() }
+      assert(AtomicCommit.currentVersion(loc1).get === 1L,
+        "DROP must not touch data")
+      spark.conf.set("spark.graft.table.ddl1", loc1)
+      assert(spark.sql("SELECT count(*) FROM graft.ddl1").as[Long]
+        .head() === 2L)
+    } finally {
+      Seq("ddl1", "ddl2", "ddl2again", "ddl3").foreach(n =>
+        if (spark.conf.getOption(s"spark.graft.table.$n").isDefined)
+          spark.conf.unset(s"spark.graft.table.$n"))
+      spark.conf.unset("spark.sql.catalog.graft")
+    }
+  }
 }
