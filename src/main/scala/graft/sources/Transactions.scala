@@ -328,6 +328,41 @@ object Transactions {
   def recover(root: String): Option[Manifest] =
     recover(root, new PosixManifestStore(root))
 
+  /** A CONSISTENT CROSS-TABLE SNAPSHOT: the resolved manifest of every
+    * table, taken so that NO commit — transactional or single-table —
+    * interleaved the reads. Individually, [[AtomicCommit.readManifest]]
+    * already never shows half a transaction; but reading table A before
+    * a transaction's decision and table B after it would pair a pre-txn
+    * A with a post-txn B. The optimistic double-read closes that: read
+    * every head, read them all again, and accept only if no resolved
+    * version moved (a decision landing mid-pass changes the resolved
+    * version of every table it touches, so it cannot hide). Retries up
+    * to [[AtomicCommit.MaxPublishRetries]] passes under sustained commit
+    * traffic. Absent tables (declared, never written) stay absent from
+    * the map. Pin the returned versions with [[AtomicCommit.readAt]] /
+    * tags for anything longer-lived than the call.
+    */
+  def readConsistent(tables: Seq[(String, ManifestStore)])
+      : Map[String, Manifest] = {
+    require(tables.map(_._1).distinct.size == tables.size,
+      "duplicate roots in readConsistent")
+    var attempt = 0
+    while (attempt < AtomicCommit.MaxPublishRetries) {
+      val first = tables.map { case (r, s) =>
+        r -> AtomicCommit.readManifest(s)
+      }
+      val second = tables.map { case (r, s) =>
+        r -> AtomicCommit.readManifest(s)
+      }
+      if (first.map { case (r, m) => r -> m.map(_.version) } ==
+          second.map { case (r, m) => r -> m.map(_.version) })
+        return first.collect { case (r, Some(m)) => r -> m }.toMap
+      attempt += 1
+    }
+    sys.error("no stable cross-table snapshot after " +
+      s"${AtomicCommit.MaxPublishRetries} passes — sustained commit storm")
+  }
+
   /** Decision objects of transactions no longer referenced by any
     * retained manifest of any of their recorded tables — [[AtomicCommit
     * .vacuum]]'s GC hook. Conservative: an unresolvable table root (not

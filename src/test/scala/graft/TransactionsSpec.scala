@@ -274,6 +274,35 @@ class TransactionsSpec extends SparkSpec {
     assert(rows(rootB, sb)("b", 20L, "txn-b"))
   }
 
+  test("readConsistent pairs both tables' post-transaction states") {
+    val rootA = Files.createTempDirectory("graft_txn_rc_a").toString
+    val rootB = Files.createTempDirectory("graft_txn_rc_b").toString
+    val (sa, sb) = (new PosixManifestStore(rootA), new PosixManifestStore(rootB))
+    seed(rootA, sa, "base"); seed(rootB, sb, "base")
+    Transactions.commitAll(Seq(
+      Participant(rootA, sa, stageReplace(rootA, sa, Seq(("a", 10L, "txn-a")))),
+      Participant(rootB, sb, stageReplace(rootB, sb, Seq(("b", 20L, "txn-b"))))))
+    val snap = Transactions.readConsistent(Seq(rootA -> sa, rootB -> sb))
+    assert(snap.keySet === Set(rootA, rootB))
+    // the snapshot names versions whose contents pair the transaction
+    assert(AtomicCommit.readAt(spark, rootA, sa, snap(rootA).version)
+      .select("p", "k", "v").as[(String, Long, String)].collect().toSet
+      .contains(("a", 10L, "txn-a")))
+    assert(AtomicCommit.readAt(spark, rootB, sb, snap(rootB).version)
+      .select("p", "k", "v").as[(String, Long, String)].collect().toSet
+      .contains(("b", 20L, "txn-b")))
+    // an undecided transaction does not destabilize the snapshot: it
+    // resolves below the pending head on every pass
+    val txnId = java.util.UUID.randomUUID.toString
+    AtomicCommit.publish(rootA, sa,
+      stageReplace(rootA, sa, Seq(("a", 99L, "phantom"))).copy(props = Map(
+        Transactions.IdKey -> txnId,
+        Transactions.DecisionRootKey -> rootA,
+        Transactions.TablesKey -> rootA)))
+    val snap2 = Transactions.readConsistent(Seq(rootA -> sa, rootB -> sb))
+    assert(snap2(rootA).version === snap(rootA).version)
+  }
+
   test("append-shaped and props-only participants ride the same protocol") {
     val rootA = Files.createTempDirectory("graft_txn_apa").toString
     val rootB = Files.createTempDirectory("graft_txn_apb").toString
