@@ -258,6 +258,60 @@ object TableBench {
     }
     require(AtomicCommit.read(spark, txA).select(max(col("v"))).head.getLong(0)
       >= 2000000L, "transaction content missing on table A")
+
+    // DELETION-VECTOR BITMAPS (late r14): the read-merge cost of a LIVE
+    // scattered vector, bitmap probe vs the pre-bitmap anti-join on the
+    // same vector — plus the compressed-evidence size the bitmap ships
+    // to executors instead of a row per deleted row. rootS is freshly
+    // reclustered (vectors purged), so the one vector below is the only
+    // merge evidence in the read.
+    val preCnt = AtomicCommit.read(spark, rootS).count()
+    val matched = AtomicCommit.read(spark, rootS)
+      .filter(col("v") % 97 === 0).count()
+    timed(s"deleteWhereMoR scattered ($matched rows marked)") {
+      graft.sources.Deletes.deleteWhereMoR(spark, rootS, col("v") % 97 === 0)
+    }
+    val mS = AtomicCommit.readManifest(rootS).get
+    val dvGens = mS.entries.values.flatMap(AtomicCommit.dvOf).toSet
+    def treeBytes(p: java.nio.file.Path): Long = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(p)
+      try s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size).sum
+      finally s.close()
+    }
+    val posBytes = dvGens.toSeq.map { g =>
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(rootS, g))
+      try s.iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally s.close()
+    }.sum
+    val dvbBytes = dvGens.toSeq
+      .map(g => java.nio.file.Paths.get(rootS, g, "_dvb"))
+      .filter(java.nio.file.Files.isDirectory(_)).map(treeBytes).sum
+    println(f"[tablebench] vector evidence: positions ${posBytes / 1e3}%.1f KB" +
+      f" -> bitmaps ${dvbBytes / 1e3}%.1f KB")
+    val mergedCnt = timed("vectored full read (bitmap probe)") {
+      AtomicCommit.read(spark, rootS).count()
+    }
+    require(mergedCnt == preCnt - matched,
+      s"bitmap merge wrong: $mergedCnt != $preCnt - $matched")
+    // strip the sidecars → the same read degrades to the anti-join
+    dvGens.foreach { g =>
+      val d = java.nio.file.Paths.get(rootS, g, "_dvb")
+      if (java.nio.file.Files.isDirectory(d)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val legacyCnt = timed("vectored full read (anti-join fallback)") {
+      AtomicCommit.read(spark, rootS).count()
+    }
+    require(legacyCnt == mergedCnt, s"fallback diverged: $legacyCnt != $mergedCnt")
     spark.stop()
   }
 }

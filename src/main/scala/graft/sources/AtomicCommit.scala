@@ -6,6 +6,7 @@ import java.util.Comparator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Manifest-based two-phase commit over plain parquet — the atomic
   * multi-partition publish [[IncrementalUpsert]] and [[Compaction]]
@@ -1305,13 +1306,20 @@ object AtomicCommit {
   }
 
   /** Everything a snapshot's merge-on-read deletes require at scan time:
-    * the position frame ([[dvFrame]]) and the equality records, resolved
-    * per partition from its CURRENT vector generation (exact — no
-    * staleness argument needed on the equality side).
+    * the position evidence — preferably the compressed bitmaps
+    * ([[DvBitmap.readSidecars]]: owner generation → (partition, file) →
+    * bitmap, probed by a codegen'd filter), else the position frame
+    * ([[dvFrame]], anti-joined) for tables whose vectors predate the
+    * sidecar format — and the equality records, resolved per partition
+    * from its CURRENT vector generation (exact — no staleness argument
+    * needed on either the bitmap or the equality side).
     */
-  final case class DeleteEvidence(positions: Option[DataFrame],
-                                  eqs: Seq[EqDelete]) {
-    def isEmpty: Boolean = positions.isEmpty && eqs.isEmpty
+  final case class DeleteEvidence(
+      positions: Option[DataFrame], eqs: Seq[EqDelete],
+      bitmaps: Option[Map[String,
+        Map[(UTF8String, UTF8String), DvBitmap.Bitmap]]]) {
+    def isEmpty: Boolean =
+      positions.isEmpty && eqs.isEmpty && bitmaps.forall(_.isEmpty)
   }
 
   private[sources] def deleteEvidence(spark: SparkSession, root: String,
@@ -1319,7 +1327,11 @@ object AtomicCommit {
     val eqs = m.entries.toSeq.flatMap { case (p, e) =>
       dvOf(e).toSeq.flatMap(g => readEqs(root, g).filter(_.partition == p))
     }
-    DeleteEvidence(dvFrame(spark, root, m), eqs)
+    val bitmaps = DvBitmap.readSidecars(spark, root, m)
+    // the frame is only planned (and its generations' footers only read)
+    // when some vector predates the bitmap sidecar
+    val positions = if (bitmaps.isDefined) None else dvFrame(spark, root, m)
+    DeleteEvidence(positions, eqs, bitmaps)
   }
 
   /** [[applyDv]] plus the equality filters: for generation `gen`, the
@@ -1335,12 +1347,18 @@ object AtomicCommit {
   private[sources] def applyDeletes(df: DataFrame, partitionCol: String,
                                     gen: String,
                                     ev: DeleteEvidence): DataFrame = {
-    val posApplied = applyDv(df, partitionCol, gen, ev.positions)
+    val posApplied = ev.bitmaps match {
+      case Some(bm) => bm.get(gen) match {
+        case Some(sub) => applyDvBitmap(df, partitionCol, sub)
+        case None => df // no position deletes against this generation
+      }
+      case None => applyDv(df, partitionCol, gen, ev.positions)
+    }
     val applicable = ev.eqs.filter(_.owners.contains(gen))
     if (applicable.isEmpty) posApplied
     else {
       val terms = applicable.groupBy(e => (e.col, e.values)).toSeq
-        .sortBy { case ((c, vs), _) => (c, vs.mkString(" ")) }
+        .sortBy { case ((c, vs), _) => (c, vs.mkString("\u0000")) }
         .map { case ((c, vs), es) =>
           val parts = es.map(_.partition).distinct
           coalesce(
@@ -1361,6 +1379,21 @@ object AtomicCommit {
     * deletes belong to the copy-on-write path), so the broadcast is the
     * plan a 1000-executor cluster wants.
     */
+  /** MERGE-ON-READ, bitmap-flavored: drop rows whose (partition, file,
+    * position) the generation's deletion bitmaps mark. One codegen'd
+    * [[DvKeep]] filter over the metadata columns already being scanned —
+    * the scan keeps its shape (no join, no broadcast build), and what
+    * ships to 1000 executors is the COMPRESSED delete evidence (8 KiB
+    * per 65K-row chunk at worst) instead of a row per deleted row.
+    */
+  private[sources] def applyDvBitmap(df: DataFrame, partitionCol: String,
+      sub: Map[(UTF8String, UTF8String), DvBitmap.Bitmap]): DataFrame =
+    if (sub.isEmpty) df
+    else df.filter(DvBitmap.exprColumn(DvKeep(sub,
+      DvBitmap.colExpr(col(partitionCol).cast("string")),
+      DvBitmap.colExpr(col("_metadata.file_name")),
+      DvBitmap.colExpr(col("_metadata.row_index")))))
+
   private[sources] def applyDv(df: DataFrame, partitionCol: String,
                                gen: String, dv: Option[DataFrame]): DataFrame =
     dv match {

@@ -193,6 +193,7 @@ object Deletes {
           // deletes belong to the CoW path)
           (fresh +: carried).reduce(_.unionByName(_))
             .repartition(1).write.mode("error").parquet(s"$root/$dvGen")
+          DvBitmap.writeSidecar(spark, s"$root/$dvGen")
           AtomicCommit.writeEqs(s"$root/$dvGen", carriedEqs)
           val overrides = keep.map { p =>
             p -> AtomicCommit.renderEntry(
@@ -296,10 +297,11 @@ object Deletes {
     if (candidates.isEmpty) return None
     val dvGen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
     val (carried, carriedEqs) = carryEvidence(spark, root, m, candidates)
-    if (carried.nonEmpty)
+    if (carried.nonEmpty) {
       carried.reduce(_.unionByName(_))
         .repartition(1).write.mode("error").parquet(s"$root/$dvGen")
-    else // sidecar-only generation: the dir itself is the staged artifact
+      DvBitmap.writeSidecar(spark, s"$root/$dvGen")
+    } else // sidecar-only generation: the dir itself is the staged artifact
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(root, dvGen))
     val fresh = candidates.map { p =>

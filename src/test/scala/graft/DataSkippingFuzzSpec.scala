@@ -45,7 +45,7 @@ class DataSkippingFuzzSpec extends SparkSpec {
     var step = 0
     def evolve(): Unit = {
       step += 1
-      rnd.nextInt(8) match {
+      rnd.nextInt(9) match {
         case 0 => // replace-with-stats of a fresh batch's partitions
           DataSkipping.commitWithStats(spark, root, randomBatch(step), "flag",
             Seq("v", "k"))
@@ -80,6 +80,20 @@ class DataSkippingFuzzSpec extends SparkSpec {
             .select("k").as[Long].head(2).toSeq
           if (ks.nonEmpty)
             Deletes.deleteKeysMoR(spark, root, store, "k", ks)
+        case 8 => // a vector written by an OLDER writer: strip one
+          // bitmap sidecar, so every read until the next rewrite
+          // degrades (whole-snapshot, all-or-nothing) to the anti-join
+          // merge — probes must stay sound on the fallback path too
+          val m = AtomicCommit.readManifest(store).get
+          m.entries.values.flatMap(AtomicCommit.dvOf).toSeq.sorted
+            .headOption.foreach { g =>
+              val d = java.nio.file.Paths.get(root, g, "_dvb")
+              if (java.nio.file.Files.isDirectory(d)) {
+                import scala.jdk.CollectionConverters._
+                java.nio.file.Files.walk(d).iterator().asScala.toSeq
+                  .reverse.foreach(java.nio.file.Files.delete)
+              }
+            }
       }
     }
 

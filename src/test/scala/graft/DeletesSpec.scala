@@ -129,6 +129,35 @@ class DeletesSpec extends SparkSpec {
     assert(AtomicCommit.readAt(spark, root, 1L).count() === 4L)
   }
 
+  test("MoR bitmap sidecar: join-free scan plan; removing it falls back to the anti-join, same rows") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (1L to 100L).map(k => (k, if (k % 2 == 0) "A" else "B", k * 10))
+        .toDF("k", "flag", "v"), "flag")
+    Deletes.deleteWhereMoR(spark, root, $"k" % 7 === 0)
+    val expected = (1L to 100L).filter(_ % 7 != 0)
+      .map(k => (k, if (k % 2 == 0) "A" else "B", k * 10)).toSet
+    val df = AtomicCommit.read(spark, root)
+    // the merge is the codegen'd bitmap probe INSIDE the scan — no
+    // anti-join, no broadcast build anywhere in the vectored read
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), s"vectored read still joins:\n$plan")
+    assert(plan.contains("graft_dv_keep"), s"bitmap probe missing:\n$plan")
+    assert(snap(root) === expected)
+    // a vector written WITHOUT a sidecar (older writer) degrades to the
+    // anti-join — identical rows, the join back in the plan
+    val m = AtomicCommit.readManifest(root).get
+    val dvGen = AtomicCommit.dvOf(m.entries("A")).get
+    val dvb = java.nio.file.Paths.get(root, dvGen, "_dvb")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dvb).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    val fallback = AtomicCommit.read(spark, root)
+    assert(fallback.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    assert(fallback.select("k", "flag", "v")
+      .as[(Long, String, Long)].collect().toSet === expected)
+  }
+
   test("MoR vectors accumulate, empty partitions drop, appends commute, rewrites purge") {
     val root = freshRoot()
     DataSkipping.commitWithStats(spark, root,
