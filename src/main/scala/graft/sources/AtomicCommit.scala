@@ -393,8 +393,9 @@ object AtomicCommit {
         // revert manifest), never the lineage — committing on top always
         // strips them, unless this commit IS a transaction prepare
         // re-asserting its own markers via staged.props
-        prev.map(_.props.filterNot(_._1.startsWith(Transactions.TxnPrefix)))
-          .getOrElse(Map.empty) ++ staged.props -- staged.propDrops)
+        stampWhen(prev.map(_.props),
+          prev.map(_.props.filterNot(_._1.startsWith(Transactions.TxnPrefix)))
+            .getOrElse(Map.empty) ++ staged.props -- staged.propDrops))
       require(next.entries.nonEmpty,
         s"commit would leave $root with zero partitions — an empty table " +
           "has no manifest form; drop the table directory instead")
@@ -522,7 +523,7 @@ object AtomicCommit {
           "(vacuumed before publish?) — the commit cannot proceed")
     val next = Manifest(prev.version + 1, staged.partitionCol,
       staged.partitions.map(_ -> staged.gen).toMap,
-      prev.props ++ staged.props)
+      stampWhen(Some(prev.props), prev.props ++ staged.props))
     if (!store.putIfAbsent(manifestName(next.version),
       renderJson(next).getBytes(StandardCharsets.UTF_8)))
       throw new PartitionConflictException(
@@ -577,6 +578,49 @@ object AtomicCommit {
   def readAt(spark: SparkSession, root: String, store: ManifestStore,
              version: Long): DataFrame =
     scanManifest(spark, root, manifestAt(store, root, version))
+
+  /** A snapshot's commit timestamp (epoch millis) — absent only on
+    * versions published before the engine stamped commits.
+    */
+  def commitTimeMillis(m: Manifest): Option[Long] =
+    m.props.get(CommitWhenProp).flatMap(_.toLongOption)
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST version committed at or
+    * before `tsMillis` — walked newest-first from the resolved head (a
+    * pending multi-table transaction never serves), so a timestamp after
+    * the last commit answers with the head (that IS the table's state at
+    * that moment). Versions predating commit stamping count as
+    * arbitrarily old. Fails when `tsMillis` predates every retained
+    * version — vacuum is the horizon for timestamps exactly as it is for
+    * version numbers.
+    */
+  def versionAsOfTimestamp(root: String, tsMillis: Long): Long =
+    versionAsOfTimestamp(posix(root), root, tsMillis)
+
+  def versionAsOfTimestamp(store: ManifestStore, root: String,
+                           tsMillis: Long): Long = {
+    val head = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val vs = versions(store).filter(_ <= head.version).sorted.reverse
+    for (v <- vs) {
+      val when = commitTimeMillis(
+        if (v == head.version) head else manifestAt(store, root, v))
+      if (when.forall(_ <= tsMillis)) return v
+    }
+    sys.error(s"timestamp $tsMillis predates every retained version of " +
+      s"$root (earliest retained: v${vs.last} at " +
+      s"${commitTimeMillis(manifestAt(store, root, vs.last))
+        .map(_.toString).getOrElse("unstamped")})")
+  }
+
+  /** Time travel by wall clock: the snapshot current at `tsMillis`. */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMillis: Long): DataFrame =
+    readAsOfTimestamp(spark, root, posix(root), tsMillis)
+
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        store: ManifestStore, tsMillis: Long): DataFrame =
+    readAt(spark, root, store, versionAsOfTimestamp(store, root, tsMillis))
 
   /** Snapshot versions still readable (ascending). [[vacuum]] prunes all
     * but the current one, so this is also the time-travel horizon.
@@ -685,7 +729,7 @@ object AtomicCommit {
       val cur = readManifest(store).getOrElse(
         sys.error(s"no manifest at $root — nothing to roll back"))
       val next = Manifest(cur.version + 1, target.partitionCol,
-        target.entries, cur.props)
+        target.entries, stampWhen(Some(cur.props), cur.props))
       if (store.putIfAbsent(manifestName(next.version),
         renderJson(next).getBytes(StandardCharsets.UTF_8)))
         return next.version
@@ -698,6 +742,28 @@ object AtomicCommit {
   private val TagPrefix = "graft.tag."
   private val ConstraintPrefix = "graft.constraint."
   private val BranchBaseProp = "graft.branch.base"
+
+  /** Every published version carries its COMMIT TIMESTAMP (epoch millis)
+    * in this prop — the basis for `TIMESTAMP AS OF` time travel
+    * ([[versionAsOfTimestamp]]). Stamped by the engine at publish time at
+    * every site that creates a new version; never set it yourself.
+    */
+  val CommitWhenProp = "graft.commit.when"
+
+  /** The commit props for a new version: `props` plus a commit timestamp
+    * that is MONOTONIC within the lineage (wall clock, floored at the
+    * previous version's stamp + 1 ms — the Delta rule, so a clock step
+    * backwards between commits can never make [[versionAsOfTimestamp]]'s
+    * latest-at-or-before resolution ambiguous).
+    */
+  private[sources] def stampWhen(prevProps: Option[Map[String, String]],
+                                 props: Map[String, String])
+      : Map[String, String] = {
+    val floor = prevProps.flatMap(_.get(CommitWhenProp))
+      .flatMap(_.toLongOption).map(_ + 1L).getOrElse(Long.MinValue)
+    props + (CommitWhenProp ->
+      math.max(System.currentTimeMillis(), floor).toString)
+  }
 
   /** BRANCHES (Iceberg/Nessie-style refs with independent lineage): a
     * branch is the table seen through a [[BranchStore]] name-translating
@@ -791,7 +857,8 @@ object AtomicCommit {
     val next =
       if (cur.version == base) // fast-forward
         Manifest(cur.version + 1, bm.partitionCol, bm.entries,
-          translateBranchProps(bs, root, bm, base, cur.version + 1))
+          stampWhen(Some(cur.props),
+            translateBranchProps(bs, root, bm, base, cur.version + 1)))
       else {
         // three-way: both sides diffed against the MAIN manifest at the
         // fork version (the branch's fork copy is byte-equal by
@@ -858,7 +925,8 @@ object AtomicCommit {
           case kv => Some(kv)
         }
         Manifest(cur.version + 1, cur.partitionCol, mergedEntries,
-          cur.props -- branchDropped ++ translated - BranchBaseProp)
+          stampWhen(Some(cur.props),
+            cur.props -- branchDropped ++ translated - BranchBaseProp))
       }
     if (!store.putIfAbsent(manifestName(next.version),
       renderJson(next).getBytes(StandardCharsets.UTF_8)))

@@ -204,6 +204,17 @@ object DvBitmap {
       .write.mode("error").parquet(s"$genPath/$SidecarDir")
   }
 
+  private def sidecarFiles(root: String, gen: String): Seq[String] = {
+    val d = Paths.get(root, gen, SidecarDir)
+    if (!Files.isDirectory(d)) return Nil
+    val s = Files.list(d)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSeq
+    } finally s.close()
+  }
+
   /** The snapshot's bitmaps, EXACT per partition (each partition
     * contributes rows from the one vector generation its entry currently
     * references — vectors accumulate, so that generation holds the
@@ -228,7 +239,12 @@ object DvBitmap {
     val out = mutable.Map[String,
       mutable.Map[(UTF8String, UTF8String), Bitmap]]()
     for ((g, parts) <- byGen if posSet(g)) {
-      val rows = spark.read.parquet(s"$root/$g/$SidecarDir").collect()
+      // read the concrete part files, not the dir: an underscore-named
+      // read root trips Spark's hidden-path warning (cosmetic but noisy),
+      // and an empty sidecar dir should degrade like a missing one
+      val files = sidecarFiles(root, g)
+      if (files.isEmpty) return None
+      val rows = spark.read.parquet(files: _*).collect()
       for (r <- rows if parts(r.getString(0))) {
         val key = (UTF8String.fromString(r.getString(0)),
           UTF8String.fromString(r.getString(2)))

@@ -66,7 +66,16 @@ final class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     graftTable(ident, Some(version))
 
-  private def graftTable(ident: Identifier, version: Option[String]): Table = {
+  /** The DSv2 `TIMESTAMP AS OF <ts>` hook — Spark hands the literal as
+    * MICROSECONDS since the epoch; commit stamps are millis
+    * ([[AtomicCommit.CommitWhenProp]]), so the resolution floors the
+    * division (a timestamp mid-millisecond is after that milli's commits).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    graftTable(ident, None, Some(Math.floorDiv(timestamp, 1000L)))
+
+  private def graftTable(ident: Identifier, version: Option[String],
+                         tsMillis: Option[Long] = None): Table = {
     val (table, branch) = ident.name().split('@') match {
       case Array(t, b) => (t, Some(b))
       case _ => (ident.name(), None)
@@ -86,7 +95,8 @@ final class GraftCatalog extends TableCatalog {
             sys.error(s"no tag $v at $root (tags: " +
               s"${AtomicCommit.tags(store).keys.toSeq.sorted.mkString(", ")})")))
       }
-    }
+    }.orElse(tsMillis.map(ts => AtomicCommit.manifestAt(store, root,
+      AtomicCommit.versionAsOfTimestamp(store, root, ts))))
     new GraftTable(s"$catalogName.${ident.name()}",
       new GraftRelation(spark, root, store, pinned,
         GraftCatalog.readDeclared(store)))

@@ -24,6 +24,10 @@ import org.apache.spark.sql.types.StructType
   *    (the option-form of `VERSION AS OF`; the DSv2 SQL syntax needs a
   *    catalog-registered connector, out of this relation's scope).
   *  - `tagAsOf` — time travel by tag name.
+  *  - `timestampAsOf` — time travel by wall clock (epoch millis or a
+  *    `yyyy-mm-dd hh:mm:ss` literal): the latest version committed at or
+  *    before it, resolved from the commit stamps every published
+  *    manifest carries ([[AtomicCommit.CommitWhenProp]]).
   *  - `branch` — read a branch lineage instead of main.
   *
   * Architecture: the V1 relation API is the deliberate choice here —
@@ -73,11 +77,33 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
         .schemaFor(sqlContext.sparkSession, root, store, feed)),
       parameters.get("maxVersionsPerTrigger").map(_.toLong),
       metadataPath,
-      parameters.get("startingVersion").map {
-        case "latest" => graft.sources.AtomicCommit.readManifest(store)
-          .map(_.version + 1).getOrElse(1L) // resolved head: an undecided
-          // in-flight transaction's versions still stream once decided
-        case v => v.toLong
+      {
+        if (parameters.contains("startingVersion") &&
+          parameters.contains("startingTimestamp"))
+          sys.error("graft stream source: startingVersion and " +
+            "startingTimestamp are mutually exclusive")
+        parameters.get("startingVersion").map {
+          case "latest" => graft.sources.AtomicCommit.readManifest(store)
+            .map(_.version + 1).getOrElse(1L) // resolved head: an undecided
+            // in-flight transaction's versions still stream once decided
+          case v => v.toLong
+        }.orElse(parameters.get("startingTimestamp").map { ts =>
+          // start at the first version committed AFTER the instant: the
+          // as-of resolution names the version current AT it (already
+          // consumed by whoever was reading then), so streaming resumes
+          // one past it — epoch millis or a `yyyy-mm-dd hh:mm:ss`
+          // literal. An instant predating every retained commit streams
+          // the table from its earliest retained version.
+          val millis = ts.toLongOption.getOrElse(
+            java.sql.Timestamp.valueOf(ts).getTime)
+          try graft.sources.AtomicCommit
+            .versionAsOfTimestamp(store, root, millis) + 1L
+          catch {
+            case e: RuntimeException if e.getMessage.contains("predates") =>
+              graft.sources.AtomicCommit.versions(store).headOption
+                .getOrElse(1L)
+          }
+        })
       })
   }
 
@@ -135,19 +161,30 @@ final class GraftDataSource extends RelationProvider with StreamSourceProvider
       case Some(b) => new BranchStore(new PosixManifestStore(root), b)
       case None => new PosixManifestStore(root)
     }
-    // versionAsOf/tagAsOf PIN a snapshot; without them the relation
-    // re-resolves the manifest per scan, so a long-lived view tracks the
-    // table across commits instead of freezing at registration time
-    val pinned = (parameters.get("versionAsOf"), parameters.get("tagAsOf")) match {
-      case (Some(_), Some(_)) =>
-        sys.error("graft data source: versionAsOf and tagAsOf are mutually exclusive")
-      case (Some(v), None) =>
+    // versionAsOf/tagAsOf/timestampAsOf PIN a snapshot; without them the
+    // relation re-resolves the manifest per scan, so a long-lived view
+    // tracks the table across commits instead of freezing at registration
+    // time. timestampAsOf accepts epoch millis or a `Timestamp.valueOf`
+    // literal (`yyyy-mm-dd hh:mm:ss[.f…]`), session-timezone-free.
+    val asOfKeys = Seq("versionAsOf", "tagAsOf", "timestampAsOf")
+      .filter(parameters.contains)
+    if (asOfKeys.size > 1)
+      sys.error(s"graft data source: ${asOfKeys.mkString(" and ")} are " +
+        "mutually exclusive")
+    val pinned = (parameters.get("versionAsOf"), parameters.get("tagAsOf"),
+        parameters.get("timestampAsOf")) match {
+      case (Some(v), _, _) =>
         Some(AtomicCommit.manifestAt(store, root, v.toLong))
-      case (None, Some(t)) =>
+      case (_, Some(t), _) =>
         Some(AtomicCommit.manifestAt(store, root, AtomicCommit.tags(store)
           .getOrElse(t, sys.error(s"no tag $t at $root (tags: " +
             s"${AtomicCommit.tags(store).keys.toSeq.sorted.mkString(", ")})"))))
-      case (None, None) =>
+      case (_, _, Some(ts)) =>
+        val millis = ts.toLongOption.getOrElse(
+          java.sql.Timestamp.valueOf(ts).getTime)
+        Some(AtomicCommit.manifestAt(store, root,
+          AtomicCommit.versionAsOfTimestamp(store, root, millis)))
+      case _ =>
         AtomicCommit.readManifest(store).getOrElse(
           sys.error(s"no manifest at $root — not an AtomicCommit table"))
         None

@@ -246,9 +246,12 @@ object Transactions {
         if (version <= 1L) store.delete(AtomicCommit.manifestName(version))
         else {
           val below = AtomicCommit.manifestAt(store, root, version - 1)
+          // stamped against the PENDING manifest (the lineage head being
+          // stepped past), so the revert's timestamp stays monotonic
           val body = Manifest(version + 1, below.partitionCol, below.entries,
-            below.props.filterNot(_._1.startsWith(TxnPrefix)) +
-              (RevertedKey -> txnId))
+            AtomicCommit.stampWhen(Some(m.props),
+              below.props.filterNot(_._1.startsWith(TxnPrefix)) +
+                (RevertedKey -> txnId)))
           store.putIfAbsent(AtomicCommit.manifestName(body.version),
             AtomicCommit.renderJson(body)
               .getBytes(StandardCharsets.UTF_8))

@@ -292,14 +292,16 @@ class AtomicCommitSpec extends SparkSpec {
     val s1 = AtomicCommit.stage(spark, root,
       Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
     AtomicCommit.publish(root, s1.copy(props = Map("owner" -> "ingest", "n" -> "1")))
-    assert(AtomicCommit.readManifest(root).get.props ===
-      Map("owner" -> "ingest", "n" -> "1"))
+    // every commit additionally stamps its timestamp (TimeTravelSpec owns
+    // that contract) — user props are everything else
+    def userProps() = AtomicCommit.readManifest(root).get.props -
+      AtomicCommit.CommitWhenProp
+    assert(userProps() === Map("owner" -> "ingest", "n" -> "1"))
     // a later commit overrides the keys it sets and inherits the rest
     val s2 = AtomicCommit.stage(spark, root,
       Seq((3L, "B", 3.0)).toDF("k", "flag", "v"), "flag")
     AtomicCommit.publish(root, s2.copy(props = Map("n" -> "2")))
-    assert(AtomicCommit.readManifest(root).get.props ===
-      Map("owner" -> "ingest", "n" -> "2"))
+    assert(userProps() === Map("owner" -> "ingest", "n" -> "2"))
     // a brace would corrupt the flat-blob parser for every later reader —
     // rejected at the commit boundary, nothing published
     val s3 = AtomicCommit.stage(spark, root,
@@ -349,7 +351,8 @@ class AtomicCommitSpec extends SparkSpec {
     assert(snap(root) === Map(("A", 1L) -> 1.0, ("B", 3L) -> 3.0))
     // ...but keeps the CURRENT props (reverting data must not revert the
     // streaming watermark, or replayed batches would double-append)
-    assert(AtomicCommit.readManifest(root).get.props === Map("wm" -> "9"))
+    assert(AtomicCommit.readManifest(root).get.props -
+      AtomicCommit.CommitWhenProp === Map("wm" -> "9"))
     // a rollback is itself a version: rolling back the rollback works
     assert(AtomicCommit.rollbackTo(root, 2L) === 4L)
     assert(snap(root) === Map(("A", 7L) -> 7.0, ("B", 3L) -> 3.0))

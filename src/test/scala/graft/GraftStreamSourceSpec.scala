@@ -157,4 +157,33 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("k").as[Long].collect().toSet ===
       Set(2L, 3L), "v1's snapshot must be skipped, v2..v3 delivered")
   }
+
+  test("startingTimestamp resumes one past the version current at the instant") {
+    val root = Files.createTempDirectory("graft_ss_st").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A")).toDF("k", "p"), "p") // v1
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((2L, "A")).toDF("k", "p"), "p") // v2
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((3L, "A")).toDF("k", "p"), "p") // v3
+    val store = new graft.sources.PosixManifestStore(root)
+    val w2 = AtomicCommit.commitTimeMillis(
+      AtomicCommit.manifestAt(store, root, 2L)).get
+    def drain(opt: String): Set[Long] = {
+      val out = Files.createTempDirectory("graft_ss_st_out").toString + "/s"
+      val ckpt = Files.createTempDirectory("graft_ss_st_ck").toString
+      val q = spark.readStream.format("graft")
+        .option("path", root).option("startingTimestamp", opt).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      q.exception.foreach(throw _)
+      spark.read.parquet(out).select("k").as[Long].collect().toSet
+    }
+    // a reader current at w2 has seen v1+v2 — the stream resumes at v3
+    assert(drain(w2.toString) === Set(3L))
+    // an instant predating the table streams everything
+    assert(drain("2001-01-01 00:00:00") === Set(1L, 2L, 3L))
+  }
 }
