@@ -1552,16 +1552,30 @@ object AtomicCommit {
     vacuum(root, store, orphanAgeMillis, 1)
 
   def vacuum(root: String, store: ManifestStore, orphanAgeMillis: Long,
-             keepVersions: Int): Seq[String] = store match {
+             keepVersions: Int): Seq[String] =
+    vacuum(root, store, orphanAgeMillis, keepVersions, 0L)
+
+  /** [[vacuum]] with a WALL-CLOCK retention window: `retainMillis > 0`
+    * additionally keeps every snapshot whose commit stamp
+    * ([[CommitWhenProp]]) falls within the last `retainMillis` — the
+    * "time travel for the last N days" operating contract, composing
+    * with (never narrowing) `keepVersions` and tag pinning. Versions
+    * published before commit stamping have no stamp and sit outside any
+    * time window; version-count and tag retention still protect them.
+    */
+  def vacuum(root: String, store: ManifestStore, orphanAgeMillis: Long,
+             keepVersions: Int, retainMillis: Long): Seq[String] = store match {
     // branch awareness is a SAFETY property, not a convenience: a
     // single-view sweep cannot see generations other branches reference,
     // so any vacuum over a store holding branch namespaces (or over a
     // branch view itself) silently becomes the branched form
     case b: BranchStore =>
-      vacuumBranched(root, b.underlying, orphanAgeMillis, keepVersions)
+      vacuumBranched(root, b.underlying, orphanAgeMillis, keepVersions,
+        retainMillis)
     case s if BranchStore.branches(s).nonEmpty =>
-      vacuumBranched(root, s, orphanAgeMillis, keepVersions)
-    case s => vacuumViews(root, s, Seq(s), orphanAgeMillis, keepVersions)
+      vacuumBranched(root, s, orphanAgeMillis, keepVersions, retainMillis)
+    case s => vacuumViews(root, s, Seq(s), orphanAgeMillis, keepVersions,
+      retainMillis)
   }
 
   /** [[vacuum]] for a branched table: the kept/live sets union over MAIN
@@ -1571,28 +1585,37 @@ object AtomicCommit {
     */
   def vacuumBranched(root: String, store: ManifestStore,
                      orphanAgeMillis: Long = OrphanRetentionMillis,
-                     keepVersions: Int = 1): Seq[String] =
+                     keepVersions: Int = 1,
+                     retainMillis: Long = 0L): Seq[String] =
     vacuumViews(root, store,
       store +: BranchStore.branches(store).map(new BranchStore(store, _)),
-      orphanAgeMillis, keepVersions)
+      orphanAgeMillis, keepVersions, retainMillis)
 
   private def vacuumViews(root: String, tempsStore: ManifestStore,
                           views: Seq[ManifestStore], orphanAgeMillis: Long,
-                          keepVersions: Int): Seq[String] = {
+                          keepVersions: Int,
+                          retainMillis: Long = 0L): Seq[String] = {
     require(keepVersions >= 1, s"keepVersions=$keepVersions")
     def taggedOf(m: Manifest): Set[Long] = m.props.collect {
       case (k, v) if k.startsWith(TagPrefix) => v.toLong
     }.toSet
+    val timeFloor =
+      if (retainMillis > 0L) System.currentTimeMillis() - retainMillis
+      else Long.MaxValue
+    def keptByTime(s: ManifestStore, v: Long): Boolean =
+      retainMillis > 0L &&
+        commitTimeMillis(manifestAt(s, root, v)).exists(_ >= timeFloor)
     val active = views.flatMap(s => readManifest(s).map(s -> _))
     if (active.isEmpty) return Nil
-    // kept snapshots per view: the retention window PLUS every tagged
-    // version — a tag is an explicit promise that its snapshot stays
-    // readable, so tagged manifests and their generations outlive any
-    // horizon; a generation survives while ANY view's kept set holds it
+    // kept snapshots per view: the retention window (version count and,
+    // when asked, wall clock) PLUS every tagged version — a tag is an
+    // explicit promise that its snapshot stays readable, so tagged
+    // manifests and their generations outlive any horizon; a generation
+    // survives while ANY view's kept set holds it
     val live = active.flatMap { case (s, m) =>
       val horizon = m.version - keepVersions + 1
       val tagged = taggedOf(m)
-      versions(s).filter(v => v >= horizon || tagged(v))
+      versions(s).filter(v => v >= horizon || tagged(v) || keptByTime(s, v))
         .flatMap(v => manifestAt(s, root, v).entries.values.flatMap(allGensOf))
     }.toSet
     val rootPath = Paths.get(root)
@@ -1646,7 +1669,8 @@ object AtomicCommit {
     active.foreach { case (s, m) =>
       val horizon = m.version - keepVersions + 1
       val tagged = taggedOf(m)
-      versions(s).filter(v => v < horizon && !tagged(v))
+      versions(s)
+        .filter(v => v < horizon && !tagged(v) && !keptByTime(s, v))
         .foreach(v => s.delete(manifestName(v)))
     }
     tempsStore.vacuumTemps(cutoff)
