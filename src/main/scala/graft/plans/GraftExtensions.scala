@@ -58,6 +58,9 @@ object DotProductRewrite extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // AFTER V2ScanRelationPushDown (the pre-CBO batch), so the rule sees
+    // the pushed DataSourceV2ScanRelation + V1ScanWrapper it prices
+    ext.injectPreCBORule(_ => BroadcastStatsRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

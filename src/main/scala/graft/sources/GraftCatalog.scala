@@ -245,6 +245,19 @@ final class GraftTable(ident: String, relation: GraftRelation)
 
   override def name(): String = ident
   override def schema(): StructType = relation.schema
+
+  /** Pruned-slice bytes for the planner ([[graft.plans
+    * .BroadcastStatsRule]] prices join sides pre-pushdown, where the
+    * optimizer's extension hooks actually run): manifest/stats pruning
+    * under `filters`, full projected width.
+    */
+  private[graft] def prunedBytes(filters: Array[Filter]): Long =
+    relation.estimateStats(filters)._1
+
+  /** The backing relation, for [[graft.plans.GraftDmlRewrite]]'s lowered
+    * UPDATE/MERGE commands (root, store, and the one scan plan).
+    */
+  private[graft] def underlying: GraftRelation = relation
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -279,8 +292,36 @@ final class GraftTable(ident: String, relation: GraftRelation)
       override def pruneColumns(s: StructType): Unit =
         required = if (s.isEmpty) relation.schema else s
 
-      override def build(): Scan = new V1Scan {
+      /** The scan reports filter-aware statistics
+        * ([[GraftRelation.estimateStats]]): bytes and rows of only the
+        * partitions surviving manifest/stats pruning, priced per column
+        * width for the pruned projection — so `SELECT two_cols FROM
+        * graft.small_dim JOIN big ...` auto-broadcasts exactly when the
+        * slice the scan will read fits the broadcast threshold.
+        */
+      override def build(): Scan = new V1Scan
+        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
         override def readSchema(): StructType = required
+        override def estimateStatistics()
+            : org.apache.spark.sql.connector.read.Statistics = {
+          val (bytes, rowsOpt) = relation.estimateStats(filters)
+          // scale bytes by projected width: the planner prices the
+          // in-memory relation AFTER column pruning (same move as
+          // Spark's own fsRelation sizing)
+          val full = relation.schema.fields.map(_.dataType.defaultSize)
+            .sum.max(1)
+          val kept = required.fields.map(_.dataType.defaultSize).sum.max(1)
+          val scaled =
+            if (kept >= full) bytes
+            else math.ceil(bytes.toDouble * kept / full).toLong
+          new org.apache.spark.sql.connector.read.Statistics {
+            override def sizeInBytes(): java.util.OptionalLong =
+              java.util.OptionalLong.of(scaled)
+            override def numRows(): java.util.OptionalLong =
+              rowsOpt.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+          }
+        }
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new BaseRelation with TableScan {

@@ -418,6 +418,31 @@ final class GraftRelation(spark: SparkSession, val root: String,
       case _ => false
     })
 
+  /** Filter-aware statistics for the DSv2 scan ([[GraftTable]]'s
+    * SupportsReportStatistics face): bytes and logical rows of ONLY the
+    * partitions surviving pushed-filter pruning, so the planner prices
+    * what the scan will actually read — a pruned slice of a huge table
+    * broadcasts when the slice is small. Row count is absent when the
+    * sidecars can't prove it ([[TableStats.rowCount]]).
+    */
+  private[sources] def estimateStats(filters: Array[Filter]): (Long, Option[Long]) =
+    snapshotOpt() match {
+      case None => (0L, Some(0L)) // declared, never written
+      case Some(m) =>
+        val parts = prunedEntriesFor(m, filters).keySet
+        (TableStats.sizeInBytes(root, m, parts),
+          TableStats.rowCount(root, m, parts))
+    }
+
+  /** Snapshot bytes from the manifest's own file set ([[TableStats]]),
+    * so the SQL planner prices this table like Delta/Iceberg price
+    * theirs — without it, `defaultSizeInBytes` (effectively infinite)
+    * makes a join against a 10-row graft dimension table shuffle instead
+    * of broadcast. A declared-but-never-written table is 0 bytes.
+    */
+  override def sizeInBytes: Long =
+    snapshotOpt().map(m => TableStats.sizeInBytes(root, m)).getOrElse(0L)
+
   // buildScan hands back the delegate plan's InternalRow RDD directly —
   // no external-row conversion pass on the hot path
   override def needConversion: Boolean = false
@@ -426,12 +451,13 @@ final class GraftRelation(spark: SparkSession, val root: String,
   // not evaluation)
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
-  override def buildScan(requiredColumns: Array[String],
-                         filters: Array[Filter]): RDD[Row] = {
-    val mOpt = snapshotOpt()
-    if (mOpt.isEmpty) // declared, never written — zero rows, any projection
-      return spark.sparkContext.emptyRDD[Row]
-    val m = mOpt.get
+  /** The manifest entries surviving pushed-filter pruning — shared by
+    * [[buildScan]] (what to read) and the DSv2 scan's statistics face
+    * (what to price): partition-key pruning off the manifest, then
+    * min/max-sidecar pruning for every column holding a closed interval.
+    */
+  private[sources] def prunedEntriesFor(m: AtomicCommit.Manifest,
+                                        filters: Array[Filter]): Map[String, String] = {
     val pc = m.partitionCol
     // 1. partition-column pruning straight off the manifest keys
     var entries = m.entries
@@ -472,6 +498,16 @@ final class GraftRelation(spark: SparkSession, val root: String,
       entries = DataSkipping.prunedEntries(root, m.copy(entries = entries),
         c, lows(c), highs(c))
     }
+    entries
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val mOpt = snapshotOpt()
+    if (mOpt.isEmpty) // declared, never written — zero rows, any projection
+      return spark.sparkContext.emptyRDD[Row]
+    val m = mOpt.get
+    val entries = prunedEntriesFor(m, filters)
     if (entries.isEmpty)
       return spark.sparkContext.emptyRDD[Row]
     val df = AtomicCommit.scanManifest(spark, root, m.copy(entries = entries))

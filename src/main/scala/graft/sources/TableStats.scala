@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.sources.AtomicCommit.Manifest
+
+/** SNAPSHOT STATISTICS for the SQL planner — the missing half of "is
+  * this join broadcast-able, and did the engine broadcast it?".
+  *
+  * Without a size estimate, Spark prices every external relation at
+  * `spark.sql.defaultSizeInBytes` (effectively infinite), so a SQL join
+  * against even a 10-row graft dimension table NEVER auto-broadcasts and
+  * the planner falls back to a full shuffle — the exact scale defect
+  * this engine exists to avoid. (Delta and Iceberg both feed file sizes
+  * from their logs into the planner for the same reason.)
+  *
+  * Source of truth: the data files the snapshot actually references —
+  * per partition, the sum of parquet byte sizes under each owner
+  * generation's partition directory. That is a driver-side metadata walk
+  * (same cost class as vacuum's liveness listing), done ONCE per
+  * `(root, version)` and cached: manifests are immutable per version, so
+  * the cache never invalidates, and commits arrive at new versions with
+  * their own entries. Row counts come for free from the skipping
+  * sidecars ([[DataSkipping.readStats]]) when every owner generation is
+  * annotated; merge-on-read deletion vectors make the physical row count
+  * an overestimate of the logical one, so a snapshot carrying DVs
+  * reports bytes only (bytes stay RIGHT — the scan still reads those
+  * files — while a wrong row count would mislead CBO cardinality).
+  */
+object TableStats {
+
+  /** partition → live data bytes, cached per immutable snapshot. */
+  private val bytesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, Long]]()
+
+  /** partition → physical rows (None when any owner gen lacks stats). */
+  private val rowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Map[String, Long]]]()
+
+  private def bounded[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
+    if (m.size > 256) m.clear() // snapshots churn in tests; keep it tiny
+
+  def partitionBytes(root: String, m: Manifest): Map[String, Long] = {
+    bounded(bytesCache)
+    bytesCache.computeIfAbsent((root, m.version), _ => computeBytes(root, m))
+  }
+
+  private def computeBytes(root: String, m: Manifest): Map[String, Long] =
+    m.entries.map { case (p, entry) =>
+      p -> AtomicCommit.ownersOf(entry).map { gen =>
+        dirBytes(Paths.get(root, gen, s"${m.partitionCol}=$p"))
+      }.sum
+    }
+
+  private def dirBytes(dir: Path): Long = {
+    if (!Files.isDirectory(dir)) return 0L
+    val s = Files.walk(dir)
+    try s.filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
+      .mapToLong(Files.size).sum()
+    finally s.close()
+  }
+
+  /** Bytes of the whole snapshot, or of a pruned subset of partitions
+    * (the DSv2 scan calls this AFTER manifest/stats pruning, so the
+    * planner prices the partitions the scan will actually read).
+    */
+  def sizeInBytes(root: String, m: Manifest): Long =
+    partitionBytes(root, m).values.sum
+
+  def sizeInBytes(root: String, m: Manifest, parts: Set[String]): Long = {
+    val all = partitionBytes(root, m)
+    parts.iterator.map(all.getOrElse(_, 0L)).sum
+  }
+
+  /** partition → physical row count from the per-generation stats
+    * sidecars: the partition-envelope record (`file = None`) of ANY
+    * column carries the slice's row count. None when any owner
+    * generation is un-annotated (a table written without
+    * [[DataSkipping.commitWithStats]]) — callers fall back to
+    * bytes-only statistics rather than guess.
+    */
+  def partitionRows(root: String, m: Manifest): Option[Map[String, Long]] = {
+    bounded(rowsCache)
+    rowsCache.computeIfAbsent((root, m.version), _ => computeRows(root, m))
+  }
+
+  private def computeRows(root: String, m: Manifest): Option[Map[String, Long]] = {
+    val gens = m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+    val byGen: Map[String, Map[String, Long]] = gens.map { g =>
+      g -> DataSkipping.readStats(root, g)
+        .filter(_.file.isEmpty)
+        .groupBy(_.partition)
+        .map { case (p, recs) => p -> recs.head.rows }
+    }.toMap
+    val perPart = m.entries.toSeq.map { case (p, entry) =>
+      val counts = AtomicCommit.ownersOf(entry).map(g => byGen(g).get(p))
+      if (counts.exists(_.isEmpty)) None else Some(p -> counts.flatten.sum)
+    }
+    if (perPart.exists(_.isEmpty)) None
+    else Some(perPart.flatten.toMap)
+  }
+
+  /** Logical row count of the snapshot (or a partition subset): physical
+    * rows from the sidecars, defined only when every owner generation is
+    * annotated AND no entry carries a deletion vector (DV-marked rows
+    * are physically present but logically gone — reporting the physical
+    * count would overstate cardinality to CBO).
+    */
+  def rowCount(root: String, m: Manifest): Option[Long] =
+    rowCount(root, m, m.entries.keySet)
+
+  def rowCount(root: String, m: Manifest, parts: Set[String]): Option[Long] = {
+    val hasDv = m.entries.exists { case (p, e) =>
+      parts(p) && AtomicCommit.dvOf(e).isDefined
+    }
+    if (hasDv) None
+    else partitionRows(root, m).map(all =>
+      parts.iterator.map(all.getOrElse(_, 0L)).sum)
+  }
+}

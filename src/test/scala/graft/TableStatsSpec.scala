@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AtomicCommit, DataSkipping, Deletes, TableStats}
+
+/** [[graft.sources.TableStats]] — manifest-backed planner statistics.
+  * The defect this closes: without a size estimate Spark prices every
+  * external relation at `defaultSizeInBytes` (effectively infinite), so
+  * a SQL join against a tiny graft dimension table NEVER auto-broadcasts.
+  * With it, the planner sees the snapshot's true file bytes (v1 face)
+  * and the PRUNED slice's bytes+rows (DSv2 catalog face).
+  */
+class TableStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def diskBytes(root: String): Long = {
+    val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+    try s.filter(f => f.toString.endsWith(".parquet") &&
+        !f.toString.contains("_graft") &&
+        java.nio.file.Files.isRegularFile(f))
+      .mapToLong(java.nio.file.Files.size).sum()
+    finally s.close()
+  }
+
+  test("sizeInBytes = live parquet bytes; rowCount from sidecars; DVs drop rowCount") {
+    val root = Files.createTempDirectory("graft_ts").toString
+    DataSkipping.commitWithStats(spark, root,
+      Seq((1L, 10L, "A"), (2L, 20L, "A"), (3L, 30L, "B")).toDF("k", "v", "p"),
+      "p", Seq("k"))
+    val m1 = AtomicCommit.readManifest(root).get
+    assert(TableStats.sizeInBytes(root, m1) > 0L)
+    assert(TableStats.sizeInBytes(root, m1) === diskBytes(root))
+    assert(TableStats.rowCount(root, m1) === Some(3L))
+    assert(TableStats.rowCount(root, m1, Set("A")) === Some(2L))
+    // partition-subset bytes: strictly less than the whole snapshot
+    assert(TableStats.sizeInBytes(root, m1, Set("A")) <
+      TableStats.sizeInBytes(root, m1))
+    // a MoR delete leaves bytes intact (files still read) but makes the
+    // physical row count a lie — rowCount must refuse, bytes must not
+    Deletes.deleteWhereMoR(spark, root, col("k") === 1L)
+    val m2 = AtomicCommit.readManifest(root).get
+    assert(TableStats.rowCount(root, m2).isEmpty)
+    assert(TableStats.rowCount(root, m2, Set("B")) === Some(1L),
+      "the DV-free partition still proves its count")
+    assert(TableStats.sizeInBytes(root, m2) >= TableStats.sizeInBytes(root, m1))
+  }
+
+  test("rowCount absent when a generation is un-annotated") {
+    val root = Files.createTempDirectory("graft_ts2").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A")).toDF("k", "p"), "p")
+    val m = AtomicCommit.readManifest(root).get
+    assert(TableStats.rowCount(root, m).isEmpty)
+    assert(TableStats.sizeInBytes(root, m) > 0L)
+  }
+
+  test("v1 face: optimizer stats equal snapshot bytes; small graft dim auto-broadcasts") {
+    val root = Files.createTempDirectory("graft_ts3").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "x", "A"), (2L, "y", "A"), (3L, "z", "B"))
+        .toDF("k", "name", "p"), "p")
+    val dim = spark.read.format("graft").load(root)
+    val m = AtomicCommit.readManifest(root).get
+    assert(dim.queryExecution.optimizedPlan.stats.sizeInBytes ===
+      BigInt(TableStats.sizeInBytes(root, m)))
+    // a fact side the planner KNOWS exceeds the threshold (range = 8 B/row)
+    val fact = spark.range(400000).withColumnRenamed("id", "k")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> (1024 * 1024).toString) {
+      val joined = fact.join(dim, "k")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(physical.contains("BroadcastHashJoin"),
+        s"tiny graft dim must broadcast under a 1 MB threshold:\n$physical")
+      assert(!physical.contains("SortMergeJoin"), physical)
+      assert(joined.count() === 3L)
+    }
+  }
+
+  test("DSv2 catalog face: stats are filter-aware (pruned slice prices below the whole)") {
+    val root = Files.createTempDirectory("graft_ts4").toString
+    // partition A is ~100× partition B: pruning to B must change the price
+    val big = spark.range(20000).select(col("id").as("k"),
+      concat(lit("pad-pad-pad-"), col("id")).as("s"), lit("A").as("p"))
+    val small = Seq((-1L, "tiny", "B"), (-2L, "tiny2", "B")).toDF("k", "s", "p")
+    DataSkipping.commitWithStats(spark, root, big.unionByName(small), "p", Seq("k"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.st", root)
+    try {
+      // Spark's V1Scan bridge wraps the scan in V1ScanWrapper, which
+      // drops SupportsReportStatistics (the defect BroadcastStatsRule
+      // exists for) — so read the estimate off the wrapped scan itself
+      def scanStats(sql: String): org.apache.spark.sql.connector.read.Statistics = {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan
+        val scans = plan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan
+        }
+        assert(scans.nonEmpty, s"no v2 scan in:\n$plan")
+        scans.head match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+            w.v1Scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+              .estimateStatistics()
+          case s =>
+            s.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+              .estimateStatistics()
+        }
+      }
+      val whole = scanStats("SELECT * FROM graft.st")
+      val slice = scanStats("SELECT * FROM graft.st WHERE p = 'B'")
+      assert(whole.sizeInBytes.getAsLong > slice.sizeInBytes.getAsLong * 10,
+        s"whole=${whole.sizeInBytes} slice=${slice.sizeInBytes}")
+      assert(whole.numRows.getAsLong === 20002L)
+      assert(slice.numRows.getAsLong === 2L)
+      // and the pruned slice of an over-threshold table broadcasts
+      // (BroadcastStatsRule turning the wrapped scan's estimate into the
+      // join hint the bridge lost)
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "65536") {
+        assert(whole.sizeInBytes.getAsLong > 65536L,
+          "premise: the whole table must exceed the threshold")
+        val fact = spark.range(400000).withColumnRenamed("id", "k")
+        fact.createOrReplaceTempView("fact")
+        val q = spark.sql(
+          "SELECT f.k FROM fact f JOIN graft.st d ON f.k = d.k WHERE d.p = 'B'")
+        val physical = q.queryExecution.executedPlan.toString
+        assert(physical.contains("BroadcastHashJoin"),
+          s"pruned slice under threshold must broadcast:\n$physical")
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      spark.conf.unset("spark.graft.table.st")
+    }
+  }
+
+  test("column pruning scales the DSv2 price: narrow projection < full width") {
+    val root = Files.createTempDirectory("graft_ts5").toString
+    DataSkipping.commitWithStats(spark, root,
+      spark.range(5000).select(col("id").as("k"),
+        concat(lit("wide-wide-wide-"), col("id")).as("s"),
+        (col("id") % 7).as("v"), lit("A").as("p")),
+      "p", Seq("k"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.w", root)
+    try {
+      def bytes(sql: String): Long =
+        spark.sql(sql).queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan match {
+              case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+                w.v1Scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+                  .estimateStatistics().sizeInBytes.getAsLong
+            }
+        }.head
+      assert(bytes("SELECT k FROM graft.w") < bytes("SELECT * FROM graft.w"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      spark.conf.unset("spark.graft.table.w")
+    }
+  }
+}
