@@ -498,6 +498,24 @@ final class GraftRelation(spark: SparkSession, val root: String,
       entries = DataSkipping.prunedEntries(root, m.copy(entries = entries),
         c, lows(c), highs(c))
     }
+    // 3. hidden-partitioning transform mapping: predicates on the SOURCE
+    // column of a recorded partition spec prune through the transform
+    // (`WHERE ts BETWEEN …` on a days(ts) table reads only those days)
+    HiddenPartitioning.specOf(m).foreach { spec =>
+      val src = spec.source
+      filters.foreach {
+        case EqualTo(`src`, v) if v != null =>
+          entries = HiddenPartitioning.pruneBySourceEq(
+            m.copy(entries = entries), v)
+        case EqualNullSafe(`src`, v) if v != null =>
+          entries = HiddenPartitioning.pruneBySourceEq(
+            m.copy(entries = entries), v)
+        case _ => ()
+      }
+      if (lows.contains(src) && highs.contains(src))
+        entries = HiddenPartitioning.pruneBySource(
+          m.copy(entries = entries), lows(src), highs(src))
+    }
     entries
   }
 
