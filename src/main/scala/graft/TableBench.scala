@@ -312,6 +312,44 @@ object TableBench {
       AtomicCommit.read(spark, rootS).count()
     }
     require(legacyCnt == mergedCnt, s"fallback diverged: $legacyCnt != $mergedCnt")
+
+    // MERGE builder ladder (graft.sources.Merge): the cost model to prove
+    // is O(one key-column discovery pass + touched-partition rewrite) —
+    // a multi-clause merge whose matches land in 2 partitions and whose
+    // inserts open 1 new partition must not rewrite the other p-2. Fresh
+    // table so the ladder above keeps its state and these numbers stay
+    // comparable round to round.
+    {
+      val rootM = Files.createTempDirectory("graft_tb_m").toString
+      timed(s"commit merge-probe table ($n rows)") {
+        AtomicCommit.commitReplacePartitions(spark, rootM, clustered, "pk")
+      }
+      val mc0 = AtomicCommit.readManifest(rootM).get
+      val twoParts = mc0.entries.keys.toSeq.sorted.take(2)
+      val updates = twoParts.map { pk =>
+        val lo = pk.stripPrefix("p").toLong * rowsPer
+        spark.range(lo, lo + rowsPer / 2).select(
+          lit(pk).as("pk"), col("id").as("v"), lit("merged").as("payload"))
+      }.reduce(_ unionByName _)
+      val inserts = spark.range(n + 1000, n + 2000).select(
+        lit("pzzzz").as("pk"), col("id").as("v"),
+        lit("inserted").as("payload"))
+      val src = updates.unionByName(inserts)
+      timed("Merge 2-part update + 1-part insert") {
+        graft.sources.Merge.into(spark, rootM).using(src).onKeys("v")
+          .whenMatchedUpdate(Map("payload" -> col("s.payload")))
+          .whenNotMatchedInsertAll()
+          .run()
+      }
+      val mc1 = AtomicCommit.readManifest(rootM).get
+      val untouched = mc0.entries.keySet.filterNot(twoParts.contains)
+      require(untouched.forall(k => mc1.entries(k) == mc0.entries(k)),
+        "merge rewrote partitions outside its touched set")
+      require(mc1.entries.contains("pzzzz"), "merge insert partition missing")
+      require(AtomicCommit.read(spark, rootM)
+        .where(col("payload") === "merged").count() == rowsPer.toLong,
+        "merge update row count off")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AtomicCommit, Merge}
+
+/** [[graft.sources.Merge]] — ANSI MERGE INTO over manifest tables:
+  * clause-cascade semantics (first matching clause per row group),
+  * partition-CoW execution (untouched partitions keep their generation),
+  * emptied-partition drops, and the ambiguity / partition-move guards.
+  */
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seed(root: String): Unit =
+    AtomicCommit.commitReplacePartitions(spark, root, Seq(
+      (1L, 10L, "open", "A"), (2L, 20L, "open", "A"),
+      (3L, 30L, "open", "B"), (4L, 40L, "closed", "B"),
+      (5L, 50L, "open", "C")).toDF("k", "v", "status", "p"), "p")
+
+  test("upsert: updateAll + insertAll; untouched partitions keep their generation") {
+    val root = Files.createTempDirectory("graft_merge1").toString
+    seed(root)
+    val before = AtomicCommit.readManifest(root).get
+    val src = Seq(
+      (2L, 21L, "open", "A"),   // update in A
+      (6L, 60L, "open", "D"))   // insert into new partition D
+      .toDF("k", "v", "status", "p")
+    val v = Merge.into(spark, root).using(src).onKeys("k")
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .run()
+    assert(v === before.version + 1)
+    val after = AtomicCommit.readManifest(root).get
+    // B and C were never in play: same owner entry, byte for byte
+    assert(after.entries("B") === before.entries("B"))
+    assert(after.entries("C") === before.entries("C"))
+    assert(after.entries("A") !== before.entries("A"))
+    assert(after.entries.contains("D"))
+    val got = AtomicCommit.read(spark, root)
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 10L, 2L -> 21L, 3L -> 30L, 4L -> 40L,
+      5L -> 50L, 6L -> 60L))
+  }
+
+  test("clause order: first matching clause wins (delete guard before update)") {
+    val root = Files.createTempDirectory("graft_merge2").toString
+    seed(root)
+    val src = Seq(
+      (1L, 0L, "del"),   // op=del → delete clause fires first
+      (2L, 22L, "upd"),  // op!=del → falls through to updateAll... but
+      (3L, 33L, "upd"))  // updateAll needs all target cols; use update(set)
+      .toDF("k", "v", "op")
+    Merge.into(spark, root).using(src).onKeys("k")
+      .whenMatchedDelete(col("s.op") === "del")
+      .whenMatchedUpdate(Map("v" -> col("s.v")))
+      .run()
+    val got = AtomicCommit.read(spark, root)
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 22L, 3L -> 33L, 4L -> 40L, 5L -> 50L))
+    // conditional update: only rows passing the condition change
+    val src2 = Seq((4L, 41L), (5L, 51L)).toDF("k", "v")
+    Merge.into(spark, root).using(src2).onKeys("k")
+      .whenMatchedUpdate(col("t.status") === "open", Map("v" -> col("s.v")))
+      .run()
+    val got2 = AtomicCommit.read(spark, root)
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got2 === Map(2L -> 22L, 3L -> 33L, 4L -> 40L, 5L -> 51L),
+      "k=4 is closed — its conditional update must not fire")
+  }
+
+  test("whenNotMatchedBySource: rows absent from the source age out") {
+    val root = Files.createTempDirectory("graft_merge3").toString
+    seed(root)
+    val src = Seq((1L, 11L), (3L, 31L)).toDF("k", "v")
+    Merge.into(spark, root).using(src).onKeys("k")
+      .whenMatchedUpdate(Map("v" -> col("s.v")))
+      .whenNotMatchedBySourceUpdate(col("t.status") === "open",
+        Map("status" -> lit("stale")))
+      .run()
+    val got = AtomicCommit.read(spark, root)
+      .select("k", "v", "status").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      1L -> ((11L, "open")), 2L -> ((20L, "stale")), 3L -> ((31L, "open")),
+      4L -> ((40L, "closed")), // closed: by-source condition false → kept
+      5L -> ((50L, "stale"))))
+    // by-source delete: purge everything the source no longer names
+    Merge.into(spark, root).using(src).onKeys("k")
+      .whenNotMatchedBySourceDelete()
+      .run()
+    assert(AtomicCommit.read(spark, root).select("k").as[Long]
+      .collect().toSet === Set(1L, 3L))
+  }
+
+  test("emptied partition drops from the manifest in the same commit") {
+    val root = Files.createTempDirectory("graft_merge4").toString
+    seed(root)
+    val src = Seq((5L, "del")).toDF("k", "op") // k=5 is partition C's only row
+    Merge.into(spark, root).using(src).onKeys("k")
+      .whenMatchedDelete(col("s.op") === "del")
+      .run()
+    val m = AtomicCommit.readManifest(root).get
+    assert(!m.entries.contains("C"))
+    assert(AtomicCommit.read(spark, root).select("k").as[Long]
+      .collect().toSet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("no-op merge burns no version; guards fire loudly") {
+    val root = Files.createTempDirectory("graft_merge5").toString
+    seed(root)
+    val v0 = AtomicCommit.readManifest(root).get.version
+    // no key matches, no insert clause → nothing to do
+    val v = Merge.into(spark, root).using(Seq((99L, 0L)).toDF("k", "v"))
+      .onKeys("k").whenMatchedUpdate(Map("v" -> col("s.v"))).run()
+    assert(v === v0)
+    // duplicate source keys with a matched clause: the ANSI ambiguity error
+    val dup = Seq((1L, 1L), (1L, 2L)).toDF("k", "v")
+    val e1 = intercept[RuntimeException] {
+      Merge.into(spark, root).using(dup).onKeys("k")
+        .whenMatchedUpdate(Map("v" -> col("s.v"))).run()
+    }
+    assert(e1.getMessage.contains("duplicate key"))
+    // updating the partition column is a row move — rejected
+    val e2 = intercept[RuntimeException] {
+      Merge.into(spark, root).using(Seq((1L, "B")).toDF("k", "p"))
+        .onKeys("k").whenMatchedUpdate(Map("p" -> col("s.p"))).run()
+    }
+    assert(e2.getMessage.contains("partition column"))
+  }
+
+  test("updateAll keeps the matched row's partition (no silent row moves)") {
+    val root = Files.createTempDirectory("graft_merge7").toString
+    seed(root)
+    // source claims k=1 now belongs to partition B — the update must
+    // take v/status from the source but keep the row in A (a move would
+    // stage-replace B and clobber rows this merge never read)
+    val src = Seq((1L, 111L, "moved?", "B")).toDF("k", "v", "status", "p")
+    val before = AtomicCommit.readManifest(root).get
+    Merge.into(spark, root).using(src).onKeys("k")
+      .whenMatchedUpdateAll()
+      .run()
+    val after = AtomicCommit.readManifest(root).get
+    assert(after.entries("B") === before.entries("B"),
+      "partition B was never in play")
+    val got = AtomicCommit.read(spark, root).where(col("k") === 1L)
+      .select("v", "status", "p").as[(Long, String, String)].head()
+    assert(got === ((111L, "moved?", "A")))
+    assert(AtomicCommit.read(spark, root).count() === 5L)
+  }
+
+  test("insert values that REDIRECT the partition price the real destination (no clobber)") {
+    val root = Files.createTempDirectory("graft_merge8").toString
+    seed(root)
+    // source says p='D' but the insert clause routes the row to B — if
+    // phase 1 priced src.p instead of the clause's value expression, B
+    // would never be read and the staged replace would clobber rows 3,4
+    val src = Seq((9L, 90L, "D")).toDF("k", "v", "p")
+    Merge.into(spark, root).using(src).onKeys("k")
+      .whenNotMatchedInsert(Map("k" -> col("s.k"), "v" -> col("s.v"),
+        "status" -> lit("new"), "p" -> lit("B")))
+      .run()
+    val got = AtomicCommit.read(spark, root)
+      .where(col("p") === "B").select("k").as[Long].collect().toSet
+    assert(got === Set(3L, 4L, 9L), "pre-existing B rows must survive")
+    // and a NULL-partition insert is rejected loudly, not written
+    val e = intercept[RuntimeException] {
+      Merge.into(spark, root).using(Seq((10L, 100L)).toDF("k", "v"))
+        .onKeys("k")
+        .whenNotMatchedInsert(Map("k" -> col("s.k"), "v" -> col("s.v")))
+        .run()
+    }
+    assert(e.getMessage.contains("NULL partition"))
+  }
+
+  test("insert-only merge with explicit values and condition") {
+    val root = Files.createTempDirectory("graft_merge6").toString
+    seed(root)
+    val src = Seq((2L, 200L, "A"), (7L, 70L, "A"), (8L, -8L, "B"))
+      .toDF("k", "v", "p")
+    Merge.into(spark, root).using(src).onKeys("k")
+      .whenNotMatchedInsert(col("s.v") > 0,
+        Map("k" -> col("s.k"), "v" -> col("s.v"),
+          "status" -> lit("new"), "p" -> col("s.p")))
+      .run()
+    val got = AtomicCommit.read(spark, root)
+      .select("k", "v", "status").as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(7L) === ((70L, "new")))
+    assert(!got.contains(8L), "insert condition filtered the negative row")
+    assert(got(2L) === ((20L, "open")), "matched rows untouched in insert-only merge")
+  }
+}
