@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AFTER V2ScanRelationPushDown (the pre-CBO batch), so the rule sees
     // the pushed DataSourceV2ScanRelation + V1ScanWrapper it prices
     ext.injectPreCBORule(_ => BroadcastStatsRule)
+    // OPTIMIZE / VACUUM maintenance statements; everything else passes
+    // verbatim to Spark's parser
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sources.{AtomicCommit, BranchStore, Compaction, ManifestStore, PosixManifestStore}
+
+/** SQL MAINTENANCE STATEMENTS for graft tables — the operational verbs
+  * Delta/Iceberg expose in SQL, grafted onto the session parser:
+  *
+  * {{{
+  * OPTIMIZE graft.docs                       -- small-file compaction
+  * OPTIMIZE graft.docs ZORDER BY (a, b)     -- multi-dim recluster
+  * OPTIMIZE graft.docs ZORDER BY (a)        -- 1 col = plain recluster
+  * VACUUM graft.docs                         -- default retention
+  * VACUUM graft.docs RETAIN 5 VERSIONS      -- time-travel horizon
+  * VACUUM graft.docs RETAIN 72 HOURS        -- wall-clock window
+  * }}}
+  *
+  * Injected by [[GraftExtensions]] via `injectParser`: statements whose
+  * FIRST TOKEN is OPTIMIZE or VACUUM and whose target is `graft.<name>`
+  * (the same `spark.graft.table.<name>` registry as the catalog;
+  * `` graft.`name@branch` `` addresses a branch where the operation
+  * supports one) parse into runnable commands; everything else — every
+  * query, every standard statement — passes VERBATIM to Spark's own
+  * parser, so the extension can never change the meaning of SQL it
+  * doesn't own. Statements that LOOK like maintenance but don't parse
+  * (bad retention unit, missing registry entry) fail loudly at execution
+  * rather than falling through to Spark's parser's confusing `OPTIMIZE
+  * is not a keyword` error.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseMaintenance(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+}
+
+object GraftSqlParser {
+
+  // graft.name | graft.`name@branch`
+  private val Target = raw"graft\.(?:`([^`]+)`|(\w+))"
+  private val OptimizeRe =
+    raw"(?is)\s*OPTIMIZE\s+$Target\s*".r
+  private val OptimizeZRe =
+    raw"(?is)\s*OPTIMIZE\s+$Target\s+ZORDER\s+BY\s*\(([^)]+)\)\s*".r
+  private val VacuumRe =
+    raw"(?is)\s*VACUUM\s+$Target\s*".r
+  private val VacuumRetainRe =
+    raw"(?is)\s*VACUUM\s+$Target\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*".r
+
+  private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeZRe(bq, plain, cols) =>
+        Some(OptimizeGraftTable(Option(bq).getOrElse(plain),
+          cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq))
+      case OptimizeRe(bq, plain) =>
+        Some(OptimizeGraftTable(Option(bq).getOrElse(plain), Nil))
+      case VacuumRetainRe(bq, plain, n, unit) =>
+        Some(VacuumGraftTable(Option(bq).getOrElse(plain),
+          if (unit.equalsIgnoreCase("VERSIONS")) Some(n.toInt) else None,
+          if (unit.equalsIgnoreCase("HOURS")) Some(n.toLong * 3600 * 1000) else None))
+      case VacuumRe(bq, plain) =>
+        Some(VacuumGraftTable(Option(bq).getOrElse(plain), None, None))
+      case _ => None
+    }
+
+  /** `name` or `name@branch` → (root, store). */
+  private[plans] def resolve(spark: SparkSession,
+                             ident: String): (String, ManifestStore, Option[String]) = {
+    val (table, branch) = ident.split('@') match {
+      case Array(t, b) => (t, Some(b))
+      case _ => (ident, None)
+    }
+    val root = spark.conf.getOption(s"spark.graft.table.$table").getOrElse(
+      sys.error(s"graft: no table named '$table' — register it with " +
+        s"SET spark.graft.table.$table=<root>"))
+    val store = branch match {
+      case Some(b) => new BranchStore(new PosixManifestStore(root), b)
+      case None => new PosixManifestStore(root)
+    }
+    (root, store, branch)
+  }
+}
+
+/** `OPTIMIZE graft.t [ZORDER BY (cols)]`: zero cols = small-file
+  * compaction; one col = sort-order recluster; 2–4 = z-order recluster.
+  * Returns one row `(files_before, files_after)`.
+  */
+final case class OptimizeGraftTable(ident: String, zCols: Seq[String])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, store, branch) = GraftSqlParser.resolve(spark, ident)
+    val (before, after) = zCols match {
+      case Nil =>
+        Compaction.compactAtomicTable(spark, root, store,
+          filesPerDir = 1, vacuumNow = false, statsCols = Nil)
+      case cols =>
+        require(branch.isEmpty,
+          s"OPTIMIZE ... ZORDER BY on branch '$ident' is unsupported — " +
+            "recluster the main lineage, or use the Scala API after merge")
+        if (cols.size == 1) Compaction.recluster(spark, root, cols)
+        else Compaction.reclusterZorder(spark, root, cols)
+    }
+    Seq(Row(before, after))
+  }
+}
+
+/** `VACUUM graft.t [RETAIN n VERSIONS | RETAIN n HOURS]`. Returns the
+  * removed paths, one row each (empty result = nothing eligible).
+  */
+final case class VacuumGraftTable(ident: String, keepVersions: Option[Int],
+                                  retainMillis: Option[Long])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("removed", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, store, _) = GraftSqlParser.resolve(spark, ident)
+    val removed = AtomicCommit.vacuum(root, store,
+      AtomicCommit.OrphanRetentionMillis,
+      keepVersions.getOrElse(1), retainMillis.getOrElse(0L))
+    removed.map(Row(_))
+  }
+}
