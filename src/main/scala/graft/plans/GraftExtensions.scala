@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZE / VACUUM maintenance statements; everything else passes
     // verbatim to Spark's parser
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // UPDATE / MERGE INTO on graft catalog tables: the analyzed plans
+    // lower onto the engine's partition-CoW machinery (post-hoc = after
+    // reference resolution, before the planner rejects them)
+    ext.injectPostHocResolutionRule(_ => GraftDmlRewrite)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
