@@ -349,6 +349,27 @@ object TableBench {
       require(AtomicCommit.read(spark, rootM)
         .where(col("payload") === "merged").count() == rowsPer.toLong,
         "merge update row count off")
+
+      // insert-only fast path: 100k new keys scattered across ALL
+      // existing partitions — the dedup-append shape. Lowered to one
+      // anti-join + APPEND commit; the general path would have read and
+      // rewritten every destination partition for byte-identical rows.
+      val mc2 = AtomicCommit.readManifest(rootM).get
+      val scattered = spark.range(n + 100000, n + 200000).select(
+        format_string("p%04d", pmod(xxhash64(col("id")), lit(p)).cast("int"))
+          .as("pk"),
+        col("id").as("v"), lit("late").as("payload"))
+      timed("Merge insert-only (100k rows, all parts)") {
+        graft.sources.Merge.into(spark, rootM).using(scattered).onKeys("v")
+          .whenNotMatchedInsertAll()
+          .run()
+      }
+      require(AtomicCommit.history(rootM).last.kind == "append",
+        "insert-only merge must commit as a pure append")
+      val mc3 = AtomicCommit.readManifest(rootM).get
+      require(mc2.entries.forall { case (k, e) =>
+        mc3.entries(k).startsWith(e) }, // owner lists grew, nothing rewrote
+        "insert-only merge rewrote a partition")
     }
     spark.stop()
   }

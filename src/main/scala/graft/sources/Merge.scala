@@ -143,6 +143,16 @@ object Merge {
           "target row would take two updates (the ANSI ambiguous-merge " +
           "error). Deduplicate the source first.")
 
+      // ---- insert-only fast path: no matched or by-source clause means
+      // no target row changes, so there is nothing to rewrite AT ALL —
+      // anti-join the source against one column-pruned key scan and
+      // commit the surviving rows as a pure APPEND (owner-list growth,
+      // O(batch), commuting with concurrent appends). The general path
+      // below would read and rewrite every insert-destination partition
+      // for byte-identical target rows.
+      if (matched.isEmpty && bySource.isEmpty)
+        return insertOnly(src, m, pc, tgtSchema, tgtCols)
+
       // ---- phase 1: which partitions are in play?
       val touched: Seq[String] =
         if (bySource.nonEmpty) m.entries.keys.toSeq.sorted
@@ -274,6 +284,51 @@ object Merge {
           }
         AtomicCommit.publish(root, store, staged)
       } finally merged.unpersist()
+    }
+
+    /** The insert-only lowering: anti-join against one column-pruned key
+      * scan, clause cascade on the survivors, ONE APPEND commit. Types
+      * cast to the target schema so the appended generation's footers
+      * agree with the table's. Returns the current version untouched
+      * when nothing inserts.
+      */
+    private def insertOnly(src: DataFrame, m: AtomicCommit.Manifest,
+                           pc: String,
+                           tgtSchema: org.apache.spark.sql.types.StructType,
+                           tgtCols: Seq[String]): Long = {
+      val tgtKeys = AtomicCommit.scanManifest(spark, root, m)
+        .select(keys.map(col): _*)
+      val anti = src.alias("s").join(tgtKeys,
+        keys.map(k => col(s"s.$k") === tgtKeys(k)).reduce(_ && _), "left_anti")
+      val keep = notMatched.foldRight(lit(false)) { (c, acc) =>
+        when(c.cond.getOrElse(lit(true)), lit(true)).otherwise(acc)
+      }
+      def valueOf(c: String): Column = {
+        val dt = tgtSchema(c).dataType
+        def insVal(values: Map[String, Column]): Column =
+          if (values.isEmpty) {
+            require(src.columns.contains(c),
+              s"Merge insertAll: source lacks target column $c")
+            col(s"s.$c")
+          } else values.getOrElse(c, lit(null))
+        notMatched.foldRight(lit(null).cast(dt)) { (cl, acc) =>
+          cl match {
+            case Insert(cond, values) =>
+              when(cond.getOrElse(lit(true)), insVal(values).cast(dt))
+                .otherwise(acc)
+            case _ => acc
+          }
+        }.as(c)
+      }
+      val rows = anti.where(keep).select(tgtCols.map(valueOf): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (rows.where(col(pc).isNull).limit(1).count() > 0)
+          sys.error("Merge: an insert clause produces rows with a NULL " +
+            s"partition value for $pc — route them to an explicit value")
+        if (rows.isEmpty) m.version // nothing new: no version burned
+        else AtomicCommit.commitAppendPartitions(spark, root, store, rows, pc, 1)
+      } finally rows.unpersist()
     }
 
     private def sourceKeysAmbiguous(src: DataFrame): Boolean =

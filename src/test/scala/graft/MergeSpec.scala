@@ -191,5 +191,14 @@ class MergeSpec extends SparkSpec {
     assert(got(7L) === ((70L, "new")))
     assert(!got.contains(8L), "insert condition filtered the negative row")
     assert(got(2L) === ((20L, "open")), "matched rows untouched in insert-only merge")
+    // and the commit is a pure APPEND (the fast path: no partition was
+    // read back or rewritten — owner-list growth only)
+    assert(AtomicCommit.history(root).last.kind === "append")
+    // nothing new to insert → no version burned
+    val v = AtomicCommit.readManifest(root).get.version
+    assert(Merge.into(spark, root).using(src).onKeys("k")
+      .whenNotMatchedInsert(col("s.v") > 0,
+        Map("k" -> col("s.k"), "v" -> col("s.v"),
+          "status" -> lit("new"), "p" -> col("s.p"))).run() === v)
   }
 }
