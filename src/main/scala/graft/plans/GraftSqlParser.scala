@@ -60,16 +60,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
-  // graft.name | graft.`name@branch`
+  // graft.name | graft.`name@branch`; statements tolerate a trailing
+  // semicolon — every regex ends with $Tail
   private val Target = raw"graft\.(?:`([^`]+)`|(\w+))"
+  private val Tail = raw"\s*;?\s*"
   private val OptimizeRe =
-    raw"(?is)\s*OPTIMIZE\s+$Target\s*".r
+    raw"(?is)\s*OPTIMIZE\s+$Target$Tail".r
   private val OptimizeZRe =
-    raw"(?is)\s*OPTIMIZE\s+$Target\s+ZORDER\s+BY\s*\(([^)]+)\)\s*".r
+    raw"(?is)\s*OPTIMIZE\s+$Target\s+ZORDER\s+BY\s*\(([^)]+)\)$Tail".r
   private val VacuumRe =
-    raw"(?is)\s*VACUUM\s+$Target\s*".r
+    raw"(?is)\s*VACUUM\s+$Target$Tail".r
   private val VacuumRetainRe =
-    raw"(?is)\s*VACUUM\s+$Target\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)\s*".r
+    raw"(?is)\s*VACUUM\s+$Target\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)$Tail".r
+  // leading-keyword claim: Spark has no OPTIMIZE or VACUUM statement, so
+  // ANY statement starting with either is ours — a near-miss (unsupported
+  // retention unit, malformed ZORDER list) fails HERE with the supported
+  // grammar instead of falling through to Spark's parser and dying with
+  // an unrelated PARSE_SYNTAX_ERROR (the fail-loudly contract)
+  private val MaintLeadRe = raw"(?is)\s*(OPTIMIZE|VACUUM)\b.*".r
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -85,6 +93,11 @@ object GraftSqlParser {
           if (unit.equalsIgnoreCase("HOURS")) Some(n.toLong * 3600 * 1000) else None))
       case VacuumRe(bq, plain) =>
         Some(VacuumGraftTable(Option(bq).getOrElse(plain), None, None))
+      case MaintLeadRe(kw) => sys.error(
+        s"graft: cannot parse ${kw.toUpperCase} statement: ${sqlText.trim}\n" +
+          "supported forms:\n" +
+          "  OPTIMIZE graft.<table> [ZORDER BY (col1, col2, ...)]\n" +
+          "  VACUUM graft.<table> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]")
       case _ => None
     }
 

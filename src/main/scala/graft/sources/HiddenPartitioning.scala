@@ -55,6 +55,15 @@ object HiddenPartitioning {
     def render: String
     /** Source equality value → partition value (None: cannot map). */
     def mapEq(v: Any): Option[String]
+    /** [[mapEq]] with the source column's Catalyst type when the caller
+      * has a schema in hand — [[Bucket]] MUST hash the value at the
+      * column's own type (Murmur3 of Int 17 ≠ Long 17; hashing the
+      * caller's boxed runtime type would prune to the wrong bucket and
+      * silently return empty). The other transforms render values, not
+      * hash them, so the type adds nothing.
+      */
+    def mapEq(v: Any, srcType: Option[org.apache.spark.sql.types.DataType])
+        : Option[String] = mapEq(v)
     /** Inclusive source range → inclusive partition-value range under
       * LEXICOGRAPHIC string order (None: transform cannot map ranges —
       * bucket scrambles order).
@@ -64,7 +73,13 @@ object HiddenPartitioning {
 
   private def tsUtc(v: Any): Instant = v match {
     case i: Instant => i
+    // java.sql.Date BEFORE Timestamp-free util.Date handling: a DATE
+    // column's pushed bound arrives as java.sql.Date, whose toInstant
+    // throws — midnight UTC of its local date is the value the
+    // date_format derivation rendered
+    case d: java.sql.Date => d.toLocalDate.atStartOfDay(ZoneOffset.UTC).toInstant
     case t: java.sql.Timestamp => t.toInstant
+    case d: LocalDate => d.atStartOfDay(ZoneOffset.UTC).toInstant
     case d: java.time.LocalDateTime => d.toInstant(ZoneOffset.UTC)
     case s: String => // ISO instant, or "yyyy-MM-dd[ HH:mm:ss]"
       try Instant.parse(s)
@@ -76,6 +91,14 @@ object HiddenPartitioning {
     case other => sys.error(s"cannot interpret $other as a timestamp bound")
   }
 
+  /** [[tsUtc]], advisory-flavored: an unrecognized or unparseable bound
+    * maps to None — the caller prunes NOTHING instead of failing a
+    * legitimate query inside scan pruning (the exact predicate still
+    * evaluates above the scan either way).
+    */
+  private def tsUtcOpt(v: Any): Option[Instant] =
+    try Some(tsUtc(v)) catch { case _: Exception => None }
+
   private def fmt(pattern: String, i: Instant): String =
     DateTimeFormatter.ofPattern(pattern).withZone(ZoneOffset.UTC).format(i)
 
@@ -83,27 +106,30 @@ object HiddenPartitioning {
     val derivedName = s"${source}_day"
     def column: Column = date_format(col(source), "yyyy-MM-dd")
     def render = s"days($source)"
-    def mapEq(v: Any): Option[String] = Some(fmt("yyyy-MM-dd", tsUtc(v)))
+    def mapEq(v: Any): Option[String] = tsUtcOpt(v).map(fmt("yyyy-MM-dd", _))
     def mapRange(lo: Any, hi: Any): Option[(String, String)] =
-      Some((fmt("yyyy-MM-dd", tsUtc(lo)), fmt("yyyy-MM-dd", tsUtc(hi))))
+      for { l <- tsUtcOpt(lo); h <- tsUtcOpt(hi) }
+        yield (fmt("yyyy-MM-dd", l), fmt("yyyy-MM-dd", h))
   }
 
   final case class Hours(source: String) extends Spec {
     val derivedName = s"${source}_hour"
     def column: Column = date_format(col(source), "yyyy-MM-dd-HH")
     def render = s"hours($source)"
-    def mapEq(v: Any): Option[String] = Some(fmt("yyyy-MM-dd-HH", tsUtc(v)))
+    def mapEq(v: Any): Option[String] = tsUtcOpt(v).map(fmt("yyyy-MM-dd-HH", _))
     def mapRange(lo: Any, hi: Any): Option[(String, String)] =
-      Some((fmt("yyyy-MM-dd-HH", tsUtc(lo)), fmt("yyyy-MM-dd-HH", tsUtc(hi))))
+      for { l <- tsUtcOpt(lo); h <- tsUtcOpt(hi) }
+        yield (fmt("yyyy-MM-dd-HH", l), fmt("yyyy-MM-dd-HH", h))
   }
 
   final case class Months(source: String) extends Spec {
     val derivedName = s"${source}_month"
     def column: Column = date_format(col(source), "yyyy-MM")
     def render = s"months($source)"
-    def mapEq(v: Any): Option[String] = Some(fmt("yyyy-MM", tsUtc(v)))
+    def mapEq(v: Any): Option[String] = tsUtcOpt(v).map(fmt("yyyy-MM", _))
     def mapRange(lo: Any, hi: Any): Option[(String, String)] =
-      Some((fmt("yyyy-MM", tsUtc(lo)), fmt("yyyy-MM", tsUtc(hi))))
+      for { l <- tsUtcOpt(lo); h <- tsUtcOpt(hi) }
+        yield (fmt("yyyy-MM", l), fmt("yyyy-MM", h))
   }
 
   /** `pmod(hash(col), n)` — Spark's Murmur3 (seed 42), the same function
@@ -116,10 +142,25 @@ object HiddenPartitioning {
     val derivedName = s"${source}_bucket"
     def column: Column = pmod(hash(col(source)), lit(n)).cast("string")
     def render = s"bucket($n,$source)"
-    def mapEq(v: Any): Option[String] = {
-      val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
-        Seq(org.apache.spark.sql.catalyst.expressions.Literal.create(v)), 42)
-        .eval(null).asInstanceOf[Int]
+    def mapEq(v: Any): Option[String] = mapEq(v, None)
+    override def mapEq(v: Any,
+        srcType: Option[org.apache.spark.sql.types.DataType]): Option[String] = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash}
+      val raw = Literal.create(v)
+      // hash at the COLUMN's type, not the caller value's boxed type:
+      // Murmur3(Int 17) ≠ Murmur3(Long 17), and the executor-side
+      // derivation hashed the column at its own type. No type in hand and
+      // no cast possible → None (advisory: prune nothing, stay correct).
+      val lit = srcType match {
+        case Some(dt) if dt != raw.dataType =>
+          try {
+            val c = Cast(raw, dt, Some("UTC")).eval(null)
+            if (c == null) return None
+            Literal.create(c, dt)
+          } catch { case _: Exception => return None }
+        case _ => raw
+      }
+      val h = Murmur3Hash(Seq(lit), 42).eval(null).asInstanceOf[Int]
       Some((((h % n) + n) % n).toString)
     }
     def mapRange(lo: Any, hi: Any): Option[(String, String)] = None
@@ -230,8 +271,12 @@ object HiddenPartitioning {
     }
 
   private[sources] def pruneBySourceEq(m: Manifest, v: Any): Map[String, String] =
+    pruneBySourceEq(m, v, None)
+
+  private[sources] def pruneBySourceEq(m: Manifest, v: Any,
+      srcType: Option[org.apache.spark.sql.types.DataType]): Map[String, String] =
     specOf(m) match {
-      case Some(spec) => spec.mapEq(v) match {
+      case Some(spec) => spec.mapEq(v, srcType) match {
         case Some(p) => m.entries.filter(_._1 == p)
         case None => m.entries
       }
@@ -266,7 +311,13 @@ object HiddenPartitioning {
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
     val spec = specOf(m).getOrElse(
       sys.error(s"$root carries no $SpecProp — not a hidden-partitioned table"))
-    val pruned = pruneBySourceEq(m, v)
+    // the source column's Catalyst type (one footer-schema probe off the
+    // scan plan) rides into the mapping so Bucket hashes the value at the
+    // COLUMN's type — readWhereSourceEq(…, 17) on a Long column must
+    // prune the bucket of 17L, not of Int 17
+    val srcType = AtomicCommit.scanManifest(spark, root, m).schema
+      .find(_.name == spec.source).map(_.dataType)
+    val pruned = pruneBySourceEq(m, v, srcType)
     emptyIfNone(spark, root, m, pruned).where(col(spec.source) === lit(v))
   }
 

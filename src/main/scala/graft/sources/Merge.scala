@@ -138,6 +138,20 @@ object Merge {
         .filter(_.contains(pc)).foreach(_ =>
           sys.error(s"Merge: updating the partition column $pc would move " +
             "rows across partitions — delete and re-insert instead"))
+      // hidden partitioning: the transform's SOURCE column is as
+      // off-limits as the derived partition column itself — updating it
+      // (explicitly, or implicitly through updateAll, which copies every
+      // same-named source column) would leave the derived value stale and
+      // make every later source-predicate read prune to the wrong
+      // partitions
+      HiddenPartitioning.specOf(m).foreach { spec =>
+        val updates = (matched ++ bySource).collect { case u: Update => u }
+        if (updates.exists(u => u.set.contains(spec.source) || u.set.isEmpty))
+          sys.error(s"Merge: updating ${spec.source}, the source column of " +
+            s"the recorded partition transform ${spec.render}, would leave " +
+            s"the derived partition column $pc stale — use explicit update " +
+            s"sets without ${spec.source}, or delete and re-insert")
+      }
       if ((matched.nonEmpty || bySource.nonEmpty) && sourceKeysAmbiguous(src))
         sys.error("Merge: source carries duplicate key rows — a matched " +
           "target row would take two updates (the ANSI ambiguous-merge " +

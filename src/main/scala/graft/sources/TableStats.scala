@@ -29,20 +29,31 @@ import graft.sources.AtomicCommit.Manifest
   */
 object TableStats {
 
+  /** Cache key: the manifest CONTENT that statistics derive from, not
+    * its version number — a [[BranchStore]] lineage shares the root and
+    * an overlapping version sequence with main, so after a fork diverges
+    * `main v3` and `branch v3` are different snapshots; keying on the
+    * entry map (which names every file set the stats walk) keeps each
+    * lineage's numbers its own, while identical snapshots still share.
+    */
+  private type Key = (String, String, Map[String, String])
+  private def keyOf(root: String, m: Manifest): Key =
+    (root, m.partitionCol, m.entries)
+
   /** partition → live data bytes, cached per immutable snapshot. */
   private val bytesCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, Long]]()
+    new java.util.concurrent.ConcurrentHashMap[Key, Map[String, Long]]()
 
   /** partition → physical rows (None when any owner gen lacks stats). */
   private val rowsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[Map[String, Long]]]()
+    new java.util.concurrent.ConcurrentHashMap[Key, Option[Map[String, Long]]]()
 
   private def bounded[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V]): Unit =
     if (m.size > 256) m.clear() // snapshots churn in tests; keep it tiny
 
   def partitionBytes(root: String, m: Manifest): Map[String, Long] = {
     bounded(bytesCache)
-    bytesCache.computeIfAbsent((root, m.version), _ => computeBytes(root, m))
+    bytesCache.computeIfAbsent(keyOf(root, m), _ => computeBytes(root, m))
   }
 
   private def computeBytes(root: String, m: Manifest): Map[String, Long] =
@@ -81,7 +92,7 @@ object TableStats {
     */
   def partitionRows(root: String, m: Manifest): Option[Map[String, Long]] = {
     bounded(rowsCache)
-    rowsCache.computeIfAbsent((root, m.version), _ => computeRows(root, m))
+    rowsCache.computeIfAbsent(keyOf(root, m), _ => computeRows(root, m))
   }
 
   private def computeRows(root: String, m: Manifest): Option[Map[String, Long]] = {

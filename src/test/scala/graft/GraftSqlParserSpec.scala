@@ -88,4 +88,31 @@ class GraftSqlParserSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("spark.graft.table.nosuch"))
   }
+
+  test("trailing semicolons parse; near-miss maintenance fails with the graft grammar") {
+    val root = Files.createTempDirectory("graft_sqlsemi").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+    spark.conf.set("spark.graft.table.semi", root)
+    try {
+      // the shapes an interactive SQL client actually sends
+      spark.sql("OPTIMIZE graft.semi;").collect()
+      spark.sql("VACUUM graft.semi RETAIN 5 VERSIONS ;  ").collect()
+      assert(AtomicCommit.read(spark, root).count() === 2L)
+      // near-misses fail with the supported grammar, not Spark's
+      // unrelated PARSE_SYNTAX_ERROR: unsupported retention unit…
+      val e1 = intercept[RuntimeException] {
+        spark.sql("VACUUM graft.semi RETAIN 3 DAYS")
+      }
+      assert(e1.getMessage.contains("supported forms"), e1.getMessage)
+      // …and an OPTIMIZE shape the grammar doesn't own
+      val e2 = intercept[RuntimeException] {
+        spark.sql("OPTIMIZE INDEX something ON t")
+      }
+      assert(e2.getMessage.contains("supported forms"), e2.getMessage)
+      // a maintenance keyword INSIDE ordinary SQL still passes through
+      assert(spark.sql("SELECT 'VACUUM graft.semi RETAIN 3 DAYS' AS s")
+        .as[String].head().contains("3 DAYS"))
+    } finally spark.conf.unset("spark.graft.table.semi")
+  }
 }

@@ -162,4 +162,49 @@ class HiddenPartitioningSpec extends SparkSpec {
         HP.Bucket(4, "k"))
     }
   }
+
+  test("bucket: an Int probe of a Long column hashes at the COLUMN's type") {
+    val root = Files.createTempDirectory("graft_hp_btype").toString
+    val rows = (0L until 64L).map(i => (i, s"name-$i")).toDF("k", "name") // k: Long
+    HP.commitReplace(spark, root, rows, HP.Bucket(8, "k"))
+    val m = AtomicCommit.readManifest(root).get
+    // Murmur3(Int 17) and Murmur3(Long 17) land in different buckets for
+    // this n — the premise of the defect; typed mapEq resolves to the
+    // column's bucket
+    import org.apache.spark.sql.types.LongType
+    val longBucket = HP.Bucket(8, "k").mapEq(17L).get
+    assert(HP.Bucket(8, "k").mapEq(17).get !== longBucket,
+      "test premise: the raw Int hash must differ (pick another n/key otherwise)")
+    assert(HP.Bucket(8, "k").mapEq(17, Some(LongType)) === Some(longBucket))
+    // physical proof: only 17L's bucket keeps its files; the Int-typed
+    // probe must prune TO it, not to Int 17's bucket (empty under the
+    // old runtime-type hashing)
+    dropPartitionDirs(root, m.entries.keySet - longBucket)
+    assert(HP.readWhereSourceEq(spark, root, 17)
+      .select("name").as[String].head() === "name-17")
+  }
+
+  test("days() over a DATE column: Date/LocalDate bounds prune instead of erroring") {
+    val root = Files.createTempDirectory("graft_hp_date").toString
+    val rows = Seq((1L, "2024-03-01"), (2L, "2024-03-02"), (3L, "2024-03-05"))
+      .toDF("k", "iso").select(col("k"), to_date(col("iso")).as("d"))
+    HP.commitReplace(spark, root, rows, HP.Days("d"))
+    val m = AtomicCommit.readManifest(root).get
+    assert(m.entries.keySet === Set("2024-03-01", "2024-03-02", "2024-03-05"))
+    // physical prune proof with java.sql.Date bounds
+    dropPartitionDirs(root, Set("2024-03-05"))
+    val got = HP.readWhereSource(spark, root,
+      java.sql.Date.valueOf("2024-03-01"), java.sql.Date.valueOf("2024-03-02"))
+      .select("k").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+    // LocalDate bounds map identically
+    val got2 = HP.readWhereSource(spark, root,
+      java.time.LocalDate.parse("2024-03-02"),
+      java.time.LocalDate.parse("2024-03-02"))
+      .select("k").as[Long].collect().toSet
+    assert(got2 === Set(2L))
+    // an unrecognizable bound maps to NO pruning, not an error
+    assert(HP.Days("d").mapRange(new Object, new Object) === None)
+    assert(HP.Days("d").mapEq(new Object) === None)
+  }
 }

@@ -201,4 +201,35 @@ class MergeSpec extends SparkSpec {
         Map("k" -> col("s.k"), "v" -> col("s.v"),
           "status" -> lit("new"), "p" -> col("s.p"))).run() === v)
   }
+
+  test("updating the hidden-partitioning SOURCE column is rejected (stale derived key)") {
+    import graft.sources.{HiddenPartitioning => HP}
+    val root = Files.createTempDirectory("graft_merge_hp").toString
+    val rows = Seq((1L, "2024-03-01T05:00:00Z"), (2L, "2024-03-02T06:00:00Z"))
+      .toDF("k", "iso")
+      .select(col("k"), to_timestamp(col("iso")).as("ts"))
+    HP.commitReplace(spark, root, rows, HP.Days("ts"))
+    val src = Seq((1L, java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-05-05T00:00:00Z")))).toDF("k", "ts")
+    // explicit SET on the transform source: on a days(ts) table this
+    // would leave ts_day stale and every later source-predicate read
+    // pruning to the WRONG day
+    val e = intercept[RuntimeException] {
+      Merge.into(spark, root).using(src).onKeys("k")
+        .whenMatchedUpdate(Map("ts" -> col("s.ts"))).run()
+    }
+    assert(e.getMessage.contains("days(ts)"), e.getMessage)
+    // updateAll copies every same-named source column — ts included —
+    // so it is rejected on a hidden-partitioned table too
+    val e2 = intercept[RuntimeException] {
+      Merge.into(spark, root).using(src).onKeys("k")
+        .whenMatchedUpdateAll().run()
+    }
+    assert(e2.getMessage.contains("ts"), e2.getMessage)
+    // updates NOT touching the source column still run
+    val withV = Seq((1L, 7L)).toDF("k", "v2")
+    Merge.into(spark, root).using(withV).onKeys("k")
+      .whenMatchedUpdate(Map("k" -> col("t.k"))).run() // no-op set: fine
+    assert(AtomicCommit.read(spark, root).count() === 2L)
+  }
 }

@@ -48,6 +48,34 @@ class TableStatsSpec extends SparkSpec {
     assert(TableStats.sizeInBytes(root, m2) >= TableStats.sizeInBytes(root, m1))
   }
 
+  test("branch lineages at the SAME version number get their own stats") {
+    val root = Files.createTempDirectory("graft_ts_br").toString
+    val main = new graft.sources.PosixManifestStore(root)
+    AtomicCommit.commitReplacePartitions(spark, root, main,
+      Seq((1L, "A")).toDF("k", "p"), "p", 1)
+    AtomicCommit.createBranch(root, main, "dev")
+    val dev = new graft.sources.BranchStore(main, "dev")
+    // diverge: the branch takes a fat append, main takes props-only
+    // commits until the version NUMBERS collide — the r14 cache keyed on
+    // (root, version) and served whichever lineage computed first
+    AtomicCommit.commitAppendPartitions(spark, root, dev,
+      (0L until 5000L).map(i => (i, "B")).toDF("k", "p"), "p", 1)
+    var mMain = AtomicCommit.readManifest(main).get
+    val mDev = AtomicCommit.readManifest(dev).get
+    while (mMain.version < mDev.version) {
+      AtomicCommit.tag(root, main, s"pad${mMain.version}", mMain.version)
+      mMain = AtomicCommit.readManifest(main).get
+    }
+    assert(mMain.version === mDev.version, "test premise: colliding versions")
+    // main first (primes the cache), then the branch must NOT be served
+    // main's numbers
+    val mainBytes = TableStats.sizeInBytes(root, mMain)
+    val devBytes = TableStats.sizeInBytes(root, mDev)
+    assert(devBytes > mainBytes,
+      s"branch bytes ($devBytes) must exceed main's ($mainBytes) — " +
+        "a shared cache entry would equalize them")
+  }
+
   test("rowCount absent when a generation is un-annotated") {
     val root = Files.createTempDirectory("graft_ts2").toString
     AtomicCommit.commitReplacePartitions(spark, root,
