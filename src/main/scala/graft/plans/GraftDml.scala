@@ -2,21 +2,25 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, ExprId, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression, ExprId, In, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.GraftBridge
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
-import graft.sources.{AtomicCommit, GraftTable, Merge}
+import graft.sources.{AtomicCommit, Deletes, GraftTable, Merge}
 
-/** SQL ROW-LEVEL DML for graft catalog tables — the two statements the
-  * DSv2 bridge can't carry natively:
+/** SQL ROW-LEVEL DML for graft catalog tables — the statements the
+  * DSv2 bridge can't carry natively (or, for DELETE, only within the
+  * V1 filter grammar):
   *
   * {{{
   * UPDATE graft.docs SET v = v + 1, status = 'hot' WHERE ts > ...
+  * DELETE FROM graft.docs WHERE length(body) < 10 AND quality(v) < 0.2
   * MERGE INTO graft.docs t USING updates s ON t.k = s.k
   *   WHEN MATCHED AND s.op = 'del' THEN DELETE
   *   WHEN MATCHED THEN UPDATE SET *
@@ -80,7 +84,94 @@ object GraftDmlRewrite extends Rule[LogicalPlan] with PredicateHelper {
         "graft MERGE: WITH SCHEMA EVOLUTION is unsupported")
       GraftMergeCommand(rel, gt, source, cond,
         matched, notMatched, notMatchedBySource)
+    case d @ DeleteFromTable(GraftTarget(rel, gt), condition)
+        if d.resolved =>
+      GraftDeleteCommand(rel, gt, condition)
     case _ => plan
+  }
+}
+
+/** Lowered `DELETE FROM graft.<t> WHERE ...` — the third DML verb,
+  * routed BY PREDICATE SHAPE onto the engine's delete ladder so SQL
+  * users get the same cost tiers the Scala API exposes:
+  *
+  *  - a predicate over the PARTITION COLUMN only → partition-CoW
+  *    ([[Deletes.deleteWhere]]): matching partitions drop from the
+  *    manifest outright (or rewrite, if partially matched) — no
+  *    merge-on-read evidence left behind, the clean bulk shape;
+  *  - a lone equality / IN on a string/integral column →
+  *    [[Deletes.deleteKeysMoR]], the ZERO-SCAN equality delete
+  *    (footer probe + bloom narrowing + one manifest CAS);
+  *  - anything else — including resolved expressions BEYOND the V1
+  *    filter grammar the [[graft.sources.GraftTable]] SupportsDelete
+  *    face can carry (`length(s) > 4`, arithmetic, functions) →
+  *    [[Deletes.deleteWhereMoR]], positions recorded by one matching
+  *    scan, never a partition rewrite.
+  *
+  * `DELETE FROM t` with no (or a trivially-true) WHERE is refused like
+  * TRUNCATE: the engine keeps tables non-empty by invariant.
+  */
+final case class GraftDeleteCommand(rel: DataSourceV2Relation, gt: GraftTable,
+                                    condition: Expression)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Nil
+
+  /** `col = lit` / `col IN (lits)` on an equality-delete-eligible column
+    * (rendered-string comparison is exact for these types), all values
+    * literal and non-null.
+    */
+  private def keyList: Option[(String, Seq[Any])] = {
+    def eligible(a: AttributeReference): Boolean = a.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    def value(l: Literal): Option[Any] = l.value match {
+      case null => None
+      case u: UTF8String => Some(u.toString)
+      case v => Some(v)
+    }
+    condition match {
+      case EqualTo(a: AttributeReference, l: Literal) if eligible(a) =>
+        value(l).map(v => a.name -> Seq(v))
+      case EqualTo(l: Literal, a: AttributeReference) if eligible(a) =>
+        value(l).map(v => a.name -> Seq(v))
+      case In(a: AttributeReference, ls) if eligible(a) && ls.nonEmpty &&
+          ls.forall(_.isInstanceOf[Literal]) =>
+        val vs = ls.map(l => value(l.asInstanceOf[Literal]))
+        if (vs.forall(_.isDefined)) Some(a.name -> vs.flatten.toSeq) else None
+      case _ => None
+    }
+  }
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val relation = gt.underlying
+    require(relation.pinned.isEmpty,
+      "graft DELETE: a VERSION/TIMESTAMP AS OF view is an immutable snapshot")
+    val store = relation.store
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at ${relation.root} — not an AtomicCommit table"))
+    condition match {
+      case Literal(true, _) => sys.error(
+        s"graft DELETE without a selective WHERE would empty ${relation.root} " +
+          "— the engine keeps tables non-empty; INSERT OVERWRITE instead")
+      case _ => ()
+    }
+    // re-address resolved target attributes by NAME so the predicate
+    // applies to the engine's own scan plans
+    def asCol(e: Expression): Column = GraftBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+    })
+    val refs = condition.references.toSeq.map(_.name).distinct
+    if (refs.nonEmpty && refs.forall(_ == m.partitionCol))
+      Deletes.deleteWhere(spark, relation.root, store, asCol(condition), Nil)
+    else keyList match {
+      case Some((c, vs)) =>
+        Deletes.deleteKeysMoR(spark, relation.root, store, c, vs)
+      case None =>
+        Deletes.deleteWhereMoR(spark, relation.root, store, asCol(condition))
+    }
+    Nil
   }
 }
 
@@ -104,6 +195,15 @@ final case class GraftUpdateCommand(rel: DataSourceV2Relation, gt: GraftTable,
     sets.find(_._1 == pc).foreach(_ => sys.error(
       s"graft UPDATE: updating the partition column $pc would move rows " +
         "across partitions — DELETE and re-INSERT instead"))
+    // hidden partitioning: updating the transform's SOURCE column would
+    // leave the derived partition value stale — every later source-
+    // predicate read would prune by the old key and silently miss rows
+    graft.sources.HiddenPartitioning.specOf(m).foreach { spec =>
+      sets.find(_._1 == spec.source).foreach(_ => sys.error(
+        s"graft UPDATE: updating ${spec.source}, the source column of the " +
+          s"recorded partition transform ${spec.render}, would leave the " +
+          s"derived partition column $pc stale — DELETE and re-INSERT instead"))
+    }
     val df = GraftBridge.ofRows(classic, rel)
     val condCol = condition.map(GraftBridge.column).getOrElse(lit(true))
     // phase 1: which partitions hold matching rows? The condition pushes

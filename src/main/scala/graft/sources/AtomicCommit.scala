@@ -1111,6 +1111,23 @@ object AtomicCommit {
     readAt(spark, root, store, tags(store).getOrElse(name,
       sys.error(s"no tag $name at $root (tags: ${tags(store).keys.toSeq.sorted.mkString(", ")})")))
 
+  /** ADDITIVE SCHEMA EVOLUTION as a metadata commit (`ALTER TABLE ...
+    * ADD COLUMN(S)`): the full added-column set (DDL-rendered) rides
+    * manifest props, so the catalog/SQL schema grows IMMEDIATELY — no
+    * data rewrite, no footer touched — and every existing row reads the
+    * new columns as NULL ([[graft.sources.GraftRelation]] backfills at
+    * scan). Once writes carry a column, the footers own its type and the
+    * prop entry for it is ignored; the non-additive changes (drop,
+    * rename, retype) stay rejected — they would rewrite footers.
+    * `cols` REPLACES the recorded set (callers append to the current
+    * one); names colliding with footer columns are screened at read.
+    */
+  val SchemaAddedProp = "graft.schema.added"
+
+  def addColumns(root: String, store: ManifestStore,
+                 cols: org.apache.spark.sql.types.StructType): Long =
+    propsCommit(root, store, Map(SchemaAddedProp -> cols.toDDL), Nil)
+
   /** A metadata-only commit: no data staged, entries unchanged, props
     * merged (+`props`, −`propDrops`) atomically with the version bump.
     */

@@ -215,14 +215,33 @@ object DvBitmap {
     } finally s.close()
   }
 
+  /** Ceiling on the TOTAL serialized bitmap bytes one scan will ship as
+    * plan-reference state (`spark.graft.dv.bitmapBudgetBytes`). The
+    * bitmap design bounds cost per ROW (8 KiB / 65,536 rows at worst),
+    * but a long-lived heavily-vectored table's outstanding evidence still
+    * grows with its total deletes; above the budget every task
+    * deserializing the whole map costs more than the anti-join the
+    * bitmaps replace — so the reader falls back to exactly that
+    * (position-frame broadcast anti-join), degrading, never failing.
+    * 64 MiB ≈ half a billion marked rows dense, far past the point
+    * compaction should have folded the vectors.
+    */
+  val BudgetConf = "spark.graft.dv.bitmapBudgetBytes"
+  val DefaultBudgetBytes: Long = 64L << 20
+
   /** The snapshot's bitmaps, EXACT per partition (each partition
     * contributes rows from the one vector generation its entry currently
     * references — vectors accumulate, so that generation holds the
     * partition's complete delete set): owner generation → (partition,
-    * file) → bitmap. `Some(Map.empty)` when the snapshot has no
-    * position-flavored vectors at all (equality-only evidence needs no
-    * bitmaps); `None` when any position-bearing generation predates the
-    * sidecar format — the caller must fall back to the anti-join.
+    * file) → bitmap. The manifest callers pass is the PRUNED one (every
+    * read path narrows `m.entries` before scanning), so both the sidecar
+    * collect — partition-filtered INSIDE the parquet read, pushdown-
+    * style, not post-collect — and the shipped map cover only the
+    * partitions the scan will touch. `Some(Map.empty)` when the snapshot
+    * has no position-flavored vectors at all (equality-only evidence
+    * needs no bitmaps); `None` when any position-bearing generation
+    * predates the sidecar format OR the surviving bitmaps overflow
+    * [[BudgetConf]] — the caller must fall back to the anti-join.
     */
   private[sources] def readSidecars(spark: SparkSession, root: String,
                                     m: AtomicCommit.Manifest)
@@ -235,6 +254,9 @@ object DvBitmap {
     if (posGens.isEmpty) return Some(Map.empty)
     if (!posGens.forall(g =>
       Files.isDirectory(Paths.get(root, g, SidecarDir)))) return None
+    val budget = spark.conf.getOption(BudgetConf).map(_.toLong)
+      .getOrElse(DefaultBudgetBytes)
+    var spent = 0L
     val posSet = posGens.toSet
     val out = mutable.Map[String,
       mutable.Map[(UTF8String, UTF8String), Bitmap]]()
@@ -244,8 +266,13 @@ object DvBitmap {
       // and an empty sidecar dir should degrade like a missing one
       val files = sidecarFiles(root, g)
       if (files.isEmpty) return None
-      val rows = spark.read.parquet(files: _*).collect()
-      for (r <- rows if parts(r.getString(0))) {
+      import org.apache.spark.sql.functions.col
+      val rows = spark.read.parquet(files: _*)
+        .filter(col("__dvb_partition").isin(parts.toSeq.sorted: _*))
+        .collect()
+      for (r <- rows) {
+        spent += r.getAs[Array[Byte]](3).length
+        if (spent > budget) return None // over budget: anti-join instead
         val key = (UTF8String.fromString(r.getString(0)),
           UTF8String.fromString(r.getString(2)))
         out.getOrElseUpdate(r.getString(1), mutable.Map()) +=

@@ -169,11 +169,57 @@ final class GraftCatalog extends TableCatalog {
     graftTable(ident, None)
   }
 
+  /** `ALTER TABLE graft.<name> ADD COLUMN(S) ...` — the ADDITIVE subset,
+    * mapped onto the engine's schema-additive evolution: the new columns
+    * land as a metadata commit ([[AtomicCommit.addColumns]] — props-only,
+    * atomic with the version bump, CAS-raced like every commit), the
+    * SQL schema grows immediately, existing rows read NULL-backfilled,
+    * and the first INSERT carrying the column moves type ownership to
+    * the footers. Everything non-additive (drop, rename, retype,
+    * position) keeps the loud rejection — those rewrite footers, which
+    * this engine does through commits, not DDL.
+    */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables evolve through commits (addConstraint, " +
-        "commitRepartition, schema-additive writes), not ALTER TABLE")
+                          changes: TableChange*): Table = {
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.size != changes.size || adds.isEmpty)
+      throw new UnsupportedOperationException(
+        "graft ALTER TABLE supports ADD COLUMN(S) only — other changes " +
+          "evolve through commits (addConstraint, commitRepartition, " +
+          "schema-additive writes)")
+    val name = ident.name()
+    require(!name.contains('@'),
+      s"ALTER TABLE targets main — merge or re-fork the branch instead")
+    val root = spark.conf.getOption(Prefix + name)
+      .getOrElse(throw new NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ name))
+    val store = new PosixManifestStore(root)
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE needs a committed table at $root — a declared-only " +
+          "table takes its columns from CREATE TABLE"))
+    val current = new GraftRelation(spark, root, store, None,
+      GraftCatalog.readDeclared(store)).schema
+    var added = m.props.get(AtomicCommit.SchemaAddedProp)
+      .map(StructType.fromDDL).getOrElse(new StructType())
+    adds.foreach { a =>
+      require(a.fieldNames().length == 1,
+        "graft ALTER TABLE: nested ADD COLUMN is unsupported: " +
+          a.fieldNames().mkString("."))
+      val colName = a.fieldNames().head
+      require(a.isNullable,
+        s"graft ALTER TABLE: new column $colName must be nullable — " +
+          "existing rows backfill NULL")
+      require(a.position() == null,
+        s"graft ALTER TABLE: new column $colName appends at the end only")
+      require(!current.exists(_.name == colName) &&
+          !added.exists(_.name == colName),
+        s"column $colName already exists at $root")
+      added = added.add(colName, a.dataType(), nullable = true)
+    }
+    AtomicCommit.addColumns(root, store, added)
+    graftTable(ident, None)
+  }
 
   /** DROP TABLE unregisters the name. The data, its manifests, and the
     * declaration stay on disk (external-table semantics — the registry

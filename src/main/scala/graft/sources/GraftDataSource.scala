@@ -332,18 +332,34 @@ final class GraftRelation(spark: SparkSession, val root: String,
     snapshotOpt().getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
 
-  override val schema: StructType = (snapshotOpt(), declared) match {
-    case (Some(m), None) => AtomicCommit.scanManifest(spark, root, m).schema
-    case (None, Some((_, ds))) => ds
-    case (None, None) =>
-      sys.error(s"no manifest at $root — not an AtomicCommit table")
-    case (Some(m), Some((_, ds))) =>
-      // declared ORDER, footer TYPES; schema-evolution columns the
-      // declaration never named append after it
-      val scan = AtomicCommit.scanManifest(spark, root, m).schema
-      val byName = scan.map(f => f.name -> f).toMap
-      StructType(ds.flatMap(f => byName.get(f.name)) ++
-        scan.filterNot(f => ds.exists(_.name == f.name)))
+  /** `ALTER TABLE ADD COLUMN` columns not yet carried by any footer
+    * ([[AtomicCommit.SchemaAddedProp]]): part of the SQL schema, NULL at
+    * scan. A name the footers DO carry (post-ALTER data landed) defers
+    * to the footer's type — ownership moved with the first write.
+    */
+  private def addedOf(m: AtomicCommit.Manifest): Seq[org.apache.spark.sql.types.StructField] =
+    m.props.get(AtomicCommit.SchemaAddedProp)
+      .map(StructType.fromDDL(_).fields.toSeq).getOrElse(Nil)
+
+  override val schema: StructType = {
+    val base = (snapshotOpt(), declared) match {
+      case (Some(m), None) => AtomicCommit.scanManifest(spark, root, m).schema
+      case (None, Some((_, ds))) => ds
+      case (None, None) =>
+        sys.error(s"no manifest at $root — not an AtomicCommit table")
+      case (Some(m), Some((_, ds))) =>
+        // declared ORDER, footer TYPES; schema-evolution columns the
+        // declaration never named append after it
+        val scan = AtomicCommit.scanManifest(spark, root, m).schema
+        val byName = scan.map(f => f.name -> f).toMap
+        StructType(ds.flatMap(f => byName.get(f.name)) ++
+          scan.filterNot(f => ds.exists(_.name == f.name)))
+    }
+    snapshotOpt() match {
+      case Some(m) => StructType(base.fields ++
+        addedOf(m).filterNot(f => base.exists(_.name == f.name)))
+      case None => base
+    }
   }
 
   /** `INSERT INTO view ...` / `INSERT OVERWRITE` land on the same commit
@@ -503,13 +519,14 @@ final class GraftRelation(spark: SparkSession, val root: String,
     // (`WHERE ts BETWEEN …` on a days(ts) table reads only those days)
     HiddenPartitioning.specOf(m).foreach { spec =>
       val src = spec.source
+      val srcType = schema.find(_.name == src).map(_.dataType)
       filters.foreach {
         case EqualTo(`src`, v) if v != null =>
           entries = HiddenPartitioning.pruneBySourceEq(
-            m.copy(entries = entries), v)
+            m.copy(entries = entries), v, srcType)
         case EqualNullSafe(`src`, v) if v != null =>
           entries = HiddenPartitioning.pruneBySourceEq(
-            m.copy(entries = entries), v)
+            m.copy(entries = entries), v, srcType)
         case _ => ()
       }
       if (lows.contains(src) && highs.contains(src))
@@ -528,7 +545,12 @@ final class GraftRelation(spark: SparkSession, val root: String,
     val entries = prunedEntriesFor(m, filters)
     if (entries.isEmpty)
       return spark.sparkContext.emptyRDD[Row]
-    val df = AtomicCommit.scanManifest(spark, root, m.copy(entries = entries))
+    val base = AtomicCommit.scanManifest(spark, root, m.copy(entries = entries))
+    // ALTER-added columns no footer carries yet: NULL-backfill so the
+    // projection below (and Spark's residual filters above) resolve
+    val df = addedOf(m).filterNot(f => base.columns.contains(f.name))
+      .foldLeft(base)((d, f) => d.withColumn(f.name,
+        org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
     val projected =
       if (requiredColumns.isEmpty) df.select() // 0-width rows, counts intact
       else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)

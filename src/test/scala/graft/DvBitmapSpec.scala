@@ -2,8 +2,6 @@ package graft
 
 import scala.util.Random
 
-import org.scalatest.funsuite.AnyFunSuite
-
 import graft.sources.DvBitmap
 
 /** The deletion-vector bitmap kernel: chunked u16-array/bitset containers
@@ -14,7 +12,7 @@ import graft.sources.DvBitmap
   * no matter how many of its 65536 rows die — the bound that makes the
   * scan-side broadcast O(compressed bytes) instead of O(deleted rows).
   */
-class DvBitmapSpec extends AnyFunSuite {
+class DvBitmapSpec extends SparkSpec {
 
   private def roundTrip(positions: Seq[Long]): DvBitmap.Bitmap =
     DvBitmap.parse(DvBitmap.build(positions.toArray))
@@ -68,5 +66,36 @@ class DvBitmapSpec extends AnyFunSuite {
   test("empty and negative inputs are rejected loudly") {
     intercept[IllegalArgumentException](DvBitmap.build(Array.empty[Long]))
     intercept[IllegalArgumentException](DvBitmap.build(Array(-1L)))
+  }
+
+  test("pruned reads ship only the pruned partitions' bitmaps; over-budget falls back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.{AtomicCommit, Deletes, DvKeep}
+    val root = java.nio.file.Files.createTempDirectory("graft_dvb_prune").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0L until 300L).map(i => (i, Seq("A", "B", "C")((i % 3).toInt)))
+        .toDF("k", "p"), "p")
+    // one MoR delete marking rows in EVERY partition → each carries a bitmap
+    Deletes.deleteWhereMoR(spark, root, col("k") % 10 === 0)
+    def shipped(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.analyzed.collect {
+        case n => n.expressions.flatMap(_.collect { case kp: DvKeep => kp })
+      }.flatten.flatMap(_.bitmaps.keys.map(_._1.toString)).toSet
+    // a partition-pruned read ships bitmaps for the pruned partition ONLY
+    // — the plan-reference map is O(scanned partitions' evidence), not
+    // O(table's outstanding deletes)
+    val dfA = AtomicCommit.readPartitions(spark, root, Seq("A")).get
+    assert(shipped(dfA) === Set("A"))
+    assert(dfA.count() === 90L) // A holds k≡0 (mod 3); k≡0 (mod 30) died
+    // the whole-table read ships all three
+    assert(shipped(AtomicCommit.read(spark, root)) === Set("A", "B", "C"))
+    // a tiny budget forces the anti-join fallback: no bitmaps ride the
+    // plan, the answers do not change
+    withSQLConf(DvBitmap.BudgetConf -> "1") {
+      val df2 = AtomicCommit.read(spark, root)
+      assert(shipped(df2).isEmpty, "over budget must not ship bitmaps")
+      assert(df2.count() === 270L)
+    }
   }
 }

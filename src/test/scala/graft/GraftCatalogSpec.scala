@@ -195,4 +195,47 @@ class GraftCatalogSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graft")
     }
   }
+
+  test("ALTER TABLE ADD COLUMN(S): NULL backfill, footer handoff, loud rejections") {
+    val root = Files.createTempDirectory("graft_cat_alter").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, 10L, "A"), (2L, 20L, "B")).toDF("k", "v", "p"), "p")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.alt", root)
+    try {
+      val v0 = AtomicCommit.currentVersion(root).get
+      spark.sql("ALTER TABLE graft.alt ADD COLUMN note STRING")
+      // a metadata commit: version bumped, no data touched
+      assert(AtomicCommit.currentVersion(root).get === v0 + 1)
+      assert(AtomicCommit.history(root).last.kind === "metadata")
+      // the schema grows immediately; existing rows read NULL-backfilled
+      assert(spark.table("graft.alt").schema.fieldNames.toSeq
+        === Seq("k", "v", "p", "note"))
+      assert(spark.sql("SELECT k FROM graft.alt WHERE note IS NULL")
+        .as[Long].collect().toSet === Set(1L, 2L))
+      // the first INSERT carrying the column hands type ownership to the
+      // footers; old rows stay NULL, the new row reads its value
+      spark.sql("INSERT INTO graft.alt VALUES (3, 30, 'C', 'fresh')")
+      val got = spark.sql("SELECT k, note FROM graft.alt")
+        .as[(Long, Option[String])].collect().toMap
+      assert(got === Map(1L -> None, 2L -> None, 3L -> Some("fresh")))
+      // multi-column form
+      spark.sql("ALTER TABLE graft.alt ADD COLUMNS (score DOUBLE, tag STRING)")
+      assert(spark.sql("SELECT count(*) FROM graft.alt WHERE score IS NULL")
+        .as[Long].head() === 3L)
+      // non-additive changes keep the loud rejection
+      val e1 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.alt DROP COLUMN v")
+      }
+      assert(e1.getMessage.contains("ADD COLUMN"), e1.getMessage)
+      // a colliding name is refused
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.alt ADD COLUMN v BIGINT")
+      }
+      assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.table.alt")
+      spark.conf.unset("spark.sql.catalog.graft")
+    }
+  }
 }

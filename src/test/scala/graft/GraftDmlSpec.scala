@@ -115,4 +115,61 @@ class GraftDmlSpec extends SparkSpec {
       assert(e.getMessage.contains("conjunction of target-column"))
     } finally unregister("ds")
   }
+
+  test("DELETE FROM routes by shape: CoW on partition-only, MoR for SQL-only expressions") {
+    val root = Files.createTempDirectory("graft_dml_del").toString
+    seed(root)
+    register("dd", root)
+    try {
+      val m0 = AtomicCommit.readManifest(root).get
+      val gen0 = AtomicCommit.ownersOf(m0.entries("B"))
+      // an expression BEYOND the V1 filter grammar the SupportsDelete
+      // face carries (length + arithmetic) → positional MoR: rows gone,
+      // data owners untouched, no partition rewrite
+      spark.sql("DELETE FROM graft.dd WHERE length(status) = 6 AND v + 0 = 40")
+      assert(spark.sql("SELECT k FROM graft.dd").as[Long].collect().toSet
+        === Set(1L, 2L, 3L, 5L))
+      val m1 = AtomicCommit.readManifest(root).get
+      assert(AtomicCommit.ownersOf(m1.entries("B")) === gen0,
+        "MoR: the data generation survives the delete untouched")
+      assert(AtomicCommit.history(root).last.kind === "rowdelete")
+      // the pre-delete snapshot stays time-travelable
+      assert(spark.sql(s"SELECT k FROM graft.dd VERSION AS OF ${m0.version}")
+        .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
+      // a partition-column-only predicate → partition-CoW: the matched
+      // partition DROPS from the manifest (no merge-on-read evidence)
+      spark.sql("DELETE FROM graft.dd WHERE p = 'C'")
+      val m2 = AtomicCommit.readManifest(root).get
+      assert(!m2.entries.contains("C"))
+      assert(AtomicCommit.history(root).last.kind === "drop")
+      assert(spark.sql("SELECT k FROM graft.dd").as[Long].collect().toSet
+        === Set(1L, 2L, 3L))
+      // DELETE with no WHERE is refused like TRUNCATE
+      val e = intercept[RuntimeException] { spark.sql("DELETE FROM graft.dd") }
+      assert(e.getMessage.contains("non-empty"), e.getMessage)
+    } finally unregister("dd")
+  }
+
+  test("UPDATE of a hidden-partitioning SOURCE column is rejected; others update") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.sources.{HiddenPartitioning => HP}
+    val root = Files.createTempDirectory("graft_dml_hp").toString
+    val rows = Seq((1L, 10L, "2024-03-01T05:00:00Z"), (2L, 20L, "2024-03-02T06:00:00Z"))
+      .toDF("k", "v", "iso")
+      .select(col("k"), col("v"), to_timestamp(col("iso")).as("ts"))
+    HP.commitReplace(spark, root, rows, HP.Days("ts"))
+    register("hp", root)
+    try {
+      // SET on the transform source would leave ts_day stale — every
+      // later ts-predicate read would prune by the old day key
+      val e = intercept[RuntimeException] {
+        spark.sql("UPDATE graft.hp SET ts = TIMESTAMP'2024-05-05 00:00:00' WHERE k = 1")
+      }
+      assert(e.getMessage.contains("days(ts)"), e.getMessage)
+      // non-source columns still update normally on the same table
+      spark.sql("UPDATE graft.hp SET v = 99 WHERE k = 1")
+      assert(spark.sql("SELECT v FROM graft.hp WHERE k = 1")
+        .as[Long].head() === 99L)
+    } finally unregister("hp")
+  }
 }
