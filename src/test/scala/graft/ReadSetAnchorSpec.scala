@@ -148,6 +148,41 @@ class ReadSetAnchorSpec extends SparkSpec {
     assert(AtomicStreamSink.lastBatchId(inner, "rq") === Some(7L))
   }
 
+  test("constraint added between stage and publish aborts the writer (metadata-change conflict)") {
+    val root = Files.createTempDirectory("graft_rsa_constraint").toString
+    val inner = new InMemoryObjectStore
+    seed(root, inner)
+    // commitAppendPartitions walks: stage's manifest read is list call 1;
+    // publish's CAS validation is call 2 — addConstraint lands in exactly
+    // the window where the staged rows were validated under a rule set
+    // (none) that is no longer THE rules. Without the commit-time check
+    // the violating row would land unvalidated: addConstraint's own
+    // full-table scan cannot see an unpublished generation either.
+    val store = new TriggerStore(inner, 2, () => {
+      AtomicCommit.addConstraint(spark, root, inner, "nonneg", "k >= 0")
+    })
+    val batch = Seq(("a", -5L, "violates")).toDF("p", "k", "v")
+    val ex = intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.commitAppendPartitions(spark, root, store, batch, "p", 1)
+    }
+    assert(ex.getMessage.contains("constraints"))
+    assert(store.firedOnce,
+      "the concurrent addConstraint never fired — the test is addressing the wrong window")
+    // nothing slipped through
+    assert(!AtomicCommit.read(spark, root, inner).select("k").as[Long]
+      .collect().contains(-5L))
+    // the abort contract: re-stage under the fresh rules — which NOW
+    // validate the rows and reject the violator outright
+    intercept[AtomicCommit.ConstraintViolationException] {
+      AtomicCommit.commitAppendPartitions(spark, root, inner, batch, "p", 1)
+    }
+    // a conforming batch passes under the new rule
+    AtomicCommit.commitAppendPartitions(spark, root, inner,
+      Seq(("a", 100L, "ok")).toDF("p", "k", "v"), "p", 1)
+    assert(AtomicCommit.read(spark, root, inner)
+      .select("k").as[Long].collect().toSet === Set(1L, 2L, 3L, 100L))
+  }
+
   test("diff of identical versions returns the documented schema, empty") {
     val root = Files.createTempDirectory("graft_rsa_diff").toString
     val store = new InMemoryObjectStore
