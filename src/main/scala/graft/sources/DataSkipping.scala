@@ -61,7 +61,8 @@ object DataSkipping {
   final case class ColStats(partition: String, col: String, kind: String,
                             min: Option[String], max: Option[String],
                             nulls: Long, rows: Long,
-                            file: Option[String] = None)
+                            file: Option[String] = None,
+                            ndv: Option[Long] = None)
 
   /** Stage → annotate → publish: [[AtomicCommit.commitReplacePartitions]]
     * with stats for `cols` recorded on the new generation.
@@ -104,7 +105,11 @@ object DataSkipping {
     }.toMap
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      // HyperLogLog++ NDV per slice (same one-job pass): the planner's
+      // selectivity evidence — ~2% relative error, summed upward by
+      // [[TableStats.columnStats]]
+      approx_count_distinct(col(c)).as(s"__ndv_$c")))
     // ONE job at FILE granularity (partition, data-file basename); the
     // partition-level envelopes are derived driver-side from the file
     // records — manifest-scale work, no second scan of the staged bytes
@@ -119,7 +124,7 @@ object DataSkipping {
         val mn = Option(r.getAs[Any](s"__min_$c")).map(_.toString)
         val mx = Option(r.getAs[Any](s"__max_$c")).map(_.toString)
         ColStats(p, c, kinds(c), mn, mx, r.getAs[Long](s"__nulls_$c"), n,
-          Some(f))
+          Some(f), Some(r.getAs[Long](s"__ndv_$c")))
       }
     }
     val partRecords = fileRecords.groupBy(s => (s.partition, s.col)).toSeq
@@ -158,10 +163,18 @@ object DataSkipping {
         val ord = Ordering.fromLessThan[String](cpCompare(_, _) < 0)
         Some(if (takeMin) vals.min(ord) else vals.max(ord))
       }
+    val nulls = fs.map(_.nulls).sum
+    val rows = fs.map(_.rows).sum
+    // summed file NDVs over-count values spanning files; cap at the
+    // non-null row count (an upper bound keeps selectivity conservative)
+    val ndv =
+      if (fs.forall(_.ndv.isDefined))
+        Some(math.min(fs.flatMap(_.ndv).sum, math.max(1L, rows - nulls)))
+      else None
     ColStats(p, c, kind,
       pick(fs.flatMap(_.min), takeMin = true),
       pick(fs.flatMap(_.max), takeMin = false),
-      fs.map(_.nulls).sum, fs.map(_.rows).sum)
+      nulls, rows, None, ndv)
   }
 
   /** Snapshot read of rows with `colName` between `lower` and `upper`
@@ -769,8 +782,11 @@ object DataSkipping {
     // `file` rendered only when present: partition-level records keep the
     // pre-r13 byte format, and an absent field parses back as None
     val fileField = s.file.map(v => s""""file":"${esc(v)}",""").getOrElse("")
+    // ndv rendered only when present: pre-r15 sidecars stay byte-stable
+    // and an absent field parses back as None
+    val ndvField = s.ndv.map(v => s""","ndv":$v""").getOrElse("")
     s"""{"partition":"${esc(s.partition)}","col":"${esc(s.col)}",$fileField"kind":"${s.kind}",""" +
-      s""""min":${f(s.min)},"max":${f(s.max)},"nulls":${s.nulls},"rows":${s.rows}}"""
+      s""""min":${f(s.min)},"max":${f(s.max)},"nulls":${s.nulls},"rows":${s.rows}$ndvField}"""
   }
   private def parseRecord(line: String): ColStats = {
     def str(name: String): String =
@@ -788,8 +804,11 @@ object DataSkipping {
     def absentOk(name: String): Option[String] =
       (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(line)
         .map(m => unesc(m.group(1)))
+    def optNum(name: String): Option[Long] =
+      (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(line)
+        .map(_.group(1).toLong)
     ColStats(str("partition"), str("col"), str("kind"),
       optStr("min"), optStr("max"), num("nulls"), num("rows"),
-      absentOk("file"))
+      absentOk("file"), optNum("ndv"))
   }
 }

@@ -447,8 +447,67 @@ final class GraftRelation(spark: SparkSession, val root: String,
       case Some(m) =>
         val parts = prunedEntriesFor(m, filters).keySet
         (TableStats.sizeInBytes(root, m, parts),
-          TableStats.rowCount(root, m, parts))
+          TableStats.rowCount(root, m, parts)
+            .map(estimateFilteredRows(m, filters, parts, _)))
     }
+
+  /** Sub-partition SELECTIVITY from the sidecars' column statistics
+    * ([[TableStats.columnStats]]): partition pruning bounds WHICH slices
+    * the scan reads, this bounds how many rows survive the predicate —
+    * the CBO cardinality a join above needs. Equality prices at
+    * rows/NDV (the textbook uniform-frequency estimate, conservative
+    * here because the NDV is an upper bound); a closed numeric interval
+    * prices at its fractional overlap of the column's [min, max].
+    * Columns without ndv-annotated evidence contribute nothing — the
+    * estimate degrades to the partition-level count, never guesses.
+    */
+  private def estimateFilteredRows(m: AtomicCommit.Manifest,
+                                   filters: Array[Filter],
+                                   parts: Set[String], total: Long): Long = {
+    if (total == 0L || filters.isEmpty) return total
+    val pc = m.partitionCol
+    def bd(v: Any): Option[java.math.BigDecimal] =
+      scala.util.Try(new java.math.BigDecimal(String.valueOf(v))).toOption
+    var est = total.toDouble
+    var applied = false
+    // equality and IN: k matching values of an NDV-valued column keep
+    // ~k/NDV of its non-null rows
+    val eqLike: Seq[(String, Int)] = filters.collect {
+      case EqualTo(c, v) if c != pc && v != null => c -> 1
+      case In(c, vs) if c != pc && vs.nonEmpty =>
+        c -> vs.filter(_ != null).distinct.length
+    }
+    val eqCols = eqLike.map(_._1).distinct
+    eqLike.foreach { case (c, k) =>
+      TableStats.columnStats(root, m, c, parts).foreach { cs =>
+        if (cs.ndv > 0) {
+          est *= (cs.nonNull.toDouble / total) *
+            math.min(1.0, k.toDouble / cs.ndv)
+          applied = true
+        }
+      }
+    }
+    val (lows, highs) = foldBounds(filters, pc)
+    (lows.keySet & highs.keySet)
+      .filterNot(c => eqCols.contains(c) || c == pc).foreach { c =>
+        TableStats.columnStats(root, m, c, parts).foreach { cs =>
+          for {
+            mn <- cs.numMin; mx <- cs.numMax
+            lo <- bd(lows(c)); hi <- bd(highs(c))
+          } {
+            val span = mx.subtract(mn)
+            if (span.signum > 0) {
+              val overlap = hi.min(mx).subtract(lo.max(mn))
+              val frac = if (overlap.signum <= 0) 0.0
+                else math.min(1.0, overlap.doubleValue / span.doubleValue)
+              est *= (cs.nonNull.toDouble / total) * frac
+              applied = true
+            }
+          }
+        }
+      }
+    if (!applied) total else math.max(1L, math.round(est))
+  }
 
   /** Snapshot bytes from the manifest's own file set ([[TableStats]]),
     * so the SQL planner prices this table like Delta/Iceberg price
@@ -491,25 +550,7 @@ final class GraftRelation(spark: SparkSession, val root: String,
     // intervals (a BETWEEN arrives as two one-sided filters); columns
     // with both bounds consult the min/max sidecars. One-sided bounds
     // prune nothing (no closed interval to test) — kept, still correct.
-    val lows = scala.collection.mutable.Map.empty[String, Any]
-    val highs = scala.collection.mutable.Map.empty[String, Any]
-    def tighten(mm: scala.collection.mutable.Map[String, Any], c: String,
-                v: Any, takeMax: Boolean): Unit =
-      if (v != null && c != pc) mm.updateWith(c) {
-        case None => Some(v)
-        case Some(old) =>
-          val cmp = DataSkipping.looseCompare(v, old)
-          Some(if (cmp == 0) old else if ((cmp > 0) == takeMax) v else old)
-      }
-    filters.foreach {
-      case EqualTo(c, v) => tighten(lows, c, v, takeMax = true)
-        tighten(highs, c, v, takeMax = false)
-      case GreaterThan(c, v) => tighten(lows, c, v, takeMax = true)
-      case GreaterThanOrEqual(c, v) => tighten(lows, c, v, takeMax = true)
-      case LessThan(c, v) => tighten(highs, c, v, takeMax = false)
-      case LessThanOrEqual(c, v) => tighten(highs, c, v, takeMax = false)
-      case _ => ()
-    }
+    val (lows, highs) = foldBounds(filters, pc)
     (lows.keySet & highs.keySet).foreach { c =>
       entries = DataSkipping.prunedEntries(root, m.copy(entries = entries),
         c, lows(c), highs(c))
@@ -534,6 +575,35 @@ final class GraftRelation(spark: SparkSession, val root: String,
           m.copy(entries = entries), lows(src), highs(src))
     }
     entries
+  }
+
+  /** Fold pushed comparison filters into the tightest per-column bounds
+    * (shared by sidecar pruning and selectivity pricing): `lows` holds
+    * the greatest lower bound seen per column, `highs` the least upper
+    * bound; only columns present in BOTH form a closed interval.
+    */
+  private def foldBounds(filters: Array[Filter], pc: String)
+      : (Map[String, Any], Map[String, Any]) = {
+    val lows = scala.collection.mutable.Map.empty[String, Any]
+    val highs = scala.collection.mutable.Map.empty[String, Any]
+    def tighten(mm: scala.collection.mutable.Map[String, Any], c: String,
+                v: Any, takeMax: Boolean): Unit =
+      if (v != null && c != pc) mm.updateWith(c) {
+        case None => Some(v)
+        case Some(old) =>
+          val cmp = DataSkipping.looseCompare(v, old)
+          Some(if (cmp == 0) old else if ((cmp > 0) == takeMax) v else old)
+      }
+    filters.foreach {
+      case EqualTo(c, v) => tighten(lows, c, v, takeMax = true)
+        tighten(highs, c, v, takeMax = false)
+      case GreaterThan(c, v) => tighten(lows, c, v, takeMax = true)
+      case GreaterThanOrEqual(c, v) => tighten(lows, c, v, takeMax = true)
+      case LessThan(c, v) => tighten(highs, c, v, takeMax = false)
+      case LessThanOrEqual(c, v) => tighten(highs, c, v, takeMax = false)
+      case _ => ()
+    }
+    (lows.toMap, highs.toMap)
   }
 
   override def buildScan(requiredColumns: Array[String],

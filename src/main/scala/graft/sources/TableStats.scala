@@ -128,4 +128,57 @@ object TableStats {
     else partitionRows(root, m).map(all =>
       parts.iterator.map(all.getOrElse(_, 0L)).sum)
   }
+
+  /** COLUMN-LEVEL planner statistics over a partition subset — the
+    * selectivity half of CBO input (sizeInBytes/rowCount above are the
+    * cardinality half): non-null rows, an NDV estimate, and global
+    * numeric bounds, aggregated from the skipping sidecars' envelope
+    * records. NDV is the sum of per-slice HyperLogLog estimates capped
+    * at the non-null count — an upper bound under cross-slice overlap,
+    * which keeps equality-selectivity (rows/NDV) conservative. None
+    * unless EVERY owner generation of every selected partition carries
+    * an ndv-annotated record for the column (pre-r15 sidecars lack the
+    * field): estimates never guess over missing evidence.
+    */
+  final case class ColumnStats(rows: Long, nonNull: Long, ndv: Long,
+                               numMin: Option[java.math.BigDecimal],
+                               numMax: Option[java.math.BigDecimal])
+
+  private val colCache = new java.util.concurrent.ConcurrentHashMap[
+    (Key, String, Set[String]), Option[ColumnStats]]()
+
+  def columnStats(root: String, m: Manifest, colName: String,
+                  parts: Set[String]): Option[ColumnStats] = {
+    bounded(colCache)
+    colCache.computeIfAbsent((keyOf(root, m), colName, parts),
+      _ => computeColumnStats(root, m, colName, parts))
+  }
+
+  private def computeColumnStats(root: String, m: Manifest, colName: String,
+                                 parts: Set[String]): Option[ColumnStats] = {
+    val selected = m.entries.filter { case (p, _) => parts(p) }
+    if (selected.isEmpty) return None
+    val gens = selected.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+    val byGen: Map[String, Map[String, DataSkipping.ColStats]] = gens.map { g =>
+      g -> DataSkipping.readStats(root, g)
+        .filter(s => s.file.isEmpty && s.col == colName)
+        .groupBy(_.partition).map { case (p, rs) => p -> rs.head }
+    }.toMap
+    val recs = selected.toSeq.flatMap { case (p, entry) =>
+      AtomicCommit.ownersOf(entry).map(g => byGen(g).get(p))
+    }
+    if (recs.exists(r => r.isEmpty || r.get.ndv.isEmpty)) return None
+    val rs = recs.flatten
+    val rows = rs.map(_.rows).sum
+    val nonNull = rs.map(r => r.rows - r.nulls).sum
+    val ndv = math.min(rs.flatMap(_.ndv).sum, math.max(1L, nonNull))
+    def bd(o: Option[String]): Option[java.math.BigDecimal] =
+      o.flatMap(v => scala.util.Try(new java.math.BigDecimal(v)).toOption)
+    val numeric = rs.forall(_.kind == "num")
+    val mins = rs.flatMap(r => bd(r.min))
+    val maxs = rs.flatMap(r => bd(r.max))
+    Some(ColumnStats(rows, nonNull, ndv,
+      if (numeric && mins.nonEmpty) Some(mins.min) else None,
+      if (numeric && maxs.nonEmpty) Some(maxs.max) else None))
+  }
 }

@@ -48,6 +48,52 @@ class TableStatsSpec extends SparkSpec {
     assert(TableStats.sizeInBytes(root, m2) >= TableStats.sizeInBytes(root, m1))
   }
 
+  test("NDV selectivity: selective predicates price within 2× of actual row counts") {
+    val root = Files.createTempDirectory("graft_ts_ndv").toString
+    // 1000 unique keys, a 50-distinct value column, 4 partitions;
+    // commitWithStats annotates min/max AND the HLL ndv per slice
+    DataSkipping.commitWithStats(spark, root,
+      (0L until 1000L).map(i => (i, i % 50, (i % 4).toString))
+        .toDF("k", "v", "p"), "p", Seq("k", "v"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.sel", root)
+    try {
+      def scanRows(sql: String): Long = {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan
+        val scans = plan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan
+        }
+        assert(scans.nonEmpty, s"no v2 scan in:\n$plan")
+        val stats = scans.head match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+            w.v1Scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+              .estimateStatistics()
+          case s =>
+            s.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+              .estimateStatistics()
+        }
+        stats.numRows.getAsLong
+      }
+      // equality on the unique column: actual 1 — rows/NDV prices it ≈ 1
+      val eq = scanRows("SELECT * FROM graft.sel WHERE k = 5")
+      assert(eq >= 1L && eq <= 2L, s"k=5 priced at $eq rows (actual 1)")
+      // equality on the 50-distinct column: actual 20; the summed-HLL NDV
+      // over-counts values spanning partitions, so the estimate is LOW —
+      // conservative, but must stay in the right order of magnitude
+      val eq50 = scanRows("SELECT * FROM graft.sel WHERE v = 7")
+      assert(eq50 >= 5L && eq50 <= 40L, s"v=7 priced at $eq50 rows (actual 20)")
+      // closed range covering ~20% of [0, 999]: actual 200, within 2×
+      val rng = scanRows("SELECT * FROM graft.sel WHERE k BETWEEN 100 AND 299")
+      assert(rng >= 100L && rng <= 400L, s"range priced at $rng rows (actual 200)")
+      // no predicate: the exact sidecar-backed count, never a guess
+      assert(scanRows("SELECT * FROM graft.sel") === 1000L)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      spark.conf.unset("spark.graft.table.sel")
+    }
+  }
+
   test("branch lineages at the SAME version number get their own stats") {
     val root = Files.createTempDirectory("graft_ts_br").toString
     val main = new graft.sources.PosixManifestStore(root)
