@@ -20,6 +20,7 @@ import graft.sources.{AtomicCommit, BranchStore, Compaction, ManifestStore, Posi
   * VACUUM graft.docs                         -- default retention
   * VACUUM graft.docs RETAIN 5 VERSIONS      -- time-travel horizon
   * VACUUM graft.docs RETAIN 72 HOURS        -- wall-clock window
+  * DESCRIBE HISTORY graft.docs               -- the commit log, newest first
   * }}}
   *
   * Injected by [[GraftExtensions]] via `injectParser`: statements whose
@@ -72,12 +73,17 @@ object GraftSqlParser {
     raw"(?is)\s*VACUUM\s+$Target$Tail".r
   private val VacuumRetainRe =
     raw"(?is)\s*VACUUM\s+$Target\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)$Tail".r
+  private val DescHistRe =
+    raw"(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+$Target$Tail".r
   // leading-keyword claim: Spark has no OPTIMIZE or VACUUM statement, so
   // ANY statement starting with either is ours — a near-miss (unsupported
   // retention unit, malformed ZORDER list) fails HERE with the supported
   // grammar instead of falling through to Spark's parser and dying with
-  // an unrelated PARSE_SYNTAX_ERROR (the fail-loudly contract)
-  private val MaintLeadRe = raw"(?is)\s*(OPTIMIZE|VACUUM)\b.*".r
+  // an unrelated PARSE_SYNTAX_ERROR (the fail-loudly contract). DESCRIBE
+  // itself IS Spark grammar, so only the two-token `DESCRIBE HISTORY`
+  // prefix (not Spark's) is claimed.
+  private val MaintLeadRe =
+    raw"(?is)\s*(OPTIMIZE|VACUUM|DESC(?:RIBE)?\s+HISTORY)\b.*".r
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -93,11 +99,14 @@ object GraftSqlParser {
           if (unit.equalsIgnoreCase("HOURS")) Some(n.toLong * 3600 * 1000) else None))
       case VacuumRe(bq, plain) =>
         Some(VacuumGraftTable(Option(bq).getOrElse(plain), None, None))
+      case DescHistRe(bq, plain) =>
+        Some(DescribeHistoryGraftTable(Option(bq).getOrElse(plain)))
       case MaintLeadRe(kw) => sys.error(
         s"graft: cannot parse ${kw.toUpperCase} statement: ${sqlText.trim}\n" +
           "supported forms:\n" +
           "  OPTIMIZE graft.<table> [ZORDER BY (col1, col2, ...)]\n" +
-          "  VACUUM graft.<table> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]")
+          "  VACUUM graft.<table> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]\n" +
+          "  DESCRIBE HISTORY graft.<table>")
       case _ => None
     }
 
@@ -144,6 +153,34 @@ final case class OptimizeGraftTable(ident: String, zCols: Seq[String])
         else Compaction.reclusterZorder(spark, root, cols)
     }
     Seq(Row(before, after))
+  }
+}
+
+/** `DESCRIBE HISTORY graft.t` (branch-addressable via
+  * `` graft.`t@dev` ``) — the readable commit log as a result set,
+  * NEWEST first, resolved entirely from retained on-disk manifests
+  * ([[AtomicCommit.history]]: driver metadata, no data I/O). Depth is
+  * whatever vacuum retention (and tags) kept.
+  */
+final case class DescribeHistoryGraftTable(ident: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", StringType, nullable = true)(),
+    AttributeReference("kind", StringType, nullable = false)(),
+    AttributeReference("num_partitions", LongType, nullable = false)(),
+    AttributeReference("changed_partitions", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, store, _) = GraftSqlParser.resolve(spark, ident)
+    AtomicCommit.history(store, root).reverse.map { ci =>
+      val when = ci.props.get(AtomicCommit.CommitWhenProp)
+        .flatMap(_.toLongOption)
+        .map(ms => java.time.Instant.ofEpochMilli(ms).toString).orNull
+      Row(ci.version, when, ci.kind, ci.numPartitions.toLong,
+        ci.changedPartitions.map(_.mkString(",")).orNull)
+    }
   }
 }
 

@@ -115,4 +115,31 @@ class GraftSqlParserSpec extends SparkSpec {
         .as[String].head().contains("3 DAYS"))
     } finally spark.conf.unset("spark.graft.table.semi")
   }
+
+  test("DESCRIBE HISTORY: the commit log as a result set, newest first") {
+    val root = Files.createTempDirectory("graft_sqlhist").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((3L, "B")).toDF("k", "p"), "p", 1)
+    AtomicCommit.tag(root, "snap", 1L)
+    spark.conf.set("spark.graft.table.hist", root)
+    try {
+      val rows = spark.sql("DESCRIBE HISTORY graft.hist").collect()
+      assert(rows.map(_.getLong(0)).toSeq === Seq(3L, 2L, 1L), "newest first")
+      val byV = rows.map(r => r.getLong(0) ->
+        ((r.getString(2), r.getString(4)))).toMap
+      assert(byV(1L)._1 === "replace")
+      assert(byV(2L) === (("append", "B")))
+      assert(byV(3L)._1 === "metadata")
+      // every retained commit carries its monotonic timestamp
+      assert(rows.forall(_.getString(1) != null))
+      // DESC shorthand parses; plain DESCRIBE TABLE still belongs to Spark
+      assert(spark.sql("DESC HISTORY graft.hist").count() === 3L)
+      val e = intercept[RuntimeException] {
+        spark.sql("DESCRIBE HISTORY graft.hist SINCE 2")
+      }
+      assert(e.getMessage.contains("supported forms"), e.getMessage)
+    } finally spark.conf.unset("spark.graft.table.hist")
+  }
 }
