@@ -250,14 +250,36 @@ final case class GraftMergeCommand(rel: DataSourceV2Relation, gt: GraftTable,
     val srcIds: Set[ExprId] = source.output.map(_.exprId).toSet
 
     // ON: conjunction of t-col = s-col equalities → builder keys. Source
-    // columns rename to their target partner's name first.
+    // columns rename to their target partner's name first. The analyzer
+    // wraps the narrower side of a mixed-type key equality in an implicit
+    // widening Cast (e.g. an INT VALUES literal column against a BIGINT
+    // target key); the builder's own t/s join re-derives that exact
+    // coercion, so a lossless up-cast is transparent here — a LOSSY cast
+    // (bigint ON int, string ON long) is not the builder's join and
+    // still fails loudly.
+    def keyAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        c.child match {
+          case a: AttributeReference
+              if org.apache.spark.sql.catalyst.expressions.Cast
+                .canUpCast(a.dataType, c.dataType) => Some(a)
+          case _ => None
+        }
+      case _ => None
+    }
     val keyPairs: Seq[(String, String)] = splitConjunctivePredicates(cond).map {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if tgtIds(a.exprId) && srcIds(b.exprId) => (a.name, b.name)
-      case EqualTo(b: AttributeReference, a: AttributeReference)
-          if tgtIds(a.exprId) && srcIds(b.exprId) => (a.name, b.name)
-      case other => sys.error("graft MERGE: the ON condition must be a " +
-        s"conjunction of target-column = source-column equalities, got $other")
+      eq => (eq match {
+        case EqualTo(l, r) => (keyAttr(l), keyAttr(r)) match {
+          case (Some(a), Some(b)) if tgtIds(a.exprId) && srcIds(b.exprId) =>
+            Some((a.name, b.name))
+          case (Some(b), Some(a)) if tgtIds(a.exprId) && srcIds(b.exprId) =>
+            Some((a.name, b.name))
+          case _ => None
+        }
+        case _ => None
+      }).getOrElse(sys.error("graft MERGE: the ON condition must be a " +
+        s"conjunction of target-column = source-column equalities, got $eq"))
     }
     val renames = keyPairs.filter { case (t, s) => t != s }
     renames.foreach { case (t, _) =>

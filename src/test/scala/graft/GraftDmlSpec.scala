@@ -150,6 +150,33 @@ class GraftDmlSpec extends SparkSpec {
     } finally unregister("dd")
   }
 
+  test("MERGE ON keys see through analyzer widening casts (INT source vs BIGINT key)") {
+    val root = Files.createTempDirectory("graft_dml_cast").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, 10L, "A"), (2L, 20L, "B")).toDF("k", "v", "p"), "p")
+    register("dc", root)
+    try {
+      // an INT literal source (SELECT 2 AS k) against the BIGINT target
+      // key: the analyzer wraps s.k in cast(s.k AS bigint); the builder's
+      // own t/s join re-derives that exact coercion, so the lowering must
+      // accept it rather than reject the ON shape (regression: the fuzz
+      // spec's MERGE counter hit this)
+      spark.sql(
+        """MERGE INTO graft.dc t USING (SELECT 2 AS k) s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = t.v + 1""".stripMargin)
+      assert(spark.sql("SELECT v FROM graft.dc WHERE k = 2")
+        .as[Long].head() === 21L)
+      // a non-column key expression is still NOT the builder's join:
+      // rejected with the contract named
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft.dc t USING (SELECT 2 AS k) s ON t.k = s.k + 1
+            |WHEN MATCHED THEN DELETE""".stripMargin)
+      }
+      assert(e.getMessage.contains("conjunction of target-column"))
+    } finally unregister("dc")
+  }
+
   test("UPDATE of a hidden-partitioning SOURCE column is rejected; others update") {
     import org.apache.spark.sql.functions.{col, to_timestamp}
     import graft.sources.{HiddenPartitioning => HP}
