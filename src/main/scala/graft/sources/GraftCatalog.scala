@@ -169,24 +169,36 @@ final class GraftCatalog extends TableCatalog {
     graftTable(ident, None)
   }
 
-  /** `ALTER TABLE graft.<name> ADD COLUMN(S) ...` — the ADDITIVE subset,
-    * mapped onto the engine's schema-additive evolution: the new columns
-    * land as a metadata commit ([[AtomicCommit.addColumns]] — props-only,
-    * atomic with the version bump, CAS-raced like every commit), the
-    * SQL schema grows immediately, existing rows read NULL-backfilled,
-    * and the first INSERT carrying the column moves type ownership to
-    * the footers. Everything non-additive (drop, rename, retype,
-    * position) keeps the loud rejection — those rewrite footers, which
-    * this engine does through commits, not DDL.
+  /** `SUPPORT_TABLE_CONSTRAINT` opts this catalog into Spark's ANSI
+    * constraint DDL — without it the analyzer rejects `ADD CONSTRAINT`
+    * before [[alterTable]] ever sees the change.
+    */
+  override def capabilities(): java.util.Set[TableCatalogCapability] =
+    java.util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** `ALTER TABLE graft.<name> ...` — the subset the engine evolves
+    * through metadata commits, everything else loudly rejected:
+    *
+    *  - `ADD COLUMN(S)`: the ADDITIVE schema subset, mapped onto
+    *    [[AtomicCommit.addColumns]] (props-only commit, atomic with the
+    *    version bump, CAS-raced like every commit). The SQL schema grows
+    *    immediately, existing rows read NULL-backfilled, and the first
+    *    INSERT carrying the column moves type ownership to the footers.
+    *    Drop / rename / retype / position keep the loud rejection —
+    *    those rewrite footers, which this engine does through commits.
+    *  - `ADD CONSTRAINT <name> CHECK (<expr>)`: lowered onto
+    *    [[AtomicCommit.addConstraint]] — the engine validates ALL
+    *    current rows itself (one scan, atomic with the props commit
+    *    under the constraint-vs-writer CAS rules) even though Spark's
+    *    `AddCheckConstraintExec` pre-validated; the engine's scan is the
+    *    one the publish race protection is anchored to. PRIMARY KEY /
+    *    FOREIGN KEY / UNIQUE are rejected: this engine enforces what it
+    *    declares, and those it cannot enforce at commit time.
+    *  - `DROP CONSTRAINT <name>`: [[AtomicCommit.dropConstraint]];
+    *    `IF EXISTS` no-ops on an absent name, otherwise absent fails.
     */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
-    val adds = changes.collect { case a: TableChange.AddColumn => a }
-    if (adds.size != changes.size || adds.isEmpty)
-      throw new UnsupportedOperationException(
-        "graft ALTER TABLE supports ADD COLUMN(S) only — other changes " +
-          "evolve through commits (addConstraint, commitRepartition, " +
-          "schema-additive writes)")
     val name = ident.name()
     require(!name.contains('@'),
       s"ALTER TABLE targets main — merge or re-fork the branch instead")
@@ -194,6 +206,45 @@ final class GraftCatalog extends TableCatalog {
       .getOrElse(throw new NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ name))
     val store = new PosixManifestStore(root)
+    val supported = changes.forall {
+      case _: TableChange.AddColumn => true
+      case _: TableChange.AddConstraint => true
+      case _: TableChange.DropConstraint => true
+      case _ => false
+    }
+    if (changes.isEmpty || !supported)
+      throw new UnsupportedOperationException(
+        "graft ALTER TABLE supports ADD COLUMN(S), ADD CONSTRAINT ... " +
+          "CHECK, and DROP CONSTRAINT only — other changes evolve " +
+          "through commits (commitRepartition, schema-additive writes)")
+    // all ADD COLUMNs of one statement land as ONE props commit (the
+    // multi-column ALTER is atomic); constraint changes follow in order
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty) addColumnsBatch(root, store, adds)
+    changes.foreach {
+      case _: TableChange.AddColumn => () // batched above
+      case a: TableChange.AddConstraint => a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          AtomicCommit.addConstraint(spark, root, store, c.name(),
+            c.predicateSql())
+        case other => throw new UnsupportedOperationException(
+          s"graft tables enforce CHECK constraints only — ${other.toDDL} " +
+            "cannot be enforced at commit time and will not be recorded")
+      }
+      case d: TableChange.DropConstraint =>
+        if (AtomicCommit.constraints(store).contains(d.name()))
+          AtomicCommit.dropConstraint(root, store, d.name())
+        else if (!d.ifExists())
+          sys.error(s"no constraint ${d.name()} on $catalogName.$name " +
+            s"(constraints: ${AtomicCommit.constraints(store).keys.toSeq
+              .sorted.mkString(", ")})")
+      case _ => () // unreachable: screened above
+    }
+    graftTable(ident, None)
+  }
+
+  private def addColumnsBatch(root: String, store: ManifestStore,
+                              adds: Seq[TableChange.AddColumn]): Unit = {
     val m = AtomicCommit.readManifest(store).getOrElse(
       throw new UnsupportedOperationException(
         s"ALTER TABLE needs a committed table at $root — a declared-only " +
@@ -218,7 +269,6 @@ final class GraftCatalog extends TableCatalog {
       added = added.add(colName, a.dataType(), nullable = true)
     }
     AtomicCommit.addColumns(root, store, added)
-    graftTable(ident, None)
   }
 
   /** DROP TABLE unregisters the name. The data, its manifests, and the
@@ -307,6 +357,26 @@ final class GraftTable(ident: String, relation: GraftRelation)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  /** The snapshot's CHECK constraints, reported through the DSv2 face —
+    * `DESCRIBE TABLE EXTENDED` lists them, `DROP CONSTRAINT` resolves
+    * them, and Spark's analyzer may ALSO guard INSERT plans with them
+    * (belt over the engine's own braces: [[AtomicCommit]] enforcement at
+    * stage time remains the commit-path guarantee — it binds Scala-API
+    * writers this analyzer never sees). Enforced + VALID: every recorded
+    * rule was validated against all data when it landed and at every
+    * commit since.
+    */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    AtomicCommit.constraints(relation.store).toSeq.sortBy(_._1).map {
+      case (n, sql) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(n).predicateSql(sql).enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(FilterColumns.toColumn(_).isDefined)

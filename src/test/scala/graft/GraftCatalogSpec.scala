@@ -238,4 +238,58 @@ class GraftCatalogSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graft")
     }
   }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT: ANSI CHECK DDL onto the engine's rules") {
+    val root = Files.createTempDirectory("graft_cat_cons").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, 10L, "A"), (2L, 20L, "B")).toDF("k", "v", "p"), "p")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.con", root)
+    try {
+      spark.sql("ALTER TABLE graft.con ADD CONSTRAINT v_pos CHECK (v > 0)")
+      // recorded in manifest props — it binds EVERY writer, Scala API too
+      assert(AtomicCommit.constraints(root) === Map("v_pos" -> "v > 0"))
+      assert(AtomicCommit.history(root).last.kind === "metadata")
+      // a violating SQL INSERT aborts (Spark's analyzer guards the plan
+      // via Table.constraints(); the engine's stage enforcement backs it)
+      intercept[Exception] {
+        spark.sql("INSERT INTO graft.con VALUES (3, -5, 'A')")
+      }
+      assert(spark.sql("SELECT count(*) FROM graft.con WHERE v <= 0")
+        .as[Long].head() === 0L)
+      // ... and so does a Scala-API writer the analyzer never sees
+      intercept[AtomicCommit.ConstraintViolationException] {
+        AtomicCommit.commitAppendPartitions(spark, root,
+          Seq((4L, -1L, "B")).toDF("k", "v", "p"), "p", 1)
+      }
+      // ADD validates ALL existing rows first: a rule current data breaks
+      // is refused and nothing is recorded
+      intercept[Exception] {
+        spark.sql("ALTER TABLE graft.con ADD CONSTRAINT v_tiny CHECK (v < 15)")
+      }
+      assert(AtomicCommit.constraints(root) === Map("v_pos" -> "v > 0"))
+      // DESCRIBE EXTENDED surfaces the constraint through the DSv2 face
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.con").collect()
+        .map(r => s"${r.getString(0)}|${r.getString(1)}").mkString("\n")
+      assert(desc.contains("v_pos") && desc.contains("CHECK (v > 0)"), desc)
+      // unenforceable constraint kinds are rejected, not silently recorded
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.con ADD CONSTRAINT pk PRIMARY KEY (k)")
+      }
+      assert(e.getMessage.contains("CHECK constraints only"), e.getMessage)
+      // DROP releases enforcement; IF EXISTS no-ops on an absent name,
+      // a bare absent name fails loudly
+      spark.sql("ALTER TABLE graft.con DROP CONSTRAINT v_pos")
+      assert(AtomicCommit.constraints(root) === Map.empty)
+      spark.sql("INSERT INTO graft.con VALUES (5, -9, 'A')")
+      spark.sql("ALTER TABLE graft.con DROP CONSTRAINT IF EXISTS nope")
+      val e2 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.con DROP CONSTRAINT nope")
+      }
+      assert(e2.getMessage.contains("no constraint"), e2.getMessage)
+    } finally {
+      spark.conf.unset("spark.graft.table.con")
+      spark.conf.unset("spark.sql.catalog.graft")
+    }
+  }
 }
