@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 
-import graft.sources.{AtomicCommit, BranchStore, Compaction, ManifestStore, PosixManifestStore}
+import graft.sources.{AtomicCommit, BranchStore, Compaction, DataSkipping, ManifestStore, PosixManifestStore, TableStats}
 
 /** SQL MAINTENANCE STATEMENTS for graft tables — the operational verbs
   * Delta/Iceberg expose in SQL, grafted onto the session parser:
@@ -75,6 +75,13 @@ object GraftSqlParser {
     raw"(?is)\s*VACUUM\s+$Target\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)$Tail".r
   private val DescHistRe =
     raw"(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+$Target$Tail".r
+  private val AnalyzeRe =
+    raw"(?is)\s*ANALYZE\s+TABLE\s+$Target\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+(COLUMNS)|COLUMNS\s+([^;]+?)))?$Tail".r
+  // ANALYZE TABLE is Spark grammar (and analysis-rejected for v2 tables),
+  // so claim it only when the target is catalog-qualified ours — every
+  // other ANALYZE passes through untouched
+  private val AnalyzeLeadRe =
+    raw"(?is)\s*ANALYZE\s+TABLE\s+graft\..*".r
   // leading-keyword claim: Spark has no OPTIMIZE or VACUUM statement, so
   // ANY statement starting with either is ours — a near-miss (unsupported
   // retention unit, malformed ZORDER list) fails HERE with the supported
@@ -101,6 +108,17 @@ object GraftSqlParser {
         Some(VacuumGraftTable(Option(bq).getOrElse(plain), None, None))
       case DescHistRe(bq, plain) =>
         Some(DescribeHistoryGraftTable(Option(bq).getOrElse(plain)))
+      case AnalyzeRe(bq, plain, all, colList) =>
+        Some(AnalyzeGraftTable(Option(bq).getOrElse(plain),
+          if (all != null || colList == null) None
+          else Some(colList.split(',')
+            .map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq)))
+      case AnalyzeLeadRe() => sys.error(
+        s"graft: cannot parse ANALYZE statement: ${sqlText.trim}\n" +
+          "supported forms:\n" +
+          "  ANALYZE TABLE graft.<table> COMPUTE STATISTICS" +
+          " [FOR COLUMNS c1, c2, ... | FOR ALL COLUMNS]")
       case MaintLeadRe(kw) => sys.error(
         s"graft: cannot parse ${kw.toUpperCase} statement: ${sqlText.trim}\n" +
           "supported forms:\n" +
@@ -180,6 +198,75 @@ final case class DescribeHistoryGraftTable(ident: String)
         .map(ms => java.time.Instant.ofEpochMilli(ms).toString).orNull
       Row(ci.version, when, ci.kind, ci.numPartitions.toLong,
         ci.changedPartitions.map(_.mkString(",")).orNull)
+    }
+  }
+}
+
+/** `ANALYZE TABLE graft.t COMPUTE STATISTICS [FOR COLUMNS ... | FOR ALL
+  * COLUMNS]` — retrofit/refresh the skipping + NDV sidecars over the
+  * current snapshot's generations ([[DataSkipping.analyze]]: only
+  * generations with missing evidence are touched, so re-running is
+  * free), then one metadata commit so the planner's snapshot-keyed
+  * statistics caches pick the new evidence up. No FOR clause (or FOR
+  * ALL COLUMNS) analyzes every supported (numeric/string) non-partition
+  * column. Returns the table-level statistics per analyzed column —
+  * rows/non-null/NDV and numeric bounds — the same numbers
+  * [[TableStats.columnStats]] now feeds selectivity from.
+  */
+final case class AnalyzeGraftTable(ident: String,
+                                   colsOpt: Option[Seq[String]])
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("column", StringType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = false)(),
+    AttributeReference("non_null", LongType, nullable = false)(),
+    AttributeReference("ndv", LongType, nullable = false)(),
+    AttributeReference("min", StringType, nullable = true)(),
+    AttributeReference("max", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.types.NumericType
+    val (root, store, _) = GraftSqlParser.resolve(spark, ident)
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"graft: ANALYZE needs a committed table at $root"))
+    val schema = AtomicCommit.scanManifest(spark, root, m).schema
+    def supported(n: String): Boolean = schema.find(_.name == n).exists(f =>
+      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType)
+    val cols = colsOpt match {
+      case Some(cs) =>
+        cs.foreach { c =>
+          if (c == m.partitionCol) sys.error(
+            s"graft: $c is the partition column — its statistics ARE the " +
+              "manifest (every partition holds exactly its value)")
+          if (!schema.exists(_.name == c)) sys.error(
+            s"graft: no column $c in $ident (columns: " +
+              s"${schema.fieldNames.mkString(", ")})")
+          if (!supported(c)) sys.error(
+            s"graft: column $c has an unsupported type for statistics " +
+              "(numeric and string columns only)")
+        }
+        cs
+      case None => schema.fields.toSeq
+        .filter(f => f.name != m.partitionCol && supported(f.name))
+        .map(_.name)
+    }
+    if (cols.isEmpty) sys.error(
+      s"graft: $ident has no numeric/string column to analyze")
+    val written = DataSkipping.analyze(spark, root, m, cols)
+    val m2 =
+      if (written == 0) m // evidence complete: burn no version
+      else {
+        AtomicCommit.recordAnalyzed(root, store, cols)
+        AtomicCommit.readManifest(store).get
+      }
+    val parts = m2.entries.keySet
+    cols.sorted.map { c =>
+      TableStats.columnStats(root, m2, c, parts) match {
+        case Some(cs) => Row(c, cs.rows, cs.nonNull, cs.ndv,
+          cs.numMin.map(_.toString).orNull, cs.numMax.map(_.toString).orNull)
+        case None => Row(c, 0L, 0L, 0L, null, null) // column has no data
+      }
     }
   }
 }

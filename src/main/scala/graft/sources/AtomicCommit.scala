@@ -1128,6 +1128,19 @@ object AtomicCommit {
                  cols: org.apache.spark.sql.types.StructType): Long =
     propsCommit(root, store, Map(SchemaAddedProp -> cols.toDDL), Nil)
 
+  /** Marks an `ANALYZE TABLE` ([[DataSkipping.analyze]]) as a metadata
+    * commit. The sidecars themselves are generation-addressed and need no
+    * manifest change — the version bump exists because [[TableStats]]
+    * caches per immutable snapshot, so the planner picks up the new
+    * evidence exactly at this commit.
+    */
+  val StatsAnalyzedProp = "graft.stats.analyzed"
+
+  def recordAnalyzed(root: String, store: ManifestStore,
+                     cols: Seq[String]): Long =
+    propsCommit(root, store,
+      Map(StatsAnalyzedProp -> cols.sorted.mkString(",")), Nil)
+
   /** A metadata-only commit: no data staged, entries unchanged, props
     * merged (+`props`, −`propDrops`) atomically with the version bump.
     */

@@ -93,6 +93,14 @@ object DataSkipping {
     // lookup misses and the partition is scanned needlessly)
     val data = AtomicCommit.readVerbatim(spark, genPath, staged.partitionCol,
       staged.partitions.map(v => s"$genPath/${staged.partitionCol}=$v"))
+    writeSidecar(genPath, computeRecords(data, staged.partitionCol, cols))
+  }
+
+  /** The stats records (file-granular + partition envelopes) of `cols`
+    * over `data`, one aggregation job at (partition, file) granularity.
+    */
+  private def computeRecords(data: DataFrame, partitionCol: String,
+                             cols: Seq[String]): Seq[ColStats] = {
     val kinds: Map[String, String] = cols.map { c =>
       data.schema.find(_.name == c).getOrElse(
         sys.error(s"stats column $c not in generation schema")) match {
@@ -113,7 +121,7 @@ object DataSkipping {
     // ONE job at FILE granularity (partition, data-file basename); the
     // partition-level envelopes are derived driver-side from the file
     // records — manifest-scale work, no second scan of the staged bytes
-    val rows = data.groupBy(col(staged.partitionCol).cast("string").as("__p"),
+    val rows = data.groupBy(col(partitionCol).cast("string").as("__p"),
         regexp_extract(input_file_name(), "[^/]+$", 0).as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val fileRecords = rows.flatMap { r =>
@@ -133,11 +141,79 @@ object DataSkipping {
     // envelope: partitions a single file covers entirely carry just it
     val multiFile = fileRecords.groupBy(_.partition)
       .filter(_._2.map(_.file).distinct.size > 1).keySet
-    val records = partRecords ++ fileRecords.filter(s => multiFile(s.partition))
+    partRecords ++ fileRecords.filter(s => multiFile(s.partition))
+  }
+
+  /** Render and write a generation's sidecar atomically (temp + move):
+    * a concurrent reader sees the old complete file or the new one,
+    * never a torn write.
+    */
+  private def writeSidecar(genPath: String, records: Seq[ColStats]): Unit = {
     val body = records.sortBy(s => (s.partition, s.col, s.file.getOrElse("")))
       .map(renderRecord).mkString("", "\n", "\n")
-    Files.write(Paths.get(genPath, StatsFile),
-      body.getBytes(StandardCharsets.UTF_8))
+    val target = Paths.get(genPath, StatsFile)
+    val tmp = Paths.get(genPath, s".$StatsFile.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** `ANALYZE TABLE` engine: retrofit or refresh the statistics sidecars
+    * of the snapshot's CURRENT owner generations for `cols`, without
+    * touching a byte of data layout. A generation is REWRITTEN only when
+    * some requested (partition, column) lacks an NDV-annotated envelope
+    * record — so re-running is free, a commitWithStats-era table is a
+    * no-op, and a pre-NDV (r14) or never-annotated table gets exactly
+    * the records [[TableStats.columnStats]] needs for selectivity.
+    * Merging keeps every record outside the recomputed
+    * (owned-partition × requested-column) set: other columns' evidence
+    * and partitions the generation still holds for OTHER snapshots
+    * survive verbatim.
+    *
+    * Columns missing from a generation's footers (schema evolution —
+    * older generations predate the column) are skipped for that
+    * generation: no data, no evidence, and [[TableStats.columnStats]]
+    * treats the absence soundly. Stats are PHYSICAL-slice stats, like
+    * every sidecar this module writes: under merge-on-read deletes the
+    * envelopes cover deleted rows too — pruning stays sound (a superset
+    * interval never drops a match) and counts are upper bounds until the
+    * next rewrite.
+    *
+    * Returns the number of generation sidecars written; 0 = evidence was
+    * already complete (callers skip the metadata commit, burning no
+    * version).
+    */
+  def analyze(spark: SparkSession, root: String,
+              m: AtomicCommit.Manifest, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "ANALYZE needs at least one column")
+    val genParts: Seq[(String, Seq[String])] = m.entries.toSeq
+      .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
+      .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2).sorted }
+      .toSeq.sortBy(_._1)
+    var written = 0
+    genParts.foreach { case (gen, parts) =>
+      val existing = readStats(root, gen)
+      val envelopes = existing.filter(_.file.isEmpty)
+        .map(s => (s.partition, s.col) -> s).toMap
+      val missing = parts.exists(p =>
+        cols.exists(c => !envelopes.get((p, c)).exists(_.ndv.isDefined)))
+      if (missing) {
+        val genPath = s"$root/$gen"
+        val data = AtomicCommit.readVerbatim(spark, genPath, m.partitionCol,
+          parts.map(v => s"$genPath/${m.partitionCol}=$v"))
+        val here = cols.filter(c => data.schema.exists(_.name == c))
+        if (here.nonEmpty) {
+          val fresh = computeRecords(data, m.partitionCol, here)
+          val partSet = parts.toSet
+          val colSet = here.toSet
+          val kept = existing.filterNot(s =>
+            partSet(s.partition) && colSet(s.col))
+          writeSidecar(genPath, kept ++ fresh)
+          written += 1
+        }
+      }
+    }
+    written
   }
 
   /** Fold file-granular records into the partition envelope, preserving

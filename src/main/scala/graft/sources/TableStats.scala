@@ -35,10 +35,14 @@ object TableStats {
     * `main v3` and `branch v3` are different snapshots; keying on the
     * entry map (which names every file set the stats walk) keeps each
     * lineage's numbers its own, while identical snapshots still share.
+    * The `ANALYZE` marker joins the key because [[DataSkipping.analyze]]
+    * adds sidecar evidence WITHOUT changing any entry — the marker
+    * commit is what moves cached "no evidence" to the fresh numbers.
     */
-  private type Key = (String, String, Map[String, String])
+  private type Key = (String, String, Map[String, String], String)
   private def keyOf(root: String, m: Manifest): Key =
-    (root, m.partitionCol, m.entries)
+    (root, m.partitionCol, m.entries,
+      m.props.getOrElse(AtomicCommit.StatsAnalyzedProp, ""))
 
   /** partition → live data bytes, cached per immutable snapshot. */
   private val bytesCache =

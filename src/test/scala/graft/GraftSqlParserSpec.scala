@@ -116,6 +116,56 @@ class GraftSqlParserSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.table.semi")
   }
 
+  test("ANALYZE TABLE: retrofits NDV sidecars, no-op re-run, incremental appends") {
+    val root = Files.createTempDirectory("graft_sqlanalyze").toString
+    // a PLAIN commit — no stats sidecars anywhere
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0L until 100L).map(i => (i, i % 7, (i % 3).toString))
+        .toDF("k", "v", "p"), "p")
+    spark.conf.set("spark.graft.table.az", root)
+    try {
+      val m0 = AtomicCommit.readManifest(root).get
+      assert(graft.sources.TableStats
+        .columnStats(root, m0, "k", m0.entries.keySet).isEmpty,
+        "no evidence before ANALYZE")
+      // no FOR clause = every supported non-partition column; returns the
+      // table-level stats the planner now feeds from
+      val got = spark.sql("ANALYZE TABLE graft.az COMPUTE STATISTICS")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+      assert(got.keySet === Set("k", "v"))
+      assert(got("k")._1 === 100L && got("k")._3 === "0" && got("k")._4 === "99")
+      assert(got("v")._2 >= 7L && got("v")._2 <= 21L,
+        s"v NDV ${got("v")._2}: summed-HLL upper bound stays in range")
+      // ONE metadata commit; evidence reaches the snapshot caches
+      val m1 = AtomicCommit.readManifest(root).get
+      assert(m1.version === m0.version + 1)
+      assert(AtomicCommit.history(root).last.kind === "metadata")
+      assert(graft.sources.TableStats
+        .columnStats(root, m1, "k", m1.entries.keySet).exists(_.rows == 100L))
+      // re-run: evidence complete, NO version burned
+      spark.sql("ANALYZE TABLE graft.az COMPUTE STATISTICS").collect()
+      assert(AtomicCommit.readManifest(root).get.version === m1.version)
+      // an un-annotated append, then FOR COLUMNS: only new evidence lands
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((200L, 99L, "0")).toDF("k", "v", "p"), "p", 1)
+      val after = spark
+        .sql("ANALYZE TABLE graft.az COMPUTE STATISTICS FOR COLUMNS k")
+        .collect().map(r => (r.getLong(1), r.getString(5))).head
+      assert(after === ((101L, "200")))
+      // guards: partition column, unknown column, near-miss grammar
+      assert(intercept[Exception] {
+        spark.sql("ANALYZE TABLE graft.az COMPUTE STATISTICS FOR COLUMNS p")
+      }.getMessage.contains("partition column"))
+      assert(intercept[Exception] {
+        spark.sql("ANALYZE TABLE graft.az COMPUTE STATISTICS FOR COLUMNS zz")
+      }.getMessage.contains("no column zz"))
+      assert(intercept[Exception] {
+        spark.sql("ANALYZE TABLE graft.az COMPUTE STATISTICS NOSCAN")
+      }.getMessage.contains("supported forms"))
+    } finally spark.conf.unset("spark.graft.table.az")
+  }
+
   test("DESCRIBE HISTORY: the commit log as a result set, newest first") {
     val root = Files.createTempDirectory("graft_sqlhist").toString
     AtomicCommit.commitReplacePartitions(spark, root,

@@ -94,6 +94,45 @@ class TableStatsSpec extends SparkSpec {
     }
   }
 
+  test("analyze merges evidence: other columns kept, ndv-less records refreshed") {
+    val root = Files.createTempDirectory("graft_ts_an").toString
+    // commitWithStats annotates k only; v has NO evidence
+    DataSkipping.commitWithStats(spark, root,
+      Seq((1L, 10L, "A"), (2L, 20L, "A"), (3L, 30L, "B")).toDF("k", "v", "p"),
+      "p", Seq("k"))
+    val m = AtomicCommit.readManifest(root).get
+    val gen = AtomicCommit.ownersOf(m.entries("A")).head
+    val kBefore = DataSkipping.readStats(root, gen).filter(_.col == "k")
+    // analyze v: ONE sidecar rewritten, k's records survive verbatim
+    assert(DataSkipping.analyze(spark, root, m, Seq("v")) === 1)
+    val after = DataSkipping.readStats(root, gen)
+    assert(after.filter(_.col == "k") === kBefore,
+      "k evidence must survive an analyze of v untouched")
+    val vA = after.find(s => s.col == "v" && s.partition == "A" && s.file.isEmpty).get
+    assert(vA.min === Some("10") && vA.max === Some("20") && vA.ndv === Some(2L))
+    // re-analyze of both: complete evidence, nothing rewritten
+    assert(DataSkipping.analyze(spark, root, m, Seq("k", "v")) === 0)
+    // an r14-era sidecar (records without the ndv field) counts as
+    // missing evidence and is refreshed in place with identical bounds
+    val p = java.nio.file.Paths.get(root, gen, DataSkipping.StatsFile)
+    val stripped = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .replaceAll(",\"ndv\":\\d+", "")
+    java.nio.file.Files.write(p, stripped.getBytes("UTF-8"))
+    assert(DataSkipping.readStats(root, gen).forall(_.ndv.isEmpty))
+    assert(DataSkipping.analyze(spark, root, m, Seq("k")) === 1)
+    val kAfter = DataSkipping.readStats(root, gen)
+      .filter(s => s.col == "k" && s.file.isEmpty)
+    assert(kAfter.forall(_.ndv.isDefined))
+    assert(kAfter.map(s => (s.partition, s.min, s.max, s.rows)).toSet ===
+      kBefore.filter(_.file.isEmpty)
+        .map(s => (s.partition, s.min, s.max, s.rows)).toSet)
+    // a schema-evolved column with no data anywhere: skipped, no error
+    AtomicCommit.addColumns(root, new graft.sources.PosixManifestStore(root),
+      org.apache.spark.sql.types.StructType.fromDDL("note STRING"))
+    assert(DataSkipping.analyze(spark, root,
+      AtomicCommit.readManifest(root).get, Seq("note")) === 0)
+  }
+
   test("branch lineages at the SAME version number get their own stats") {
     val root = Files.createTempDirectory("graft_ts_br").toString
     val main = new graft.sources.PosixManifestStore(root)
