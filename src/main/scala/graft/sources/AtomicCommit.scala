@@ -1128,6 +1128,227 @@ object AtomicCommit {
                  cols: org.apache.spark.sql.types.StructType): Long =
     propsCommit(root, store, Map(SchemaAddedProp -> cols.toDDL), Nil)
 
+  /** COLUMN MAPPING, rename-forward flavored (`ALTER TABLE ... RENAME /
+    * DROP COLUMN` as metadata-only commits). Delta/Iceberg keep a
+    * permanent logical→physical indirection; this engine's generations
+    * already union BY NAME per immutable generation, so a lighter
+    * invariant holds the same guarantee with LAZY physical migration:
+    *
+    *  - A RENAME records `old>new` in an ORDERED chain
+    *    ([[SchemaRenamedProp]]). Nothing physical moves: old generations
+    *    keep the old footer name, and every reader applies the chain
+    *    PER GENERATION ([[logicalView]]) before the cross-generation
+    *    union, so all faces see the current logical name. New writes
+    *    carry the new name physically, and every rewrite (UPDATE's
+    *    partition-CoW, MERGE, OPTIMIZE/compaction — all of which read
+    *    through the logical view) emits the new name too: the physical
+    *    layout HEALS toward the logical schema instead of carrying an
+    *    indirection forever.
+    *  - A DROP records the CURRENT logical name in [[SchemaDroppedProp]];
+    *    [[logicalView]] excludes it (after the rename chain). Old bytes
+    *    stay until their generation rewrites — exactly Delta's
+    *    drop-column semantics before REORG PURGE.
+    *
+    * Name-reuse is REJECTED at DDL time (a rename target or re-added
+    * column may not collide with any live, dropped, or chain-recorded
+    * name) — that closed set is what makes chain application sound:
+    * every historical name maps to at most one current name, so
+    * evidence recorded under old names (equality-delete records —
+    * translated in [[deleteEvidence]]) follows the chain, and evidence
+    * that CANNOT follow (stats/bloom sidecars of old generations, keyed
+    * by their write-time names) degrades to "no evidence = keep", which
+    * pruning treats soundly and ANALYZE/compaction heal.
+    *
+    * Scale: both verbs are one props commit — O(manifest), zero data
+    * I/O, at 100 TB as at 100 rows. The read-side cost is one Project
+    * per generation, only on tables whose props carry mapping state.
+    */
+  val SchemaRenamedProp = "graft.schema.renamed"
+  val SchemaDroppedProp = "graft.schema.dropped"
+
+  /** The ordered rename chain, oldest first. */
+  def renamesOf(m: Manifest): Seq[(String, String)] =
+    m.props.get(SchemaRenamedProp).map(_.split(';').toSeq.filter(_.nonEmpty)
+      .map { s =>
+        val i = s.indexOf('>')
+        (s.substring(0, i), s.substring(i + 1))
+      }).getOrElse(Nil)
+
+  /** Dropped columns, by CURRENT logical name. */
+  def droppedOf(m: Manifest): Set[String] =
+    m.props.get(SchemaDroppedProp)
+      .map(_.split(';').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** Any historical column name → its current logical name (identity for
+    * names outside the chain; sound because rename targets are never
+    * reused — see the column-mapping invariant above).
+    */
+  def currentName(m: Manifest, name: String): String =
+    renamesOf(m).foldLeft(name) { case (cur, (o, n)) =>
+      if (cur == o) n else cur
+    }
+
+  /** The logical view of ONE generation's physical frame: apply the
+    * rename chain (a generation holds at most one name per chain link —
+    * DDL validation forbids reuse), then exclude dropped columns. A
+    * no-op Project-free identity on tables without mapping state.
+    */
+  private[graft] def logicalView(df: DataFrame, m: Manifest): DataFrame = {
+    val renames = renamesOf(m)
+    val dropped = droppedOf(m)
+    if (renames.isEmpty && dropped.isEmpty) return df
+    var out = df
+    renames.foreach { case (o, n) =>
+      if (out.columns.contains(o)) out = out.withColumnRenamed(o, n)
+    }
+    val drops = out.columns.filter(dropped).toIndexedSeq
+    if (drops.nonEmpty) out = out.drop(drops: _*)
+    out
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN from TO to` — one metadata commit.
+    * Constraints referencing `from` are REWRITTEN to `to` in the same
+    * commit (they enforce against staged data, which carries logical
+    * names). The partition column and a hidden-partitioning transform
+    * source keep their names — both are baked into directory layouts.
+    */
+  def renameColumn(spark: SparkSession, root: String, store: ManifestStore,
+                   from: String, to: String): Long = {
+    val m = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    require(!to.exists(c => c == '{' || c == '}' || c == ';' || c == '>'),
+      s"bad column name for manifest props: $to")
+    validateMappingTarget(spark, root, m, to)
+    if (from == m.partitionCol) sys.error(
+      s"graft: cannot rename partition column $from — it names every " +
+        "partition directory; repartition to a new column instead")
+    HiddenPartitioning.specOf(m).filter(_.source == from).foreach(spec =>
+      sys.error(s"graft: cannot rename $from, the source column of the " +
+        s"recorded partition transform ${spec.render}"))
+    val footerSchema = scanManifest(spark, root, m).schema
+    val added = m.props.get(SchemaAddedProp)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val inFooters = footerSchema.exists(_.name == from)
+    val inAdded = added.exists(_.exists(_.name == from))
+    if (!inFooters && !inAdded) sys.error(
+      s"graft: no column $from at $root (columns: " +
+        s"${(footerSchema.fieldNames ++
+          added.toSeq.flatMap(_.fieldNames)).distinct.mkString(", ")})")
+    var props = Map.empty[String, String]
+    if (inFooters)
+      props += SchemaRenamedProp ->
+        (renamesOf(m).map { case (o, n) => s"$o>$n" } :+ s"$from>$to")
+          .mkString(";")
+    added.filter(_.exists(_.name == from)).foreach { a =>
+      props += SchemaAddedProp -> org.apache.spark.sql.types.StructType(
+        a.fields.map(f => if (f.name == from) f.copy(name = to) else f)).toDDL
+    }
+    props ++= rewriteConstraints(spark, m, from, to)
+    propsCommit(root, store, props, Nil)
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN name` — one metadata commit; bytes stay
+    * until their generations rewrite. Rejected while a CHECK constraint
+    * references the column (enforcement would stop resolving).
+    */
+  def dropColumn(spark: SparkSession, root: String, store: ManifestStore,
+                 name: String): Long = {
+    val m = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    require(!name.exists(c => c == '{' || c == '}' || c == ';'),
+      s"bad column name for manifest props: $name")
+    if (name == m.partitionCol) sys.error(
+      s"graft: cannot drop partition column $name")
+    HiddenPartitioning.specOf(m).filter(_.source == name).foreach(spec =>
+      sys.error(s"graft: cannot drop $name, the source column of the " +
+        s"recorded partition transform ${spec.render}"))
+    constraintsReferencing(spark, m, name).foreach { case (cn, sql) =>
+      sys.error(s"graft: cannot drop $name — CHECK constraint $cn ($sql) " +
+        "references it; DROP CONSTRAINT first")
+    }
+    val footerSchema = scanManifest(spark, root, m).schema
+    val added = m.props.get(SchemaAddedProp)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val inFooters = footerSchema.exists(_.name == name)
+    val inAdded = added.exists(_.exists(_.name == name))
+    if (!inFooters && !inAdded) sys.error(
+      s"graft: no column $name at $root")
+    if (footerSchema.count(_.name != name) +
+        added.map(_.count(f => f.name != name &&
+          !footerSchema.exists(_.name == f.name))).getOrElse(0) < 2)
+      sys.error(s"graft: dropping $name would leave only the partition " +
+        "column — a table needs data columns")
+    var props = Map.empty[String, String]
+    var drops = Seq.empty[String]
+    if (inFooters)
+      props += SchemaDroppedProp ->
+        (droppedOf(m).toSeq.sorted :+ name).distinct.mkString(";")
+    added.filter(_.exists(_.name == name)).foreach { a =>
+      val rest = a.fields.filterNot(_.name == name)
+      if (rest.nonEmpty)
+        props += SchemaAddedProp ->
+          org.apache.spark.sql.types.StructType(rest).toDDL
+      else drops :+= SchemaAddedProp
+    }
+    propsCommit(root, store, props, drops)
+  }
+
+  /** A rename target / re-added name must be globally fresh: not live,
+    * not dropped, and never used on either side of the rename chain —
+    * the closed set that keeps [[currentName]] unambiguous and prevents
+    * old bytes resurrecting under a recycled name.
+    */
+  private[sources] def validateMappingTarget(spark: SparkSession,
+                                             root: String, m: Manifest,
+                                             to: String): Unit = {
+    val live = scanManifest(spark, root, m).schema.fieldNames.toSet ++
+      m.props.get(SchemaAddedProp)
+        .map(org.apache.spark.sql.types.StructType.fromDDL(_)
+          .fieldNames.toSet).getOrElse(Set.empty[String])
+    val historic = renamesOf(m).flatMap { case (o, n) => Seq(o, n) }.toSet
+    if (live(to)) sys.error(s"graft: column $to already exists at $root")
+    if (droppedOf(m)(to)) sys.error(
+      s"graft: $to names a DROPPED column at $root — old generations " +
+        "still hold its bytes; pick a fresh name")
+    if (historic(to)) sys.error(
+      s"graft: $to appears in the rename history of $root — recycled " +
+        "names would make historical evidence ambiguous; pick a fresh name")
+  }
+
+  /** Constraint expressions whose column references include `name`. */
+  private def constraintsReferencing(spark: SparkSession, m: Manifest,
+                                     name: String): Option[(String, String)] =
+    m.props.collectFirst {
+      case (k, v) if k.startsWith(ConstraintPrefix) &&
+          exprReferences(spark, v, name) =>
+        (k.stripPrefix(ConstraintPrefix), v)
+    }
+
+  private def exprReferences(spark: SparkSession, sql: String,
+                             name: String): Boolean =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts == Seq(name) => a
+    }.nonEmpty
+
+  /** Re-render every constraint whose expression references `from` with
+    * the reference renamed to `to` (parse → transform → SQL), returned
+    * as the props entries to merge into the rename's commit.
+    */
+  private def rewriteConstraints(spark: SparkSession, m: Manifest,
+                                 from: String, to: String)
+      : Map[String, String] =
+    m.props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) &&
+          exprReferences(spark, v, from) =>
+        k -> spark.sessionState.sqlParser.parseExpression(v).transform {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+              if a.nameParts == Seq(from) =>
+            org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute(Seq(to))
+        }.sql
+    }
+
   /** Marks an `ANALYZE TABLE` ([[DataSkipping.analyze]]) as a metadata
     * commit. The sidecars themselves are generation-addressed and need no
     * manifest change — the version bump exists because [[TableStats]]
@@ -1322,7 +1543,10 @@ object AtomicCommit {
       val base = s"$root/$gen"
       val paths = parts.map(_._2).distinct.sorted
         .map(v => s"$base/${m.partitionCol}=$v")
-      applyDeletes(readVerbatim(spark, base, m.partitionCol, paths),
+      // logical view BEFORE deletes: equality records arrive from
+      // deleteEvidence already chain-translated to current names
+      applyDeletes(logicalView(readVerbatim(spark, base, m.partitionCol,
+          paths), m),
         m.partitionCol, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1424,7 +1648,9 @@ object AtomicCommit {
                                       m: Manifest): DeleteEvidence = {
     val eqs = m.entries.toSeq.flatMap { case (p, e) =>
       dvOf(e).toSeq.flatMap(g => readEqs(root, g).filter(_.partition == p))
-    }
+      // a record carries its DELETE-TIME column name; readers filter the
+      // per-generation LOGICAL view, so follow the rename chain forward
+    }.map(e => e.copy(col = currentName(m, e.col)))
     val bitmaps = DvBitmap.readSidecars(spark, root, m)
     // the frame is only planned (and its generations' footers only read)
     // when some vector predates the bitmap sidecar

@@ -199,8 +199,9 @@ object DataSkipping {
         cols.exists(c => !envelopes.get((p, c)).exists(_.ndv.isDefined)))
       if (missing) {
         val genPath = s"$root/$gen"
-        val data = AtomicCommit.readVerbatim(spark, genPath, m.partitionCol,
-          parts.map(v => s"$genPath/${m.partitionCol}=$v"))
+        val data = AtomicCommit.logicalView(
+          AtomicCommit.readVerbatim(spark, genPath, m.partitionCol,
+            parts.map(v => s"$genPath/${m.partitionCol}=$v")), m)
         val here = cols.filter(c => data.schema.exists(_.name == c))
         if (here.nonEmpty) {
           val fresh = computeRecords(data, m.partitionCol, here)
@@ -364,7 +365,8 @@ object DataSkipping {
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
     else byGen.map { case (gen, paths) =>
       AtomicCommit.applyDeletes(
-        AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol, paths),
+        AtomicCommit.logicalView(AtomicCommit.readVerbatim(spark,
+          s"$root/$gen", m.partitionCol, paths), m),
         m.partitionCol, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(residual)
@@ -476,8 +478,8 @@ object DataSkipping {
       if (scanPaths.isEmpty) 0L
       else scanPaths.toSeq.sortBy(_._1).map { case (gen, paths) =>
         AtomicCommit.applyDeletes(
-          AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol,
-            paths),
+          AtomicCommit.logicalView(AtomicCommit.readVerbatim(spark,
+            s"$root/$gen", m.partitionCol, paths), m),
           m.partitionCol, gen, ev)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(preds
@@ -524,8 +526,9 @@ object DataSkipping {
       : DataFrame = {
     val (pv, entry) = m.entries.head
     val gen = AtomicCommit.ownersOf(entry).head
-    val schema = AtomicCommit.readVerbatim(spark, s"$root/$gen",
-      m.partitionCol, Seq(s"$root/$gen/${m.partitionCol}=$pv")).schema
+    val schema = AtomicCommit.logicalView(
+      AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol,
+        Seq(s"$root/$gen/${m.partitionCol}=$pv")), m).schema
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -700,7 +703,8 @@ object DataSkipping {
     if (byGen.isEmpty) emptySnapshot(spark, root, m)
     else byGen.map { case (gen, paths) =>
       AtomicCommit.applyDeletes(
-        AtomicCommit.readVerbatim(spark, s"$root/$gen", m.partitionCol, paths),
+        AtomicCommit.logicalView(AtomicCommit.readVerbatim(spark,
+          s"$root/$gen", m.partitionCol, paths), m),
         m.partitionCol, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
       .filter(residual)

@@ -152,8 +152,11 @@ object Deletes {
     val addressed = byGen.map { case (gen, pairs) =>
       val base = s"$root/$gen"
       val paths = pairs.map(_._2).distinct.sorted.map(v => s"$base/$pc=$v")
+      // logical view per generation: `cond` speaks current column names,
+      // which a pre-rename generation only carries after the chain
       AtomicCommit.applyDeletes(
-        AtomicCommit.readVerbatim(spark, base, pc, paths)
+        AtomicCommit.logicalView(
+            AtomicCommit.readVerbatim(spark, base, pc, paths), m)
           .withColumn("__addr_own", lit(gen))
           .withColumn("__addr_f", col("_metadata.file_name"))
           .withColumn("__addr_pos", col("_metadata.row_index")),
@@ -279,9 +282,11 @@ object Deletes {
       val probePaths = m.entries.toSeq.sortBy(_._1).flatMap { case (pv, e) =>
         AtomicCommit.ownersOf(e).map(g => s"$root/$g/$pc=$pv")
       }
+      // the probed footer may predate a rename: map its field names
+      // through the chain so the CURRENT name resolves either way
       val keyType = spark.read
         .parquet(AtomicCommit.probeParquet(probePaths)).schema
-        .find(_.name == keyCol).getOrElse(
+        .find(f => AtomicCommit.currentName(m, f.name) == keyCol).getOrElse(
           sys.error(s"no column $keyCol at $root")).dataType
       require(Set[org.apache.spark.sql.types.DataType](
         org.apache.spark.sql.types.StringType,

@@ -210,19 +210,39 @@ final class GraftCatalog extends TableCatalog {
       case _: TableChange.AddColumn => true
       case _: TableChange.AddConstraint => true
       case _: TableChange.DropConstraint => true
+      case _: TableChange.RenameColumn => true
+      case _: TableChange.DeleteColumn => true
       case _ => false
     }
     if (changes.isEmpty || !supported)
       throw new UnsupportedOperationException(
-        "graft ALTER TABLE supports ADD COLUMN(S), ADD CONSTRAINT ... " +
-          "CHECK, and DROP CONSTRAINT only — other changes evolve " +
-          "through commits (commitRepartition, schema-additive writes)")
+        "graft ALTER TABLE supports ADD COLUMN(S), RENAME COLUMN, DROP " +
+          "COLUMN, ADD CONSTRAINT ... CHECK, and DROP CONSTRAINT only — " +
+          "other changes evolve through commits (commitRepartition, " +
+          "schema-additive writes)")
     // all ADD COLUMNs of one statement land as ONE props commit (the
-    // multi-column ALTER is atomic); constraint changes follow in order
+    // multi-column ALTER is atomic); the other verbs follow in order
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty) addColumnsBatch(root, store, adds)
+    def onePart(fieldNames: Array[String]): String = {
+      require(fieldNames.length == 1,
+        "graft ALTER TABLE: nested columns are unsupported: " +
+          fieldNames.mkString("."))
+      fieldNames.head
+    }
     changes.foreach {
       case _: TableChange.AddColumn => () // batched above
+      case r: TableChange.RenameColumn =>
+        AtomicCommit.renameColumn(spark, root, store,
+          onePart(r.fieldNames()), r.newName())
+      case d: TableChange.DeleteColumn =>
+        val colName = onePart(d.fieldNames())
+        try AtomicCommit.dropColumn(spark, root, store, colName)
+        catch {
+          case e: RuntimeException
+              if d.ifExists() != null && d.ifExists() &&
+                e.getMessage.contains(s"no column $colName") => ()
+        }
       case a: TableChange.AddConstraint => a.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           AtomicCommit.addConstraint(spark, root, store, c.name(),
@@ -266,6 +286,10 @@ final class GraftCatalog extends TableCatalog {
       require(!current.exists(_.name == colName) &&
           !added.exists(_.name == colName),
         s"column $colName already exists at $root")
+      // a dropped or rename-historic name may not be recycled: old
+      // generations still hold bytes under it (or its chain ancestors),
+      // and the read-side view would resurrect or hide them
+      AtomicCommit.validateMappingTarget(spark, root, m, colName)
       added = added.add(colName, a.dataType(), nullable = true)
     }
     AtomicCommit.addColumns(root, store, added)

@@ -122,7 +122,11 @@ object ChangeFeed {
         val base = s"$root/$gen"
         val paths = parts.map(_._2).distinct.sorted
           .map(v => s"$base/${cur.partitionCol}=$v")
-        AtomicCommit.readVerbatim(spark, base, cur.partitionCol, paths)
+        // logical view per generation: feed rows speak the CURRENT
+        // snapshot's column names whatever names the generation carries
+        AtomicCommit.logicalView(
+          AtomicCommit.readVerbatim(spark, base, cur.partitionCol, paths),
+          cur)
       }.reduce(_.unionByName(_, allowMissingColumns = true)))
     }
   }

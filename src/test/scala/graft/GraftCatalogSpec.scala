@@ -223,9 +223,10 @@ class GraftCatalogSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.alt ADD COLUMNS (score DOUBLE, tag STRING)")
       assert(spark.sql("SELECT count(*) FROM graft.alt WHERE score IS NULL")
         .as[Long].head() === 3L)
-      // non-additive changes keep the loud rejection
+      // an unsupported change class keeps the loud rejection naming the
+      // supported verbs (rename/drop are now real — ColumnMappingSpec)
       val e1 = intercept[Exception] {
-        spark.sql("ALTER TABLE graft.alt DROP COLUMN v")
+        spark.sql("ALTER TABLE graft.alt ALTER COLUMN v COMMENT 'x'")
       }
       assert(e1.getMessage.contains("ADD COLUMN"), e1.getMessage)
       // a colliding name is refused
