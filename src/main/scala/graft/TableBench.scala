@@ -371,6 +371,46 @@ object TableBench {
         mc3.entries(k).startsWith(e) }, // owner lists grew, nothing rewrote
         "insert-only merge rewrote a partition")
     }
+
+    // COLUMN MAPPING (r15): RENAME/DROP COLUMN cost ONE manifest object
+    // each — zero data I/O at any table size — and the read-side price
+    // of the rename chain is one Project per generation (compare the
+    // post-rename full scan with the "full snapshot scan+agg" line
+    // above). ANALYZE retrofits statistics evidence INCREMENTALLY: this
+    // table's original generation was committed with stats, the
+    // merge/append/feed batches after it were not, so the first run
+    // scans exactly the unannotated generations and the re-run proves
+    // the no-work path is metadata-only.
+    {
+      import graft.sources.PosixManifestStore
+      val storeC = new PosixManifestStore(rootC)
+      val preCount = AtomicCommit.read(spark, rootC).count()
+      timed("RENAME COLUMN payload->body (metadata)") {
+        AtomicCommit.renameColumn(spark, rootC, storeC, "payload", "body")
+      }
+      val afterRename = timed("full scan+agg AFTER rename") {
+        val r = AtomicCommit.read(spark, rootC)
+          .agg(count(lit(1)), sum(length(col("body")))).head()
+        r.getLong(0)
+      }
+      require(afterRename == preCount,
+        s"rename changed the row count: $afterRename != $preCount")
+      val mC = AtomicCommit.readManifest(rootC).get
+      val w1 = timed("ANALYZE v: retrofit unannotated gens") {
+        DataSkipping.analyze(spark, rootC, mC, Seq("v"))
+      }
+      val w2 = timed("ANALYZE v: re-run (evidence complete)") {
+        DataSkipping.analyze(spark, rootC, mC, Seq("v"))
+      }
+      println(s"[tablebench] analyze sidecars written: first=$w1 rerun=$w2 " +
+        s"of ${mC.entries.values.flatMap(AtomicCommit.ownersOf).toSet.size} gens")
+      require(w2 == 0, "re-analyze must be a metadata-only no-op")
+      timed("DROP COLUMN body (metadata)") {
+        AtomicCommit.dropColumn(spark, rootC, storeC, "body")
+      }
+      require(!AtomicCommit.read(spark, rootC).columns.contains("body"),
+        "dropped column still visible")
+    }
     spark.stop()
   }
 }
