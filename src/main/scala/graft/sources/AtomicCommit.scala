@@ -307,7 +307,8 @@ object AtomicCommit {
 
   private def casLoop(root: String, store: ManifestStore, staged: Staged,
                       append: Boolean,
-                      monotonicKeys: Set[String]): Option[Long] = {
+                      monotonicKeys: Set[String],
+                      guardVersion: Option[Long] = None): Option[Long] = {
     // the hand-rolled parser bounds the flat props blob by braces — a
     // brace inside a key/value would corrupt every later read of the
     // table, so reject it at the commit boundary
@@ -329,6 +330,16 @@ object AtomicCommit {
       }
       require(prev.forall(_.partitionCol == staged.partitionCol),
         s"table at $root is partitioned by ${prev.get.partitionCol}, not ${staged.partitionCol}")
+      // a version-guarded commit (manifest-derived props values —
+      // [[ddlRetry]]) never retry-merges: any movement past the guarded
+      // version means the staged VALUES are stale, so abort to the
+      // caller's recompute loop instead
+      guardVersion.foreach { v =>
+        if (!prev.map(_.version).contains(v))
+          throw new PartitionConflictException(
+            s"$root moved past v$v before this DDL's publish — " +
+              "recompute and retry")
+      }
       // exactly-once guard FIRST: a covered watermark means the batch is
       // already durable — nothing below may run, least of all the CAS
       val covered = monotonicKeys.exists { k =>
@@ -904,6 +915,20 @@ object AtomicCommit {
             s"main changed CHECK constraints while branch $name committed " +
               s"data at $root — the branch's rows were never validated " +
               "under them; re-fork and re-apply")
+        // schema-mapping props are WHOLE-VALUE chains: a one-sided change
+        // merges soundly (the chain translates the other side's data),
+        // but divergent changes on BOTH lineages cannot three-way merge —
+        // taking either side would silently unmap the other's columns
+        Seq(SchemaRenamedProp, SchemaDroppedProp, SchemaAddedProp)
+          .foreach { k =>
+            val (b, c, b0) =
+              (bm.props.get(k), cur.props.get(k), baseM.props.get(k))
+            if (b != b0 && c != b0 && b != c)
+              throw new PartitionConflictException(
+                s"cannot merge branch $name at $root: $k diverged on BOTH " +
+                  s"lineages since fork v$base (schema DDL does not " +
+                  "three-way merge) — re-fork and re-apply the DDL")
+          }
         val mergedEntries =
           (cur.entries -- branchChanged.filter(p => !bm.entries.contains(p))) ++
             bm.entries.filter { case (p, _) => branchChanged.contains(p) }
@@ -1128,6 +1153,33 @@ object AtomicCommit {
                  cols: org.apache.spark.sql.types.StructType): Long =
     propsCommit(root, store, Map(SchemaAddedProp -> cols.toDDL), Nil)
 
+  /** [[addColumns]] with the read-modify-write closed: `toAdd` APPENDS to
+    * whatever added set is current AT COMMIT TIME (collision- and
+    * name-recycling-validated per attempt), guarded against concurrent
+    * commits — two racing ADD COLUMNs both land, neither clobbers the
+    * other's entry. Prefer this over raw [[addColumns]] (whose full-set
+    * contract makes the caller's read part of the race window).
+    */
+  def addColumnsAtomic(spark: SparkSession, root: String,
+                       store: ManifestStore,
+                       toAdd: org.apache.spark.sql.types.StructType): Long =
+    ddlRetry {
+      val m = readManifest(store).getOrElse(
+        sys.error(s"no manifest at $root — not an AtomicCommit table"))
+      val footer = scanManifest(spark, root, m).schema
+      var added = m.props.get(SchemaAddedProp)
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(new org.apache.spark.sql.types.StructType())
+      toAdd.fields.foreach { f =>
+        if (footer.exists(_.name == f.name) || added.exists(_.name == f.name))
+          sys.error(s"column ${f.name} already exists at $root")
+        validateMappingTarget(spark, root, m, f.name)
+        added = added.add(f.name, f.dataType, nullable = true)
+      }
+      propsCommit(root, store, Map(SchemaAddedProp -> added.toDDL), Nil,
+        guardVersion = Some(m.version))
+    }
+
   /** COLUMN MAPPING, rename-forward flavored (`ALTER TABLE ... RENAME /
     * DROP COLUMN` as metadata-only commits). Delta/Iceberg keep a
     * permanent logical→physical indirection; this engine's generations
@@ -1213,7 +1265,7 @@ object AtomicCommit {
     * source keep their names — both are baked into directory layouts.
     */
   def renameColumn(spark: SparkSession, root: String, store: ManifestStore,
-                   from: String, to: String): Long = {
+                   from: String, to: String): Long = ddlRetry {
     val m = readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
     require(!to.exists(c => c == '{' || c == '}' || c == ';' || c == '>'),
@@ -1244,7 +1296,7 @@ object AtomicCommit {
         a.fields.map(f => if (f.name == from) f.copy(name = to) else f)).toDDL
     }
     props ++= rewriteConstraints(spark, m, from, to)
-    propsCommit(root, store, props, Nil)
+    propsCommit(root, store, props, Nil, guardVersion = Some(m.version))
   }
 
   /** `ALTER TABLE ... DROP COLUMN name` — one metadata commit; bytes stay
@@ -1252,7 +1304,7 @@ object AtomicCommit {
     * references the column (enforcement would stop resolving).
     */
   def dropColumn(spark: SparkSession, root: String, store: ManifestStore,
-                 name: String): Long = {
+                 name: String): Long = ddlRetry {
     val m = readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
     require(!name.exists(c => c == '{' || c == '}' || c == ';'),
@@ -1290,7 +1342,7 @@ object AtomicCommit {
           org.apache.spark.sql.types.StructType(rest).toDDL
       else drops :+= SchemaAddedProp
     }
-    propsCommit(root, store, props, drops)
+    propsCommit(root, store, props, drops, guardVersion = Some(m.version))
   }
 
   /** A rename target / re-added name must be globally fresh: not live,
@@ -1367,13 +1419,37 @@ object AtomicCommit {
     */
   private def propsCommit(root: String, store: ManifestStore,
                           props: Map[String, String],
-                          propDrops: Seq[String]): Long = {
+                          propDrops: Seq[String],
+                          guardVersion: Option[Long] = None): Long = {
     val cur = readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    guardVersion.filter(_ != cur.version).foreach(v =>
+      throw new PartitionConflictException(
+        s"$root moved to v${cur.version} after this DDL read v$v — " +
+          "recompute and retry"))
     casLoop(root, store,
       Staged("", cur.partitionCol, Nil, cur.version, Map.empty, props, Nil,
         propDrops),
-      append = false, Set.empty).get
+      append = false, Set.empty, guardVersion).get
+  }
+
+  /** READ-MODIFY-WRITE retry for props whose VALUES derive from the
+    * manifest they commit against (the rename chain, the dropped set,
+    * the added-column DDL — whole-value props a racing writer would
+    * otherwise clobber: [[casLoop]]'s retry re-merges the STAGED value,
+    * which is stale the moment the CAS loses). `body` re-reads the
+    * manifest, recomputes, and publishes guarded on the version it read
+    * — any movement in the window aborts the attempt and `body` runs
+    * again from the fresh snapshot.
+    */
+  private def ddlRetry[A](body: => A): A = {
+    var last: Throwable = null
+    var i = 0
+    while (i < MaxPublishRetries) {
+      try return body
+      catch { case e: PartitionConflictException => last = e; i += 1 }
+    }
+    throw last
   }
 
   /** One commit-log row of [[history]]. `changedPartitions` is against
@@ -1539,7 +1615,7 @@ object AtomicCommit {
       .flatMap { case (p, entry) => ownersOf(entry).map(_ -> p) }
       .groupBy(_._1).toSeq.sortBy(_._1)
     val ev = deleteEvidence(spark, root, m)
-    byGen.map { case (gen, parts) =>
+    val scan = byGen.map { case (gen, parts) =>
       val base = s"$root/$gen"
       val paths = parts.map(_._2).distinct.sorted
         .map(v => s"$base/${m.partitionCol}=$v")
@@ -1549,6 +1625,16 @@ object AtomicCommit {
           paths), m),
         m.partitionCol, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // ALTER-added columns no footer carries yet ([[SchemaAddedProp]])
+    // NULL-backfill here, so EVERY face — Scala reads, SQL, deletes,
+    // merge, compaction — agrees on the logical schema (a rewrite then
+    // materializes the NULLs and the footers take type ownership)
+    m.props.get(SchemaAddedProp)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .fold(scan)(added => added.fields
+        .filterNot(f => scan.columns.contains(f.name))
+        .foldLeft(scan)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType))))
   }
 
   /** The union of every deletion-vector generation the manifest's entries

@@ -265,14 +265,11 @@ final class GraftCatalog extends TableCatalog {
 
   private def addColumnsBatch(root: String, store: ManifestStore,
                               adds: Seq[TableChange.AddColumn]): Unit = {
-    val m = AtomicCommit.readManifest(store).getOrElse(
+    if (AtomicCommit.readManifest(store).isEmpty)
       throw new UnsupportedOperationException(
         s"ALTER TABLE needs a committed table at $root — a declared-only " +
-          "table takes its columns from CREATE TABLE"))
-    val current = new GraftRelation(spark, root, store, None,
-      GraftCatalog.readDeclared(store)).schema
-    var added = m.props.get(AtomicCommit.SchemaAddedProp)
-      .map(StructType.fromDDL).getOrElse(new StructType())
+          "table takes its columns from CREATE TABLE")
+    var toAdd = new StructType()
     adds.foreach { a =>
       require(a.fieldNames().length == 1,
         "graft ALTER TABLE: nested ADD COLUMN is unsupported: " +
@@ -283,16 +280,12 @@ final class GraftCatalog extends TableCatalog {
           "existing rows backfill NULL")
       require(a.position() == null,
         s"graft ALTER TABLE: new column $colName appends at the end only")
-      require(!current.exists(_.name == colName) &&
-          !added.exists(_.name == colName),
-        s"column $colName already exists at $root")
-      // a dropped or rename-historic name may not be recycled: old
-      // generations still hold bytes under it (or its chain ancestors),
-      // and the read-side view would resurrect or hide them
-      AtomicCommit.validateMappingTarget(spark, root, m, colName)
-      added = added.add(colName, a.dataType(), nullable = true)
+      toAdd = toAdd.add(colName, a.dataType(), nullable = true)
     }
-    AtomicCommit.addColumns(root, store, added)
+    // collision + name-recycling validation and the merge with the
+    // CURRENT added set happen inside the guarded read-modify-write —
+    // racing DDL can't clobber entries (AtomicCommit.addColumnsAtomic)
+    AtomicCommit.addColumnsAtomic(spark, root, store, toAdd)
   }
 
   /** DROP TABLE unregisters the name. The data, its manifests, and the

@@ -193,6 +193,35 @@ class ColumnMappingSpec extends SparkSpec {
     assert(AtomicCommit.read(spark, root).columns.toSeq === Seq("k", "p"))
   }
 
+  test("branch merges: one-sided rename translates the other side; divergent DDL aborts") {
+    import graft.sources.BranchStore
+    val root = Files.createTempDirectory("graft_cm_br").toString
+    val store = new PosixManifestStore(root)
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq((1L, 10L, "A"), (2L, 20L, "B")).toDF("k", "v", "p"), "p", 1)
+    // one-sided: branch renames, main commits data under the OLD schema —
+    // the merged chain translates main's post-fork rows too
+    AtomicCommit.createBranch(root, store, "dev")
+    val dev = new BranchStore(store, "dev")
+    AtomicCommit.renameColumn(spark, root, dev, "v", "score")
+    AtomicCommit.commitAppendPartitions(spark, root, store,
+      Seq((3L, 30L, "A")).toDF("k", "v", "p"), "p", 1)
+    AtomicCommit.mergeBranch(root, store, "dev")
+    val merged = AtomicCommit.read(spark, root, store)
+    assert(merged.columns.toSet === Set("k", "score", "p"))
+    assert(merged.filter($"k" === 3L).select($"score")
+      .as[Long].head() === 30L, "main's post-fork row must translate")
+    // divergent: BOTH lineages rename since the fork — no three-way merge
+    AtomicCommit.createBranch(root, store, "dev2")
+    val dev2 = new BranchStore(store, "dev2")
+    AtomicCommit.renameColumn(spark, root, dev2, "k", "id")
+    AtomicCommit.renameColumn(spark, root, store, "k", "key")
+    val e = intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.mergeBranch(root, store, "dev2")
+    }
+    assert(e.getMessage.contains("diverged on BOTH"), e.getMessage)
+  }
+
   test("chained renames resolve every era; MERGE works across the chain") {
     val root = Files.createTempDirectory("graft_cm_chain").toString
     AtomicCommit.commitReplacePartitions(spark, root,
