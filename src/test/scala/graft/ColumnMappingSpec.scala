@@ -166,6 +166,18 @@ class ColumnMappingSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.cp DROP COLUMN note")
       assert(spark.table("graft.cp").schema.fieldNames.toSeq
         === Seq("k", "w", "p"))
+      // OPTIMIZE rewrites through the logical view, so it PURGES dropped
+      // bytes and heals renamed names physically — REORG PURGE for free
+      spark.sql("OPTIMIZE graft.cp")
+      val m2 = AtomicCommit.readManifest(root).get
+      val cols2 = AtomicCommit.ownersOf(m2.entries("A"))
+        .flatMap(g => spark.read.parquet(s"$root/$g/p=A").columns).toSet
+      assert(!cols2.contains("tag"), "dropped bytes must purge on rewrite")
+      assert(cols2.contains("w") && !cols2.contains("v"),
+        "renamed column must heal to its new physical name on rewrite")
+      assert(spark.sql("SELECT k, w FROM graft.cp ORDER BY k")
+        .as[(Long, Long)].collect().toSeq
+        === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
     } finally unregister("cp")
   }
 
