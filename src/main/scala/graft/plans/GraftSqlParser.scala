@@ -82,15 +82,18 @@ object GraftSqlParser {
   // other ANALYZE passes through untouched
   private val AnalyzeLeadRe =
     raw"(?is)\s*ANALYZE\s+TABLE\s+graft\..*".r
-  // leading-keyword claim: Spark has no OPTIMIZE or VACUUM statement, so
-  // ANY statement starting with either is ours — a near-miss (unsupported
-  // retention unit, malformed ZORDER list) fails HERE with the supported
-  // grammar instead of falling through to Spark's parser and dying with
-  // an unrelated PARSE_SYNTAX_ERROR (the fail-loudly contract). DESCRIBE
-  // itself IS Spark grammar, so only the two-token `DESCRIBE HISTORY`
-  // prefix (not Spark's) is claimed.
+  // leading-keyword claim, scoped to OUR targets: a statement starting
+  // with OPTIMIZE/VACUUM/DESCRIBE HISTORY whose target is graft-qualified
+  // is ours even when malformed — a near-miss (unsupported retention
+  // unit, malformed ZORDER list) fails HERE with the supported grammar
+  // instead of falling through to Spark's parser and dying with an
+  // unrelated PARSE_SYNTAX_ERROR (the fail-loudly contract). The same
+  // keywords over OTHER targets (Delta's `OPTIMIZE delta_tbl`, another
+  // extension's VACUUM) are NOT ours and pass to the delegate chain —
+  // the claim requires `graft.` after the keyword, exactly like
+  // AnalyzeLeadRe above.
   private val MaintLeadRe =
-    raw"(?is)\s*(OPTIMIZE|VACUUM|DESC(?:RIBE)?\s+HISTORY)\b.*".r
+    raw"(?is)\s*(OPTIMIZE|VACUUM|DESC(?:RIBE)?\s+HISTORY)\s+graft\..*".r
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {

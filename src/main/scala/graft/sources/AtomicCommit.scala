@@ -949,9 +949,11 @@ object AtomicCommit {
             if (v.toLong <= base) Some(k -> v) else None
           case kv => Some(kv)
         }
+        val mergedProps =
+          cur.props -- branchDropped ++ translated - BranchBaseProp
+        validateMergedMapping(root, name, mergedProps)
         Manifest(cur.version + 1, cur.partitionCol, mergedEntries,
-          stampWhen(Some(cur.props),
-            cur.props -- branchDropped ++ translated - BranchBaseProp))
+          stampWhen(Some(cur.props), mergedProps))
       }
     if (!store.putIfAbsent(manifestName(next.version),
       renderJson(next).getBytes(StandardCharsets.UTF_8)))
@@ -959,6 +961,47 @@ object AtomicCommit {
         s"a concurrent commit won v${next.version} at $root during the " +
           s"merge of branch $name — re-run the merge")
     next.version
+  }
+
+  /** Cross-KEY consistency of the schema-mapping props a three-way merge
+    * composes: the per-key check above only rejects divergence on the
+    * SAME prop, so a branch that ran `RENAME a TO b` (chain changed
+    * one-sided) merges "soundly" against a main that ran `ADD COLUMN b`
+    * (added set changed one-sided) — yet the union carries a rename
+    * chain targeting `b` AND an added column `b`, a name recycling no
+    * single lineage's [[validateMappingTarget]] would ever admit (the
+    * backfill would silently drop the added column wherever renamed data
+    * exists, and generations would disagree on `b`'s type). Re-apply the
+    * closed-set rule to the MERGED state: added names stay disjoint from
+    * chain sides and dropped names, and dropped names never name a
+    * pre-rename chain side (drop records CURRENT logical names, so a
+    * chain-old dropped name can only arise cross-lineage). Props-level
+    * only — no SparkSession here to read footers — which covers exactly
+    * the DDL each side can have committed.
+    */
+  private def validateMergedMapping(root: String, branch: String,
+                                    props: Map[String, String]): Unit = {
+    val probe = Manifest(0L, "", Map.empty, props)
+    val renames = renamesOf(probe)
+    val chainSides = renames.flatMap { case (o, n) => Seq(o, n) }.toSet
+    val chainOld = renames.map(_._1).toSet
+    val dropped = droppedOf(probe)
+    val added = props.get(SchemaAddedProp)
+      .map(org.apache.spark.sql.types.StructType.fromDDL(_)
+        .fieldNames.toSet).getOrElse(Set.empty[String])
+    val collisions =
+      (added & chainSides).toSeq.sorted.map(c =>
+        s"added column $c collides with the rename chain") ++
+      (added & dropped).toSeq.sorted.map(c =>
+        s"added column $c collides with a dropped column") ++
+      (dropped & chainOld).toSeq.sorted.map(c =>
+        s"dropped column $c names a pre-rename chain side")
+    if (collisions.nonEmpty)
+      throw new PartitionConflictException(
+        s"cannot merge branch $branch at $root: the combined schema-DDL " +
+          s"state is inconsistent — ${collisions.mkString("; ")}. Each " +
+          "lineage's DDL is sound alone but their union recycles a " +
+          "column name; re-fork from current main and re-apply the DDL")
   }
 
   /** Tag values are BRANCH-NAMESPACE version numbers; carried across a
@@ -1376,11 +1419,21 @@ object AtomicCommit {
         (k.stripPrefix(ConstraintPrefix), v)
     }
 
+  /** Attribute-name equality under the SESSION'S resolution rules:
+    * Spark resolves CHECK predicates case-insensitively unless
+    * `spark.sql.caseSensitive` — so `CHECK (V > 0)` over column `v`
+    * must be seen by rename/drop DDL, or a rename would strand an
+    * unresolvable constraint that fails every later commit.
+    */
+  private def sameAttr(spark: SparkSession, a: String, b: String): Boolean =
+    spark.sessionState.conf.resolver(a, b)
+
   private def exprReferences(spark: SparkSession, sql: String,
                              name: String): Boolean =
     spark.sessionState.sqlParser.parseExpression(sql).collect {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if a.nameParts == Seq(name) => a
+          if a.nameParts.size == 1 &&
+            sameAttr(spark, a.nameParts.head, name) => a
     }.nonEmpty
 
   /** Re-render every constraint whose expression references `from` with
@@ -1395,7 +1448,8 @@ object AtomicCommit {
           exprReferences(spark, v, from) =>
         k -> spark.sessionState.sqlParser.parseExpression(v).transform {
           case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-              if a.nameParts == Seq(from) =>
+              if a.nameParts.size == 1 &&
+                sameAttr(spark, a.nameParts.head, from) =>
             org.apache.spark.sql.catalyst.analysis
               .UnresolvedAttribute(Seq(to))
         }.sql
@@ -1405,14 +1459,25 @@ object AtomicCommit {
     * commit. The sidecars themselves are generation-addressed and need no
     * manifest change — the version bump exists because [[TableStats]]
     * caches per immutable snapshot, so the planner picks up the new
-    * evidence exactly at this commit.
+    * evidence exactly at this commit. The marker VALUE is qualified by
+    * the version the analyze read: a re-ANALYZE of the same columns
+    * after new data landed must move the marker (entries don't change on
+    * a props-only commit, so the version qualifier is what invalidates
+    * [[TableStats]]' snapshot-keyed caches). Sound because new sidecar
+    * evidence only ever arrives with new generations, i.e. after a
+    * version bump — two analyzes with NOTHING between them write nothing
+    * ([[DataSkipping.analyze]] returns 0 and the caller skips this).
     */
   val StatsAnalyzedProp = "graft.stats.analyzed"
 
   def recordAnalyzed(root: String, store: ManifestStore,
-                     cols: Seq[String]): Long =
+                     cols: Seq[String]): Long = {
+    val cur = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
     propsCommit(root, store,
-      Map(StatsAnalyzedProp -> cols.sorted.mkString(",")), Nil)
+      Map(StatsAnalyzedProp ->
+        s"v${cur.version}:${cols.sorted.mkString(",")}"), Nil)
+  }
 
   /** A metadata-only commit: no data staged, entries unchanged, props
     * merged (+`props`, −`propDrops`) atomically with the version bump.

@@ -234,6 +234,76 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e.getMessage.contains("diverged on BOTH"), e.getMessage)
   }
 
+  test("branch merges: cross-KEY schema-DDL collisions abort (rename target vs added column)") {
+    import graft.sources.BranchStore
+    val root = Files.createTempDirectory("graft_cm_xkey").toString
+    val store = new PosixManifestStore(root)
+    AtomicCommit.commitReplacePartitions(spark, root, store,
+      Seq((1L, 10L, "A"), (2L, 20L, "B")).toDF("k", "v", "p"), "p", 1)
+    // branch: RENAME v TO b (chain changes one-sided); main: ADD COLUMN b
+    // (added set changes one-sided). Each prop KEY merges soundly alone,
+    // but the union carries a chain targeting b AND an added column b —
+    // a recycling no single lineage's DDL validation would admit.
+    AtomicCommit.createBranch(root, store, "ddl")
+    val ddl = new BranchStore(store, "ddl")
+    AtomicCommit.renameColumn(spark, root, ddl, "v", "b")
+    AtomicCommit.addColumnsAtomic(spark, root, store,
+      org.apache.spark.sql.types.StructType.fromDDL("b BIGINT"))
+    val e = intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.mergeBranch(root, store, "ddl")
+    }
+    assert(e.getMessage.contains("recycles a column name"), e.getMessage)
+    // the reverse composition (branch adds, main renames to the same
+    // name) collides identically
+    AtomicCommit.dropBranch(store, "ddl")
+    AtomicCommit.createBranch(root, store, "ddl2")
+    val ddl2 = new BranchStore(store, "ddl2")
+    AtomicCommit.addColumnsAtomic(spark, root, ddl2,
+      org.apache.spark.sql.types.StructType.fromDDL("c BIGINT"))
+    AtomicCommit.renameColumn(spark, root, store, "v", "c")
+    val e2 = intercept[AtomicCommit.PartitionConflictException] {
+      AtomicCommit.mergeBranch(root, store, "ddl2")
+    }
+    assert(e2.getMessage.contains("recycles a column name"), e2.getMessage)
+    // a NON-colliding cross-key composition still merges: branch adds x,
+    // main renames v→w — disjoint names, both DDLs survive the merge
+    AtomicCommit.dropBranch(store, "ddl2")
+    AtomicCommit.createBranch(root, store, "ok")
+    val ok = new BranchStore(store, "ok")
+    AtomicCommit.addColumnsAtomic(spark, root, ok,
+      org.apache.spark.sql.types.StructType.fromDDL("x BIGINT"))
+    AtomicCommit.renameColumn(spark, root, store, "c", "w")
+    AtomicCommit.mergeBranch(root, store, "ok")
+    // k,v→w from footers; b survives from scenario 1's main ADD; x from
+    // the merged branch ADD
+    assert(AtomicCommit.read(spark, root, store).columns.toSet
+      === Set("k", "w", "b", "x", "p"))
+  }
+
+  test("constraints resolve case-insensitively across rename/drop DDL") {
+    val root = Files.createTempDirectory("graft_cm_ci").toString
+    val store = new PosixManifestStore(root)
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, 10L, "A")).toDF("k", "v", "p"), "p")
+    // Spark resolves CHECK predicates case-insensitively by default, so
+    // a rule spelled `V > 0` binds column v — rename/drop DDL must see
+    // the reference under the same rules or the rename strands an
+    // unresolvable rule that fails every later commit
+    AtomicCommit.addConstraint(spark, root, "v_pos", "V > 0")
+    AtomicCommit.renameColumn(spark, root, store, "v", "w")
+    assert(AtomicCommit.constraints(root)("v_pos").contains("w"),
+      AtomicCommit.constraints(root).toString)
+    intercept[AtomicCommit.ConstraintViolationException] {
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((2L, -5L, "A")).toDF("k", "w", "p"), "p", 1)
+    }
+    // drop-guard sees the mixed-case reference too
+    AtomicCommit.addConstraint(spark, root, "w_cap", "W < 100")
+    assert(intercept[Exception] {
+      AtomicCommit.dropColumn(spark, root, store, "w")
+    }.getMessage.contains("DROP CONSTRAINT first"))
+  }
+
   test("chained renames resolve every era; MERGE works across the chain") {
     val root = Files.createTempDirectory("graft_cm_chain").toString
     AtomicCommit.commitReplacePartitions(spark, root,

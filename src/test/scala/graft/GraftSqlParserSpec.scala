@@ -105,11 +105,23 @@ class GraftSqlParserSpec extends SparkSpec {
         spark.sql("VACUUM graft.semi RETAIN 3 DAYS")
       }
       assert(e1.getMessage.contains("supported forms"), e1.getMessage)
-      // …and an OPTIMIZE shape the grammar doesn't own
+      // …and a graft-targeted OPTIMIZE shape the grammar doesn't own
       val e2 = intercept[RuntimeException] {
-        spark.sql("OPTIMIZE INDEX something ON t")
+        spark.sql("OPTIMIZE graft.semi ZORDER (k)") // missing BY
       }
       assert(e2.getMessage.contains("supported forms"), e2.getMessage)
+      // the same keywords over NON-graft targets are not ours: they pass
+      // to the delegate parser chain (here: Spark, which rejects them
+      // with its own parse error, NOT our grammar message) — another
+      // extension in the chain would get its OPTIMIZE/VACUUM back
+      val e3 = intercept[Exception] {
+        spark.sql("OPTIMIZE delta_tbl ZORDER BY (k)")
+      }
+      assert(!e3.getMessage.contains("supported forms"), e3.getMessage)
+      val e4 = intercept[Exception] {
+        spark.sql("VACUUM other_catalog.tbl RETAIN 168 HOURS")
+      }
+      assert(!e4.getMessage.contains("supported forms"), e4.getMessage)
       // a maintenance keyword INSIDE ordinary SQL still passes through
       assert(spark.sql("SELECT 'VACUUM graft.semi RETAIN 3 DAYS' AS s")
         .as[String].head().contains("3 DAYS"))
@@ -164,6 +176,35 @@ class GraftSqlParserSpec extends SparkSpec {
         spark.sql("ANALYZE TABLE graft.az COMPUTE STATISTICS NOSCAN")
       }.getMessage.contains("supported forms"))
     } finally spark.conf.unset("spark.graft.table.az")
+  }
+
+  test("re-ANALYZE of the SAME columns after new data refreshes the cached stats") {
+    val root = Files.createTempDirectory("graft_sqlreanalyze").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0L until 50L).map(i => (i, (i % 2).toString)).toDF("k", "p"), "p")
+    spark.conf.set("spark.graft.table.rz", root)
+    try {
+      spark.sql("ANALYZE TABLE graft.rz COMPUTE STATISTICS FOR COLUMNS k")
+      // new data lands (un-annotated generation)…
+      AtomicCommit.commitAppendPartitions(spark, root,
+        (100L until 120L).map(i => (i, "0")).toDF("k", "p"), "p", 1)
+      // …and the planner asks for stats BEFORE the re-analyze: evidence
+      // is incomplete, so None — which the snapshot cache remembers
+      val mid = AtomicCommit.readManifest(root).get
+      assert(graft.sources.TableStats
+        .columnStats(root, mid, "k", mid.entries.keySet).isEmpty)
+      // the re-ANALYZE of the IDENTICAL column list is a props-only
+      // commit (entries unchanged); the marker VALUE must still move, or
+      // the cached None above is returned forever and this very command
+      // reports zeros
+      val again = spark
+        .sql("ANALYZE TABLE graft.rz COMPUTE STATISTICS FOR COLUMNS k")
+        .collect().head
+      assert(again.getLong(1) === 70L, s"re-analyze saw ${again.getLong(1)} rows")
+      val m2 = AtomicCommit.readManifest(root).get
+      assert(graft.sources.TableStats
+        .columnStats(root, m2, "k", m2.entries.keySet).exists(_.rows == 70L))
+    } finally spark.conf.unset("spark.graft.table.rz")
   }
 
   test("DESCRIBE HISTORY: the commit log as a result set, newest first") {
