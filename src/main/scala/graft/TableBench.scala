@@ -38,6 +38,8 @@ object TableBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the runtime-filter probe below needs the injected AQE rule
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect() // JVM warm-up
@@ -410,6 +412,42 @@ object TableBench {
       }
       require(!AtomicCommit.read(spark, rootC).columns.contains("body"),
         "dropped column still visible")
+    }
+    // RUNTIME FILTERING (r16): a broadcast dim join's built key set
+    // prunes the fact scan at execution ([[graft.plans
+    // .RuntimeFilterRule]] → GraftV1Scan.filter). A/B the SAME 2-key
+    // dim join over the shuffled table with the rule off and on: off
+    // reads all P partitions (the join key reaches the scan only at
+    // runtime — no static filter exists to push), on reads exactly 2.
+    {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.graft.table.rtfact", rootS)
+      spark.createDataFrame(Seq(("p0003", 1), ("p0007", 1)))
+        .toDF("pk2", "m").createOrReplaceTempView("rt_dim")
+      val q = "SELECT count(*) AS c, sum(length(f.payload)) AS b " +
+        "FROM graft.rtfact f JOIN rt_dim d ON f.pk = d.pk2"
+      val expect = AtomicCommit.read(spark, rootS)
+        .where(col("pk").isin("p0003", "p0007")).count()
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+      graft.sources.GraftScanProbe.reset(rootS)
+      val off = timed("dim-join scan, runtime filter OFF") {
+        spark.sql(q).head()
+      }
+      require(off.getLong(0) == expect, s"off-row count ${off.getLong(0)}")
+      val seenOff = graft.sources.GraftScanProbe.entriesSeen(rootS)
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+      graft.sources.GraftScanProbe.reset(rootS)
+      val on = timed("dim-join scan, runtime filter ON") {
+        spark.sql(q).head()
+      }
+      require(on.getLong(0) == expect && on.getLong(1) == off.getLong(1),
+        s"runtime filter changed the answer: $on vs $off")
+      val seenOn = graft.sources.GraftScanProbe.entriesSeen(rootS)
+      require(seenOn.last == 2,
+        s"runtime filter must prune the executed scan to 2 of $p entries, " +
+          s"saw $seenOn (off: $seenOff)")
+      println(s"[tablebench] runtime-filter scan entries: " +
+        s"off=${seenOff.last} on=${seenOn.last} of $p")
     }
     spark.stop()
   }

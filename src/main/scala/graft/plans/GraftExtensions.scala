@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // OPTIMIZE / VACUUM maintenance statements; everything else passes
     // verbatim to Spark's parser
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // runtime filtering (the DPP analog): when AQE re-optimizes after a
+    // broadcast stage materializes, push its key set into the probe-side
+    // graft scan so unmatchable partitions/files are never read
+    ext.injectRuntimeOptimizerRule(_ => RuntimeFilterRule)
     // UPDATE / MERGE INTO on graft catalog tables: the analyzed plans
     // lower onto the engine's partition-CoW machinery (post-hoc = after
     // reference resolution, before the planner rejects them)

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner, JoinType, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.adaptive.GraftAqeBridge
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, GraftV2Bridge}
+import org.apache.spark.sql.{sources => sf}
+
+import graft.sources.GraftV1Scan
+
+/** RUNTIME FILTERING for graft scans — the dynamic-partition-pruning
+  * analog every lakehouse reader ships: when a broadcast hash join's
+  * build side has materialized, push its key set into the probe-side
+  * graft scan so manifest entries (and their files) the join cannot
+  * match are never read. At 100 TB this is the single largest read-path
+  * multiplier a selective dimension join has: the static pushdown
+  * halves (per-file blooms, min/max sidecars, partition mapping) all
+  * exist, but a `dim JOIN fact ON key WHERE dim.x = …` query learns the
+  * surviving keys only at EXECUTION time.
+  *
+  * Delivery: Spark's own `PartitionPruning` injection cannot reach a
+  * V1-bridge scan (`V1ScanWrapper` implements no runtime-filtering
+  * interface — verified against Spark 4.1.2), so this rule rides AQE's
+  * runtime re-optimization instead (`injectRuntimeOptimizerRule`): each
+  * time a query stage materializes, AQE re-optimizes the logical plan
+  * with completed stages substituted in. The rule matches a join whose
+  * one side IS a materialized broadcast stage and whose other side is a
+  * Project/Filter tree over a graft catalog scan, extracts the
+  * broadcast [[org.apache.spark.sql.execution.joins.HashedRelation]]'s
+  * distinct single-key values ([[GraftAqeBridge]], the same extraction
+  * Spark's `SubqueryBroadcastExec` performs for DPP), and hands them to
+  * the scan's STANDARD `SupportsRuntimeFiltering.filter` face as an
+  * `IN` filter ([[GraftV1Scan.filter]]). AQE then replans the final
+  * stage over the re-pruned scan — same shuffle count, different plan,
+  * adopted.
+  *
+  * Soundness gates (every reject degrades to the unfiltered scan):
+  *  - join types where pruning the probe side cannot drop an output
+  *    row: Inner/Cross both sides, LeftSemi/RightOuter the left,
+  *    LeftOuter the right;
+  *  - exactly ONE equi-pair between the scan relation's OWN output and
+  *    the stage side, and the broadcast mode built exactly one key of
+  *    the matched attribute's type — multi-key modes are skipped rather
+  *    than risk pairing values with the wrong column;
+  *  - the key column must be one the scan can actually prune on
+  *    ([[graft.sources.GraftRelation.runtimeFilterable]]: partition
+  *    column, hidden-transform source, stats/bloom-annotated);
+  *  - a key-count budget (`spark.graft.runtimeFilter.maxKeys`, default
+  *    1024): above it the build side is too wide for per-value evidence
+  *    testing to pay, and the scan stays full.
+  */
+object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def enabled: Boolean =
+    conf.getConfString("spark.graft.runtimeFilter.enabled", "true").toBoolean
+  private def maxKeys: Int =
+    conf.getConfString("spark.graft.runtimeFilter.maxKeys", "1024").toInt
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    try plan.transformUp {
+      case j: Join if j.condition.isDefined =>
+        var out = j
+        if (pruneLeftSound(out.joinType))
+          out = tryFilter(out, scanOnLeft = true)
+        if (pruneRightSound(out.joinType))
+          out = tryFilter(out, scanOnLeft = false)
+        out
+    } catch {
+      // runtime filtering is advisory: a failure to inject must never
+      // fail the query — AQE keeps the current (correct) plan
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft runtime filter injection skipped: $e")
+        plan
+    }
+  }
+
+  /** Pruning LEFT rows that have no right-side match is sound when the
+    * output keeps no unmatched left row.
+    */
+  private def pruneLeftSound(jt: JoinType): Boolean = jt match {
+    case Inner | Cross | LeftSemi | RightOuter => true
+    case _ => false
+  }
+
+  /** Pruning RIGHT rows that have no left-side match. */
+  private def pruneRightSound(jt: JoinType): Boolean = jt match {
+    case Inner | Cross | LeftOuter => true
+    case _ => false
+  }
+
+  /** The scan side's graft V1 scan, peeled through the Project/Filter
+    * nodes the optimizer leaves above a pushed scan — None when the
+    * side isn't a single graft catalog scan, or a runtime filter
+    * already landed (idempotence across AQE's repeated re-optimizations).
+    */
+  private def scanTarget(side: LogicalPlan)
+      : Option[(DataSourceV2ScanRelation, GraftV1Scan)] = side match {
+    case p: Project => scanTarget(p.child)
+    case f: Filter => scanTarget(f.child)
+    case r: DataSourceV2ScanRelation =>
+      GraftV2Bridge.unwrap(r.scan) match {
+        case Some(gs: GraftV1Scan) if gs.runtime.isEmpty => Some((r, gs))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def tryFilter(j: Join, scanOnLeft: Boolean): Join = {
+    val (scanSide, stageSide) =
+      if (scanOnLeft) (j.left, j.right) else (j.right, j.left)
+    val stage = GraftAqeBridge.materializedBroadcastStage(stageSide)
+      .getOrElse(return j)
+    val (scanRel, gs) = scanTarget(scanSide).getOrElse(return j)
+    // exactly one equi-pair between the scan's OWN output attributes
+    // and the stage side — aliases/casts in between disqualify (the
+    // column name must map 1:1 onto a physical scan column)
+    val pairs = splitConjunctivePredicates(j.condition.get).flatMap {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (scanRel.outputSet.contains(a) && stageSide.outputSet.contains(b))
+          Some((a, b))
+        else if (scanRel.outputSet.contains(b) &&
+          stageSide.outputSet.contains(a)) Some((b, a))
+        else None
+      case _ => None
+    }
+    if (pairs.length != 1) return j
+    val (scanKey, dimKey) = pairs.head
+    if (!gs.relation.runtimeFilterable.contains(scanKey.name)) return j
+    val values = GraftAqeBridge
+      .broadcastSingleKeyValues(stage, dimKey.dataType, maxKeys)
+      .getOrElse(return j)
+    val fresh = new GraftV1Scan(gs.relation, gs.required, gs.pushed)
+    fresh.filter(Array[sf.Filter](sf.In(scanKey.name, values.toArray)))
+    if (fresh.runtime.isEmpty) return j // scan declined: keep full plan
+    val rewrapped = GraftV2Bridge.rewrap(scanRel.scan, fresh)
+    val newScanSide = scanSide.transformUp {
+      case r: DataSourceV2ScanRelation if r.scan eq scanRel.scan =>
+        r.copy(scan = rewrapped)
+    }
+    logInfo(s"graft runtime filter: ${values.length} ${scanKey.name} key(s) " +
+      s"pushed into ${gs.relation.root}")
+    if (scanOnLeft) j.copy(left = newScanSide) else j.copy(right = newScanSide)
+  }
+}

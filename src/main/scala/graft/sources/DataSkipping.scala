@@ -291,6 +291,31 @@ object DataSkipping {
     }
   }
 
+  /** The manifest entries that COULD hold a row with `colName` equal to
+    * ANY of `values` — the multi-value (runtime join-filter) face of
+    * [[prunedEntries]]: an entry survives when any owner generation
+    * lacks evidence for it, or any value lands inside its [min, max]
+    * envelope. Blooms refute the rest ([[partitionsAdmittingAny]]).
+    */
+  private[sources] def entriesAdmittingAnyEq(root: String,
+                                             m: AtomicCommit.Manifest,
+                                             colName: String,
+                                             values: Seq[Any]): Map[String, String] = {
+    val statsByGen: Map[String, Map[(String, String), ColStats]] =
+      m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+        .map(g => g -> readStats(root, g).filter(_.file.isEmpty)
+          .map(s => (s.partition, s.col) -> s).toMap)
+        .toMap
+    m.entries.filter { case (pv, entry) =>
+      AtomicCommit.ownersOf(entry).exists { gen =>
+        statsByGen(gen).get((pv, colName)) match {
+          case None => true // no evidence — must scan
+          case Some(s) => values.exists(v => intersects(s, v, v))
+        }
+      }
+    }
+  }
+
   def readWhere(spark: SparkSession, root: String, store: ManifestStore,
                 colName: String, lower: Any, upper: Any): DataFrame =
     readWhereAll(spark, root, store, Seq((colName, lower, upper)))

@@ -432,39 +432,7 @@ final class GraftTable(ident: String, relation: GraftRelation)
         * graft.small_dim JOIN big ...` auto-broadcasts exactly when the
         * slice the scan will read fits the broadcast threshold.
         */
-      override def build(): Scan = new V1Scan
-        with org.apache.spark.sql.connector.read.SupportsReportStatistics {
-        override def readSchema(): StructType = required
-        override def estimateStatistics()
-            : org.apache.spark.sql.connector.read.Statistics = {
-          val (bytes, rowsOpt) = relation.estimateStats(filters)
-          // scale bytes by projected width: the planner prices the
-          // in-memory relation AFTER column pruning (same move as
-          // Spark's own fsRelation sizing)
-          val full = relation.schema.fields.map(_.dataType.defaultSize)
-            .sum.max(1)
-          val kept = required.fields.map(_.dataType.defaultSize).sum.max(1)
-          val scaled =
-            if (kept >= full) bytes
-            else math.ceil(bytes.toDouble * kept / full).toLong
-          new org.apache.spark.sql.connector.read.Statistics {
-            override def sizeInBytes(): java.util.OptionalLong =
-              java.util.OptionalLong.of(scaled)
-            override def numRows(): java.util.OptionalLong =
-              rowsOpt.map(java.util.OptionalLong.of)
-                .getOrElse(java.util.OptionalLong.empty())
-          }
-        }
-        override def toV1TableScan[T <: BaseRelation with TableScan](
-            context: SQLContext): T =
-          new BaseRelation with TableScan {
-            override def sqlContext: SQLContext = context
-            override def schema: StructType = required
-            override def needConversion: Boolean = false
-            override def buildScan(): RDD[Row] =
-              relation.buildScan(required.fieldNames, filters)
-          }.asInstanceOf[T]
-      }
+      override def build(): Scan = new GraftV1Scan(relation, required, filters)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -480,4 +448,86 @@ final class GraftTable(ident: String, relation: GraftRelation)
           }
       }
     }
+}
+
+/** One catalog read: the V1 bridge scan ([[GraftRelation.buildScan]]
+  * behind a [[V1Scan]]), statistics-reporting, and RUNTIME-filterable —
+  * the standard `SupportsRuntimeFiltering` contract: at execution time
+  * a broadcast join's built key set arrives through [[filter]] and the
+  * scan re-prunes manifest entries before reading a byte (the DSv2
+  * analog of dynamic partition pruning). Spark's own delivery path
+  * can't reach a V1 bridge scan — `V2ScanRelationPushDown` wraps it in
+  * a `V1ScanWrapper` that implements neither runtime-filtering
+  * interface, so `PartitionPruning` never injects — which is why
+  * [[graft.plans.RuntimeFilterRule]] (an AQE runtime-optimizer rule)
+  * extracts the materialized broadcast stage's keys itself and calls
+  * the SAME [[filter]] face before the final stage plans. Runtime
+  * filters compose with the pushed set: [[GraftRelation
+  * .prunedEntriesFor]] prunes `IN` key sets through the manifest
+  * (partition column), the hidden-partitioning transform, and the
+  * min/max + bloom sidecars.
+  */
+final class GraftV1Scan(
+    private[graft] val relation: GraftRelation,
+    private[graft] val required: StructType,
+    private[graft] val pushed: Array[Filter]) extends V1Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private[graft] var runtime: Array[Filter] = Array.empty
+  private def effective: Array[Filter] = pushed ++ runtime
+
+  override def readSchema(): StructType = required
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    relation.runtimeFilterable.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+
+  /** Accept the runtime shapes the pruner consumes on columns it can
+    * prune; everything else is dropped — sound, because runtime filters
+    * only ever REMOVE rows the join above would drop anyway, so
+    * ignoring one costs I/O, never correctness.
+    */
+  override def filter(fs: Array[Filter]): Unit = {
+    val prunable = relation.runtimeFilterable.toSet
+    runtime = fs.filter {
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        prunable(c) && vs != null && vs.nonEmpty
+      case org.apache.spark.sql.sources.EqualTo(c, v) =>
+        prunable(c) && v != null
+      case _ => false
+    }
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (bytes, rowsOpt) = relation.estimateStats(effective)
+    // scale bytes by projected width: the planner prices the in-memory
+    // relation AFTER column pruning (same move as Spark's own
+    // fsRelation sizing)
+    val full = relation.schema.fields.map(_.dataType.defaultSize)
+      .sum.max(1)
+    val kept = required.fields.map(_.dataType.defaultSize).sum.max(1)
+    val scaled =
+      if (kept >= full) bytes
+      else math.ceil(bytes.toDouble * kept / full).toLong
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] =
+        relation.buildScan(required.fieldNames, effective)
+    }.asInstanceOf[T]
 }

@@ -267,6 +267,33 @@ private[sources] object FilterColumns {
   }
 }
 
+object GraftRelation {
+  /** Equality-set pruning cap: above this many IN values, evidence
+    * testing (per-value interval checks, bloom hash positions) costs
+    * more than it saves and step 2b skips — the scan stays correct,
+    * just unpruned. The runtime-filter rule applies its own (smaller)
+    * key budget before a filter ever reaches here.
+    */
+  private[sources] val EqSetPruneCap = 100000
+}
+
+/** Scan observability for specs and benches: the manifest-entry count
+  * of every built scan, per table root, in BUILD ORDER — how a test
+  * proves a runtime filter pruned the EXECUTED read (under AQE the scan
+  * builds twice: unfiltered at initial planning, re-pruned at the
+  * replan). One driver-side map append per scan build; no data-path
+  * cost.
+  */
+object GraftScanProbe {
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, List[Int]]()
+  private[sources] def record(root: String, n: Int): Unit =
+    counts.merge(root, List(n), (a, b) => a ++ b)
+  def entriesSeen(root: String): Seq[Int] =
+    Option(counts.get(root)).getOrElse(Nil)
+  def reset(root: String): Unit = { counts.remove(root); () }
+}
+
 object GraftDataSource {
   /** The shared write body (writer face above, `INSERT INTO` below):
     * stage once, annotate if asked, publish as append or whole-table
@@ -555,6 +582,35 @@ final class GraftRelation(spark: SparkSession, val root: String,
       entries = DataSkipping.prunedEntries(root, m.copy(entries = entries),
         c, lows(c), highs(c))
     }
+    // 2b. equality-SET pruning — the shape RUNTIME join filters arrive
+    // in (`fact.key IN (broadcast side's built keys)`): the min/max
+    // envelopes admit an entry when ANY value lands inside, then the
+    // per-partition blooms refute what intervals can't (a key set
+    // scattered across a wide [min, max] still prunes when the blooms
+    // say no member is present). Also upgrades plain pushed IN/= on
+    // stats/bloom-annotated non-partition columns, which step 2's
+    // interval fold alone under-prunes. Guarded by a value-count cap:
+    // evidence testing is per-value work, and a huge IN list stops
+    // paying for itself long before it stops being correct.
+    val eqSets: Seq[(String, Seq[Any])] = filters.toSeq.collect {
+      case In(c, vs) if c != pc && vs.nonEmpty && !vs.contains(null) &&
+          vs.length <= GraftRelation.EqSetPruneCap => c -> vs.toSeq
+      case EqualTo(c, v) if c != pc && v != null => c -> Seq(v)
+    }
+    eqSets.groupBy(_._1).foreach { case (c, sets) =>
+      // conjunction: every IN/= on the column must admit the entry
+      sets.map(_._2).foreach { vs =>
+        if (entries.nonEmpty)
+          entries = DataSkipping.entriesAdmittingAnyEq(
+            root, m.copy(entries = entries), c, vs)
+        if (entries.nonEmpty)
+          entries = {
+            val ok = DataSkipping.partitionsAdmittingAny(spark, root,
+              m.copy(entries = entries), c, vs).toSet
+            entries.filter { case (pv, _) => ok(pv) }
+          }
+      }
+    }
     // 3. hidden-partitioning transform mapping: predicates on the SOURCE
     // column of a recorded partition spec prune through the transform
     // (`WHERE ts BETWEEN …` on a days(ts) table reads only those days)
@@ -568,6 +624,14 @@ final class GraftRelation(spark: SparkSession, val root: String,
         case EqualNullSafe(`src`, v) if v != null =>
           entries = HiddenPartitioning.pruneBySourceEq(
             m.copy(entries = entries), v, srcType)
+        case In(`src`, vs) if vs.nonEmpty && !vs.contains(null) &&
+            vs.length <= GraftRelation.EqSetPruneCap =>
+          // union of the per-value transform prunes: a partition
+          // survives when ANY member value maps into it
+          val keep = vs.map(v => HiddenPartitioning.pruneBySourceEq(
+            m.copy(entries = entries), v, srcType).keySet)
+            .foldLeft(Set.empty[String])(_ | _)
+          entries = entries.filter { case (pv, _) => keep(pv) }
         case _ => ()
       }
       if (lows.contains(src) && highs.contains(src))
@@ -576,6 +640,34 @@ final class GraftRelation(spark: SparkSession, val root: String,
     }
     entries
   }
+
+  /** The columns a RUNTIME filter (broadcast-join key set, [[graft.plans
+    * .RuntimeFilterRule]]) can actually prune this snapshot on: the
+    * partition column (entries prune directly), a hidden-partitioning
+    * source (prunes through the transform), and every column carrying
+    * min/max or bloom sidecar evidence in at least one owner generation
+    * (others degrade to "no evidence = keep" everywhere — a filter on
+    * them would test evidence per value and remove nothing). Driver
+    * metadata only; memoized per snapshot's entry map.
+    */
+  private[graft] def runtimeFilterable: Seq[String] = snapshotOpt() match {
+    case None => Nil
+    case Some(m) =>
+      val cached = filterableCache
+      if (cached != null && (cached._1 eq m.entries)) return cached._2
+      val gens = m.entries.values.flatMap(AtomicCommit.ownersOf)
+        .toSeq.distinct
+      val evidenced = (gens.flatMap(g =>
+        DataSkipping.readStats(root, g).filter(_.file.isEmpty).map(_.col)) ++
+        gens.flatMap(g =>
+          DataSkipping.readBlooms(root, g).filter(_.file.isEmpty).map(_.col)))
+        .distinct
+      val out = (Seq(m.partitionCol) ++
+        HiddenPartitioning.specOf(m).map(_.source) ++ evidenced).distinct
+      filterableCache = (m.entries, out)
+      out
+  }
+  @volatile private var filterableCache: (Map[String, String], Seq[String]) = null
 
   /** Fold pushed comparison filters into the tightest per-column bounds
     * (shared by sidecar pruning and selectivity pricing): `lows` holds
@@ -613,6 +705,7 @@ final class GraftRelation(spark: SparkSession, val root: String,
       return spark.sparkContext.emptyRDD[Row]
     val m = mOpt.get
     val entries = prunedEntriesFor(m, filters)
+    GraftScanProbe.record(root, entries.size)
     if (entries.isEmpty)
       return spark.sparkContext.emptyRDD[Row]
     val base = AtomicCommit.scanManifest(spark, root, m.copy(entries = entries))
