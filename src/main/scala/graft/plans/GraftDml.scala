@@ -78,10 +78,13 @@ object GraftDmlRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
       GraftUpdateCommand(rel, gt, sets, condition)
     case m @ MergeIntoTable(GraftTarget(rel, gt), source, cond,
-        matched, notMatched, notMatchedBySource, withSchemaEvolution)
+        matched, notMatched, notMatchedBySource, _)
         if m.resolved =>
-      require(!withSchemaEvolution,
-        "graft MERGE: WITH SCHEMA EVOLUTION is unsupported")
+      // WITH SCHEMA EVOLUTION needs no handling HERE: Spark's own
+      // ResolveMergeIntoSchemaEvolution already computed the schema
+      // changes and applied them through the catalog's alterTable
+      // (graft's addColumnsAtomic / widenColumn) before this plan
+      // resolved — `rel` is the reloaded, evolved table
       GraftMergeCommand(rel, gt, source, cond,
         matched, notMatched, notMatchedBySource)
     case d @ DeleteFromTable(GraftTarget(rel, gt), condition)

@@ -919,7 +919,8 @@ object AtomicCommit {
         // merges soundly (the chain translates the other side's data),
         // but divergent changes on BOTH lineages cannot three-way merge —
         // taking either side would silently unmap the other's columns
-        Seq(SchemaRenamedProp, SchemaDroppedProp, SchemaAddedProp)
+        Seq(SchemaRenamedProp, SchemaDroppedProp, SchemaAddedProp,
+          SchemaWidenedProp)
           .foreach { k =>
             val (b, c, b0) =
               (bm.props.get(k), cur.props.get(k), baseM.props.get(k))
@@ -989,13 +990,21 @@ object AtomicCommit {
     val added = props.get(SchemaAddedProp)
       .map(org.apache.spark.sql.types.StructType.fromDDL(_)
         .fieldNames.toSet).getOrElse(Set.empty[String])
+    val widenedKeys = widenedOf(probe).map(_._1).toSet
     val collisions =
       (added & chainSides).toSeq.sorted.map(c =>
         s"added column $c collides with the rename chain") ++
       (added & dropped).toSeq.sorted.map(c =>
         s"added column $c collides with a dropped column") ++
       (dropped & chainOld).toSeq.sorted.map(c =>
-        s"dropped column $c names a pre-rename chain side")
+        s"dropped column $c names a pre-rename chain side") ++
+      // a widening entry keyed by a pre-rename or dropped name can only
+      // arise cross-lineage (rename REKEYS and drop REMOVES the entry
+      // on one lineage) — merged, it would silently stop applying
+      (widenedKeys & chainOld).toSeq.sorted.map(c =>
+        s"widened column $c names a pre-rename chain side") ++
+      (widenedKeys & dropped).toSeq.sorted.map(c =>
+        s"widened column $c names a dropped column")
     if (collisions.nonEmpty)
       throw new PartitionConflictException(
         s"cannot merge branch $branch at $root: the combined schema-DDL " +
@@ -1261,6 +1270,110 @@ object AtomicCommit {
   val SchemaRenamedProp = "graft.schema.renamed"
   val SchemaDroppedProp = "graft.schema.dropped"
 
+  /** SAFE TYPE WIDENING (`ALTER TABLE ... ALTER COLUMN c TYPE t`) — the
+    * third rename-forward-style mapping: the prop records each widened
+    * column's TARGET type (`col>typeDDL;...`, keyed by current logical
+    * name), nothing physical moves, and [[logicalView]] casts each
+    * generation whose footer still carries the narrow type. New writes
+    * arrive wide (the SQL schema reports the target, so the analyzer
+    * casts inserts), and every rewrite emits the wide type — the
+    * physical layout HEALS toward the logical schema and the per-
+    * generation cast self-eliminates, exactly like the rename chain.
+    * Only LOSSLESS promotions are accepted ([[widensTo]]: integral
+    * up-casts, float→double, decimal scale-up that loses neither
+    * integer digits nor scale); narrowing and cross-family changes are
+    * loudly rejected — they would silently corrupt old rows at read.
+    */
+  val SchemaWidenedProp = "graft.schema.widened"
+
+  /** column (current logical name) → recorded target type. */
+  def widenedOf(m: Manifest): Seq[(String, org.apache.spark.sql.types.DataType)] =
+    m.props.get(SchemaWidenedProp).map(_.split(';').toSeq.filter(_.nonEmpty)
+      .map { s =>
+        val i = s.indexOf('>')
+        (s.substring(0, i),
+          org.apache.spark.sql.types.DataType.fromDDL(s.substring(i + 1)))
+      }).getOrElse(Nil)
+
+  private def renderWidened(
+      entries: Seq[(String, org.apache.spark.sql.types.DataType)]): String =
+    entries.map { case (c, t) => s"$c>${t.sql}" }.mkString(";")
+
+  /** Lossless promotions only — the set Iceberg guarantees plus decimal
+    * scale-up (precision must grow with scale so no integer digit is
+    * lost). Everything else (narrowing, string→numeric, int→float — the
+    * LATTER loses exactness above 2^24) is rejected.
+    */
+  private[sources] def widensTo(from: org.apache.spark.sql.types.DataType,
+                                to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale >= d1.scale &&
+          d2.precision - d2.scale >= d1.precision - d1.scale &&
+          (d2.scale > d1.scale || d2.precision > d1.precision)
+      case _ => false
+    }
+  }
+
+  /** `ALTER TABLE ... ALTER COLUMN name TYPE target` — one metadata
+    * commit; old generations cast at read ([[logicalView]]), new writes
+    * and rewrites carry the wide type physically. The partition column
+    * (its rendered values ARE the directory names) and a hidden-
+    * partitioning source (the transform hashes/derives at the recorded
+    * type — `bucket` of the same value hashes differently at int vs
+    * long) are rejected.
+    */
+  def widenColumn(spark: SparkSession, root: String, store: ManifestStore,
+                  name: String,
+                  target: org.apache.spark.sql.types.DataType): Long = ddlRetry {
+    val m = readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    require(!name.exists(c => c == '{' || c == '}' || c == ';' || c == '>'),
+      s"bad column name for manifest props: $name")
+    if (name == m.partitionCol) sys.error(
+      s"graft: cannot retype partition column $name — its rendered " +
+        "values name every partition directory")
+    HiddenPartitioning.specOf(m).filter(_.source == name).foreach(spec =>
+      sys.error(s"graft: cannot retype $name, the source column of the " +
+        s"recorded partition transform ${spec.render} — the transform " +
+        "derives at the recorded type"))
+    val added = m.props.get(SchemaAddedProp)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    val inAdded = added.exists(_.exists(_.name == name))
+    // the CURRENT logical type: what the table's readers see today —
+    // footer type behind any recorded widening, or the added-column DDL
+    val current: org.apache.spark.sql.types.DataType =
+      if (inAdded) added.get.find(_.name == name).get.dataType
+      else {
+        val footerSchema = scanManifest(spark, root, m).schema
+        footerSchema.find(_.name == name).map(_.dataType).getOrElse(
+          sys.error(s"graft: no column $name at $root (columns: " +
+            s"${(footerSchema.fieldNames ++
+              added.toSeq.flatMap(_.fieldNames)).distinct.mkString(", ")})"))
+      }
+    if (current == target) sys.error(
+      s"graft: column $name already has type ${target.sql} at $root")
+    if (!widensTo(current, target)) sys.error(
+      s"graft: cannot change $name from ${current.sql} to ${target.sql} — " +
+        "only lossless widenings are supported (integral up-casts, " +
+        "FLOAT to DOUBLE, DECIMAL scale-up); a lossy retype needs an " +
+        "explicit rewrite (CTAS with a cast)")
+    val props =
+      if (inAdded)
+        // no footer owns the column yet: the DDL record IS its type
+        Map(SchemaAddedProp -> org.apache.spark.sql.types.StructType(
+          added.get.fields.map(f =>
+            if (f.name == name) f.copy(dataType = target) else f)).toDDL)
+      else Map(SchemaWidenedProp -> renderWidened(
+        widenedOf(m).filterNot(_._1 == name) :+ (name -> target)))
+    propsCommit(root, store, props, Nil, guardVersion = Some(m.version))
+  }
+
   /** The ordered rename chain, oldest first. */
   def renamesOf(m: Manifest): Seq[(String, String)] =
     m.props.get(SchemaRenamedProp).map(_.split(';').toSeq.filter(_.nonEmpty)
@@ -1291,10 +1404,18 @@ object AtomicCommit {
   private[graft] def logicalView(df: DataFrame, m: Manifest): DataFrame = {
     val renames = renamesOf(m)
     val dropped = droppedOf(m)
-    if (renames.isEmpty && dropped.isEmpty) return df
+    val widened = widenedOf(m)
+    if (renames.isEmpty && dropped.isEmpty && widened.isEmpty) return df
     var out = df
     renames.foreach { case (o, n) =>
       if (out.columns.contains(o)) out = out.withColumnRenamed(o, n)
+    }
+    // widening casts AFTER the chain (entries are keyed by current
+    // logical names) and ONLY on generations still carrying the narrow
+    // footer type — healed/new generations add no plan node
+    widened.foreach { case (c, t) =>
+      if (out.schema.exists(f => f.name == c && f.dataType != t))
+        out = out.withColumn(c, org.apache.spark.sql.functions.col(c).cast(t))
     }
     val drops = out.columns.filter(dropped).toIndexedSeq
     if (drops.nonEmpty) out = out.drop(drops: _*)
@@ -1338,6 +1459,12 @@ object AtomicCommit {
       props += SchemaAddedProp -> org.apache.spark.sql.types.StructType(
         a.fields.map(f => if (f.name == from) f.copy(name = to) else f)).toDDL
     }
+    // a widening entry follows its column's name (keyed by current
+    // logical name — logicalView applies it after the chain)
+    val widened = widenedOf(m)
+    if (widened.exists(_._1 == from))
+      props += SchemaWidenedProp -> renderWidened(
+        widened.map { case (c, t) => (if (c == from) to else c, t) })
     props ++= rewriteConstraints(spark, m, from, to)
     propsCommit(root, store, props, Nil, guardVersion = Some(m.version))
   }
@@ -1384,6 +1511,15 @@ object AtomicCommit {
         props += SchemaAddedProp ->
           org.apache.spark.sql.types.StructType(rest).toDDL
       else drops :+= SchemaAddedProp
+    }
+    // a dropped column's widening entry goes with it (the name may not
+    // be recycled, so a stale entry could never apply — but a clean
+    // mapping state is what the merge validator reasons over)
+    val widened = widenedOf(m)
+    if (widened.exists(_._1 == name)) {
+      val rest = widened.filterNot(_._1 == name)
+      if (rest.nonEmpty) props += SchemaWidenedProp -> renderWidened(rest)
+      else drops :+= SchemaWidenedProp
     }
     propsCommit(root, store, props, drops, guardVersion = Some(m.version))
   }

@@ -184,8 +184,11 @@ final class GraftCatalog extends TableCatalog {
     *    version bump, CAS-raced like every commit). The SQL schema grows
     *    immediately, existing rows read NULL-backfilled, and the first
     *    INSERT carrying the column moves type ownership to the footers.
-    *    Drop / rename / retype / position keep the loud rejection —
-    *    those rewrite footers, which this engine does through commits.
+    *  - `ALTER COLUMN <name> TYPE <t>`: LOSSLESS widening only
+    *    ([[AtomicCommit.widenColumn]] — integral up-casts, float→double,
+    *    decimal scale-up), a metadata commit whose read-side cast per
+    *    narrow generation self-eliminates as rewrites heal the layout.
+    *    Narrowing and column-position changes keep the loud rejection.
     *  - `ADD CONSTRAINT <name> CHECK (<expr>)`: lowered onto
     *    [[AtomicCommit.addConstraint]] — the engine validates ALL
     *    current rows itself (one scan, atomic with the props commit
@@ -212,13 +215,15 @@ final class GraftCatalog extends TableCatalog {
       case _: TableChange.DropConstraint => true
       case _: TableChange.RenameColumn => true
       case _: TableChange.DeleteColumn => true
+      case _: TableChange.UpdateColumnType => true
       case _ => false
     }
     if (changes.isEmpty || !supported)
       throw new UnsupportedOperationException(
         "graft ALTER TABLE supports ADD COLUMN(S), RENAME COLUMN, DROP " +
-          "COLUMN, ADD CONSTRAINT ... CHECK, and DROP CONSTRAINT only — " +
-          "other changes evolve through commits (commitRepartition, " +
+          "COLUMN, ALTER COLUMN ... TYPE (lossless widening), ADD " +
+          "CONSTRAINT ... CHECK, and DROP CONSTRAINT only — other " +
+          "changes evolve through commits (commitRepartition, " +
           "schema-additive writes)")
     // all ADD COLUMNs of one statement land as ONE props commit (the
     // multi-column ALTER is atomic); the other verbs follow in order
@@ -243,6 +248,9 @@ final class GraftCatalog extends TableCatalog {
               if d.ifExists() != null && d.ifExists() &&
                 e.getMessage.contains(s"no column $colName") => ()
         }
+      case u: TableChange.UpdateColumnType =>
+        AtomicCommit.widenColumn(spark, root, store,
+          onePart(u.fieldNames()), u.newDataType())
       case a: TableChange.AddConstraint => a.constraint() match {
         case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
           AtomicCommit.addConstraint(spark, root, store, c.name(),
@@ -275,9 +283,11 @@ final class GraftCatalog extends TableCatalog {
         "graft ALTER TABLE: nested ADD COLUMN is unsupported: " +
           a.fieldNames().mkString("."))
       val colName = a.fieldNames().head
-      require(a.isNullable,
-        s"graft ALTER TABLE: new column $colName must be nullable — " +
-          "existing rows backfill NULL")
+      // a new column is ALWAYS nullable here regardless of what the
+      // change declares: existing rows backfill NULL, so a NOT NULL add
+      // could never hold on a non-empty table — and MERGE ... WITH
+      // SCHEMA EVOLUTION routes AddColumn changes through this path
+      // with the SOURCE expression's (often non-null) flag
       require(a.position() == null,
         s"graft ALTER TABLE: new column $colName appends at the end only")
       toAdd = toAdd.add(colName, a.dataType(), nullable = true)
@@ -373,7 +383,13 @@ final class GraftTable(ident: String, relation: GraftRelation)
   private[graft] def underlying: GraftRelation = relation
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // gates MERGE INTO ... WITH SCHEMA EVOLUTION: the analyzer's
+      // ResolveMergeIntoSchemaEvolution computes the AddColumn changes
+      // and applies them through alterTable (→ addColumnsAtomic) before
+      // the merge resolves; without the capability the clause is
+      // silently inert (schemaEvolutionEnabled requires BOTH)
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** The snapshot's CHECK constraints, reported through the DSv2 face —
     * `DESCRIBE TABLE EXTENDED` lists them, `DROP CONSTRAINT` resolves

@@ -69,9 +69,24 @@ object Merge {
                            store: ManifestStore,
                            source: Option[DataFrame], keys: Seq[String],
                            matched: Seq[Clause], notMatched: Seq[Clause],
-                           bySource: Seq[Clause]) {
+                           bySource: Seq[Clause],
+                           schemaEvolution: Boolean = false) {
 
     def using(src: DataFrame): Builder = copy(source = Some(src))
+
+    /** SCHEMA EVOLUTION: columns the source carries that the target
+      * lacks are ADDED (one atomic props commit, [[AtomicCommit
+      * .addColumnsAtomic]] — NULL-backfilled on every existing row)
+      * before the merge runs, instead of being silently dropped from
+      * the merged output — the CDC pattern "upsert a batch that carries
+      * one new column" without a manual ALTER first. Also enabled
+      * session-wide by `spark.graft.merge.schemaEvolution=true` (the
+      * SQL face's `MERGE INTO ... WITH SCHEMA EVOLUTION` evolves
+      * through Spark's own analyzer → catalog ALTER path instead and
+      * needs neither). Off (default): extra source columns are ignored,
+      * as before.
+      */
+    def withSchemaEvolution(): Builder = copy(schemaEvolution = true)
 
     /** Equi-join keys (plain equality: null keys never match, as in SQL
       * MERGE ON).
@@ -121,8 +136,22 @@ object Merge {
       require(keys.nonEmpty, "Merge: .onKeys(...) not set")
       require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
         "Merge: no WHEN clause given")
-      val m = AtomicCommit.readManifest(store).getOrElse(
+      val m0 = AtomicCommit.readManifest(store).getOrElse(
         sys.error(s"no manifest at $root — not an AtomicCommit table"))
+      val evolve = schemaEvolution || spark.conf
+        .getOption("spark.graft.merge.schemaEvolution").exists(_.toBoolean)
+      val m = if (!evolve) m0 else {
+        val tgtNow = AtomicCommit.scanManifest(spark, root, m0).schema
+        val fresh = src.schema.fields
+          .filterNot(f => tgtNow.exists(_.name == f.name))
+        if (fresh.isEmpty) m0
+        else {
+          AtomicCommit.addColumnsAtomic(spark, root, store,
+            org.apache.spark.sql.types.StructType(
+              fresh.map(_.copy(nullable = true))))
+          AtomicCommit.readManifest(store).get
+        }
+      }
       val pc = m.partitionCol
       val tgtSchema = AtomicCommit.scanManifest(spark, root, m).schema
       val tgtCols = tgtSchema.fieldNames.toSeq
@@ -165,7 +194,7 @@ object Merge {
       // below would read and rewrite every insert-destination partition
       // for byte-identical target rows.
       if (matched.isEmpty && bySource.isEmpty)
-        return insertOnly(src, m, pc, tgtSchema, tgtCols)
+        return insertOnly(src, m, pc, tgtSchema, tgtCols, evolve)
 
       // ---- phase 1: which partitions are in play?
       val touched: Seq[String] =
@@ -250,17 +279,21 @@ object Merge {
             // SET of the partition column is rejected up front for the same
             // reason; updateAll keeps the row where it lives (documented).
             if (c == pc) keepT
-            else {
-              require(src.columns.contains(c),
+            else if (!src.columns.contains(c)) {
+              // under schema evolution the target may carry columns an
+              // individual CDC batch lacks: the row keeps its own value
+              require(evolve,
                 s"Merge updateAll/insertAll: source lacks target column $c")
-              fromS
-            }
+              keepT
+            } else fromS
           } else set.getOrElse(c, keepT)
         def insVal(values: Map[String, Column]): Column =
           if (values.isEmpty) {
-            require(src.columns.contains(c),
-              s"Merge updateAll/insertAll: source lacks target column $c")
-            fromS
+            if (!src.columns.contains(c)) {
+              require(evolve,
+                s"Merge updateAll/insertAll: source lacks target column $c")
+              lit(null).cast(tgtSchema(c).dataType)
+            } else fromS
           } else values.getOrElse(c,
             lit(null).cast(tgtSchema(c).dataType))
         when(isMatched, firstMatch(matched, {
@@ -309,7 +342,8 @@ object Merge {
     private def insertOnly(src: DataFrame, m: AtomicCommit.Manifest,
                            pc: String,
                            tgtSchema: org.apache.spark.sql.types.StructType,
-                           tgtCols: Seq[String]): Long = {
+                           tgtCols: Seq[String],
+                           evolve: Boolean = false): Long = {
       val tgtKeys = AtomicCommit.scanManifest(spark, root, m)
         .select(keys.map(col): _*)
       val anti = src.alias("s").join(tgtKeys,
@@ -321,9 +355,11 @@ object Merge {
         val dt = tgtSchema(c).dataType
         def insVal(values: Map[String, Column]): Column =
           if (values.isEmpty) {
-            require(src.columns.contains(c),
-              s"Merge insertAll: source lacks target column $c")
-            col(s"s.$c")
+            if (!src.columns.contains(c)) {
+              require(evolve,
+                s"Merge insertAll: source lacks target column $c")
+              lit(null).cast(dt)
+            } else col(s"s.$c")
           } else values.getOrElse(c, lit(null))
         notMatched.foldRight(lit(null).cast(dt)) { (cl, acc) =>
           cl match {

@@ -232,4 +232,74 @@ class MergeSpec extends SparkSpec {
       .whenMatchedUpdate(Map("k" -> col("t.k"))).run() // no-op set: fine
     assert(AtomicCommit.read(spark, root).count() === 2L)
   }
+
+  test("schema evolution: a source-only column auto-ADDs with the option, is ignored without") {
+    val root = Files.createTempDirectory("graft_merge_evo").toString
+    seed(root)
+    val src = Seq(
+      (2L, 21L, "open", "A", "cdc-7"),  // update in A
+      (6L, 60L, "open", "D", "cdc-7"))  // insert into new partition D
+      .toDF("k", "v", "status", "p", "batch_id")
+    // OFF (default): extra source columns are silently dropped from the
+    // merged output — the pre-evolution contract
+    Merge.into(spark, root).using(src).onKeys("k")
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().run()
+    assert(!AtomicCommit.read(spark, root).columns.contains("batch_id"))
+    // ON: the column ADDs (one props commit), existing rows backfill
+    // NULL, merged rows carry the source's value
+    Merge.into(spark, root).using(src).onKeys("k")
+      .withSchemaEvolution()
+      .whenMatchedUpdateAll().whenNotMatchedInsertAll().run()
+    val preEvoVersion = AtomicCommit.readManifest(root).get.version - 2
+    val after = AtomicCommit.read(spark, root)
+    assert(after.columns.contains("batch_id"))
+    val byK = after.select("k", "batch_id")
+      .as[(Long, Option[String])].collect().toMap
+    assert(byK(2L) === Some("cdc-7") && byK(6L) === Some("cdc-7"))
+    assert(byK(1L).isEmpty && byK(3L).isEmpty, "old rows backfill NULL")
+    // time travel BEFORE the evolution shows the old schema
+    val old = spark.read.format("graft").option("path", root)
+      .option("versionAsOf", preEvoVersion.toString).load()
+    assert(!old.columns.contains("batch_id"))
+    // the session-wide conf is the other switch
+    val src2 = src.withColumnRenamed("batch_id", "batch2")
+    withSQLConf("spark.graft.merge.schemaEvolution" -> "true") {
+      Merge.into(spark, root).using(src2).onKeys("k")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().run()
+    }
+    assert(AtomicCommit.read(spark, root).columns.contains("batch2"))
+  }
+
+  test("SQL MERGE WITH SCHEMA EVOLUTION evolves through the catalog's ALTER path") {
+    val root = Files.createTempDirectory("graft_merge_evosql").toString
+    seed(root)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.me", root)
+    try {
+      // the star form — Spark's analyzer computes the AddColumn change
+      // from the source schema, applies it through THIS catalog's
+      // alterTable, reloads the table, and resolves the star over the
+      // evolved schema
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.me t
+          |USING (SELECT 2L AS k, 21L AS v, 'open' AS status, 'A' AS p,
+          |               99L AS v2) s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      val got = spark.sql("SELECT k, v2 FROM graft.me ORDER BY k")
+        .as[(Long, Option[Long])].collect().toSeq
+      assert(got === Seq(1L -> None, 2L -> Some(99L), 3L -> None,
+        4L -> None, 5L -> None))
+      // without the clause, a new column still fails resolution
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft.me t USING (SELECT 2 AS k, 1 AS v3) s
+            |ON t.k = s.k WHEN MATCHED THEN UPDATE SET v3 = s.v3""".stripMargin)
+      }
+      assert(e.getMessage.contains("v3"), e.getMessage)
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      spark.conf.unset("spark.graft.table.me")
+    }
+  }
 }

@@ -63,4 +63,102 @@ class SchemaEvolutionTableSpec extends SparkSpec {
     assert(after.count() === 18L)
     assert(after.filter(col("owner").isNull).count() === 9L)
   }
+
+  test("type widening: int→long via SQL, time travel keeps old types, narrowing fails") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val root = Files.createTempDirectory("graft_evo_widen").toString
+    // v is INT in the footers
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, 10, "A"), (2L, 20, "B")).toDF("k", "v", "p"), "p")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.wd", root)
+    try {
+      assert(AtomicCommit.read(spark, root).schema("v").dataType === IntegerType)
+      spark.sql("ALTER TABLE graft.wd ALTER COLUMN v TYPE BIGINT")
+      // one metadata commit; every face reads LONG, values intact
+      val df = AtomicCommit.read(spark, root)
+      assert(df.schema("v").dataType === LongType)
+      assert(df.select("k", "v").as[(Long, Long)].collect().toMap
+        === Map(1L -> 10L, 2L -> 20L))
+      assert(spark.sql("SELECT v FROM graft.wd WHERE k = 1").schema("v")
+        .dataType === LongType)
+      // inserts after the widen land wide — including values an INT
+      // cannot hold
+      spark.sql("INSERT INTO graft.wd VALUES (3, 6000000000, 'A')")
+      assert(spark.sql("SELECT v FROM graft.wd WHERE k = 3")
+        .as[Long].head() === 6000000000L)
+      // time travel BEFORE the widen still types as the era wrote it
+      val old = spark.read.format("graft").option("path", root)
+        .option("versionAsOf", "1").load()
+      assert(old.schema("v").dataType === IntegerType)
+      assert(old.count() === 2L)
+      // a rewrite heals the narrow generation physically; the recorded
+      // cast self-eliminates but the logical face is unchanged
+      Compaction.compactAtomicTable(spark, root)
+      val healed = AtomicCommit.read(spark, root)
+      assert(healed.schema("v").dataType === LongType)
+      assert(healed.count() === 3L)
+      // narrowing fails loudly — Spark's analyzer itself rejects
+      // non-up-casts before the catalog sees them
+      assert(intercept[Exception] {
+        spark.sql("ALTER TABLE graft.wd ALTER COLUMN v TYPE INT")
+      }.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+      // long→string IS a Spark up-cast, so it reaches the engine — which
+      // rejects cross-family retypes as lossy-for-this-format
+      assert(intercept[Exception] {
+        spark.sql("ALTER TABLE graft.wd ALTER COLUMN v TYPE STRING")
+      }.getMessage.contains("lossless"))
+      // Scala-API narrowing gets the engine's own rejection
+      assert(intercept[Exception] {
+        AtomicCommit.widenColumn(spark, root,
+          new graft.sources.PosixManifestStore(root), "v",
+          org.apache.spark.sql.types.IntegerType)
+      }.getMessage.contains("lossless"))
+      // the partition column guard (its rendered values are directory
+      // names) — via the Scala API; SQL's analyzer already screens the
+      // string→bigint shape as a non-up-cast
+      assert(intercept[Exception] {
+        AtomicCommit.widenColumn(spark, root,
+          new graft.sources.PosixManifestStore(root), "p",
+          org.apache.spark.sql.types.LongType)
+      }.getMessage.contains("partition column"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      spark.conf.unset("spark.graft.table.wd")
+    }
+  }
+
+  test("type widening follows renames, leaves with drops, and races appends safely") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.sources.PosixManifestStore
+    val root = Files.createTempDirectory("graft_evo_widenrace").toString
+    val store = new PosixManifestStore(root)
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, 1.5f, 10, "A")).toDF("k", "f", "v", "p"), "p")
+    AtomicCommit.widenColumn(spark, root, store, "f", DoubleType)
+    // rename REKEYS the widening entry; the cast keeps applying
+    AtomicCommit.renameColumn(spark, root, store, "f", "score")
+    val m1 = AtomicCommit.readManifest(store).get
+    assert(AtomicCommit.widenedOf(m1) === Seq("score" -> DoubleType))
+    assert(AtomicCommit.read(spark, root).schema("score").dataType
+      === DoubleType)
+    // drop REMOVES the entry with the column
+    AtomicCommit.dropColumn(spark, root, store, "score")
+    assert(AtomicCommit.widenedOf(AtomicCommit.readManifest(store).get)
+      .isEmpty)
+    // widen-vs-append race: concurrent appends (new INT generations) and
+    // a widen commit, both CAS-retried — every row must read LONG after
+    val appends = (1 to 4).map { i =>
+      new Thread(() => AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((100L + i, 1.0f, i, "A")).toDF("k", "f2", "v", "p")
+          .drop("f2"), "p", 1))
+    }
+    appends.foreach(_.start())
+    AtomicCommit.widenColumn(spark, root, store, "v", LongType)
+    appends.foreach(_.join())
+    val end = AtomicCommit.read(spark, root)
+    assert(end.schema("v").dataType === LongType)
+    assert(end.select("v").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L, 10L))
+  }
 }
