@@ -46,9 +46,10 @@ object BroadcastStatsRule extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Upper bound on the side's bytes, defined only when the side is a
     * Project/Filter tree over a single graft catalog table. None =
-    * unknown — never hint.
+    * unknown — never hint. (Shared with [[JoinOrderRule]], which
+    * compares sides by the same estimate.)
     */
-  private def graftSideBytes(side: LogicalPlan): Option[Long] = {
+  private[plans] def graftSideBytes(side: LogicalPlan): Option[Long] = {
     def peel(p: LogicalPlan,
              preds: Seq[Expression]): Option[(DataSourceV2Relation, Seq[Expression])] =
       p match {

@@ -59,7 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DotProductRewrite)
     // AFTER V2ScanRelationPushDown (the pre-CBO batch), so the rule sees
-    // the pushed DataSourceV2ScanRelation + V1ScanWrapper it prices
+    // the pushed DataSourceV2ScanRelation + V1ScanWrapper it prices.
+    // Order matters: reorder joins FIRST, then hint broadcast sides of
+    // the reordered tree
+    ext.injectPreCBORule(_ => JoinOrderRule)
     ext.injectPreCBORule(_ => BroadcastStatsRule)
     // OPTIMIZE / VACUUM maintenance statements; everything else passes
     // verbatim to Spark's parser

@@ -473,9 +473,21 @@ final class GraftRelation(spark: SparkSession, val root: String,
       case None => (0L, Some(0L)) // declared, never written
       case Some(m) =>
         val parts = prunedEntriesFor(m, filters).keySet
-        (TableStats.sizeInBytes(root, m, parts),
-          TableStats.rowCount(root, m, parts)
-            .map(estimateFilteredRows(m, filters, parts, _)))
+        val bytes = TableStats.sizeInBytes(root, m, parts)
+        val physical = TableStats.rowCount(root, m, parts)
+        val estimated = physical.map(estimateFilteredRows(m, filters, parts, _))
+        // scale bytes by the predicate's row selectivity (Iceberg/Delta
+        // price filtered scans the same way) so a selectively-filtered
+        // big table broadcasts when its surviving slice is small.
+        // FLOORED at 1% — the NDV behind equality selectivity is a
+        // summed-HLL UPPER bound, so the row estimate can run low, and
+        // a floor keeps a bad estimate from broadcasting something huge
+        val scaled = (physical, estimated) match {
+          case (Some(p), Some(e)) if p > 0 =>
+            math.max(1L, (bytes * math.max(e.toDouble / p, 0.01)).toLong)
+          case _ => bytes
+        }
+        (scaled, estimated)
     }
 
   /** Sub-partition SELECTIVITY from the sidecars' column statistics

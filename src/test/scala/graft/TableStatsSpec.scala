@@ -246,6 +246,81 @@ class TableStatsSpec extends SparkSpec {
     }
   }
 
+  test("selectivity scales the BYTE price: a selective filter broadcasts a big table") {
+    val root = Files.createTempDirectory("graft_ts_selbytes").toString
+    // ONE partition (no partition pruning available) — only the NDV
+    // selectivity can shrink the price. 20k padded rows, k unique.
+    DataSkipping.commitWithStats(spark, root,
+      spark.range(20000).select(col("id").as("k"),
+        concat(lit("pad-pad-pad-pad-"), col("id")).as("s"),
+        lit("A").as("p")), "p", Seq("k"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.sb", root)
+    try withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "65536") {
+      val rel = new graft.sources.GraftRelation(spark, root,
+        new graft.sources.PosixManifestStore(root), None)
+      assert(rel.sizeInBytes > 65536L,
+        "premise: the unfiltered table must exceed the threshold")
+      val fact = spark.range(400000).withColumnRenamed("id", "k")
+      fact.createOrReplaceTempView("selfact")
+      val q = spark.sql(
+        "SELECT f.k FROM selfact f JOIN graft.sb d ON f.k = d.k WHERE d.k = 7")
+      assert(q.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        s"selectivity-priced slice must broadcast:\n" +
+          q.queryExecution.executedPlan.toString.take(2000))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      spark.conf.unset("spark.graft.table.sb")
+    }
+  }
+
+  test("join reorder: the selective small table joins before the big one") {
+    val dir = Files.createTempDirectory("graft_ts_reorder")
+    val (lRoot, mRoot, sRoot) =
+      (s"$dir/L", s"$dir/M", s"$dir/S")
+    DataSkipping.commitWithStats(spark, lRoot,
+      spark.range(1000).select(col("id").as("k"),
+        concat(lit("l-"), col("id")).as("lv"), lit("A").as("p")),
+      "p", Seq("k"))
+    DataSkipping.commitWithStats(spark, mRoot,
+      spark.range(50000).select(col("id").as("k"),
+        concat(lit("pad-pad-pad-"), col("id")).as("mv"), lit("A").as("p")),
+      "p", Seq("k"))
+    DataSkipping.commitWithStats(spark, sRoot,
+      spark.range(10).select(col("id").as("k"),
+        concat(lit("s-"), col("id")).as("sv"), lit("A").as("p")),
+      "p", Seq("k"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.jl", lRoot)
+    spark.conf.set("spark.graft.table.jm", mRoot)
+    spark.conf.set("spark.graft.table.js", sRoot)
+    val sql = """SELECT l.k, m.mv, s.sv FROM graft.jl l
+                |JOIN graft.jm m ON l.k = m.k
+                |JOIN graft.js s ON l.k = s.k""".stripMargin
+    try {
+      // written order joins the two big tables first; the rule moves the
+      // selective small side down so the intermediate stays small
+      val planOn = spark.sql(sql).queryExecution.optimizedPlan.toString
+      val (si, mi) = (planOn.indexOf(s"graft.js"), planOn.indexOf(s"graft.jm"))
+      assert(si >= 0 && mi >= 0, planOn.take(2000))
+      assert(si < mi,
+        s"small table must join below the big one:\n${planOn.take(2000)}")
+      assert(spark.sql(sql).count() === 10L)
+      // kill switch restores written order
+      withSQLConf("spark.graft.joinReorder.enabled" -> "false") {
+        val planOff = spark.sql(sql).queryExecution.optimizedPlan.toString
+        assert(planOff.indexOf("graft.jm") < planOff.indexOf("graft.js"),
+          s"disabled rule must keep written order:\n${planOff.take(2000)}")
+        assert(spark.sql(sql).count() === 10L)
+      }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      Seq("jl", "jm", "js").foreach(n =>
+        spark.conf.unset(s"spark.graft.table.$n"))
+    }
+  }
+
   test("column pruning scales the DSv2 price: narrow projection < full width") {
     val root = Files.createTempDirectory("graft_ts5").toString
     DataSkipping.commitWithStats(spark, root,
