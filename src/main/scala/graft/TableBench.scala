@@ -412,6 +412,26 @@ object TableBench {
       }
       require(!AtomicCommit.read(spark, rootC).columns.contains("body"),
         "dropped column still visible")
+      // r16: safe type widening is the same cost class — one props
+      // commit, zero data I/O; the read-side cast is one Project per
+      // narrow generation (compare the post-widen scan line with the
+      // baseline full scan above)
+      timed("WIDEN COLUMN v int->?  n/a, v is long; widen a fresh int col") {
+        AtomicCommit.addColumnsAtomic(spark, rootC, storeC,
+          org.apache.spark.sql.types.StructType.fromDDL("w INT"))
+      }
+      timed("ALTER COLUMN w TYPE BIGINT (metadata)") {
+        AtomicCommit.widenColumn(spark, rootC, storeC, "w",
+          org.apache.spark.sql.types.LongType)
+      }
+      val postWiden = timed("full scan+agg AFTER widen") {
+        AtomicCommit.read(spark, rootC)
+          .agg(count(lit(1)), sum(col("w"))).head().getLong(0)
+      }
+      require(postWiden == preCount,
+        s"widen changed the row count: $postWiden != $preCount")
+      require(AtomicCommit.read(spark, rootC).schema("w").dataType ==
+        org.apache.spark.sql.types.LongType, "widened type not visible")
     }
     // RUNTIME FILTERING (r16): a broadcast dim join's built key set
     // prunes the fact scan at execution ([[graft.plans
