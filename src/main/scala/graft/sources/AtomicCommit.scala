@@ -1830,12 +1830,34 @@ object AtomicCommit {
     // NULL-backfill here, so EVERY face — Scala reads, SQL, deletes,
     // merge, compaction — agrees on the logical schema (a rewrite then
     // materializes the NULLs and the footers take type ownership)
+    backfillAdded(scan, m)
+  }
+
+  private def backfillAdded(scan: DataFrame, m: Manifest): DataFrame =
     m.props.get(SchemaAddedProp)
       .map(org.apache.spark.sql.types.StructType.fromDDL)
       .fold(scan)(added => added.fields
         .filterNot(f => scan.columns.contains(f.name))
         .foldLeft(scan)((d, f) =>
           d.withColumn(f.name, lit(null).cast(f.dataType))))
+
+  /** [[scanManifest]] over EXPLICIT per-generation path lists (partition
+    * dirs or individual data files — [[DataSkipping.prunedScanPaths]]'
+    * output): same logical view, delete application, and added-column
+    * backfill; only WHICH bytes are listed differs. None when every
+    * slice was pruned (the caller's empty-scan path applies).
+    */
+  private[sources] def scanPaths(spark: SparkSession, root: String,
+                                 m: Manifest,
+                                 byGen: Seq[(String, Seq[String])]): Option[DataFrame] = {
+    if (byGen.isEmpty) return None
+    val ev = deleteEvidence(spark, root, m)
+    val scan = byGen.map { case (gen, paths) =>
+      applyDeletes(logicalView(readVerbatim(spark, s"$root/$gen",
+          m.partitionCol, paths), m),
+        m.partitionCol, gen, ev)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    Some(backfillAdded(scan, m))
   }
 
   /** The union of every deletion-vector generation the manifest's entries

@@ -316,6 +316,98 @@ object DataSkipping {
     }
   }
 
+  /** SCAN-path file pruning — [[readWhereAll]]'s per-owner/per-file
+    * evidence test generalized to the predicate shapes the graft scan
+    * pushes (closed ranges AND equality sets, the latter including
+    * RUNTIME join-key filters), with bloom evidence (envelope and
+    * per-file) refuting what min/max intervals can't. Returns the
+    * per-generation path lists to read: partition DIRECTORIES where no
+    * finer evidence exists, individual FILES where it does. None when
+    * no file-granular record exists under any owner of `m`'s entries —
+    * the caller keeps the dir-granular plan, so evidence-less tables
+    * see zero new plan shapes. NO residual filtering happens here: the
+    * engine above re-applies every predicate (pruning stays advisory),
+    * and both stats and blooms remain sound over merge-on-read deletes
+    * (deletion only shrinks a slice's value set).
+    */
+  private[sources] def prunedScanPaths(spark: SparkSession, root: String,
+      m: AtomicCommit.Manifest,
+      rangePreds: Seq[(String, Any, Any)],
+      eqPreds: Seq[(String, Seq[Any])]): Option[Seq[(String, Seq[String])]] = {
+    if (rangePreds.isEmpty && eqPreds.isEmpty) return None
+    val statsCache = scala.collection.mutable.Map.empty[String, Seq[ColStats]]
+    def statsOf(gen: String): Seq[ColStats] =
+      statsCache.getOrElseUpdate(gen, readStats(root, gen))
+    val bloomCache = scala.collection.mutable.Map.empty[String, Seq[ColBloom]]
+    def bloomsOf(gen: String): Seq[ColBloom] =
+      bloomCache.getOrElseUpdate(gen, readBlooms(root, gen))
+    // probe positions per (column, bloom params) — one tiny local job,
+    // cached across every partition and file of the table
+    val posCache = scala.collection.mutable.Map
+      .empty[(String, String, Int, Int, Long), Seq[Seq[Long]]]
+    def positions(c: String, vs: Seq[Any], b: ColBloom): Seq[Seq[Long]] =
+      posCache.getOrElseUpdate((c, b.dataType, b.numBits, b.numHashes, b.salt), {
+        val cols = vs.zipWithIndex.flatMap { case (v, i) =>
+          (0 until b.numHashes).map(h =>
+            pmod(xxhash64(lit(v).cast(b.dataType), lit(b.salt), lit(h)),
+              lit(b.numBits.toLong)).as(s"p${i}_$h"))
+        }
+        val row = spark.range(1).select(cols.toIndexedSeq: _*).head()
+        vs.indices.map(i =>
+          (0 until b.numHashes).map(h => row.getLong(i * b.numHashes + h)))
+      })
+    def bloomAdmitsAny(c: String, vs: Seq[Any], b: ColBloom): Boolean =
+      positions(c, vs, b).exists(_.forall { pos =>
+        (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
+      })
+    var sawFileEvidence = false
+    val byGen = m.entries.toSeq
+      .flatMap { case (pv, entry) => AtomicCommit.ownersOf(entry).map(_ -> pv) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (gen, pairs) =>
+        val paths = pairs.map(_._2).distinct.sorted.flatMap { pv =>
+          val dir = s"$root/$gen/${m.partitionCol}=$pv"
+          val sRecs = statsOf(gen).filter(_.partition == pv)
+          val bRecs = bloomsOf(gen).filter(_.partition == pv)
+          // every predicate must ADMIT the slice under every evidence
+          // kind it has; no record for (slice, column) ⇒ cannot prune
+          def keepSlice(statFor: String => Option[ColStats],
+                        bloomFor: String => Option[ColBloom]): Boolean =
+            rangePreds.forall { case (c, lo, hi) =>
+              statFor(c).forall(intersects(_, lo, hi))
+            } && eqPreds.forall { case (c, vs) =>
+              statFor(c).forall(s => vs.exists(v => intersects(s, v, v))) &&
+                bloomFor(c).forall(bloomAdmitsAny(c, vs, _))
+            }
+          if (!keepSlice(c => sRecs.find(s => s.col == c && s.file.isEmpty),
+              c => bRecs.find(b => b.col == c && b.file.isEmpty)))
+            Nil // this OWNER's slice is provably disjoint
+          else {
+            val cols = (rangePreds.map(_._1) ++ eqPreds.map(_._1)).toSet
+            val sFiles = sRecs.filter(r => r.file.nonEmpty && cols(r.col))
+            val bFiles = bRecs.filter(r => r.file.nonEmpty && cols(r.col))
+            if (sFiles.isEmpty && bFiles.isEmpty) Seq(dir)
+            else {
+              sawFileEvidence = true
+              val recorded = (sFiles.flatMap(_.file) ++
+                bFiles.flatMap(_.file)).toSet
+              val keepFiles = recorded.toSeq.filter(f => keepSlice(
+                c => sFiles.find(s => s.col == c && s.file.contains(f)),
+                c => bFiles.find(b => b.col == c && b.file.contains(f))))
+              // unrecorded data files have no evidence against them:
+              // scanned (generations are immutable — only foreign or
+              // hand-edited sidecars hit this)
+              val unrecorded = listParquet(dir).filterNot(recorded)
+              (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
+            }
+          }
+        }
+        gen -> paths
+      }
+      .filter(_._2.nonEmpty)
+    if (sawFileEvidence) Some(byGen) else None
+  }
+
   def readWhere(spark: SparkSession, root: String, store: ManifestStore,
                 colName: String, lower: Any, upper: Any): DataFrame =
     readWhereAll(spark, root, store, Seq((colName, lower, upper)))

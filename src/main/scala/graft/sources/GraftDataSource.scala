@@ -287,11 +287,20 @@ object GraftRelation {
 object GraftScanProbe {
   private val counts =
     new java.util.concurrent.ConcurrentHashMap[String, List[Int]]()
+  private val files =
+    new java.util.concurrent.ConcurrentHashMap[String, List[Int]]()
   private[sources] def record(root: String, n: Int): Unit =
     counts.merge(root, List(n), (a, b) => a ++ b)
+  private[sources] def recordFiles(root: String, n: Int): Unit =
+    files.merge(root, List(n), (a, b) => a ++ b)
   def entriesSeen(root: String): Seq[Int] =
     Option(counts.get(root)).getOrElse(Nil)
-  def reset(root: String): Unit = { counts.remove(root); () }
+  /** Individual FILE paths listed per file-pruned scan build (empty when
+    * every build took the dir-granular plan).
+    */
+  def filesSeen(root: String): Seq[Int] =
+    Option(files.get(root)).getOrElse(Nil)
+  def reset(root: String): Unit = { counts.remove(root); files.remove(root); () }
 }
 
 object GraftDataSource {
@@ -604,11 +613,7 @@ final class GraftRelation(spark: SparkSession, val root: String,
     // interval fold alone under-prunes. Guarded by a value-count cap:
     // evidence testing is per-value work, and a huge IN list stops
     // paying for itself long before it stops being correct.
-    val eqSets: Seq[(String, Seq[Any])] = filters.toSeq.collect {
-      case In(c, vs) if c != pc && vs.nonEmpty && !vs.contains(null) &&
-          vs.length <= GraftRelation.EqSetPruneCap => c -> vs.toSeq
-      case EqualTo(c, v) if c != pc && v != null => c -> Seq(v)
-    }
+    val eqSets = eqSetsOf(filters, pc)
     eqSets.groupBy(_._1).foreach { case (c, sets) =>
       // conjunction: every IN/= on the column must admit the entry
       sets.map(_._2).foreach { vs =>
@@ -652,6 +657,28 @@ final class GraftRelation(spark: SparkSession, val root: String,
     }
     entries
   }
+
+  /** The equality-SET predicates among pushed/runtime filters, for
+    * evidence-based pruning (partition entries AND per-file records):
+    * `IN` lists under the cap and single equalities, never on the
+    * partition column (step 1 prunes that off the manifest directly).
+    */
+  private def eqSetsOf(filters: Array[Filter], pc: String): Seq[(String, Seq[Any])] =
+    filters.toSeq.collect {
+      case In(c, vs) if c != pc && vs.nonEmpty && !vs.contains(null) &&
+          vs.length <= GraftRelation.EqSetPruneCap => c -> vs.toSeq
+      case EqualTo(c, v) if c != pc && v != null => c -> Seq(v)
+    }
+
+  /** One eq-set per column: a conjunction of sets keeps only values in
+    * EVERY set ([[DataSkipping.looseCompare]]-matched, so an int probe
+    * of a long column's list still intersects).
+    */
+  private def eqSetsMerged(filters: Array[Filter], pc: String): Seq[(String, Seq[Any])] =
+    eqSetsOf(filters, pc).groupBy(_._1).toSeq.map { case (c, sets) =>
+      c -> sets.map(_._2).reduce((a, b) =>
+        a.filter(v => b.exists(w => DataSkipping.looseCompare(v, w) == 0)))
+    }
 
   /** The columns a RUNTIME filter (broadcast-join key set, [[graft.plans
     * .RuntimeFilterRule]]) can actually prune this snapshot on: the
@@ -720,7 +747,28 @@ final class GraftRelation(spark: SparkSession, val root: String,
     GraftScanProbe.record(root, entries.size)
     if (entries.isEmpty)
       return spark.sparkContext.emptyRDD[Row]
-    val base = AtomicCommit.scanManifest(spark, root, m.copy(entries = entries))
+    val pruned = m.copy(entries = entries)
+    // FILE-granular pruning inside surviving partitions: closed ranges
+    // and equality sets (runtime join keys included) test the per-file
+    // min/max + bloom records a recluster/z-order or stats-annotated
+    // commit wrote — a sorted layout reads only the files whose
+    // envelopes admit the predicate, not whole partition directories.
+    // None = no file evidence anywhere: the dir-granular plan unchanged.
+    val pc = m.partitionCol
+    val (lows, highs) = foldBounds(filters, pc)
+    val rangePreds = (lows.keySet & highs.keySet).toSeq.sorted
+      .map(c => (c, lows(c), highs(c)))
+    val base = DataSkipping.prunedScanPaths(spark, root, pruned,
+        rangePreds, eqSetsMerged(filters, pc)) match {
+      case Some(byGen) =>
+        GraftScanProbe.recordFiles(root,
+          byGen.flatMap(_._2).count(_.endsWith(".parquet")))
+        AtomicCommit.scanPaths(spark, root, pruned, byGen) match {
+          case Some(df) => df
+          case None => return spark.sparkContext.emptyRDD[Row]
+        }
+      case None => AtomicCommit.scanManifest(spark, root, pruned)
+    }
     // ALTER-added columns no footer carries yet: NULL-backfill so the
     // projection below (and Spark's residual filters above) resolve
     val df = addedOf(m).filterNot(f => base.columns.contains(f.name))

@@ -122,6 +122,58 @@ class RuntimeFilteringSpec extends SparkSpec {
     }
   }
 
+  test("file-granular pruning: pushed ranges and runtime keys read FILES, not directories") {
+    val root = Files.createTempDirectory("graft_rtf_files").toString
+    // every partition spans the full v range (no partition prunes), then
+    // recluster sorts by v into 6 files/dir: per-file min/max envelopes
+    // become disjoint v slabs
+    val rows = (0L until 3000L).map(i => (i * 7L, s"P${(i % 3).toInt}"))
+    DataSkipping.commitWithStats(spark, root, rows.toDF("v", "p"), "p",
+      Seq("v"))
+    graft.sources.Compaction.recluster(spark, root, Seq("v"),
+      filesPerDir = 6)
+    val totalFiles = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.filter(f => f.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(f)).count()
+      finally s.close()
+    }
+    assert(totalFiles >= 18, s"premise: multi-file dirs, got $totalFiles")
+    register("rtfiles", root)
+    try {
+      // STATIC closed range covering ~1/6 of the value space: the scan
+      // lists individual files, far fewer than the table holds
+      GraftScanProbe.reset(root)
+      val got = spark.sql(
+        "SELECT v FROM graft.rtfiles WHERE v BETWEEN 0 AND 3000").collect()
+      assert(got.length === 429)
+      val ranged = GraftScanProbe.filesSeen(root)
+      assert(ranged.nonEmpty, "range scan must take the file-pruned path")
+      assert(ranged.last <= totalFiles / 2,
+        s"range must prune files: read ${ranged.last} of $totalFiles")
+      // RUNTIME join keys prune to files too: 2 keys → ≤ 2 files/partition
+      Seq((700L, 1), (14000L, 1)).toDF("v2", "m")
+        .createOrReplaceTempView("rtdimf")
+      withSQLConf(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "4096") {
+        GraftScanProbe.reset(root)
+        val j = spark.sql(
+          """SELECT f.v FROM graft.rtfiles f
+            |JOIN rtdimf d ON f.v = d.v2""".stripMargin).collect()
+        assert(j.map(_.getLong(0)).sorted.toSeq === Seq(700L, 14000L))
+        val seen = GraftScanProbe.filesSeen(root)
+        assert(seen.nonEmpty, "runtime-filtered scan must prune files")
+        assert(seen.last <= 6,
+          s"2 keys must read ≤2 files per partition, read ${seen.last} " +
+            s"of $totalFiles")
+      }
+    } finally {
+      unregister("rtfiles")
+      spark.catalog.dropTempView("rtdimf")
+    }
+  }
+
   test("end-to-end: over-budget key sets fall back to the full scan") {
     val root = Files.createTempDirectory("graft_rtf_budget").toString
     AtomicCommit.commitReplacePartitions(spark, root,
