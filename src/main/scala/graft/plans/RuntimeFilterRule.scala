@@ -108,39 +108,80 @@ object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  private def canEval(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                      p: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(p.outputSet)
+
   private def tryFilter(j: Join, scanOnLeft: Boolean): Join = {
     val (scanSide, stageSide) =
       if (scanOnLeft) (j.left, j.right) else (j.right, j.left)
     val stage = GraftAqeBridge.materializedBroadcastStage(stageSide)
       .getOrElse(return j)
     val (scanRel, gs) = scanTarget(scanSide).getOrElse(return j)
-    // exactly one equi-pair between the scan's OWN output attributes
-    // and the stage side — aliases/casts in between disqualify (the
-    // column name must map 1:1 onto a physical scan column)
-    val pairs = splitConjunctivePredicates(j.condition.get).flatMap {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (scanRel.outputSet.contains(a) && stageSide.outputSet.contains(b))
-          Some((a, b))
-        else if (scanRel.outputSet.contains(b) &&
-          stageSide.outputSet.contains(a)) Some((b, a))
-        else None
-      case _ => None
+    // the conjuncts ExtractEquiJoinKeys turned into build keys, IN ORDER
+    // — indexing into the HashedRelation's key rows is only sound when
+    // this list reproduces that extraction exactly: plain `=` and `<=>`
+    // whose sides split cleanly between the join's children become
+    // keys; everything else is a residual. A `<=>` key (Coalesce-
+    // wrapped in the mode, same type) is COUNTED but never filtered on.
+    // Each entry carries the STAGE side's key type — what the bridge
+    // validates against the broadcast mode, packed-long layout included.
+    val keyish: Seq[(org.apache.spark.sql.types.DataType,
+        Option[(AttributeReference)])] =
+      splitConjunctivePredicates(j.condition.get).flatMap {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
+            if canEval(l, scanSide) && canEval(r, stageSide) =>
+          Some((r.dataType, l match {
+            case a: AttributeReference => Some(a)
+            case _ => None
+          }))
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r)
+            if canEval(l, stageSide) && canEval(r, scanSide) =>
+          Some((l.dataType, r match {
+            case a: AttributeReference => Some(a)
+            case _ => None
+          }))
+        case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r)
+            if (canEval(l, scanSide) && canEval(r, stageSide)) ||
+              (canEval(l, stageSide) && canEval(r, scanSide)) =>
+          Some((l.dataType, None))
+        case _ => None
+      }
+    if (keyish.isEmpty) return j
+    val dimTypes = keyish.map(_._1)
+    // the broadcast mode must be addressable for EXACTLY these key
+    // types (pairwise, or rewriteKeyExpr's packed-long layout) — any
+    // mismatch means the physical key order can't be trusted: stay out
+    if (!GraftAqeBridge.addressableHashMode(stage, dimTypes)) return j
+    val filterable = gs.relation.runtimeFilterable.toSet
+    val budget = maxKeys
+    val rfs: Seq[sf.Filter] = keyish.zipWithIndex.flatMap {
+      case ((_, Some(sk)), i)
+          if scanRel.outputSet.contains(sk) && filterable(sk.name) =>
+        GraftAqeBridge.broadcastKeyValuesAt(stage, i, dimTypes, budget)
+          .toSeq.flatMap {
+            case GraftAqeBridge.KeySet(vs) =>
+              Seq(sf.In(sk.name, vs.toArray))
+            case GraftAqeBridge.KeyRange(lo, hi) =>
+              // over budget: the keys' [min, max] still prunes through
+              // the min/max sidecar envelopes at ANY key count
+              Seq(sf.GreaterThanOrEqual(sk.name, lo),
+                sf.LessThanOrEqual(sk.name, hi))
+          }
+      case _ => Nil
     }
-    if (pairs.length != 1) return j
-    val (scanKey, dimKey) = pairs.head
-    if (!gs.relation.runtimeFilterable.contains(scanKey.name)) return j
-    val values = GraftAqeBridge
-      .broadcastSingleKeyValues(stage, dimKey.dataType, maxKeys)
-      .getOrElse(return j)
+    if (rfs.isEmpty) return j
     val fresh = new GraftV1Scan(gs.relation, gs.required, gs.pushed)
-    fresh.filter(Array[sf.Filter](sf.In(scanKey.name, values.toArray)))
+    fresh.filter(rfs.toArray)
     if (fresh.runtime.isEmpty) return j // scan declined: keep full plan
     val rewrapped = GraftV2Bridge.rewrap(scanRel.scan, fresh)
     val newScanSide = scanSide.transformUp {
       case r: DataSourceV2ScanRelation if r.scan eq scanRel.scan =>
         r.copy(scan = rewrapped)
     }
-    logInfo(s"graft runtime filter: ${values.length} ${scanKey.name} key(s) " +
+    logInfo(s"graft runtime filter: ${rfs.length} filter(s) " +
+      s"[${rfs.map { case f: sf.In => s"${f.attribute} IN(${f.values.length})"
+        case f => f.toString.take(40) }.mkString(", ")}] " +
       s"pushed into ${gs.relation.root}")
     if (scanOnLeft) j.copy(left = newScanSide) else j.copy(right = newScanSide)
   }

@@ -512,6 +512,12 @@ final class GraftV1Scan(
         prunable(c) && vs != null && vs.nonEmpty
       case org.apache.spark.sql.sources.EqualTo(c, v) =>
         prunable(c) && v != null
+      // the over-budget fallback arrives as a [min, max] pair; the
+      // pruner folds the two one-sided bounds into a closed interval
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) =>
+        prunable(c) && v != null
+      case org.apache.spark.sql.sources.LessThanOrEqual(c, v) =>
+        prunable(c) && v != null
       case _ => false
     }
   }

@@ -4,18 +4,20 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.{HashedRelation, HashedRelationBroadcastMode, HashJoin, LongHashedRelation}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{AtomicType, DataType}
 
 /** The AQE internals graft's runtime-filter rule needs, exposed through
   * a package-located accessor (the same technique as
   * [[org.apache.spark.sql.classic.GraftBridge]] — Delta and Iceberg
   * ship equivalents): recognizing a MATERIALIZED broadcast query stage
   * inside the runtime-optimizer's logical plan, and extracting the
-  * distinct key values its [[HashedRelation]] was built over. Nothing
-  * else crosses the boundary.
+  * distinct values (or, over budget, the [min, max] bounds) of one key
+  * column of the [[HashedRelation]] it was built over. Nothing else
+  * crosses the boundary.
   *
   * Extraction mirrors Spark's own `SubqueryBroadcastExec` (the DPP
   * executor): iterate `HashedRelation.keys()`, unpack via
@@ -23,6 +25,16 @@ import org.apache.spark.sql.types.DataType
   * [[BoundReference]] otherwise, project, convert to Scala values.
   */
 object GraftAqeBridge {
+
+  /** A broadcast build side's key evidence for ONE key column: the
+    * distinct non-null values when they fit the budget, or just their
+    * [min, max] bounds when they don't — bounds still prune through
+    * min/max sidecar envelopes at any key count (the Delta/Iceberg
+    * min-max DPP fallback).
+    */
+  sealed trait BroadcastKeys
+  final case class KeySet(values: Seq[Any]) extends BroadcastKeys
+  final case class KeyRange(min: Any, max: Any) extends BroadcastKeys
 
   /** The side's materialized broadcast stage, when the side IS one —
     * the runtime rule matches a join child directly (AQE substitutes
@@ -38,58 +50,122 @@ object GraftAqeBridge {
       case _ => None
     }
 
-  /** Distinct, non-null single-key values of a materialized broadcast
-    * hash-join stage — None unless the stage broadcasts a NON-null-aware
-    * [[HashedRelationBroadcastMode]] over exactly ONE key of
-    * `expectedType` (the type gate pins the mode's key to the join-side
-    * attribute the caller matched) with at most `maxKeys` distinct
-    * values. The cap is the fallback-to-full-scan budget: a huge build
-    * side stops paying for per-value pruning long before it stops being
-    * correct.
+  /** Whether the stage's broadcast is an ADDRESSABLE hash relation for
+    * a build side whose ORIGINAL key types are `keyTypes` (in extraction
+    * order) — either the mode carries one key per original key with
+    * matching types, or [[org.apache.spark.sql.execution.joins.HashJoin
+    * .rewriteKeyExpr]] PACKED several integral keys into one long
+    * ([[HashJoin.extractKeyExprAt]] unpacks by the original types'
+    * widths). Null-aware modes are rejected.
     */
-  def broadcastSingleKeyValues(stage: SparkPlan, expectedType: DataType,
-                               maxKeys: Int): Option[Seq[Any]] = stage match {
+  def addressableHashMode(stage: SparkPlan,
+                          keyTypes: Seq[DataType]): Boolean = stage match {
     case s: BroadcastQueryStageExec if s.isMaterialized =>
-      val mode = (s.broadcast: SparkPlan) match {
-        case b: BroadcastExchangeExec => Some(b.mode)
-        case ReusedExchangeExec(_, b: BroadcastExchangeExec) => Some(b.mode)
-        case _ => None
+      modeOf(s).exists {
+        case HashedRelationBroadcastMode(keys, false) =>
+          (keys.length == keyTypes.length &&
+            keys.map(_.dataType) == keyTypes) || packed(keys, keyTypes)
+        case _ => false
       }
-      mode match {
-        case Some(HashedRelationBroadcastMode(keys, false))
-            if keys.length == 1 && keys.head.dataType == expectedType =>
-          s.resultOption.get() match {
-            case Some(bc: Broadcast[_]) => bc.value match {
-              case hr: HashedRelation => extract(hr, keys, maxKeys)
-              case _ => None
-            }
-            case _ => None
-          }
+    case _ => false
+  }
+
+  /** The rewriteKeyExpr signature: several integral original keys, one
+    * long mode key, total width within 8 bytes.
+    */
+  private def packed(modeKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                     keyTypes: Seq[DataType]): Boolean = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def integral(t: DataType): Boolean =
+      t == ByteType || t == ShortType || t == IntegerType || t == LongType
+    modeKeys.length == 1 && modeKeys.head.dataType == LongType &&
+      keyTypes.length > 1 && keyTypes.forall(integral) &&
+      keyTypes.map(_.defaultSize).sum <= 8
+  }
+
+  private def modeOf(s: BroadcastQueryStageExec) = (s.broadcast: SparkPlan) match {
+    case b: BroadcastExchangeExec => Some(b.mode)
+    case ReusedExchangeExec(_, b: BroadcastExchangeExec) => Some(b.mode)
+    case _ => None
+  }
+
+  /** Distinct non-null values of ORIGINAL key column `index` of a
+    * materialized broadcast hash-join stage whose build keys had
+    * `keyTypes` — [[KeySet]] up to `maxKeys` distinct values,
+    * [[KeyRange]] beyond it (orderable types only), None when the stage
+    * isn't an addressable hash broadcast of those types
+    * ([[addressableHashMode]]).
+    */
+  def broadcastKeyValuesAt(stage: SparkPlan, index: Int,
+                           keyTypes: Seq[DataType],
+                           maxKeys: Int): Option[BroadcastKeys] = stage match {
+    case s: BroadcastQueryStageExec
+        if addressableHashMode(stage, keyTypes) && index < keyTypes.length =>
+      val isPacked = modeOf(s).exists {
+        case HashedRelationBroadcastMode(keys, _) =>
+          keys.length == 1 && keyTypes.length > 1
+        case _ => false
+      }
+      s.resultOption.get() match {
+        case Some(bc: Broadcast[_]) => bc.value match {
+          case hr: HashedRelation =>
+            if (isPacked && !hr.isInstanceOf[LongHashedRelation])
+              None // packed mode implies the long layout; anything else
+                   // would be addressed wrongly — stay out
+            else extract(hr, keyTypes, index, maxKeys)
+          case _ => None
+        }
         case _ => None
       }
     case _ => None
   }
 
-  private def extract(
-      hr: HashedRelation,
-      keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
-      maxKeys: Int): Option[Seq[Any]] = {
-    val dt = keys.head.dataType
+  private def extract(hr: HashedRelation, keyTypes: Seq[DataType],
+                      index: Int, maxKeys: Int): Option[BroadcastKeys] = {
+    val dt = keyTypes(index)
+    // placeholders carry the TYPES extractKeyExprAt computes bit
+    // offsets from; the long relation's key rows hold one (packed) long
+    val placeholders = keyTypes.map(t => BoundReference(0, t, nullable = true))
     val expr = hr match {
-      case _: LongHashedRelation => HashJoin.extractKeyExprAt(keys, 0)
-      case _ => BoundReference(0, dt, keys.head.nullable)
+      case _: LongHashedRelation =>
+        HashJoin.extractKeyExprAt(placeholders, index)
+      case _ => BoundReference(index, dt, nullable = true)
     }
     val proj = UnsafeProjection.create(Seq(expr))
     val conv = CatalystTypeConverters.createToScalaConverter(dt)
+    val ordering: Option[Ordering[Any]] = dt match {
+      case _: AtomicType =>
+        scala.util.Try(TypeUtils.getInterpretedOrdering(dt)).toOption
+      case _ => None
+    }
     val out = scala.collection.mutable.LinkedHashSet.empty[Any]
+    var lo: Any = null
+    var hi: Any = null
+    var overBudget = false
     val it = hr.keys()
     while (it.hasNext) {
-      val r = proj(it.next())
+      // COPY the projected row: UnsafeProjection reuses its buffer, and
+      // the bounds below hold values across iterator steps (same move
+      // as SubqueryBroadcastExec's .map(_.copy()))
+      val r = proj(it.next()).copy()
       if (!r.isNullAt(0)) {
-        out += conv(r.get(0, dt))
-        if (out.size > maxKeys) return None // over budget: full scan
+        val v = r.get(0, dt)
+        ordering.foreach { ord =>
+          if (lo == null || ord.lt(v, lo)) lo = v
+          if (hi == null || ord.gt(v, hi)) hi = v
+        }
+        if (!overBudget) {
+          out += conv(v)
+          if (out.size > maxKeys) {
+            if (ordering.isEmpty) return None // no fallback possible
+            overBudget = true
+            out.clear() // bounds carry the evidence from here
+          }
+        }
       }
     }
-    Some(out.toSeq)
+    if (!overBudget) Some(KeySet(out.toSeq))
+    else if (lo == null) None
+    else Some(KeyRange(conv(lo), conv(hi)))
   }
 }

@@ -174,7 +174,73 @@ class RuntimeFilteringSpec extends SparkSpec {
     }
   }
 
-  test("end-to-end: over-budget key sets fall back to the full scan") {
+  test("multi-key joins filter per column (packed-long relation included)") {
+    val root = Files.createTempDirectory("graft_rtf_multi").toString
+    // disjoint a-ranges per partition; two int keys pack into Spark's
+    // LongHashedRelation, the trickiest key layout to address by index
+    val rows = (0 until 300).map(i =>
+      (i / 100 * 1000 + i % 100, i % 10, i.toString * 16, s"P${i / 100}"))
+    DataSkipping.commitWithStats(spark, root,
+      rows.toDF("a", "b", "pad", "p"), "p", Seq("a", "b"))
+    register("rtmulti", root)
+    Seq((1050, 0, "x")).toDF("a2", "b2", "tag")
+      .createOrReplaceTempView("rtdim2")
+    try withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096") {
+      GraftScanProbe.reset(root)
+      // hint the DIM as build side: the width-pruned two-int fact is
+      // small enough that Spark would otherwise broadcast IT (correct,
+      // but then no probe-side graft scan exists to filter)
+      val got = spark.sql(
+        """SELECT /*+ BROADCAST(d) */ f.a, f.b FROM graft.rtmulti f
+          |JOIN rtdim2 d ON f.a = d.a2 AND f.b = d.b2""".stripMargin)
+        .collect()
+      assert(got.toSeq.map(r => (r.getInt(0), r.getInt(1))) === Seq((1050, 0)))
+      val seen = GraftScanProbe.entriesSeen(root)
+      assert(seen.nonEmpty && seen.last === 1,
+        s"the a-key's IN must prune to P1, saw $seen")
+    } finally {
+      unregister("rtmulti")
+      spark.catalog.dropTempView("rtdim2")
+    }
+  }
+
+  test("over-budget key sets degrade to a [min,max] range, which still prunes") {
+    val root = Files.createTempDirectory("graft_rtf_range").toString
+    // disjoint k ranges per partition: 0-999 / 10000-10999 / 20000-20999;
+    // padded so the FACT stays over the broadcast threshold (the dim
+    // must be the build side for a runtime filter to exist)
+    val rows = (0L until 3000L).map(i => (i / 1000 * 10000 + i % 1000,
+      i.toString * 16, s"P${(i / 1000).toInt}"))
+    DataSkipping.commitWithStats(spark, root, rows.toDF("k", "pad", "p"), "p",
+      Seq("k"))
+    register("rtrange", root)
+    // 40 distinct keys (> budget 10), ALL inside P0's [0, 999] envelope
+    (0L until 40L).map(i => (i, 1)).toDF("k2", "m")
+      .createOrReplaceTempView("rtdimr")
+    try withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+      "spark.graft.runtimeFilter.maxKeys" -> "10") {
+      GraftScanProbe.reset(root)
+      val got = spark.sql(
+        """SELECT f.k FROM graft.rtrange f
+          |JOIN rtdimr d ON f.k = d.k2""".stripMargin).collect()
+      assert(got.length === 40)
+      val seen = GraftScanProbe.entriesSeen(root)
+      assert(seen.nonEmpty && seen.last === 1,
+        s"the [0,39] key range must prune to P0, saw $seen")
+    } finally {
+      unregister("rtrange")
+      spark.catalog.dropTempView("rtdimr")
+    }
+  }
+
+  // the join key here is the PARTITION column, whose entries prune only
+  // by equality/IN — the over-budget [min,max] fallback has no string-
+  // range mapping onto directory names, so the scan honestly reads all
+  test("end-to-end: over-budget keys on the partition column fall back to the full scan") {
     val root = Files.createTempDirectory("graft_rtf_budget").toString
     AtomicCommit.commitReplacePartitions(spark, root,
       (0L until 400L).map(i => (i, s"P${(i % 4).toInt}")).toDF("k", "p"), "p")
