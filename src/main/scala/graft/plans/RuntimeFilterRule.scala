@@ -29,27 +29,38 @@ import graft.sources.GraftV1Scan
   * one side IS a materialized broadcast stage and whose other side is a
   * Project/Filter tree over a graft catalog scan, extracts the
   * broadcast [[org.apache.spark.sql.execution.joins.HashedRelation]]'s
-  * distinct single-key values ([[GraftAqeBridge]], the same extraction
+  * distinct per-key-column values ([[GraftAqeBridge]], the same extraction
   * Spark's `SubqueryBroadcastExec` performs for DPP), and hands them to
   * the scan's STANDARD `SupportsRuntimeFiltering.filter` face as an
   * `IN` filter ([[GraftV1Scan.filter]]). AQE then replans the final
   * stage over the re-pruned scan — same shuffle count, different plan,
   * adopted.
   *
+  * Multi-key equi joins filter PER COLUMN — sound, because a probe row
+  * whose value for ANY key column appears in no build row cannot match;
+  * the per-column sets are a cartesian superset of the true key tuples.
+  * Key extraction replicates `ExtractEquiJoinKeys`' conjunct order
+  * exactly (the HashedRelation's key rows are addressed by index), with
+  * the bridge validating the broadcast mode against the original key
+  * types — `HashJoin.rewriteKeyExpr`'s packed-long layout included.
+  *
   * Soundness gates (every reject degrades to the unfiltered scan):
   *  - join types where pruning the probe side cannot drop an output
   *    row: Inner/Cross both sides, LeftSemi/RightOuter the left,
   *    LeftOuter the right;
-  *  - exactly ONE equi-pair between the scan relation's OWN output and
-  *    the stage side, and the broadcast mode built exactly one key of
-  *    the matched attribute's type — multi-key modes are skipped rather
-  *    than risk pairing values with the wrong column;
-  *  - the key column must be one the scan can actually prune on
-  *    ([[graft.sources.GraftRelation.runtimeFilterable]]: partition
-  *    column, hidden-transform source, stats/bloom-annotated);
+  *  - the keyish-conjunct list must be addressable against the
+  *    broadcast mode ([[GraftAqeBridge.addressableHashMode]]) — any
+  *    count/type mismatch means the physical key order can't be
+  *    trusted, and the rule stays out;
+  *  - filters land only on bare scan-output attributes of columns the
+  *    scan can actually prune ([[graft.sources.GraftRelation
+  *    .runtimeFilterable]]: partition column, hidden-transform source,
+  *    stats/bloom-annotated);
   *  - a key-count budget (`spark.graft.runtimeFilter.maxKeys`, default
-  *    1024): above it the build side is too wide for per-value evidence
-  *    testing to pay, and the scan stays full.
+  *    1024): beyond it per-value evidence testing stops paying, and the
+  *    filter degrades to the key set's [min, max] bounds — which still
+  *    prune min/max envelopes at any key count (orderable types), or to
+  *    the full scan when no ordering exists.
   */
 object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
