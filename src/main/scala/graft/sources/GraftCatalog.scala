@@ -429,9 +429,11 @@ final class GraftTable(ident: String, relation: GraftRelation)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
-      with SupportsPushDownRequiredColumns {
+      with SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var filters: Array[Filter] = Array.empty
       private var required: StructType = relation.schema
+      private var agg: Option[(StructType, Seq[Seq[Any]])] = None
 
       override def pushFilters(fs: Array[Filter]): Array[Filter] = {
         filters = fs
@@ -439,7 +441,69 @@ final class GraftTable(ident: String, relation: GraftRelation)
       }
       override def pushedFilters(): Array[Filter] = filters
       override def pruneColumns(s: StructType): Unit =
-        required = if (s.isEmpty) relation.schema else s
+        if (agg.isEmpty) // a pushed aggregate owns the output schema
+          required = if (s.isEmpty) relation.schema else s
+
+      /** METADATA-ANSWERED AGGREGATES: COUNT(*)/COUNT(col)/MIN/MAX —
+        * optionally grouped by the partition column — answer from the
+        * manifest + stats sidecars without touching a data file
+        * ([[GraftRelation.metadataAggregate]]: per-partition PARTIAL
+        * rows; Spark's final aggregate folds them, so grouped and
+        * global shapes share one path). Rejected — Spark falls back to
+        * the ordinary scan — whenever the evidence cannot answer
+        * EXACTLY: residual filters, delete evidence, rename/drop
+        * mapping state, un-annotated generations, or any aggregate
+        * beyond the supported shapes (DISTINCT, SUM, AVG, expressions).
+        */
+      override def pushAggregation(
+          aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        import org.apache.spark.sql.connector.expressions.NamedReference
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        import org.apache.spark.sql.types.{LongType, StructField}
+        if (filters.nonEmpty) return false // residuals can't re-apply
+        val pc = relation.partitionColOpt.getOrElse(return false)
+        def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+            : Option[String] = e match {
+          case n: NamedReference if n.fieldNames().length == 1 =>
+            Some(n.fieldNames()(0))
+          case _ => None
+        }
+        val grouped = aggregation.groupByExpressions() match {
+          case Array() => false
+          case Array(g) if fieldOf(g).contains(pc) => true
+          case _ => return false
+        }
+        val specs = aggregation.aggregateExpressions().toSeq.map {
+          case _: CountStar => GraftRelation.CountStarSpec
+          case c: Count if !c.isDistinct =>
+            GraftRelation.CountColSpec(fieldOf(c.column()).getOrElse(return false))
+          case mn: Min =>
+            GraftRelation.MinSpec(fieldOf(mn.column()).getOrElse(return false))
+          case mx: Max =>
+            GraftRelation.MaxSpec(fieldOf(mx.column()).getOrElse(return false))
+          case _ => return false
+        }
+        if (specs.isEmpty) return false
+        val computed = scala.util.Try(relation.metadataAggregate(specs))
+          .toOption.flatten.getOrElse(return false)
+        val aggFields = specs.map {
+          case GraftRelation.CountStarSpec =>
+            StructField("count(*)", LongType, nullable = false)
+          case GraftRelation.CountColSpec(c) =>
+            StructField(s"count($c)", LongType, nullable = false)
+          case GraftRelation.MinSpec(c) =>
+            StructField(s"min($c)", relation.schema(c).dataType)
+          case GraftRelation.MaxSpec(c) =>
+            StructField(s"max($c)", relation.schema(c).dataType)
+        }
+        val outSchema = StructType(
+          (if (grouped) Seq(relation.schema(pc)) else Nil) ++ aggFields)
+        val rows = computed.map { case (pv, vals) =>
+          if (grouped) pv +: vals else vals
+        }
+        agg = Some((outSchema, rows))
+        true
+      }
 
       /** The scan reports filter-aware statistics
         * ([[GraftRelation.estimateStats]]): bytes and rows of only the
@@ -448,7 +512,10 @@ final class GraftTable(ident: String, relation: GraftRelation)
         * graft.small_dim JOIN big ...` auto-broadcasts exactly when the
         * slice the scan will read fits the broadcast threshold.
         */
-      override def build(): Scan = new GraftV1Scan(relation, required, filters)
+      override def build(): Scan = agg match {
+        case Some((outSchema, rows)) => new GraftAggScan(outSchema, rows)
+        case None => new GraftV1Scan(relation, required, filters)
+      }
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -551,5 +618,37 @@ final class GraftV1Scan(
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] =
         relation.buildScan(required.fieldNames, effective)
+    }.asInstanceOf[T]
+}
+
+/** Scan-free aggregate results: the V1 face of a PUSHED aggregation
+  * ([[GraftTable]]'s SupportsPushDownAggregates) — the per-partition
+  * partial rows were already computed from the manifest and sidecars at
+  * push time, so "execution" is materializing them as one driver-built
+  * RDD partition. Spark's final aggregate above folds the partials
+  * (sum of counts, min of mins), which is what makes the grouped and
+  * global shapes share this path.
+  */
+final class GraftAggScan(outSchema: StructType, rows: Seq[Seq[Any]])
+  extends V1Scan {
+
+  override def readSchema(): StructType = outSchema
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = outSchema
+      override def needConversion: Boolean = false
+      override def buildScan(): RDD[Row] = {
+        val convs = outSchema.fields.map(f =>
+          org.apache.spark.sql.catalyst.CatalystTypeConverters
+            .createToCatalystConverter(f.dataType))
+        val internal = rows.map(vs =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            vs.zip(convs.toSeq).map { case (v, c) => c(v) }.toArray)
+            : org.apache.spark.sql.catalyst.InternalRow)
+        context.sparkContext.parallelize(internal, 1).asInstanceOf[RDD[Row]]
+      }
     }.asInstanceOf[T]
 }

@@ -275,6 +275,15 @@ object GraftRelation {
     * key budget before a filter ever reaches here.
     */
   private[sources] val EqSetPruneCap = 100000
+
+  /** The aggregate shapes [[GraftRelation.metadataAggregate]] answers
+    * from sidecars: COUNT(*), COUNT(col) (non-distinct), MIN/MAX(col).
+    */
+  private[sources] sealed trait AggSpec
+  private[sources] case object CountStarSpec extends AggSpec
+  private[sources] final case class CountColSpec(col: String) extends AggSpec
+  private[sources] final case class MinSpec(col: String) extends AggSpec
+  private[sources] final case class MaxSpec(col: String) extends AggSpec
 }
 
 /** Scan observability for specs and benches: the manifest-entry count
@@ -367,6 +376,12 @@ final class GraftRelation(spark: SparkSession, val root: String,
   private def snapshot(): AtomicCommit.Manifest =
     snapshotOpt().getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
+
+  /** The table's partition column — committed manifest first, the
+    * catalog declaration before the first commit.
+    */
+  private[sources] def partitionColOpt: Option[String] =
+    snapshotOpt().map(_.partitionCol).orElse(declared.map(_._1))
 
   /** `ALTER TABLE ADD COLUMN` columns not yet carried by any footer
     * ([[AtomicCommit.SchemaAddedProp]]): part of the SQL schema, NULL at
@@ -555,6 +570,105 @@ final class GraftRelation(spark: SparkSession, val root: String,
         }
       }
     if (!applied) total else math.max(1L, math.round(est))
+  }
+
+  /** METADATA-ANSWERED AGGREGATES ([[GraftTable]]'s
+    * SupportsPushDownAggregates face): per-partition rows of
+    * `(count*, count(c), min(c), max(c))` values computed entirely from
+    * the manifest and the stats sidecars — `SELECT count(*) FROM
+    * graft.t` never scans a data file, at 100 rows or 100 TB (the same
+    * move Iceberg's metadata tables and JDBC's pushed aggregates make).
+    * Returns one value row per partition (PARTIAL results — Spark's
+    * final aggregate folds them: sum of counts, min of mins), or None
+    * when the evidence cannot answer EXACTLY:
+    *
+    *  - any entry carries delete evidence (DV positions or equality
+    *    records make physical counts/extrema overstate the logical
+    *    table);
+    *  - rename/drop mapping state exists (sidecars are keyed by
+    *    write-time physical names — translating them is [[AtomicCommit
+    *    .deleteEvidence]]-grade work a scan-free answer shouldn't risk);
+    *  - any owner generation of any partition lacks the envelope record
+    *    a requested column needs (no evidence = no answer, never a
+    *    guess).
+    *
+    * The partition column itself needs no sidecars: its per-partition
+    * "values" ARE the entry keys (never null).
+    */
+  private[sources] def metadataAggregate(specs: Seq[GraftRelation.AggSpec])
+      : Option[Seq[(String, Seq[Any])]] = {
+    import GraftRelation._
+    val m = snapshotOpt().getOrElse(return None)
+    if (AtomicCommit.renamesOf(m).nonEmpty ||
+      AtomicCommit.droppedOf(m).nonEmpty) return None
+    if (m.entries.values.exists(e => AtomicCommit.dvOf(e).isDefined))
+      return None
+    val pc = m.partitionCol
+    val rowsByPart = TableStats.partitionRows(root, m).getOrElse(return None)
+    // per (gen, partition, col) envelope records, loaded once
+    val gens = m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+    val byGen: Map[String, Map[(String, String), DataSkipping.ColStats]] =
+      gens.map(g => g -> DataSkipping.readStats(root, g)
+        .filter(_.file.isEmpty).map(s => (s.partition, s.col) -> s).toMap)
+        .toMap
+    def kindCompare(kind: String, a: String, b: String): Int =
+      if (kind == "num")
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+      else DataSkipping.cpCompare(a, b)
+    // evidence per (partition, col): Some((nulls, minOpt, maxOpt, kind))
+    // combined across owners; None when any owner lacks the record
+    def colEvidence(pv: String, c: String)
+        : Option[(Long, Option[String], Option[String], String)] = {
+      val recs = AtomicCommit.ownersOf(m.entries(pv))
+        .map(g => byGen(g).get((pv, c)))
+      if (recs.exists(_.isEmpty)) return None
+      val rs = recs.flatten
+      val kind = rs.head.kind
+      val mins = rs.flatMap(_.min)
+      val maxs = rs.flatMap(_.max)
+      Some((rs.map(_.nulls).sum,
+        if (mins.isEmpty) None else Some(mins.min(Ordering.fromLessThan[String](
+          (a, b) => kindCompare(kind, a, b) < 0))),
+        if (maxs.isEmpty) None else Some(maxs.max(Ordering.fromLessThan[String](
+          (a, b) => kindCompare(kind, a, b) < 0))),
+        kind))
+    }
+    def parse(v: String, dt: org.apache.spark.sql.types.DataType): Any = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case ByteType => v.toByte
+        case ShortType => v.toShort
+        case IntegerType => new java.math.BigDecimal(v).intValueExact()
+        case LongType => new java.math.BigDecimal(v).longValueExact()
+        case FloatType => v.toFloat
+        case DoubleType => v.toDouble
+        case d: DecimalType => new java.math.BigDecimal(v)
+          .setScale(d.scale): java.math.BigDecimal
+        case StringType => v
+        case other => sys.error(s"unsupported aggregate type $other")
+      }
+    }
+    val schemaTypes = schema.map(f => f.name -> f.dataType).toMap
+    val out = m.entries.keySet.toSeq.sorted.map { pv =>
+      val values = specs.map {
+        case CountStarSpec => rowsByPart(pv)
+        case CountColSpec(c) =>
+          if (c == pc) rowsByPart(pv) // the partition column is never null
+          else rowsByPart(pv) - colEvidence(pv, c).getOrElse(return None)._1
+        case MinSpec(c) =>
+          if (c == pc) pv
+          else colEvidence(pv, c).getOrElse(return None) match {
+            case (_, mn, _, _) => mn.map(parse(_, schemaTypes(c))).orNull
+          }
+        case MaxSpec(c) =>
+          if (c == pc) pv
+          else colEvidence(pv, c).getOrElse(return None) match {
+            case (_, _, mx, _) => mx.map(parse(_, schemaTypes(c))).orNull
+          }
+      }
+      pv -> values
+    }
+    Some(out)
   }
 
   /** Snapshot bytes from the manifest's own file set ([[TableStats]]),

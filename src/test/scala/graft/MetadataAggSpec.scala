@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AtomicCommit, DataSkipping, Deletes, GraftScanProbe}
+
+/** METADATA-ANSWERED AGGREGATES ([[graft.sources.GraftTable]]'s
+  * SupportsPushDownAggregates face): COUNT(*)/COUNT(col)/MIN/MAX —
+  * optionally grouped by the partition column — answer from the
+  * manifest and stats sidecars without reading a data file. Proven
+  * scan-free the blunt way: the data files are physically DELETED and
+  * the answers survive. Everything the evidence cannot answer exactly
+  * (residual filters, delete evidence, DISTINCT/SUM shapes) falls back
+  * to the ordinary scan, asserted for correctness.
+  */
+class MetadataAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def register(name: String, root: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.graft.table.$name", root)
+  }
+  private def unregister(name: String): Unit = {
+    spark.conf.unset("spark.sql.catalog.graft")
+    spark.conf.unset(s"spark.graft.table.$name")
+  }
+
+  test("count/min/max answer from sidecars — even after the data files are gone") {
+    val root = Files.createTempDirectory("graft_magg").toString
+    // k: disjoint ranges per partition; s: strings; n: has nulls
+    val rows = (0L until 300L).map { i =>
+      val k = i / 100 * 1000 + i % 100
+      (k, s"s$k", if (i % 10 == 0) None else Some(i), s"P${(i / 100).toInt}")
+    }
+    DataSkipping.commitWithStats(spark, root,
+      rows.toDF("k", "s", "n", "p"), "p", Seq("k", "s", "n"))
+    register("ma", root)
+    try {
+      def agg(sql: String) = spark.sql(sql).collect()
+      GraftScanProbe.reset(root)
+      // global shapes
+      assert(agg("SELECT count(*) FROM graft.ma").head.getLong(0) === 300L)
+      assert(agg("SELECT min(k), max(k) FROM graft.ma").head
+        .let(r => (r.getLong(0), r.getLong(1))) === ((0L, 2099L)))
+      assert(agg("SELECT count(n) FROM graft.ma").head.getLong(0) === 270L,
+        "count(col) must subtract the recorded nulls")
+      assert(agg("SELECT min(s), max(s) FROM graft.ma").head
+        .let(r => (r.getString(0), r.getString(1))) === (("s0", "s99")))
+      // the partition column itself: entry keys are the evidence
+      assert(agg("SELECT min(p), max(p), count(p) FROM graft.ma").head
+        .let(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        === (("P0", "P2", 300L)))
+      // grouped by the partition column
+      val grouped = agg(
+        "SELECT p, count(*), min(k) FROM graft.ma GROUP BY p ORDER BY p")
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(grouped === Seq(("P0", 100L, 0L), ("P1", 100L, 1000L),
+        ("P2", 100L, 2000L)))
+      // NONE of the above built a data scan
+      assert(GraftScanProbe.entriesSeen(root).isEmpty,
+        s"metadata aggregates must not scan: ${GraftScanProbe.entriesSeen(root)}")
+      // the blunt proof: remove every data file OUTSIDE one partition
+      // (one footer stays for schema probing) — answers don't change
+      val m = AtomicCommit.readManifest(root).get
+      for ((pv, e) <- m.entries if pv != "P0"; g <- AtomicCommit.ownersOf(e)) {
+        val dir = Paths.get(root, g, s"p=$pv")
+        val s0 = Files.walk(dir)
+        try s0.filter(f => Files.isRegularFile(f)).forEach(f => Files.delete(f))
+        finally s0.close()
+      }
+      assert(agg("SELECT count(*) FROM graft.ma").head.getLong(0) === 300L)
+      assert(agg("SELECT max(k) FROM graft.ma").head.getLong(0) === 2099L,
+        "P2's data files are gone; only the sidecars can know this")
+    } finally unregister("ma")
+  }
+
+  test("shapes the evidence cannot answer exactly fall back to the real scan") {
+    val root = Files.createTempDirectory("graft_magg_fb").toString
+    DataSkipping.commitWithStats(spark, root,
+      (0L until 100L).map(i => (i, s"P${(i % 2).toInt}")).toDF("k", "p"),
+      "p", Seq("k"))
+    register("mfb", root)
+    try {
+      def one(sql: String): Long = spark.sql(sql).collect().head.getLong(0)
+      // residual filter: pushAggregation never fires, the scan answers
+      GraftScanProbe.reset(root)
+      assert(one("SELECT count(*) FROM graft.mfb WHERE k >= 50") === 50L)
+      assert(GraftScanProbe.entriesSeen(root).nonEmpty,
+        "a filtered aggregate must run the real scan")
+      // DISTINCT and SUM aren't in the evidence: real scan, right answer
+      assert(one("SELECT count(DISTINCT k) FROM graft.mfb") === 100L)
+      assert(one("SELECT sum(k) FROM graft.mfb") === (0L until 100L).sum)
+      // delete evidence: physical counts overstate the logical table, so
+      // the pushdown refuses and the scan (DV-merged) answers
+      Deletes.deleteKeysMoR(spark, root, "k", Seq(7L, 8L))
+      GraftScanProbe.reset(root)
+      assert(one("SELECT count(*) FROM graft.mfb") === 98L)
+      assert(GraftScanProbe.entriesSeen(root).nonEmpty,
+        "delete evidence must force the real scan")
+      // a rename strands the sidecar names: refuse, scan, right answer
+      AtomicCommit.renameColumn(spark, root,
+        new graft.sources.PosixManifestStore(root), "k", "key")
+      assert(one("SELECT max(key) FROM graft.mfb") === 99L)
+    } finally unregister("mfb")
+  }
+
+  private implicit class LetOps[A](private val a: A) {
+    def let[B](f: A => B): B = f(a)
+  }
+}
