@@ -78,6 +78,30 @@ object TableBench {
     }
     require(full == ((n, 32 * n)), s"full read: $full")
 
+    // r16: METADATA-ANSWERED aggregates — the same count/extrema the
+    // full scan above computed, from the manifest + sidecars alone
+    // (SupportsPushDownAggregates; compare with the full-scan line)
+    {
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.graft.table.maggc", rootC)
+      graft.sources.GraftScanProbe.reset(rootC)
+      val r = timed("metadata count(*)+min/max(v) (no scan)") {
+        spark.sql(
+          "SELECT count(*), min(v), max(v) FROM graft.maggc").head()
+      }
+      require(r.getLong(0) == n && r.getLong(1) == 0L && r.getLong(2) == n - 1,
+        s"metadata aggregate wrong: $r")
+      require(graft.sources.GraftScanProbe.entriesSeen(rootC).isEmpty,
+        "metadata aggregate must not build a data scan")
+      val g = timed(s"metadata count(*) GROUP BY pk ($p groups)") {
+        spark.sql(
+          "SELECT pk, count(*) FROM graft.maggc GROUP BY pk").collect()
+      }
+      require(g.length == p && g.forall(_.getLong(1) == rowsPer),
+        "grouped metadata aggregate wrong")
+      spark.conf.unset("spark.graft.table.maggc")
+    }
+
     val two = timed("manifest-pruned scan (2 parts)") {
       scanned(AtomicCommit.readPartitions(spark, rootC, Seq("p0003", "p0004")).get)
     }
@@ -468,6 +492,37 @@ object TableBench {
           s"saw $seenOn (off: $seenOff)")
       println(s"[tablebench] runtime-filter scan entries: " +
         s"off=${seenOff.last} on=${seenOn.last} of $p")
+
+      // r16: FILE-granular runtime pruning — the reclustered (v-sorted)
+      // layout means 2 runtime join keys touch ~2 files per partition,
+      // not the partition directories (the join key is scattered across
+      // every partition, so entry-level pruning can't help here)
+      val totalFiles = AtomicCommit.read(spark, rootS).inputFiles.length
+      val vProbes = Seq(5L, n - 5L)
+      val expectV = AtomicCommit.read(spark, rootS)
+        .where(col("v").isin(vProbes: _*)).count()
+      spark.createDataFrame(vProbes.map(v => (v, 1)))
+        .toDF("v2", "m").createOrReplaceTempView("rt_dimv")
+      // the payload aggregate keeps the projected fact WIDE, so the dim
+      // (not the width-pruned fact) is the broadcast side
+      val qv = "SELECT count(*) AS c, sum(length(f.payload)) AS b " +
+        "FROM graft.rtfact f JOIN rt_dimv d ON f.v = d.v2"
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "false")
+      val offV = timed("v-key dim join, runtime filter OFF") {
+        spark.sql(qv).head()
+      }
+      spark.conf.set("spark.graft.runtimeFilter.enabled", "true")
+      graft.sources.GraftScanProbe.reset(rootS)
+      val onV = timed("v-key dim join, runtime filter ON (files)") {
+        spark.sql(qv).head()
+      }
+      require(onV.getLong(0) == expectV && offV.getLong(0) == expectV,
+        s"v-key join answer moved: on=$onV off=$offV expect=$expectV")
+      val filesSeen = graft.sources.GraftScanProbe.filesSeen(rootS)
+      require(filesSeen.nonEmpty && filesSeen.last < totalFiles / 2,
+        s"runtime keys must prune files: $filesSeen of $totalFiles")
+      println(s"[tablebench] runtime-filter files read: " +
+        s"${filesSeen.last} of $totalFiles")
     }
     spark.stop()
   }
