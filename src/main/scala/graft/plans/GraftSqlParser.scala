@@ -21,6 +21,7 @@ import graft.sources.{AtomicCommit, BranchStore, Compaction, DataSkipping, Manif
   * VACUUM graft.docs RETAIN 5 VERSIONS      -- time-travel horizon
   * VACUUM graft.docs RETAIN 72 HOURS        -- wall-clock window
   * DESCRIBE HISTORY graft.docs               -- the commit log, newest first
+  * DESCRIBE DETAIL graft.docs                -- one-row operational metadata
   * }}}
   *
   * Injected by [[GraftExtensions]] via `injectParser`: statements whose
@@ -75,6 +76,8 @@ object GraftSqlParser {
     raw"(?is)\s*VACUUM\s+$Target\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)$Tail".r
   private val DescHistRe =
     raw"(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+$Target$Tail".r
+  private val DescDetailRe =
+    raw"(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+$Target$Tail".r
   private val AnalyzeRe =
     raw"(?is)\s*ANALYZE\s+TABLE\s+$Target\s+COMPUTE\s+STATISTICS(?:\s+FOR\s+(?:ALL\s+(COLUMNS)|COLUMNS\s+([^;]+?)))?$Tail".r
   // ANALYZE TABLE is Spark grammar (and analysis-rejected for v2 tables),
@@ -93,7 +96,7 @@ object GraftSqlParser {
   // the claim requires `graft.` after the keyword, exactly like
   // AnalyzeLeadRe above.
   private val MaintLeadRe =
-    raw"(?is)\s*(OPTIMIZE|VACUUM|DESC(?:RIBE)?\s+HISTORY)\s+graft\..*".r
+    raw"(?is)\s*(OPTIMIZE|VACUUM|DESC(?:RIBE)?\s+(?:HISTORY|DETAIL))\s+graft\..*".r
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -111,6 +114,8 @@ object GraftSqlParser {
         Some(VacuumGraftTable(Option(bq).getOrElse(plain), None, None))
       case DescHistRe(bq, plain) =>
         Some(DescribeHistoryGraftTable(Option(bq).getOrElse(plain)))
+      case DescDetailRe(bq, plain) =>
+        Some(DescribeDetailGraftTable(Option(bq).getOrElse(plain)))
       case AnalyzeRe(bq, plain, all, colList) =>
         Some(AnalyzeGraftTable(Option(bq).getOrElse(plain),
           if (all != null || colList == null) None
@@ -127,7 +132,8 @@ object GraftSqlParser {
           "supported forms:\n" +
           "  OPTIMIZE graft.<table> [ZORDER BY (col1, col2, ...)]\n" +
           "  VACUUM graft.<table> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]\n" +
-          "  DESCRIBE HISTORY graft.<table>")
+          "  DESCRIBE HISTORY graft.<table>\n" +
+          "  DESCRIBE DETAIL graft.<table>")
       case _ => None
     }
 
@@ -202,6 +208,69 @@ final case class DescribeHistoryGraftTable(ident: String)
       Row(ci.version, when, ci.kind, ci.numPartitions.toLong,
         ci.changedPartitions.map(_.mkString(",")).orNull)
     }
+  }
+}
+
+/** `DESCRIBE DETAIL graft.t` (branch-addressable via `` graft.`t@dev` ``)
+  * — one row of operational table metadata, Delta's DESCRIBE DETAIL
+  * shape re-expressed for this format: location, partition column,
+  * current version + commit stamp, partition/file/byte/generation
+  * counts (all from [[TableStats]]' manifest walk — no data I/O), the
+  * CHECK constraints, and the schema-mapping state (rename chain,
+  * dropped set, widening targets, ALTER-added columns) that explains
+  * why old generations read differently than their footers.
+  */
+final case class DescribeDetailGraftTable(ident: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("partition_col", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", StringType, nullable = true)(),
+    AttributeReference("num_partitions", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_generations", LongType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = true)(),
+    AttributeReference("renamed_columns", StringType, nullable = true)(),
+    AttributeReference("dropped_columns", StringType, nullable = true)(),
+    AttributeReference("widened_columns", StringType, nullable = true)(),
+    AttributeReference("added_columns", StringType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, store, _) = GraftSqlParser.resolve(spark, ident)
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"graft: no committed table at $root"))
+    val when = m.props.get(AtomicCommit.CommitWhenProp)
+      .flatMap(_.toLongOption)
+      .map(ms => java.time.Instant.ofEpochMilli(ms).toString).orNull
+    val gens = m.entries.values
+      .flatMap(AtomicCommit.ownersOf).toSeq.distinct
+    val files = gens.map { g =>
+      val d = java.nio.file.Paths.get(root, g)
+      if (!java.nio.file.Files.isDirectory(d)) 0L
+      else {
+        val s = java.nio.file.Files.walk(d)
+        try s.filter(f => f.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(f)).count()
+        finally s.close()
+      }
+    }.sum
+    def orNull(s: String): String = if (s.isEmpty) null else s
+    val cons = AtomicCommit.constraints(store).toSeq.sorted
+      .map { case (n, sql) => s"$n CHECK ($sql)" }.mkString("; ")
+    val renamed = AtomicCommit.renamesOf(m)
+      .map { case (o, nn) => s"$o>$nn" }.mkString(";")
+    val dropped = AtomicCommit.droppedOf(m).toSeq.sorted.mkString(";")
+    val widened = AtomicCommit.widenedOf(m)
+      .map { case (c, t) => s"$c>${t.sql}" }.mkString(";")
+    val added = m.props.getOrElse(AtomicCommit.SchemaAddedProp, "")
+    Seq(Row("graft", root, m.partitionCol, m.version, when,
+      m.entries.size.toLong, files, TableStats.sizeInBytes(root, m),
+      gens.length.toLong, orNull(cons), orNull(renamed), orNull(dropped),
+      orNull(widened), orNull(added)))
   }
 }
 

@@ -207,6 +207,44 @@ class GraftSqlParserSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.table.rz")
   }
 
+  test("DESCRIBE DETAIL: one-row operational metadata, mapping state included") {
+    val root = Files.createTempDirectory("graft_sqldetail").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, 10, "A"), (2L, 20, "B")).toDF("k", "v", "p"), "p")
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((3L, 30, "A")).toDF("k", "v", "p"), "p", 1)
+    AtomicCommit.addConstraint(spark, root, "v_pos", "v > 0")
+    val store = new graft.sources.PosixManifestStore(root)
+    AtomicCommit.renameColumn(spark, root, store, "v", "w")
+    AtomicCommit.widenColumn(spark, root, store, "w",
+      org.apache.spark.sql.types.LongType)
+    spark.conf.set("spark.graft.table.dd", root)
+    try {
+      val r = spark.sql("DESCRIBE DETAIL graft.dd").collect().head
+      assert(r.getAs[String]("format") === "graft")
+      assert(r.getAs[String]("location") === root)
+      assert(r.getAs[String]("partition_col") === "p")
+      assert(r.getAs[Long]("version") ===
+        AtomicCommit.readManifest(root).get.version)
+      assert(r.getAs[String]("committed_at") != null)
+      assert(r.getAs[Long]("num_partitions") === 2L)
+      assert(r.getAs[Long]("num_files") >= 3L) // replace + append gens
+      assert(r.getAs[Long]("size_bytes") > 0L)
+      assert(r.getAs[Long]("num_generations") === 2L)
+      assert(r.getAs[String]("constraints").contains("v_pos"))
+      assert(r.getAs[String]("renamed_columns") === "v>w")
+      assert(r.getAs[String]("widened_columns") === "w>BIGINT")
+      assert(r.getAs[String]("dropped_columns") == null)
+      // wait — the rename rewrote the constraint to w; re-check text
+      assert(r.getAs[String]("constraints").contains("w"))
+      // DESC shorthand; malformed DETAIL fails with the graft grammar
+      assert(spark.sql("DESC DETAIL graft.dd").count() === 1L)
+      assert(intercept[Exception] {
+        spark.sql("DESCRIBE DETAIL graft.dd AS OF 3")
+      }.getMessage.contains("supported forms"))
+    } finally spark.conf.unset("spark.graft.table.dd")
+  }
+
   test("DESCRIBE HISTORY: the commit log as a result set, newest first") {
     val root = Files.createTempDirectory("graft_sqlhist").toString
     AtomicCommit.commitReplacePartitions(spark, root,
