@@ -430,10 +430,12 @@ final class GraftTable(ident: String, relation: GraftRelation)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters
       with SupportsPushDownRequiredColumns
-      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+      with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+      with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var filters: Array[Filter] = Array.empty
       private var required: StructType = relation.schema
       private var agg: Option[(StructType, Seq[Seq[Any]])] = None
+      private var limit: Option[Int] = None
 
       override def pushFilters(fs: Array[Filter]): Array[Filter] = {
         filters = fs
@@ -512,9 +514,19 @@ final class GraftTable(ident: String, relation: GraftRelation)
         * graft.small_dim JOIN big ...` auto-broadcasts exactly when the
         * slice the scan will read fits the broadcast threshold.
         */
+      /** PUSHED LIMIT, partial semantics (Spark re-applies the exact
+        * limit above the scan): the scan reads only a partition prefix
+        * the sidecar row counts PROVE covers the limit
+        * ([[GraftRelation.buildScan]]'s limit hint) — `SELECT * FROM t
+        * LIMIT 10` touches one partition of a thousand. Accepted only
+        * without filters (the counts describe unfiltered partitions).
+        */
+      override def pushLimit(n: Int): Boolean =
+        if (filters.isEmpty && n > 0) { limit = Some(n); true } else false
+
       override def build(): Scan = agg match {
         case Some((outSchema, rows)) => new GraftAggScan(outSchema, rows)
-        case None => new GraftV1Scan(relation, required, filters)
+        case None => new GraftV1Scan(relation, required, filters, limit)
       }
     }
 
@@ -553,7 +565,8 @@ final class GraftTable(ident: String, relation: GraftRelation)
 final class GraftV1Scan(
     private[graft] val relation: GraftRelation,
     private[graft] val required: StructType,
-    private[graft] val pushed: Array[Filter]) extends V1Scan
+    private[graft] val pushed: Array[Filter],
+    private[graft] val limitHint: Option[Int] = None) extends V1Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -617,7 +630,7 @@ final class GraftV1Scan(
       override def schema: StructType = required
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] =
-        relation.buildScan(required.fieldNames, effective)
+        relation.buildScan(required.fieldNames, effective, limitHint)
     }.asInstanceOf[T]
 }
 

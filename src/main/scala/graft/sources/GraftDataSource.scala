@@ -852,12 +852,39 @@ final class GraftRelation(spark: SparkSession, val root: String,
   }
 
   override def buildScan(requiredColumns: Array[String],
-                         filters: Array[Filter]): RDD[Row] = {
+                         filters: Array[Filter]): RDD[Row] =
+    buildScan(requiredColumns, filters, None)
+
+  /** [[buildScan]] with a PUSHED LIMIT hint (partial semantics — Spark
+    * re-applies the exact limit above): when the sidecars can PROVE a
+    * prefix of partitions holds at least `n` rows (complete row counts,
+    * no delete evidence that would make physical counts overstate the
+    * logical table, no filters whose survivors the counts don't
+    * describe), the scan reads only that prefix — `SELECT * FROM t
+    * LIMIT 10` touches one partition of a thousand. Unprovable = read
+    * everything, still correct.
+    */
+  private[sources] def buildScan(requiredColumns: Array[String],
+                                 filters: Array[Filter],
+                                 limitHint: Option[Int]): RDD[Row] = {
     val mOpt = snapshotOpt()
     if (mOpt.isEmpty) // declared, never written — zero rows, any projection
       return spark.sparkContext.emptyRDD[Row]
     val m = mOpt.get
-    val entries = prunedEntriesFor(m, filters)
+    var entries = prunedEntriesFor(m, filters)
+    limitHint.filter(_ > 0).filter(_ => filters.isEmpty).foreach { n =>
+      val hasDv = entries.values.exists(e => AtomicCommit.dvOf(e).isDefined)
+      if (!hasDv) TableStats.partitionRows(root, m).foreach { rows =>
+        var acc = 0L
+        val keep = scala.collection.mutable.LinkedHashSet.empty[String]
+        for (pv <- entries.keys.toSeq.sorted if acc < n) {
+          keep += pv
+          acc += rows.getOrElse(pv, 0L)
+        }
+        if (acc >= n) entries = entries.filter { case (pv, _) => keep(pv) }
+        // acc < n: the whole table is smaller than the limit — keep all
+      }
+    }
     GraftScanProbe.record(root, entries.size)
     if (entries.isEmpty)
       return spark.sparkContext.emptyRDD[Row]

@@ -106,6 +106,45 @@ class MetadataAggSpec extends SparkSpec {
     } finally unregister("mfb")
   }
 
+  test("LIMIT pushdown: a provable partition prefix is all the scan reads") {
+    val root = Files.createTempDirectory("graft_limit").toString
+    DataSkipping.commitWithStats(spark, root,
+      (0L until 400L).map(i => (i, s"P${(i % 4).toInt}")).toDF("k", "p"),
+      "p", Seq("k"))
+    register("ml", root)
+    try {
+      GraftScanProbe.reset(root)
+      assert(spark.sql("SELECT * FROM graft.ml LIMIT 10").collect()
+        .length === 10)
+      val seen = GraftScanProbe.entriesSeen(root)
+      assert(seen.nonEmpty && seen.last === 1,
+        s"LIMIT 10 must read 1 of 4 partitions, saw $seen")
+      // a limit past one partition's rows takes exactly enough
+      GraftScanProbe.reset(root)
+      assert(spark.sql("SELECT * FROM graft.ml LIMIT 150").collect()
+        .length === 150)
+      assert(GraftScanProbe.entriesSeen(root).last === 2)
+      // over the table size: everything, and everything comes back
+      GraftScanProbe.reset(root)
+      assert(spark.sql("SELECT * FROM graft.ml LIMIT 9999").collect()
+        .length === 400)
+      assert(GraftScanProbe.entriesSeen(root).last === 4)
+      // a filtered limit never prefix-prunes (counts describe the
+      // UNFILTERED partitions) — all rows still found
+      GraftScanProbe.reset(root)
+      assert(spark.sql(
+        "SELECT * FROM graft.ml WHERE k >= 396 LIMIT 10").collect()
+        .length === 4)
+      // delete evidence: physical counts overstate, prefix must not fire
+      Deletes.deleteKeysMoR(spark, root, "k", (0L until 99L).toSeq)
+      GraftScanProbe.reset(root)
+      assert(spark.sql("SELECT * FROM graft.ml LIMIT 30").collect()
+        .length === 30)
+      assert(GraftScanProbe.entriesSeen(root).last === 4,
+        "delete evidence must disable the prefix (counts unprovable)")
+    } finally unregister("ml")
+  }
+
   private implicit class LetOps[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }
