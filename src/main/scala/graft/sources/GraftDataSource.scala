@@ -298,10 +298,17 @@ object GraftScanProbe {
     new java.util.concurrent.ConcurrentHashMap[String, List[Int]]()
   private val files =
     new java.util.concurrent.ConcurrentHashMap[String, List[Int]]()
+  // a long-lived session builds thousands of scans: keep the newest
+  // window per root (observability, not accounting)
+  private def push(m: java.util.concurrent.ConcurrentHashMap[String, List[Int]],
+                   root: String, n: Int): Unit = {
+    m.merge(root, List(n), (a, b) => (a ++ b).takeRight(64))
+    if (m.size > 256) m.clear()
+  }
   private[sources] def record(root: String, n: Int): Unit =
-    counts.merge(root, List(n), (a, b) => a ++ b)
+    push(counts, root, n)
   private[sources] def recordFiles(root: String, n: Int): Unit =
-    files.merge(root, List(n), (a, b) => a ++ b)
+    push(files, root, n)
   def entriesSeen(root: String): Seq[Int] =
     Option(counts.get(root)).getOrElse(Nil)
   /** Individual FILE paths listed per file-pruned scan build (empty when
@@ -807,7 +814,10 @@ final class GraftRelation(spark: SparkSession, val root: String,
     case None => Nil
     case Some(m) =>
       val cached = filterableCache
-      if (cached != null && (cached._1 eq m.entries)) return cached._2
+      // VALUE equality: each snapshotOpt() re-reads the manifest into a
+      // fresh map, so a reference check would never hit and every call
+      // would re-read the sidecars
+      if (cached != null && cached._1 == m.entries) return cached._2
       val gens = m.entries.values.flatMap(AtomicCommit.ownersOf)
         .toSeq.distinct
       val evidenced = (gens.flatMap(g =>
