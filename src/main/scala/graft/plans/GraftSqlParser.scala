@@ -248,8 +248,14 @@ final case class DescribeDetailGraftTable(ident: String)
       .map(ms => java.time.Instant.ofEpochMilli(ms).toString).orNull
     val gens = m.entries.values
       .flatMap(AtomicCommit.ownersOf).toSeq.distinct
-    val files = gens.map { g =>
-      val d = java.nio.file.Paths.get(root, g)
+    // LIVE files only — the manifest's (generation, partition) dirs,
+    // the same walk TableStats prices size_bytes with. A whole-gen walk
+    // would also count superseded partition dirs a prior REPLACE left
+    // behind in a shared generation, overstating num_files vs size_bytes
+    val files = m.entries.toSeq.flatMap { case (pv, entry) =>
+      AtomicCommit.ownersOf(entry).map(g => (g, pv))
+    }.distinct.map { case (g, pv) =>
+      val d = java.nio.file.Paths.get(root, g, s"${m.partitionCol}=$pv")
       if (!java.nio.file.Files.isDirectory(d)) 0L
       else {
         val s = java.nio.file.Files.walk(d)

@@ -56,11 +56,18 @@ import graft.sources.GraftV1Scan
   *    scan can actually prune ([[graft.sources.GraftRelation
   *    .runtimeFilterable]]: partition column, hidden-transform source,
   *    stats/bloom-annotated);
-  *  - a key-count budget (`spark.graft.runtimeFilter.maxKeys`, default
-  *    1024): beyond it per-value evidence testing stops paying, and the
-  *    filter degrades to the key set's [min, max] bounds — which still
-  *    prune min/max envelopes at any key count (orderable types), or to
-  *    the full scan when no ordering exists.
+  *  - a TWO-TIER key-count budget. Up to `spark.graft.runtimeFilter
+  *    .maxKeys` (default 1024) the key set lands as a plain `IN` —
+  *    exact per-value pruning at every grain (partition map, hidden
+  *    transforms, intervals, blooms). Up to `spark.graft.runtimeFilter
+  *    .bloomMaxKeys` (default 131072) the FULL set still lands (plus
+  *    its [min, max] bounds): the scan probes bloom sidecars per key
+  *    with driver-local hashing ([[graft.sources.DataSkipping
+  *    .localPositions]]) and tests interval evidence with the bounds —
+  *    which is what keeps a 10^5-key dimension join pruning FILES on a
+  *    value-interleaved layout, where bounds alone prune nothing.
+  *    Beyond that, [min, max] bounds only (orderable types), or the
+  *    full scan when no ordering exists.
   */
 object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -68,6 +75,9 @@ object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     conf.getConfString("spark.graft.runtimeFilter.enabled", "true").toBoolean
   private def maxKeys: Int =
     conf.getConfString("spark.graft.runtimeFilter.maxKeys", "1024").toInt
+  private def bloomMaxKeys: Int =
+    conf.getConfString("spark.graft.runtimeFilter.bloomMaxKeys",
+      (1 << 17).toString).toInt
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -166,16 +176,27 @@ object RuntimeFilterRule extends Rule[LogicalPlan] with PredicateHelper {
     if (!GraftAqeBridge.addressableHashMode(stage, dimTypes)) return j
     val filterable = gs.relation.runtimeFilterable.toSet
     val budget = maxKeys
+    val hardBudget = bloomMaxKeys
     val rfs: Seq[sf.Filter] = keyish.zipWithIndex.flatMap {
       case ((_, Some(sk)), i)
           if scanRel.outputSet.contains(sk) && filterable(sk.name) =>
-        GraftAqeBridge.broadcastKeyValuesAt(stage, i, dimTypes, budget)
+        GraftAqeBridge.broadcastKeyValuesAt(stage, i, dimTypes, budget,
+          hardBudget)
           .toSeq.flatMap {
             case GraftAqeBridge.KeySet(vs) =>
               Seq(sf.In(sk.name, vs.toArray))
+            case GraftAqeBridge.KeyEvidence(vs, bounds) =>
+              // over the exact budget, within the extended one: the
+              // full set still lands (bloom sidecars probe it per key
+              // with local hashing) alongside its bounds (interval
+              // evidence tests those instead of 10^5 values)
+              sf.In(sk.name, vs.toArray) +: bounds.toSeq.flatMap {
+                case (lo, hi) => Seq(sf.GreaterThanOrEqual(sk.name, lo),
+                  sf.LessThanOrEqual(sk.name, hi))
+              }
             case GraftAqeBridge.KeyRange(lo, hi) =>
-              // over budget: the keys' [min, max] still prunes through
-              // the min/max sidecar envelopes at ANY key count
+              // over both budgets: the keys' [min, max] still prunes
+              // through the min/max sidecar envelopes at ANY key count
               Seq(sf.GreaterThanOrEqual(sk.name, lo),
                 sf.LessThanOrEqual(sk.name, hi))
           }

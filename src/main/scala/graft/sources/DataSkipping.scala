@@ -58,11 +58,21 @@ object DataSkipping {
     * `file = None` is the partition-level envelope (and the only record
     * kind pre-r13 sidecars carry — absent field parses as None).
     */
+  /** `sum` is the slice's EXACT non-null sum, DECIMAL-rendered
+    * (integral columns aggregate as decimal(38,0), decimals at their
+    * own scale — never float math), recorded only for types whose
+    * distributed sum is exact; absent elsewhere and on pre-r17
+    * sidecars. An absent sum with `nulls == rows` still carries
+    * evidence — the slice's true sum is EMPTY (all-null) — which is
+    * how [[GraftRelation.metadataAggregate]] answers `SUM(col)` over
+    * mixed old/new generations without guessing.
+    */
   final case class ColStats(partition: String, col: String, kind: String,
                             min: Option[String], max: Option[String],
                             nulls: Long, rows: Long,
                             file: Option[String] = None,
-                            ndv: Option[Long] = None)
+                            ndv: Option[Long] = None,
+                            sum: Option[String] = None)
 
   /** Stage → annotate → publish: [[AtomicCommit.commitReplacePartitions]]
     * with stats for `cols` recorded on the new generation.
@@ -111,13 +121,27 @@ object DataSkipping {
             "(numeric and string columns only)")
       }
     }.toMap
+    // exact-summable types aggregate their sum as DECIMAL in the same
+    // pass: integral at scale 0, decimal at its own scale — 38 digits
+    // of headroom, no overflow, no float rounding. Float/double sums
+    // are order-dependent and stay scan-only
+    val sumCast: Map[String, Option[String]] = cols.map { c =>
+      import org.apache.spark.sql.types._
+      c -> (data.schema.find(_.name == c).get.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some("decimal(38,0)")
+        case d: DecimalType => Some(s"decimal(38,${d.scale})")
+        case _ => None
+      })
+    }.toMap
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
       // HyperLogLog++ NDV per slice (same one-job pass): the planner's
       // selectivity evidence — ~2% relative error, summed upward by
       // [[TableStats.columnStats]]
-      approx_count_distinct(col(c)).as(s"__ndv_$c")))
+      approx_count_distinct(col(c)).as(s"__ndv_$c")) ++
+      sumCast(c).map(t => sum(col(c).cast(t)).as(s"__sum_$c")))
     // ONE job at FILE granularity (partition, data-file basename); the
     // partition-level envelopes are derived driver-side from the file
     // records — manifest-scale work, no second scan of the staged bytes
@@ -131,8 +155,11 @@ object DataSkipping {
       cols.map { c =>
         val mn = Option(r.getAs[Any](s"__min_$c")).map(_.toString)
         val mx = Option(r.getAs[Any](s"__max_$c")).map(_.toString)
+        val sm = sumCast(c).flatMap(_ =>
+          Option(r.getAs[java.math.BigDecimal](s"__sum_$c"))
+            .map(_.toPlainString))
         ColStats(p, c, kinds(c), mn, mx, r.getAs[Long](s"__nulls_$c"), n,
-          Some(f), Some(r.getAs[Long](s"__ndv_$c")))
+          Some(f), Some(r.getAs[Long](s"__ndv_$c")), sm)
       }
     }
     val partRecords = fileRecords.groupBy(s => (s.partition, s.col)).toSeq
@@ -190,13 +217,32 @@ object DataSkipping {
       .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
       .groupBy(_._1).map { case (g, ps) => g -> ps.map(_._2).sorted }
       .toSeq.sortBy(_._1)
+    // exact-summable columns (by the CURRENT table schema) also need a
+    // sum record — a pre-r17 envelope without one re-analyzes, while a
+    // double column (never summable) or an all-null slice (sum absent
+    // IS the evidence) stays complete, keeping re-runs free
+    val tableTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      scala.util.Try(AtomicCommit.scanManifest(spark, root, m).schema
+        .map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
+    def summable(c: String): Boolean = tableTypes.get(c).exists {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case _ => false
+    }
     var written = 0
     genParts.foreach { case (gen, parts) =>
       val existing = readStats(root, gen)
       val envelopes = existing.filter(_.file.isEmpty)
         .map(s => (s.partition, s.col) -> s).toMap
       val missing = parts.exists(p =>
-        cols.exists(c => !envelopes.get((p, c)).exists(_.ndv.isDefined)))
+        cols.exists { c =>
+          val e = envelopes.get((p, c))
+          !e.exists(_.ndv.isDefined) ||
+            (summable(c) && e.exists(r => r.sum.isEmpty && r.nulls < r.rows))
+        })
       if (missing) {
         val genPath = s"$root/$gen"
         val data = AtomicCommit.logicalView(
@@ -248,10 +294,19 @@ object DataSkipping {
       if (fs.forall(_.ndv.isDefined))
         Some(math.min(fs.flatMap(_.ndv).sum, math.max(1L, rows - nulls)))
       else None
+    // exact partition sum = decimal sum of file sums; a file with no
+    // sum is fine only when it is all-null (its true sum is empty)
+    val sum: Option[String] =
+      if (fs.forall(s => s.sum.isDefined || s.nulls == s.rows)) {
+        val vals = fs.flatMap(_.sum)
+        if (vals.isEmpty) None // all-null partition: nulls==rows says so
+        else scala.util.Try(
+          vals.map(new BigDecimal(_)).reduce(_.add(_)).toPlainString).toOption
+      } else None
     ColStats(p, c, kind,
       pick(fs.flatMap(_.min), takeMin = true),
       pick(fs.flatMap(_.max), takeMin = false),
-      nulls, rows, None, ndv)
+      nulls, rows, None, ndv, sum)
   }
 
   /** Snapshot read of rows with `colName` between `lower` and `upper`
@@ -291,11 +346,72 @@ object DataSkipping {
     }
   }
 
+  /** Per-value interval testing stops paying beyond this many values —
+    * a 10^5-key runtime join filter would run 10^5 BigDecimal compares
+    * per evidence record. Above it the SET's overall [min, max] bounds
+    * test the record instead (a sound superset — blooms, whose per-key
+    * probe stays cheap at any count via [[localPositions]], refute what
+    * bounds can't).
+    */
+  private[graft] val EqIntervalCap = 4096
+
+  /** The [min, max] of an equality set under [[looseCompare]]'s order —
+    * None when the values aren't comparable (callers degrade to admit).
+    */
+  private[graft] def valueBounds(vs: Seq[Any]): Option[(Any, Any)] =
+    scala.util.Try {
+      var lo = vs.head
+      var hi = vs.head
+      vs.foreach { v =>
+        if (looseCompare(v, lo) < 0) lo = v
+        if (looseCompare(v, hi) > 0) hi = v
+      }
+      (lo, hi)
+    }.toOption
+
+  /** Whether the stats record could hold ANY of `vs`: exact per-value
+    * interval tests under [[EqIntervalCap]], the set's overall bounds
+    * beyond it (`bounds` is evaluated lazily — only large sets pay it).
+    */
+  private def intervalAdmitsAny(s: ColStats, vs: Seq[Any],
+                                bounds: => Option[(Any, Any)]): Boolean =
+    if (vs.length <= EqIntervalCap) vs.exists(v => intersects(s, v, v))
+    else bounds.forall { case (lo, hi) => intersects(s, lo, hi) }
+
+  /** Bloom probe positions computed DRIVER-SIDE by evaluating the SAME
+    * Catalyst expression tree the sidecar writer ran in its Spark job —
+    * `pmod(xxhash64(cast(v AS dt), salt, h), numBits)` — interpreted,
+    * one value at a time. Parity with the job path is by construction
+    * (identical expression classes; DataSkippingSpec pins it bit-for-
+    * bit), and removing the per-parameter-tuple `spark.range(1)` job is
+    * what lets a RUNTIME join filter probe a 10^5-key set against
+    * per-file blooms in driver milliseconds instead of building a
+    * 300k-column local plan. `None` for a value whose cast/eval fails —
+    * callers treat it as "could be anywhere" (admit).
+    */
+  private[graft] def localPositions(values: Seq[Any], dataType: String,
+      numBits: Int, numHashes: Int, salt: Long): Seq[Option[Seq[Long]]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod, XxHash64}
+    val dt = scala.util.Try(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(dataType))
+    values.map { v =>
+      scala.util.Try {
+        val cast = Cast(Literal(v), dt.get)
+        (0 until numHashes).map { h =>
+          Pmod(new XxHash64(Seq(cast, Literal(salt), Literal(h))),
+            Literal(numBits.toLong)).eval(null).asInstanceOf[Long]
+        }: Seq[Long]
+      }.toOption
+    }
+  }
+
   /** The manifest entries that COULD hold a row with `colName` equal to
     * ANY of `values` — the multi-value (runtime join-filter) face of
     * [[prunedEntries]]: an entry survives when any owner generation
     * lacks evidence for it, or any value lands inside its [min, max]
-    * envelope. Blooms refute the rest ([[partitionsAdmittingAny]]).
+    * envelope (the set's overall bounds beyond [[EqIntervalCap]]).
+    * Blooms refute the rest ([[partitionsAdmittingAny]]).
     */
   private[sources] def entriesAdmittingAnyEq(root: String,
                                              m: AtomicCommit.Manifest,
@@ -306,11 +422,12 @@ object DataSkipping {
         .map(g => g -> readStats(root, g).filter(_.file.isEmpty)
           .map(s => (s.partition, s.col) -> s).toMap)
         .toMap
+    lazy val bounds = valueBounds(values)
     m.entries.filter { case (pv, entry) =>
       AtomicCommit.ownersOf(entry).exists { gen =>
         statsByGen(gen).get((pv, colName)) match {
           case None => true // no evidence — must scan
-          case Some(s) => values.exists(v => intersects(s, v, v))
+          case Some(s) => intervalAdmitsAny(s, values, bounds)
         }
       }
     }
@@ -341,25 +458,28 @@ object DataSkipping {
     val bloomCache = scala.collection.mutable.Map.empty[String, Seq[ColBloom]]
     def bloomsOf(gen: String): Seq[ColBloom] =
       bloomCache.getOrElseUpdate(gen, readBlooms(root, gen))
-    // probe positions per (column, bloom params) — one tiny local job,
-    // cached across every partition and file of the table
+    // probe positions per (column, bloom params) — local Catalyst eval
+    // ([[localPositions]]), cached across every partition and file of
+    // the table; an uncomputable probe (None) admits. The early-exit
+    // `exists` makes surviving slices cheap; fully-probed slices are
+    // the PRUNED ones, where the driver work buys skipped I/O
     val posCache = scala.collection.mutable.Map
-      .empty[(String, String, Int, Int, Long), Seq[Seq[Long]]]
-    def positions(c: String, vs: Seq[Any], b: ColBloom): Seq[Seq[Long]] =
-      posCache.getOrElseUpdate((c, b.dataType, b.numBits, b.numHashes, b.salt), {
-        val cols = vs.zipWithIndex.flatMap { case (v, i) =>
-          (0 until b.numHashes).map(h =>
-            pmod(xxhash64(lit(v).cast(b.dataType), lit(b.salt), lit(h)),
-              lit(b.numBits.toLong)).as(s"p${i}_$h"))
-        }
-        val row = spark.range(1).select(cols.toIndexedSeq: _*).head()
-        vs.indices.map(i =>
-          (0 until b.numHashes).map(h => row.getLong(i * b.numHashes + h)))
-      })
+      .empty[(String, String, Int, Int, Long), Seq[Option[Seq[Long]]]]
+    def positions(c: String, vs: Seq[Any], b: ColBloom): Seq[Option[Seq[Long]]] =
+      posCache.getOrElseUpdate((c, b.dataType, b.numBits, b.numHashes, b.salt),
+        localPositions(vs, b.dataType, b.numBits, b.numHashes, b.salt))
     def bloomAdmitsAny(c: String, vs: Seq[Any], b: ColBloom): Boolean =
-      positions(c, vs, b).exists(_.forall { pos =>
-        (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
-      })
+      positions(c, vs, b).exists {
+        case None => true
+        case Some(ps) => ps.forall { pos =>
+          (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
+        }
+      }
+    // large-set interval bounds, one per eq column (lazy map: small
+    // sets never compute them)
+    val eqBounds: Map[String, Option[(Any, Any)]] =
+      eqPreds.filter(_._2.length > EqIntervalCap)
+        .map { case (c, vs) => c -> valueBounds(vs) }.toMap
     var sawFileEvidence = false
     val byGen = m.entries.toSeq
       .flatMap { case (pv, entry) => AtomicCommit.ownersOf(entry).map(_ -> pv) }
@@ -376,7 +496,8 @@ object DataSkipping {
             rangePreds.forall { case (c, lo, hi) =>
               statFor(c).forall(intersects(_, lo, hi))
             } && eqPreds.forall { case (c, vs) =>
-              statFor(c).forall(s => vs.exists(v => intersects(s, v, v))) &&
+              statFor(c).forall(
+                intervalAdmitsAny(_, vs, eqBounds.getOrElse(c, None))) &&
                 bloomFor(c).forall(bloomAdmitsAny(c, vs, _))
             }
           if (!keepSlice(c => sRecs.find(s => s.col == c && s.file.isEmpty),
@@ -767,21 +888,19 @@ object DataSkipping {
     val bloomCache = scala.collection.mutable.Map.empty[String, Seq[ColBloom]]
     def bloomsOf(gen: String): Seq[ColBloom] =
       bloomCache.getOrElseUpdate(gen, readBlooms(root, gen))
-    // probe positions computed BY SPARK with the record's declared type,
-    // so build and probe run the identical xxhash64 — one tiny local job
-    // per distinct (type, params) tuple, cached across partitions
-    val posCache = scala.collection.mutable.Map.empty[(String, Int, Int, Long), Seq[Long]]
-    def positions(b: ColBloom): Seq[Long] =
-      posCache.getOrElseUpdate((b.dataType, b.numBits, b.numHashes, b.salt), {
-        val probe = lit(value).cast(b.dataType)
-        val cols = (0 until b.numHashes).map(i =>
-          pmod(xxhash64(probe, lit(b.salt), lit(i)), lit(b.numBits.toLong)).as(s"p$i"))
-        val row = spark.range(1).select(cols: _*).head()
-        (0 until b.numHashes).map(row.getLong)
-      })
-    def admits(b: ColBloom): Boolean = positions(b).forall { pos =>
+    // probe positions from the record's declared type via the SAME
+    // Catalyst expressions the writer ran ([[localPositions]]), cached
+    // per distinct (type, params) tuple across partitions; an
+    // uncomputable probe admits (cannot prune soundly)
+    val posCache = scala.collection.mutable.Map
+      .empty[(String, Int, Int, Long), Option[Seq[Long]]]
+    def positions(b: ColBloom): Option[Seq[Long]] =
+      posCache.getOrElseUpdate((b.dataType, b.numBits, b.numHashes, b.salt),
+        localPositions(Seq(value), b.dataType, b.numBits, b.numHashes,
+          b.salt).head)
+    def admits(b: ColBloom): Boolean = positions(b).forall(_.forall { pos =>
       (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
-    }
+    })
     // PER-OWNER and PER-FILE pruning (r13, symmetric with readWhere): the
     // key could live in any owner of an appended partition, but each
     // OWNER prunes independently, and within a multi-file owner slice
@@ -842,21 +961,16 @@ object DataSkipping {
     def bloomsOf(gen: String): Seq[ColBloom] =
       bloomCache.getOrElseUpdate(gen, readBlooms(root, gen))
     val posCache = scala.collection.mutable.Map
-      .empty[(String, Int, Int, Long), Seq[Seq[Long]]]
-    def positions(b: ColBloom): Seq[Seq[Long]] =
-      posCache.getOrElseUpdate((b.dataType, b.numBits, b.numHashes, b.salt), {
-        val cols = values.zipWithIndex.flatMap { case (v, i) =>
-          (0 until b.numHashes).map(h =>
-            pmod(xxhash64(lit(v).cast(b.dataType), lit(b.salt), lit(h)),
-              lit(b.numBits.toLong)).as(s"p${i}_$h"))
-        }
-        val row = spark.range(1).select(cols.toIndexedSeq: _*).head()
-        values.indices.map(i =>
-          (0 until b.numHashes).map(h => row.getLong(i * b.numHashes + h)))
-      })
-    def admitsAny(b: ColBloom): Boolean = positions(b).exists(_.forall { pos =>
-      (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
-    })
+      .empty[(String, Int, Int, Long), Seq[Option[Seq[Long]]]]
+    def positions(b: ColBloom): Seq[Option[Seq[Long]]] =
+      posCache.getOrElseUpdate((b.dataType, b.numBits, b.numHashes, b.salt),
+        localPositions(values, b.dataType, b.numBits, b.numHashes, b.salt))
+    def admitsAny(b: ColBloom): Boolean = positions(b).exists {
+      case None => true
+      case Some(ps) => ps.forall { pos =>
+        (b.words.getOrElse((pos >> 6).toInt, 0L) & (1L << (pos % 64).toInt)) != 0L
+      }
+    }
     m.entries.toSeq.sortBy(_._1).filter { case (pv, entry) =>
       AtomicCommit.ownersOf(entry).exists { gen =>
         bloomsOf(gen).find(b =>
@@ -979,11 +1093,12 @@ object DataSkipping {
     // `file` rendered only when present: partition-level records keep the
     // pre-r13 byte format, and an absent field parses back as None
     val fileField = s.file.map(v => s""""file":"${esc(v)}",""").getOrElse("")
-    // ndv rendered only when present: pre-r15 sidecars stay byte-stable
-    // and an absent field parses back as None
+    // ndv/sum rendered only when present: pre-r15/r17 sidecars stay
+    // byte-stable and an absent field parses back as None
     val ndvField = s.ndv.map(v => s""","ndv":$v""").getOrElse("")
+    val sumField = s.sum.map(v => s""","sum":"${esc(v)}"""").getOrElse("")
     s"""{"partition":"${esc(s.partition)}","col":"${esc(s.col)}",$fileField"kind":"${s.kind}",""" +
-      s""""min":${f(s.min)},"max":${f(s.max)},"nulls":${s.nulls},"rows":${s.rows}$ndvField}"""
+      s""""min":${f(s.min)},"max":${f(s.max)},"nulls":${s.nulls},"rows":${s.rows}$ndvField$sumField}"""
   }
   private def parseRecord(line: String): ColStats = {
     def str(name: String): String =
@@ -1006,6 +1121,6 @@ object DataSkipping {
         .map(_.group(1).toLong)
     ColStats(str("partition"), str("col"), str("kind"),
       optStr("min"), optStr("max"), num("nulls"), num("rows"),
-      absentOk("file"), optNum("ndv"))
+      absentOk("file"), optNum("ndv"), absentOk("sum"))
   }
 }

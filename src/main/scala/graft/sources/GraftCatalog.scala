@@ -283,11 +283,20 @@ final class GraftCatalog extends TableCatalog {
         "graft ALTER TABLE: nested ADD COLUMN is unsupported: " +
           a.fieldNames().mkString("."))
       val colName = a.fieldNames().head
-      // a new column is ALWAYS nullable here regardless of what the
-      // change declares: existing rows backfill NULL, so a NOT NULL add
-      // could never hold on a non-empty table — and MERGE ... WITH
-      // SCHEMA EVOLUTION routes AddColumn changes through this path
-      // with the SOURCE expression's (often non-null) flag
+      // a new column lands nullable: existing rows backfill NULL, so a
+      // NOT NULL add could never hold on a non-empty table. Explicit
+      // user DDL asking for NOT NULL is REJECTED (silently relaxing a
+      // declared constraint would swallow intent); analyzer-generated
+      // AddColumns — MERGE ... WITH SCHEMA EVOLUTION derives them from
+      // the SOURCE expression's (often non-null) flag — coerce, which
+      // is the semantics every lakehouse gives evolved columns
+      if (!a.isNullable) {
+        val analyzerGenerated = Thread.currentThread().getStackTrace
+          .exists(_.getClassName.contains("ResolveMergeIntoSchemaEvolution"))
+        require(analyzerGenerated,
+          s"graft ALTER TABLE: new column $colName cannot be NOT NULL — " +
+            "existing rows backfill NULL; add it nullable")
+      }
       require(a.position() == null,
         s"graft ALTER TABLE: new column $colName appends at the end only")
       toAdd = toAdd.add(colName, a.dataType(), nullable = true)
@@ -439,14 +448,28 @@ final class GraftTable(ident: String, relation: GraftRelation)
 
       override def pushFilters(fs: Array[Filter]): Array[Filter] = {
         filters = fs
-        fs // everything re-evaluates above the scan (pruning is advisory)
+        // partition-DECIDED shapes on a STRING partition column are
+        // fully enforced by manifest pruning — exact in both
+        // directions (the dir name IS the row value), so declaring
+        // them handled is sound, removes the residual Filter node, and
+        // thereby lets Spark push a LIMIT below (`WHERE lang='de'
+        // LIMIT 10` reads one partition's prefix). Everything else
+        // re-evaluates above the scan (pruning stays advisory)
+        relation.partitionColOpt.filter(pc =>
+          relation.schema.find(_.name == pc)
+            .exists(_.dataType == org.apache.spark.sql.types.StringType)) match {
+          case Some(pc) =>
+            fs.filterNot(GraftRelation.partitionDecided(pc, _))
+          case None => fs
+        }
       }
       override def pushedFilters(): Array[Filter] = filters
       override def pruneColumns(s: StructType): Unit =
         if (agg.isEmpty) // a pushed aggregate owns the output schema
           required = if (s.isEmpty) relation.schema else s
 
-      /** METADATA-ANSWERED AGGREGATES: COUNT(*)/COUNT(col)/MIN/MAX —
+      /** METADATA-ANSWERED AGGREGATES: COUNT(*)/COUNT(col)/MIN/MAX,
+        * plus SUM over exact-summable (integral/decimal) columns —
         * optionally grouped by the partition column — answer from the
         * manifest + stats sidecars without touching a data file
         * ([[GraftRelation.metadataAggregate]]: per-partition PARTIAL
@@ -454,8 +477,10 @@ final class GraftTable(ident: String, relation: GraftRelation)
         * global shapes share one path). Rejected — Spark falls back to
         * the ordinary scan — whenever the evidence cannot answer
         * EXACTLY: residual filters, delete evidence, rename/drop
-        * mapping state, un-annotated generations, or any aggregate
-        * beyond the supported shapes (DISTINCT, SUM, AVG, expressions).
+        * mapping state, un-annotated generations (or pre-sum sidecars
+        * for SUM), float/double SUM (order-dependent), or any
+        * aggregate beyond the supported shapes (DISTINCT, AVG,
+        * expressions).
         */
       override def pushAggregation(
           aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
@@ -475,6 +500,13 @@ final class GraftTable(ident: String, relation: GraftRelation)
           case Array(g) if fieldOf(g).contains(pc) => true
           case _ => return false
         }
+        import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, ShortType}
+        def summable(c: String): Boolean =
+          relation.schema.find(_.name == c).exists(_.dataType match {
+            case ByteType | ShortType | IntegerType | LongType => true
+            case _: DecimalType => true
+            case _ => false
+          })
         val specs = aggregation.aggregateExpressions().toSeq.map {
           case _: CountStar => GraftRelation.CountStarSpec
           case c: Count if !c.isDistinct =>
@@ -483,6 +515,12 @@ final class GraftTable(ident: String, relation: GraftRelation)
             GraftRelation.MinSpec(fieldOf(mn.column()).getOrElse(return false))
           case mx: Max =>
             GraftRelation.MaxSpec(fieldOf(mx.column()).getOrElse(return false))
+          case sm: Sum if !sm.isDistinct =>
+            // exact-summable columns only: float/double sums are
+            // order-dependent and belong to the scan
+            val c = fieldOf(sm.column()).getOrElse(return false)
+            if (!summable(c)) return false
+            GraftRelation.SumSpec(c)
           case _ => return false
         }
         if (specs.isEmpty) return false
@@ -497,6 +535,15 @@ final class GraftTable(ident: String, relation: GraftRelation)
             StructField(s"min($c)", relation.schema(c).dataType)
           case GraftRelation.MaxSpec(c) =>
             StructField(s"max($c)", relation.schema(c).dataType)
+          case GraftRelation.SumSpec(c) =>
+            // the partial column carries sum's RESULT type — what the
+            // final Sum aggregate above expects to fold
+            val dt = relation.schema(c).dataType match {
+              case d: DecimalType =>
+                DecimalType(math.min(38, d.precision + 10), d.scale)
+              case _ => LongType // integral family
+            }
+            StructField(s"sum($c)", dt)
         }
         val outSchema = StructType(
           (if (grouped) Seq(relation.schema(pc)) else Nil) ++ aggFields)
@@ -518,11 +565,20 @@ final class GraftTable(ident: String, relation: GraftRelation)
         * limit above the scan): the scan reads only a partition prefix
         * the sidecar row counts PROVE covers the limit
         * ([[GraftRelation.buildScan]]'s limit hint) — `SELECT * FROM t
-        * LIMIT 10` touches one partition of a thousand. Accepted only
-        * without filters (the counts describe unfiltered partitions).
+        * LIMIT 10` touches one partition of a thousand. Accepted
+        * without filters, OR when every pushed filter is FULLY decided
+        * by partition pruning ([[GraftRelation.partitionDecided]]:
+        * exact partition-column shapes) — then the surviving entries'
+        * counts still describe the filtered result and `WHERE
+        * lang='de' LIMIT 10` reads one partition's prefix.
         */
-      override def pushLimit(n: Int): Boolean =
-        if (filters.isEmpty && n > 0) { limit = Some(n); true } else false
+      override def pushLimit(n: Int): Boolean = {
+        val decided = relation.partitionColOpt.exists(pc =>
+          filters.forall(GraftRelation.partitionDecided(pc, _)))
+        if ((filters.isEmpty || decided) && n > 0) {
+          limit = Some(n); true
+        } else false
+      }
 
       override def build(): Scan = agg match {
         case Some((outSchema, rows)) => new GraftAggScan(outSchema, rows)

@@ -268,22 +268,57 @@ private[sources] object FilterColumns {
 }
 
 object GraftRelation {
-  /** Equality-set pruning cap: above this many IN values, evidence
-    * testing (per-value interval checks, bloom hash positions) costs
-    * more than it saves and step 2b skips — the scan stays correct,
-    * just unpruned. The runtime-filter rule applies its own (smaller)
-    * key budget before a filter ever reaches here.
+  /** Equality-set pruning cap: above this many IN values, per-value
+    * evidence testing stops being driver-affordable even with local
+    * hashing and the scan stays correct but unpruned. Large sets under
+    * the cap test cheaply: bloom probes hash locally
+    * ([[DataSkipping.localPositions]]) and interval evidence degrades
+    * to the set's overall bounds past [[DataSkipping.EqIntervalCap]].
+    * The runtime-filter rule applies its own key budgets before a
+    * filter ever reaches here.
     */
-  private[sources] val EqSetPruneCap = 100000
+  private[sources] val EqSetPruneCap = 1 << 20
+
+  /** A filter FULLY DECIDED by partition-entry pruning: after
+    * [[GraftRelation.prunedEntriesFor]] runs, EVERY row of every
+    * surviving partition satisfies it — which is exactly the condition
+    * under which the sidecars' per-partition row counts describe the
+    * filtered result, so a pushed LIMIT can still take the provable
+    * partition-prefix path (`WHERE lang='de' LIMIT 10` reads one
+    * partition's prefix). Only exact partition-column shapes qualify:
+    * a hidden-transform SOURCE equality (`ts = x` on a days(ts) table)
+    * prunes to the right day but the day holds non-matching rows, so
+    * its counts would overstate and the prefix could under-deliver.
+    */
+  private[sources] def partitionDecided(pc: String, f: Filter): Boolean =
+    f match {
+      case EqualTo(`pc`, v) => v != null
+      case EqualNullSafe(`pc`, v) => v != null
+      case In(`pc`, vs) => vs.nonEmpty && !vs.contains(null)
+      case IsNotNull(`pc`) => true // the partition column is never null
+      case _ => false
+    }
+
+  /** Hidden-partitioning transform pruning is per-value DRIVER work
+    * (each value maps through the transform and unions the surviving
+    * partition sets) — affordable for modest IN lists, not for a
+    * 10^5-key runtime filter. Beyond this cap the transform path
+    * skips; the set's [min, max] bounds (pushed alongside large
+    * runtime sets) still prune through [[HiddenPartitioning
+    * .pruneBySource]].
+    */
+  private[sources] val TransformPruneCap = 4096
 
   /** The aggregate shapes [[GraftRelation.metadataAggregate]] answers
-    * from sidecars: COUNT(*), COUNT(col) (non-distinct), MIN/MAX(col).
+    * from sidecars: COUNT(*), COUNT(col) (non-distinct), MIN/MAX(col),
+    * and SUM(col) over exact-summable (integral/decimal) columns.
     */
   private[sources] sealed trait AggSpec
   private[sources] case object CountStarSpec extends AggSpec
   private[sources] final case class CountColSpec(col: String) extends AggSpec
   private[sources] final case class MinSpec(col: String) extends AggSpec
   private[sources] final case class MaxSpec(col: String) extends AggSpec
+  private[sources] final case class SumSpec(col: String) extends AggSpec
 }
 
 /** Scan observability for specs and benches: the manifest-entry count
@@ -581,10 +616,13 @@ final class GraftRelation(spark: SparkSession, val root: String,
 
   /** METADATA-ANSWERED AGGREGATES ([[GraftTable]]'s
     * SupportsPushDownAggregates face): per-partition rows of
-    * `(count*, count(c), min(c), max(c))` values computed entirely from
-    * the manifest and the stats sidecars — `SELECT count(*) FROM
-    * graft.t` never scans a data file, at 100 rows or 100 TB (the same
-    * move Iceberg's metadata tables and JDBC's pushed aggregates make).
+    * `(count*, count(c), min(c), max(c), sum(c))` values computed
+    * entirely from the manifest and the stats sidecars — `SELECT
+    * count(*) FROM graft.t` never scans a data file, at 100 rows or
+    * 100 TB (the same move Iceberg's metadata tables and JDBC's pushed
+    * aggregates make). SUM is exact by construction: the sidecar
+    * records DECIMAL-rendered exact sums for integral/decimal columns
+    * only ([[DataSkipping.ColStats.sum]]).
     * Returns one value row per partition (PARTIAL results — Spark's
     * final aggregate folds them: sum of counts, min of mins), or None
     * when the evidence cannot answer EXACTLY:
@@ -656,6 +694,46 @@ final class GraftRelation(spark: SparkSession, val root: String,
       }
     }
     val schemaTypes = schema.map(f => f.name -> f.dataType).toMap
+    // SUM evidence per (partition, col): outer None = an owner lacks
+    // evidence (reject → scan); inner None = the slice's true sum is
+    // EMPTY (all owners all-null — a record whose `sum` is absent
+    // carries that exactly when nulls == rows)
+    def sumEvidence(pv: String, c: String)
+        : Option[Option[java.math.BigDecimal]] = {
+      val recs = AtomicCommit.ownersOf(m.entries(pv))
+        .map(g => byGen(g).get((pv, c)))
+      if (recs.exists(_.isEmpty)) return None
+      var acc: java.math.BigDecimal = null
+      recs.flatten.foreach { r =>
+        r.sum match {
+          case Some(s) =>
+            val v = scala.util.Try(new java.math.BigDecimal(s))
+              .getOrElse(return None)
+            acc = if (acc == null) v else acc.add(v)
+          case None =>
+            if (r.nulls != r.rows) return None // evidence gap, not all-null
+        }
+      }
+      Some(Option(acc))
+    }
+    // the value Spark's FINAL Sum aggregate folds: its partial column
+    // type is sum's RESULT type (long for integrals, widened decimal
+    // for decimals) — a value the exact decimal cannot render in that
+    // type (overflow) throws, which the push site catches → real scan
+    def sumValue(v: java.math.BigDecimal, c: String): Any = {
+      import org.apache.spark.sql.types._
+      schemaTypes(c) match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          v.longValueExact()
+        case d: DecimalType =>
+          val out = v.setScale(d.scale)
+          val cap = math.min(38, d.precision + 10)
+          if (out.precision > cap)
+            sys.error(s"sum($c) overflows decimal($cap,${d.scale})")
+          out
+        case other => sys.error(s"unexpected sum type $other")
+      }
+    }
     val out = m.entries.keySet.toSeq.sorted.map { pv =>
       val values = specs.map {
         case CountStarSpec => rowsByPart(pv)
@@ -672,6 +750,10 @@ final class GraftRelation(spark: SparkSession, val root: String,
           else colEvidence(pv, c).getOrElse(return None) match {
             case (_, _, mx, _) => mx.map(parse(_, schemaTypes(c))).orNull
           }
+        case SumSpec(c) =>
+          if (c == pc) return None // string-typed; SUM of it is the scan's
+          else sumEvidence(pv, c).getOrElse(return None)
+            .map(sumValue(_, c)).orNull
       }
       pv -> values
     }
@@ -763,7 +845,7 @@ final class GraftRelation(spark: SparkSession, val root: String,
           entries = HiddenPartitioning.pruneBySourceEq(
             m.copy(entries = entries), v, srcType)
         case In(`src`, vs) if vs.nonEmpty && !vs.contains(null) &&
-            vs.length <= GraftRelation.EqSetPruneCap =>
+            vs.length <= GraftRelation.TransformPruneCap =>
           // union of the per-value transform prunes: a partition
           // survives when ANY member value maps into it
           val keep = vs.map(v => HiddenPartitioning.pruneBySourceEq(
@@ -793,13 +875,29 @@ final class GraftRelation(spark: SparkSession, val root: String,
 
   /** One eq-set per column: a conjunction of sets keeps only values in
     * EVERY set ([[DataSkipping.looseCompare]]-matched, so an int probe
-    * of a long column's list still intersects).
+    * of a long column's list still intersects). Large×large pairs
+    * (pushed IN conjoined with a runtime join filter) intersect through
+    * a normalized hash set instead of the quadratic scan — same
+    * equivalence (numerics by BigDecimal value, everything else by
+    * rendered string, exactly looseCompare's classes).
     */
-  private def eqSetsMerged(filters: Array[Filter], pc: String): Seq[(String, Seq[Any])] =
-    eqSetsOf(filters, pc).groupBy(_._1).toSeq.map { case (c, sets) =>
-      c -> sets.map(_._2).reduce((a, b) =>
-        a.filter(v => b.exists(w => DataSkipping.looseCompare(v, w) == 0)))
+  private def eqSetsMerged(filters: Array[Filter], pc: String): Seq[(String, Seq[Any])] = {
+    def normKey(v: Any): String = v match {
+      case n: java.lang.Number =>
+        new java.math.BigDecimal(n.toString).stripTrailingZeros.toPlainString
+      case x => String.valueOf(x)
     }
+    eqSetsOf(filters, pc).groupBy(_._1).toSeq.map { case (c, sets) =>
+      c -> sets.map(_._2).reduce { (a, b) =>
+        if (a.length.toLong * b.length <= 1000000L)
+          a.filter(v => b.exists(w => DataSkipping.looseCompare(v, w) == 0))
+        else {
+          val keys = b.iterator.map(normKey).toSet
+          a.filter(v => keys(normKey(v)))
+        }
+      }
+    }
+  }
 
   /** The columns a RUNTIME filter (broadcast-join key set, [[graft.plans
     * .RuntimeFilterRule]]) can actually prune this snapshot on: the
@@ -882,7 +980,9 @@ final class GraftRelation(spark: SparkSession, val root: String,
       return spark.sparkContext.emptyRDD[Row]
     val m = mOpt.get
     var entries = prunedEntriesFor(m, filters)
-    limitHint.filter(_ > 0).filter(_ => filters.isEmpty).foreach { n =>
+    limitHint.filter(_ > 0)
+      .filter(_ => filters.forall(GraftRelation.partitionDecided(m.partitionCol, _)))
+      .foreach { n =>
       val hasDv = entries.values.exists(e => AtomicCommit.dvOf(e).isDefined)
       if (!hasDv) TableStats.partitionRows(root, m).foreach { rows =>
         var acc = 0L

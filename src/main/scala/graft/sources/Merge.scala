@@ -74,6 +74,17 @@ object Merge {
 
     def using(src: DataFrame): Builder = copy(source = Some(src))
 
+    /** Source-column presence under the session's name resolution
+      * (case-insensitive by default) — the same rule the analyzer uses
+      * to resolve `s.col` references, so a source spelled `V` satisfies
+      * a target column `v` everywhere instead of silently keeping the
+      * target's old value.
+      */
+    private def srcHas(src: DataFrame, c: String): Boolean = {
+      val resolver = spark.sessionState.conf.resolver
+      src.columns.exists(resolver(_, c))
+    }
+
     /** SCHEMA EVOLUTION: columns the source carries that the target
       * lacks are ADDED (one atomic props commit, [[AtomicCommit
       * .addColumnsAtomic]] — NULL-backfilled on every existing row)
@@ -142,8 +153,13 @@ object Merge {
         .getOption("spark.graft.merge.schemaEvolution").exists(_.toBoolean)
       val m = if (!evolve) m0 else {
         val tgtNow = AtomicCommit.scanManifest(spark, root, m0).schema
+        // new-column detection follows the session's name resolution
+        // (case-insensitive by default): a CDC batch carrying `ID`
+        // against target `id` matches the existing column rather than
+        // auto-ADDing a duplicate-modulo-case one
+        val resolver = spark.sessionState.conf.resolver
         val fresh = src.schema.fields
-          .filterNot(f => tgtNow.exists(_.name == f.name))
+          .filterNot(f => tgtNow.exists(t => resolver(t.name, f.name)))
         if (fresh.isEmpty) m0
         else {
           AtomicCommit.addColumnsAtomic(spark, root, store,
@@ -157,7 +173,7 @@ object Merge {
       val tgtCols = tgtSchema.fieldNames.toSeq
       keys.foreach { k =>
         require(tgtCols.contains(k), s"Merge key $k is not a target column")
-        require(src.columns.contains(k), s"Merge key $k is not a source column")
+        require(srcHas(src, k), s"Merge key $k is not a source column")
       }
       matched.collect { case Update(_, set) => set }
         .filter(_.contains(pc)).foreach(_ =>
@@ -224,7 +240,7 @@ object Merge {
               notMatched.flatMap { case Insert(_, values) =>
                 val pcExpr =
                   if (values.isEmpty) { // insertAll
-                    require(src.columns.contains(pc),
+                    require(srcHas(src, pc),
                       s"Merge insertAll: source must carry the partition column $pc")
                     col(s"s.$pc")
                   } else values.getOrElse(pc, lit(null))
@@ -279,7 +295,7 @@ object Merge {
             // SET of the partition column is rejected up front for the same
             // reason; updateAll keeps the row where it lives (documented).
             if (c == pc) keepT
-            else if (!src.columns.contains(c)) {
+            else if (!srcHas(src, c)) {
               // under schema evolution the target may carry columns an
               // individual CDC batch lacks: the row keeps its own value
               require(evolve,
@@ -289,7 +305,7 @@ object Merge {
           } else set.getOrElse(c, keepT)
         def insVal(values: Map[String, Column]): Column =
           if (values.isEmpty) {
-            if (!src.columns.contains(c)) {
+            if (!srcHas(src, c)) {
               require(evolve,
                 s"Merge updateAll/insertAll: source lacks target column $c")
               lit(null).cast(tgtSchema(c).dataType)
@@ -355,7 +371,7 @@ object Merge {
         val dt = tgtSchema(c).dataType
         def insVal(values: Map[String, Column]): Column =
           if (values.isEmpty) {
-            if (!src.columns.contains(c)) {
+            if (!srcHas(src, c)) {
               require(evolve,
                 s"Merge insertAll: source lacks target column $c")
               lit(null).cast(dt)

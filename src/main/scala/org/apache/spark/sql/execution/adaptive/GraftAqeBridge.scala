@@ -26,14 +26,20 @@ import org.apache.spark.sql.types.{AtomicType, DataType}
   */
 object GraftAqeBridge {
 
-  /** A broadcast build side's key evidence for ONE key column: the
-    * distinct non-null values when they fit the budget, or just their
-    * [min, max] bounds when they don't — bounds still prune through
-    * min/max sidecar envelopes at any key count (the Delta/Iceberg
-    * min-max DPP fallback).
+  /** A broadcast build side's key evidence for ONE key column, in
+    * decreasing exactness: the distinct non-null values when they fit
+    * the exact budget ([[KeySet]]); the full distinct set PLUS its
+    * bounds when they fit only the extended budget ([[KeyEvidence]] —
+    * the scan probes bloom sidecars per key with local hashing, and
+    * tests interval evidence with the bounds); just the [min, max]
+    * bounds beyond that ([[KeyRange]] — still prunes min/max sidecar
+    * envelopes at any key count, the Delta/Iceberg min-max DPP
+    * fallback).
     */
   sealed trait BroadcastKeys
   final case class KeySet(values: Seq[Any]) extends BroadcastKeys
+  final case class KeyEvidence(values: Seq[Any],
+                               bounds: Option[(Any, Any)]) extends BroadcastKeys
   final case class KeyRange(min: Any, max: Any) extends BroadcastKeys
 
   /** The side's materialized broadcast stage, when the side IS one —
@@ -70,8 +76,12 @@ object GraftAqeBridge {
     case _ => false
   }
 
-  /** The rewriteKeyExpr signature: several integral original keys, one
-    * long mode key, total width within 8 bytes.
+  /** The rewriteKeyExpr signature: integral original key(s) rewritten
+    * into ONE long mode key — several keys bit-packed within 8 bytes,
+    * or a LONE int/short/byte/long (the most common dim-join key shape)
+    * upcast to long. `HashJoin.extractKeyExprAt` unpacks both: by bit
+    * offset for the multi-key layout, a plain narrowing Cast for the
+    * single-key one.
     */
   private def packed(modeKeys: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
                      keyTypes: Seq[DataType]): Boolean = {
@@ -79,7 +89,7 @@ object GraftAqeBridge {
     def integral(t: DataType): Boolean =
       t == ByteType || t == ShortType || t == IntegerType || t == LongType
     modeKeys.length == 1 && modeKeys.head.dataType == LongType &&
-      keyTypes.length > 1 && keyTypes.forall(integral) &&
+      keyTypes.nonEmpty && keyTypes.forall(integral) &&
       keyTypes.map(_.defaultSize).sum <= 8
   }
 
@@ -92,27 +102,33 @@ object GraftAqeBridge {
   /** Distinct non-null values of ORIGINAL key column `index` of a
     * materialized broadcast hash-join stage whose build keys had
     * `keyTypes` — [[KeySet]] up to `maxKeys` distinct values,
-    * [[KeyRange]] beyond it (orderable types only), None when the stage
-    * isn't an addressable hash broadcast of those types
+    * [[KeyEvidence]] (values + bounds) up to `hardMaxKeys`,
+    * [[KeyRange]] beyond that (orderable types only), None when the
+    * stage isn't an addressable hash broadcast of those types
     * ([[addressableHashMode]]).
     */
   def broadcastKeyValuesAt(stage: SparkPlan, index: Int,
                            keyTypes: Seq[DataType],
-                           maxKeys: Int): Option[BroadcastKeys] = stage match {
+                           maxKeys: Int,
+                           hardMaxKeys: Int): Option[BroadcastKeys] = stage match {
     case s: BroadcastQueryStageExec
         if addressableHashMode(stage, keyTypes) && index < keyTypes.length =>
-      val isPacked = modeOf(s).exists {
+      // the mode key differs from the original keys exactly when
+      // rewriteKeyExpr packed/upcast them into one long — that layout
+      // is only addressable through the long relation's key rows
+      val rewritten = modeOf(s).exists {
         case HashedRelationBroadcastMode(keys, _) =>
-          keys.length == 1 && keyTypes.length > 1
+          keys.length == 1 && keys.map(_.dataType) != keyTypes
         case _ => false
       }
       s.resultOption.get() match {
         case Some(bc: Broadcast[_]) => bc.value match {
           case hr: HashedRelation =>
-            if (isPacked && !hr.isInstanceOf[LongHashedRelation])
-              None // packed mode implies the long layout; anything else
-                   // would be addressed wrongly — stay out
-            else extract(hr, keyTypes, index, maxKeys)
+            if (rewritten && !hr.isInstanceOf[LongHashedRelation])
+              None // rewritten mode implies the long layout; anything
+                   // else would be addressed wrongly — stay out
+            else extract(hr, keyTypes, index, maxKeys,
+              math.max(maxKeys, hardMaxKeys))
           case _ => None
         }
         case _ => None
@@ -121,7 +137,8 @@ object GraftAqeBridge {
   }
 
   private def extract(hr: HashedRelation, keyTypes: Seq[DataType],
-                      index: Int, maxKeys: Int): Option[BroadcastKeys] = {
+                      index: Int, maxKeys: Int,
+                      hardMaxKeys: Int): Option[BroadcastKeys] = {
     val dt = keyTypes(index)
     // placeholders carry the TYPES extractKeyExprAt computes bit
     // offsets from; the long relation's key rows hold one (packed) long
@@ -156,7 +173,7 @@ object GraftAqeBridge {
         }
         if (!overBudget) {
           out += conv(v)
-          if (out.size > maxKeys) {
+          if (out.size > hardMaxKeys) {
             if (ordering.isEmpty) return None // no fallback possible
             overBudget = true
             out.clear() // bounds carry the evidence from here
@@ -164,8 +181,11 @@ object GraftAqeBridge {
         }
       }
     }
-    if (!overBudget) Some(KeySet(out.toSeq))
-    else if (lo == null) None
-    else Some(KeyRange(conv(lo), conv(hi)))
+    def bounds: Option[(Any, Any)] =
+      if (lo == null) None else Some((conv(lo), conv(hi)))
+    if (!overBudget) {
+      if (out.size <= maxKeys) Some(KeySet(out.toSeq))
+      else Some(KeyEvidence(out.toSeq, bounds))
+    } else bounds.map { case (l, h) => KeyRange(l, h) }
   }
 }

@@ -405,6 +405,36 @@ class DataSkippingSpec extends SparkSpec {
       Paths.get(root, gen, DataSkipping.StatsFile)), "UTF-8")
     assert(!body.contains("\"file\""), "byte format must stay pre-r13")
   }
+
+  test("local bloom positions equal the Spark-job hash positions bit-for-bit") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    // the driver-local probe path must compute EXACTLY what the sidecar
+    // writer's job computed, per declared type (xxhash64 hashes by type
+    // width — an int-vs-bigint divergence would probe a different
+    // filter and unsoundly prune)
+    val salt = 7L
+    val numBits = 1 << 10
+    val numHashes = 4
+    val cases: Seq[(Any, String)] = Seq(
+      (42L, "bigint"), (42, "bigint"), (42, "int"), (-1L, "bigint"),
+      (Long.MaxValue, "bigint"), (7, "smallint"),
+      ("hello", "string"), ("", "string"), ("héllo🙂", "string"),
+      (3.25, "double"), (3.25f, "float"), (3.25f, "double"),
+      (new java.math.BigDecimal("123.45"), "decimal(10,2)"))
+    cases.foreach { case (v, dt) =>
+      val local = DataSkipping.localPositions(Seq(v), dt, numBits,
+        numHashes, salt).head
+      val cols = (0 until numHashes).map(h =>
+        pmod(xxhash64(lit(v).cast(dt), lit(salt), lit(h)),
+          lit(numBits.toLong)).as(s"p$h"))
+      val row = spark.range(1).select(cols: _*).head()
+      val job = (0 until numHashes).map(row.getLong)
+      assert(local === Some(job), s"position mismatch for $v as $dt")
+    }
+    // an unparseable type yields None (callers admit), never a throw
+    assert(DataSkipping.localPositions(Seq(1), "no_such_type", numBits,
+      numHashes, salt) === Seq(None))
+  }
 }
 
 /** File-count helper shared by the file-granular tests. */

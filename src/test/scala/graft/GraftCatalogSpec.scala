@@ -234,6 +234,14 @@ class GraftCatalogSpec extends SparkSpec {
         spark.sql("ALTER TABLE graft.alt ADD COLUMN v BIGINT")
       }
       assert(e2.getMessage.contains("already exists"), e2.getMessage)
+      // explicit user NOT NULL is refused, not silently relaxed —
+      // existing rows backfill NULL, so the constraint could never hold
+      // (analyzer-generated MERGE evolution adds coerce; MergeSpec)
+      val e3 = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.alt ADD COLUMN mand STRING NOT NULL")
+      }
+      assert(e3.getMessage.contains("NOT NULL"), e3.getMessage)
+      assert(!spark.table("graft.alt").columns.contains("mand"))
     } finally {
       spark.conf.unset("spark.graft.table.alt")
       spark.conf.unset("spark.sql.catalog.graft")

@@ -245,6 +245,28 @@ class GraftSqlParserSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.table.dd")
   }
 
+  test("DESCRIBE DETAIL num_files counts LIVE files only (superseded partition dirs excluded)") {
+    val root = Files.createTempDirectory("graft_sqldetail_live").toString
+    // gen1 owns A and B; the replace moves B to gen2 but gen1's p=B
+    // directory stays on disk until vacuum — num_files must not count
+    // it (size_bytes never did, and the two columns must agree)
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((20L, "B")).toDF("k", "p"), "p")
+    val m = AtomicCommit.readManifest(root).get
+    val superseded = java.nio.file.Paths.get(root, m.entries("A"), "p=B")
+    assert(java.nio.file.Files.isDirectory(superseded),
+      "premise: the superseded dir must still exist on disk")
+    spark.conf.set("spark.graft.table.ddl2", root)
+    try {
+      val r = spark.sql("DESCRIBE DETAIL graft.ddl2").collect().head
+      assert(r.getAs[Long]("num_files") === 2L,
+        "one live file per live (gen, partition) dir")
+      assert(r.getAs[Long]("num_partitions") === 2L)
+    } finally spark.conf.unset("spark.graft.table.ddl2")
+  }
+
   test("DESCRIBE HISTORY: the commit log as a result set, newest first") {
     val root = Files.createTempDirectory("graft_sqlhist").toString
     AtomicCommit.commitReplacePartitions(spark, root,

@@ -270,6 +270,24 @@ class MergeSpec extends SparkSpec {
     assert(AtomicCommit.read(spark, root).columns.contains("batch2"))
   }
 
+  test("schema evolution matches existing columns case-insensitively (no duplicate-modulo-case ADD)") {
+    val root = Files.createTempDirectory("graft_merge_evocase").toString
+    seed(root)
+    // a CDC batch whose column is spelled `V` against target `v`: under
+    // the session's default (case-insensitive) resolution it IS the
+    // existing column — evolution must not ADD a second one and make
+    // later references to `v` ambiguous
+    val src = Seq((2L, 21L, "open", "A")).toDF("k", "V", "status", "p")
+    val before = AtomicCommit.read(spark, root).columns.length
+    Merge.into(spark, root).using(src).onKeys("k")
+      .withSchemaEvolution()
+      .whenMatchedUpdateAll().run()
+    val after = AtomicCommit.read(spark, root)
+    assert(after.columns.length === before,
+      s"no column may be added: ${after.columns.mkString(", ")}")
+    assert(after.filter($"k" === 2L).select("v").as[Long].head() === 21L)
+  }
+
   test("SQL MERGE WITH SCHEMA EVOLUTION evolves through the catalog's ALTER path") {
     val root = Files.createTempDirectory("graft_merge_evosql").toString
     seed(root)

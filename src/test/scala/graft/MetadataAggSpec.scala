@@ -89,8 +89,10 @@ class MetadataAggSpec extends SparkSpec {
       assert(one("SELECT count(*) FROM graft.mfb WHERE k >= 50") === 50L)
       assert(GraftScanProbe.entriesSeen(root).nonEmpty,
         "a filtered aggregate must run the real scan")
-      // DISTINCT and SUM aren't in the evidence: real scan, right answer
+      // DISTINCT isn't in the evidence: real scan, right answer
       assert(one("SELECT count(DISTINCT k) FROM graft.mfb") === 100L)
+      // SUM over an exact-summable column IS evidence now (r17) — same
+      // answer either way; the dedicated SUM test proves it scan-free
       assert(one("SELECT sum(k) FROM graft.mfb") === (0L until 100L).sum)
       // delete evidence: physical counts overstate the logical table, so
       // the pushdown refuses and the scan (DV-merged) answers
@@ -129,12 +131,23 @@ class MetadataAggSpec extends SparkSpec {
       assert(spark.sql("SELECT * FROM graft.ml LIMIT 9999").collect()
         .length === 400)
       assert(GraftScanProbe.entriesSeen(root).last === 4)
-      // a filtered limit never prefix-prunes (counts describe the
-      // UNFILTERED partitions) — all rows still found
+      // a PRUNING-DECIDED filter (exact partition-column shape) keeps
+      // the prefix: of the two surviving partitions, one covers LIMIT 10
+      GraftScanProbe.reset(root)
+      assert(spark.sql(
+        "SELECT * FROM graft.ml WHERE p IN ('P0','P1') LIMIT 10").collect()
+        .length === 10)
+      assert(GraftScanProbe.entriesSeen(root).last === 1,
+        s"decided filter + LIMIT must read a 1-partition prefix, saw " +
+          s"${GraftScanProbe.entriesSeen(root)}")
+      // a RESIDUAL filter never prefix-prunes (counts don't describe
+      // its survivors) — all partitions read, all rows still found
       GraftScanProbe.reset(root)
       assert(spark.sql(
         "SELECT * FROM graft.ml WHERE k >= 396 LIMIT 10").collect()
         .length === 4)
+      assert(GraftScanProbe.entriesSeen(root).last === 4,
+        "a residual filter must disable the prefix")
       // delete evidence: physical counts overstate, prefix must not fire
       Deletes.deleteKeysMoR(spark, root, "k", (0L until 99L).toSeq)
       GraftScanProbe.reset(root)
@@ -143,6 +156,90 @@ class MetadataAggSpec extends SparkSpec {
       assert(GraftScanProbe.entriesSeen(root).last === 4,
         "delete evidence must disable the prefix (counts unprovable)")
     } finally unregister("ml")
+  }
+
+  test("SUM answers from sidecars — proven on removed data; inexact shapes scan") {
+    val root = Files.createTempDirectory("graft_magg_sum").toString
+    // v: long with nulls (SUM skips them); d: double (never summable)
+    val rows = (0L until 300L).map { i =>
+      (if (i % 10 == 0) None else Some(i), i * 0.5, s"P${(i % 3).toInt}")
+    }
+    DataSkipping.commitWithStats(spark, root,
+      rows.toDF("v", "d", "p"), "p", Seq("v", "d"))
+    register("msum", root)
+    try {
+      val expected = (0L until 300L).filter(_ % 10 != 0).sum
+      GraftScanProbe.reset(root)
+      assert(spark.sql("SELECT sum(v) FROM graft.msum").collect()
+        .head.getLong(0) === expected)
+      val grouped = spark.sql(
+        "SELECT p, sum(v) FROM graft.msum GROUP BY p ORDER BY p")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(grouped === (0 until 3).map(g =>
+        (s"P$g", (0L until 300L).filter(i => i % 3 == g && i % 10 != 0).sum)))
+      assert(GraftScanProbe.entriesSeen(root).isEmpty,
+        s"metadata SUM must not scan: ${GraftScanProbe.entriesSeen(root)}")
+      // double SUM is order-dependent: the scan answers it
+      GraftScanProbe.reset(root)
+      assert(spark.sql("SELECT sum(d) FROM graft.msum").collect()
+        .head.getDouble(0) === (0L until 300L).map(_ * 0.5).sum)
+      assert(GraftScanProbe.entriesSeen(root).nonEmpty,
+        "a double SUM must run the real scan")
+      // the blunt proof: delete every data file except one footer probe
+      val m = AtomicCommit.readManifest(root).get
+      for ((pv, e) <- m.entries if pv != "P0"; g <- AtomicCommit.ownersOf(e)) {
+        val dir = Paths.get(root, g, s"p=$pv")
+        val s0 = Files.walk(dir)
+        try s0.filter(f => Files.isRegularFile(f)).forEach(f => Files.delete(f))
+        finally s0.close()
+      }
+      assert(spark.sql("SELECT sum(v), count(*) FROM graft.msum").collect()
+        .head.let(r => (r.getLong(0), r.getLong(1))) === ((expected, 300L)))
+    } finally unregister("msum")
+  }
+
+  test("SUM gates: all-null slices answer NULL; pre-sum sidecars retrofit through ANALYZE") {
+    val root = Files.createTempDirectory("graft_magg_sumnull").toString
+    // P0 carries values, P1 is ALL NULL for v: its evidence is the
+    // absent sum + nulls==rows record, and the fold must treat it as
+    // an empty contribution, not a gap
+    val rows = (0L until 100L).map(i =>
+      (if (i % 2 == 0) Some(i) else None, s"P${(i % 2).toInt}"))
+    DataSkipping.commitWithStats(spark, root,
+      rows.toDF("v", "p"), "p", Seq("v"))
+    register("msn", root)
+    try {
+      GraftScanProbe.reset(root)
+      val expected = (0L until 100L).filter(_ % 2 == 0).sum
+      assert(spark.sql("SELECT sum(v) FROM graft.msn").collect()
+        .head.getLong(0) === expected)
+      val byP = spark.sql(
+        "SELECT p, sum(v) FROM graft.msn GROUP BY p ORDER BY p").collect()
+      assert(byP(0).getLong(1) === expected)
+      assert(byP(1).isNullAt(1), "an all-null partition's SUM is NULL")
+      assert(GraftScanProbe.entriesSeen(root).isEmpty,
+        "both shapes must answer from metadata")
+      // strip the sum fields (simulate a pre-r17 sidecar): SUM falls
+      // back to the scan; ANALYZE retrofits; SUM is metadata again
+      val m = AtomicCommit.readManifest(root).get
+      for (g <- m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct) {
+        val p = Paths.get(root, g, DataSkipping.StatsFile)
+        val stripped = new String(Files.readAllBytes(p), "UTF-8")
+          .replaceAll(""","sum":"[^"]*"""", "")
+        Files.write(p, stripped.getBytes("UTF-8"))
+      }
+      GraftScanProbe.reset(root)
+      assert(spark.sql("SELECT sum(v) FROM graft.msn").collect()
+        .head.getLong(0) === expected)
+      assert(GraftScanProbe.entriesSeen(root).nonEmpty,
+        "a sidecar without sum evidence must scan")
+      spark.sql("ANALYZE TABLE graft.msn COMPUTE STATISTICS FOR COLUMNS v")
+      GraftScanProbe.reset(root)
+      assert(spark.sql("SELECT sum(v) FROM graft.msn").collect()
+        .head.getLong(0) === expected)
+      assert(GraftScanProbe.entriesSeen(root).isEmpty,
+        "ANALYZE must retrofit sum evidence")
+    } finally unregister("msn")
   }
 
   private implicit class LetOps[A](private val a: A) {

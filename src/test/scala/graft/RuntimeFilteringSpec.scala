@@ -206,6 +206,108 @@ class RuntimeFilteringSpec extends SparkSpec {
     }
   }
 
+  test("a single int join key (rewriteKeyExpr's upcast-to-long mode) still filters") {
+    val root = Files.createTempDirectory("graft_rtf_int").toString
+    // disjoint int-key ranges per partition; the lone IntegerType join
+    // key is upcast to ONE LongType mode key by rewriteKeyExpr — the
+    // most common dim-join shape, and a layout the bridge must unpack
+    // through extractKeyExprAt's single-key Cast
+    val rows = (0 until 300).map(i =>
+      (i / 100 * 1000 + i % 100, i.toString * 16, s"P${i / 100}"))
+    DataSkipping.commitWithStats(spark, root,
+      rows.toDF("a", "pad", "p"), "p", Seq("a"))
+    register("rtint", root)
+    Seq((1050, "x")).toDF("a2", "tag").createOrReplaceTempView("rtdimint")
+    try withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096") {
+      GraftScanProbe.reset(root)
+      val got = spark.sql(
+        """SELECT /*+ BROADCAST(d) */ f.a FROM graft.rtint f
+          |JOIN rtdimint d ON f.a = d.a2""".stripMargin).collect()
+      assert(got.map(_.getInt(0)).toSeq === Seq(1050))
+      val seen = GraftScanProbe.entriesSeen(root)
+      assert(seen.nonEmpty && seen.last === 1,
+        s"the single-int key must prune to P1, saw $seen")
+    } finally {
+      unregister("rtint")
+      spark.catalog.dropTempView("rtdimint")
+    }
+  }
+
+  test("over-budget keys on an interleaved layout: the FULL set still lands and blooms prune") {
+    val root = Files.createTempDirectory("graft_rtf_evd").toString
+    // interleaved keys (k % 3 names the partition): every partition
+    // spans the full [0, 2999] range, so the over-budget [min, max]
+    // fallback would prune NOTHING — only per-key bloom probes can.
+    // 12 keys > maxKeys 4 but within bloomMaxKeys: the KeyEvidence
+    // path delivers the whole set and the blooms refute P1/P2
+    val rows = (0L until 3000L).map(i => (i, i.toString * 16,
+      s"P${(i % 3).toInt}"))
+    val staged = AtomicCommit.stage(spark, root, rows.toDF("k", "pad", "p"), "p")
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("k"))
+    AtomicCommit.publish(root, staged)
+    register("rtevd", root)
+    (0L until 12L).map(i => (i * 3L, 1)).toDF("k2", "m")
+      .createOrReplaceTempView("rtdimevd")
+    try withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096",
+      "spark.graft.runtimeFilter.maxKeys" -> "4") {
+      GraftScanProbe.reset(root)
+      val got = spark.sql(
+        """SELECT /*+ BROADCAST(d) */ f.k FROM graft.rtevd f
+          |JOIN rtdimevd d ON f.k = d.k2""".stripMargin).collect()
+      assert(got.map(_.getLong(0)).sorted.toSeq === (0L until 12L).map(_ * 3L))
+      val seen = GraftScanProbe.entriesSeen(root)
+      assert(seen.nonEmpty && seen.last === 1,
+        s"12 keys ≡ 0 (mod 3) live only in P0; blooms must prune to it, saw $seen")
+      assert(seen.head === 3, s"initial plan reads all partitions: $seen")
+    } finally {
+      unregister("rtevd")
+      spark.catalog.dropTempView("rtdimevd")
+    }
+  }
+
+  test("file-grain blooms prune a large runtime key set to the files that hold it") {
+    val root = Files.createTempDirectory("graft_rtf_fblooms").toString
+    // one partition, 4 unsorted files: per-file blooms are the only
+    // evidence that can tell the files apart (no value ordering)
+    val rows = (0L until 4000L).map(i => (i, s"P0"))
+    val staged = AtomicCommit.stage(spark, root, rows.toDF("k", "p"), "p",
+      filesPerDir = 4)
+    // 2^20 bits keeps the per-file false-positive odds negligible for a
+    // 1000-key probe set (the default 2^16 would flake at ~9% per file)
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("k"),
+      numBits = 1 << 20)
+    AtomicCommit.publish(root, staged)
+    val parquetFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try s.iterator().asScala.filter(f => f.toString.endsWith(".parquet") &&
+        java.nio.file.Files.isRegularFile(f)).map(_.toString).toSeq
+      finally s.close()
+    }
+    // the salt hashes (partition, salt) into the shuffle-partition space,
+    // so salts can collide into fewer writing tasks — multi-file is the
+    // premise, the exact count isn't
+    assert(parquetFiles.length >= 2, s"premise: multi-file, got $parquetFiles")
+    // probe with the keys of ONE physical file — far more than any
+    // exact-IN budget, well within the scan's caps
+    val probeKeys = spark.read.parquet(parquetFiles.head)
+      .select("k").as[Long].collect().toSeq
+    assert(probeKeys.nonEmpty)
+    val rel = new GraftRelation(spark, root, new PosixManifestStore(root), None)
+    val scan = new GraftV1Scan(rel, rel.schema, Array.empty)
+    GraftScanProbe.reset(root)
+    scan.filter(Array[Filter](In("k", probeKeys.map(_.asInstanceOf[Any]).toArray)))
+    assert(rowsOf(scan) === probeKeys.length.toLong)
+    val files = GraftScanProbe.filesSeen(root)
+    assert(files.nonEmpty, "the scan must take the file-pruned path")
+    assert(files.last === 1,
+      s"${probeKeys.length} keys of one file must read exactly that file, saw $files")
+  }
+
   test("over-budget key sets degrade to a [min,max] range, which still prunes") {
     val root = Files.createTempDirectory("graft_rtf_range").toString
     // disjoint k ranges per partition: 0-999 / 10000-10999 / 20000-20999;
@@ -222,7 +324,9 @@ class RuntimeFilteringSpec extends SparkSpec {
     try withSQLConf(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "4096",
-      "spark.graft.runtimeFilter.maxKeys" -> "10") {
+      "spark.graft.runtimeFilter.maxKeys" -> "10",
+      // force past BOTH budgets: the pure [min, max] fallback
+      "spark.graft.runtimeFilter.bloomMaxKeys" -> "20") {
       GraftScanProbe.reset(root)
       val got = spark.sql(
         """SELECT f.k FROM graft.rtrange f
@@ -240,7 +344,7 @@ class RuntimeFilteringSpec extends SparkSpec {
   // the join key here is the PARTITION column, whose entries prune only
   // by equality/IN — the over-budget [min,max] fallback has no string-
   // range mapping onto directory names, so the scan honestly reads all
-  test("end-to-end: over-budget keys on the partition column fall back to the full scan") {
+  test("end-to-end: keys past BOTH budgets on the partition column fall back to the full scan") {
     val root = Files.createTempDirectory("graft_rtf_budget").toString
     AtomicCommit.commitReplacePartitions(spark, root,
       (0L until 400L).map(i => (i, s"P${(i % 4).toInt}")).toDF("k", "p"), "p")
@@ -250,19 +354,48 @@ class RuntimeFilteringSpec extends SparkSpec {
     try withSQLConf(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "1048576",
-      "spark.graft.runtimeFilter.maxKeys" -> "10") {
+      "spark.graft.runtimeFilter.maxKeys" -> "10",
+      "spark.graft.runtimeFilter.bloomMaxKeys" -> "20") {
       GraftScanProbe.reset(root)
       val got = spark.sql(
         """SELECT f.k FROM graft.rtbudget f
           |JOIN rtdimwide d ON f.p = d.p2""".stripMargin).collect()
       assert(got.isEmpty, "no dim key names a real partition")
       val seen = GraftScanProbe.entriesSeen(root)
-      // 40 distinct keys > budget 10: every build reads all 4 entries
+      // 40 distinct keys > both budgets: every build reads all 4 entries
       assert(seen.nonEmpty && seen.forall(_ === 4),
         s"over-budget filter must not prune, saw $seen")
     } finally {
       unregister("rtbudget")
       spark.catalog.dropTempView("rtdimwide")
+    }
+  }
+
+  test("keys over the exact budget but within bloomMaxKeys still prune the partition map") {
+    val root = Files.createTempDirectory("graft_rtf_pmap").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0L until 400L).map(i => (i, s"P${(i % 4).toInt}")).toDF("k", "p"), "p")
+    register("rtpmap", root)
+    // P1 plus 39 fakes: 40 distinct keys > maxKeys 10, within the
+    // extended budget — the full set lands and the manifest keeps only
+    // the one real partition
+    (("P1", 1) +: (0 until 39).map(i => (s"ZZ$i", 1))).toDF("p2", "m")
+      .createOrReplaceTempView("rtdimpmap")
+    try withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "1048576",
+      "spark.graft.runtimeFilter.maxKeys" -> "10") {
+      GraftScanProbe.reset(root)
+      val got = spark.sql(
+        """SELECT /*+ BROADCAST(d) */ f.k FROM graft.rtpmap f
+          |JOIN rtdimpmap d ON f.p = d.p2""".stripMargin).collect()
+      assert(got.length === 100)
+      val seen = GraftScanProbe.entriesSeen(root)
+      assert(seen.nonEmpty && seen.last === 1,
+        s"the large set must still prune the partition map to P1, saw $seen")
+    } finally {
+      unregister("rtpmap")
+      spark.catalog.dropTempView("rtdimpmap")
     }
   }
 }
