@@ -49,7 +49,13 @@ object BroadcastStatsRule extends Rule[LogicalPlan] with PredicateHelper {
     * unknown — never hint. (Shared with [[JoinOrderRule]], which
     * compares sides by the same estimate.)
     */
-  private[plans] def graftSideBytes(side: LogicalPlan): Option[Long] = {
+  /** The side's single graft catalog table plus its predicates
+    * translated to source filters, when the side IS a Project/Filter
+    * tree over one ([[JoinOrderRule]] shares this peel for its row/NDV
+    * pricing). None = not a graft side.
+    */
+  private[plans] def graftSideParts(side: LogicalPlan)
+      : Option[(GraftTable, Array[sf.Filter])] = {
     def peel(p: LogicalPlan,
              preds: Seq[Expression]): Option[(DataSourceV2Relation, Seq[Expression])] =
       p match {
@@ -60,17 +66,27 @@ object BroadcastStatsRule extends Rule[LogicalPlan] with PredicateHelper {
       }
     peel(side, Nil).flatMap { case (rel, preds) =>
       rel.table match {
-        case gt: GraftTable =>
-          val translated = preds.flatMap(toSourceFilter)
-          val bytes = gt.prunedBytes(translated.toArray)
-          // scale to the side's projected width (column pruning hasn't
-          // reached the relation yet at this point in the optimizer)
-          val fullW = rel.output.map(_.dataType.defaultSize).sum.max(1)
-          val keptW = side.output.map(_.dataType.defaultSize).sum.max(1)
-          Some(if (keptW >= fullW) bytes
-          else math.ceil(bytes.toDouble * keptW / fullW).toLong)
+        case gt: GraftTable => Some((gt, preds.flatMap(toSourceFilter).toArray))
         case _ => None
       }
+    }
+  }
+
+  private[plans] def graftSideBytes(side: LogicalPlan): Option[Long] = {
+    def relOutput(p: LogicalPlan): Seq[Attribute] = p match {
+      case pr: Project => relOutput(pr.child)
+      case f: Filter => relOutput(f.child)
+      case r: DataSourceV2Relation => r.output
+      case _ => Nil
+    }
+    graftSideParts(side).map { case (gt, translated) =>
+      val bytes = gt.prunedBytes(translated)
+      // scale to the side's projected width (column pruning hasn't
+      // reached the relation yet at this point in the optimizer)
+      val fullW = relOutput(side).map(_.dataType.defaultSize).sum.max(1)
+      val keptW = side.output.map(_.dataType.defaultSize).sum.max(1)
+      if (keptW >= fullW) bytes
+      else math.ceil(bytes.toDouble * keptW / fullW).toLong
     }
   }
 

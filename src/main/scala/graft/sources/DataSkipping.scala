@@ -210,6 +210,87 @@ object DataSkipping {
     * already complete (callers skip the metadata commit, burning no
     * version).
     */
+  val HistFile = "_graft_hist.jsonl"
+
+  /** Equi-depth bucket count: 32 boundaries+1 per slice — enough to
+    * price a skewed column's range within ~2× (each bucket holds ~3%
+    * of the rows), small enough that a 10k-partition generation's
+    * sidecar stays manifest-scale.
+    */
+  val HistBuckets = 32
+
+  /** Equi-depth histogram of one (partition, column) slice: the
+    * `HistBuckets+1` bucket BOUNDARIES over the non-null values,
+    * decimal-rendered. `bounds` empty = the slice was analyzed and
+    * holds no non-null value (zero matchable rows — evidence, not a
+    * gap). Written by [[analyze]] only (the write path stays cheap);
+    * numeric columns only.
+    */
+  final case class ColHist(partition: String, col: String,
+                           bounds: Seq[String])
+
+  /** The histogram records of a generation (empty when un-analyzed). */
+  def readHists(root: String, gen: String): Seq[ColHist] = {
+    val p = Paths.get(root, gen, HistFile)
+    if (!Files.exists(p)) return Nil
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map(parseHist)
+  }
+
+  private def renderHist(h: ColHist): String =
+    s"""{"partition":"${esc(h.partition)}","col":"${esc(h.col)}",""" +
+      s""""bounds":"${h.bounds.mkString(";")}"}"""
+
+  private def parseHist(line: String): ColHist = {
+    def str(name: String): String =
+      (s""""$name"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(line)
+        .map(m => unesc(m.group(1)))
+        .getOrElse(sys.error(s"bad hist record (no $name): $line"))
+    val bounds = """"bounds"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse(sys.error(s"bad hist record: $line"))
+    ColHist(str("partition"), str("col"),
+      bounds.split(';').toSeq.filter(_.nonEmpty))
+  }
+
+  /** One aggregation job: per-partition equi-depth boundaries of every
+    * NUMERIC requested column (`percentile_approx` at manifest-scale
+    * accuracy). All-null slices record EMPTY bounds; a boundary that
+    * defeats decimal parsing (NaN/Infinity) drops the record — no
+    * evidence beats wrong evidence.
+    */
+  private def computeHists(data: DataFrame, partitionCol: String,
+                           cols: Seq[String]): Seq[ColHist] = {
+    val numeric = cols.filter(c => data.schema.find(_.name == c)
+      .exists(_.dataType.isInstanceOf[NumericType]))
+    if (numeric.isEmpty) return Nil
+    val pcts = (0 to HistBuckets).map(_.toDouble / HistBuckets)
+    val aggs = numeric.map(c =>
+      percentile_approx(col(c), typedlit(pcts), lit(10000)).as(s"__h_$c"))
+    val rows = data.groupBy(col(partitionCol).cast("string").as("__p"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.flatMap { r =>
+      val p = r.getAs[String]("__p")
+      numeric.flatMap { c =>
+        val arr = r.getAs[scala.collection.Seq[Any]](s"__h_$c")
+        if (arr == null) Some(ColHist(p, c, Nil))
+        else scala.util.Try {
+          ColHist(p, c, arr.toSeq.map(v =>
+            new BigDecimal(String.valueOf(v)).toPlainString))
+        }.toOption
+      }
+    }
+  }
+
+  private def writeHistSidecar(genPath: String, records: Seq[ColHist]): Unit = {
+    val body = records.sortBy(h => (h.partition, h.col))
+      .map(renderHist).mkString("", "\n", "\n")
+    val target = Paths.get(genPath, HistFile)
+    val tmp = Paths.get(genPath, s".$HistFile.tmp")
+    Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
   def analyze(spark: SparkSession, root: String,
               m: AtomicCommit.Manifest, cols: Seq[String]): Int = {
     require(cols.nonEmpty, "ANALYZE needs at least one column")
@@ -232,16 +313,25 @@ object DataSkipping {
       case _: org.apache.spark.sql.types.DecimalType => true
       case _ => false
     }
+    // numeric columns also carry an equi-depth histogram record — the
+    // range-selectivity evidence. Absent record = missing (one
+    // retrofit pass); an empty-bounds record (all-null slice) is
+    // complete evidence
+    def histable(c: String): Boolean =
+      tableTypes.get(c).exists(_.isInstanceOf[NumericType])
     var written = 0
     genParts.foreach { case (gen, parts) =>
       val existing = readStats(root, gen)
       val envelopes = existing.filter(_.file.isEmpty)
         .map(s => (s.partition, s.col) -> s).toMap
+      val existingHists = readHists(root, gen)
+      val histKeys = existingHists.map(h => (h.partition, h.col)).toSet
       val missing = parts.exists(p =>
         cols.exists { c =>
           val e = envelopes.get((p, c))
           !e.exists(_.ndv.isDefined) ||
-            (summable(c) && e.exists(r => r.sum.isEmpty && r.nulls < r.rows))
+            (summable(c) && e.exists(r => r.sum.isEmpty && r.nulls < r.rows)) ||
+            (histable(c) && !histKeys((p, c)))
         })
       if (missing) {
         val genPath = s"$root/$gen"
@@ -256,6 +346,11 @@ object DataSkipping {
           val kept = existing.filterNot(s =>
             partSet(s.partition) && colSet(s.col))
           writeSidecar(genPath, kept ++ fresh)
+          val freshHists = computeHists(data, m.partitionCol, here)
+          val keptHists = existingHists.filterNot(h =>
+            partSet(h.partition) && colSet(h.col))
+          if (freshHists.nonEmpty || keptHists.nonEmpty)
+            writeHistSidecar(genPath, keptHists ++ freshHists)
           written += 1
         }
       }

@@ -386,6 +386,21 @@ final class GraftTable(ident: String, relation: GraftRelation)
   private[graft] def prunedBytes(filters: Array[Filter]): Long =
     relation.estimateStats(filters)._1
 
+  /** Selectivity-priced row estimate of the slice surviving `filters`
+    * — [[graft.plans.JoinOrderRule]]'s cardinality input. None when
+    * the sidecars can't prove row counts.
+    */
+  private[graft] def prunedRows(filters: Array[Filter]): Option[Long] =
+    relation.estimateStats(filters)._2
+
+  /** NDV of `colName` over the partitions surviving `filters`
+    * ([[TableStats.columnStats]] — an upper bound, which keeps the
+    * join-output estimate `|L||R|/max(ndv)` conservative).
+    */
+  private[graft] def columnNdv(filters: Array[Filter],
+                               colName: String): Option[Long] =
+    relation.estimateNdv(filters, colName)
+
   /** The backing relation, for [[graft.plans.GraftDmlRewrite]]'s lowered
     * UPDATE/MERGE commands (root, store, and the one scan plan).
     */

@@ -556,6 +556,16 @@ final class GraftRelation(spark: SparkSession, val root: String,
         (scaled, estimated)
     }
 
+  /** NDV of a column over the pruned partition set — the join-order
+    * rule's output-cardinality evidence ([[TableStats.columnStats]]).
+    */
+  private[sources] def estimateNdv(filters: Array[Filter],
+                                   colName: String): Option[Long] =
+    snapshotOpt().flatMap { m =>
+      val parts = prunedEntriesFor(m, filters).keySet
+      TableStats.columnStats(root, m, colName, parts).map(_.ndv)
+    }
+
   /** Sub-partition SELECTIVITY from the sidecars' column statistics
     * ([[TableStats.columnStats]]): partition pruning bounds WHICH slices
     * the scan reads, this bounds how many rows survive the predicate —
@@ -595,19 +605,27 @@ final class GraftRelation(spark: SparkSession, val root: String,
     val (lows, highs) = foldBounds(filters, pc)
     (lows.keySet & highs.keySet)
       .filterNot(c => eqCols.contains(c) || c == pc).foreach { c =>
-        TableStats.columnStats(root, m, c, parts).foreach { cs =>
-          for {
-            mn <- cs.numMin; mx <- cs.numMax
-            lo <- bd(lows(c)); hi <- bd(highs(c))
-          } {
-            val span = mx.subtract(mn)
-            if (span.signum > 0) {
-              val overlap = hi.min(mx).subtract(lo.max(mn))
-              val frac = if (overlap.signum <= 0) 0.0
-                else math.min(1.0, overlap.doubleValue / span.doubleValue)
-              est *= (cs.nonNull.toDouble / total) * frac
+        for (lo <- bd(lows(c)); hi <- bd(highs(c))) {
+          // equi-depth histogram first (per-slice, skew-honest); only
+          // evidence-less tables fall back to uniform interpolation of
+          // the column's [min, max] envelope
+          TableStats.histogramRows(root, m, c, parts, lo, hi) match {
+            case Some(hr) =>
+              est *= math.min(1.0, hr / total)
               applied = true
-            }
+            case None =>
+              TableStats.columnStats(root, m, c, parts).foreach { cs =>
+                for (mn <- cs.numMin; mx <- cs.numMax) {
+                  val span = mx.subtract(mn)
+                  if (span.signum > 0) {
+                    val overlap = hi.min(mx).subtract(lo.max(mn))
+                    val frac = if (overlap.signum <= 0) 0.0
+                      else math.min(1.0, overlap.doubleValue / span.doubleValue)
+                    est *= (cs.nonNull.toDouble / total) * frac
+                    applied = true
+                  }
+                }
+              }
           }
         }
       }

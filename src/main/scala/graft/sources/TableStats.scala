@@ -185,4 +185,89 @@ object TableStats {
       if (numeric && mins.nonEmpty) Some(mins.min) else None,
       if (numeric && maxs.nonEmpty) Some(maxs.max) else None))
   }
+
+  // ---- equi-depth histogram selectivity ([[DataSkipping.analyze]]'s
+  // `_graft_hist.jsonl` sidecars) ------------------------------------
+
+  private val histCache = new java.util.concurrent.ConcurrentHashMap[
+    (Key, String, Set[String]),
+    Option[Seq[(Seq[java.math.BigDecimal], Long)]]]()
+
+  /** Per-slice (bucket bounds, non-null rows) for `colName` over the
+    * selected partitions — None unless EVERY owner slice carries BOTH
+    * a histogram record and a stats envelope (estimates never guess
+    * over missing evidence). Empty bounds = all-null slice, zero
+    * matchable rows.
+    */
+  private def sliceHists(root: String, m: Manifest, colName: String,
+                         parts: Set[String])
+      : Option[Seq[(Seq[java.math.BigDecimal], Long)]] = {
+    bounded(histCache)
+    histCache.computeIfAbsent((keyOf(root, m), colName, parts), _ => {
+      val selected = m.entries.filter { case (p, _) => parts(p) }
+      if (selected.isEmpty) return None
+      val gens = selected.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+      val byGenH: Map[String, Map[String, DataSkipping.ColHist]] = gens.map { g =>
+        g -> DataSkipping.readHists(root, g).filter(_.col == colName)
+          .groupBy(_.partition).map { case (p, hs) => p -> hs.head }
+      }.toMap
+      val byGenS: Map[String, Map[String, DataSkipping.ColStats]] = gens.map { g =>
+        g -> DataSkipping.readStats(root, g)
+          .filter(s => s.file.isEmpty && s.col == colName)
+          .groupBy(_.partition).map { case (p, rs) => p -> rs.head }
+      }.toMap
+      val slices = selected.toSeq.flatMap { case (p, entry) =>
+        AtomicCommit.ownersOf(entry).map { g =>
+          for {
+            h <- byGenH(g).get(p)
+            s <- byGenS(g).get(p)
+            bounds <- scala.util.Try(
+              h.bounds.map(new java.math.BigDecimal(_))).toOption
+          } yield (bounds, math.max(0L, s.rows - s.nulls))
+        }
+      }
+      if (slices.exists(_.isEmpty)) None else Some(slices.flatten)
+    })
+  }
+
+  /** Fraction of one slice's rows falling in [lo, hi] under its
+    * equi-depth bounds: each bucket holds 1/k of the rows; degenerate
+    * buckets (equal bounds — heavy hitters) count fully iff their
+    * value is inside, others by linear interpolation of the overlap.
+    */
+  private def histFrac(bounds: Seq[java.math.BigDecimal],
+                       lo: java.math.BigDecimal,
+                       hi: java.math.BigDecimal): Double = {
+    if (bounds.length < 2) return 0.0 // all-null slice (or malformed)
+    val k = bounds.length - 1
+    var f = 0.0
+    var i = 0
+    while (i < k) {
+      val b0 = bounds(i)
+      val b1 = bounds(i + 1)
+      if (b1.compareTo(b0) == 0) {
+        if (lo.compareTo(b0) <= 0 && b0.compareTo(hi) <= 0) f += 1.0 / k
+      } else {
+        val ov = hi.min(b1).subtract(lo.max(b0))
+        if (ov.signum > 0)
+          f += math.min(1.0,
+            ov.doubleValue / b1.subtract(b0).doubleValue) / k
+      }
+      i += 1
+    }
+    math.min(1.0, f)
+  }
+
+  /** Estimated rows with `colName` in [lo, hi], summed per slice from
+    * the equi-depth histograms — the range-selectivity evidence that
+    * prices a SKEWED column honestly where min/max interpolation is
+    * 10× off. None = some slice lacks histogram evidence (callers
+    * fall back to uniform interpolation).
+    */
+  def histogramRows(root: String, m: Manifest, colName: String,
+                    parts: Set[String], lo: java.math.BigDecimal,
+                    hi: java.math.BigDecimal): Option[Double] =
+    sliceHists(root, m, colName, parts).map(_.iterator.map {
+      case (bounds, nonNull) => nonNull * histFrac(bounds, lo, hi)
+    }.sum)
 }

@@ -110,7 +110,9 @@ class TableStatsSpec extends SparkSpec {
       "k evidence must survive an analyze of v untouched")
     val vA = after.find(s => s.col == "v" && s.partition == "A" && s.file.isEmpty).get
     assert(vA.min === Some("10") && vA.max === Some("20") && vA.ndv === Some(2L))
-    // re-analyze of both: complete evidence, nothing rewritten
+    // k predates histograms (commitWithStats writes none): ONE retrofit
+    // pass, then complete evidence — nothing rewritten on the re-run
+    assert(DataSkipping.analyze(spark, root, m, Seq("k", "v")) === 1)
     assert(DataSkipping.analyze(spark, root, m, Seq("k", "v")) === 0)
     // an r14-era sidecar (records without the ndv field) counts as
     // missing evidence and is refreshed in place with identical bounds
@@ -318,6 +320,100 @@ class TableStatsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graft")
       Seq("jl", "jm", "js").foreach(n =>
         spark.conf.unset(s"spark.graft.table.$n"))
+    }
+  }
+
+  test("n-way join reorder: a worst-first 4-table chain rebuilds selective-first; estimates honest") {
+    val dir = Files.createTempDirectory("graft_ts_nway")
+    val roots = Map("jf" -> 100000, "jm" -> 20000, "jd" -> 200, "jt" -> 10)
+    roots.foreach { case (n, rows) =>
+      val root = s"$dir/$n"
+      DataSkipping.commitWithStats(spark, root,
+        spark.range(rows).select(col("id").as("k"),
+          concat(lit(s"$n-pad-pad-"), col("id")).as(s"${n}v"),
+          lit("A").as("p")), "p", Seq("k"))
+      spark.conf.set(s"spark.graft.table.$n", root)
+    }
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // written worst-first: the two big tables join before the dims
+    val sql = """SELECT f.k, m.jmv, d.jdv, t.jtv FROM graft.jf f
+                |JOIN graft.jm m ON f.k = m.k
+                |JOIN graft.jd d ON f.k = d.k
+                |JOIN graft.jt t ON f.k = t.k""".stripMargin
+    try {
+      val q = spark.sql(sql)
+      val plan = q.queryExecution.optimizedPlan.toString
+      val (fi, mi, di, ti) = (plan.indexOf("graft.jf"), plan.indexOf("graft.jm"),
+        plan.indexOf("graft.jd"), plan.indexOf("graft.jt"))
+      assert(Seq(fi, mi, di, ti).forall(_ >= 0), plan.take(3000))
+      // selective-first left-deep: tiny joins before dim joins before mid
+      assert(ti < di && di < mi,
+        s"greedy order must be t < d < m:\n${plan.take(3000)}")
+      assert(q.count() === 10L)
+      // a user-hinted join is an opaque leaf: never reassociated (jm
+      // stays joined where written, even though the dims around it may
+      // still reorder)
+      val hinted = spark.sql(sql.replace("SELECT",
+        "SELECT /*+ MERGE(m) */")).queryExecution.optimizedPlan.toString
+      assert(hinted.indexOf("graft.jm") < hinted.indexOf("graft.jd"),
+        s"the hinted join must stay put:\n${hinted.take(3000)}")
+      // estimate honesty: bare sides exact, a filtered side within 2×
+      import org.apache.spark.sql.catalyst.expressions.{GreaterThanOrEqual, LessThan, Literal}
+      import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+      val rel = spark.table("graft.jf").queryExecution.analyzed
+        .collectFirst { case r: DataSourceV2Relation => r }.get
+      assert(graft.plans.JoinOrderRule.leafRows(rel)._1 === 100000.0)
+      val k = rel.output.find(_.name == "k").get
+      val filtered = org.apache.spark.sql.catalyst.plans.logical.Filter(
+        org.apache.spark.sql.catalyst.expressions.And(
+          GreaterThanOrEqual(k, Literal(0L)), LessThan(k, Literal(100L))),
+        rel)
+      val (est, graftPriced) = graft.plans.JoinOrderRule.leafRows(filtered)
+      assert(graftPriced, "a filtered graft side must price from the sidecars")
+      assert(est >= 50.0 && est <= 200.0,
+        s"estimate $est must be within 2x of the actual 100 rows")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      roots.keys.foreach(n => spark.conf.unset(s"spark.graft.table.$n"))
+    }
+  }
+
+  test("histogram selectivity: a skewed range prices within 2× where uniform is >5× off; ANALYZE incremental") {
+    val root = Files.createTempDirectory("graft_ts_hist").toString
+    // 90% zeros, 10% pseudo-uniform over [0, 100000): a range probe of
+    // the upper half matches ~500 rows, but min/max interpolation sees
+    // half the span and prices ~5000
+    val data = (0 until 10000).map { i =>
+      (if (i % 10 == 0) (i.toLong * 37) % 100000 else 0L, "A")
+    }
+    val actual = data.count(r => r._1 >= 50000 && r._1 <= 100000)
+    assert(actual > 100, s"premise: skew fixture, actual=$actual")
+    DataSkipping.commitWithStats(spark, root, data.toDF("v", "p"), "p",
+      Seq("v"))
+    val rel = new graft.sources.GraftRelation(spark, root,
+      new graft.sources.PosixManifestStore(root), None)
+    val gt = new graft.sources.GraftTable("hsk", rel)
+    val fs = Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("v", 50000L),
+      org.apache.spark.sql.sources.LessThanOrEqual("v", 100000L))
+    val est0 = gt.prunedRows(fs).get
+    assert(est0 > actual * 5L,
+      s"premise: uniform interpolation must be >5x off (est0=$est0, actual=$actual)")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.hsk", root)
+    try {
+      spark.sql("ANALYZE TABLE graft.hsk COMPUTE STATISTICS FOR COLUMNS v")
+      val est1 = gt.prunedRows(fs).get
+      assert(est1 <= actual * 2L && est1 >= actual / 2L,
+        s"histogram estimate $est1 must land within 2x of $actual")
+      // incremental: evidence is complete now — a re-run burns no version
+      val v1 = AtomicCommit.currentVersion(root).get
+      spark.sql("ANALYZE TABLE graft.hsk COMPUTE STATISTICS FOR COLUMNS v")
+      assert(AtomicCommit.currentVersion(root).get === v1,
+        "re-ANALYZE with complete evidence must not commit")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      spark.conf.unset("spark.graft.table.hsk")
     }
   }
 
