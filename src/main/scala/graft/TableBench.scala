@@ -523,6 +523,50 @@ object TableBench {
         s"runtime keys must prune files: $filesSeen of $totalFiles")
       println(s"[tablebench] runtime-filter files read: " +
         s"${filesSeen.last} of $totalFiles")
+
+      // r17: OVER-BUDGET key sets — 4000 distinct v keys (64× past a
+      // maxKeys=64 exact budget) drawn from TWO clustered partitions'
+      // ranges. The r16 behavior degraded past maxKeys to [min, max]
+      // bounds, which admit every partition the SPAN covers (5 here);
+      // the r17 extended budget ships the full set and the per-value
+      // interval evidence prunes to exactly the 2 partitions that hold
+      // keys. A/B by capping bloomMaxKeys under the set size (old
+      // behavior) vs the default.
+      spark.conf.set("spark.graft.table.rtclu", rootC)
+      spark.conf.set("spark.graft.runtimeFilter.maxKeys", "64")
+      val bigKeys = (0 until 2000).map(i => 3L * rowsPer + i) ++
+        (0 until 2000).map(i => 7L * rowsPer + i)
+      require(bigKeys.forall(_ < n), "key fixture must stay in range")
+      spark.createDataFrame(bigKeys.map(v => (v, 1))).toDF("v2", "m")
+        .createOrReplaceTempView("rt_dimbig")
+      // (the DDL section above renamed+dropped rootC's payload; v is
+      // the surviving wide-enough probe column)
+      val qb = "SELECT count(*) AS c, sum(f.v) AS b " +
+        "FROM graft.rtclu f JOIN rt_dimbig d ON f.v = d.v2"
+      spark.conf.set("spark.graft.runtimeFilter.bloomMaxKeys", "100")
+      graft.sources.GraftScanProbe.reset(rootC)
+      val boundsOnly = timed("4000-key dim join, bounds-only fallback") {
+        spark.sql(qb).head()
+      }
+      val seenBounds = graft.sources.GraftScanProbe.entriesSeen(rootC).last
+      spark.conf.set("spark.graft.runtimeFilter.bloomMaxKeys",
+        (1 << 17).toString)
+      graft.sources.GraftScanProbe.reset(rootC)
+      val fullSet = timed("4000-key dim join, extended key budget") {
+        spark.sql(qb).head()
+      }
+      val seenFull = graft.sources.GraftScanProbe.entriesSeen(rootC).last
+      require(boundsOnly.getLong(0) == bigKeys.length &&
+        fullSet == boundsOnly,
+        s"over-budget A/B answers moved: $boundsOnly vs $fullSet")
+      require(seenFull == 2,
+        s"extended budget must prune to the 2 key-holding partitions, " +
+          s"saw $seenFull")
+      require(seenBounds >= 4,
+        s"premise: the bounds span must cover >2 partitions, saw $seenBounds")
+      println(s"[tablebench] over-budget (4000 keys, maxKeys=64) scan " +
+        s"entries: bounds-only=$seenBounds extended=$seenFull of $p")
+      spark.conf.set("spark.graft.runtimeFilter.maxKeys", "1024")
     }
     spark.stop()
   }
