@@ -243,10 +243,11 @@ object Compaction {
     */
   def recluster(spark: SparkSession, root: String, sortCols: Seq[String],
                 filesPerDir: Int = 1,
-                statsCols: Seq[String] = Nil): (Long, Long) = {
+                statsCols: Seq[String] = Nil,
+                bloomCols: Seq[String] = Nil): (Long, Long) = {
     require(sortCols.nonEmpty, "recluster needs at least one sort column")
     rewriteOrdered(spark, root, sortCols.map(col), filesPerDir,
-      if (statsCols.nonEmpty) statsCols else sortCols)
+      if (statsCols.nonEmpty) statsCols else sortCols, bloomCols)
   }
 
   /** Z-ORDER recluster — [[recluster]] for MULTI-dimensional predicates.
@@ -270,7 +271,8 @@ object Compaction {
   def reclusterZorder(spark: SparkSession, root: String, zCols: Seq[String],
                       filesPerDir: Int = 1,
                       statsCols: Seq[String] = Nil,
-                      rankBased: Boolean = false): (Long, Long) = {
+                      rankBased: Boolean = false,
+                      bloomCols: Seq[String] = Nil): (Long, Long) = {
     require(zCols.size >= 2 && zCols.size <= 4,
       s"z-order wants 2-4 columns, got ${zCols.size} (one column = plain recluster)")
     val store = new PosixManifestStore(root)
@@ -280,7 +282,7 @@ object Compaction {
     val key =
       if (rankBased) zorderKeyRanked(df, zCols) else zorderKey(df, zCols)
     rewriteOrdered(spark, root, Seq(key), filesPerDir,
-      if (statsCols.nonEmpty) statsCols else zCols)
+      if (statsCols.nonEmpty) statsCols else zCols, bloomCols)
   }
 
   /** The shared rewrite: range-distribute and sort on
@@ -295,7 +297,8 @@ object Compaction {
   private def rewriteOrdered(spark: SparkSession, root: String,
                              orderCols: Seq[org.apache.spark.sql.Column],
                              filesPerDir: Int,
-                             statsCols: Seq[String]): (Long, Long) = {
+                             statsCols: Seq[String],
+                             bloomCols: Seq[String] = Nil): (Long, Long) = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
     val store = new PosixManifestStore(root)
     val m = AtomicCommit.readManifest(store).getOrElse(
@@ -309,6 +312,12 @@ object Compaction {
     val staged = AtomicCommit.stageKeyed(spark, root, store, keyed,
       m.partitionCol, Some(m))
     DataSkipping.annotateStaged(spark, root, staged, statsCols)
+    // point-lookup columns the SORT can't serve (a non-sort key is
+    // interleaved across every output file) get per-file blooms, so a
+    // runtime join filter or readWhereEq still prunes WITHIN the
+    // reclustered layout
+    if (bloomCols.nonEmpty)
+      DataSkipping.annotateStagedBloom(spark, root, staged, bloomCols)
     AtomicCommit.publish(root, store, staged)
     (before, countAtomicDataFiles(root, store))
   }

@@ -502,8 +502,16 @@ final class GraftTable(ident: String, relation: GraftRelation)
         import org.apache.spark.sql.connector.expressions.NamedReference
         import org.apache.spark.sql.connector.expressions.aggregate._
         import org.apache.spark.sql.types.{LongType, StructField}
-        if (filters.nonEmpty) return false // residuals can't re-apply
         val pc = relation.partitionColOpt.getOrElse(return false)
+        // filters are fine EXACTLY when every one is decided by
+        // partition pruning (the handled-declaration classes): the
+        // pruned entries' evidence then describes the filtered result,
+        // so `SELECT count(*) FROM t WHERE p='A'` stays scan-free.
+        // Anything residual rejects — Spark re-applies it above a real
+        // scan (and with a residual Filter node present Spark would
+        // not push the aggregate anyway)
+        if (!filters.forall(GraftRelation.partitionDecided(pc, _)))
+          return false
         def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
             : Option[String] = e match {
           case n: NamedReference if n.fieldNames().length == 1 =>
@@ -539,7 +547,7 @@ final class GraftTable(ident: String, relation: GraftRelation)
           case _ => return false
         }
         if (specs.isEmpty) return false
-        val computed = scala.util.Try(relation.metadataAggregate(specs))
+        val computed = scala.util.Try(relation.metadataAggregate(specs, filters))
           .toOption.flatten.getOrElse(return false)
         val aggFields = specs.map {
           case GraftRelation.CountStarSpec =>

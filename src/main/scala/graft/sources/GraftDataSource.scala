@@ -585,19 +585,32 @@ final class GraftRelation(spark: SparkSession, val root: String,
       scala.util.Try(new java.math.BigDecimal(String.valueOf(v))).toOption
     var est = total.toDouble
     var applied = false
-    // equality and IN: k matching values of an NDV-valued column keep
-    // ~k/NDV of its non-null rows
-    val eqLike: Seq[(String, Int)] = filters.collect {
-      case EqualTo(c, v) if c != pc && v != null => c -> 1
+    // equality and IN: each matching value keeps ~nonNull/NDV rows —
+    // FLOORED by the histogram's heavy-hitter evidence, so a probe for
+    // a value 90% of the column holds prices at its true mass instead
+    // of 1/ndv (the q133 lesson: real keys skew)
+    val eqVals: Seq[(String, Seq[Any])] = filters.collect {
+      case EqualTo(c, v) if c != pc && v != null => c -> Seq(v)
       case In(c, vs) if c != pc && vs.nonEmpty =>
-        c -> vs.filter(_ != null).distinct.length
+        c -> vs.filter(_ != null).distinct.toSeq
     }
-    val eqCols = eqLike.map(_._1).distinct
-    eqLike.foreach { case (c, k) =>
+    val eqCols = eqVals.map(_._1).distinct
+    eqVals.foreach { case (c, vs) =>
       TableStats.columnStats(root, m, c, parts).foreach { cs =>
         if (cs.ndv > 0) {
-          est *= (cs.nonNull.toDouble / total) *
-            math.min(1.0, k.toDouble / cs.ndv)
+          val uniformPer = cs.nonNull.toDouble / cs.ndv
+          // bound the per-value heavy-hitter lookups: past the cap the
+          // uniform aggregate k/ndv estimate is already fine-grained
+          val matching =
+            if (vs.length > 64) cs.nonNull.toDouble *
+              math.min(1.0, vs.length.toDouble / cs.ndv)
+            else vs.map { v =>
+              val heavy = bd(v).flatMap(b =>
+                TableStats.histogramPointRows(root, m, c, parts, b))
+                .getOrElse(0.0)
+              math.max(heavy, uniformPer)
+            }.sum
+          est *= math.min(1.0, math.min(cs.nonNull.toDouble, matching) / total)
           applied = true
         }
       }
@@ -658,14 +671,21 @@ final class GraftRelation(spark: SparkSession, val root: String,
     * The partition column itself needs no sidecars: its per-partition
     * "values" ARE the entry keys (never null).
     */
-  private[sources] def metadataAggregate(specs: Seq[GraftRelation.AggSpec])
+  private[sources] def metadataAggregate(specs: Seq[GraftRelation.AggSpec],
+                                         filters: Array[Filter] = Array.empty)
       : Option[Seq[(String, Seq[Any])]] = {
     import GraftRelation._
-    val m = snapshotOpt().getOrElse(return None)
-    if (AtomicCommit.renamesOf(m).nonEmpty ||
-      AtomicCommit.droppedOf(m).nonEmpty) return None
-    if (m.entries.values.exists(e => AtomicCommit.dvOf(e).isDefined))
+    val m0 = snapshotOpt().getOrElse(return None)
+    if (AtomicCommit.renamesOf(m0).nonEmpty ||
+      AtomicCommit.droppedOf(m0).nonEmpty) return None
+    if (m0.entries.values.exists(e => AtomicCommit.dvOf(e).isDefined))
       return None
+    // pruning-DECIDED filters (the push site's gate) restrict the
+    // answer to the surviving partitions — their evidence describes
+    // the filtered result exactly
+    if (!filters.forall(GraftRelation.partitionDecided(m0.partitionCol, _)))
+      return None
+    val m = m0.copy(entries = prunedEntriesFor(m0, filters))
     val pc = m.partitionCol
     val rowsByPart = TableStats.partitionRows(root, m).getOrElse(return None)
     // per (gen, partition, col) envelope records, loaded once

@@ -270,4 +270,31 @@ object TableStats {
     sliceHists(root, m, colName, parts).map(_.iterator.map {
       case (bounds, nonNull) => nonNull * histFrac(bounds, lo, hi)
     }.sum)
+
+  /** HEAVY-HITTER floor for a point value: rows provably ≈ equal to
+    * `v` because equi-depth bucket boundaries COLLAPSED onto it (j
+    * degenerate buckets ⇒ ≥ j/k of the slice's rows hold v). Zero for
+    * ordinary values — callers take `max(heavy, nonNull/ndv)`, so the
+    * uniform-frequency estimate keeps pricing the long tail while a
+    * `status = 'common'` probe on a 90%-one-value column prices at
+    * its true mass instead of 1/ndv. None = missing evidence.
+    */
+  def histogramPointRows(root: String, m: Manifest, colName: String,
+                         parts: Set[String],
+                         v: java.math.BigDecimal): Option[Double] =
+    sliceHists(root, m, colName, parts).map(_.iterator.map {
+      case (bounds, nonNull) =>
+        if (bounds.length < 2) 0.0
+        else {
+          val k = bounds.length - 1
+          var degenerate = 0
+          var i = 0
+          while (i < k) {
+            if (bounds(i).compareTo(bounds(i + 1)) == 0 &&
+              bounds(i).compareTo(v) == 0) degenerate += 1
+            i += 1
+          }
+          nonNull * degenerate.toDouble / k
+        }
+    }.sum)
 }

@@ -338,6 +338,34 @@ class CompactionSpec extends SparkSpec {
       s"rank-based x-slab scanned $rnkFiles of $total files")
   }
 
+  test("recluster bloomCols: point probes on a NON-sort column prune files the sort can't") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_comp_bloom").toString
+    // sort by k; id is a distinct key INTERLEAVED across the sorted
+    // layout — per-file min/max on id admit every file, only a per-file
+    // bloom can tell them apart
+    val rows = (0L until 4000L).map(i => (i % 40, i * 1000L + 7L, "A"))
+    DataSkipping.commitWithStats(spark, root, rows.toDF("k", "id", "p"),
+      "p", Seq("k"))
+    Compaction.recluster(spark, root, Seq("k"), filesPerDir = 4,
+      statsCols = Seq("k"), bloomCols = Seq("id"))
+    val m = AtomicCommit.readManifest(root).get
+    val gen = AtomicCommit.ownersOf(m.entries("A")).head
+    val blooms = DataSkipping.readBlooms(root, gen)
+    assert(blooms.exists(b => b.col == "id" && b.file.nonEmpty),
+      "recluster must write per-file bloom records for bloomCols")
+    val probe = DataSkipping.readWhereEq(spark, root, "id", 1234007L)
+    assert(probe.count() === 1L)
+    val total = {
+      val st = Files.walk(Paths.get(root, gen))
+      try st.iterator().asScala.count(f => f.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    assert(total >= 3, s"premise: multi-file layout, got $total")
+    assert(probe.inputFiles.length === 1,
+      s"the id bloom must prune to 1 of $total files")
+  }
+
   test("purgeVectors rewrites only heavily-vectored partitions, content intact") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_purge").toString

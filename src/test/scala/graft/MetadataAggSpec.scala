@@ -198,6 +198,40 @@ class MetadataAggSpec extends SparkSpec {
     } finally unregister("msum")
   }
 
+  test("pruning-decided filters keep aggregates metadata-answered; AVG rides sum+count") {
+    val root = Files.createTempDirectory("graft_magg_filt").toString
+    val rows = (0L until 300L).map(i =>
+      (i / 100 * 1000 + i % 100, s"P${(i / 100).toInt}"))
+    DataSkipping.commitWithStats(spark, root,
+      rows.toDF("k", "p"), "p", Seq("k"))
+    register("mfilt", root)
+    try {
+      GraftScanProbe.reset(root)
+      // an exact partition-column filter is fully decided by pruning:
+      // the surviving entries' evidence answers, no scan
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.mfilt WHERE p = 'P1'").collect()
+        .head.getLong(0) === 100L)
+      assert(spark.sql(
+        "SELECT min(k), max(k), sum(k) FROM graft.mfilt WHERE p IN ('P0', 'P2')")
+        .collect().head.let(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        === ((0L, 2099L, (0L until 100L).sum + (0L until 100L).map(_ + 2000L).sum)))
+      // AVG decomposes into the pushed sum+count partials
+      assert(spark.sql("SELECT avg(k) FROM graft.mfilt WHERE p = 'P0'")
+        .collect().head.getDouble(0) === (0L until 100L).sum.toDouble / 100)
+      assert(GraftScanProbe.entriesSeen(root).isEmpty,
+        s"decided-filter aggregates must not scan: " +
+          s"${GraftScanProbe.entriesSeen(root)}")
+      // a residual filter still runs the real scan
+      GraftScanProbe.reset(root)
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.mfilt WHERE k >= 1000").collect()
+        .head.getLong(0) === 200L)
+      assert(GraftScanProbe.entriesSeen(root).nonEmpty,
+        "a residual filter must force the real scan")
+    } finally unregister("mfilt")
+  }
+
   test("SUM gates: all-null slices answer NULL; pre-sum sidecars retrofit through ANALYZE") {
     val root = Files.createTempDirectory("graft_magg_sumnull").toString
     // P0 carries values, P1 is ALL NULL for v: its evidence is the

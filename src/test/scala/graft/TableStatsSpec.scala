@@ -399,6 +399,14 @@ class TableStatsSpec extends SparkSpec {
     val est0 = gt.prunedRows(fs).get
     assert(est0 > actual * 5L,
       s"premise: uniform interpolation must be >5x off (est0=$est0, actual=$actual)")
+    // heavy-hitter equality: v=0 holds ~90% of the rows, but NDV-uniform
+    // pricing sees 1/ndv of them
+    val eqFs = Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("v", 0L))
+    val heavyActual = data.count(_._1 == 0L)
+    val eq0 = gt.prunedRows(eqFs).get
+    assert(eq0 < heavyActual / 5L,
+      s"premise: uniform equality must be >5x off (eq0=$eq0, actual=$heavyActual)")
     spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     spark.conf.set("spark.graft.table.hsk", root)
     try {
@@ -406,6 +414,9 @@ class TableStatsSpec extends SparkSpec {
       val est1 = gt.prunedRows(fs).get
       assert(est1 <= actual * 2L && est1 >= actual / 2L,
         s"histogram estimate $est1 must land within 2x of $actual")
+      val eq1 = gt.prunedRows(eqFs).get
+      assert(eq1 >= heavyActual / 2L && eq1 <= heavyActual * 2L,
+        s"heavy-hitter equality must price at its mass: $eq1 vs $heavyActual")
       // incremental: evidence is complete now — a re-run burns no version
       val v1 = AtomicCommit.currentVersion(root).get
       spark.sql("ANALYZE TABLE graft.hsk COMPUTE STATISTICS FOR COLUMNS v")
