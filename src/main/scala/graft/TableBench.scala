@@ -567,6 +567,49 @@ object TableBench {
       println(s"[tablebench] over-budget (4000 keys, maxKeys=64) scan " +
         s"entries: bounds-only=$seenBounds extended=$seenFull of $p")
       spark.conf.set("spark.graft.runtimeFilter.maxKeys", "1024")
+
+      // r17: N-WAY JOIN REORDER A/B — a worst-first 3-table chain over
+      // the 16M fact: written order joins fact×mid (a real shuffle of
+      // both) before the 100-row selective table. The greedy NDV
+      // reorder joins fact×selective first (its estimated output is
+      // tiny), and everything after rides broadcasts.
+      val rootM = Files.createTempDirectory("graft_tb_mid").toString
+      val rootSel = Files.createTempDirectory("graft_tb_sel").toString
+      timed("commit mid (1M rows) + selective (100 rows)") {
+        DataSkipping.commitWithStats(spark, rootM,
+          spark.range(1000000).select(col("id").as("mk"),
+            md5(col("id").cast("string")).as("mpad"), lit("A").as("pp")),
+          "pp", Seq("mk"))
+        DataSkipping.commitWithStats(spark, rootSel,
+          spark.range(100).select((col("id") * 1000L).as("sk"),
+            lit("A").as("pp")), "pp", Seq("sk"))
+      }
+      spark.conf.set("spark.graft.table.rtmid", rootM)
+      spark.conf.set("spark.graft.table.rtsel", rootSel)
+      // the fact carries pk into the aggregate so the written-order
+      // fact×mid join SHUFFLES the wide 16M side; the reordered plan
+      // broadcasts the 100-row side first and never shuffles the fact
+      val qn = "SELECT count(*) AS c, sum(length(f.pk)) AS w, " +
+        "sum(length(m.mpad)) AS b " +
+        "FROM graft.rtclu f " +
+        "JOIN graft.rtmid m ON f.v = m.mk " +
+        "JOIN graft.rtsel s ON f.v = s.sk"
+      spark.conf.set("spark.graft.joinReorder.enabled", "false")
+      val reorderOff = timed("3-table worst-first join, reorder OFF") {
+        spark.sql(qn).head()
+      }
+      spark.conf.set("spark.graft.joinReorder.enabled", "true")
+      val planOn = spark.sql(qn).queryExecution.optimizedPlan.toString
+      require(planOn.indexOf("rtsel") >= 0 &&
+        planOn.indexOf("rtsel") < planOn.indexOf("rtmid"),
+        s"reorder must move the selective table first:\n${planOn.take(1500)}")
+      val reorderOn = timed("3-table worst-first join, reorder ON") {
+        spark.sql(qn).head()
+      }
+      require((0 until 3).forall(i =>
+        reorderOn.getLong(i) == reorderOff.getLong(i)),
+        s"reorder changed the answer: $reorderOn vs $reorderOff")
+      println(s"[tablebench] join-reorder A/B rows=${reorderOn.getLong(0)}")
     }
     spark.stop()
   }
