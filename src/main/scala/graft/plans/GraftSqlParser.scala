@@ -17,6 +17,7 @@ import graft.sources.{AtomicCommit, BranchStore, Compaction, DataSkipping, Manif
   * OPTIMIZE graft.docs                       -- small-file compaction
   * OPTIMIZE graft.docs ZORDER BY (a, b)     -- multi-dim recluster
   * OPTIMIZE graft.docs ZORDER BY (a)        -- 1 col = plain recluster
+  * OPTIMIZE graft.docs ZORDER BY (a) BLOOM FOR (id) -- + per-file blooms
   * VACUUM graft.docs                         -- default retention
   * VACUUM graft.docs RETAIN 5 VERSIONS      -- time-travel horizon
   * VACUUM graft.docs RETAIN 72 HOURS        -- wall-clock window
@@ -70,6 +71,10 @@ object GraftSqlParser {
     raw"(?is)\s*OPTIMIZE\s+$Target$Tail".r
   private val OptimizeZRe =
     raw"(?is)\s*OPTIMIZE\s+$Target\s+ZORDER\s+BY\s*\(([^)]+)\)$Tail".r
+  // BLOOM FOR: per-file bloom sidecars on point-lookup columns the sort
+  // order can't serve (their values interleave across the sorted files)
+  private val OptimizeZBloomRe =
+    raw"(?is)\s*OPTIMIZE\s+$Target\s+ZORDER\s+BY\s*\(([^)]+)\)\s+BLOOM\s+FOR\s*\(([^)]+)\)$Tail".r
   private val VacuumRe =
     raw"(?is)\s*VACUUM\s+$Target$Tail".r
   private val VacuumRetainRe =
@@ -98,12 +103,18 @@ object GraftSqlParser {
   private val MaintLeadRe =
     raw"(?is)\s*(OPTIMIZE|VACUUM|DESC(?:RIBE)?\s+(?:HISTORY|DETAIL))\s+graft\..*".r
 
+  private def colList(cols: String): Seq[String] =
+    cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
+      .filter(_.nonEmpty).toSeq
+
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case OptimizeZBloomRe(bq, plain, cols, blooms) =>
+        Some(OptimizeGraftTable(Option(bq).getOrElse(plain),
+          colList(cols), colList(blooms)))
       case OptimizeZRe(bq, plain, cols) =>
         Some(OptimizeGraftTable(Option(bq).getOrElse(plain),
-          cols.split(',').map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty).toSeq))
+          colList(cols)))
       case OptimizeRe(bq, plain) =>
         Some(OptimizeGraftTable(Option(bq).getOrElse(plain), Nil))
       case VacuumRetainRe(bq, plain, n, unit) =>
@@ -130,7 +141,8 @@ object GraftSqlParser {
       case MaintLeadRe(kw) => sys.error(
         s"graft: cannot parse ${kw.toUpperCase} statement: ${sqlText.trim}\n" +
           "supported forms:\n" +
-          "  OPTIMIZE graft.<table> [ZORDER BY (col1, col2, ...)]\n" +
+          "  OPTIMIZE graft.<table> [ZORDER BY (col1, col2, ...)" +
+          " [BLOOM FOR (cols)]]\n" +
           "  VACUUM graft.<table> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]\n" +
           "  DESCRIBE HISTORY graft.<table>\n" +
           "  DESCRIBE DETAIL graft.<table>")
@@ -159,7 +171,8 @@ object GraftSqlParser {
   * compaction; one col = sort-order recluster; 2–4 = z-order recluster.
   * Returns one row `(files_before, files_after)`.
   */
-final case class OptimizeGraftTable(ident: String, zCols: Seq[String])
+final case class OptimizeGraftTable(ident: String, zCols: Seq[String],
+                                    bloomCols: Seq[String] = Nil)
   extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -176,8 +189,10 @@ final case class OptimizeGraftTable(ident: String, zCols: Seq[String])
         require(branch.isEmpty,
           s"OPTIMIZE ... ZORDER BY on branch '$ident' is unsupported — " +
             "recluster the main lineage, or use the Scala API after merge")
-        if (cols.size == 1) Compaction.recluster(spark, root, cols)
-        else Compaction.reclusterZorder(spark, root, cols)
+        if (cols.size == 1)
+          Compaction.recluster(spark, root, cols, bloomCols = bloomCols)
+        else
+          Compaction.reclusterZorder(spark, root, cols, bloomCols = bloomCols)
     }
     Seq(Row(before, after))
   }

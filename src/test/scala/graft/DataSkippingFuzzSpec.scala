@@ -140,4 +140,96 @@ class DataSkippingFuzzSpec extends SparkSpec {
       checkProbes(5)
     }
   }
+
+  test("local bloom positions match the Spark-job reference under random values/types") {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    val rnd = new scala.util.Random(20260815L)
+    val types = Vector("tinyint", "smallint", "int", "bigint", "float",
+      "double", "string", "decimal(12,3)")
+    (1 to 60).foreach { i =>
+      val dt = types(rnd.nextInt(types.size))
+      val v: Any = rnd.nextInt(6) match {
+        case 0 => rnd.nextInt(200) - 100
+        case 1 => rnd.nextLong() % 100000L
+        case 2 => math.round(rnd.nextDouble() * 1e6) / 1e3
+        case 3 => rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString
+        case 4 => rnd.nextInt(100).toShort
+        case 5 => new java.math.BigDecimal(
+          (rnd.nextInt(2000000) - 1000000).toString).movePointLeft(3)
+      }
+      val numBits = 1 << (8 + rnd.nextInt(8))
+      val numHashes = 1 + rnd.nextInt(5)
+      val salt = rnd.nextLong()
+      val local = DataSkipping.localPositions(Seq(v), dt, numBits,
+        numHashes, salt).head
+      val job = scala.util.Try {
+        val cols = (0 until numHashes).map(h =>
+          pmod(xxhash64(lit(v).cast(dt), lit(salt), lit(h)),
+            lit(numBits.toLong)).as(s"p$h"))
+        val row = spark.range(1).select(cols: _*).head()
+        (0 until numHashes).map(row.getLong): Seq[Long]
+      }.toOption
+      // parity rule: wherever the JOB can compute positions, local must
+      // agree bit-for-bit; where it can't, local must admit (None or
+      // matching failure) — never invent different positions
+      (local, job) match {
+        case (Some(l), Some(j)) =>
+          assert(l === j, s"probe $i: $v as $dt bits=$numBits h=$numHashes")
+        case (Some(_), None) =>
+          fail(s"probe $i: local computed where the job could not ($v as $dt)")
+        case _ => () // local None always admits — sound
+      }
+    }
+  }
+
+  test("metadata SUM equals the scan across random multi-generation histories") {
+    val rnd = new scala.util.Random(20260816L)
+    (1 to 6).foreach { round =>
+      val root = Files.createTempDirectory(s"graft_sumfz$round").toString
+      def batch(tag: Int) = {
+        val rows = (0 until (10 + rnd.nextInt(40))).map { i =>
+          val p = Partitions(rnd.nextInt(2) match {
+            case 0 => rnd.nextInt(2)      // cluster on pa/pb
+            case _ => rnd.nextInt(Partitions.size)
+          })
+          (if (rnd.nextInt(4) == 0) None
+           else Some(rnd.nextLong() % 1000000L), p, tag * 1000L + i)
+        }
+        rows.toDF("v", "flag", "k")
+      }
+      DataSkipping.commitWithStats(spark, root, batch(0), "flag", Seq("v"))
+      (1 to 1 + rnd.nextInt(3)).foreach { t =>
+        if (rnd.nextBoolean())
+          DataSkipping.commitWithStats(spark, root, batch(t), "flag", Seq("v"))
+        else { // append a generation (multi-owner partitions)
+          val staged = AtomicCommit.stage(spark, root, batch(t), "flag")
+          DataSkipping.annotateStaged(spark, root, staged, Seq("v"))
+          AtomicCommit.publishAppend(root,
+            new PosixManifestStore(root), staged)
+        }
+      }
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.graft.table.sfz", root)
+      try {
+        val viaMeta = spark.sql("SELECT sum(v) FROM graft.sfz").collect().head
+        val viaScan = AtomicCommit.read(spark, root)
+          .agg(org.apache.spark.sql.functions.sum("v")).collect().head
+        assert(viaMeta === viaScan, s"round $round: sum mismatch")
+        val g = spark.sql(
+          "SELECT flag, sum(v), count(*), min(v) FROM graft.sfz GROUP BY flag")
+          .collect().map(r => r.getString(0) -> (r.get(1), r.getLong(2),
+            r.get(3))).toMap
+        val gScan = AtomicCommit.read(spark, root).groupBy("flag")
+          .agg(org.apache.spark.sql.functions.sum("v"),
+            org.apache.spark.sql.functions.count(lit(1)),
+            org.apache.spark.sql.functions.min("v"))
+          .collect().map(r => r.getString(0) -> (r.get(1), r.getLong(2),
+            r.get(3))).toMap
+        assert(g === gScan, s"round $round: grouped mismatch")
+      } finally {
+        spark.conf.unset("spark.sql.catalog.graft")
+        spark.conf.unset("spark.graft.table.sfz")
+      }
+    }
+  }
 }

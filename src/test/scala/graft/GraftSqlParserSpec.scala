@@ -54,6 +54,29 @@ class GraftSqlParserSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.table.opt")
   }
 
+  test("OPTIMIZE ... BLOOM FOR annotates per-file blooms on a non-sort column") {
+    val root = Files.createTempDirectory("graft_sqloptb").toString
+    // id is a distinct key interleaved across the k-sorted layout: only
+    // a per-file bloom can tell the output files apart on it
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0L until 4000L).map(i => (i % 40, i * 1000L + 7L, "A"))
+        .toDF("k", "id", "p"), "p")
+    spark.conf.set("spark.graft.table.optb", root)
+    try {
+      spark.sql("OPTIMIZE graft.optb ZORDER BY (k) BLOOM FOR (id)").collect()
+      val m = AtomicCommit.readManifest(root).get
+      val gen = AtomicCommit.ownersOf(m.entries("A")).head
+      assert(DataSkipping.readBlooms(root, gen).exists(_.col == "id"),
+        "BLOOM FOR must write bloom sidecars")
+      val probe = DataSkipping.readWhereEq(spark, root, "id", 1234007L)
+      assert(probe.count() === 1L)
+      // the 2-4 col z-order form accepts the clause too
+      spark.sql("OPTIMIZE graft.optb ZORDER BY (k, id) BLOOM FOR (id)")
+        .collect()
+      assert(AtomicCommit.read(spark, root).count() === 4000L)
+    } finally spark.conf.unset("spark.graft.table.optb")
+  }
+
   test("VACUUM RETAIN n VERSIONS keeps the horizon; plain VACUUM keeps 1") {
     val root = Files.createTempDirectory("graft_sqlvac").toString
     for (v <- 1 to 4)
