@@ -134,6 +134,9 @@ object JoinOrderRule extends Rule[LogicalPlan] with PredicateHelper {
   private def reorder(j: Join): Option[LogicalPlan] = {
     val (leaves, conjuncts) = flatten(j)
     if (leaves.length < 3 || leaves.length > MaxLeaves) return None
+    // a non-deterministic conjunct evaluated at a different join level
+    // would draw differently — written order is its semantics
+    if (!conjuncts.forall(_.deterministic)) return None
     val priced = leaves.map(leafRows)
     if (!priced.exists(_._2)) return None // no graft evidence anywhere
     val rows: Map[LogicalPlan, Double] = leaves.zip(priced.map(_._1)).toMap

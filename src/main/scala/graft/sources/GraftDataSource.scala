@@ -275,9 +275,12 @@ object GraftRelation {
     * ([[DataSkipping.localPositions]]) and interval evidence degrades
     * to the set's overall bounds past [[DataSkipping.EqIntervalCap]].
     * The runtime-filter rule applies its own key budgets before a
-    * filter ever reaches here.
+    * filter ever reaches here (`bloomMaxKeys` must stay under this
+    * cap, or the delivered set is ignored). 2^18 bounds the worst-case
+    * driver hashing at ~1M expression evals — low seconds, paid only
+    * when bloom evidence exists to probe.
     */
-  private[sources] val EqSetPruneCap = 1 << 20
+  private[sources] val EqSetPruneCap = 1 << 18
 
   /** A filter FULLY DECIDED by partition-entry pruning: after
     * [[GraftRelation.prunedEntriesFor]] runs, EVERY row of every
