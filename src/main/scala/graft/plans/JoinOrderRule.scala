@@ -142,6 +142,12 @@ object JoinOrderRule extends Rule[LogicalPlan] with PredicateHelper {
     val rows: Map[LogicalPlan, Double] = leaves.zip(priced.map(_._1)).toMap
     val leafOf: Attribute => Option[LogicalPlan] =
       a => leaves.find(_.outputSet.contains(a))
+    // memoized per reorder: sel() runs for every candidate step of the
+    // greedy (O(n²·conjuncts)) and an NDV lookup walks manifest +
+    // sidecar evidence — once per attribute is plenty
+    val ndvCache = scala.collection.mutable.Map.empty[Attribute, Option[Double]]
+    def ndvOfCached(a: Attribute): Option[Double] =
+      ndvCache.getOrElseUpdate(a, ndvOf(a, leaves))
 
     // selectivity of one conjunct BRIDGING the accumulated side and the
     // incoming leaf: the NDV model for equi conjuncts, neutral (1.0)
@@ -164,9 +170,9 @@ object JoinOrderRule extends Rule[LogicalPlan] with PredicateHelper {
         case _ => None
       }) match {
         case Some((a, b)) =>
-          val na = ndvOf(a, leaves)
+          val na = ndvOfCached(a)
             .getOrElse(leafOf(a).map(rows).getOrElse(1.0))
-          val nb = ndvOf(b, leaves)
+          val nb = ndvOfCached(b)
             .getOrElse(leafOf(b).map(rows).getOrElse(1.0))
           1.0 / math.max(1.0, math.max(na, nb))
         case None => 1.0

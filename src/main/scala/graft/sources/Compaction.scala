@@ -305,6 +305,12 @@ object Compaction {
       sys.error(s"$root is not an AtomicCommit table"))
     val before = countAtomicDataFiles(root, store)
     val df = AtomicCommit.scanManifest(spark, root, m)
+    // validate annotation targets BEFORE the rewrite job runs — a typo
+    // in BLOOM FOR must not waste a full-table range shuffle
+    (statsCols ++ bloomCols).foreach(c =>
+      require(df.columns.contains(c),
+        s"annotation column $c is not a table column " +
+          s"(columns: ${df.columns.mkString(", ")})"))
     val numTasks = math.max(1, m.entries.size * filesPerDir)
     val keys = col(m.partitionCol) +: orderCols
     val keyed = df.repartitionByRange(numTasks, keys: _*)

@@ -74,6 +74,29 @@ object DataSkipping {
                             ndv: Option[Long] = None,
                             sum: Option[String] = None)
 
+  /** EXACT distributed summability — the ONE predicate the sum-record
+    * writer ([[annotateStaged]]'s aggregation), the ANALYZE retrofit
+    * check, and the aggregate push site ([[GraftCatalog]]) must agree
+    * on, or evidence gets written that is never read (or demanded but
+    * never written). Integral family and decimals only; float/double
+    * sums are order-dependent.
+    */
+  private[sources] def exactSummable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    sumCastTypeOf(dt).isDefined
+
+  /** The exact decimal the writer casts to before summing — integral
+    * at scale 0, decimal at its own scale; None = not exact-summable.
+    */
+  private[sources] def sumCastTypeOf(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some("decimal(38,0)")
+      case d: DecimalType => Some(s"decimal(38,${d.scale})")
+      case _ => None
+    }
+  }
+
   /** Stage → annotate → publish: [[AtomicCommit.commitReplacePartitions]]
     * with stats for `cols` recorded on the new generation.
     */
@@ -106,6 +129,22 @@ object DataSkipping {
     writeSidecar(genPath, computeRecords(data, staged.partitionCol, cols))
   }
 
+  /** The RAW partition-directory name a DECODED partition value came
+    * from: partition discovery unescapes special characters and reads
+    * the null sentinel as a real null, but the manifest — and
+    * therefore every sidecar consumer — keys slices by the DIRECTORY
+    * NAME. Re-applying the same escape is the exact inverse, keeps
+    * sidecar keys byte-identical to entry keys for EVERY value
+    * (escaped and null included), and never yields a null key (which
+    * the renderer could not write).
+    */
+  private def rawPartitionKey(decoded: String): String =
+    if (decoded == null)
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(decoded)
+
   /** The stats records (file-granular + partition envelopes) of `cols`
     * over `data`, one aggregation job at (partition, file) granularity.
     */
@@ -126,13 +165,7 @@ object DataSkipping {
     // of headroom, no overflow, no float rounding. Float/double sums
     // are order-dependent and stay scan-only
     val sumCast: Map[String, Option[String]] = cols.map { c =>
-      import org.apache.spark.sql.types._
-      c -> (data.schema.find(_.name == c).get.dataType match {
-        case ByteType | ShortType | IntegerType | LongType =>
-          Some("decimal(38,0)")
-        case d: DecimalType => Some(s"decimal(38,${d.scale})")
-        case _ => None
-      })
+      c -> sumCastTypeOf(data.schema.find(_.name == c).get.dataType)
     }.toMap
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
@@ -149,7 +182,7 @@ object DataSkipping {
         regexp_extract(input_file_name(), "[^/]+$", 0).as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
     val fileRecords = rows.flatMap { r =>
-      val p = r.getAs[String]("__p")
+      val p = rawPartitionKey(r.getAs[String]("__p"))
       val f = r.getAs[String]("__f")
       val n = r.getAs[Long]("__rows")
       cols.map { c =>
@@ -269,14 +302,18 @@ object DataSkipping {
     val rows = data.groupBy(col(partitionCol).cast("string").as("__p"))
       .agg(aggs.head, aggs.tail: _*).collect()
     rows.toSeq.flatMap { r =>
-      val p = r.getAs[String]("__p")
+      val p = rawPartitionKey(r.getAs[String]("__p"))
       numeric.flatMap { c =>
         val arr = r.getAs[scala.collection.Seq[Any]](s"__h_$c")
         if (arr == null) Some(ColHist(p, c, Nil))
-        else scala.util.Try {
-          ColHist(p, c, arr.toSeq.map(v =>
-            new BigDecimal(String.valueOf(v)).toPlainString))
-        }.toOption
+        else Some(ColHist(p, c, arr.toSeq.map { v =>
+          // keep the raw rendering when decimal normalization fails
+          // (NaN/Infinity): the record EXISTS — so ANALYZE converges —
+          // and consumers Try-parse it, degrading to the uniform
+          // fallback instead of wrong evidence
+          val raw = String.valueOf(v)
+          scala.util.Try(new BigDecimal(raw).toPlainString).getOrElse(raw)
+        }))
       }
     }
   }
@@ -305,14 +342,7 @@ object DataSkipping {
     val tableTypes: Map[String, org.apache.spark.sql.types.DataType] =
       scala.util.Try(AtomicCommit.scanManifest(spark, root, m).schema
         .map(f => f.name -> f.dataType).toMap).getOrElse(Map.empty)
-    def summable(c: String): Boolean = tableTypes.get(c).exists {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
-      case _: org.apache.spark.sql.types.DecimalType => true
-      case _ => false
-    }
+    def summable(c: String): Boolean = tableTypes.get(c).exists(exactSummable)
     // numeric columns also carry an equi-depth histogram record — the
     // range-selectivity evidence. Absent record = missing (one
     // retrofit pass); an empty-bounds record (all-null slice) is
@@ -326,19 +356,27 @@ object DataSkipping {
         .map(s => (s.partition, s.col) -> s).toMap
       val existingHists = readHists(root, gen)
       val histKeys = existingHists.map(h => (h.partition, h.col)).toSet
+      val genPath = s"$root/$gen"
+      // lazy: the logical view (one footer probe) is consulted only
+      // when some evidence LOOKS missing — a column the generation's
+      // footers never carried (schema evolution) can never have
+      // evidence, and treating it as forever-missing would re-run the
+      // full scan job on every ANALYZE (the convergence bug)
+      lazy val data = AtomicCommit.logicalView(
+        AtomicCommit.readVerbatim(spark, genPath, m.partitionCol,
+          parts.map(v => s"$genPath/${m.partitionCol}=$v")), m)
+      lazy val genCols: Set[String] = data.schema.fieldNames.toSet
       val missing = parts.exists(p =>
         cols.exists { c =>
-          val e = envelopes.get((p, c))
-          !e.exists(_.ndv.isDefined) ||
-            (summable(c) && e.exists(r => r.sum.isEmpty && r.nulls < r.rows)) ||
-            (histable(c) && !histKeys((p, c)))
+          (envelopes.get((p, c)) match {
+            case e if !e.exists(_.ndv.isDefined) => true
+            case e => (summable(c) &&
+                e.exists(r => r.sum.isEmpty && r.nulls < r.rows)) ||
+              (histable(c) && !histKeys((p, c)))
+          }) && genCols(c)
         })
       if (missing) {
-        val genPath = s"$root/$gen"
-        val data = AtomicCommit.logicalView(
-          AtomicCommit.readVerbatim(spark, genPath, m.partitionCol,
-            parts.map(v => s"$genPath/${m.partitionCol}=$v")), m)
-        val here = cols.filter(c => data.schema.exists(_.name == c))
+        val here = cols.filter(genCols)
         if (here.nonEmpty) {
           val fresh = computeRecords(data, m.partitionCol, here)
           val partSet = parts.toSet
@@ -934,7 +972,8 @@ object DataSkipping {
               .as("mask"))
           .groupBy("__p", "__f", "word").agg(expr("bit_or(mask)").as("bits"))
           .collect()
-          .groupBy(r => (r.getAs[String]("__p"), r.getAs[String]("__f")))
+          .groupBy(r => (rawPartitionKey(r.getAs[String]("__p")),
+            r.getAs[String]("__f")))
           .map { case (k, rows) =>
             k -> rows.map(r => r.getAs[Int]("word") -> r.getAs[Long]("bits")).toMap
           }

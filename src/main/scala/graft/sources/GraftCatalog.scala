@@ -289,10 +289,17 @@ final class GraftCatalog extends TableCatalog {
       // declared constraint would swallow intent); analyzer-generated
       // AddColumns — MERGE ... WITH SCHEMA EVOLUTION derives them from
       // the SOURCE expression's (often non-null) flag — coerce, which
-      // is the semantics every lakehouse gives evolved columns
+      // is the semantics every lakehouse gives evolved columns.
+      // Provenance is only observable from the call stack (Spark's
+      // TableChange carries none): the match is deliberately broad
+      // (any merge/schema-evolution analyzer frame, surviving a rule
+      // rename), and a future miss degrades LOUDLY — the evolution
+      // merge fails with this message, never a silent behavior flip
+      // (MergeSpec pins the path)
       if (!a.isNullable) {
         val analyzerGenerated = Thread.currentThread().getStackTrace
-          .exists(_.getClassName.contains("ResolveMergeIntoSchemaEvolution"))
+          .exists(f => f.getClassName.contains("MergeInto") ||
+            f.getClassName.contains("SchemaEvolution"))
         require(analyzerGenerated,
           s"graft ALTER TABLE: new column $colName cannot be NOT NULL — " +
             "existing rows backfill NULL; add it nullable")
@@ -523,13 +530,11 @@ final class GraftTable(ident: String, relation: GraftRelation)
           case Array(g) if fieldOf(g).contains(pc) => true
           case _ => return false
         }
-        import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, ShortType}
+        // the ONE summability predicate the sidecar writer shares —
+        // push-site acceptance and recorded evidence stay in lockstep
         def summable(c: String): Boolean =
-          relation.schema.find(_.name == c).exists(_.dataType match {
-            case ByteType | ShortType | IntegerType | LongType => true
-            case _: DecimalType => true
-            case _ => false
-          })
+          relation.schema.find(_.name == c)
+            .exists(f => DataSkipping.exactSummable(f.dataType))
         val specs = aggregation.aggregateExpressions().toSeq.map {
           case _: CountStar => GraftRelation.CountStarSpec
           case c: Count if !c.isDistinct =>
@@ -562,8 +567,9 @@ final class GraftTable(ident: String, relation: GraftRelation)
             // the partial column carries sum's RESULT type — what the
             // final Sum aggregate above expects to fold
             val dt = relation.schema(c).dataType match {
-              case d: DecimalType =>
-                DecimalType(math.min(38, d.precision + 10), d.scale)
+              case d: org.apache.spark.sql.types.DecimalType =>
+                org.apache.spark.sql.types.DecimalType(
+                  math.min(38, d.precision + 10), d.scale)
               case _ => LongType // integral family
             }
             StructField(s"sum($c)", dt)
@@ -571,7 +577,16 @@ final class GraftTable(ident: String, relation: GraftRelation)
         val outSchema = StructType(
           (if (grouped) Seq(relation.schema(pc)) else Nil) ++ aggFields)
         val rows = computed.map { case (pv, vals) =>
-          if (grouped) pv +: vals else vals
+          // the group key is the DECODED partition value (entry keys
+          // are raw dir names: null sentinel → null group, escapes
+          // undone), matching what a real scan would group by
+          if (grouped) {
+            val key: Any =
+              if (pv == GraftRelation.NullPartitionName) null
+              else org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(pv)
+            key +: vals
+          } else vals
         }
         agg = Some((outSchema, rows))
         true

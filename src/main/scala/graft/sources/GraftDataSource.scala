@@ -282,23 +282,55 @@ object GraftRelation {
     */
   private[sources] val EqSetPruneCap = 1 << 18
 
+  /** Hive-layout name mapping: manifest entry keys are the RAW
+    * directory names `partitionBy` wrote — special characters escaped,
+    * a null value as the default-partition sentinel — while row values
+    * (and probe values) are the DECODED forms Spark's partition
+    * discovery yields. Every partition-key comparison maps the PROBE
+    * through the same escape, or it silently misses the partition.
+    */
+  private[sources] def dirNameOf(v: Any): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(String.valueOf(v))
+
+  /** The directory name a NULL partition value writes to. Rows under it
+    * decode back to null — so no equality probe ever matches them, and
+    * a decoded value equal to this literal cannot exist.
+    */
+  private[sources] val NullPartitionName: String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .DEFAULT_PARTITION_NAME
+
+  /** A probe value that names exactly its directory: escaping is the
+    * identity and it is not the null sentinel. Only these may be
+    * DECLARED handled — for anything else the residual re-evaluation
+    * stays above the scan.
+    */
+  private[sources] def dirFaithful(v: Any): Boolean = {
+    val s = String.valueOf(v)
+    s != NullPartitionName && dirNameOf(v) == s
+  }
+
   /** A filter FULLY DECIDED by partition-entry pruning: after
     * [[GraftRelation.prunedEntriesFor]] runs, EVERY row of every
     * surviving partition satisfies it — which is exactly the condition
     * under which the sidecars' per-partition row counts describe the
     * filtered result, so a pushed LIMIT can still take the provable
     * partition-prefix path (`WHERE lang='de' LIMIT 10` reads one
-    * partition's prefix). Only exact partition-column shapes qualify:
-    * a hidden-transform SOURCE equality (`ts = x` on a days(ts) table)
-    * prunes to the right day but the day holds non-matching rows, so
-    * its counts would overstate and the prefix could under-deliver.
+    * partition's prefix). Only exact partition-column shapes on
+    * dir-faithful values qualify: a hidden-transform SOURCE equality
+    * (`ts = x` on a days(ts) table) prunes to the right day but the
+    * day holds non-matching rows, and an escape-needing value's rows
+    * decode differently than its directory name. IS NOT NULL is
+    * decided because pruning drops the null-sentinel entry.
     */
   private[sources] def partitionDecided(pc: String, f: Filter): Boolean =
     f match {
-      case EqualTo(`pc`, v) => v != null
-      case EqualNullSafe(`pc`, v) => v != null
-      case In(`pc`, vs) => vs.nonEmpty && !vs.contains(null)
-      case IsNotNull(`pc`) => true // the partition column is never null
+      case EqualTo(`pc`, v) => v != null && dirFaithful(v)
+      case EqualNullSafe(`pc`, v) => v != null && dirFaithful(v)
+      case In(`pc`, vs) => vs.nonEmpty && !vs.contains(null) &&
+        vs.forall(dirFaithful)
+      case IsNotNull(`pc`) => true
       case _ => false
     }
 
@@ -775,19 +807,28 @@ final class GraftRelation(spark: SparkSession, val root: String,
         case other => sys.error(s"unexpected sum type $other")
       }
     }
+    // the partition column's per-partition "value" is its DECODED entry
+    // key: the null-sentinel directory holds rows whose pc reads back
+    // NULL (counted by *, excluded by count(pc)/min/max), and an
+    // escaped directory's rows read the unescaped form
+    def pcValue(pv: String): String =
+      if (pv == GraftRelation.NullPartitionName) null
+      else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(pv)
     val out = m.entries.keySet.toSeq.sorted.map { pv =>
       val values = specs.map {
         case CountStarSpec => rowsByPart(pv)
         case CountColSpec(c) =>
-          if (c == pc) rowsByPart(pv) // the partition column is never null
-          else rowsByPart(pv) - colEvidence(pv, c).getOrElse(return None)._1
+          if (c == pc) {
+            if (pv == GraftRelation.NullPartitionName) 0L else rowsByPart(pv)
+          } else rowsByPart(pv) - colEvidence(pv, c).getOrElse(return None)._1
         case MinSpec(c) =>
-          if (c == pc) pv
+          if (c == pc) pcValue(pv)
           else colEvidence(pv, c).getOrElse(return None) match {
             case (_, mn, _, _) => mn.map(parse(_, schemaTypes(c))).orNull
           }
         case MaxSpec(c) =>
-          if (c == pc) pv
+          if (c == pc) pcValue(pv)
           else colEvidence(pv, c).getOrElse(return None) match {
             case (_, _, mx, _) => mx.map(parse(_, schemaTypes(c))).orNull
           }
@@ -826,16 +867,28 @@ final class GraftRelation(spark: SparkSession, val root: String,
   private[sources] def prunedEntriesFor(m: AtomicCommit.Manifest,
                                         filters: Array[Filter]): Map[String, String] = {
     val pc = m.partitionCol
-    // 1. partition-column pruning straight off the manifest keys
+    // 1. partition-column pruning straight off the manifest keys — with
+    // the probe mapped through the DIRECTORY escape (entry keys are raw
+    // dir names; row and probe values are decoded), and the null
+    // sentinel excluded from every equality (its rows decode to null,
+    // which no non-null probe equals) but kept/selected by the null
+    // tests
     var entries = m.entries
+    val np = GraftRelation.NullPartitionName
     filters.foreach {
       case EqualTo(`pc`, v) if v != null =>
-        entries = entries.filter(_._1 == String.valueOf(v))
+        val want = GraftRelation.dirNameOf(v)
+        entries = entries.filter(e => e._1 == want && e._1 != np)
       case EqualNullSafe(`pc`, v) if v != null =>
-        entries = entries.filter(_._1 == String.valueOf(v))
+        val want = GraftRelation.dirNameOf(v)
+        entries = entries.filter(e => e._1 == want && e._1 != np)
       case In(`pc`, vs) =>
-        val want = vs.filter(_ != null).map(String.valueOf).toSet
-        entries = entries.filter(e => want(e._1))
+        val want = vs.filter(_ != null).map(GraftRelation.dirNameOf).toSet
+        entries = entries.filter(e => want(e._1) && e._1 != np)
+      case IsNotNull(`pc`) =>
+        entries = entries.filter(_._1 != np)
+      case org.apache.spark.sql.sources.IsNull(`pc`) =>
+        entries = entries.filter(_._1 == np)
       case _ => ()
     }
     // 2. stats pruning: fold pushed comparisons into per-column closed

@@ -276,6 +276,52 @@ class MetadataAggSpec extends SparkSpec {
     } finally unregister("msn")
   }
 
+  test("null and escaped partition values: decided filters, pruning, and metadata answers stay exact") {
+    val root = Files.createTempDirectory("graft_magg_null").toString
+    // p = null writes the __HIVE_DEFAULT_PARTITION__ dir; 'a/b' writes
+    // an ESCAPED dir (a%2Fb) — entry keys are raw dir names while row
+    // values decode, the exact mismatch class the probe-escape mapping
+    // and the sentinel rules exist for
+    val rows = Seq((1L, Some("A")), (2L, Some("A")), (3L, None),
+      (4L, Some("a/b")))
+    import spark.implicits._
+    DataSkipping.commitWithStats(spark, root, rows.toDF("k", "p"), "p",
+      Seq("k"))
+    register("mnull", root)
+    try {
+      def ks(sql: String): Set[Long] =
+        spark.sql(sql).collect().map(_.getLong(0)).toSet
+      // IS NOT NULL is a DECIDED filter: the sentinel entry prunes and
+      // the null row never reaches the output (no residual exists)
+      assert(ks("SELECT k FROM graft.mnull WHERE p IS NOT NULL")
+        === Set(1L, 2L, 4L))
+      assert(ks("SELECT k FROM graft.mnull WHERE p IS NULL") === Set(3L))
+      // escape-aware pruning: the probe maps onto its directory name
+      assert(ks("SELECT k FROM graft.mnull WHERE p = 'a/b'") === Set(4L))
+      // the sentinel literal can never equal a decoded value
+      assert(spark.sql("SELECT k FROM graft.mnull " +
+        "WHERE p = '__HIVE_DEFAULT_PARTITION__'").collect().isEmpty)
+      // metadata aggregates: count(*) includes the null row, count(p)/
+      // min/max exclude it, and escaped values answer DECODED
+      GraftScanProbe.reset(root)
+      val r = spark.sql(
+        "SELECT count(*), count(p), min(p), max(p) FROM graft.mnull")
+        .collect().head
+      assert((r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+        === ((4L, 3L, "A", "a/b")))
+      val g = spark.sql(
+        "SELECT p, count(*) FROM graft.mnull GROUP BY p").collect()
+        .map(row => Option(row.getString(0)) -> row.getLong(1)).toMap
+      assert(g === Map(Some("A") -> 2L, None -> 1L, Some("a/b") -> 1L))
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.mnull WHERE p IS NOT NULL").collect()
+        .head.getLong(0) === 3L)
+      assert(GraftScanProbe.entriesSeen(root).isEmpty,
+        s"all of the above answer from metadata: " +
+          s"${GraftScanProbe.entriesSeen(root)}")
+    } finally unregister("mnull")
+  }
+
   private implicit class LetOps[A](private val a: A) {
     def let[B](f: A => B): B = f(a)
   }

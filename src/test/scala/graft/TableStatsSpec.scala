@@ -378,6 +378,43 @@ class TableStatsSpec extends SparkSpec {
     }
   }
 
+  test("n-way reorder prices non-graft sides in the same row currency (mixed chain)") {
+    val dir = Files.createTempDirectory("graft_ts_mixed")
+    DataSkipping.commitWithStats(spark, s"$dir/F",
+      spark.range(50000).select(col("id").as("k"),
+        concat(lit("f-pad-"), col("id")).as("fv"), lit("A").as("p")),
+      "p", Seq("k"))
+    DataSkipping.commitWithStats(spark, s"$dir/M",
+      spark.range(10000).select(col("id").as("k"),
+        concat(lit("m-pad-pad-"), col("id")).as("mv"), lit("A").as("p")),
+      "p", Seq("k"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.mxf", s"$dir/F")
+    spark.conf.set("spark.graft.table.mxm", s"$dir/M")
+    // the 10-row dim is a LOCAL relation: priced from plan.stats,
+    // width-normalized into the same rows unit as the graft sides
+    import spark.implicits._
+    (0L until 10L).map(i => (i * 100, s"t$i")).toDF("tk", "tv")
+      .createOrReplaceTempView("mxt")
+    try {
+      val plan = spark.sql(
+        """SELECT f.k, m.mv, t.tv FROM graft.mxf f
+          |JOIN graft.mxm m ON f.k = m.k
+          |JOIN mxt t ON f.k = t.tk""".stripMargin)
+        .queryExecution.optimizedPlan.toString
+      val (ti, mi) = (plan.indexOf("LocalRelation"), plan.indexOf("graft.mxm"))
+      assert(ti >= 0 && mi >= 0, plan.take(3000))
+      assert(ti < mi,
+        s"the 10-row local dim must join before the graft mid table:\n" +
+          plan.take(3000))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft")
+      spark.conf.unset("spark.graft.table.mxf")
+      spark.conf.unset("spark.graft.table.mxm")
+      spark.catalog.dropTempView("mxt")
+    }
+  }
+
   test("histogram selectivity: a skewed range prices within 2× where uniform is >5× off; ANALYZE incremental") {
     val root = Files.createTempDirectory("graft_ts_hist").toString
     // 90% zeros, 10% pseudo-uniform over [0, 100000): a range probe of
@@ -426,6 +463,35 @@ class TableStatsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.catalog.graft")
       spark.conf.unset("spark.graft.table.hsk")
     }
+  }
+
+  test("ANALYZE converges on Infinity histograms; estimates degrade to uniform, never crash") {
+    val root = Files.createTempDirectory("graft_ts_inf").toString
+    // a double column holding Infinity: its histogram boundary defeats
+    // decimal parsing — the record must still be WRITTEN (else every
+    // future ANALYZE re-runs the scan job forever) and consumers must
+    // fall back rather than price from it
+    val data = (0 until 1000).map(i =>
+      (if (i % 100 == 0) Double.PositiveInfinity else i.toDouble, "A"))
+    import spark.implicits._
+    DataSkipping.commitWithStats(spark, root, data.toDF("d", "p"), "p",
+      Seq("d"))
+    val m = AtomicCommit.readManifest(root).get
+    assert(DataSkipping.analyze(spark, root, m, Seq("d")) === 1,
+      "first ANALYZE retrofits the histogram")
+    assert(DataSkipping.analyze(spark, root, m, Seq("d")) === 0,
+      "the unparseable-boundary record still counts as evidence")
+    val gen = AtomicCommit.ownersOf(m.entries("A")).head
+    assert(DataSkipping.readHists(root, gen).exists(_.col == "d"),
+      "the histogram record must exist, raw boundaries included")
+    // pricing survives: range estimate comes from the uniform fallback
+    val rel = new graft.sources.GraftRelation(spark, root,
+      new graft.sources.PosixManifestStore(root), None)
+    val gt = new graft.sources.GraftTable("inf", rel)
+    val est = gt.prunedRows(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.GreaterThanOrEqual("d", 0.0),
+      org.apache.spark.sql.sources.LessThanOrEqual("d", 100.0)))
+    assert(est.exists(e => e >= 1L && e <= 1000L), s"sane fallback: $est")
   }
 
   test("column pruning scales the DSv2 price: narrow projection < full width") {
