@@ -420,7 +420,9 @@ class DataSkippingSpec extends SparkSpec {
       (Long.MaxValue, "bigint"), (7, "smallint"),
       ("hello", "string"), ("", "string"), ("héllo🙂", "string"),
       (3.25, "double"), (3.25f, "float"), (3.25f, "double"),
-      (new java.math.BigDecimal("123.45"), "decimal(10,2)"))
+      (new java.math.BigDecimal("123.45"), "decimal(10,2)"),
+      (java.sql.Date.valueOf("2026-08-15"), "date"),
+      (java.sql.Timestamp.valueOf("2026-08-15 12:34:56"), "timestamp"))
     cases.foreach { case (v, dt) =>
       val local = DataSkipping.localPositions(Seq(v), dt, numBits,
         numHashes, salt).head

@@ -308,6 +308,42 @@ class RuntimeFilteringSpec extends SparkSpec {
       s"${probeKeys.length} keys of one file must read exactly that file, saw $files")
   }
 
+  test("a DATE join key filters through bloom evidence (no stats kind exists for dates)") {
+    val root = Files.createTempDirectory("graft_rtf_date").toString
+    // dates interleave across partitions (day % 3): only blooms can
+    // prune, and the probe must hash java.sql.Date exactly as the
+    // sidecar writer's job did
+    val rows = (0 until 300).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2026, 1, 1)
+        .plusDays(i)), i.toString * 16, s"P${i % 3}")
+    }
+    import spark.implicits._
+    val staged = AtomicCommit.stage(spark, root, rows.toDF("d", "pad", "p"), "p")
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("d"))
+    AtomicCommit.publish(root, staged)
+    register("rtdate", root)
+    // 2 dates, both ≡ 0 (mod 3) days from the epoch start → both in P0
+    Seq((java.sql.Date.valueOf("2026-01-01"), 1),
+      (java.sql.Date.valueOf("2026-01-04"), 1)).toDF("d2", "m")
+      .createOrReplaceTempView("rtdimdate")
+    try withSQLConf(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "4096") {
+      GraftScanProbe.reset(root)
+      val got = spark.sql(
+        """SELECT /*+ BROADCAST(d) */ f.d FROM graft.rtdate f
+          |JOIN rtdimdate d ON f.d = d.d2""".stripMargin).collect()
+      assert(got.map(_.getDate(0).toString).sorted.toSeq
+        === Seq("2026-01-01", "2026-01-04"))
+      val seen = GraftScanProbe.entriesSeen(root)
+      assert(seen.nonEmpty && seen.last === 1,
+        s"both probe dates live in P0; blooms must prune to it, saw $seen")
+    } finally {
+      unregister("rtdate")
+      spark.catalog.dropTempView("rtdimdate")
+    }
+  }
+
   test("over-budget key sets degrade to a [min,max] range, which still prunes") {
     val root = Files.createTempDirectory("graft_rtf_range").toString
     // disjoint k ranges per partition: 0-999 / 10000-10999 / 20000-20999;
