@@ -881,7 +881,7 @@ object DataSkipping {
       case _ => false // half-recorded — no containment evidence
     }
 
-  private def listParquet(dir: String): Seq[String] =
+  private[sources] def listParquet(dir: String): Seq[String] =
     Option(Paths.get(dir).toFile.listFiles).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.getName).toSeq

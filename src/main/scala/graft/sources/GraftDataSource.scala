@@ -301,6 +301,29 @@ object GraftRelation {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .DEFAULT_PARTITION_NAME
 
+  /** The directory name holding rows whose partition value DECODES to
+    * `v` (null → the sentinel) — the inverse of Spark's partition-value
+    * parse, for mapping COLLECTED row values back into manifest space.
+    * Every collect that feeds entry lookups, drops, or overrides must
+    * pass through this, or escaped/null partitions silently miss.
+    */
+  private[sources] def rawPartitionName(v: String): String =
+    if (v == null) NullPartitionName else dirNameOf(v)
+
+  /** Row-space probe for the partitions named by RAW dir keys `raws`:
+    * equality over the decoded forms, IS NULL for the sentinel (whose
+    * rows decode to null — `isin` can never match them).
+    */
+  private[sources] def rawKeyProbe(c: org.apache.spark.sql.Column,
+                                   raws: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    val decoded = raws.filterNot(_ == NullPartitionName)
+      .map(org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName)
+    val eq = if (decoded.isEmpty) lit(false) else c.isin(decoded: _*)
+    if (raws.contains(NullPartitionName)) eq || c.isNull else eq
+  }
+
   /** A probe value that names exactly its directory: escaping is the
     * identity and it is not the null sentinel. Only these may be
     * DECLARED handled — for anything else the residual re-evaluation
@@ -447,8 +470,13 @@ final class GraftRelation(spark: SparkSession, val root: String,
     * table across commits; None = a declared table before its first
     * commit.
     */
-  private def snapshotOpt(): Option[AtomicCommit.Manifest] =
+  private[sources] def snapshotOpt(): Option[AtomicCommit.Manifest] =
     pinned.orElse(AtomicCommit.readManifest(store))
+
+  /** The owning session — the batch-scan face builds its parquet read
+    * function against it ([[GraftBatchScan]]).
+    */
+  private[sources] def session: SparkSession = spark
 
   private def snapshot(): AtomicCommit.Manifest =
     snapshotOpt().getOrElse(
@@ -590,6 +618,62 @@ final class GraftRelation(spark: SparkSession, val root: String,
         }
         (scaled, estimated)
     }
+
+  /** [[estimateStats]] scaled by projected width — shared by both DSv2
+    * scan faces (the planner prices the in-memory relation AFTER column
+    * pruning, the same move as Spark's own fsRelation sizing).
+    */
+  private[sources] def projectedStats(filters: Array[Filter],
+                                      required: StructType): (Long, Option[Long]) = {
+    val (bytes, rowsOpt) = estimateStats(filters)
+    val full = schema.fields.map(_.dataType.defaultSize).sum.max(1)
+    val kept = required.fields.map(_.dataType.defaultSize).sum.max(1)
+    val scaled =
+      if (kept >= full) bytes
+      else math.ceil(bytes.toDouble * kept / full).toLong
+    (scaled, rowsOpt)
+  }
+
+  /** Per-partition surviving FILE layout under `filters`: raw partition
+    * value → (absolute file path, byte length) pairs, after the SAME
+    * entry pruning and file-granular evidence pruning [[buildScan]]
+    * applies — so the storage-partitioned batch face ([[GraftBatchScan]])
+    * reads exactly the bytes the V1 composition would. Partitions pruned
+    * to zero files are dropped (an absent key is an empty partition;
+    * Spark's push-part-values handling fills the other join side).
+    * Scan-probe observability records match buildScan's, so the same
+    * spec assertions prove pruning on either face.
+    */
+  private[sources] def partitionFileLayout(filters: Array[Filter])
+      : Seq[(String, Seq[(String, Long)])] = {
+    val m = snapshot()
+    val entries = prunedEntriesFor(m, filters)
+    GraftScanProbe.record(root, entries.size)
+    if (entries.isEmpty) return Nil
+    val pc = m.partitionCol
+    val (lows, highs) = foldBounds(filters, pc)
+    val rangePreds = (lows.keySet & highs.keySet).toSeq.sorted
+      .map(c => (c, lows(c), highs(c)))
+    val pruned = m.copy(entries = entries)
+    // file-granular evidence (min/max + bloom sidecars): None = no file
+    // evidence anywhere, every listed file of a surviving dir is read
+    val allowed: Option[Set[String]] =
+      DataSkipping.prunedScanPaths(spark, root, pruned, rangePreds,
+        eqSetsMerged(filters, pc)).map(_.flatMap(_._2).toSet)
+    val out = entries.toSeq.sortBy(_._1).map { case (pv, entry) =>
+      val files = AtomicCommit.ownersOf(entry).flatMap { gen =>
+        val dir = s"$root/$gen/$pc=$pv"
+        DataSkipping.listParquet(dir)
+          .map(f => s"$dir/$f")
+          .filter(p => allowed.forall(s => s(p) || s(dir)))
+          .map(p => p -> java.nio.file.Files.size(java.nio.file.Paths.get(p)))
+      }
+      pv -> files
+    }.filter(_._2.nonEmpty)
+    allowed.foreach(_ => GraftScanProbe.recordFiles(root,
+      out.iterator.map(_._2.size).sum))
+    out
+  }
 
   /** NDV of a column over the pruned partition set — the join-order
     * rule's output-cardinality evidence ([[TableStats.columnStats]]).
