@@ -1993,9 +1993,13 @@ object AtomicCommit {
       val terms = applicable.groupBy(e => (e.col, e.values)).toSeq
         .sortBy { case ((c, vs), _) => (c, vs.mkString("\u0000")) }
         .map { case ((c, vs), es) =>
+          // record partitions are RAW entry keys; rows carry DECODED
+          // values (the null partition's rows decode to null) — probe
+          // through the escape or the record never applies there
           val parts = es.map(_.partition).distinct
           coalesce(
-            !(col(partitionCol).cast("string").isin(parts: _*) &&
+            !(GraftRelation.rawKeyProbe(col(partitionCol).cast("string"),
+              parts) &&
               col(c).cast("string").isin(vs: _*)),
             lit(true))
         }
@@ -2023,7 +2027,12 @@ object AtomicCommit {
       sub: Map[(UTF8String, UTF8String), DvBitmap.Bitmap]): DataFrame =
     if (sub.isEmpty) df
     else df.filter(DvBitmap.exprColumn(DvKeep(sub,
-      DvBitmap.colExpr(col(partitionCol).cast("string")),
+      // the null partition probes as the SENTINEL (no decoded value can
+      // collide with it): DvKeep is a null-intolerant ternary, so a raw
+      // null here would null the filter and drop EVERY null-keyed row —
+      // readSidecars keys the null partition's bitmaps the same way
+      DvBitmap.colExpr(coalesce(col(partitionCol).cast("string"),
+        lit(GraftRelation.NullPartitionName))),
       DvBitmap.colExpr(col("_metadata.file_name")),
       DvBitmap.colExpr(col("_metadata.row_index")))))
 
@@ -2037,7 +2046,10 @@ object AtomicCommit {
         df.withColumn("__graft_f", col("_metadata.file_name"))
           .withColumn("__graft_pos", col("_metadata.row_index"))
           .join(broadcast(slice),
-            col(partitionCol).cast("string") === col("__dv_partition") &&
+            // NULL-SAFE on the partition: the null partition's rows and
+            // their recorded addresses both carry null — plain === would
+            // never match and the deleted rows would resurrect
+            (col(partitionCol).cast("string") <=> col("__dv_partition")) &&
               col("__graft_f") === col("__dv_file") &&
               col("__graft_pos") === col("__dv_pos"),
             "left_anti")

@@ -140,13 +140,33 @@ object Compaction {
     // the rewrite's generation replaces every old one, so any skipping
     // evidence dies with them — statsCols re-annotates the compacted
     // generation (a compaction should never LOSE read performance)
-    val staged = AtomicCommit.stage(spark, root, store, df, m.partitionCol,
-      filesPerDir, Some(m))
+    val staged = dropEmptied(AtomicCommit.stage(spark, root, store, df,
+      m.partitionCol, filesPerDir, Some(m)), m, m.entries.keySet)
     if (statsCols.nonEmpty)
       DataSkipping.annotateStaged(spark, root, staged, statsCols)
     AtomicCommit.publish(root, store, staged)
     if (vacuumNow) AtomicCommit.vacuum(root, store, AtomicCommit.OrphanRetentionMillis, 1)
     (before, countAtomicDataFiles(root, store))
+  }
+
+  /** Fold FULLY-EMPTIED partitions out of a rewrite: a partition the
+    * anchor names (within `scope`) but the live scan staged no rows for
+    * has every row deleted — a zero-scan equality delete cannot know
+    * that at delete time, so without this a "full" rewrite would leave
+    * the dead entry (old bytes + deletion vector) behind forever. The
+    * drop rides the same commit and joins the read set (`baseOwners`),
+    * so a concurrent write to the emptied partition still conflicts the
+    * publish instead of being silently dropped.
+    */
+  private def dropEmptied(staged: AtomicCommit.Staged,
+                          anchor: AtomicCommit.Manifest,
+                          scope: Set[String]): AtomicCommit.Staged = {
+    val emptied = (scope -- staged.partitions).toSeq.sorted
+    if (emptied.isEmpty) staged
+    else staged.copy(
+      drops = (staged.drops ++ emptied).distinct,
+      baseOwners = staged.baseOwners ++
+        emptied.flatMap(p => anchor.entries.get(p).map(p -> _)))
   }
 
   /** Targeted deletion-vector purge — the MAINTENANCE half of the
@@ -178,31 +198,64 @@ object Compaction {
     val pc = m.partitionCol
     val vectored = m.entries.filter { case (_, e) => AtomicCommit.dvOf(e).nonEmpty }
     if (vectored.isEmpty) return Nil
-    // marked rows per partition: each entry's CURRENT vector, counting
-    // only addresses into its current data owners (stale rows screened)
-    val marked: Map[String, Long] = vectored.toSeq
-      .flatMap { case (p, e) => AtomicCommit.dvOf(e).map(d => (d, p, AtomicCommit.ownersOf(e))) }
-      .groupBy(_._1).toSeq.flatMap { case (dvGen, group) =>
-        val byPart = group.map(g => g._2 -> g._3).toMap
-        spark.read.parquet(s"$root/$dvGen")
-          .filter(col("__dv_partition").isin(byPart.keys.toSeq: _*))
-          .groupBy("__dv_partition", "__dv_owner").count().collect()
-          .filter(r => byPart(r.getString(0)).contains(r.getString(1)))
-          .groupBy(_.getString(0)).map { case (p, rs) => p -> rs.map(_.getLong(2)).sum }
-      }.toMap
+    // Hive-layout key mapping: entry keys are RAW dir names, while
+    // `__dv_partition` and row values are DECODED (the null partition's
+    // rows decode to null) — every probe and every collected key maps
+    // through the escape, or escaped/null partitions silently never purge
+    def rawOf(decoded: String): String =
+      if (decoded == null) GraftRelation.NullPartitionName
+      else GraftRelation.dirNameOf(decoded)
     // live rows per partition, one merged scan of the vectored slice
     val live: Map[String, Long] = AtomicCommit.scanManifest(spark, root,
         m.copy(entries = vectored))
       .groupBy(col(pc).cast("string").as("__p")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => rawOf(r.getString(0)) -> r.getLong(1)).toMap
+    // DELETED rows per partition. Exact whenever the stats sidecars carry
+    // complete physical counts (physical − live covers position AND
+    // equality vectors, zero extra I/O); else counted from the position
+    // parquet — each entry's CURRENT vector, addresses into current
+    // owners only (stale rows screened). On that fallback an
+    // equality-only vector generation carries no parquet (the zero-scan
+    // delete writes only `_graft_eq.jsonl`) and contributes zero marks —
+    // under-selection, never a crash.
+    val marked: Map[String, Long] = TableStats.partitionRows(root, m) match {
+      case Some(physical) =>
+        vectored.keys.map(p => p -> math.max(0L,
+          physical.getOrElse(p, 0L) - live.getOrElse(p, 0L))).toMap
+      case None => vectored.toSeq
+        .flatMap { case (p, e) =>
+          AtomicCommit.dvOf(e).map(d => (d, p, AtomicCommit.ownersOf(e))) }
+        .groupBy(_._1).toSeq.flatMap { case (dvGen, group) =>
+          if (!AtomicCommit.hasParquetFiles(s"$root/$dvGen")) Nil
+          else {
+            val byRaw = group.map(g => g._2 -> g._3).toMap
+            spark.read.parquet(s"$root/$dvGen")
+              .filter(GraftRelation.rawKeyProbe(col("__dv_partition"),
+                group.map(_._2)))
+              .groupBy("__dv_partition", "__dv_owner").count().collect().toSeq
+              .filter(r => byRaw.get(rawOf(r.getString(0)))
+                .exists(_.contains(r.getString(1))))
+              .groupBy(r => rawOf(r.getString(0)))
+              .map { case (p, rs) => p -> rs.map(_.getLong(2)).sum }
+          }
+        }.toMap
+    }
     val selected = vectored.keys.toSeq.sorted.filter { p =>
       val mk = marked.getOrElse(p, 0L).toDouble
       mk > 0 && mk / (mk + live.getOrElse(p, 0L)) >= threshold
     }
     if (selected.isEmpty) return Nil
-    val slice = AtomicCommit.scanManifest(spark, root,
-      m.copy(entries = m.entries.filter { case (p, _) => selected.contains(p) }))
-    val staged = AtomicCommit.stage(spark, root, store, slice, pc, 1, Some(m))
+    val allDead = selected.forall(p => live.getOrElse(p, 0L) == 0L)
+    val staged = dropEmptied(
+      if (allDead)
+        // every selected partition is fully deleted — the drop-only
+        // commit shape (no generation staged; casLoop sanctions it)
+        AtomicCommit.Staged("", pc, Nil, m.version, Map.empty)
+      else AtomicCommit.stage(spark, root, store,
+        AtomicCommit.scanManifest(spark, root, m.copy(entries =
+          m.entries.filter { case (p, _) => selected.contains(p) })),
+        pc, 1, Some(m)),
+      m, selected.toSet)
     if (statsCols.nonEmpty)
       DataSkipping.annotateStaged(spark, root, staged, statsCols)
     AtomicCommit.publish(root, store, staged)
@@ -315,8 +368,8 @@ object Compaction {
     val keys = col(m.partitionCol) +: orderCols
     val keyed = df.repartitionByRange(numTasks, keys: _*)
       .sortWithinPartitions(keys: _*)
-    val staged = AtomicCommit.stageKeyed(spark, root, store, keyed,
-      m.partitionCol, Some(m))
+    val staged = dropEmptied(AtomicCommit.stageKeyed(spark, root, store,
+      keyed, m.partitionCol, Some(m)), m, m.entries.keySet)
     DataSkipping.annotateStaged(spark, root, staged, statsCols)
     // point-lookup columns the SORT can't serve (a non-sort key is
     // interleaved across every output file) get per-file blooms, so a

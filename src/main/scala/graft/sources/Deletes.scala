@@ -169,14 +169,19 @@ object Deletes {
       col("__addr_f").as("__dv_file"),
       col("__addr_pos").as("__dv_pos")).persist()
     try {
+      // collected `__dv_partition` values are DECODED row values; every
+      // manifest-space use below (entry lookups, drops, overrides) needs
+      // the RAW dir name — map once here, probe back with rawKeyProbe
       val mc = matched.groupBy("__dv_partition").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => GraftRelation.rawPartitionName(r.getString(0)) -> r.getLong(1))
+        .toMap
       if (mc.isEmpty) return None
       val touched = mc.keys.toSeq.sorted
       val lc = addressed
-        .filter(col(pc).cast("string").isin(touched: _*))
+        .filter(GraftRelation.rawKeyProbe(col(pc).cast("string"), touched))
         .groupBy(col(pc).cast("string").as("__p")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .map(r => GraftRelation.rawPartitionName(r.getString(0)) -> r.getLong(1))
+        .toMap
       val drops = touched.filter(p => lc(p) == mc(p))
       val keep = touched.filterNot(drops.toSet)
       val baseOwners = (keep ++ drops)
@@ -191,7 +196,8 @@ object Deletes {
           // construction) unioned with the fresh addresses
           val dvGen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
           val (carried, carriedEqs) = carryEvidence(spark, root, m, keep)
-          val fresh = matched.filter(col("__dv_partition").isin(keep: _*))
+          val fresh = matched.filter(
+            GraftRelation.rawKeyProbe(col("__dv_partition"), keep))
           // one small file: a vector is delete-set-sized by design (bulk
           // deletes belong to the CoW path)
           (fresh +: carried).reduce(_.unionByName(_))
@@ -223,8 +229,12 @@ object Deletes {
       .groupBy(_._1).toSeq.sortBy(_._1)
     val frames = byDvGen.flatMap { case (g, pairs) =>
       if (AtomicCommit.hasParquetFiles(s"$root/$g"))
+        // keys are RAW entry names; the stored __dv_partition values are
+        // DECODED — probing raw would silently drop an escaped or null
+        // partition's carried evidence (resurrecting its deleted rows)
         Some(spark.read.parquet(s"$root/$g")
-          .filter(col("__dv_partition").isin(pairs.map(_._2): _*)))
+          .filter(GraftRelation.rawKeyProbe(col("__dv_partition"),
+            pairs.map(_._2))))
       else None
     }
     val eqs = byDvGen.flatMap { case (g, pairs) =>
@@ -336,9 +346,11 @@ object Deletes {
     val scan = AtomicCommit.scanManifest(spark, root, m.copy(entries = candidates))
     // SQL DELETE semantics: deleted iff TRUE — null-cond rows survive
     val deletes = coalesce(cond, lit(false))
+    // collected row values are DECODED; manifest space is RAW dir names
     val touched = scan.filter(deletes)
       .select(col(m.partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(r => GraftRelation.rawPartitionName(r.getString(0)))
+      .toSeq.sorted
     if (touched.isEmpty) return None
     val touchedSet = touched.toSet
     val base = AtomicCommit.scanManifest(spark, root,
@@ -346,7 +358,7 @@ object Deletes {
     val survivors = base.filter(!deletes)
     val surviving = survivors
       .select(col(m.partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+      .collect().map(r => GraftRelation.rawPartitionName(r.getString(0))).toSet
     val drops = touched.filterNot(surviving)
     val dropOwners = drops.flatMap(p => m.entries.get(p).map(p -> _)).toMap
     val staged =

@@ -267,13 +267,21 @@ object DvBitmap {
       val files = sidecarFiles(root, g)
       if (files.isEmpty) return None
       import org.apache.spark.sql.functions.col
+      // entry keys are RAW dir names; __dvb_partition carries the
+      // DECODED row value (null for the sentinel) — probing raw would
+      // silently load no bitmaps for an escaped or null partition and
+      // its deleted rows would resurrect at scan
       val rows = spark.read.parquet(files: _*)
-        .filter(col("__dvb_partition").isin(parts.toSeq.sorted: _*))
+        .filter(GraftRelation.rawKeyProbe(col("__dvb_partition"),
+          parts.toSeq.sorted))
         .collect()
       for (r <- rows) {
         spent += r.getAs[Array[Byte]](3).length
         if (spent > budget) return None // over budget: anti-join instead
-        val key = (UTF8String.fromString(r.getString(0)),
+        // null partition → SENTINEL key, matching applyDvBitmap's probe
+        val key = (UTF8String.fromString(
+          if (r.isNullAt(0)) GraftRelation.NullPartitionName
+          else r.getString(0)),
           UTF8String.fromString(r.getString(2)))
         out.getOrElseUpdate(r.getString(1), mutable.Map()) +=
           key -> parse(r.getAs[Array[Byte]](3))

@@ -392,4 +392,86 @@ class CompactionSpec extends SparkSpec {
     // the purge restored A's metadata-count fast path; B still scans
     assert(DataSkipping.countWhere(spark, root, "v", 1L, 200L) === 24L)
   }
+
+  test("a full compaction DROPS a partition deletes fully emptied") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cmp_empty").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A"), (2L, "A"), (3L, "B")).toDF("k", "p"), "p")
+    // the ZERO-SCAN equality delete empties A without knowing it did —
+    // the entry keeps its vector (no read happened to prove emptiness)
+    graft.sources.Deletes.deleteKeysMoR(spark, root, "k", Seq(1L, 2L))
+    val mid = AtomicCommit.readManifest(root).get
+    assert(mid.entries.contains("A") && AtomicCommit.dvOf(mid.entries("A")).nonEmpty)
+
+    Compaction.compactAtomicTable(spark, root)
+    val m = AtomicCommit.readManifest(root).get
+    assert(m.entries.keySet === Set("B"),
+      s"the emptied partition must fold OUT of a full compaction: ${m.entries}")
+    assert(m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty))
+    assert(AtomicCommit.read(spark, root).select("k").as[Long]
+      .collect().toSeq === Seq(3L))
+  }
+
+  test("purgeVectors: equality-only vectors select by physical − live, no crash") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_purge_eq").toString
+    val df = ((1L to 10L).map(i => (i, "A")) ++
+      (101L to 110L).map(i => (i, "B"))).toDF("k", "p")
+    DataSkipping.commitWithStats(spark, root, df, "p", Seq("k"))
+    // the equality delete's vector generation carries NO position parquet
+    graft.sources.Deletes.deleteKeysMoR(spark, root, "k", (1L to 9L))
+    val purged = Compaction.purgeVectors(spark, root, threshold = 0.5)
+    assert(purged === Seq("A"), "9 of A's 10 rows are gone — provable " +
+      "from the stats sidecars' physical counts minus the live scan")
+    val after = AtomicCommit.readManifest(root).get.entries
+    assert(AtomicCommit.dvOf(after("A")).isEmpty, "A's vector folded away")
+    // B keeps its NO-OP vector: the zero-scan delete could not prove B
+    // holds none of the keys (no blooms), and B's physical − live = 0
+    // keeps it under every threshold — correctly never rewritten
+    assert(AtomicCommit.dvOf(after("B")).nonEmpty)
+    assert(AtomicCommit.read(spark, root).select("k").as[Long].collect().toSet
+      === (Set(10L) ++ (101L to 110L)))
+  }
+
+  test("purgeVectors: every selected partition dead → the purge is a drop-only commit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_purge_dead").toString
+    DataSkipping.commitWithStats(spark, root,
+      ((1L to 4L).map(i => (i, "A")) ++ (11L to 14L).map(i => (i, "B")))
+        .toDF("k", "p"), "p", Seq("k"))
+    graft.sources.Deletes.deleteKeysMoR(spark, root, "k", (1L to 4L))
+    // the zero-scan delete marks B too (no blooms to prove absence) —
+    // capture B's entry as the DELETE left it
+    val bBefore = AtomicCommit.readManifest(root).get.entries("B")
+    val purged = Compaction.purgeVectors(spark, root, threshold = 0.5)
+    assert(purged === Seq("A"))
+    val m = AtomicCommit.readManifest(root).get
+    assert(m.entries.keySet === Set("B"), "the dead partition drops outright")
+    assert(m.entries("B") === bBefore, "B's entry untouched by the drop")
+    assert(AtomicCommit.read(spark, root).select("k").as[Long].collect().toSet
+      === (11L to 14L).toSet)
+  }
+
+  test("purgeVectors reaches ESCAPED partition names (raw entry keys vs decoded vectors)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_purge_esc").toString
+    // no stats annotation → selection must come from the POSITION
+    // parquet, whose __dv_partition values are decoded ('a/b'), while
+    // the manifest entry is the raw dir name ('a%2Fb')
+    AtomicCommit.commitReplacePartitions(spark, root,
+      ((1L to 4L).map(i => (i, "a/b")) ++ (11L to 14L).map(i => (i, "ok")))
+        .toDF("k", "p"), "p")
+    graft.sources.Deletes.deleteWhereMoR(spark, root, col("k") <= 3L)
+    val entries = AtomicCommit.readManifest(root).get.entries
+    assert(entries.contains("a%2Fb") &&
+      AtomicCommit.dvOf(entries("a%2Fb")).nonEmpty)
+    val purged = Compaction.purgeVectors(spark, root, threshold = 0.5)
+    assert(purged === Seq("a%2Fb"),
+      "3 of 4 rows marked — the decoded-probe mapping must find them")
+    val after = AtomicCommit.readManifest(root).get.entries
+    assert(AtomicCommit.dvOf(after("a%2Fb")).isEmpty)
+    assert(AtomicCommit.read(spark, root).filter(col("p") === "a/b")
+      .select("k").as[Long].collect().toSeq === Seq(4L))
+  }
 }

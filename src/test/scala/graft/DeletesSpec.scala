@@ -300,4 +300,69 @@ class DeletesSpec extends SparkSpec {
     assert(AtomicCommit.dvOf(m2.entries("C")).isEmpty,
       "bloom-rejected partitions must not carry the record")
   }
+
+  test("deletes on ESCAPED partition names: CoW and MoR, raw keys vs decoded rows") {
+    import spark.implicits._
+    // copy-on-write: rows collect DECODED ('a/b'); the manifest speaks
+    // RAW ('a%2Fb') — rewrites and drops must land on the right entries
+    val cowRoot = Files.createTempDirectory("graft_del_esc_cow").toString
+    AtomicCommit.commitReplacePartitions(spark, cowRoot,
+      ((1L to 4L).map(i => (i, "a/b")) ++ (11L to 12L).map(i => (i, "x=y"))
+        ++ (21L to 22L).map(i => (i, "ok"))).toDF("k", "p"), "p")
+    // partial delete in a/b (rewrite), full delete of x=y (drop)
+    assert(Deletes.deleteWhere(spark, cowRoot,
+      col("k") <= 3L || col("k") >= 11L && col("k") <= 12L).nonEmpty)
+    val m = AtomicCommit.readManifest(cowRoot).get
+    assert(m.entries.keySet === Set("a%2Fb", "ok"),
+      s"x=y must drop, a/b must survive rewritten: ${m.entries.keySet}")
+    assert(AtomicCommit.read(spark, cowRoot).select("k").as[Long]
+      .collect().toSet === Set(4L, 21L, 22L))
+
+    // merge-on-read: the vector's __dv_partition is decoded; entry
+    // edits, carried evidence, and emptied-partition drops are raw
+    val morRoot = Files.createTempDirectory("graft_del_esc_mor").toString
+    AtomicCommit.commitReplacePartitions(spark, morRoot,
+      ((1L to 4L).map(i => (i, "a/b")) ++ (21L to 22L).map(i => (i, "ok")))
+        .toDF("k", "p"), "p")
+    assert(Deletes.deleteWhereMoR(spark, morRoot, col("k") === 1L).nonEmpty)
+    val m1 = AtomicCommit.readManifest(morRoot).get
+    assert(AtomicCommit.dvOf(m1.entries("a%2Fb")).nonEmpty,
+      "the vector must attach to the raw entry key")
+    // a second MoR delete re-homes (CARRIES) the first vector — the
+    // decoded-probe mapping must keep k=1 deleted
+    assert(Deletes.deleteWhereMoR(spark, morRoot, col("k") === 2L).nonEmpty)
+    assert(AtomicCommit.read(spark, morRoot).select("k").as[Long]
+      .collect().toSet === Set(3L, 4L, 21L, 22L))
+    // emptying the escaped partition drops its raw entry
+    assert(Deletes.deleteWhereMoR(spark, morRoot,
+      col("k") === 3L || col("k") === 4L).nonEmpty)
+    assert(AtomicCommit.readManifest(morRoot).get.entries.keySet === Set("ok"))
+    assert(AtomicCommit.read(spark, morRoot).select("k").as[Long]
+      .collect().toSet === Set(21L, 22L))
+  }
+
+  test("MoR position delete in the NULL partition applies — bitmap path AND legacy anti-join") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_del_null").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, Some("A")), (2L, Some("A")), (3L, None), (4L, None))
+        .toDF("k", "p"), "p")
+    assert(Deletes.deleteWhereMoR(spark, root, col("k") === 3L).nonEmpty)
+    def liveKeys() = AtomicCommit.read(spark, root)
+      .select("k").as[Long].collect().toSet
+    assert(liveKeys() === Set(1L, 2L, 4L),
+      "the null partition's marked row must not survive (bitmap path)")
+    // legacy path: tables whose vectors predate the bitmap sidecar —
+    // remove the sidecar, the anti-join must be NULL-SAFE on the key
+    val m = AtomicCommit.readManifest(root).get
+    val dvGen = m.entries.values.flatMap(AtomicCommit.dvOf).head
+    val dvb = java.nio.file.Paths.get(root, dvGen, "_dvb")
+    assert(Files.isDirectory(dvb), "expected a bitmap sidecar to remove")
+    val s = Files.walk(dvb)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.delete(f))
+    finally s.close()
+    assert(liveKeys() === Set(1L, 2L, 4L),
+      "the anti-join fallback must be null-safe on the partition value")
+  }
 }
