@@ -611,6 +611,57 @@ object TableBench {
         s"reorder changed the answer: $reorderOn vs $reorderOff")
       println(s"[tablebench] join-reorder A/B rows=${reorderOn.getLong(0)}")
     }
+
+    // r17b: STORAGE-PARTITIONED JOIN A/B — the graft batch face
+    // ([[graft.sources.GraftBatchScan]]) reports key-grouped output
+    // partitioning, so a join of two tables co-partitioned on pk plans
+    // with ZERO exchanges: the wide fact is never shuffled, which at
+    // 100 TB is the whole cost of the recurring fact-to-dim join. Fresh
+    // tables (rootC carries delete/rename/widen state by now, which
+    // correctly gates the batch face out).
+    {
+      val rootF = Files.createTempDirectory("graft_tb_spjf").toString
+      val rootG = Files.createTempDirectory("graft_tb_spjg").toString
+      timed(s"commit SPJ fact ($n rows) + dim (1 row/key, $p parts)") {
+        DataSkipping.commitWithStats(spark, rootF, clustered, "pk", Seq("v"))
+        DataSkipping.commitWithStats(spark, rootG,
+          spark.range(p).select(
+            format_string("p%04d", col("id").cast("int")).as("pk"),
+            (col("id") * 7L).as("w")),
+          "pk", Seq("w"))
+      }
+      spark.conf.set("spark.graft.table.spjf", rootF)
+      spark.conf.set("spark.graft.table.spjg", rootG)
+      // the payload aggregate keeps the shuffled fact WIDE — exactly the
+      // bytes storage-partitioned planning saves
+      val q = "SELECT count(*) AS c, sum(f.v + g.w) AS s, " +
+        "sum(length(f.payload)) AS b FROM graft.spjf f " +
+        "JOIN graft.spjg g ON f.pk = g.pk"
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val spjOff = timed("co-partitioned join, SPJ OFF (fact shuffles)") {
+        spark.sql(q).head()
+      }
+      spark.conf.set(graft.sources.GraftBatchScan.EnabledConf, "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      val dOn = spark.sql(q)
+      val spjOn = timed("co-partitioned join, SPJ ON (zero shuffles)") {
+        dOn.head()
+      }
+      // the only sanctioned exchange is the global aggregate's
+      // SinglePartition fold; the JOIN itself must not repartition
+      val planOn = dOn.queryExecution.executedPlan.toString
+      require(!planOn.contains("Exchange hashpartitioning"),
+        s"the SPJ join must not shuffle:\n${planOn.take(1500)}")
+      require((0 until 3).forall(i => spjOn.getLong(i) == spjOff.getLong(i)),
+        s"SPJ changed the answer: $spjOn vs $spjOff")
+      println(s"[tablebench] spj A/B rows=${spjOn.getLong(0)}")
+      spark.conf.unset(graft.sources.GraftBatchScan.EnabledConf)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,289 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+import scala.util.Try
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, HasPartitionKey, PartitionReader, PartitionReaderFactory, Scan, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The STORAGE-PARTITIONED batch face of a graft catalog read: a native
+  * DSv2 `Batch` whose input splits carry their partition key
+  * ([[HasPartitionKey]]) and whose [[Scan]] reports
+  * [[KeyGroupedPartitioning]] over the table's partition column — so
+  * under `spark.sql.sources.v2.bucketing.enabled` a join or aggregation
+  * keyed on that column plans with ZERO shuffle exchanges (Spark groups
+  * the file splits by key and co-schedules matching keys). At 100 TB
+  * that turns the recurring fact-to-fact join of two co-partitioned
+  * tables from the dominant shuffle into a per-key local join: the read
+  * ratio IS the whole cost, because neither side ever re-materializes.
+  *
+  * The V1 bridge scan ([[GraftV1Scan]]) cannot carry this — Spark plans
+  * a `V1ScanWrapper` as a `RowDataSourceScanExec` with unknown output
+  * partitioning — so this face exists alongside it, OPT-IN
+  * (`spark.graft.batchScan.enabled`) and only when a VERBATIM parquet
+  * read is byte-equivalent to the V1 composition ([[AtomicCommit
+  * .scanManifest]]): no rename/drop/widen mapping state, no pending
+  * ALTER-added backfill columns, no delete evidence, and one footer
+  * schema shared by every owner generation ([[GraftBatchScan
+  * .eligibleScan]]). Anything else falls back to the V1 path, which is
+  * always correct — the same gate philosophy as the metadata-answered
+  * aggregates. The steady-state maintained table (compaction folds
+  * owner lists, rewrites heal mapping state and deletes) qualifies,
+  * which is exactly the 100 TB shape the join matters for.
+  *
+  * Pruning parity: splits come from [[GraftRelation
+  * .partitionFileLayout]] — the same manifest-entry pruning and
+  * file-granular sidecar evidence as the V1 path, probe-recorded
+  * identically. Parquet row-group skipping gets the pushed DATA filters
+  * through the reader. Runtime filters arrive through the standard
+  * [[SupportsRuntimeFiltering]] face — on this native scan Spark's OWN
+  * dynamic-partition-pruning delivery works (no AQE bridge needed, the
+  * `V1ScanWrapper` limitation does not exist here).
+  */
+final class GraftBatchScan private[graft] (
+    relation: GraftRelation,
+    dataSchema: StructType,
+    private[graft] val required: StructType,
+    private[graft] val pushed: Array[Filter]) extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  @volatile private[graft] var runtime: Array[Filter] = Array.empty
+  private def effective: Array[Filter] = pushed ++ runtime
+
+  private val pc: String = relation.partitionColOpt.getOrElse(
+    sys.error(s"graft batch scan needs a committed table at ${relation.root}"))
+  private val pcRequired: Boolean = required.fieldNames.contains(pc)
+  // required DATA columns in the reader's (footer) types — the gate
+  // proved them identical to the logical schema's
+  private val requiredData: StructType = StructType(
+    required.fields.filterNot(_.name == pc)
+      .map(f => dataSchema.find(_.name == f.name).getOrElse(f)))
+
+  /** Rows come out data-columns-first, partition column appended (the
+    * `FileFormat` layout); Spark projects back to the asked order above
+    * the scan.
+    */
+  override def readSchema(): StructType = StructType(
+    requiredData.fields ++
+      (if (pcRequired) Array(StructField(pc, StringType)) else Array.empty[StructField]))
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftBatchScan ${relation.root} [${readSchema().fieldNames.mkString(",")}]"
+
+  /** One split per surviving data FILE, keyed by its partition value —
+    * file-granular parallelism when no key grouping is asked for, and
+    * Spark's `groupPartitions` folds splits per key when storage-
+    * partitioned planning is on. Keys are the DECODED partition values
+    * (dir escapes undone, the null sentinel as null), matching row
+    * values exactly.
+    */
+  override def planInputPartitions(): Array[InputPartition] =
+    relation.partitionFileLayout(effective).flatMap { case (pv, files) =>
+      val key: InternalRow = new GenericInternalRow(Array[Any](
+        if (pv == GraftRelation.NullPartitionName) null
+        else UTF8String.fromString(ExternalCatalogUtils.unescapePathName(pv))))
+      files.map { case (path, len) =>
+        GraftFileSplit(key, path, len): InputPartition
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val partSchema =
+      if (pcRequired) StructType(Array(StructField(pc, StringType)))
+      else new StructType()
+    // data filters only (partition-column shapes already decided the
+    // split list) — the parquet reader turns them into row-group and
+    // page skips; Spark re-evaluates residuals above, so exactness at
+    // the reader is not required
+    val dataFilters = effective.filterNot(_.references.contains(pc)).toIndexedSeq
+    val fmt = new ParquetFileFormat()
+    // COLUMNAR whenever the vectorized reader can serve the projection
+    // (atomic types + conf): the scan then feeds ColumnarBatches under a
+    // codegen'd ColumnarToRow — the same read shape FileSourceScanExec
+    // plans, so opting into the batch face costs no scan throughput
+    val columnar = fmt.supportBatch(relation.session,
+      StructType(requiredData.fields ++ partSchema.fields))
+    val readFunc = fmt.buildReaderWithPartitionValues(
+      relation.session, dataSchema, partSchema, requiredData, dataFilters,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
+      relation.session.sessionState.newHadoopConfWithOptions(Map.empty))
+    new GraftReaderFactory(readFunc, pcRequired, columnar)
+  }
+
+  /** Identity key grouping on the partition column — the contract that
+    * unlocks storage-partitioned joins. Reported only when the column
+    * is in the output (Spark resolves the expression against the scan's
+    * attributes); the split count per key is free to differ, Spark
+    * groups by [[HasPartitionKey]].
+    */
+  override def outputPartitioning(): Partitioning =
+    if (pcRequired)
+      new KeyGroupedPartitioning(Array(Expressions.identity(pc)), keyCount)
+    else new UnknownPartitioning(0)
+
+  private lazy val keyCount: Int = relation.snapshotOpt()
+    .map(m => relation.prunedEntriesFor(m, pushed).size).getOrElse(0)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    relation.runtimeFilterable.map(Expressions.column).toArray
+
+  /** Same acceptance as [[GraftV1Scan.filter]]: runtime shapes the
+    * pruner consumes on columns it can prune; dropping one costs I/O,
+    * never correctness.
+    */
+  override def filter(fs: Array[Filter]): Unit = {
+    val prunable = relation.runtimeFilterable.toSet
+    runtime = fs.filter {
+      case org.apache.spark.sql.sources.In(c, vs) =>
+        prunable(c) && vs != null && vs.nonEmpty
+      case org.apache.spark.sql.sources.EqualTo(c, v) =>
+        prunable(c) && v != null
+      case org.apache.spark.sql.sources.GreaterThanOrEqual(c, v) =>
+        prunable(c) && v != null
+      case org.apache.spark.sql.sources.LessThanOrEqual(c, v) =>
+        prunable(c) && v != null
+      case _ => false
+    }
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val (bytes, rowsOpt) = relation.projectedStats(effective, required)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        rowsOpt.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
+}
+
+object GraftBatchScan {
+  /** Session opt-in for the storage-partitioned batch face. Pair with
+    * `spark.sql.sources.v2.bucketing.enabled` (Spark's side of the
+    * handshake) to plan co-partitioned joins shuffle-free.
+    */
+  val EnabledConf = "spark.graft.batchScan.enabled"
+
+  /** The batch face, when the snapshot qualifies for a VERBATIM read:
+    * opted in, no logical-view mapping state (rename/drop/widen), no
+    * pending ALTER-added backfill, no delete evidence, and every owner
+    * generation sharing one footer schema. None = take the V1 path.
+    */
+  private[graft] def eligibleScan(relation: GraftRelation,
+                                    required: StructType,
+                                    filters: Array[Filter]): Option[GraftBatchScan] = {
+    val spark = relation.session
+    if (spark.sessionState.conf.getConfString(EnabledConf, "false") != "true")
+      return None
+    relation.snapshotOpt().flatMap { m =>
+      val clean = AtomicCommit.renamesOf(m).isEmpty &&
+        AtomicCommit.droppedOf(m).isEmpty &&
+        AtomicCommit.widenedOf(m).isEmpty &&
+        !m.props.contains(AtomicCommit.SchemaAddedProp) &&
+        m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty)
+      if (!clean) None
+      else uniformFooterSchema(relation, m).map(ds =>
+        new GraftBatchScan(relation, ds, required, filters))
+    }
+  }
+
+  /** The one footer data schema shared by every owner generation —
+    * names and types, order-insensitive (the reader clips by name), all
+    * fields relaxed nullable (a per-generation REQUIRED field still
+    * reads fine as optional). None when generations disagree or a probe
+    * fails — the V1 path's per-generation `unionByName` handles those.
+    * Memoized per (root, generation set): one footer read per
+    * generation, ever, not per query.
+    */
+  private[sources] def uniformFooterSchema(relation: GraftRelation,
+                                           m: AtomicCommit.Manifest): Option[StructType] = {
+    val gens = m.entries.values.flatMap(AtomicCommit.ownersOf)
+      .toSeq.distinct.sorted
+    schemaCache.computeIfAbsent((relation.root, gens), _ => Try {
+      val schemas = gens.map { g =>
+        val f = AtomicCommit.probeParquet(Seq(s"${relation.root}/$g"))
+        StructType(relation.session.read.parquet(f).schema
+          .filterNot(_.name == m.partitionCol)
+          .map(_.copy(nullable = true)))
+      }
+      val shape = schemas.map(_.map(f => (f.name, f.dataType)).sortBy(_._1))
+      if (shape.distinct.size == 1) Some(schemas.head) else None
+    }.toOption.flatten)
+  }
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]), Option[StructType]]()
+}
+
+/** One data file of one partition, carrying the DECODED partition key
+  * for Spark-side key grouping.
+  */
+private[sources] final case class GraftFileSplit(
+    key: InternalRow, path: String, length: Long)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** Executor-side reader: the driver-built `FileFormat` parquet function
+  * over one file, partition value appended by the function itself.
+  * COLUMNAR when the scan said so (the function returns ColumnarBatch
+  * disguised as InternalRow — the FileScanRDD contract); the row face
+  * stays for non-atomic projections, flattening defensively (rows may
+  * be reused buffers — standard DSv2 reader contract).
+  */
+private[sources] final class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    usePartitionValues: Boolean,
+    columnar: Boolean) extends PartitionReaderFactory {
+
+  private def fileOf(p: InputPartition): PartitionedFile = {
+    val split = p.asInstanceOf[GraftFileSplit]
+    PartitionedFile(
+      if (usePartitionValues) split.key else InternalRow.empty,
+      SparkPath.fromPathString(split.path), 0L, split.length,
+      Array.empty, 0L, split.length)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val raw = readFunc(fileOf(p))
+    new PartitionReader[InternalRow] {
+      private val it: Iterator[InternalRow] =
+        raw.asInstanceOf[Iterator[Any]].flatMap {
+          case b: ColumnarBatch => b.rowIterator().asScala
+          case r => Iterator.single(r.asInstanceOf[InternalRow])
+        }
+      private var cur: InternalRow = null
+      override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val it = readFunc(fileOf(p)).asInstanceOf[Iterator[ColumnarBatch]]
+    new PartitionReader[ColumnarBatch] {
+      private var cur: ColumnarBatch = null
+      override def next(): Boolean = it.hasNext && { cur = it.next(); true }
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = ()
+    }
+  }
+}

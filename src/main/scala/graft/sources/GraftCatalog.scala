@@ -620,7 +620,14 @@ final class GraftTable(ident: String, relation: GraftRelation)
 
       override def build(): Scan = agg match {
         case Some((outSchema, rows)) => new GraftAggScan(outSchema, rows)
-        case None => new GraftV1Scan(relation, required, filters, limit)
+        case None =>
+          // the storage-partitioned batch face, opt-in and gated to the
+          // snapshots where a verbatim read is exact; a pushed LIMIT
+          // stays on the V1 path (the provable-prefix logic lives there)
+          (if (limit.isEmpty)
+            GraftBatchScan.eligibleScan(relation, required, filters)
+          else None)
+            .getOrElse(new GraftV1Scan(relation, required, filters, limit))
       }
     }
 
@@ -698,16 +705,8 @@ final class GraftV1Scan(
 
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val (bytes, rowsOpt) = relation.estimateStats(effective)
-    // scale bytes by projected width: the planner prices the in-memory
-    // relation AFTER column pruning (same move as Spark's own
-    // fsRelation sizing)
-    val full = relation.schema.fields.map(_.dataType.defaultSize)
-      .sum.max(1)
-    val kept = required.fields.map(_.dataType.defaultSize).sum.max(1)
-    val scaled =
-      if (kept >= full) bytes
-      else math.ceil(bytes.toDouble * kept / full).toLong
+    // bytes scaled by projected width ([[GraftRelation.projectedStats]])
+    val (scaled, rowsOpt) = relation.projectedStats(effective, required)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(scaled)

@@ -1,0 +1,198 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{AtomicCommit, Compaction, DataSkipping, Deletes, GraftBatchScan, GraftRelation, GraftScanProbe, PosixManifestStore}
+
+/** The storage-partitioned batch face ([[graft.sources.GraftBatchScan]]):
+  * an opt-in native DSv2 scan whose splits carry partition keys, so two
+  * graft tables co-partitioned on the join key plan their join with ZERO
+  * shuffle exchanges under Spark's v2 bucketing — and a groupBy on the
+  * partition column aggregates exchange-free. Gated to snapshots where a
+  * verbatim parquet read is exact; everything else must fall back to the
+  * V1 composition unchanged.
+  */
+class StoragePartitionedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val BatchOn = GraftBatchScan.EnabledConf -> "true"
+  private val SpjConfs = Seq(
+    GraftBatchScan.EnabledConf -> "true",
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  private def register(name: String, root: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set(s"spark.graft.table.$name", root)
+  }
+  private def unregister(names: String*): Unit =
+    names.foreach(n => spark.conf.unset(s"spark.graft.table.$n"))
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan
+  }
+  /** Every physical node, descending through AQE wrappers and query
+    * stages (whose inner plans are not `children`).
+    */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(nodes)
+  }
+  private def shuffles(p: SparkPlan): Int =
+    nodes(p).count(_.isInstanceOf[ShuffleExchangeExec])
+  private def batchScans(p: SparkPlan): Int =
+    nodes(p).count(_.isInstanceOf[BatchScanExec])
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("verbatim parity: the batch face returns exactly what the V1 composition returns") {
+    val root = Files.createTempDirectory("graft_spj_par").toString
+    // escaped dir value, a null partition, mixed data types
+    val df = Seq(
+      (Some("A"), 1L, 1.5, "x"), (Some("A"), 2L, 2.5, "y"),
+      (Some("B"), 3L, 3.5, "z"), (Some("a/b"), 4L, 4.5, "w"),
+      (None, 5L, 5.5, "v")
+    ).toDF("p", "k", "v", "s").select($"k", $"v", $"s", $"p")
+    AtomicCommit.commitReplacePartitions(spark, root, df, "p")
+    // a second generation via append — multi-owner partitions
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((6L, 6.5, "u", "A"), (7L, 7.5, "t", "B"))
+        .toDF("k", "v", "s", "p"), "p")
+    register("spj_par", root)
+    try {
+      val queries = Seq(
+        "SELECT * FROM graft.spj_par",
+        "SELECT p, k FROM graft.spj_par",           // pc first (reorder)
+        "SELECT k, s FROM graft.spj_par",           // no pc
+        "SELECT p FROM graft.spj_par",              // pc only
+        "SELECT k, v, p FROM graft.spj_par WHERE p = 'A'",
+        "SELECT k, p FROM graft.spj_par WHERE p IS NULL",
+        "SELECT k, p FROM graft.spj_par WHERE p = 'a/b'",
+        "SELECT k, s FROM graft.spj_par WHERE k >= 3 AND k <= 6",
+        "SELECT count(*), sum(k * 2) FROM graft.spj_par WHERE v > 2.0")
+      for (q <- queries) {
+        val off = rowsOf(spark.sql(q))
+        val (on, plan) = withSQLConf(BatchOn) {
+          val d = spark.sql(q); (rowsOf(d), executed(d))
+        }
+        assert(on === off, s"batch/V1 divergence for: $q")
+        assert(batchScans(plan) > 0, s"expected the batch face for: $q\n$plan")
+      }
+      // pruning parity: a partition equality reads 1 entry on the batch face
+      GraftScanProbe.reset(root)
+      withSQLConf(BatchOn) {
+        spark.sql("SELECT k FROM graft.spj_par WHERE p = 'B'").collect()
+      }
+      assert(GraftScanProbe.entriesSeen(root).exists(_ == 1),
+        s"batch face must prune entries: ${GraftScanProbe.entriesSeen(root)}")
+    } finally unregister("spj_par")
+  }
+
+  test("co-partitioned join and partition-keyed aggregation plan with zero shuffles") {
+    val rootA = Files.createTempDirectory("graft_spj_a").toString
+    val rootB = Files.createTempDirectory("graft_spj_b").toString
+    val parts = Seq("P0", "P1", "P2", "P3")
+    val a = (0 until 80).map(i => (i.toLong, i * 1.0, parts(i % 4)))
+      .toDF("k", "v", "p")
+    val b = (0 until 40).map(i => (i.toLong, s"n$i", parts(i % 4)))
+      .toDF("k2", "name", "p")
+    AtomicCommit.commitReplacePartitions(spark, rootA, a, "p")
+    AtomicCommit.commitReplacePartitions(spark, rootB, b, "p")
+    register("spj_a", rootA); register("spj_b", rootB)
+    try {
+      val join =
+        """SELECT a.p, a.k, b.name FROM graft.spj_a a
+          |JOIN graft.spj_b b ON a.p = b.p""".stripMargin
+      // baseline: V1 path shuffles both sides
+      val (offRows, offPlan) = withSQLConf(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(shuffles(offPlan) > 0, s"expected shuffles on the V1 path\n$offPlan")
+      // SPJ: zero exchanges, same answer
+      val (onRows, onPlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(onRows === offRows)
+      assert(batchScans(onPlan) === 2, s"both sides on the batch face\n$onPlan")
+      assert(shuffles(onPlan) === 0,
+        s"storage-partitioned join must not shuffle\n$onPlan")
+
+      // partition-keyed aggregation: exchange-free under key grouping
+      // (sum(v*2) so the metadata-aggregate pushdown cannot intercept)
+      val agg = "SELECT p, sum(v * 2) AS sv FROM graft.spj_a GROUP BY p"
+      val aggOff = rowsOf(spark.sql(agg))
+      val (aggOn, aggPlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(agg); (rowsOf(d), executed(d))
+      }
+      assert(aggOn === aggOff)
+      assert(shuffles(aggPlan) === 0,
+        s"partition-keyed aggregation must not shuffle\n$aggPlan")
+    } finally unregister("spj_a", "spj_b")
+  }
+
+  test("gates: delete evidence, schema-mapping state, or mixed footers fall back to V1") {
+    val root = Files.createTempDirectory("graft_spj_gate").toString
+    val df = Seq((1L, "x", "A"), (2L, "y", "B")).toDF("k", "s", "p")
+    AtomicCommit.commitReplacePartitions(spark, root, df, "p")
+    register("spj_gate", root)
+    try {
+      def planOn(q: String): SparkPlan =
+        withSQLConf(BatchOn)(executed(spark.sql(q)))
+      val q = "SELECT k, s, p FROM graft.spj_gate"
+      assert(batchScans(planOn(q)) === 1, "clean snapshot takes the batch face")
+
+      // 1. a MoR delete parks delete evidence → V1 path, correct rows
+      Deletes.deleteKeysMoR(spark, root, new PosixManifestStore(root), "k", Seq(1L))
+      val afterDelete = planOn(q)
+      assert(batchScans(afterDelete) === 0,
+        s"delete evidence must gate the batch face out\n$afterDelete")
+      assert(withSQLConf(BatchOn)(rowsOf(spark.sql(q))) === Seq("[2,y,B]"))
+
+      // a compaction rewrite folds the evidence away → eligible again
+      Compaction.compactAtomicTable(spark, root)
+      assert(batchScans(planOn(q)) === 1,
+        "a healed snapshot re-qualifies for the batch face")
+
+      // 2. a rename parks mapping state → V1 path, correct rows
+      AtomicCommit.renameColumn(spark, root, new PosixManifestStore(root), "s", "s2")
+      val q2 = "SELECT k, s2, p FROM graft.spj_gate"
+      val afterRename = planOn(q2)
+      assert(batchScans(afterRename) === 0,
+        s"rename mapping state must gate the batch face out\n$afterRename")
+      assert(withSQLConf(BatchOn)(rowsOf(spark.sql(q2))) === Seq("[2,y,B]"))
+    } finally unregister("spj_gate")
+  }
+
+  test("runtime filters re-prune the batch face's splits") {
+    val root = Files.createTempDirectory("graft_spj_rf").toString
+    val df = (0 until 40).map(i => (i.toLong, s"P${i % 4}")).toDF("k", "p")
+    AtomicCommit.commitReplacePartitions(spark, root, df, "p")
+    withSQLConf(BatchOn) {
+      val rel = new GraftRelation(spark, root, new PosixManifestStore(root), None)
+      val scan = GraftBatchScan.eligibleScan(rel, rel.schema, Array.empty)
+        .getOrElse(fail("clean snapshot must be eligible"))
+      val before = scan.planInputPartitions()
+      assert(before.nonEmpty)
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("p", Array("P1"))))
+      val after = scan.planInputPartitions()
+      assert(after.length < before.length && after.nonEmpty,
+        s"runtime IN must shrink the split list: ${before.length} -> ${after.length}")
+    }
+  }
+}
