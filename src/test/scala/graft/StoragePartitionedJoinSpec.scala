@@ -178,6 +178,48 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally unregister("spj_gate")
   }
 
+  test("Spark's OWN dynamic partition pruning delivers to the batch face") {
+    // the V1 bridge needed the AQE-rule workaround because V1ScanWrapper
+    // implements no runtime-filtering face; the native batch scan takes
+    // Spark's stock DPP delivery (PartitionPruning → DynamicPruningExpression
+    // → BatchScanExec.runtimeFilters → scan.filter) with nothing injected
+    val root = Files.createTempDirectory("graft_spj_dpp").toString
+    val parts = (0 until 40).map(i => f"P$i%02d")
+    val fact = (0 until 40000).map { i =>
+      (i.toLong, s"pay-$i-${"x" * 64}", parts(i % 40))
+    }.toDF("k", "payload", "p")
+    AtomicCommit.commitReplacePartitions(spark, root, fact, "p")
+    register("spj_dpp", root)
+    // the dim must be a real SCAN carrying a selective Filter (a
+    // LocalRelation constant-folds the predicate away and PartitionPruning
+    // sees nothing selective to prune with)
+    val dimPath = Files.createTempDirectory("graft_spj_dppd").toString + "/dim"
+    parts.map(p => (p, if (p == "P03" || p == "P07") 1 else 0))
+      .toDF("p2", "sel").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("spj_dpp_dim")
+    try {
+      val q =
+        """SELECT f.k FROM graft.spj_dpp f
+          |JOIN spj_dpp_dim d ON f.p = d.p2 WHERE d.sel = 1""".stripMargin
+      // the graft AQE bridge rule targets the V1 wrapper only — disable it
+      // anyway so the pruning seen here is unambiguously Spark's own. The
+      // broadcast threshold sits between the dim (~KBs, must broadcast —
+      // DPP reuses the broadcast) and the fact (~175 KB width-scaled, must
+      // NOT be hinted broadcast itself by BroadcastStatsRule)
+      withSQLConf(BatchOn,
+        "spark.graft.runtimeFilter.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "51200",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false") {
+        GraftScanProbe.reset(root)
+        val rows = spark.sql(q).collect()
+        assert(rows.length === 2000, s"2 of 40 partitions x 1000 rows")
+        val seen = GraftScanProbe.entriesSeen(root)
+        assert(seen.last === 2,
+          s"DPP must re-prune the executed batch scan to 2 of 40 entries: $seen")
+      }
+    } finally unregister("spj_dpp")
+  }
+
   test("runtime filters re-prune the batch face's splits") {
     val root = Files.createTempDirectory("graft_spj_rf").toString
     val df = (0 until 40).map(i => (i.toLong, s"P${i % 4}")).toDF("k", "p")
