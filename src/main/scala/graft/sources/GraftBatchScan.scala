@@ -31,16 +31,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * The V1 bridge scan ([[GraftV1Scan]]) cannot carry this — Spark plans
   * a `V1ScanWrapper` as a `RowDataSourceScanExec` with unknown output
   * partitioning — so this face exists alongside it, OPT-IN
-  * (`spark.graft.batchScan.enabled`) and only when a VERBATIM parquet
-  * read is byte-equivalent to the V1 composition ([[AtomicCommit
+  * (`spark.graft.batchScan.enabled`) and only when the composition the
+  * face serves is provably equal to the V1 one ([[AtomicCommit
   * .scanManifest]]): no rename/drop/widen mapping state, no pending
-  * ALTER-added backfill columns, no delete evidence, and one footer
-  * schema shared by every owner generation ([[GraftBatchScan
-  * .eligibleScan]]). Anything else falls back to the V1 path, which is
-  * always correct — the same gate philosophy as the metadata-answered
-  * aggregates. The steady-state maintained table (compaction folds
-  * owner lists, rewrites heal mapping state and deletes) qualifies,
-  * which is exactly the 100 TB shape the join matters for.
+  * ALTER-added backfill columns, one footer schema shared by every
+  * owner generation, and delete evidence — when any exists — entirely
+  * POSITION-BITMAP-shaped ([[GraftBatchScan.eligibleScan]]).
+  * Merge-on-read position deletes ride the face natively: each file
+  * split carries its own compressed bitmap ([[DvBitmap.Bitmap]],
+  * bounded 8 KiB per 65K rows) and the reader drops marked positions
+  * while counting rows sequentially — so one scattered takedown no
+  * longer forfeits the shuffle-free join on a 100 TB table. Equality
+  * records and pre-sidecar legacy vectors fall back to the V1 path,
+  * which is always correct — the same gate philosophy as the
+  * metadata-answered aggregates. The steady-state maintained table
+  * (compaction folds owner lists, rewrites heal mapping state and
+  * deletes) qualifies, which is exactly the 100 TB shape the join
+  * matters for.
   *
   * Pruning parity: splits come from [[GraftRelation
   * .partitionFileLayout]] — the same manifest-entry pruning and
@@ -55,7 +62,9 @@ final class GraftBatchScan private[graft] (
     relation: GraftRelation,
     dataSchema: StructType,
     private[graft] val required: StructType,
-    private[graft] val pushed: Array[Filter]) extends Scan with Batch
+    private[graft] val pushed: Array[Filter],
+    dvBitmaps: Map[String, Map[(UTF8String, UTF8String), DvBitmap.Bitmap]] =
+      Map.empty) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
@@ -89,15 +98,28 @@ final class GraftBatchScan private[graft] (
     * Spark's `groupPartitions` folds splits per key when storage-
     * partitioned planning is on. Keys are the DECODED partition values
     * (dir escapes undone, the null sentinel as null), matching row
-    * values exactly.
+    * values exactly. A file whose (partition, file) the snapshot's
+    * deletion bitmaps mark carries ITS OWN bitmap on the split — the
+    * evidence ships per file, never the whole map per task.
     */
   override def planInputPartitions(): Array[InputPartition] =
     relation.partitionFileLayout(effective).flatMap { case (pv, files) =>
-      val key: InternalRow = new GenericInternalRow(Array[Any](
+      val decoded: String =
         if (pv == GraftRelation.NullPartitionName) null
-        else UTF8String.fromString(ExternalCatalogUtils.unescapePathName(pv))))
+        else ExternalCatalogUtils.unescapePathName(pv)
+      val key: InternalRow = new GenericInternalRow(Array[Any](
+        if (decoded == null) null else UTF8String.fromString(decoded)))
+      // bitmap keys are the DECODED value, the null partition as the
+      // sentinel — the readSidecars keying ([[DvBitmap.readSidecars]])
+      val probe = UTF8String.fromString(
+        if (decoded == null) GraftRelation.NullPartitionName else decoded)
       files.map { case (path, len) =>
-        GraftFileSplit(key, path, len): InputPartition
+        val rel = path.stripPrefix(s"${relation.root}/")
+        val gen = rel.takeWhile(_ != '/')
+        val fileName = path.substring(path.lastIndexOf('/') + 1)
+        val dv = dvBitmaps.get(gen)
+          .flatMap(_.get((probe, UTF8String.fromString(fileName))))
+        GraftFileSplit(key, path, len, dv): InputPartition
       }
     }.toArray
 
@@ -121,7 +143,19 @@ final class GraftBatchScan private[graft] (
       relation.session, dataSchema, partSchema, requiredData, dataFilters,
       Map(FileFormat.OPTION_RETURNING_BATCH -> columnar.toString),
       relation.session.sessionState.newHadoopConfWithOptions(Map.empty))
-    new GraftReaderFactory(readFunc, pcRequired, columnar)
+    // the DELETE-VECTORED read: row-wise and with NO pushed data filters,
+    // so consumed rows enumerate the file sequentially and the running
+    // counter IS the parquet row index the delete recorded (a row-group
+    // or page skip would desynchronize it); Spark re-evaluates residual
+    // filters above the scan, so dropping the pushdown costs only the
+    // vectored files' skipping, never correctness
+    lazy val dvReadFunc = fmt.buildReaderWithPartitionValues(
+      relation.session, dataSchema, partSchema, requiredData, Nil,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      relation.session.sessionState.newHadoopConfWithOptions(Map.empty))
+    val anyDv = dvBitmaps.nonEmpty
+    new GraftReaderFactory(readFunc,
+      if (anyDv) dvReadFunc else readFunc, pcRequired, columnar)
   }
 
   /** Identity key grouping on the partition column — the contract that
@@ -181,10 +215,12 @@ object GraftBatchScan {
     */
   val EnabledConf = "spark.graft.batchScan.enabled"
 
-  /** The batch face, when the snapshot qualifies for a VERBATIM read:
-    * opted in, no logical-view mapping state (rename/drop/widen), no
-    * pending ALTER-added backfill, no delete evidence, and every owner
-    * generation sharing one footer schema. None = take the V1 path.
+  /** The batch face, when the snapshot qualifies: opted in, no
+    * logical-view mapping state (rename/drop/widen), no pending
+    * ALTER-added backfill, every owner generation sharing one footer
+    * schema, and any delete evidence entirely position-bitmap-shaped
+    * ([[deleteBitmaps]] — the face applies those per split). None =
+    * take the V1 path.
     */
   private[graft] def eligibleScan(relation: GraftRelation,
                                     required: StructType,
@@ -196,13 +232,35 @@ object GraftBatchScan {
       val clean = AtomicCommit.renamesOf(m).isEmpty &&
         AtomicCommit.droppedOf(m).isEmpty &&
         AtomicCommit.widenedOf(m).isEmpty &&
-        !m.props.contains(AtomicCommit.SchemaAddedProp) &&
-        m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty)
+        !m.props.contains(AtomicCommit.SchemaAddedProp)
       if (!clean) None
-      else uniformFooterSchema(relation, m).map(ds =>
-        new GraftBatchScan(relation, ds, required, filters))
+      else for {
+        bitmaps <- deleteBitmaps(relation, m)
+        ds <- uniformFooterSchema(relation, m)
+      } yield new GraftBatchScan(relation, ds, required, filters, bitmaps)
     }
   }
+
+  /** The snapshot's delete evidence in the one shape the batch face can
+    * serve — complete position BITMAPS (owner generation → (partition,
+    * file) → bitmap), applied per split by a sequential row counter.
+    * `Some(empty)` when the snapshot carries no vectors at all (the
+    * common case — zero evidence I/O); None when any EQUALITY record is
+    * outstanding (an arbitrary-predicate screen the per-position reader
+    * cannot express) or a position vector predates the sidecar format /
+    * overflows the bitmap budget (only the anti-join frame can apply
+    * it) — the V1 composition handles all of those.
+    */
+  private def deleteBitmaps(relation: GraftRelation, m: AtomicCommit.Manifest)
+      : Option[Map[String, Map[(UTF8String, UTF8String), DvBitmap.Bitmap]]] =
+    if (m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty))
+      Some(Map.empty)
+    else {
+      val ev = AtomicCommit.deleteEvidence(relation.session, relation.root, m)
+      if (ev.eqs.isEmpty && ev.positions.isEmpty)
+        Some(ev.bitmaps.getOrElse(Map.empty))
+      else None
+    }
 
   /** The one footer data schema shared by every owner generation —
     * names and types, order-insensitive (the reader clips by name), all
@@ -232,10 +290,12 @@ object GraftBatchScan {
 }
 
 /** One data file of one partition, carrying the DECODED partition key
-  * for Spark-side key grouping.
+  * for Spark-side key grouping — and, when the snapshot's deletion
+  * vectors mark this file, its own compressed position bitmap.
   */
-private[sources] final case class GraftFileSplit(
-    key: InternalRow, path: String, length: Long)
+private[graft] final case class GraftFileSplit(
+    key: InternalRow, path: String, length: Long,
+    dv: Option[DvBitmap.Bitmap] = None)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -245,10 +305,14 @@ private[sources] final case class GraftFileSplit(
   * COLUMNAR when the scan said so (the function returns ColumnarBatch
   * disguised as InternalRow — the FileScanRDD contract); the row face
   * stays for non-atomic projections, flattening defensively (rows may
-  * be reused buffers — standard DSv2 reader contract).
+  * be reused buffers — standard DSv2 reader contract). A split carrying
+  * a deletion bitmap takes `dvReadFunc` — the filterless sequential
+  * read whose consumed-row counter IS the parquet row index — and drops
+  * the marked positions; every other split keeps the full-speed path.
   */
-private[sources] final class GraftReaderFactory(
+private[graft] final class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
+    dvReadFunc: PartitionedFile => Iterator[InternalRow],
     usePartitionValues: Boolean,
     columnar: Boolean) extends PartitionReaderFactory {
 
@@ -260,20 +324,37 @@ private[sources] final class GraftReaderFactory(
       Array.empty, 0L, split.length)
   }
 
-  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && p.asInstanceOf[GraftFileSplit].dv.isEmpty
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val raw = readFunc(fileOf(p))
-    new PartitionReader[InternalRow] {
-      private val it: Iterator[InternalRow] =
-        raw.asInstanceOf[Iterator[Any]].flatMap {
-          case b: ColumnarBatch => b.rowIterator().asScala
-          case r => Iterator.single(r.asInstanceOf[InternalRow])
+    val dv = p.asInstanceOf[GraftFileSplit].dv
+    val raw = (if (dv.isDefined) dvReadFunc else readFunc)(fileOf(p))
+    val rows: Iterator[InternalRow] =
+      raw.asInstanceOf[Iterator[Any]].flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r => Iterator.single(r.asInstanceOf[InternalRow])
+      }
+    dv match {
+      case Some(bm) => new PartitionReader[InternalRow] {
+        private var pos = -1L
+        private var cur: InternalRow = null
+        override def next(): Boolean = {
+          while (rows.hasNext) {
+            val r = rows.next(); pos += 1
+            if (!bm.contains(pos)) { cur = r; return true }
+          }
+          false
         }
-      private var cur: InternalRow = null
-      override def next(): Boolean = it.hasNext && { cur = it.next(); true }
-      override def get(): InternalRow = cur
-      override def close(): Unit = ()
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
+      case None => new PartitionReader[InternalRow] {
+        private var cur: InternalRow = null
+        override def next(): Boolean = rows.hasNext && { cur = rows.next(); true }
+        override def get(): InternalRow = cur
+        override def close(): Unit = ()
+      }
     }
   }
 

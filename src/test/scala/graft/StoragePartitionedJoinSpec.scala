@@ -145,6 +145,103 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally unregister("spj_a", "spj_b")
   }
 
+  test("position-bitmap deletes ride the batch face: parity, split-local evidence, columnar kept for clean files") {
+    val root = Files.createTempDirectory("graft_spj_dv").toString
+    // escaped + null partitions, several rows per partition so deletes
+    // leave survivors in the same files
+    val df = (0 until 30).map { i =>
+      val p = i % 3 match {
+        case 0 => Some("A")
+        case 1 => Some("a/b")
+        case _ => None
+      }
+      (i.toLong, i * 1.0, p)
+    }.toDF("k", "v", "p")
+    AtomicCommit.commitReplacePartitions(spark, root, df, "p")
+    register("spj_dv", root)
+    try {
+      // two MoR position deletes, touching every partition incl. the
+      // escaped and the null one (accumulating vectors)
+      Deletes.deleteWhereMoR(spark, root, col("k") % 5 === 0L)
+      Deletes.deleteWhereMoR(spark, root, col("k") === 7L)
+      val queries = Seq(
+        "SELECT k, v, p FROM graft.spj_dv",
+        "SELECT k FROM graft.spj_dv WHERE p = 'a/b'",
+        "SELECT k, p FROM graft.spj_dv WHERE p IS NULL",
+        "SELECT k, v FROM graft.spj_dv WHERE k >= 3 AND k <= 23", // data filter over DV'd files
+        "SELECT count(*) AS c, sum(k * 2) AS s FROM graft.spj_dv WHERE v > 2.0")
+      for (q <- queries) {
+        val off = rowsOf(spark.sql(q))
+        val (on, plan) = withSQLConf(BatchOn) {
+          val d = spark.sql(q); (rowsOf(d), executed(d))
+        }
+        assert(on === off, s"batch/V1 divergence under position deletes: $q")
+        assert(batchScans(plan) > 0,
+          s"position-bitmap evidence must keep the batch face: $q\n$plan")
+      }
+      // no deleted key survives, survivors intact
+      val ks = withSQLConf(BatchOn) {
+        spark.sql("SELECT k FROM graft.spj_dv").collect().map(_.getLong(0)).toSet
+      }
+      assert((0 until 30).filter(i => i % 5 != 0 && i != 7).map(_.toLong).toSet === ks)
+
+      // split-local evidence: only marked files carry bitmaps; the
+      // factory keeps columnar reads for every clean split
+      withSQLConf(BatchOn) {
+        val rel = new GraftRelation(spark, root, new PosixManifestStore(root), None)
+        val scan = GraftBatchScan.eligibleScan(rel, rel.schema, Array.empty)
+          .getOrElse(fail("bitmap-only evidence must stay eligible"))
+        val splits = scan.planInputPartitions()
+        val dvd = splits.map(_.asInstanceOf[graft.sources.GraftFileSplit])
+          .count(_.dv.isDefined)
+        assert(dvd > 0, "marked files must carry their bitmaps on the split")
+        val factory = scan.createReaderFactory()
+        splits.foreach { s =>
+          val split = s.asInstanceOf[graft.sources.GraftFileSplit]
+          assert(factory.supportColumnarReads(s) === split.dv.isEmpty,
+            "clean splits stay columnar, DV'd splits take the row path")
+        }
+      }
+
+      // the shuffle-free co-partitioned join survives delete evidence
+      val rootB = Files.createTempDirectory("graft_spj_dvb").toString
+      val b = Seq(("A", "dimA"), ("a/b", "dimE")).toDF("p", "name")
+        .select($"name", $"p")
+      AtomicCommit.commitReplacePartitions(spark, rootB, b, "p")
+      register("spj_dv_dim", rootB)
+      val join =
+        """SELECT a.k, b.name FROM graft.spj_dv a
+          |JOIN graft.spj_dv_dim b ON a.p = b.p""".stripMargin
+      val offJ = rowsOf(spark.sql(join))
+      val (onJ, planJ) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(onJ === offJ)
+      assert(shuffles(planJ) === 0,
+        s"SPJ must stay shuffle-free under position deletes\n$planJ")
+      unregister("spj_dv_dim")
+
+      // a legacy vector (sidecar removed) must fall back to V1 — only
+      // the anti-join frame can apply it
+      val m = AtomicCommit.readManifest(root).get
+      val dvGens = m.entries.values.flatMap(AtomicCommit.dvOf).toSeq.distinct
+      assert(dvGens.nonEmpty)
+      dvGens.foreach { g =>
+        val d = new java.io.File(s"$root/$g/${graft.sources.DvBitmap.SidecarDir}")
+        if (d.isDirectory) {
+          d.listFiles().foreach(_.delete()); assert(d.delete())
+        }
+      }
+      val (legacyRows, legacyPlan) = withSQLConf(BatchOn) {
+        val d = spark.sql("SELECT k FROM graft.spj_dv")
+        (d.collect().map(_.getLong(0)).toSet, executed(d))
+      }
+      assert(batchScans(legacyPlan) === 0,
+        s"pre-sidecar vectors must gate the batch face out\n$legacyPlan")
+      assert(legacyRows === ks, "the V1 fallback still applies the vectors")
+    } finally unregister("spj_dv")
+  }
+
   test("gates: delete evidence, schema-mapping state, or mixed footers fall back to V1") {
     val root = Files.createTempDirectory("graft_spj_gate").toString
     val df = Seq((1L, "x", "A"), (2L, "y", "B")).toDF("k", "s", "p")
