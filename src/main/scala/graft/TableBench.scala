@@ -657,7 +657,35 @@ object TableBench {
       require((0 until 3).forall(i => spjOn.getLong(i) == spjOff.getLong(i)),
         s"SPJ changed the answer: $spjOn vs $spjOff")
       println(s"[tablebench] spj A/B rows=${spjOn.getLong(0)}")
+
+      // r17c: DV-SERVED FACE — a scattered merge-on-read delete must not
+      // forfeit the shuffle-free join: marked files carry their bitmaps
+      // per split (row-path), clean files stay columnar, and the join
+      // still plans with zero exchanges. Compare against the V1
+      // fallback the old gate forced (face off: DvKeep + full shuffle).
+      val dead = spark.range(n).filter(col("id") % 10007L === 0L).count()
+      timed(s"deleteWhereMoR scattered on SPJ fact ($dead rows)") {
+        graft.sources.Deletes.deleteWhereMoR(spark, rootF,
+          pmod(col("v"), lit(10007L)) === 0L)
+      }
+      val dDv = spark.sql(q)
+      val dvOn = timed("co-part join, SPJ ON + DV bitmaps") {
+        dDv.head()
+      }
+      val planDv = dDv.queryExecution.executedPlan.toString
+      require(!planDv.contains("Exchange hashpartitioning"),
+        s"the DV-served SPJ join must not shuffle:\n${planDv.take(1500)}")
+      require(planDv.contains("BatchScan"),
+        "bitmap-only evidence must keep the batch face")
+      require(dvOn.getLong(0) == spjOn.getLong(0) - dead,
+        s"DV-served join count wrong: ${dvOn.getLong(0)}")
       spark.conf.unset(graft.sources.GraftBatchScan.EnabledConf)
+      val dvOff = timed("same join, face OFF (V1 DvKeep + shuffle)") {
+        spark.sql(q).head()
+      }
+      require((0 until 3).forall(i => dvOff.getLong(i) == dvOn.getLong(i)),
+        s"DV face/V1 divergence: $dvOn vs $dvOff")
+      println(s"[tablebench] spj+dv A/B rows=${dvOn.getLong(0)}")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
