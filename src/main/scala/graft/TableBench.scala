@@ -686,6 +686,45 @@ object TableBench {
       require((0 until 3).forall(i => dvOff.getLong(i) == dvOn.getLong(i)),
         s"DV face/V1 divergence: $dvOn vs $dvOff")
       println(s"[tablebench] spj+dv A/B rows=${dvOn.getLong(0)}")
+
+      // r17d: BUCKET-TRANSFORM SPJ — two tables hidden-partitioned
+      // bucket(P, k) join ON THE SOURCE KEY k (the derived dir column
+      // never appears in the query) with zero exchanges: the catalog's
+      // FunctionCatalog face resolves the bucket transform and Spark
+      // proves the hashed layouts co-partitioned. The classic bucketed
+      // join, no bucket metastore.
+      val rootH = Files.createTempDirectory("graft_tb_bkf").toString
+      val rootI = Files.createTempDirectory("graft_tb_bkg").toString
+      val bspec = graft.sources.HiddenPartitioning.Bucket(p, "k")
+      timed(s"commit bucket($p,k) fact ($n) + dim (${n / 16})") {
+        graft.sources.HiddenPartitioning.commitReplace(spark, rootH,
+          clustered.select(col("v").as("k"), col("payload")), bspec)
+        graft.sources.HiddenPartitioning.commitReplace(spark, rootI,
+          spark.range(0, n, 16).select(col("id").as("k"),
+            (col("id") * 3L).as("w")), bspec)
+      }
+      spark.conf.set("spark.graft.table.bkf", rootH)
+      spark.conf.set("spark.graft.table.bkg", rootI)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val qb = "SELECT count(*) AS c, sum(f.k + g.w) AS s, " +
+        "sum(length(f.payload)) AS b FROM graft.bkf f " +
+        "JOIN graft.bkg g ON f.k = g.k"
+      val bkOff = timed("co-bucketed source-key join, SPJ OFF") {
+        spark.sql(qb).head()
+      }
+      spark.conf.set(graft.sources.GraftBatchScan.EnabledConf, "true")
+      val dBk = spark.sql(qb)
+      val bkOn = timed("co-bucketed source-key join, SPJ ON") {
+        dBk.head()
+      }
+      val planBk = dBk.queryExecution.executedPlan.toString
+      require(!planBk.contains("Exchange hashpartitioning"),
+        s"the bucket-transform join must not shuffle:\n${planBk.take(1500)}")
+      require((0 until 3).forall(i => bkOn.getLong(i) == bkOff.getLong(i)),
+        s"bucket SPJ changed the answer: $bkOn vs $bkOff")
+      println(s"[tablebench] bucket-spj A/B rows=${bkOn.getLong(0)}")
+      spark.conf.unset("spark.graft.table.bkf")
+      spark.conf.unset("spark.graft.table.bkg")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

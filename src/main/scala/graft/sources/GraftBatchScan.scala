@@ -80,6 +80,29 @@ final class GraftBatchScan private[graft] (
     required.fields.filterNot(_.name == pc)
       .map(f => dataSchema.find(_.name == f.name).getOrElse(f)))
 
+  /** The BUCKET-TRANSFORM face: when the table is hidden-partitioned by
+    * `bucket(n, k)` ([[HiddenPartitioning.Bucket]]) and the SOURCE
+    * column is in the projection, the scan reports its key grouping as
+    * the bucket TRANSFORM over k — not identity over the derived dir
+    * column — so a join written `ON f.k = g.k` against another table
+    * bucketed the same way plans shuffle-free (Spark resolves `bucket`
+    * through the catalog's FunctionCatalog face, [[GraftBucketFunction]],
+    * and proves both sides co-partitioned). Guarded to layouts whose
+    * every entry value parses as a bucket ordinal — the write path's
+    * invariant; a hand-written layout that violates it falls back to
+    * the identity report, never to a wrong grouping.
+    */
+  private val bucketFace: Option[HiddenPartitioning.Bucket] =
+    relation.snapshotOpt().flatMap { m =>
+      HiddenPartitioning.specOf(m) match {
+        case Some(b: HiddenPartitioning.Bucket)
+            if requiredData.fieldNames.contains(b.source) &&
+              m.entries.keys.forall(pv => Try(pv.toInt).isSuccess) =>
+          Some(b)
+        case _ => None
+      }
+    }
+
   /** Rows come out data-columns-first, partition column appended (the
     * `FileFormat` layout); Spark projects back to the asked order above
     * the scan.
@@ -107,8 +130,14 @@ final class GraftBatchScan private[graft] (
       val decoded: String =
         if (pv == GraftRelation.NullPartitionName) null
         else ExternalCatalogUtils.unescapePathName(pv)
-      val key: InternalRow = new GenericInternalRow(Array[Any](
-        if (decoded == null) null else UTF8String.fromString(decoded)))
+      // the key row must match the REPORTED partitioning's type: the
+      // bucket ordinal (int) on the transform face, the decoded string
+      // on the identity face
+      val key: InternalRow = bucketFace match {
+        case Some(_) => new GenericInternalRow(Array[Any](pv.toInt))
+        case None => new GenericInternalRow(Array[Any](
+          if (decoded == null) null else UTF8String.fromString(decoded)))
+      }
       // bitmap keys are the DECODED value, the null partition as the
       // sentinel — the readSidecars keying ([[DvBitmap.readSidecars]])
       val probe = UTF8String.fromString(
@@ -158,23 +187,38 @@ final class GraftBatchScan private[graft] (
       if (anyDv) dvReadFunc else readFunc, pcRequired, columnar)
   }
 
-  /** Identity key grouping on the partition column — the contract that
-    * unlocks storage-partitioned joins. Reported only when the column
-    * is in the output (Spark resolves the expression against the scan's
-    * attributes); the split count per key is free to differ, Spark
-    * groups by [[HasPartitionKey]].
+  /** Key grouping — the contract that unlocks storage-partitioned
+    * joins. The bucket TRANSFORM over the source column when the table
+    * is bucket-partitioned and the source is projected ([[bucketFace]]);
+    * identity over the partition column when IT is projected (Spark
+    * resolves the expressions against the scan's attributes); unknown
+    * otherwise. The split count per key is free to differ, Spark groups
+    * by [[HasPartitionKey]].
     */
-  override def outputPartitioning(): Partitioning =
-    if (pcRequired)
+  override def outputPartitioning(): Partitioning = bucketFace match {
+    case Some(b) =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(b.n, b.source)), keyCount)
+    case None if pcRequired =>
       new KeyGroupedPartitioning(Array(Expressions.identity(pc)), keyCount)
-    else new UnknownPartitioning(0)
+    case None => new UnknownPartitioning(0)
+  }
 
   private lazy val keyCount: Int = relation.snapshotOpt()
     .map(m => relation.prunedEntriesFor(m, pushed).size).getOrElse(0)
 
+  /** Only PROJECTED columns may be offered: Spark's stock DPP resolves
+    * these against the scan's own output (`PartitionPruning
+    * .getFilterableTableScan` → `resolveRefs`, which THROWS on a miss),
+    * so advertising the derived partition column on a projection that
+    * dropped it would crash planning rather than skip the filter.
+    */
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    relation.runtimeFilterable.map(Expressions.column).toArray
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = readSchema().fieldNames.toSet
+    relation.runtimeFilterable.filter(out)
+      .map(Expressions.column).toArray
+  }
 
   /** Same acceptance as [[GraftV1Scan.filter]]: runtime shapes the
     * pruner consumes on columns it can prune; dropping one costs I/O,
@@ -198,11 +242,18 @@ final class GraftBatchScan private[graft] (
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val (bytes, rowsOpt) = relation.projectedStats(effective, required)
+    // sidecar row counts are PHYSICAL; the face drops bitmap-marked
+    // positions at read, so subtract the marked cardinality (an upper
+    // bound on the overcount — bitmaps of pruned-out partitions only
+    // make the estimate conservative in the broadcast-safe direction)
+    val marked: Long =
+      dvBitmaps.valuesIterator.flatMap(_.valuesIterator)
+        .map(_.cardinality).sum
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
-        rowsOpt.map(java.util.OptionalLong.of)
+        rowsOpt.map(r => java.util.OptionalLong.of(math.max(0L, r - marked)))
           .getOrElse(java.util.OptionalLong.empty())
     }
   }
@@ -231,13 +282,13 @@ object GraftBatchScan {
     relation.snapshotOpt().flatMap { m =>
       val clean = AtomicCommit.renamesOf(m).isEmpty &&
         AtomicCommit.droppedOf(m).isEmpty &&
-        AtomicCommit.widenedOf(m).isEmpty &&
-        !m.props.contains(AtomicCommit.SchemaAddedProp)
+        AtomicCommit.widenedOf(m).isEmpty
       if (!clean) None
       else for {
         bitmaps <- deleteBitmaps(relation, m)
         ds <- uniformFooterSchema(relation, m)
-      } yield new GraftBatchScan(relation, ds, required, filters, bitmaps)
+      } yield new GraftBatchScan(relation, withAdded(ds, m), required,
+        filters, bitmaps)
     }
   }
 
@@ -261,6 +312,24 @@ object GraftBatchScan {
         Some(ev.bitmaps.getOrElse(Map.empty))
       else None
     }
+
+  /** ALTER-added columns no footer carries yet ([[AtomicCommit
+    * .SchemaAddedProp]]) appended to the reader's data schema, exactly
+    * Spark's own parquet schema-evolution shape: the table schema holds
+    * the column, individual files lack it, and the (vectorized) reader
+    * null-fills per file — byte-equal to the V1 path's
+    * `lit(null).cast(type)` backfill, so a fresh ADD COLUMN no longer
+    * kicks the table off the face until the next rewrite. A column
+    * SOME generation already materialized never reaches here: mixed
+    * footers fail [[uniformFooterSchema]]'s one-schema test first.
+    */
+  private def withAdded(ds: StructType,
+                        m: AtomicCommit.Manifest): StructType =
+    m.props.get(AtomicCommit.SchemaAddedProp)
+      .map(StructType.fromDDL)
+      .fold(ds)(added => StructType(ds.fields ++
+        added.fields.filterNot(f => ds.fieldNames.contains(f.name) ||
+          f.name == m.partitionCol).map(_.copy(nullable = true))))
 
   /** The one footer data schema shared by every owner generation —
     * names and types, order-insensitive (the reader clips by name), all

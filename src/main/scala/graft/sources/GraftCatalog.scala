@@ -41,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * filters are reported unhandled, so Spark re-evaluates them above the
   * pruned scan — pruning stays a pure optimization.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String,
@@ -59,6 +59,25 @@ final class GraftCatalog extends TableCatalog {
       .toArray
 
   override def loadTable(ident: Identifier): Table = graftTable(ident, None)
+
+  /** The [[org.apache.spark.sql.connector.catalog.FunctionCatalog]]
+    * face: exactly the functions graft's hidden partition transforms
+    * derive with, so the storage-partitioned batch face can report
+    * transform-shaped key groupings ([[GraftBucketFunction]]) and Spark
+    * can prove two bucketed tables co-partitioned AT THE SOURCE-KEY
+    * level. Resolution happens on the relation's own catalog instance
+    * (`DataSourceV2Relation.funCatalog`), nothing global.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket")
+      GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   /** The DSv2 time-travel hook: `VERSION AS OF <v>` — a snapshot version
     * number, or a tag name pinned with [[AtomicCommit.tag]].

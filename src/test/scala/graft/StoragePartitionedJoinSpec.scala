@@ -317,6 +317,109 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally unregister("spj_dpp")
   }
 
+  test("a pending ADD COLUMN stays on the batch face: per-file null fill equals the V1 backfill") {
+    val root = Files.createTempDirectory("graft_spj_add").toString
+    val df = Seq((1L, "x", "A"), (2L, "y", "B"), (3L, "z", "A"))
+      .toDF("k", "s", "p")
+    AtomicCommit.commitReplacePartitions(spark, root, df, "p")
+    AtomicCommit.addColumnsAtomic(spark, root, new PosixManifestStore(root),
+      org.apache.spark.sql.types.StructType.fromDDL("extra DOUBLE, note STRING"))
+    register("spj_add", root)
+    try {
+      val q = "SELECT k, s, extra, note, p FROM graft.spj_add"
+      val off = rowsOf(spark.sql(q))
+      val (on, plan) = withSQLConf(BatchOn) {
+        val d = spark.sql(q); (rowsOf(d), executed(d))
+      }
+      assert(on === off, "added-column null fill diverged from the V1 backfill")
+      assert(batchScans(plan) === 1,
+        s"a pending ADD COLUMN must not gate the batch face out\n$plan")
+      // filters touching the added column still answer correctly
+      val qf = "SELECT k FROM graft.spj_add WHERE extra IS NULL AND p = 'A'"
+      assert(withSQLConf(BatchOn)(rowsOf(spark.sql(qf))) === rowsOf(spark.sql(qf)))
+      // once a rewrite MATERIALIZES the column alongside older footers,
+      // generations disagree and the face must fall back
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((4L, "w", 1.5, "n", "B")).toDF("k", "s", "extra", "note", "p"), "p")
+      val (rows2, plan2) = withSQLConf(BatchOn) {
+        val d = spark.sql(q); (rowsOf(d), executed(d))
+      }
+      assert(batchScans(plan2) === 0,
+        s"mixed footers (materialized + missing) must fall back\n$plan2")
+      assert(rows2 === rowsOf(spark.sql(q)))
+    } finally unregister("spj_add")
+  }
+
+  test("bucket-transform SPJ: co-bucketed tables join on the SOURCE key with zero shuffles") {
+    val rootA = Files.createTempDirectory("graft_spj_ba").toString
+    val rootB = Files.createTempDirectory("graft_spj_bb").toString
+    val spec = graft.sources.HiddenPartitioning.Bucket(8, "k")
+    val a = (0 until 400).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+    val b = (0 until 100).map(i => ((i * 4).toLong, s"n$i")).toDF("k", "name")
+    graft.sources.HiddenPartitioning.commitReplace(spark, rootA, a, spec)
+    graft.sources.HiddenPartitioning.commitReplace(spark, rootB, b, spec)
+    register("spj_ba", rootA); register("spj_bb", rootB)
+    try {
+      // join on the SOURCE column — the derived k_bucket dir column
+      // never appears in the query
+      val join =
+        """SELECT a.k, a.v, b.name FROM graft.spj_ba a
+          |JOIN graft.spj_bb b ON a.k = b.k""".stripMargin
+      val off = rowsOf(withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")(spark.sql(join)))
+      assert(off.length === 100)
+      val (on, plan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(on === off, "bucket SPJ changed the answer")
+      assert(batchScans(plan) === 2, s"both sides on the batch face\n$plan")
+      assert(shuffles(plan) === 0,
+        s"co-bucketed source-key join must not shuffle\n$plan")
+
+      // parity under projection shapes and a source-key equality (which
+      // prunes through the transform)
+      for (q <- Seq(
+        "SELECT k, v FROM graft.spj_ba WHERE k = 37",
+        "SELECT a.k FROM graft.spj_ba a JOIN graft.spj_bb b ON a.k = b.k WHERE b.name = 'n5'")) {
+        val base = rowsOf(spark.sql(q))
+        assert(withSQLConf(SpjConfs: _*)(rowsOf(spark.sql(q))) === base, q)
+      }
+
+      // a query NOT projecting the source column still works (identity
+      // face or unknown partitioning — never a wrong grouping)
+      val noSrc = "SELECT v FROM graft.spj_ba"
+      assert(withSQLConf(SpjConfs: _*)(rowsOf(spark.sql(noSrc))) ===
+        rowsOf(spark.sql(noSrc)))
+
+      // shuffle-ONE-side mode: joined to a plain (non-graft) view, Spark
+      // may shuffle only the small side INTO the bucket layout — which
+      // EVALUATES GraftBucketBound.produceResult, proving the V2
+      // function's hash equals the directory derivation end-to-end
+      // (a mismatch would silently lose matches, so the row assert is
+      // the parity proof)
+      val plain = (0 until 400 by 3).map(i => (i.toLong, s"p$i"))
+        .toDF("k2", "tag")
+      plain.createOrReplaceTempView("spj_bk_plain")
+      val mixed =
+        """SELECT a.k, p.tag FROM graft.spj_ba a
+          |JOIN spj_bk_plain p ON a.k = p.k2""".stripMargin
+      val mixedOff = rowsOf(spark.sql(mixed))
+      assert(mixedOff.length === 134)
+      val (mixedOn, mixedPlan) = withSQLConf(SpjConfs ++ Seq(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true"): _*) {
+        val d = spark.sql(mixed); (rowsOf(d), executed(d))
+      }
+      assert(mixedOn === mixedOff, "one-side-shuffled bucket join lost rows")
+      // the graft side must not have shuffled, whatever Spark chose for
+      // the plain side
+      val factShuffled = nodes(mixedPlan).exists {
+        case s: ShuffleExchangeExec => nodes(s).exists(_.isInstanceOf[BatchScanExec])
+        case _ => false
+      }
+      assert(!factShuffled, s"the bucketed side must never shuffle\n$mixedPlan")
+    } finally unregister("spj_ba", "spj_bb")
+  }
+
   test("runtime filters re-prune the batch face's splits") {
     val root = Files.createTempDirectory("graft_spj_rf").toString
     val df = (0 until 40).map(i => (i.toLong, s"P${i % 4}")).toDF("k", "p")
