@@ -654,6 +654,12 @@ object TableBench {
       val planOn = dOn.queryExecution.executedPlan.toString
       require(!planOn.contains("Exchange hashpartitioning"),
         s"the SPJ join must not shuffle:\n${planOn.take(1500)}")
+      // r17e: the scan reports [pk ASC] per key group (constant within
+      // a group) and coalesces each key's files into one split, so the
+      // merge join plans SORT-FREE — no SortExec anywhere, the sort +
+      // spill of the wide fact is gone along with its shuffle
+      require(!planOn.contains("Sort ["),
+        s"the SPJ join must not sort either side:\n${planOn.take(1500)}")
       require((0 until 3).forall(i => spjOn.getLong(i) == spjOff.getLong(i)),
         s"SPJ changed the answer: $spjOn vs $spjOff")
       println(s"[tablebench] spj A/B rows=${spjOn.getLong(0)}")
@@ -675,6 +681,8 @@ object TableBench {
       val planDv = dDv.queryExecution.executedPlan.toString
       require(!planDv.contains("Exchange hashpartitioning"),
         s"the DV-served SPJ join must not shuffle:\n${planDv.take(1500)}")
+      require(!planDv.contains("Sort ["),
+        s"the DV-served SPJ join must stay sort-free:\n${planDv.take(1500)}")
       require(planDv.contains("BatchScan"),
         "bitmap-only evidence must keep the batch face")
       require(dvOn.getLong(0) == spjOn.getLong(0) - dead,

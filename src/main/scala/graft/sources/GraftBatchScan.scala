@@ -7,8 +7,8 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, HasPartitionKey, PartitionReader, PartitionReaderFactory, Scan, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, HasPartitionKey, PartitionReader, PartitionReaderFactory, Scan, SupportsReportOrdering, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -66,6 +66,7 @@ final class GraftBatchScan private[graft] (
     dvBitmaps: Map[String, Map[(UTF8String, UTF8String), DvBitmap.Bitmap]] =
       Map.empty) extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering
+  with SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   @volatile private[graft] var runtime: Array[Filter] = Array.empty
@@ -124,8 +125,18 @@ final class GraftBatchScan private[graft] (
     * values exactly. A file whose (partition, file) the snapshot's
     * deletion bitmaps mark carries ITS OWN bitmap on the split — the
     * evidence ships per file, never the whole map per task.
+    *
+    * Under the identity SPJ handshake ([[coalescePerKey]]) a
+    * partition's files COALESCE into one multi-file split: Spark's
+    * grouped execution already co-schedules them into one task, so the
+    * shape changes nothing about work placement — but it is what lets
+    * the reported per-partition ordering ([[outputOrdering]]) survive
+    * `DataSourceV2ScanExecBase.outputOrdering`'s conservative
+    * `parts.length <= 1` check, which is the difference between a
+    * sort-free merge join and two full sorts of the fact.
     */
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    val coalesce = coalescePerKey
     relation.partitionFileLayout(effective).flatMap { case (pv, files) =>
       val decoded: String =
         if (pv == GraftRelation.NullPartitionName) null
@@ -142,15 +153,56 @@ final class GraftBatchScan private[graft] (
       // sentinel — the readSidecars keying ([[DvBitmap.readSidecars]])
       val probe = UTF8String.fromString(
         if (decoded == null) GraftRelation.NullPartitionName else decoded)
-      files.map { case (path, len) =>
+      val slices = files.map { case (path, len) =>
         val rel = path.stripPrefix(s"${relation.root}/")
         val gen = rel.takeWhile(_ != '/')
         val fileName = path.substring(path.lastIndexOf('/') + 1)
         val dv = dvBitmaps.get(gen)
           .flatMap(_.get((probe, UTF8String.fromString(fileName))))
-        GraftFileSplit(key, path, len, dv): InputPartition
+        GraftFileSlice(path, len, dv)
       }
+      if (coalesce) Seq(GraftFileSplit(key, slices): InputPartition)
+      else slices.map(s => GraftFileSplit(key, Seq(s)): InputPartition)
     }.toArray
+  }
+
+  /** Whether to emit ONE split per partition key. True exactly when
+    * Spark will group this scan's splits per key anyway — the identity
+    * face under the v2-bucketing handshake — so coalescing costs no
+    * parallelism (grouped execution is one task per key either way) and
+    * buys the ordering report. Partially-clustered distribution is the
+    * exception: there Spark deliberately keeps a skewed partition's
+    * splits separate so it can spread them over several tasks, and
+    * coalescing would defeat that — so skew mode wins and the ordering
+    * (moot under replication anyway) is forfeited.
+    */
+  private def coalescePerKey: Boolean = {
+    def on(k: String) = relation.session.sessionState.conf
+      .getConfString(k, "false") == "true"
+    bucketFace.isEmpty && pcRequired &&
+      on("spark.sql.sources.v2.bucketing.enabled") &&
+      !on("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+  }
+
+  /** Per-partition ordering on the identity face: within one key group
+    * every row carries the SAME partition value, so `[pc ASC]` holds
+    * trivially over any concatenation of the group's files — no file
+    * was ever sorted to earn it. Spark converts this to the catalyst
+    * ordering on the scan output and `EnsureRequirements` then skips
+    * the two per-side sorts a storage-partitioned SortMergeJoin would
+    * otherwise insert — at 100 TB those sorts are the join's dominant
+    * memory cost (sort + spill of the whole fact per query, for rows
+    * that are already grouped). Spark drops the claim itself whenever a
+    * key group holds >1 split (`parts.length <= 1` check), which is
+    * why [[coalescePerKey]] folds a partition's files into one split
+    * under the SPJ handshake. The bucket face reports nothing: rows
+    * within a bucket are NOT ordered by the source key, and an
+    * ordering on the bucket ordinal satisfies no join requirement.
+    */
+  override def outputOrdering(): Array[V2SortOrder] =
+    if (bucketFace.isEmpty && pcRequired)
+      Array(Expressions.sort(Expressions.identity(pc), SortDirection.ASCENDING))
+    else Array.empty
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val partSchema =
@@ -358,26 +410,35 @@ object GraftBatchScan {
     new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]), Option[StructType]]()
 }
 
-/** One data file of one partition, carrying the DECODED partition key
-  * for Spark-side key grouping — and, when the snapshot's deletion
-  * vectors mark this file, its own compressed position bitmap.
+/** One data file of one partition — and, when the snapshot's deletion
+  * vectors mark it, its own compressed position bitmap.
+  */
+private[graft] final case class GraftFileSlice(
+    path: String, length: Long, dv: Option[DvBitmap.Bitmap] = None)
+
+/** One scan split: one or more files of ONE partition, carrying the
+  * DECODED partition key for Spark-side key grouping. One file in the
+  * file-parallel shape; a whole partition's files when the scan
+  * coalesced per key ([[GraftBatchScan.planInputPartitions]]).
   */
 private[graft] final case class GraftFileSplit(
-    key: InternalRow, path: String, length: Long,
-    dv: Option[DvBitmap.Bitmap] = None)
+    key: InternalRow, files: Seq[GraftFileSlice])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
 
 /** Executor-side reader: the driver-built `FileFormat` parquet function
-  * over one file, partition value appended by the function itself.
-  * COLUMNAR when the scan said so (the function returns ColumnarBatch
-  * disguised as InternalRow — the FileScanRDD contract); the row face
-  * stays for non-atomic projections, flattening defensively (rows may
-  * be reused buffers — standard DSv2 reader contract). A split carrying
-  * a deletion bitmap takes `dvReadFunc` — the filterless sequential
-  * read whose consumed-row counter IS the parquet row index — and drops
-  * the marked positions; every other split keeps the full-speed path.
+  * over the split's file(s) in sequence, partition value appended by
+  * the function itself. COLUMNAR when the scan said so (the function
+  * returns ColumnarBatch disguised as InternalRow — the FileScanRDD
+  * contract); the row face stays for non-atomic projections and any
+  * split carrying deletion evidence, flattening defensively (rows may
+  * be reused buffers — standard DSv2 reader contract). A file with a
+  * deletion bitmap takes `dvReadFunc` — the filterless sequential read
+  * whose consumed-row counter IS the parquet row index (the counter
+  * resets PER FILE: positions are file-local) — and drops the marked
+  * positions; clean files keep the full-speed path. Files open lazily,
+  * one at a time, as the iterator advances.
   */
 private[graft] final class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
@@ -385,50 +446,42 @@ private[graft] final class GraftReaderFactory(
     usePartitionValues: Boolean,
     columnar: Boolean) extends PartitionReaderFactory {
 
-  private def fileOf(p: InputPartition): PartitionedFile = {
-    val split = p.asInstanceOf[GraftFileSplit]
+  private def fileOf(key: InternalRow, s: GraftFileSlice): PartitionedFile =
     PartitionedFile(
-      if (usePartitionValues) split.key else InternalRow.empty,
-      SparkPath.fromPathString(split.path), 0L, split.length,
-      Array.empty, 0L, split.length)
-  }
+      if (usePartitionValues) key else InternalRow.empty,
+      SparkPath.fromPathString(s.path), 0L, s.length,
+      Array.empty, 0L, s.length)
 
   override def supportColumnarReads(p: InputPartition): Boolean =
-    columnar && p.asInstanceOf[GraftFileSplit].dv.isEmpty
+    columnar && p.asInstanceOf[GraftFileSplit].files.forall(_.dv.isEmpty)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val dv = p.asInstanceOf[GraftFileSplit].dv
-    val raw = (if (dv.isDefined) dvReadFunc else readFunc)(fileOf(p))
-    val rows: Iterator[InternalRow] =
-      raw.asInstanceOf[Iterator[Any]].flatMap {
+    val split = p.asInstanceOf[GraftFileSplit]
+    val rows: Iterator[InternalRow] = split.files.iterator.flatMap { s =>
+      val raw = (if (s.dv.isDefined) dvReadFunc else readFunc)(fileOf(split.key, s))
+      val flat = raw.asInstanceOf[Iterator[Any]].flatMap {
         case b: ColumnarBatch => b.rowIterator().asScala
         case r => Iterator.single(r.asInstanceOf[InternalRow])
       }
-    dv match {
-      case Some(bm) => new PartitionReader[InternalRow] {
-        private var pos = -1L
-        private var cur: InternalRow = null
-        override def next(): Boolean = {
-          while (rows.hasNext) {
-            val r = rows.next(); pos += 1
-            if (!bm.contains(pos)) { cur = r; return true }
-          }
-          false
-        }
-        override def get(): InternalRow = cur
-        override def close(): Unit = ()
+      s.dv match {
+        case Some(bm) =>
+          var pos = -1L
+          flat.filter { _ => pos += 1; !bm.contains(pos) }
+        case None => flat
       }
-      case None => new PartitionReader[InternalRow] {
-        private var cur: InternalRow = null
-        override def next(): Boolean = rows.hasNext && { cur = rows.next(); true }
-        override def get(): InternalRow = cur
-        override def close(): Unit = ()
-      }
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = null
+      override def next(): Boolean = rows.hasNext && { cur = rows.next(); true }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
     }
   }
 
   override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
-    val it = readFunc(fileOf(p)).asInstanceOf[Iterator[ColumnarBatch]]
+    val split = p.asInstanceOf[GraftFileSplit]
+    val it: Iterator[ColumnarBatch] = split.files.iterator.flatMap(s =>
+      readFunc(fileOf(split.key, s)).asInstanceOf[Iterator[ColumnarBatch]])
     new PartitionReader[ColumnarBatch] {
       private var cur: ColumnarBatch = null
       override def next(): Boolean = it.hasNext && { cur = it.next(); true }

@@ -193,12 +193,12 @@ class StoragePartitionedJoinSpec extends SparkSpec {
           .getOrElse(fail("bitmap-only evidence must stay eligible"))
         val splits = scan.planInputPartitions()
         val dvd = splits.map(_.asInstanceOf[graft.sources.GraftFileSplit])
-          .count(_.dv.isDefined)
+          .count(_.files.exists(_.dv.isDefined))
         assert(dvd > 0, "marked files must carry their bitmaps on the split")
         val factory = scan.createReaderFactory()
         splits.foreach { s =>
           val split = s.asInstanceOf[graft.sources.GraftFileSplit]
-          assert(factory.supportColumnarReads(s) === split.dv.isEmpty,
+          assert(factory.supportColumnarReads(s) === split.files.forall(_.dv.isEmpty),
             "clean splits stay columnar, DV'd splits take the row path")
         }
       }
@@ -436,5 +436,80 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(after.length < before.length && after.nonEmpty,
         s"runtime IN must shrink the split list: ${before.length} -> ${after.length}")
     }
+  }
+
+  private def sorts(p: SparkPlan): Int =
+    nodes(p).count(_.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+
+  test("sort-free SPJ: reported per-partition ordering eliminates the merge-join sorts") {
+    val rootA = Files.createTempDirectory("graft_spj_sa").toString
+    val rootB = Files.createTempDirectory("graft_spj_sb").toString
+    val parts = Seq(Some("P0"), Some("a/b"), None) // escaped + null keys
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, i * 1.0, parts(i % 3))).toDF("k", "v", "p")
+    // MULTI-file partitions on both sides (replace + two appends → three
+    // owner generations each): without per-key split coalescing Spark's
+    // `parts.length <= 1` check would drop the reported ordering, so this
+    // layout is what proves the coalescing carries it
+    AtomicCommit.commitReplacePartitions(spark, rootA, slice(0, 30), "p")
+    AtomicCommit.commitAppendPartitions(spark, rootA, slice(30, 60), "p")
+    AtomicCommit.commitAppendPartitions(spark, rootA, slice(60, 90), "p")
+    AtomicCommit.commitReplacePartitions(spark, rootB, slice(0, 12)
+      .withColumnRenamed("k", "k2").withColumnRenamed("v", "w"), "p")
+    AtomicCommit.commitAppendPartitions(spark, rootB, slice(12, 24)
+      .withColumnRenamed("k", "k2").withColumnRenamed("v", "w"), "p")
+    register("spj_sa", rootA); register("spj_sb", rootB)
+    try {
+      val join =
+        """SELECT a.p, a.k, b.k2 FROM graft.spj_sa a
+          |JOIN graft.spj_sb b ON a.p = b.p""".stripMargin
+      val offRows = withSQLConf(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        rowsOf(spark.sql(join))
+      }
+      val (onRows, onPlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(onRows === offRows)
+      assert(shuffles(onPlan) === 0, s"SPJ must not shuffle\n$onPlan")
+      assert(sorts(onPlan) === 0,
+        s"reported [p ASC] ordering must eliminate both merge-join sorts\n$onPlan")
+
+      // the coalesced shape: one split per surviving partition key
+      withSQLConf(SpjConfs: _*) {
+        val rel = new GraftRelation(spark, rootA, new PosixManifestStore(rootA), None)
+        val scan = GraftBatchScan.eligibleScan(rel, rel.schema, Array.empty)
+          .getOrElse(fail("clean snapshot must be eligible"))
+        val splits = scan.planInputPartitions()
+          .map(_.asInstanceOf[graft.sources.GraftFileSplit])
+        assert(splits.length === 3, s"one split per key: ${splits.length}")
+        assert(splits.forall(_.files.length === 3),
+          "each key's split must carry all three generations' files")
+      }
+
+      // position deletes keep the sort-free plan: DV'd files read
+      // row-wise inside their key's split, ordering claim unaffected
+      Deletes.deleteWhereMoR(spark, rootA, col("k") % 7 === 0L)
+      val offDv = withSQLConf(
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        rowsOf(spark.sql(join))
+      }
+      val (onDv, dvPlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(onDv === offDv)
+      assert(shuffles(dvPlan) === 0 && sorts(dvPlan) === 0,
+        s"DV-served SPJ must stay shuffle- and sort-free\n$dvPlan")
+
+      // partially-clustered distribution deliberately keeps a key's
+      // splits separate (skew spreading wins over the ordering report):
+      // answers stay identical, with or without sorts
+      val pcdRows = withSQLConf(SpjConfs :+
+          ("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true"): _*) {
+        rowsOf(spark.sql(join))
+      }
+      assert(pcdRows === offDv,
+        "partially-clustered distribution must not change answers")
+    } finally unregister("spj_sa", "spj_sb")
   }
 }
