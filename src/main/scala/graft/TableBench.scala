@@ -220,6 +220,44 @@ object TableBench {
     println(s"[tablebench] recluster: data files $fb -> $fa; range-probe " +
       f"files $preFiles -> $postFiles, bytes ${preBytes / 1e6}%.1f MB -> ${postBytes / 1e6}%.1f MB")
 
+    // r17f: RECLUSTER'S SORT ORDER AS A QUERY ASSET — the rewrite just
+    // paid one range shuffle to sort every file by v; the batch face
+    // claims [pk ASC, v ASC] from that provenance (sidecar-verified), so
+    // a PARTITION BY pk ORDER BY v window plans with ZERO exchange and
+    // ZERO sort. The V1 face pays the full shuffle + sort of all N rows
+    // for the same answer — at 100 TB that pair is the whole cost of
+    // every "latest per key" / rank / dedup-by-recency analytic.
+    {
+      spark.conf.set("spark.graft.table.rsrt", rootS)
+      // v is globally unique so ranks are deterministic; (v % 1000) * rn
+      // is order-sensitive (a misordered window changes the pairing) and
+      // bounded far below long overflow at this scale
+      val qw = "SELECT max(rn) AS m, sum(v % 1000 * rn) AS s FROM (SELECT v, " +
+        "row_number() OVER (PARTITION BY pk ORDER BY v) AS rn FROM graft.rsrt)"
+      val wOff = timed("pk-window over reclustered, V1 face") {
+        spark.sql(qw).head()
+      }
+      spark.conf.set(graft.sources.GraftBatchScan.EnabledConf, "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val dW = spark.sql(qw)
+      val wOn = timed("pk-window, sort-free batch face") {
+        dW.head()
+      }
+      val planW = dW.queryExecution.executedPlan.toString
+      require(!planW.contains("Exchange hashpartitioning"),
+        s"the keyed window must not exchange:\n${planW.take(1500)}")
+      require(!planW.contains("Sort ["),
+        s"recluster's sort order must serve the window sort-free:\n${planW.take(1500)}")
+      def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+        r.getAs[Number](i).longValue
+      require((0 until 2).forall(i => asL(wOn, i) == asL(wOff, i)),
+        s"window answers diverged: $wOn vs $wOff")
+      println(s"[tablebench] sort-order window A/B max_rn=${asL(wOn, 0)}")
+      spark.conf.unset(graft.sources.GraftBatchScan.EnabledConf)
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.graft.table.rsrt")
+    }
+
     // METADATA COUNT: a range COUNT whose stats decide every slice costs
     // manifest+sidecar reads only — compare with the scan it replaces
     // range over partitions no later commit touched: their stats decide

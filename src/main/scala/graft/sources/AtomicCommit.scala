@@ -1606,6 +1606,22 @@ object AtomicCommit {
     */
   val StatsAnalyzedProp = "graft.stats.analyzed"
 
+  /** Sort-order provenance, written by [[Compaction.recluster]]'s
+    * publish: `<gen>:<col,col,...>` — generation `gen` was produced by
+    * ONE range-distribute + sort-within-partitions job over
+    * (partitionCol, cols...), so every data file it wrote is internally
+    * sorted by `cols` and consecutive files of one partition cover
+    * consecutive key ranges. The claim is GENERATION-QUALIFIED: it
+    * holds for a snapshot only while every entry's sole data owner IS
+    * that generation — any later append/rewrite/CoW-delete changes an
+    * owner and silently retires the claim (position-bitmap MoR deletes
+    * keep it: dropping rows preserves order). Consumed by
+    * [[GraftBatchScan]]'s ordering report, which additionally verifies
+    * the cross-file order and null-freeness against the generation's
+    * stats sidecar before claiming anything.
+    */
+  val SortedByProp = "graft.sort.order"
+
   def recordAnalyzed(root: String, store: ManifestStore,
                      cols: Seq[String]): Long = {
     val cur = readManifest(store).getOrElse(

@@ -300,7 +300,11 @@ object Compaction {
                 bloomCols: Seq[String] = Nil): (Long, Long) = {
     require(sortCols.nonEmpty, "recluster needs at least one sort column")
     rewriteOrdered(spark, root, sortCols.map(col), filesPerDir,
-      if (statsCols.nonEmpty) statsCols else sortCols, bloomCols)
+      if (statsCols.nonEmpty) statsCols else sortCols, bloomCols,
+      // record provenance only while the prop format can carry the names
+      // (a later col is only ordered WITHIN ties of the earlier ones, so
+      // the recordable set is a prefix, never a filtered subset)
+      recordSort = sortCols.takeWhile(c => !c.contains(',') && !c.contains(':')))
   }
 
   /** Z-ORDER recluster — [[recluster]] for MULTI-dimensional predicates.
@@ -351,7 +355,8 @@ object Compaction {
                              orderCols: Seq[org.apache.spark.sql.Column],
                              filesPerDir: Int,
                              statsCols: Seq[String],
-                             bloomCols: Seq[String] = Nil): (Long, Long) = {
+                             bloomCols: Seq[String] = Nil,
+                             recordSort: Seq[String] = Nil): (Long, Long) = {
     require(filesPerDir >= 1, s"filesPerDir=$filesPerDir")
     val store = new PosixManifestStore(root)
     val m = AtomicCommit.readManifest(store).getOrElse(
@@ -377,7 +382,16 @@ object Compaction {
     // reclustered layout
     if (bloomCols.nonEmpty)
       DataSkipping.annotateStagedBloom(spark, root, staged, bloomCols)
-    AtomicCommit.publish(root, store, staged)
+    // sort-order provenance: this generation's files are each internally
+    // sorted by `recordSort` and range-consecutive within a partition —
+    // the batch face turns that into a reported ordering (sort-free
+    // windows/merge-joins) for as long as the generation solely owns
+    // every entry ([[AtomicCommit.SortedByProp]])
+    val stamped =
+      if (recordSort.nonEmpty) staged.copy(props = staged.props +
+        (AtomicCommit.SortedByProp -> s"${staged.gen}:${recordSort.mkString(",")}"))
+      else staged
+    AtomicCommit.publish(root, store, stamped)
     (before, countAtomicDataFiles(root, store))
   }
 

@@ -1201,6 +1201,19 @@ object DataSkipping {
     case _ => cpCompare(String.valueOf(a), String.valueOf(b))
   }
 
+  /** `a <= b` under a record's `kind` — numeric records compare as
+    * decimals, string records by code point (the order Spark realizes).
+    * Unparseable numeric bounds prove nothing and compare false, the
+    * same conservatism as [[containedIn]]. The batch face's sort-order
+    * verification uses this to check consecutive files of a reclustered
+    * partition really cover non-interleaved key ranges.
+    */
+  private[sources] def boundLeq(kind: String, a: String, b: String): Boolean =
+    if (kind == "num")
+      try new BigDecimal(a).compareTo(new BigDecimal(b)) <= 0
+      catch { case _: NumberFormatException => false }
+    else cpCompare(a, b) <= 0
+
   /** Lexicographic comparison by Unicode CODE POINT — the order Spark's
     * binary UTF8String comparison realizes. Java's `String.compareTo`
     * (UTF-16 units) would rank supplementary characters below U+E000..

@@ -161,7 +161,16 @@ final class GraftBatchScan private[graft] (
           .flatMap(_.get((probe, UTF8String.fromString(fileName))))
         GraftFileSlice(path, len, dv)
       }
-      if (coalesce) Seq(GraftFileSplit(key, slices): InputPartition)
+      // coalesced slices read in FILE-NAME order — Spark's part-file
+      // names encode the writing task, so name order IS range order for
+      // a recluster generation, and it is the order the sort-order
+      // evidence was verified in ([[GraftBatchScan.provenSortOrder]]);
+      // for same-key files the read order is otherwise free, so the
+      // canonicalization costs nothing when no ordering is claimed
+      if (coalesce)
+        Seq(GraftFileSplit(key,
+          slices.sortBy(s => s.path.substring(s.path.lastIndexOf('/') + 1)))
+          : InputPartition)
       else slices.map(s => GraftFileSplit(key, Seq(s)): InputPartition)
     }.toArray
   }
@@ -198,11 +207,32 @@ final class GraftBatchScan private[graft] (
     * under the SPJ handshake. The bucket face reports nothing: rows
     * within a bucket are NOT ordered by the source key, and an
     * ordering on the bucket ordinal satisfies no join requirement.
+    *
+    * DATA columns extend the claim when [[Compaction.recluster]]'s
+    * provenance survives and the sidecar evidence verifies
+    * ([[GraftBatchScan.provenSortOrder]]): `[pc ASC, c ASC, ...]` then
+    * eliminates the sort under `PARTITION BY pc ORDER BY c` windows and
+    * compound-key merge joins — the recluster bought that order with
+    * one range shuffle at maintenance time; queries shouldn't pay for
+    * it again.
     */
   override def outputOrdering(): Array[V2SortOrder] =
     if (bucketFace.isEmpty && pcRequired)
-      Array(Expressions.sort(Expressions.identity(pc), SortDirection.ASCENDING))
+      (pc +: sortedCols).map(c =>
+        Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
     else Array.empty
+
+  /** The recluster-proven data-column sort order this scan may claim:
+    * the longest [[AtomicCommit.SortedByProp]] prefix whose columns are
+    * all projected and whose evidence verifies against the live
+    * snapshot. Empty whenever anything is off — the claim costs I/O
+    * when wrong, so every gate errs toward silence.
+    */
+  private val sortedCols: Seq[String] =
+    if (bucketFace.isDefined) Nil
+    else relation.snapshotOpt().map(m =>
+      GraftBatchScan.provenSortOrder(relation, m,
+        requiredData.fieldNames.toSet)).getOrElse(Nil)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val partSchema =
@@ -408,6 +438,75 @@ object GraftBatchScan {
   }
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]), Option[StructType]]()
+
+  /** The data-column sort order the snapshot PROVABLY carries — the
+    * longest prefix of [[AtomicCommit.SortedByProp]]'s recorded columns
+    * that is (a) fully projected, and (b) evidence-verified:
+    *
+    *  - every entry's sole data owner is the recording generation (the
+    *    provenance gate: any later append/rewrite retires the claim;
+    *    position-bitmap deletes don't change owners and row drops
+    *    preserve order);
+    *  - every live file is null-free in the column (the sidecar's
+    *    per-file or envelope `nulls == 0` — a null in a NON-first file
+    *    would break the NULLS FIRST claim across the concatenation);
+    *  - in a multi-file partition, every file has recorded bounds and
+    *    consecutive files in FILE-NAME order — the order coalesced
+    *    splits read them in — cover
+    *    non-interleaved ranges (`max(fileᵢ) <= min(fileᵢ₊₁)`; ties at
+    *    the boundary are fine, the recording job range-partitioned on
+    *    the FULL sort tuple so equal leading keys stay ordered by the
+    *    trailing ones across the seam).
+    *
+    * Within-FILE order is the provenance's contribution (one
+    * sort-within-partitions job wrote every file); the sidecar check is
+    * what makes the cross-file claim verified rather than trusted.
+    * Pruning only ever removes files, and a subsequence of a sorted
+    * sequence is sorted — so a claim verified against the full layout
+    * holds for every filtered scan of it.
+    */
+  private[sources] def provenSortOrder(relation: GraftRelation,
+                                       m: AtomicCommit.Manifest,
+                                       projected: Set[String]): Seq[String] =
+    m.props.get(AtomicCommit.SortedByProp).toSeq.flatMap { v =>
+      val sep = v.indexOf(':')
+      if (sep <= 0) Nil
+      else {
+        val gen = v.substring(0, sep)
+        val cols = v.substring(sep + 1).split(',').toSeq.filter(_.nonEmpty)
+        val owned = m.entries.nonEmpty && m.entries.values.forall(e =>
+          AtomicCommit.ownersOf(e) == Seq(gen))
+        if (!owned || cols.isEmpty) Nil
+        else {
+          val stats = Try(DataSkipping.readStats(relation.root, gen))
+            .getOrElse(Nil)
+          val byPartCol = stats.groupBy(s => (s.partition, s.col))
+          def verified(c: String): Boolean = m.entries.keys.forall { pv =>
+            // FILE-NAME order — the order coalesced splits read in
+            // (part-file names encode the writing task, so name order
+            // is the recluster job's range order)
+            val files = DataSkipping.listParquet(
+              s"${relation.root}/$gen/${m.partitionCol}=$pv").sorted
+            val recs = byPartCol.getOrElse((pv, c), Nil)
+            if (files.isEmpty) true
+            else if (files.size == 1)
+              recs.exists(r => r.nulls == 0L &&
+                (r.file.isEmpty || r.file.contains(files.head)))
+            else {
+              val frs = files.map(f => recs.find(_.file.contains(f)))
+              frs.forall(_.exists(r => r.nulls == 0L &&
+                  r.min.isDefined && r.max.isDefined)) &&
+                frs.flatten.sliding(2).forall {
+                  case Seq(a, b) =>
+                    DataSkipping.boundLeq(a.kind, a.max.get, b.min.get)
+                  case _ => true
+                }
+            }
+          }
+          cols.takeWhile(c => projected(c) && verified(c))
+        }
+      }
+    }
 }
 
 /** One data file of one partition — and, when the snapshot's deletion

@@ -512,4 +512,71 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         "partially-clustered distribution must not change answers")
     } finally unregister("spj_sa", "spj_sb")
   }
+
+  test("recluster's proven sort order eliminates the window sort on the batch face") {
+    val root = Files.createTempDirectory("graft_spj_so").toString
+    val parts = Seq("P0", "P1", "a/b")
+    // v unique per partition so window ranks are deterministic
+    def slice(lo: Int, hi: Int) = (lo until hi)
+      .map(i => (i.toLong, i * 10L + i % 3, parts(i % 3))).toDF("k", "v", "p")
+    AtomicCommit.commitReplacePartitions(spark, root, slice(0, 30), "p")
+    AtomicCommit.commitAppendPartitions(spark, root, slice(30, 60), "p")
+    register("spj_so", root)
+    try {
+      val win =
+        """SELECT k, v, p, row_number()
+          |  OVER (PARTITION BY p ORDER BY v) AS rn
+          |FROM graft.spj_so""".stripMargin
+      val expected = rowsOf(spark.sql(win))
+
+      // pre-recluster: no provenance, the window must sort
+      val (pre, prePlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(win); (rowsOf(d), executed(d))
+      }
+      assert(pre === expected)
+      assert(sorts(prePlan) > 0,
+        s"no sort-order provenance yet — the window needs its sort\n$prePlan")
+
+      // recluster on v (2 files/dir → the cross-file evidence path)
+      Compaction.recluster(spark, root, Seq("v"), filesPerDir = 2)
+      val (post, postPlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(win); (rowsOf(d), executed(d))
+      }
+      assert(post === rowsOf(spark.sql(win)), "parity after recluster")
+      assert(shuffles(postPlan) === 0,
+        s"partition-keyed window must not exchange\n$postPlan")
+      assert(sorts(postPlan) === 0,
+        s"recluster's [v ASC] provenance must eliminate the window sort\n$postPlan")
+
+      // an append retires the claim (owners change): answers identical,
+      // the sort honestly comes back
+      AtomicCommit.commitAppendPartitions(spark, root, slice(60, 63), "p")
+      val fresh = rowsOf(spark.sql(win))
+      val (stale, stalePlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(win); (rowsOf(d), executed(d))
+      }
+      assert(stale === fresh)
+      assert(sorts(stalePlan) > 0,
+        s"a post-recluster append must retire the ordering claim\n$stalePlan")
+
+      // nulls in the sort column gate the claim out (NULLS FIRST could
+      // not hold across a file seam): parity, sort present
+      val rootN = Files.createTempDirectory("graft_spj_son").toString
+      val withNulls = (0 until 24).map { i =>
+        (i.toLong, if (i % 7 == 0) None else Some(i * 5L), parts(i % 3))
+      }.toDF("k", "v", "p")
+      AtomicCommit.commitReplacePartitions(spark, rootN, withNulls, "p")
+      Compaction.recluster(spark, rootN, Seq("v"), filesPerDir = 2)
+      register("spj_son", rootN)
+      val winN = win.replace("spj_so", "spj_son")
+      val expN = rowsOf(spark.sql(winN))
+      val (gotN, planN) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(winN); (rowsOf(d), executed(d))
+      }
+      assert(gotN === expN)
+      assert(sorts(planN) > 0,
+        s"nullable sort evidence must not claim NULLS FIRST\n$planN")
+      unregister("spj_son")
+    } finally unregister("spj_so")
+  }
 }
