@@ -190,6 +190,20 @@ object TableBench {
     require(AtomicCommit.read(spark, rootS).count() == n - rowsPer - 2,
       "equality delete removed the wrong rows")
 
+    // MATERIALIZE the equality record into position bitmaps: one scan of
+    // only the marked partitions (here the worst case — no blooms, so
+    // all of them carry the record) resolves the predicate into exact
+    // addresses, and the evidence returns to the bitmap shape every fast
+    // path serves. Compare purgeVectors, which heals the same state by
+    // REWRITING the marked data (the recluster below shows that cost).
+    timed("materialize eq deletes (all parts marked)") {
+      graft.sources.Deletes.materializeEqDeletes(spark, rootS)
+    }
+    require(AtomicCommit.read(spark, rootS).count() == n - rowsPer - 2,
+      "materialization changed visible rows")
+    require(graft.sources.Deletes.materializeEqDeletes(spark, rootS).isEmpty,
+      "re-materialization must be a no-op")
+
     // RECLUSTER (r13): the repair for the shuffled layout's cost gap.
     // Partition values are DATA (pk is a queryable column), so no rewrite
     // can move rows between directories or recover the clustered table's

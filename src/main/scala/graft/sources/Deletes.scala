@@ -335,6 +335,137 @@ object Deletes {
         overrides = overrides)))
   }
 
+  /** Materialize outstanding EQUALITY deletes into POSITION bitmaps —
+    * the O(marked partitions) maintenance step that returns a
+    * key-takedown table to every position-evidence-only fast path (the
+    * storage-partitioned batch face, the bitmap-served scan) without
+    * rewriting a data byte. [[deleteKeysMoR]] records a predicate for
+    * zero commit I/O; until something resolves it, readers pay a
+    * codegen NOT-IN per scan and the batch face must gate out (a
+    * per-position reader cannot apply an arbitrary predicate). This op
+    * pays ONE scan of only the marked partitions' files to resolve the
+    * predicate into exact (partition, file, position) addresses,
+    * publishes a fresh vector generation holding the carried position
+    * evidence plus the resolved addresses (bitmap sidecar included),
+    * and drops the equality records — after it the face re-qualifies.
+    * Contrast [[Compaction.purgeVectors]], which heals the same state
+    * by REWRITING the marked partitions' data: materialization reads
+    * them once and writes a delete-set-sized vector instead.
+    *
+    * Owner scoping is preserved exactly: a record only addresses rows
+    * in the generations it named, so rows re-inserted after the delete
+    * survive materialization as they survived the record. Partitions
+    * the resolution proves EMPTY fold out of the manifest in the same
+    * commit — the emptiness the zero-scan delete could not detect.
+    * Records that match nothing resolve to no addresses and simply
+    * disappear. Returns the new version, or None when no equality
+    * records are outstanding.
+    */
+  def materializeEqDeletes(spark: SparkSession, root: String): Option[Long] =
+    materializeEqDeletes(spark, root, new PosixManifestStore(root))
+
+  def materializeEqDeletes(spark: SparkSession, root: String,
+                           store: ManifestStore): Option[Long] = {
+    val m = AtomicCommit.readManifest(store).getOrElse(
+      sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val pc = m.partitionCol
+    // outstanding records, read once per distinct vector generation,
+    // scoped back to the partitions whose LIVE entry references it (a
+    // record left in a gen some partition no longer points at is dead)
+    val eqRecords: Seq[AtomicCommit.EqDelete] = m.entries.toSeq
+      .flatMap { case (p, e) => AtomicCommit.dvOf(e).map(g => (g, p)) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .flatMap { case (g, pairs) =>
+        val parts = pairs.map(_._2).toSet
+        AtomicCommit.readEqs(root, g).filter(e => parts(e.partition))
+      }
+    if (eqRecords.isEmpty) return None
+    val touched = eqRecords.map(_.partition).distinct.sorted
+    // address rows live under POSITION evidence only: the eq-dead rows
+    // are exactly what must be addressed, the position-dead must not be
+    // re-addressed
+    val ev = AtomicCommit.deleteEvidence(spark, root, m)
+    val posOnly = ev.copy(eqs = Nil)
+    val byGen = touched
+      .flatMap(p => AtomicCommit.ownersOf(m.entries(p)).map(_ -> p))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val addressed = byGen.map { case (gen, pairs) =>
+      val base = s"$root/$gen"
+      val paths = pairs.map(_._2).distinct.sorted.map(v => s"$base/$pc=$v")
+      AtomicCommit.applyDeletes(
+        AtomicCommit.logicalView(
+            AtomicCommit.readVerbatim(spark, base, pc, paths), m)
+          .withColumn("__addr_own", lit(gen))
+          .withColumn("__addr_f", col("_metadata.file_name"))
+          .withColumn("__addr_pos", col("_metadata.row_index")),
+        pc, gen, posOnly)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // the records' own match semantics ([[AtomicCommit.applyDeletes]]'
+    // equality term), un-negated and owner-scoped
+    val matchCond = eqRecords.groupBy(e => (e.col, e.values, e.owners))
+      .toSeq
+      .sortBy { case ((c, vs, os), _) =>
+        (c, vs.mkString(" "), os.mkString(" ")) }
+      .map { case ((c, vs, owners), es) =>
+        coalesce(
+          GraftRelation.rawKeyProbe(col(pc).cast("string"),
+            es.map(_.partition).distinct) &&
+            col("__addr_own").isin(owners: _*) &&
+            col(c).cast("string").isin(vs: _*),
+          lit(false))
+      }.reduce(_ || _)
+    val matched = addressed.filter(matchCond).select(
+      col(pc).cast("string").as("__dv_partition"),
+      col("__addr_own").as("__dv_owner"),
+      col("__addr_f").as("__dv_file"),
+      col("__addr_pos").as("__dv_pos")).persist()
+    try {
+      val mc = matched.groupBy("__dv_partition").count().collect()
+        .map(r => GraftRelation.rawPartitionName(r.getString(0)) -> r.getLong(1))
+        .toMap
+      val lc = addressed
+        .groupBy(col(pc).cast("string").as("__p")).count().collect()
+        .map(r => GraftRelation.rawPartitionName(r.getString(0)) -> r.getLong(1))
+        .toMap
+      // a marked partition with NO live rows at all (position evidence
+      // already killed everything) folds out too — lc has no entry
+      val drops = touched.filter(p => lc.getOrElse(p, 0L) == mc.getOrElse(p, 0L))
+      val keep = touched.filterNot(drops.toSet)
+      val baseOwners = (keep ++ drops)
+        .flatMap(p => m.entries.get(p).map(p -> _)).toMap
+      val staged =
+        if (keep.isEmpty)
+          AtomicCommit.Staged("", pc, Nil, m.version, baseOwners,
+            drops = drops)
+        else {
+          val dvGen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
+          // carried position frames re-home; carried EQS are exactly the
+          // records being materialized — they are NOT rewritten
+          val (carried, _) = carryEvidence(spark, root, m, keep)
+          val evidence = (matched.filter(
+              GraftRelation.rawKeyProbe(col("__dv_partition"), keep))
+            +: carried).reduce(_.unionByName(_)).persist()
+          // partitions the new generation actually holds addresses for:
+          // the rest lose their vector token entirely (a no-match record
+          // resolves to nothing — the entry returns to its clean shape)
+          val withEvidence = evidence.select("__dv_partition").distinct()
+            .collect()
+            .map(r => GraftRelation.rawPartitionName(r.getString(0))).toSet
+          evidence.repartition(1).write.mode("error").parquet(s"$root/$dvGen")
+          evidence.unpersist()
+          DvBitmap.writeSidecar(spark, s"$root/$dvGen")
+          val overrides = keep.map { p =>
+            p -> AtomicCommit.renderEntry(
+              AtomicCommit.ownersOf(m.entries(p)),
+              if (withEvidence(p)) Some(dvGen) else None)
+          }.toMap
+          AtomicCommit.Staged(dvGen, pc, keep, m.version, baseOwners,
+            drops = drops, overrides = overrides)
+        }
+      Some(AtomicCommit.publish(root, store, staged))
+    } finally { matched.unpersist(); () }
+  }
+
   /** Scan `candidates` for matches, rewrite the partitions that hold any
     * (minus their matching rows), drop the ones the delete empties, and
     * publish it all as one commit.

@@ -265,8 +265,20 @@ final class GraftBatchScan private[graft] (
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       relation.session.sessionState.newHadoopConfWithOptions(Map.empty))
     val anyDv = dvBitmaps.nonEmpty
+    // Spark's PARTITION_DEFINED columnar contract REQUIRES one answer
+    // per scan — mixing row and columnar splits fails planning with
+    // "Cannot mix row-based and columnar input partitions" — so the
+    // columnar path is taken only when NO planned split carries delete
+    // evidence. The decision stays valid under runtime filtering:
+    // pruning only removes files, so a clean split set stays clean. A
+    // partially-marked snapshot reads row-wise until compaction or
+    // materialization heals it — correct, and cheaper than forfeiting
+    // the face entirely.
+    val plannedDv = anyDv && planInputPartitions().exists(
+      _.asInstanceOf[GraftFileSplit].files.exists(_.dv.isDefined))
     new GraftReaderFactory(readFunc,
-      if (anyDv) dvReadFunc else readFunc, pcRequired, columnar)
+      if (anyDv) dvReadFunc else readFunc, pcRequired,
+      columnar && !plannedDv)
   }
 
   /** Key grouping — the contract that unlocks storage-partitioned

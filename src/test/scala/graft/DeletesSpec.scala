@@ -275,6 +275,68 @@ class DeletesSpec extends SparkSpec {
       AtomicCommit.readManifest(root).get.entries("A")).isEmpty)
   }
 
+  test("materializeEqDeletes: records resolve to position bitmaps, the batch face re-qualifies") {
+    val root = freshRoot()
+    val store = new graft.sources.PosixManifestStore(root)
+    // escaped + null partitions; Z holds one row and will fold out
+    val df = Seq(
+      (1L, Some("A"), 10L), (2L, Some("A"), 20L), (3L, Some("A"), 30L),
+      (4L, Some("a/b"), 40L), (5L, Some("a/b"), 50L),
+      (6L, Option.empty[String], 60L), (7L, Option.empty[String], 70L),
+      (8L, Some("Z"), 80L)
+    ).toDF("k", "flag", "v")
+    val staged = AtomicCommit.stage(spark, root, store, df, "flag", 1)
+    DataSkipping.annotateStagedBloom(spark, root, staged, Seq("k"))
+    AtomicCommit.publish(root, store, staged)
+    // prior position delete — carried evidence the materializer re-homes
+    assert(Deletes.deleteWhereMoR(spark, root, $"k" === 3L).nonEmpty)
+    // equality takedown across all four partitions, then an owner-scoped
+    // re-insert of one deleted key
+    assert(Deletes.deleteKeysMoR(spark, root, "k", Seq(2L, 4L, 6L, 8L)).nonEmpty)
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((2L, "A", 21L)).toDF("k", "flag", "v"), "flag")
+    val expect = Set((1L, "A", 10L), (2L, "A", 21L), (5L, "a/b", 50L),
+      (7L, null, 70L))
+    assert(snap(root) === expect)
+
+    def face() = withSQLConf(
+        graft.sources.GraftBatchScan.EnabledConf -> "true") {
+      val rel = new graft.sources.GraftRelation(spark, root, store, None)
+      graft.sources.GraftBatchScan.eligibleScan(rel, rel.schema, Array.empty)
+    }
+    assert(face().isEmpty,
+      "outstanding equality records must gate the batch face out")
+
+    val v = Deletes.materializeEqDeletes(spark, root)
+    assert(v.nonEmpty)
+    assert(snap(root) === expect, "materialization must not change rows")
+    val m = AtomicCommit.readManifest(root).get
+    assert(!m.entries.contains("Z"),
+      "a partition the resolution proves empty folds out")
+    assert(AtomicCommit.dvOf(m.entries("A")).nonEmpty, "fresh bitmap for A")
+    // the face re-qualifies on bitmap-only evidence and reads parity
+    val scan = face().getOrElse(fail("bitmap-only evidence must re-qualify"))
+    assert(scan.planInputPartitions().nonEmpty)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.mat_eq", root)
+    try {
+      val got = withSQLConf(
+          graft.sources.GraftBatchScan.EnabledConf -> "true") {
+        val d = spark.sql("SELECT k, flag, v FROM graft.mat_eq")
+        val plan = d.queryExecution.executedPlan.toString
+        val rows = d.as[(Long, String, Long)].collect().toSet
+        assert(plan.contains("BatchScan"),
+          s"expected the batch face after materialization\n$plan")
+        rows
+      }
+      assert(got === expect)
+    } finally spark.conf.unset("spark.graft.table.mat_eq")
+
+    // nothing left to materialize; history and time travel intact
+    assert(Deletes.materializeEqDeletes(spark, root) === None)
+    assert(AtomicCommit.readAt(spark, root, 1L).count() === 8L)
+  }
+
   test("deleteKeysMoR commits with ZERO data scan: survives missing data files") {
     val root = freshRoot()
     val store = new graft.sources.PosixManifestStore(root)
