@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructType}
 
-import graft.sources.{AtomicCommit, BranchStore, Compaction, DataSkipping, ManifestStore, PosixManifestStore, TableStats}
+import graft.sources.{AtomicCommit, BranchStore, Compaction, DataSkipping, Deletes, ManifestStore, PosixManifestStore, TableStats}
 
 /** SQL MAINTENANCE STATEMENTS for graft tables — the operational verbs
   * Delta/Iceberg expose in SQL, grafted onto the session parser:
@@ -69,6 +69,11 @@ object GraftSqlParser {
   private val Tail = raw"\s*;?\s*"
   private val OptimizeRe =
     raw"(?is)\s*OPTIMIZE\s+$Target$Tail".r
+  // MATERIALIZE DELETES: resolve outstanding equality-delete records
+  // into position bitmaps with one scan of the marked partitions —
+  // O(touched), no data rewrite
+  private val OptimizeMatRe =
+    raw"(?is)\s*OPTIMIZE\s+$Target\s+MATERIALIZE\s+DELETES$Tail".r
   private val OptimizeZRe =
     raw"(?is)\s*OPTIMIZE\s+$Target\s+ZORDER\s+BY\s*\(([^)]+)\)$Tail".r
   // BLOOM FOR: per-file bloom sidecars on point-lookup columns the sort
@@ -109,6 +114,8 @@ object GraftSqlParser {
 
   private[plans] def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case OptimizeMatRe(bq, plain) =>
+        Some(MaterializeDeletesGraftTable(Option(bq).getOrElse(plain)))
       case OptimizeZBloomRe(bq, plain, cols, blooms) =>
         Some(OptimizeGraftTable(Option(bq).getOrElse(plain),
           colList(cols), colList(blooms)))
@@ -143,6 +150,7 @@ object GraftSqlParser {
           "supported forms:\n" +
           "  OPTIMIZE graft.<table> [ZORDER BY (col1, col2, ...)" +
           " [BLOOM FOR (cols)]]\n" +
+          "  OPTIMIZE graft.<table> MATERIALIZE DELETES\n" +
           "  VACUUM graft.<table> [RETAIN <n> VERSIONS | RETAIN <n> HOURS]\n" +
           "  DESCRIBE HISTORY graft.<table>\n" +
           "  DESCRIBE DETAIL graft.<table>")
@@ -195,6 +203,30 @@ final case class OptimizeGraftTable(ident: String, zCols: Seq[String],
           Compaction.reclusterZorder(spark, root, cols, bloomCols = bloomCols)
     }
     Seq(Row(before, after))
+  }
+}
+
+/** `OPTIMIZE graft.t MATERIALIZE DELETES` — resolve the table's
+  * outstanding equality-delete records into position bitmaps
+  * ([[graft.sources.Deletes.materializeEqDeletes]]): one scan of only
+  * the marked partitions, a delete-set-sized vector commit, no data
+  * rewrite — after it every position-evidence fast path (the
+  * storage-partitioned batch face, the bitmap-served scan) serves the
+  * table again and the per-scan NOT-IN residual is gone. Returns one
+  * row `(materialized, version)`; `(false, null)` when no records are
+  * outstanding (no version burned).
+  */
+final case class MaterializeDeletesGraftTable(ident: String)
+  extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("materialized", BooleanType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = true)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (root, store, _) = GraftSqlParser.resolve(spark, ident)
+    val v = Deletes.materializeEqDeletes(spark, root, store)
+    Seq(Row(v.isDefined, v.map(Long.box).orNull))
   }
 }
 

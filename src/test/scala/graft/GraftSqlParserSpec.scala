@@ -77,6 +77,30 @@ class GraftSqlParserSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.table.optb")
   }
 
+  test("OPTIMIZE ... MATERIALIZE DELETES resolves equality records into bitmaps") {
+    val root = Files.createTempDirectory("graft_sqlmat").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0L until 30L).map(i => (i, i * 2, (i % 3).toString))
+        .toDF("k", "v", "p"), "p")
+    spark.conf.set("spark.graft.table.mat", root)
+    try {
+      graft.sources.Deletes.deleteKeysMoR(spark, root, "k", Seq(4L, 7L))
+      val r = spark.sql("OPTIMIZE graft.mat MATERIALIZE DELETES").collect()
+      assert(r.length === 1 && r.head.getBoolean(0),
+        "outstanding records must materialize")
+      assert(AtomicCommit.read(spark, root).count() === 28L)
+      // evidence is now bitmap-shaped: entries reference a vector gen
+      val m = AtomicCommit.readManifest(root).get
+      assert(m.entries.values.exists(e => AtomicCommit.dvOf(e).nonEmpty))
+      // nothing outstanding (records gone — else this would re-resolve):
+      // (false, null), no version burned
+      val v0 = AtomicCommit.currentVersion(root)
+      val r2 = spark.sql("OPTIMIZE graft.mat MATERIALIZE DELETES").collect()
+      assert(!r2.head.getBoolean(0) && r2.head.isNullAt(1))
+      assert(AtomicCommit.currentVersion(root) === v0)
+    } finally spark.conf.unset("spark.graft.table.mat")
+  }
+
   test("VACUUM RETAIN n VERSIONS keeps the horizon; plain VACUUM keeps 1") {
     val root = Files.createTempDirectory("graft_sqlvac").toString
     for (v <- 1 to 4)
