@@ -70,7 +70,7 @@ object GraftSqlParser {
   private val OptimizeRe =
     raw"(?is)\s*OPTIMIZE\s+$Target$Tail".r
   // MATERIALIZE DELETES: resolve outstanding equality-delete records
-  // into position bitmaps with one scan of the marked partitions —
+  // into position bitmaps reading only the marked partitions —
   // O(touched), no data rewrite
   private val OptimizeMatRe =
     raw"(?is)\s*OPTIMIZE\s+$Target\s+MATERIALIZE\s+DELETES$Tail".r
@@ -208,8 +208,8 @@ final case class OptimizeGraftTable(ident: String, zCols: Seq[String],
 
 /** `OPTIMIZE graft.t MATERIALIZE DELETES` — resolve the table's
   * outstanding equality-delete records into position bitmaps
-  * ([[graft.sources.Deletes.materializeEqDeletes]]): one scan of only
-  * the marked partitions, a delete-set-sized vector commit, no data
+  * ([[graft.sources.Deletes.materializeEqDeletes]]): reads only the
+  * marked partitions, a delete-set-sized vector commit, no data
   * rewrite — after it every position-evidence fast path (the
   * storage-partitioned batch face, the bitmap-served scan) serves the
   * table again and the per-scan NOT-IN residual is gone. Returns one

@@ -343,8 +343,11 @@ object Deletes {
     * zero commit I/O; until something resolves it, readers pay a
     * codegen NOT-IN per scan and the batch face must gate out (a
     * per-position reader cannot apply an arbitrary predicate). This op
-    * pays ONE scan of only the marked partitions' files to resolve the
-    * predicate into exact (partition, file, position) addresses,
+    * reads ONLY the marked partitions' files (two bounded passes — one
+    * counting aggregation, one write of the matched addresses — never
+    * a cache of the addressed frame, which at scale could spill) to
+    * resolve the predicate into exact (partition, file, position)
+    * addresses,
     * publishes a fresh vector generation holding the carried position
     * evidence plus the resolved addresses (bitmap sidecar included),
     * and drops the equality records — after it the face re-qualifies.
@@ -369,22 +372,17 @@ object Deletes {
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
     val pc = m.partitionCol
-    // outstanding records, read once per distinct vector generation,
-    // scoped back to the partitions whose LIVE entry references it (a
-    // record left in a gen some partition no longer points at is dead)
-    val eqRecords: Seq[AtomicCommit.EqDelete] = m.entries.toSeq
-      .flatMap { case (p, e) => AtomicCommit.dvOf(e).map(g => (g, p)) }
-      .groupBy(_._1).toSeq.sortBy(_._1)
-      .flatMap { case (g, pairs) =>
-        val parts = pairs.map(_._2).toSet
-        AtomicCommit.readEqs(root, g).filter(e => parts(e.partition))
-      }
+    // the snapshot's own evidence view: records scoped to live entries
+    // and — critically — their columns mapped through the RENAME chain
+    // (a record carries its delete-time name; the logical view below
+    // speaks current names, so a raw record would miss or mis-match)
+    val ev = AtomicCommit.deleteEvidence(spark, root, m)
+    val eqRecords: Seq[AtomicCommit.EqDelete] = ev.eqs
     if (eqRecords.isEmpty) return None
     val touched = eqRecords.map(_.partition).distinct.sorted
     // address rows live under POSITION evidence only: the eq-dead rows
     // are exactly what must be addressed, the position-dead must not be
     // re-addressed
-    val ev = AtomicCommit.deleteEvidence(spark, root, m)
     val posOnly = ev.copy(eqs = Nil)
     val byGen = touched
       .flatMap(p => AtomicCommit.ownersOf(m.entries(p)).map(_ -> p))
@@ -405,7 +403,7 @@ object Deletes {
     val matchCond = eqRecords.groupBy(e => (e.col, e.values, e.owners))
       .toSeq
       .sortBy { case ((c, vs, os), _) =>
-        (c, vs.mkString(" "), os.mkString(" ")) }
+        (c, vs.mkString("\u0000"), os.mkString("\u0000")) }
       .map { case ((c, vs, owners), es) =>
         coalesce(
           GraftRelation.rawKeyProbe(col(pc).cast("string"),
@@ -414,19 +412,27 @@ object Deletes {
             col(c).cast("string").isin(vs: _*),
           lit(false))
       }.reduce(_ || _)
+    // TWO bounded passes over only the marked partitions — deliberately
+    // NOT a persist of the addressed frame: at scale a marked
+    // partition's addresses can exceed executor storage (spill), while a
+    // second vectorized scan of the same few bloom-narrowed partitions
+    // is the cost model every other maintenance op here already pays.
+    // Pass 1 aggregates live + matched per partition in one job; pass 2
+    // below writes the (delete-set-sized) matched addresses.
     val matched = addressed.filter(matchCond).select(
       col(pc).cast("string").as("__dv_partition"),
       col("__addr_own").as("__dv_owner"),
       col("__addr_f").as("__dv_file"),
-      col("__addr_pos").as("__dv_pos")).persist()
-    try {
-      val mc = matched.groupBy("__dv_partition").count().collect()
-        .map(r => GraftRelation.rawPartitionName(r.getString(0)) -> r.getLong(1))
-        .toMap
-      val lc = addressed
-        .groupBy(col(pc).cast("string").as("__p")).count().collect()
-        .map(r => GraftRelation.rawPartitionName(r.getString(0)) -> r.getLong(1))
-        .toMap
+      col("__addr_pos").as("__dv_pos"))
+    locally {
+      val counts = addressed.groupBy(col(pc).cast("string").as("__p"))
+        .agg(count(lit(1)).as("__live"),
+          sum(when(matchCond, 1L).otherwise(0L)).as("__matched"))
+        .collect()
+        .map(r => GraftRelation.rawPartitionName(r.getString(0)) ->
+          (r.getAs[Long]("__live"), r.getAs[Long]("__matched"))).toMap
+      val mc = counts.map { case (p, (_, mtd)) => p -> mtd }
+      val lc = counts.map { case (p, (live, _)) => p -> live }
       // a marked partition with NO live rows at all (position evidence
       // already killed everything) folds out too — lc has no entry
       val drops = touched.filter(p => lc.getOrElse(p, 0L) == mc.getOrElse(p, 0L))
@@ -463,7 +469,7 @@ object Deletes {
             drops = drops, overrides = overrides)
         }
       Some(AtomicCommit.publish(root, store, staged))
-    } finally { matched.unpersist(); () }
+    }
   }
 
   /** Scan `candidates` for matches, rewrite the partitions that hold any

@@ -136,6 +136,22 @@ final class GraftBatchScan private[graft] (
     * sort-free merge join and two full sorts of the fact.
     */
   override def planInputPartitions(): Array[InputPartition] = {
+    // memoized per effective-filter state: Spark plans the partitions,
+    // the reader factory re-asks to detect delete evidence, and runtime
+    // filtering re-plans — each distinct state walks the layout (and
+    // fires its scan-probe observability) exactly ONCE
+    val eff = effective.toSeq
+    val cur = plannedFor
+    if (cur != null && cur._1 == eff) cur._2
+    else {
+      val computed = planPartitions()
+      plannedFor = (eff, computed)
+      computed
+    }
+  }
+  @volatile private var plannedFor: (Seq[Filter], Array[InputPartition]) = null
+
+  private def planPartitions(): Array[InputPartition] = {
     val coalesce = coalescePerKey
     relation.partitionFileLayout(effective).flatMap { case (pv, files) =>
       val decoded: String =
@@ -186,11 +202,13 @@ final class GraftBatchScan private[graft] (
     * (moot under replication anyway) is forfeited.
     */
   private def coalescePerKey: Boolean = {
-    def on(k: String) = relation.session.sessionState.conf
-      .getConfString(k, "false") == "true"
-    bucketFace.isEmpty && pcRequired &&
-      on("spark.sql.sources.v2.bucketing.enabled") &&
-      !on("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+    // SQLConf accessors, NOT getConfString with a hardcoded default:
+    // v2.bucketing.enabled defaults TRUE in this Spark, so a raw read
+    // with "false" as the fallback would silently disable coalescing —
+    // and the ordering report with it — in every default session
+    val c = relation.session.sessionState.conf
+    bucketFace.isEmpty && pcRequired && c.v2BucketingEnabled &&
+      !c.v2BucketingPartiallyClusteredDistributionEnabled
   }
 
   /** Per-partition ordering on the identity face: within one key group
@@ -228,8 +246,12 @@ final class GraftBatchScan private[graft] (
     * snapshot. Empty whenever anything is off — the claim costs I/O
     * when wrong, so every gate errs toward silence.
     */
-  private val sortedCols: Seq[String] =
-    if (bucketFace.isDefined) Nil
+  private lazy val sortedCols: Seq[String] =
+    // lazy AND short-circuited on the faces that can never claim it:
+    // the verification walks every partition directory and parses the
+    // stats sidecar, which a scan that will report no ordering (pc not
+    // projected, bucket face) must not pay
+    if (bucketFace.isDefined || !pcRequired) Nil
     else relation.snapshotOpt().map(m =>
       GraftBatchScan.provenSortOrder(relation, m,
         requiredData.fieldNames.toSet)).getOrElse(Nil)
@@ -493,12 +515,15 @@ object GraftBatchScan {
           val stats = Try(DataSkipping.readStats(relation.root, gen))
             .getOrElse(Nil)
           val byPartCol = stats.groupBy(s => (s.partition, s.col))
+          // one directory listing per partition, shared by every
+          // column's check. FILE-NAME order — the order coalesced
+          // splits read in (part-file names encode the writing task,
+          // so name order is the recluster job's range order)
+          val filesByPart: Map[String, Seq[String]] =
+            m.entries.keysIterator.map(pv => pv -> DataSkipping.listParquet(
+              s"${relation.root}/$gen/${m.partitionCol}=$pv").sorted).toMap
           def verified(c: String): Boolean = m.entries.keys.forall { pv =>
-            // FILE-NAME order — the order coalesced splits read in
-            // (part-file names encode the writing task, so name order
-            // is the recluster job's range order)
-            val files = DataSkipping.listParquet(
-              s"${relation.root}/$gen/${m.partitionCol}=$pv").sorted
+            val files = filesByPart(pv)
             val recs = byPartCol.getOrElse((pv, c), Nil)
             if (files.isEmpty) true
             else if (files.size == 1)

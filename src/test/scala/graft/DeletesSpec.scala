@@ -337,6 +337,23 @@ class DeletesSpec extends SparkSpec {
     assert(AtomicCommit.readAt(spark, root, 1L).count() === 8L)
   }
 
+  test("materializeEqDeletes follows the column-rename chain") {
+    val root = freshRoot()
+    val store = new graft.sources.PosixManifestStore(root)
+    AtomicCommit.publish(root, store, AtomicCommit.stage(spark, root, store,
+      Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L))
+        .toDF("k", "flag", "v"), "flag", 1))
+    // the record carries its DELETE-TIME name "k"; the logical view the
+    // materializer scans speaks the renamed "id" — a raw-record filter
+    // would crash UNRESOLVED_COLUMN (or worse, match a different column)
+    assert(Deletes.deleteKeysMoR(spark, root, "k", Seq(2L)).nonEmpty)
+    AtomicCommit.renameColumn(spark, root, store, "k", "id")
+    assert(Deletes.materializeEqDeletes(spark, root).nonEmpty)
+    assert(AtomicCommit.read(spark, root)
+      .select("id").as[Long].collect().toSet === Set(1L, 3L))
+    assert(Deletes.materializeEqDeletes(spark, root) === None)
+  }
+
   test("deleteKeysMoR commits with ZERO data scan: survives missing data files") {
     val root = freshRoot()
     val store = new graft.sources.PosixManifestStore(root)

@@ -185,8 +185,10 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       }
       assert((0 until 30).filter(i => i % 5 != 0 && i != 7).map(_.toLong).toSet === ks)
 
-      // split-local evidence: only marked files carry bitmaps; the
-      // factory keeps columnar reads for every clean split
+      // split-local evidence: only marked files carry bitmaps. The
+      // columnar decision is UNIFORM per scan (Spark's PARTITION_DEFINED
+      // contract forbids mixing): any evidence in the planned set means
+      // every split takes the row path
       withSQLConf(BatchOn) {
         val rel = new GraftRelation(spark, root, new PosixManifestStore(root), None)
         val scan = GraftBatchScan.eligibleScan(rel, rel.schema, Array.empty)
@@ -197,9 +199,8 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         assert(dvd > 0, "marked files must carry their bitmaps on the split")
         val factory = scan.createReaderFactory()
         splits.foreach { s =>
-          val split = s.asInstanceOf[graft.sources.GraftFileSplit]
-          assert(factory.supportColumnarReads(s) === split.files.forall(_.dv.isEmpty),
-            "clean splits stay columnar, DV'd splits take the row path")
+          assert(!factory.supportColumnarReads(s),
+            "a scan with planned delete evidence reads row-wise uniformly")
         }
       }
 
