@@ -284,7 +284,10 @@ final case class DescribeDetailGraftTable(ident: String)
     AttributeReference("renamed_columns", StringType, nullable = true)(),
     AttributeReference("dropped_columns", StringType, nullable = true)(),
     AttributeReference("widened_columns", StringType, nullable = true)(),
-    AttributeReference("added_columns", StringType, nullable = true)())
+    AttributeReference("added_columns", StringType, nullable = true)(),
+    AttributeReference("sort_order", StringType, nullable = true)(),
+    AttributeReference("num_delete_vectors", LongType, nullable = false)(),
+    AttributeReference("num_equality_deletes", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (root, store, _) = GraftSqlParser.resolve(spark, ident)
@@ -320,10 +323,29 @@ final case class DescribeDetailGraftTable(ident: String)
     val widened = AtomicCommit.widenedOf(m)
       .map { case (c, t) => s"$c>${t.sql}" }.mkString(";")
     val added = m.props.getOrElse(AtomicCommit.SchemaAddedProp, "")
+    // the sort order IN EFFECT: recluster provenance whose generation
+    // still solely owns every entry (the same gate the batch face's
+    // ordering claim applies — a later append/rewrite retires it)
+    val sortOrder = m.props.get(AtomicCommit.SortedByProp).collect {
+      case v if v.indexOf(':') > 0 &&
+          m.entries.nonEmpty && m.entries.values.forall(e =>
+            AtomicCommit.ownersOf(e) == Seq(v.substring(0, v.indexOf(':')))) =>
+        v.substring(v.indexOf(':') + 1)
+    }.orNull
+    val dvEntries = m.entries.values.flatMap(AtomicCommit.dvOf).toSeq
+    // outstanding equality records scoped to live entries — the count
+    // that gates the batch face out (OPTIMIZE ... MATERIALIZE DELETES
+    // resolves them)
+    val eqCount = m.entries.toSeq.map { case (p, e) =>
+      AtomicCommit.dvOf(e).map(g =>
+        AtomicCommit.readEqs(root, g).count(_.partition == p).toLong)
+        .getOrElse(0L)
+    }.sum
     Seq(Row("graft", root, m.partitionCol, m.version, when,
       m.entries.size.toLong, files, TableStats.sizeInBytes(root, m),
       gens.length.toLong, orNull(cons), orNull(renamed), orNull(dropped),
-      orNull(widened), orNull(added)))
+      orNull(widened), orNull(added), sortOrder,
+      dvEntries.length.toLong, eqCount))
   }
 }
 

@@ -1921,7 +1921,7 @@ object AtomicCommit {
 
   val EqFile = "_graft_eq.jsonl"
 
-  private[sources] def readEqs(root: String, gen: String): Seq[EqDelete] = {
+  private[graft] def readEqs(root: String, gen: String): Seq[EqDelete] = {
     val p = Paths.get(root, gen, EqFile)
     if (!Files.exists(p)) return Nil
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)

@@ -284,12 +284,47 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(r.getAs[String]("dropped_columns") == null)
       // wait — the rename rewrote the constraint to w; re-check text
       assert(r.getAs[String]("constraints").contains("w"))
+      // fresh table: no sort order in effect, no delete evidence
+      assert(r.getAs[String]("sort_order") == null)
+      assert(r.getAs[Long]("num_delete_vectors") === 0L)
+      assert(r.getAs[Long]("num_equality_deletes") === 0L)
       // DESC shorthand; malformed DETAIL fails with the graft grammar
       assert(spark.sql("DESC DETAIL graft.dd").count() === 1L)
       assert(intercept[Exception] {
         spark.sql("DESCRIBE DETAIL graft.dd AS OF 3")
       }.getMessage.contains("supported forms"))
     } finally spark.conf.unset("spark.graft.table.dd")
+  }
+
+  test("DESCRIBE DETAIL tracks sort order and delete-evidence state through their lifecycle") {
+    val root = Files.createTempDirectory("graft_sqldd2").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0L until 20L).map(i => (i, i * 3, (i % 2).toString))
+        .toDF("k", "v", "p"), "p")
+    spark.conf.set("spark.graft.table.dd2", root)
+    def detail() = spark.sql("DESCRIBE DETAIL graft.dd2").collect().head
+    try {
+      // recluster stamps provenance: the sort order is IN EFFECT
+      graft.sources.Compaction.recluster(spark, root, Seq("v"))
+      assert(detail().getAs[String]("sort_order") === "v")
+      // an equality delete marks every admitted partition and shows up
+      graft.sources.Deletes.deleteKeysMoR(spark, root, "k", Seq(4L, 5L))
+      val d1 = detail()
+      assert(d1.getAs[Long]("num_delete_vectors") > 0L)
+      assert(d1.getAs[Long]("num_equality_deletes") === 2L)
+      // the MoR delete keeps owners — sort order survives
+      assert(d1.getAs[String]("sort_order") === "v")
+      // materialization: records gone, vectors (bitmaps) remain
+      spark.sql("OPTIMIZE graft.dd2 MATERIALIZE DELETES").collect()
+      val d2 = detail()
+      assert(d2.getAs[Long]("num_equality_deletes") === 0L)
+      assert(d2.getAs[Long]("num_delete_vectors") > 0L)
+      assert(d2.getAs[String]("sort_order") === "v")
+      // an append retires the ordering claim
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((100L, 1L, "0")).toDF("k", "v", "p"), "p")
+      assert(detail().getAs[String]("sort_order") == null)
+    } finally spark.conf.unset("spark.graft.table.dd2")
   }
 
   test("DESCRIBE DETAIL num_files counts LIVE files only (superseded partition dirs excluded)") {
