@@ -248,12 +248,20 @@ final class GraftBatchScan private[graft] (
     */
   private lazy val sortedCols: Seq[String] =
     // lazy AND short-circuited on the faces that can never claim it:
-    // the verification walks every partition directory and parses the
-    // stats sidecar, which a scan that will report no ordering (pc not
-    // projected, bucket face) must not pay
+    // the verification walks every surviving partition directory and
+    // parses the stats sidecar, which a scan that will report no
+    // ordering (pc not projected, bucket face) must not pay. Gated on
+    // the PUSHED-FILTER-pruned entry set, not the whole table: an
+    // append to one hot partition retires the claim only for scans
+    // that actually read it — a filtered scan of the still-sorted cold
+    // partitions keeps its sort-free plan. Runtime filters arriving
+    // later only shrink the set further, and a subset of qualifying
+    // partitions still qualifies, so the construction-time claim
+    // stays sound through execution-time pruning.
     if (bucketFace.isDefined || !pcRequired) Nil
     else relation.snapshotOpt().map(m =>
       GraftBatchScan.provenSortOrder(relation, m,
+        relation.prunedEntriesFor(m, pushed),
         requiredData.fieldNames.toSet)).getOrElse(Nil)
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -477,10 +485,11 @@ object GraftBatchScan {
     * longest prefix of [[AtomicCommit.SortedByProp]]'s recorded columns
     * that is (a) fully projected, and (b) evidence-verified:
     *
-    *  - every entry's sole data owner is the recording generation (the
-    *    provenance gate: any later append/rewrite retires the claim;
-    *    position-bitmap deletes don't change owners and row drops
-    *    preserve order);
+    *  - every SURVIVING entry's sole data owner is the recording
+    *    generation — `entries` is the pushed-filter-pruned set, so an
+    *    append to one partition retires the claim only for scans that
+    *    read it (position-bitmap deletes don't change owners and row
+    *    drops preserve order);
     *  - every live file is null-free in the column (the sidecar's
     *    per-file or envelope `nulls == 0` — a null in a NON-first file
     *    would break the NULLS FIRST claim across the concatenation);
@@ -501,6 +510,7 @@ object GraftBatchScan {
     */
   private[sources] def provenSortOrder(relation: GraftRelation,
                                        m: AtomicCommit.Manifest,
+                                       entries: Map[String, String],
                                        projected: Set[String]): Seq[String] =
     m.props.get(AtomicCommit.SortedByProp).toSeq.flatMap { v =>
       val sep = v.indexOf(':')
@@ -508,7 +518,7 @@ object GraftBatchScan {
       else {
         val gen = v.substring(0, sep)
         val cols = v.substring(sep + 1).split(',').toSeq.filter(_.nonEmpty)
-        val owned = m.entries.nonEmpty && m.entries.values.forall(e =>
+        val owned = entries.nonEmpty && entries.values.forall(e =>
           AtomicCommit.ownersOf(e) == Seq(gen))
         if (!owned || cols.isEmpty) Nil
         else {
@@ -520,9 +530,9 @@ object GraftBatchScan {
           // splits read in (part-file names encode the writing task,
           // so name order is the recluster job's range order)
           val filesByPart: Map[String, Seq[String]] =
-            m.entries.keysIterator.map(pv => pv -> DataSkipping.listParquet(
+            entries.keysIterator.map(pv => pv -> DataSkipping.listParquet(
               s"${relation.root}/$gen/${m.partitionCol}=$pv").sorted).toMap
-          def verified(c: String): Boolean = m.entries.keys.forall { pv =>
+          def verified(c: String): Boolean = entries.keys.forall { pv =>
             val files = filesByPart(pv)
             val recs = byPartCol.getOrElse((pv, c), Nil)
             if (files.isEmpty) true

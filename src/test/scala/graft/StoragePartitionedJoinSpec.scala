@@ -549,9 +549,10 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(sorts(postPlan) === 0,
         s"recluster's [v ASC] provenance must eliminate the window sort\n$postPlan")
 
-      // an append retires the claim (owners change): answers identical,
-      // the sort honestly comes back
-      AtomicCommit.commitAppendPartitions(spark, root, slice(60, 63), "p")
+      // an append to ONE partition retires the claim for scans that
+      // read it: answers identical, the sort honestly comes back
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((100L, 999L, "P0")).toDF("k", "v", "p"), "p")
       val fresh = rowsOf(spark.sql(win))
       val (stale, stalePlan) = withSQLConf(SpjConfs: _*) {
         val d = spark.sql(win); (rowsOf(d), executed(d))
@@ -559,6 +560,19 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(stale === fresh)
       assert(sorts(stalePlan) > 0,
         s"a post-recluster append must retire the ordering claim\n$stalePlan")
+
+      // ...but the claim is gated on the PRUNED entry set: a filtered
+      // scan of a partition the append never touched keeps its
+      // sort-free plan (the hot/cold shape of any long-lived table)
+      val winCold = win.replace("FROM graft.spj_so",
+        "FROM graft.spj_so WHERE p = 'P1'")
+      val expCold = rowsOf(spark.sql(winCold))
+      val (cold, coldPlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(winCold); (rowsOf(d), executed(d))
+      }
+      assert(cold === expCold)
+      assert(sorts(coldPlan) === 0 && shuffles(coldPlan) === 0,
+        s"a cold-partition scan must keep the sort-free plan\n$coldPlan")
 
       // nulls in the sort column gate the claim out (NULLS FIRST could
       // not hold across a file seam): parity, sort present
