@@ -114,8 +114,17 @@ final class GraftBatchScan private[graft] (
 
   override def toBatch: Batch = this
 
-  override def description(): String =
-    s"GraftBatchScan ${relation.root} [${readSchema().fieldNames.mkString(",")}]"
+  override def description(): String = {
+    // surface the ordering claim in .explain: "ordered=[p,v]" is how a
+    // user confirms the sort-free plan engaged (and why a sort came
+    // back after an append retired the claim)
+    val ordered =
+      if (bucketFace.isEmpty && pcRequired)
+        s" ordered=[${(pc +: sortedCols).mkString(",")}]"
+      else ""
+    s"GraftBatchScan ${relation.root} " +
+      s"[${readSchema().fieldNames.mkString(",")}]$ordered"
+  }
 
   /** One split per surviving data FILE, keyed by its partition value —
     * file-granular parallelism when no key grouping is asked for, and
