@@ -241,7 +241,9 @@ object TableBench {
     // ZERO sort. The V1 face pays the full shuffle + sort of all N rows
     // for the same answer — at 100 TB that pair is the whole cost of
     // every "latest per key" / rank / dedup-by-recency analytic.
-    {
+    // conf sets under try/finally: a failed require must not leave the
+    // batch face + table registration enabled for every later stage
+    try {
       spark.conf.set("spark.graft.table.rsrt", rootS)
       // v is globally unique so ranks are deterministic; (v % 1000) * rn
       // is order-sensitive (a misordered window changes the pairing) and
@@ -267,6 +269,7 @@ object TableBench {
       require((0 until 2).forall(i => asL(wOn, i) == asL(wOff, i)),
         s"window answers diverged: $wOn vs $wOff")
       println(s"[tablebench] sort-order window A/B max_rn=${asL(wOn, 0)}")
+    } finally {
       spark.conf.unset(graft.sources.GraftBatchScan.EnabledConf)
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.conf.unset("spark.graft.table.rsrt")

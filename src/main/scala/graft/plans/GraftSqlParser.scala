@@ -323,24 +323,31 @@ final case class DescribeDetailGraftTable(ident: String)
     val widened = AtomicCommit.widenedOf(m)
       .map { case (c, t) => s"$c>${t.sql}" }.mkString(";")
     val added = m.props.getOrElse(AtomicCommit.SchemaAddedProp, "")
-    // the sort order IN EFFECT: recluster provenance whose generation
-    // still solely owns every entry (the same gate the batch face's
-    // ordering claim applies — a later append/rewrite retires it)
-    val sortOrder = m.props.get(AtomicCommit.SortedByProp).collect {
-      case v if v.indexOf(':') > 0 &&
-          m.entries.nonEmpty && m.entries.values.forall(e =>
-            AtomicCommit.ownersOf(e) == Seq(v.substring(0, v.indexOf(':')))) =>
-        v.substring(v.indexOf(':') + 1)
-    }.orNull
+    // the sort order IN EFFECT: the SAME scan-verified claim the batch
+    // face serves ([[GraftBatchScan.provenSortOrder]] — sole ownership
+    // plus the sidecar evidence: null-freedom and non-interleaved
+    // cross-file bounds), so DESCRIBE DETAIL never reports an order
+    // (e.g. on a nullable column) that no scan will actually serve
+    // sort-free. Computed over the full entry set with every recorded
+    // column "projected" — the verified prefix is what prints.
+    val sortOrder = {
+      val cols = graft.sources.GraftBatchScan.provenSortOrder(
+        root, m, m.entries, _ => true)
+      if (cols.isEmpty) null else cols.mkString(",")
+    }
     val dvEntries = m.entries.values.flatMap(AtomicCommit.dvOf).toSeq
     // outstanding equality records scoped to live entries — the count
     // that gates the batch face out (OPTIMIZE ... MATERIALIZE DELETES
     // resolves them)
-    val eqCount = m.entries.toSeq.map { case (p, e) =>
-      AtomicCommit.dvOf(e).map(g =>
-        AtomicCommit.readEqs(root, g).count(_.partition == p).toLong)
-        .getOrElse(0L)
-    }.sum
+    // grouped by vector generation so each _graft_eq.jsonl is read and
+    // parsed ONCE, however many partitions share it — O(generations)
+    // driver I/O, not O(partitions × file)
+    val eqCount = m.entries.toSeq
+      .flatMap { case (p, e) => AtomicCommit.dvOf(e).map(_ -> p) }
+      .groupBy(_._1).toSeq.map { case (g, pairs) =>
+        val parts = pairs.map(_._2).toSet
+        AtomicCommit.readEqs(root, g).count(e => parts(e.partition)).toLong
+      }.sum
     Seq(Row("graft", root, m.partitionCol, m.version, when,
       m.entries.size.toLong, files, TableStats.sizeInBytes(root, m),
       gens.length.toLong, orNull(cons), orNull(renamed), orNull(dropped),

@@ -144,21 +144,26 @@ final class GraftBatchScan private[graft] (
     * `parts.length <= 1` check, which is the difference between a
     * sort-free merge join and two full sorts of the fact.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
-    // memoized per effective-filter state: Spark plans the partitions,
-    // the reader factory re-asks to detect delete evidence, and runtime
-    // filtering re-plans — each distinct state walks the layout (and
-    // fires its scan-probe observability) exactly ONCE
-    val eff = effective.toSeq
+  override def planInputPartitions(): Array[InputPartition] = synchronized {
+    // memoized per (effective-filter, coalesce-decision) state: Spark
+    // plans the partitions, the reader factory re-asks to detect delete
+    // evidence, and runtime filtering re-plans — each distinct state
+    // walks the layout (and fires its scan-probe observability) exactly
+    // ONCE. The coalesce decision rides the key because it reads
+    // session confs (v2 bucketing / partially-clustered) that can flip
+    // between plannings of one long-lived scan; synchronized so
+    // concurrent planners can't double-compute (and double-fire the
+    // probe's "exactly once" record).
+    val key = (effective.toSeq, coalescePerKey)
     val cur = plannedFor
-    if (cur != null && cur._1 == eff) cur._2
+    if (cur != null && cur._1 == key) cur._2
     else {
       val computed = planPartitions()
-      plannedFor = (eff, computed)
+      plannedFor = (key, computed)
       computed
     }
   }
-  @volatile private var plannedFor: (Seq[Filter], Array[InputPartition]) = null
+  private var plannedFor: ((Seq[Filter], Boolean), Array[InputPartition]) = null
 
   private def planPartitions(): Array[InputPartition] = {
     val coalesce = coalescePerKey
@@ -269,7 +274,7 @@ final class GraftBatchScan private[graft] (
     // stays sound through execution-time pruning.
     if (bucketFace.isDefined || !pcRequired) Nil
     else relation.snapshotOpt().map(m =>
-      GraftBatchScan.provenSortOrder(relation, m,
+      GraftBatchScan.provenSortOrder(relation.root, m,
         relation.prunedEntriesFor(m, pushed),
         requiredData.fieldNames.toSet)).getOrElse(Nil)
 
@@ -517,10 +522,10 @@ object GraftBatchScan {
     * sequence is sorted — so a claim verified against the full layout
     * holds for every filtered scan of it.
     */
-  private[sources] def provenSortOrder(relation: GraftRelation,
-                                       m: AtomicCommit.Manifest,
-                                       entries: Map[String, String],
-                                       projected: Set[String]): Seq[String] =
+  private[graft] def provenSortOrder(root: String,
+                                     m: AtomicCommit.Manifest,
+                                     entries: Map[String, String],
+                                     projected: String => Boolean): Seq[String] =
     m.props.get(AtomicCommit.SortedByProp).toSeq.flatMap { v =>
       val sep = v.indexOf(':')
       if (sep <= 0) Nil
@@ -531,7 +536,7 @@ object GraftBatchScan {
           AtomicCommit.ownersOf(e) == Seq(gen))
         if (!owned || cols.isEmpty) Nil
         else {
-          val stats = Try(DataSkipping.readStats(relation.root, gen))
+          val stats = Try(DataSkipping.readStats(root, gen))
             .getOrElse(Nil)
           val byPartCol = stats.groupBy(s => (s.partition, s.col))
           // one directory listing per partition, shared by every
@@ -540,7 +545,7 @@ object GraftBatchScan {
           // so name order is the recluster job's range order)
           val filesByPart: Map[String, Seq[String]] =
             entries.keysIterator.map(pv => pv -> DataSkipping.listParquet(
-              s"${relation.root}/$gen/${m.partitionCol}=$pv").sorted).toMap
+              s"$root/$gen/${m.partitionCol}=$pv").sorted).toMap
           def verified(c: String): Boolean = entries.keys.forall { pv =>
             val files = filesByPart(pv)
             val recs = byPartCol.getOrElse((pv, c), Nil)
