@@ -750,6 +750,52 @@ object TableBench {
         s"DV face/V1 divergence: $dvOn vs $dvOff")
       println(s"[tablebench] spj+dv A/B rows=${dvOn.getLong(0)}")
 
+      // r18a: ROLLING TAKEDOWNS + SELF-HEALING FACE — each zero-scan
+      // equality delete (deleteKeysMoR) used to gate the batch face out
+      // table-wide until an operator ran OPTIMIZE ... MATERIALIZE
+      // DELETES; the qualification-demand policy
+      // (spark.graft.batchScan.autoMaterialize.maxRecords, on by
+      // default) materializes the records at the NEXT face read, so the
+      // production steady state of "takedown, query, takedown, query"
+      // keeps the zero-shuffle zero-sort join every tick. The timed
+      // figure is the whole loop: the commit, the planning-time
+      // materialization, and the healed join.
+      {
+        spark.conf.set(graft.sources.GraftBatchScan.EnabledConf, "true")
+        try {
+          var expect = dvOn.getLong(0)
+          val rounds = 3
+          timed(s"$rounds x (deleteKeysMoR 2 keys + self-healed SPJ join)") {
+            var r = 0
+            while (r < rounds) {
+              // live keys (never ≡ 0 mod 10007, which the scattered MoR
+              // delete above already killed)
+              graft.sources.Deletes.deleteKeysMoR(spark, rootF, "v",
+                Seq(7L + r * 31L, 1009L + r * 97L))
+              val row = spark.sql(q).head()
+              expect -= 2
+              require(row.getLong(0) == expect,
+                s"self-healed join count wrong at round $r: " +
+                  s"${row.getLong(0)} != $expect")
+              r += 1
+            }
+          }
+          // steady state after the loop: records resolved, face serving
+          val dHeal = spark.sql(q)
+          val healed = dHeal.head()
+          require(healed.getLong(0) == expect)
+          val planHeal = dHeal.queryExecution.executedPlan.toString
+          require(planHeal.contains("BatchScan") &&
+            !planHeal.contains("Exchange hashpartitioning") &&
+            !planHeal.contains("Sort ["),
+            s"the healed face must keep the zero-shuffle zero-sort " +
+              s"join:\n${planHeal.take(1500)}")
+          println(s"[tablebench] rolling-takedown self-heal rows=$expect")
+        } finally {
+          spark.conf.unset(graft.sources.GraftBatchScan.EnabledConf)
+        }
+      }
+
       // r17d: BUCKET-TRANSFORM SPJ — two tables hidden-partitioned
       // bucket(P, k) join ON THE SOURCE KEY k (the derived dir column
       // never appears in the query) with zero exchanges: the catalog's

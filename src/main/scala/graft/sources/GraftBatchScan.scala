@@ -404,12 +404,31 @@ object GraftBatchScan {
     */
   val EnabledConf = "spark.graft.batchScan.enabled"
 
+  /** Qualification-demand equality-delete materialization: when the ONLY
+    * thing gating the batch face out is outstanding equality records
+    * (the zero-scan takedown [[Deletes.deleteKeysMoR]] writes) and their
+    * total key count is at most this, planning runs [[Deletes
+    * .materializeEqDeletes]] as a maintenance commit and re-qualifies —
+    * so one GDPR-style instant takedown no longer disables the
+    * engine's best join table-wide until a human remembers
+    * `OPTIMIZE … MATERIALIZE DELETES`. 0 disables the policy (the face
+    * then just falls back to V1 until a manual OPTIMIZE/compaction).
+    * The default is bloom-budget-sized: under it the resolution is two
+    * bounded passes over only the bloom-narrowed marked partitions —
+    * maintenance the read was already paying for in NOT-IN filters.
+    */
+  val AutoMaterializeConf = "spark.graft.batchScan.autoMaterialize.maxRecords"
+  private val AutoMaterializeDefault = 65536L
+
   /** The batch face, when the snapshot qualifies: opted in, no
     * logical-view mapping state (rename/drop/widen), no pending
     * ALTER-added backfill, every owner generation sharing one footer
     * schema, and any delete evidence entirely position-bitmap-shaped
-    * ([[deleteBitmaps]] — the face applies those per split). None =
-    * take the V1 path.
+    * ([[deleteBitmaps]] — the face applies those per split). A snapshot
+    * rejected ONLY for outstanding equality records self-heals under
+    * [[AutoMaterializeConf]]: planning materializes them into position
+    * bitmaps (one maintenance commit) and re-qualifies against the new
+    * snapshot. None = take the V1 path.
     */
   private[graft] def eligibleScan(relation: GraftRelation,
                                     required: StructType,
@@ -418,16 +437,65 @@ object GraftBatchScan {
     if (spark.sessionState.conf.getConfString(EnabledConf, "false") != "true")
       return None
     relation.snapshotOpt().flatMap { m =>
-      val clean = AtomicCommit.renamesOf(m).isEmpty &&
-        AtomicCommit.droppedOf(m).isEmpty &&
-        AtomicCommit.widenedOf(m).isEmpty
-      if (!clean) None
-      else for {
-        bitmaps <- deleteBitmaps(relation, m)
-        ds <- uniformFooterSchema(relation, m)
-      } yield new GraftBatchScan(relation, withAdded(ds, m), required,
-        filters, bitmaps)
+      qualify(relation, m, required, filters).orElse {
+        if (autoMaterialize(relation, m))
+          // the commit advanced the table: re-resolve and re-qualify
+          // against the CURRENT snapshot (the healed one — or whatever
+          // a racing writer published, which must re-gate honestly)
+          relation.snapshotOpt()
+            .flatMap(m2 => qualify(relation, m2, required, filters))
+        else None
+      }
     }
+  }
+
+  private def qualify(relation: GraftRelation, m: AtomicCommit.Manifest,
+                      required: StructType,
+                      filters: Array[Filter]): Option[GraftBatchScan] = {
+    val clean = AtomicCommit.renamesOf(m).isEmpty &&
+      AtomicCommit.droppedOf(m).isEmpty &&
+      AtomicCommit.widenedOf(m).isEmpty
+    if (!clean) None
+    else for {
+      bitmaps <- deleteBitmaps(relation, m)
+      ds <- uniformFooterSchema(relation, m)
+    } yield new GraftBatchScan(relation, withAdded(ds, m), required,
+      filters, bitmaps)
+  }
+
+  /** Run the auto-materialization policy if it is due: TRUE means a
+    * maintenance commit landed and qualification should retry. Fires
+    * only when (a) the policy is enabled and the read is not a pinned
+    * time-travel/tag snapshot (materialization commits on the CURRENT
+    * table — healing an old view would be wrong twice over), (b) the
+    * snapshot would qualify but for equality records — mapping state or
+    * anti-join-only position vectors reject as before (materialization
+    * can't heal those alone), and (c) the outstanding key count fits
+    * the conf budget, bounding the planning-time job at two passes over
+    * the bloom-narrowed marked partitions. Failures — including a
+    * concurrent commit racing the materialization ([[AtomicCommit
+    * .PartitionConflictException]]) — degrade to the V1 fallback for
+    * THIS query; the next planning retries.
+    */
+  private def autoMaterialize(relation: GraftRelation,
+                              m: AtomicCommit.Manifest): Boolean = {
+    val spark = relation.session
+    val cap = Try(spark.sessionState.conf
+        .getConfString(AutoMaterializeConf, AutoMaterializeDefault.toString)
+        .toLong).getOrElse(0L)
+    if (cap <= 0L || relation.pinned.nonEmpty) return false
+    if (AtomicCommit.renamesOf(m).nonEmpty ||
+      AtomicCommit.droppedOf(m).nonEmpty ||
+      AtomicCommit.widenedOf(m).nonEmpty) return false
+    if (m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty))
+      return false
+    Try {
+      val ev = AtomicCommit.deleteEvidence(spark, relation.root, m)
+      ev.eqs.nonEmpty && ev.positions.isEmpty &&
+        ev.eqs.iterator.map(_.values.size.toLong).sum <= cap &&
+        Deletes.materializeEqDeletes(spark, relation.root,
+          relation.store).nonEmpty
+    }.getOrElse(false)
   }
 
   /** The snapshot's delete evidence in the one shape the batch face can

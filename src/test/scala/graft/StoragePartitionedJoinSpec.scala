@@ -249,8 +249,11 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     AtomicCommit.commitReplacePartitions(spark, root, df, "p")
     register("spj_gate", root)
     try {
+      // the self-heal policy is pinned OFF here: this test proves the
+      // RAW gate (auto-materialization has its own test below)
       def planOn(q: String): SparkPlan =
-        withSQLConf(BatchOn)(executed(spark.sql(q)))
+        withSQLConf(BatchOn,
+          GraftBatchScan.AutoMaterializeConf -> "0")(executed(spark.sql(q)))
       val q = "SELECT k, s, p FROM graft.spj_gate"
       assert(batchScans(planOn(q)) === 1, "clean snapshot takes the batch face")
 
@@ -259,7 +262,9 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       val afterDelete = planOn(q)
       assert(batchScans(afterDelete) === 0,
         s"delete evidence must gate the batch face out\n$afterDelete")
-      assert(withSQLConf(BatchOn)(rowsOf(spark.sql(q))) === Seq("[2,y,B]"))
+      assert(withSQLConf(BatchOn,
+        GraftBatchScan.AutoMaterializeConf -> "0")(
+        rowsOf(spark.sql(q))) === Seq("[2,y,B]"))
 
       // a compaction rewrite folds the evidence away → eligible again
       Compaction.compactAtomicTable(spark, root)
@@ -512,6 +517,96 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(pcdRows === offDv,
         "partially-clustered distribution must not change answers")
     } finally unregister("spj_sa", "spj_sb")
+  }
+
+  test("an equality-only rejection self-heals: planning materializes the records and the face re-qualifies") {
+    val root = Files.createTempDirectory("graft_spj_am").toString
+    val parts = Seq("P0", "P1", "a/b")
+    val df = (0 until 30).map(i => (i.toLong, i * 1.0, parts(i % 3)))
+      .toDF("k", "v", "p")
+    AtomicCommit.commitReplacePartitions(spark, root, df, "p")
+    register("spj_am", root)
+    try {
+      val q = "SELECT k, v, p FROM graft.spj_am"
+      // the zero-scan takedown parks equality records; a re-insert of a
+      // deleted key AFTER the delete must survive the materialization
+      // (owner scoping), so the heal is semantics-preserving, not just
+      // plan-preserving
+      Deletes.deleteKeysMoR(spark, root, new PosixManifestStore(root),
+        "k", Seq(4L, 7L))
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((4L, 444.0, "P1")).toDF("k", "v", "p"), "p")
+      val expect = rowsOf(spark.sql(q)) // V1 truth, eq records in force
+      val vBefore = AtomicCommit.readManifest(root).get.version
+
+      // under the cap (default): the face read triggers ONE maintenance
+      // commit and serves the healed snapshot itself
+      val (got, plan) = withSQLConf(BatchOn) {
+        val d = spark.sql(q); (rowsOf(d), executed(d))
+      }
+      assert(got === expect, "auto-materialization changed visible rows")
+      assert(batchScans(plan) === 1,
+        s"the healed snapshot must serve on the batch face\n$plan")
+      def liveEqs(): Int = AtomicCommit.readManifest(root).get.entries.toSeq
+        .flatMap { case (p, e) => AtomicCommit.dvOf(e).toSeq.flatMap(g =>
+          AtomicCommit.readEqs(root, g).filter(_.partition == p)) }.size
+      val m2 = AtomicCommit.readManifest(root).get
+      assert(m2.version === vBefore + 1, "exactly one maintenance commit")
+      assert(liveEqs() === 0, "the equality records must be resolved away")
+
+      // steady state: the next face read qualifies directly — no
+      // further commits burn
+      withSQLConf(BatchOn)(spark.sql(q).collect())
+      assert(AtomicCommit.readManifest(root).get.version === m2.version)
+
+      // over the cap: the policy refuses and the read falls back to V1
+      // (correct rows, no commit)
+      Deletes.deleteKeysMoR(spark, root, new PosixManifestStore(root),
+        "k", Seq(10L, 13L, 16L))
+      val v3 = AtomicCommit.readManifest(root).get.version
+      val expect2 = rowsOf(spark.sql(q))
+      val (got2, plan2) = withSQLConf(BatchOn,
+        GraftBatchScan.AutoMaterializeConf -> "2") {
+        val d = spark.sql(q); (rowsOf(d), executed(d))
+      }
+      assert(got2 === expect2)
+      assert(batchScans(plan2) === 0,
+        s"an over-budget record set must keep the V1 fallback\n$plan2")
+      assert(AtomicCommit.readManifest(root).get.version === v3,
+        "a refused policy must not commit")
+
+      // a pinned time-travel read never triggers the policy (healing an
+      // old view would commit on the current table): V1 fallback, and
+      // the version stays put
+      val pinnedRows = withSQLConf(BatchOn) {
+        rowsOf(spark.read.format("graft").option("path", root)
+          .option("versionAsOf", v3.toString).load()
+          .selectExpr("k", "v", "p"))
+      }
+      assert(pinnedRows === expect2)
+      assert(AtomicCommit.readManifest(root).get.version === v3,
+        "a pinned read must not auto-materialize")
+
+      // raising the cap heals the second batch too, and the SPJ join
+      // rides the healed face shuffle-free
+      val rootD = Files.createTempDirectory("graft_spj_amd").toString
+      AtomicCommit.commitReplacePartitions(spark, rootD,
+        parts.map(p => (p, s"dim-$p")).toDF("p", "name").select($"name", $"p"),
+        "p")
+      register("spj_am_dim", rootD)
+      val join =
+        """SELECT a.k, b.name FROM graft.spj_am a
+          |JOIN graft.spj_am_dim b ON a.p = b.p""".stripMargin
+      val offJ = rowsOf(spark.sql(join))
+      val (onJ, planJ) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(onJ === offJ)
+      assert(shuffles(planJ) === 0,
+        s"the healed face must keep the shuffle-free join\n$planJ")
+      assert(liveEqs() === 0)
+      unregister("spj_am_dim")
+    } finally unregister("spj_am")
   }
 
   test("recluster's proven sort order eliminates the window sort on the batch face") {
