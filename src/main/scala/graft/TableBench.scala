@@ -832,6 +832,35 @@ object TableBench {
       require((0 until 3).forall(i => bkOn.getLong(i) == bkOff.getLong(i)),
         s"bucket SPJ changed the answer: $bkOn vs $bkOff")
       println(s"[tablebench] bucket-spj A/B rows=${bkOn.getLong(0)}")
+
+      // r18b: SORTED-BUCKET PROVENANCE — the bucket SPJ above still
+      // paid two full SortExecs (rows within a bucket are not
+      // source-key-ordered). One recluster per side sorts every bucket
+      // directory by k and stamps generation-qualified provenance; the
+      // bucket face then claims [k ASC] per coalesced split and the
+      // same join plans zero-exchange AND zero-sort — the classic
+      // sorted-bucketed merge join, verified not trusted. At 100 TB
+      // the eliminated sorts are the join's dominant memory cost (sort
+      // + spill of the whole fact, every query).
+      timed("recluster both bucket tables on k (sort provenance)") {
+        graft.sources.Compaction.recluster(spark, rootH, Seq("k"),
+          filesPerDir = 2)
+        graft.sources.Compaction.recluster(spark, rootI, Seq("k"),
+          filesPerDir = 2)
+      }
+      val dBs = spark.sql(qb)
+      val bkSorted = timed("co-bucketed join, sorted-bucket face") {
+        dBs.head()
+      }
+      val planBs = dBs.queryExecution.executedPlan.toString
+      require(!planBs.contains("Exchange hashpartitioning"),
+        s"the sorted-bucket join must not shuffle:\n${planBs.take(1500)}")
+      require(!planBs.contains("Sort ["),
+        s"recluster's [k ASC] provenance must serve the bucketed join " +
+          s"sort-free:\n${planBs.take(1500)}")
+      require((0 until 3).forall(i => bkSorted.getLong(i) == bkOff.getLong(i)),
+        s"sorted-bucket SPJ changed the answer: $bkSorted vs $bkOff")
+      println(s"[tablebench] sorted-bucket-spj A/B rows=${bkSorted.getLong(0)}")
       spark.conf.unset("spark.graft.table.bkf")
       spark.conf.unset("spark.graft.table.bkg")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")

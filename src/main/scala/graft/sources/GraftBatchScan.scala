@@ -119,7 +119,9 @@ final class GraftBatchScan private[graft] (
     // user confirms the sort-free plan engaged (and why a sort came
     // back after an append retired the claim)
     val ordered =
-      if (bucketFace.isEmpty && pcRequired)
+      if (bucketFace.isDefined && sortedCols.nonEmpty)
+        s" ordered=[${sortedCols.mkString(",")}]"
+      else if (bucketFace.isEmpty && pcRequired)
         s" ordered=[${(pc +: sortedCols).mkString(",")}]"
       else ""
     s"GraftBatchScan ${relation.root} " +
@@ -206,14 +208,18 @@ final class GraftBatchScan private[graft] (
   }
 
   /** Whether to emit ONE split per partition key. True exactly when
-    * Spark will group this scan's splits per key anyway — the identity
-    * face under the v2-bucketing handshake — so coalescing costs no
-    * parallelism (grouped execution is one task per key either way) and
-    * buys the ordering report. Partially-clustered distribution is the
-    * exception: there Spark deliberately keeps a skewed partition's
-    * splits separate so it can spread them over several tasks, and
-    * coalescing would defeat that — so skew mode wins and the ordering
-    * (moot under replication anyway) is forfeited.
+    * Spark will group this scan's splits per key anyway — under the
+    * v2-bucketing handshake — AND the coalescing buys an ordering
+    * report: always on the identity face (`[pc ASC]` holds trivially
+    * per key group), on the bucket face only when recluster provenance
+    * proves a source-key order ([[sortedCols]] — otherwise coalescing
+    * buys nothing and the file-parallel shape stays). Coalescing costs
+    * no parallelism either way (grouped execution is one task per key).
+    * Partially-clustered distribution is the exception: there Spark
+    * deliberately keeps a skewed partition's splits separate so it can
+    * spread them over several tasks, and coalescing would defeat that —
+    * so skew mode wins and the ordering (moot under replication anyway)
+    * is forfeited.
     */
   private def coalescePerKey: Boolean = {
     // SQLConf accessors, NOT getConfString with a hardcoded default:
@@ -221,8 +227,10 @@ final class GraftBatchScan private[graft] (
     // with "false" as the fallback would silently disable coalescing —
     // and the ordering report with it — in every default session
     val c = relation.session.sessionState.conf
-    bucketFace.isEmpty && pcRequired && c.v2BucketingEnabled &&
+    val handshake = c.v2BucketingEnabled &&
       !c.v2BucketingPartiallyClusteredDistributionEnabled
+    if (bucketFace.isDefined) handshake && sortedCols.nonEmpty
+    else pcRequired && handshake
   }
 
   /** Per-partition ordering on the identity face: within one key group
@@ -247,9 +255,21 @@ final class GraftBatchScan private[graft] (
     * compound-key merge joins — the recluster bought that order with
     * one range shuffle at maintenance time; queries shouldn't pay for
     * it again.
+    *
+    * The BUCKET face claims the proven data-column order alone (no
+    * leading pc — the bucket ordinal satisfies no join requirement):
+    * a recluster sorted every bucket directory by the SOURCE key, so a
+    * coalesced bucket split reads `[k ASC, ...]` and the co-bucketed
+    * SortMergeJoin on k plans with zero exchanges AND zero sorts — the
+    * classic sorted-bucketed join, provenance-verified instead of
+    * trusted. Without provenance it reports nothing, correctly: rows
+    * within a bucket are NOT source-key-ordered by layout alone.
     */
   override def outputOrdering(): Array[V2SortOrder] =
-    if (bucketFace.isEmpty && pcRequired)
+    if (bucketFace.isDefined)
+      sortedCols.map(c =>
+        Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+    else if (pcRequired)
       (pc +: sortedCols).map(c =>
         Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
     else Array.empty
@@ -261,10 +281,13 @@ final class GraftBatchScan private[graft] (
     * when wrong, so every gate errs toward silence.
     */
   private lazy val sortedCols: Seq[String] =
-    // lazy AND short-circuited on the faces that can never claim it:
+    // lazy AND short-circuited on the face that can never claim it:
     // the verification walks every surviving partition directory and
-    // parses the stats sidecar, which a scan that will report no
-    // ordering (pc not projected, bucket face) must not pay. Gated on
+    // parses the stats sidecar, which an identity scan that will report
+    // no ordering (pc not projected) must not pay. The bucket face DOES
+    // pay it — a reclustered bucket table's source-key order is exactly
+    // what it can claim (sort-free sorted-bucketed joins); provenSortOrder
+    // short-circuits cheaply when no provenance is recorded. Gated on
     // the PUSHED-FILTER-pruned entry set, not the whole table: an
     // append to one hot partition retires the claim only for scans
     // that actually read it — a filtered scan of the still-sorted cold
@@ -272,7 +295,7 @@ final class GraftBatchScan private[graft] (
     // later only shrink the set further, and a subset of qualifying
     // partitions still qualifies, so the construction-time claim
     // stays sound through execution-time pruning.
-    if (bucketFace.isDefined || !pcRequired) Nil
+    if (bucketFace.isEmpty && !pcRequired) Nil
     else relation.snapshotOpt().map(m =>
       GraftBatchScan.provenSortOrder(relation.root, m,
         relation.prunedEntriesFor(m, pushed),
@@ -604,38 +627,73 @@ object GraftBatchScan {
           AtomicCommit.ownersOf(e) == Seq(gen))
         if (!owned || cols.isEmpty) Nil
         else {
-          val stats = Try(DataSkipping.readStats(root, gen))
-            .getOrElse(Nil)
-          val byPartCol = stats.groupBy(s => (s.partition, s.col))
-          // one directory listing per partition, shared by every
-          // column's check. FILE-NAME order — the order coalesced
-          // splits read in (part-file names encode the writing task,
-          // so name order is the recluster job's range order)
-          val filesByPart: Map[String, Seq[String]] =
-            entries.keysIterator.map(pv => pv -> DataSkipping.listParquet(
-              s"$root/$gen/${m.partitionCol}=$pv").sorted).toMap
-          def verified(c: String): Boolean = entries.keys.forall { pv =>
-            val files = filesByPart(pv)
-            val recs = byPartCol.getOrElse((pv, c), Nil)
-            if (files.isEmpty) true
-            else if (files.size == 1)
-              recs.exists(r => r.nulls == 0L &&
-                (r.file.isEmpty || r.file.contains(files.head)))
-            else {
-              val frs = files.map(f => recs.find(_.file.contains(f)))
-              frs.forall(_.exists(r => r.nulls == 0L &&
-                  r.min.isDefined && r.max.isDefined)) &&
-                frs.flatten.sliding(2).forall {
-                  case Seq(a, b) =>
-                    DataSkipping.boundLeq(a.kind, a.max.get, b.min.get)
-                  case _ => true
-                }
-            }
+          // the verification walk (one sidecar parse + one dir listing
+          // per surviving partition) is MEMOIZED per (root, provenance,
+          // entry set): a published generation's data files are
+          // immutable (rewrites make new generations), so the verified
+          // prefix can never change for the same key — the recurring
+          // co-partitioned join pays the walk once, not per query. The
+          // one mutable input — ANALYZE retrofitting the stats sidecar
+          // in place — rides the key as the sidecar's (mtime, size)
+          // stamp: one stat call, and retrofitted evidence upgrades the
+          // claim at the next planning instead of staling conservative
+          val sidecar = java.nio.file.Paths.get(root, gen,
+            DataSkipping.StatsFile)
+          val stamp = Try(java.nio.file.Files
+              .getLastModifiedTime(sidecar).toMillis + ":" +
+              java.nio.file.Files.size(sidecar)).getOrElse("absent")
+          val memoKey = (root, s"$v@$stamp", entries.keys.toSeq.sorted)
+          val cached = claimCache.get(memoKey)
+          if (cached != null) cached.takeWhile(projected)
+          else {
+            val computed = verifiedPrefix(root, m, entries, gen, cols)
+            if (claimCache.size > 256) claimCache.clear()
+            claimCache.put(memoKey, computed)
+            computed.takeWhile(projected)
           }
-          cols.takeWhile(c => projected(c) && verified(c))
         }
       }
     }
+
+  private val claimCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Seq[String]), Seq[String]]()
+
+  /** The projection-independent verified prefix of the recorded sort
+    * columns — the sidecar walk behind [[provenSortOrder]]'s claim.
+    */
+  private def verifiedPrefix(root: String, m: AtomicCommit.Manifest,
+                             entries: Map[String, String], gen: String,
+                             cols: Seq[String]): Seq[String] = {
+    val stats = Try(DataSkipping.readStats(root, gen))
+      .getOrElse(Nil)
+    val byPartCol = stats.groupBy(s => (s.partition, s.col))
+    // one directory listing per partition, shared by every column's
+    // check. FILE-NAME order — the order coalesced splits read in
+    // (part-file names encode the writing task, so name order is the
+    // recluster job's range order)
+    val filesByPart: Map[String, Seq[String]] =
+      entries.keysIterator.map(pv => pv -> DataSkipping.listParquet(
+        s"$root/$gen/${m.partitionCol}=$pv").sorted).toMap
+    def verified(c: String): Boolean = entries.keys.forall { pv =>
+      val files = filesByPart(pv)
+      val recs = byPartCol.getOrElse((pv, c), Nil)
+      if (files.isEmpty) true
+      else if (files.size == 1)
+        recs.exists(r => r.nulls == 0L &&
+          (r.file.isEmpty || r.file.contains(files.head)))
+      else {
+        val frs = files.map(f => recs.find(_.file.contains(f)))
+        frs.forall(_.exists(r => r.nulls == 0L &&
+            r.min.isDefined && r.max.isDefined)) &&
+          frs.flatten.sliding(2).forall {
+            case Seq(a, b) =>
+              DataSkipping.boundLeq(a.kind, a.max.get, b.min.get)
+            case _ => true
+          }
+      }
+    }
+    cols.takeWhile(verified)
+  }
 }
 
 /** One data file of one partition — and, when the snapshot's deletion

@@ -426,6 +426,75 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally unregister("spj_ba", "spj_bb")
   }
 
+  test("sorted-bucket provenance: a reclustered co-bucketed join plans zero-shuffle AND zero-sort") {
+    val rootA = Files.createTempDirectory("graft_spj_sba").toString
+    val rootB = Files.createTempDirectory("graft_spj_sbb").toString
+    val spec = graft.sources.HiddenPartitioning.Bucket(8, "k")
+    // multi-generation fact (replace + append) so pre-recluster buckets
+    // hold several unordered files
+    graft.sources.HiddenPartitioning.commitReplace(spark, rootA,
+      (0 until 400).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), spec)
+    graft.sources.HiddenPartitioning.commitAppend(spark, rootA,
+      (400 until 600).map(i => (i.toLong, i * 1.0)).toDF("k", "v"), spec)
+    graft.sources.HiddenPartitioning.commitReplace(spark, rootB,
+      (0 until 150).map(i => ((i * 4).toLong, s"n$i")).toDF("k", "name"), spec)
+    register("spj_sba", rootA); register("spj_sbb", rootB)
+    try {
+      val join =
+        """SELECT a.k, a.v, b.name FROM graft.spj_sba a
+          |JOIN graft.spj_sbb b ON a.k = b.k""".stripMargin
+      val off = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        rowsOf(spark.sql(join))
+      }
+      assert(off.length === 150)
+      // pre-recluster: zero shuffles, but rows within a bucket are NOT
+      // source-key-ordered — the merge join honestly pays its sorts
+      val (pre, prePlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(pre === off)
+      assert(shuffles(prePlan) === 0, s"bucket SPJ must not shuffle\n$prePlan")
+      assert(sorts(prePlan) > 0,
+        s"no sort provenance yet — the merge join needs its sorts\n$prePlan")
+
+      // recluster BOTH sides on the source key (2 files/bucket → the
+      // cross-file sidecar evidence path): the stamped provenance lets
+      // each bucket face claim [k ASC] per coalesced split
+      Compaction.recluster(spark, rootA, Seq("k"), filesPerDir = 2)
+      Compaction.recluster(spark, rootB, Seq("k"), filesPerDir = 2)
+      val off2 = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        rowsOf(spark.sql(join))
+      }
+      assert(off2 === off, "recluster changed the answer")
+      val (post, postPlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(post === off)
+      assert(batchScans(postPlan) === 2, s"both sides on the face\n$postPlan")
+      assert(shuffles(postPlan) === 0,
+        s"reclustered bucket SPJ must not shuffle\n$postPlan")
+      assert(sorts(postPlan) === 0,
+        s"recluster's [k ASC] provenance must serve the sorted-bucketed " +
+          s"join sort-free\n$postPlan")
+
+      // an append retires the claim (sole ownership broken): answers
+      // identical, sorts honestly come back, the join still never
+      // shuffles
+      graft.sources.HiddenPartitioning.commitAppend(spark, rootA,
+        Seq((1000L, 1.5)).toDF("k", "v"), spec)
+      val off3 = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        rowsOf(spark.sql(join))
+      }
+      val (stale, stalePlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(stale === off3)
+      assert(shuffles(stalePlan) === 0, s"SPJ survives the append\n$stalePlan")
+      assert(sorts(stalePlan) > 0,
+        s"a post-recluster append must retire the bucket ordering claim\n$stalePlan")
+    } finally unregister("spj_sba", "spj_sbb")
+  }
+
   test("runtime filters re-prune the batch face's splits") {
     val root = Files.createTempDirectory("graft_spj_rf").toString
     val df = (0 until 40).map(i => (i.toLong, s"P${i % 4}")).toDF("k", "p")
