@@ -861,6 +861,54 @@ object TableBench {
       require((0 until 3).forall(i => bkSorted.getLong(i) == bkOff.getLong(i)),
         s"sorted-bucket SPJ changed the answer: $bkSorted vs $bkOff")
       println(s"[tablebench] sorted-bucket-spj A/B rows=${bkSorted.getLong(0)}")
+
+      // r18c: TIME-TRANSFORM SPJ — the most common event/log layout:
+      // two tables hidden-partitioned days(ts) join ON THE RAW
+      // TIMESTAMP (the derived ts_day column never appears in the
+      // query) with zero exchanges, through the same FunctionCatalog
+      // route as bucket. At 100 TB this is the recurring
+      // events-to-events correlation join that otherwise shuffles both
+      // sides every run.
+      val rootT1 = Files.createTempDirectory("graft_tb_tts1").toString
+      val rootT2 = Files.createTempDirectory("graft_tb_tts2").toString
+      val dspec = graft.sources.HiddenPartitioning.Days("ts")
+      val days = 64
+      timed(s"commit days(ts) fact ($n) + dim (${n / 16})") {
+        // 1704067200 = 2024-01-01T00:00:00Z; ids spread over `days` days
+        graft.sources.HiddenPartitioning.commitReplace(spark, rootT1,
+          spark.range(n).select(
+            timestamp_seconds(lit(1704067200L) +
+              col("id") % (days * 86400L)).as("ts"),
+            col("id").as("v"), md5(col("id").cast("string")).as("payload")),
+          dspec)
+        graft.sources.HiddenPartitioning.commitReplace(spark, rootT2,
+          spark.range(0, n, 16).select(
+            timestamp_seconds(lit(1704067200L) +
+              col("id") % (days * 86400L)).as("ts"),
+            (col("id") * 3L).as("w")), dspec)
+      }
+      spark.conf.set("spark.graft.table.tts1", rootT1)
+      spark.conf.set("spark.graft.table.tts2", rootT2)
+      val qt = "SELECT count(*) AS c, sum(f.v + g.w) AS s, " +
+        "sum(length(f.payload)) AS b FROM graft.tts1 f " +
+        "JOIN graft.tts2 g ON f.ts = g.ts"
+      spark.conf.unset(graft.sources.GraftBatchScan.EnabledConf)
+      val ttOff = timed("co-days-partitioned ts join, SPJ OFF") {
+        spark.sql(qt).head()
+      }
+      spark.conf.set(graft.sources.GraftBatchScan.EnabledConf, "true")
+      val dTt = spark.sql(qt)
+      val ttOn = timed("co-days-partitioned ts join, SPJ ON") {
+        dTt.head()
+      }
+      val planTt = dTt.queryExecution.executedPlan.toString
+      require(!planTt.contains("Exchange hashpartitioning"),
+        s"the days-transform join must not shuffle:\n${planTt.take(1500)}")
+      require((0 until 3).forall(i => ttOn.getLong(i) == ttOff.getLong(i)),
+        s"days SPJ changed the answer: $ttOn vs $ttOff")
+      println(s"[tablebench] days-spj A/B rows=${ttOn.getLong(0)}")
+      spark.conf.unset("spark.graft.table.tts1")
+      spark.conf.unset("spark.graft.table.tts2")
       spark.conf.unset("spark.graft.table.bkf")
       spark.conf.unset("spark.graft.table.bkg")
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")

@@ -81,28 +81,33 @@ final class GraftBatchScan private[graft] (
     required.fields.filterNot(_.name == pc)
       .map(f => dataSchema.find(_.name == f.name).getOrElse(f)))
 
-  /** The BUCKET-TRANSFORM face: when the table is hidden-partitioned by
-    * `bucket(n, k)` ([[HiddenPartitioning.Bucket]]) and the SOURCE
-    * column is in the projection, the scan reports its key grouping as
-    * the bucket TRANSFORM over k — not identity over the derived dir
-    * column — so a join written `ON f.k = g.k` against another table
-    * bucketed the same way plans shuffle-free (Spark resolves `bucket`
-    * through the catalog's FunctionCatalog face, [[GraftBucketFunction]],
-    * and proves both sides co-partitioned). Guarded to layouts whose
-    * every entry value parses as a bucket ordinal — the write path's
-    * invariant; a hand-written layout that violates it falls back to
-    * the identity report, never to a wrong grouping.
+  /** The TRANSFORM face: when the table is hidden-partitioned
+    * ([[HiddenPartitioning]] — `bucket(n, k)`, `days(ts)`, `hours(ts)`,
+    * `months(ts)`, `truncate(w, s)`) and the SOURCE column is in the
+    * projection, the scan reports its key grouping as the TRANSFORM
+    * over the source — not identity over the derived dir column — so a
+    * join written `ON f.k = g.k` (or `ON f.ts = g.ts` for two tables
+    * co-partitioned by the same time transform) plans shuffle-free:
+    * Spark resolves the transform through the catalog's FunctionCatalog
+    * face ([[GraftBucketFunction]], [[GraftDaysFunction]], …) and
+    * proves both sides co-partitioned via the bound canonical names.
+    * Guarded to layouts whose every entry value is SHAPED like the
+    * transform's rendering (bucket ordinals parse as ints, day dirs as
+    * `yyyy-MM-dd`, truncate dirs within the width; time layouts may
+    * also hold the null-sentinel dir — a null source derives a null
+    * partition) — the write path's invariant; a hand-written layout
+    * that violates it falls back to the identity report, never to a
+    * wrong grouping.
     */
-  private val bucketFace: Option[HiddenPartitioning.Bucket] =
+  private val transformFace: Option[HiddenPartitioning.Spec] =
     relation.snapshotOpt().flatMap { m =>
-      HiddenPartitioning.specOf(m) match {
-        case Some(b: HiddenPartitioning.Bucket)
-            if requiredData.fieldNames.contains(b.source) &&
-              m.entries.keys.forall(pv => Try(pv.toInt).isSuccess) =>
-          Some(b)
-        case _ => None
-      }
+      HiddenPartitioning.specOf(m)
+        .filter(spec => requiredData.fieldNames.contains(spec.source) &&
+          m.entries.keys.forall(pv =>
+            GraftBatchScan.entryShapedLike(spec, pv)))
     }
+  private def isBucketFace: Boolean =
+    transformFace.exists(_.isInstanceOf[HiddenPartitioning.Bucket])
 
   /** Rows come out data-columns-first, partition column appended (the
     * `FileFormat` layout); Spark projects back to the asked order above
@@ -119,9 +124,9 @@ final class GraftBatchScan private[graft] (
     // user confirms the sort-free plan engaged (and why a sort came
     // back after an append retired the claim)
     val ordered =
-      if (bucketFace.isDefined && sortedCols.nonEmpty)
+      if (transformFace.isDefined && sortedCols.nonEmpty)
         s" ordered=[${sortedCols.mkString(",")}]"
-      else if (bucketFace.isEmpty && pcRequired)
+      else if (transformFace.isEmpty && pcRequired)
         s" ordered=[${(pc +: sortedCols).mkString(",")}]"
       else ""
     s"GraftBatchScan ${relation.root} " +
@@ -174,13 +179,13 @@ final class GraftBatchScan private[graft] (
         if (pv == GraftRelation.NullPartitionName) null
         else ExternalCatalogUtils.unescapePathName(pv)
       // the key row must match the REPORTED partitioning's type: the
-      // bucket ordinal (int) on the transform face, the decoded string
-      // on the identity face
-      val key: InternalRow = bucketFace match {
-        case Some(_) => new GenericInternalRow(Array[Any](pv.toInt))
-        case None => new GenericInternalRow(Array[Any](
+      // bucket ordinal (int) on the bucket face, the decoded rendering
+      // (string, the sentinel as null) on the time/truncate faces and
+      // the identity face
+      val key: InternalRow =
+        if (isBucketFace) new GenericInternalRow(Array[Any](pv.toInt))
+        else new GenericInternalRow(Array[Any](
           if (decoded == null) null else UTF8String.fromString(decoded)))
-      }
       // bitmap keys are the DECODED value, the null partition as the
       // sentinel — the readSidecars keying ([[DvBitmap.readSidecars]])
       val probe = UTF8String.fromString(
@@ -229,7 +234,7 @@ final class GraftBatchScan private[graft] (
     val c = relation.session.sessionState.conf
     val handshake = c.v2BucketingEnabled &&
       !c.v2BucketingPartiallyClusteredDistributionEnabled
-    if (bucketFace.isDefined) handshake && sortedCols.nonEmpty
+    if (transformFace.isDefined) handshake && sortedCols.nonEmpty
     else pcRequired && handshake
   }
 
@@ -266,7 +271,7 @@ final class GraftBatchScan private[graft] (
     * within a bucket are NOT source-key-ordered by layout alone.
     */
   override def outputOrdering(): Array[V2SortOrder] =
-    if (bucketFace.isDefined)
+    if (transformFace.isDefined)
       sortedCols.map(c =>
         Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
     else if (pcRequired)
@@ -295,7 +300,7 @@ final class GraftBatchScan private[graft] (
     // later only shrink the set further, and a subset of qualifying
     // partitions still qualifies, so the construction-time claim
     // stays sound through execution-time pruning.
-    if (bucketFace.isEmpty && !pcRequired) Nil
+    if (transformFace.isEmpty && !pcRequired) Nil
     else relation.snapshotOpt().map(m =>
       GraftBatchScan.provenSortOrder(relation.root, m,
         relation.prunedEntriesFor(m, pushed),
@@ -349,17 +354,34 @@ final class GraftBatchScan private[graft] (
   }
 
   /** Key grouping — the contract that unlocks storage-partitioned
-    * joins. The bucket TRANSFORM over the source column when the table
-    * is bucket-partitioned and the source is projected ([[bucketFace]]);
-    * identity over the partition column when IT is projected (Spark
-    * resolves the expressions against the scan's attributes); unknown
-    * otherwise. The split count per key is free to differ, Spark groups
-    * by [[HasPartitionKey]].
+    * joins. The recorded TRANSFORM over the source column when the
+    * table is hidden-partitioned and the source is projected
+    * ([[transformFace]] — bucket/days/hours/months/truncate, resolved
+    * through the catalog's FunctionCatalog face); identity over the
+    * partition column when IT is projected (Spark resolves the
+    * expressions against the scan's attributes); unknown otherwise.
+    * The split count per key is free to differ, Spark groups by
+    * [[HasPartitionKey]].
     */
-  override def outputPartitioning(): Partitioning = bucketFace match {
-    case Some(b) =>
+  override def outputPartitioning(): Partitioning = transformFace match {
+    case Some(b: HiddenPartitioning.Bucket) =>
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(b.n, b.source)), keyCount)
+    case Some(t: HiddenPartitioning.Truncate) =>
+      // width baked into the name: a literal argument would give the
+      // transform a second leaf, which KeyGroupedPartitioning.satisfies0
+      // rejects for clustered distributions ([[GraftTruncateFunction]])
+      new KeyGroupedPartitioning(
+        Array(Expressions.apply(s"truncate_${t.w}",
+          Expressions.column(t.source))), keyCount)
+    case Some(s) => // days/hours/months: one-argument named transforms
+      val fn = s match {
+        case _: HiddenPartitioning.Days => "days"
+        case _: HiddenPartitioning.Hours => "hours"
+        case _ => "months"
+      }
+      new KeyGroupedPartitioning(
+        Array(Expressions.apply(fn, Expressions.column(s.source))), keyCount)
     case None if pcRequired =>
       new KeyGroupedPartitioning(Array(Expressions.identity(pc)), keyCount)
     case None => new UnknownPartitioning(0)
@@ -519,6 +541,34 @@ object GraftBatchScan {
         Deletes.materializeEqDeletes(spark, relation.root,
           relation.store).nonEmpty
     }.getOrElse(false)
+  }
+
+  /** Whether a manifest entry's raw dir name is SHAPED like `spec`'s
+    * rendering — the transform face's layout guard ([[GraftBatchScan
+    * .transformFace]]): bucket ordinals parse as ints (and the hash is
+    * never null, so no sentinel); time renderings match their fixed
+    * patterns; truncate dirs decode to at most the width in CODE POINTS
+    * (the SQL-substring unit). Time/truncate layouts may hold the
+    * null-sentinel dir — a null source derives a null partition value,
+    * which keys as a null partition row.
+    */
+  private[sources] def entryShapedLike(spec: HiddenPartitioning.Spec,
+                                       pv: String): Boolean = {
+    val np = GraftRelation.NullPartitionName
+    spec match {
+      case _: HiddenPartitioning.Bucket => Try(pv.toInt).isSuccess
+      case _: HiddenPartitioning.Days =>
+        pv == np || pv.matches("\\d{4}-\\d{2}-\\d{2}")
+      case _: HiddenPartitioning.Hours =>
+        pv == np || pv.matches("\\d{4}-\\d{2}-\\d{2}-\\d{2}")
+      case _: HiddenPartitioning.Months =>
+        pv == np || pv.matches("\\d{4}-\\d{2}")
+      case t: HiddenPartitioning.Truncate =>
+        pv == np || {
+          val d = ExternalCatalogUtils.unescapePathName(pv)
+          d.codePointCount(0, d.length) <= t.w
+        }
+    }
   }
 
   /** The snapshot's delete evidence in the one shape the batch face can

@@ -69,15 +69,30 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
     * (`DataSourceV2Relation.funCatalog`), nothing global.
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    if (namespace.isEmpty)
+      Array("bucket", "days", "hours", "months")
+        .map(Identifier.of(namespace, _))
     else Array.empty
+
+  private val TruncateFn = raw"truncate_(\d+)".r
 
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.namespace().isEmpty && ident.name() == "bucket")
-      GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    if (ident.namespace().nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    else ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case "days" => GraftDaysFunction
+      case "hours" => GraftHoursFunction
+      case "months" => GraftMonthsFunction
+      // width-pinned prefix transforms (truncate_3, truncate_8, …): the
+      // width rides the NAME so the reported transform keeps one leaf —
+      // see [[GraftTruncateFunction]]
+      case TruncateFn(w) => new GraftTruncateFunction(w.toInt)
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   /** The DSv2 time-travel hook: `VERSION AS OF <v>` — a snapshot version
     * number, or a tag name pinned with [[AtomicCommit.tag]].

@@ -426,6 +426,79 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally unregister("spj_ba", "spj_bb")
   }
 
+  test("time-transform SPJ: co-days-partitioned tables join on the raw timestamp with zero shuffles") {
+    val rootA = Files.createTempDirectory("graft_spj_ta").toString
+    val rootB = Files.createTempDirectory("graft_spj_tb").toString
+    val spec = graft.sources.HiddenPartitioning.Days("ts")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // four days, several rows per day, plus a NULL-ts row (derives the
+    // null-sentinel partition)
+    val a = ((0 until 40).map { i =>
+      (i.toLong, Some(ts(f"2024-03-${i % 4 + 1}%02d 0${i % 9}:15:0${i % 6}")))
+    } :+ (99L, Option.empty[java.sql.Timestamp])).toDF("k", "ts")
+    val b = ((0 until 40 by 3).map { i =>
+      (Some(ts(f"2024-03-${i % 4 + 1}%02d 0${i % 9}:15:0${i % 6}")), s"n$i")
+    } :+ (Option.empty[java.sql.Timestamp], "nx")).toDF("ts", "name")
+    graft.sources.HiddenPartitioning.commitReplace(spark, rootA, a, spec)
+    graft.sources.HiddenPartitioning.commitReplace(spark, rootB, b, spec)
+    register("spj_ta", rootA); register("spj_tb", rootB)
+    try {
+      // join on the RAW timestamp — the derived ts_day column never
+      // appears in the query; null ts rows must not match (SQL equality)
+      val join =
+        """SELECT a.k, b.name FROM graft.spj_ta a
+          |JOIN graft.spj_tb b ON a.ts = b.ts""".stripMargin
+      val off = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        rowsOf(spark.sql(join))
+      }
+      assert(off.nonEmpty)
+      val (on, plan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(on === off, "days-transform SPJ changed the answer")
+      assert(batchScans(plan) === 2, s"both sides on the batch face\n$plan")
+      assert(shuffles(plan) === 0,
+        s"co-days-partitioned timestamp join must not shuffle\n$plan")
+
+      // parity under source-range pruning and projections that keep or
+      // drop the source column
+      for (q <- Seq(
+        "SELECT k, ts FROM graft.spj_ta WHERE ts >= '2024-03-02 00:00:00' AND ts <= '2024-03-03 23:59:59'",
+        "SELECT k FROM graft.spj_ta", // ts unprojected: no wrong grouping
+        "SELECT k, ts FROM graft.spj_ta WHERE ts IS NULL")) {
+        val base = rowsOf(spark.sql(q))
+        assert(withSQLConf(SpjConfs: _*)(rowsOf(spark.sql(q))) === base, q)
+      }
+
+      // TRUNCATE-transform SPJ: prefix layouts with ESCAPE-needing
+      // values ("a/b…" dirs into a%2Fb) join on the raw string
+      val rootC = Files.createTempDirectory("graft_spj_tra").toString
+      val rootD = Files.createTempDirectory("graft_spj_trb").toString
+      val tspec = graft.sources.HiddenPartitioning.Truncate(3, "s")
+      val sv = Seq("alpha", "alpine", "beta", "a/b-one", "a/b-two", "gamma")
+      graft.sources.HiddenPartitioning.commitReplace(spark, rootC,
+        sv.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("k", "s"),
+        tspec)
+      graft.sources.HiddenPartitioning.commitReplace(spark, rootD,
+        sv.filter(_.length % 2 == 0).map(s => (s, s"d-$s")).toDF("s", "d"),
+        tspec)
+      register("spj_tra", rootC); register("spj_trb", rootD)
+      val joinT =
+        """SELECT a.k, b.d FROM graft.spj_tra a
+          |JOIN graft.spj_trb b ON a.s = b.s""".stripMargin
+      val offT = withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        rowsOf(spark.sql(joinT))
+      }
+      val (onT, planT) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(joinT); (rowsOf(d), executed(d))
+      }
+      assert(onT === offT, "truncate-transform SPJ changed the answer")
+      assert(shuffles(planT) === 0,
+        s"co-truncate-partitioned join must not shuffle\n$planT")
+      unregister("spj_tra", "spj_trb")
+    } finally unregister("spj_ta", "spj_tb")
+  }
+
   test("sorted-bucket provenance: a reclustered co-bucketed join plans zero-shuffle AND zero-sort") {
     val rootA = Files.createTempDirectory("graft_spj_sba").toString
     val rootB = Files.createTempDirectory("graft_spj_sbb").toString
