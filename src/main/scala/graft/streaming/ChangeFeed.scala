@@ -286,8 +286,34 @@ object ChangeFeed {
     val live = changed.filter(srcM.entries.contains)
     val sliceOpt =
       if (live.isEmpty) None
-      else Some(AtomicCommit.scanManifest(spark, srcRoot,
-        srcM.copy(entries = srcM.entries.filter { case (p, _) => live.contains(p) })))
+      else {
+        val sliceM = srcM.copy(entries =
+          srcM.entries.filter { case (p, _) => live.contains(p) })
+        // the recurring maintenance tick re-aggregates BY PARTITION KEY,
+        // which is exactly what the storage-partitioned batch face
+        // serves exchange-free: when the session opted in
+        // ([[graft.sources.GraftBatchScan.EnabledConf]]), read the
+        // changed slice through the DSv2 face PINNED to this tick's
+        // snapshot (so a concurrent commit cannot shift the slice
+        // mid-tick) — a partition-grouped `agg` then plans with no
+        // exchange below the aggregate. Qualification is the face's own
+        // gate: an unqualifying snapshot falls back to the identical V1
+        // composition inside the same table, and the pin keeps
+        // auto-materialization out of the tick (maintenance commits
+        // belong to the table's owner, not its subscribers).
+        val useFace = spark.sessionState.conf.getConfString(
+          graft.sources.GraftBatchScan.EnabledConf, "false") == "true"
+        Some(
+          if (useFace)
+            org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
+              org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2Relation.create(
+                  new graft.sources.GraftTable(s"graft.feed($srcRoot)",
+                    new graft.sources.GraftRelation(spark, srcRoot,
+                      srcStore, Some(sliceM))),
+                  None, None))
+          else AtomicCommit.scanManifest(spark, srcRoot, sliceM))
+      }
     val resultOpt = sliceOpt.map(agg)
     resultOpt.foreach { r =>
       require(r.columns.contains(pc),

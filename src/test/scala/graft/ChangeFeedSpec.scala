@@ -181,6 +181,74 @@ class ChangeFeedSpec extends SparkSpec {
     }
   }
 
+  test("the maintenance tick rides the batch face: partition-keyed re-aggregation plans exchange-free") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val srcRoot = Files.createTempDirectory("graft_cf_face_s").toString
+    val dstRoot = Files.createTempDirectory("graft_cf_face_d").toString
+    AtomicCommit.commitReplacePartitions(spark, srcRoot,
+      (0 until 30).map(i => (s"p${i % 3}", i.toLong, s"r$i"))
+        .toDF("p", "k", "v"), "p")
+    var captured: org.apache.spark.sql.DataFrame = null
+    def agg(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.groupBy("p").agg(fcount(flit(1)).as("n"), fsum("k").as("sk"))
+      captured = out
+      out
+    }
+    def viewRows(): Map[String, (Long, Long)] =
+      AtomicCommit.read(spark, dstRoot).select("p", "n", "sk")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def expect(): Map[String, (Long, Long)] = // own aggregate: must not
+      // touch `captured` (agg would overwrite the tick's frame)
+      AtomicCommit.read(spark, srcRoot).groupBy("p")
+        .agg(fcount(flit(1)).as("n"), fsum("k").as("sk")).select("p", "n", "sk")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    withSQLConf(graft.sources.GraftBatchScan.EnabledConf -> "true") {
+      ChangeFeed.syncAggregate(spark, srcRoot, dstRoot, "mvf")(agg)
+      assert(viewRows() === expect(), "face-served tick diverged")
+      // re-execute the tick's aggregate frame: the slice reads on the
+      // batch face and the partition-keyed aggregate needs NO exchange
+      // below it (KeyGroupedPartitioning serves the grouping)
+      captured.collect()
+      val plan = captured.queryExecution.executedPlan
+      assert(nodes(plan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]),
+        s"the tick's slice must read on the batch face\n$plan")
+      assert(nodes(plan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) === 0,
+        s"the partition-keyed tick aggregate must not exchange\n$plan")
+
+      // a steady-state tick (one changed partition) keeps the shape
+      AtomicStreamSink.commitBatch(srcRoot,
+        new graft.sources.PosixManifestStore(srcRoot), "p", "in",
+        Seq(("p1", 100L, "r100")).toDF("p", "k", "v"), 0L)
+      ChangeFeed.syncAggregate(spark, srcRoot, dstRoot, "mvf")(agg)
+      assert(viewRows() === expect(), "steady-state face tick diverged")
+      captured.collect()
+      val plan2 = captured.queryExecution.executedPlan
+      assert(nodes(plan2).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) === 0,
+        s"the steady-state tick must not exchange\n$plan2")
+    }
+    // face off: same answers through the V1 composition (the fallback
+    // is the same code path scanManifest always was)
+    AtomicStreamSink.commitBatch(srcRoot,
+      new graft.sources.PosixManifestStore(srcRoot), "p", "in",
+      Seq(("p2", 200L, "r200")).toDF("p", "k", "v"), 1L)
+    ChangeFeed.syncAggregate(spark, srcRoot, dstRoot, "mvf")(agg)
+    assert(viewRows() === expect(), "V1 tick diverged after face ticks")
+  }
+
   test("a consumer lagging past the vacuum horizon fails loudly, never skips silently") {
     val srcRoot = Files.createTempDirectory("graft_cf_vac").toString
     val dstRoot = Files.createTempDirectory("graft_cf_vacd").toString

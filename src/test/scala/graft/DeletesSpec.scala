@@ -304,8 +304,13 @@ class DeletesSpec extends SparkSpec {
       val rel = new graft.sources.GraftRelation(spark, root, store, None)
       graft.sources.GraftBatchScan.eligibleScan(rel, rel.schema, Array.empty)
     }
-    assert(face().isEmpty,
-      "outstanding equality records must gate the batch face out")
+    // the RAW gate, auto-materialization pinned off (the self-heal
+    // policy has its own spec in StoragePartitionedJoinSpec; this test
+    // exercises the EXPLICIT materializer)
+    withSQLConf(graft.sources.GraftBatchScan.AutoMaterializeConf -> "0") {
+      assert(face().isEmpty,
+        "outstanding equality records must gate the batch face out")
+    }
 
     val v = Deletes.materializeEqDeletes(spark, root)
     assert(v.nonEmpty)

@@ -751,6 +751,93 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally unregister("spj_am")
   }
 
+  test("runtime filtering preserves the ordering claim: pruned coalesced splits stay one-per-key, name-ordered, DV evidence intact") {
+    val root = Files.createTempDirectory("graft_spj_rfo").toString
+    val parts = Seq("P0", "P1", "a/b")
+    // wide enough that the FACT never broadcasts under the 50 KB
+    // threshold below (a broadcast fact would become the build side and
+    // the join would discard its reported ordering)
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0 until 42000).map(i =>
+        (i.toLong, i * 7L, s"pay-$i-${"x" * 24}", parts(i % 3)))
+        .toDF("k", "v", "payload", "p"),
+      "p")
+    // sort provenance (2 files/dir → multi-file coalesced splits), then
+    // a scattered MoR delete so the DV-served leg is exercised too
+    Compaction.recluster(spark, root, Seq("v"), filesPerDir = 2)
+    Deletes.deleteWhereMoR(spark, root, col("k") % 11 === 0L)
+    withSQLConf(SpjConfs: _*) {
+      val rel = new GraftRelation(spark, root, new PosixManifestStore(root), None)
+      val scan = GraftBatchScan.eligibleScan(rel, rel.schema, Array.empty)
+        .getOrElse(fail("bitmap evidence must keep the face"))
+      val claim = scan.outputOrdering()
+      assert(claim.length === 2, s"expected [p, v] claim: ${claim.mkString(",")}")
+      val before = scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftFileSplit])
+      assert(before.length === 3 && before.forall(_.files.length >= 2),
+        "multi-file coalesced splits expected")
+      assert(before.exists(_.files.exists(_.dv.isDefined)),
+        "the delete must have marked some file")
+
+      // a runtime partition filter arrives (the DPP delivery shape):
+      // the re-planned splits are a SUBSET — still one per surviving
+      // key, files still in name order (the order the claim was
+      // verified in), marked files still carrying their bitmaps — so
+      // the construction-time ordering claim stays sound through
+      // execution-time pruning
+      scan.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("p", Array("P0", "a/b"))))
+      val after = scan.planInputPartitions()
+        .map(_.asInstanceOf[graft.sources.GraftFileSplit])
+      assert(after.length === 2, s"2 surviving keys: ${after.length}")
+      val beforeByKey = before.map(s => s.key.toString -> s).toMap
+      after.foreach { s =>
+        assert(s.files.map(_.path) === s.files.map(_.path).sortBy(
+          p => p.substring(p.lastIndexOf('/') + 1)),
+          "coalesced files must stay in file-name order")
+        val orig = beforeByKey(s.key.toString)
+        assert(s.files.map(_.path).toSet.subsetOf(orig.files.map(_.path).toSet),
+          "runtime pruning may only remove files")
+        s.files.foreach(f => assert(
+          f.dv.isDefined === orig.files.find(_.path == f.path).get.dv.isDefined,
+          "delete evidence must survive the re-plan"))
+      }
+      assert(scan.outputOrdering().map(_.toString).toSeq ===
+        claim.map(_.toString).toSeq,
+        "the ordering claim must be unchanged by runtime filters")
+    }
+
+    // end-to-end: a DPP-pruned scan still serves the window SORT-FREE —
+    // the broadcast join preserves the streamed side's reported order,
+    // and runtime pruning only shrank per-key file lists
+    val dimPath = Files.createTempDirectory("graft_spj_rfod").toString + "/dim"
+    parts.map(p => (p, if (p == "P0" || p == "a/b") 1 else 0))
+      .toDF("p2", "sel").write.parquet(dimPath)
+    spark.read.parquet(dimPath).createOrReplaceTempView("spj_rfo_dim")
+    register("spj_rfo", root)
+    try {
+      val q =
+        """SELECT f.k, f.v, f.p, row_number()
+          |  OVER (PARTITION BY f.p ORDER BY f.v) AS rn
+          |FROM graft.spj_rfo f JOIN spj_rfo_dim d ON f.p = d.p2
+          |WHERE d.sel = 1""".stripMargin
+      val expectRows = rowsOf(spark.sql(q))
+      val (got, plan) = withSQLConf(SpjConfs ++ Seq(
+        "spark.graft.runtimeFilter.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "51200",
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false"): _*) {
+        GraftScanProbe.reset(root)
+        val d = spark.sql(q); (rowsOf(d), executed(d))
+      }
+      assert(got === expectRows, "DPP-pruned windowed read diverged")
+      assert(sorts(plan) === 0,
+        s"the ordering claim must survive DPP file pruning\n$plan")
+      assert(GraftScanProbe.entriesSeen(root).last === 2,
+        s"DPP must have pruned the executed scan: " +
+          s"${GraftScanProbe.entriesSeen(root)}")
+    } finally unregister("spj_rfo")
+  }
+
   test("recluster's proven sort order eliminates the window sort on the batch face") {
     val root = Files.createTempDirectory("graft_spj_so").toString
     val parts = Seq("P0", "P1", "a/b")
