@@ -274,6 +274,7 @@ final case class DescribeDetailGraftTable(ident: String)
     AttributeReference("format", StringType, nullable = false)(),
     AttributeReference("location", StringType, nullable = false)(),
     AttributeReference("partition_col", StringType, nullable = false)(),
+    AttributeReference("partition_spec", StringType, nullable = true)(),
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("committed_at", StringType, nullable = true)(),
     AttributeReference("num_partitions", LongType, nullable = false)(),
@@ -348,7 +349,12 @@ final case class DescribeDetailGraftTable(ident: String)
         val parts = pairs.map(_._2).toSet
         AtomicCommit.readEqs(root, g).count(e => parts(e.partition)).toLong
       }.sum
-    Seq(Row("graft", root, m.partitionCol, m.version, when,
+    // the hidden-partitioning transform behind the derived partition
+    // column (days(ts), bucket(16,k), …) — what the batch face reports
+    // as its key grouping; null for identity-partitioned tables
+    val spec = graft.sources.HiddenPartitioning.specOf(m)
+      .map(_.render).orNull
+    Seq(Row("graft", root, m.partitionCol, spec, m.version, when,
       m.entries.size.toLong, files, TableStats.sizeInBytes(root, m),
       gens.length.toLong, orNull(cons), orNull(renamed), orNull(dropped),
       orNull(widened), orNull(added), sortOrder,

@@ -465,6 +465,20 @@ object GraftBatchScan {
   val AutoMaterializeConf = "spark.graft.batchScan.autoMaterialize.maxRecords"
   private val AutoMaterializeDefault = 65536L
 
+  /** The second, byte-denominated bound on qualification-demand
+    * materialization: the marked partitions' live data footprint (from
+    * the stats sidecars — driver metadata, no I/O) must fit this, or
+    * the policy refuses and the scan falls back to V1. The key-count
+    * cap bounds the RECORD set; this bounds what the resolution
+    * actually READS — on a bloom-less table a 2-key takedown marks
+    * every partition, and at 100 TB "resolve it during planning" must
+    * not mean "scan the table during planning". The footprint comes
+    * from [[TableStats.partitionBytes]] (a cached directory-size walk —
+    * listing metadata, never data reads).
+    */
+  val AutoMaterializeBytesConf = "spark.graft.batchScan.autoMaterialize.maxBytes"
+  private val AutoMaterializeBytesDefault = 16L * 1024 * 1024 * 1024
+
   /** The batch face, when the snapshot qualifies: opted in, no
     * logical-view mapping state (rename/drop/widen), no pending
     * ALTER-added backfill, every owner generation sharing one footer
@@ -534,10 +548,18 @@ object GraftBatchScan {
       AtomicCommit.widenedOf(m).nonEmpty) return false
     if (m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty))
       return false
+    val byteCap = Try(spark.sessionState.conf
+        .getConfString(AutoMaterializeBytesConf,
+          AutoMaterializeBytesDefault.toString).toLong).getOrElse(0L)
     Try {
       val ev = AtomicCommit.deleteEvidence(spark, relation.root, m)
       ev.eqs.nonEmpty && ev.positions.isEmpty &&
-        ev.eqs.iterator.map(_.values.size.toLong).sum <= cap &&
+        ev.eqs.iterator.map(_.values.size.toLong).sum <= cap && {
+          // what the resolution will READ: the marked partitions' live
+          // bytes (sidecar metadata only) — bounded or refused
+          val marked = ev.eqs.map(_.partition).toSet
+          TableStats.sizeInBytes(relation.root, m, marked) <= byteCap
+        } &&
         Deletes.materializeEqDeletes(spark, relation.root,
           relation.store).nonEmpty
     }.getOrElse(false)

@@ -271,6 +271,8 @@ class GraftSqlParserSpec extends SparkSpec {
       assert(r.getAs[String]("format") === "graft")
       assert(r.getAs[String]("location") === root)
       assert(r.getAs[String]("partition_col") === "p")
+      assert(r.getAs[String]("partition_spec") == null,
+        "identity-partitioned tables carry no transform spec")
       assert(r.getAs[Long]("version") ===
         AtomicCommit.readManifest(root).get.version)
       assert(r.getAs[String]("committed_at") != null)
@@ -325,6 +327,19 @@ class GraftSqlParserSpec extends SparkSpec {
         Seq((100L, 1L, "0")).toDF("k", "v", "p"), "p")
       assert(detail().getAs[String]("sort_order") == null)
     } finally spark.conf.unset("spark.graft.table.dd2")
+  }
+
+  test("DESCRIBE DETAIL reports the hidden-partitioning transform spec") {
+    val root = Files.createTempDirectory("graft_sqldd_spec").toString
+    graft.sources.HiddenPartitioning.commitReplace(spark, root,
+      (0 until 20).map(i => (i.toLong, s"v$i")).toDF("k", "s"),
+      graft.sources.HiddenPartitioning.Bucket(4, "k"))
+    spark.conf.set("spark.graft.table.ddspec", root)
+    try {
+      val r = spark.sql("DESCRIBE DETAIL graft.ddspec").collect().head
+      assert(r.getAs[String]("partition_col") === "k_bucket")
+      assert(r.getAs[String]("partition_spec") === "bucket(4,k)")
+    } finally spark.conf.unset("spark.graft.table.ddspec")
   }
 
   test("DESCRIBE DETAIL num_files counts LIVE files only (superseded partition dirs excluded)") {

@@ -470,6 +470,33 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         assert(withSQLConf(SpjConfs: _*)(rowsOf(spark.sql(q))) === base, q)
       }
 
+      // shuffle-ONE-side mode: joined to a plain (non-graft) view,
+      // Spark may shuffle only the plain side INTO the days layout —
+      // which EVALUATES GraftTimeTransformBound.produceResult, proving
+      // the hand-rolled micros→UTC rendering byte-equals the write
+      // side's date_format derivation end-to-end (a mismatch would
+      // silently lose matches; the row parity IS the proof)
+      val plain = (0 until 40 by 2).map { i =>
+        (ts(f"2024-03-${i % 4 + 1}%02d 0${i % 9}:15:0${i % 6}"), s"p$i")
+      }.toDF("ts2", "tag")
+      plain.createOrReplaceTempView("spj_tt_plain")
+      val mixed =
+        """SELECT a.k, p.tag FROM graft.spj_ta a
+          |JOIN spj_tt_plain p ON a.ts = p.ts2""".stripMargin
+      val mixedOff = rowsOf(spark.sql(mixed))
+      assert(mixedOff.nonEmpty)
+      val (mixedOn, mixedPlan) = withSQLConf(SpjConfs ++ Seq(
+        "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true"): _*) {
+        val d = spark.sql(mixed); (rowsOf(d), executed(d))
+      }
+      assert(mixedOn === mixedOff, "one-side-shuffled days join lost rows")
+      val factShuffled = nodes(mixedPlan).exists {
+        case s: ShuffleExchangeExec => nodes(s).exists(_.isInstanceOf[BatchScanExec])
+        case _ => false
+      }
+      assert(!factShuffled,
+        s"the days-partitioned side must never shuffle\n$mixedPlan")
+
       // TRUNCATE-transform SPJ: prefix layouts with ESCAPE-needing
       // values ("a/b…" dirs into a%2Fb) join on the raw string
       val rootC = Files.createTempDirectory("graft_spj_tra").toString
@@ -716,6 +743,20 @@ class StoragePartitionedJoinSpec extends SparkSpec {
         s"an over-budget record set must keep the V1 fallback\n$plan2")
       assert(AtomicCommit.readManifest(root).get.version === v3,
         "a refused policy must not commit")
+
+      // byte-denominated refusal: even a tiny record set refuses when
+      // the marked partitions' live footprint exceeds the byte cap —
+      // "resolve during planning" must never mean "scan the table
+      // during planning"
+      val (gotB, planB) = withSQLConf(BatchOn,
+        GraftBatchScan.AutoMaterializeBytesConf -> "1") {
+        val d = spark.sql(q); (rowsOf(d), executed(d))
+      }
+      assert(gotB === expect2)
+      assert(batchScans(planB) === 0,
+        s"an over-footprint resolution must keep the V1 fallback\n$planB")
+      assert(AtomicCommit.readManifest(root).get.version === v3,
+        "a byte-refused policy must not commit")
 
       // a pinned time-travel read never triggers the policy (healing an
       // old view would commit on the current table): V1 fallback, and
