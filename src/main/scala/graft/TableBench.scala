@@ -907,6 +907,31 @@ object TableBench {
       require((0 until 3).forall(i => ttOn.getLong(i) == ttOff.getLong(i)),
         s"days SPJ changed the answer: $ttOn vs $ttOff")
       println(s"[tablebench] days-spj A/B rows=${ttOn.getLong(0)}")
+
+      // r18d: SORTED-DAYS — event-time sidecars (r18) make recluster
+      // provenance on ts verifiable, so after one recluster per side
+      // the days faces claim [ts ASC] and the same timestamp join
+      // plans zero-exchange AND zero-sort (the sorted-bucket win on
+      // the time layout — the shape every event-correlation join has)
+      timed("recluster both days tables on ts (sort provenance)") {
+        graft.sources.Compaction.recluster(spark, rootT1, Seq("ts"),
+          filesPerDir = 2)
+        graft.sources.Compaction.recluster(spark, rootT2, Seq("ts"),
+          filesPerDir = 2)
+      }
+      val dTs = spark.sql(qt)
+      val ttSorted = timed("co-days ts join, sorted-days face") {
+        dTs.head()
+      }
+      val planTs = dTs.queryExecution.executedPlan.toString
+      require(!planTs.contains("Exchange hashpartitioning"),
+        s"the sorted-days join must not shuffle:\n${planTs.take(1500)}")
+      require(!planTs.contains("Sort ["),
+        s"recluster's [ts ASC] provenance must serve the days join " +
+          s"sort-free:\n${planTs.take(1500)}")
+      require((0 until 3).forall(i => ttSorted.getLong(i) == ttOff.getLong(i)),
+        s"sorted-days SPJ changed the answer: $ttSorted vs $ttOff")
+      println(s"[tablebench] sorted-days-spj A/B rows=${ttSorted.getLong(0)}")
       spark.conf.unset("spark.graft.table.tts1")
       spark.conf.unset("spark.graft.table.tts2")
       spark.conf.unset("spark.graft.table.bkf")

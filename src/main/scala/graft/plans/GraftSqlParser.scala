@@ -386,13 +386,14 @@ final case class AnalyzeGraftTable(ident: String,
     AttributeReference("max", StringType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
     val (root, store, _) = GraftSqlParser.resolve(spark, ident)
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"graft: ANALYZE needs a committed table at $root"))
     val schema = AtomicCommit.scanManifest(spark, root, m).schema
     def supported(n: String): Boolean = schema.find(_.name == n).exists(f =>
-      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType)
+      f.dataType.isInstanceOf[NumericType] || f.dataType == StringType ||
+        f.dataType == TimestampType || f.dataType == DateType)
     val cols = colsOpt match {
       case Some(cs) =>
         cs.foreach { c =>

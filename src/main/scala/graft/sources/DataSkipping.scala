@@ -155,9 +155,21 @@ object DataSkipping {
         sys.error(s"stats column $c not in generation schema")) match {
         case f if f.dataType.isInstanceOf[NumericType] => c -> "num"
         case f if f.dataType == StringType => c -> "str"
+        // EVENT-TIME EVIDENCE: timestamps record as epoch MICROS and
+        // dates as epoch DAYS — numeric kinds with a time unit, so a
+        // retention predicate (`ts < cutoff`) prunes partitions and
+        // files exactly like a numeric range, and recluster provenance
+        // on an event-time column verifies (sorted-days layouts serve
+        // windows and merge joins sort-free). unix_micros/unix_date are
+        // timezone-free (instant arithmetic), so the recorded bounds
+        // never depend on writer session time
+        case f if f.dataType == org.apache.spark.sql.types.TimestampType =>
+          c -> "tsn"
+        case f if f.dataType == org.apache.spark.sql.types.DateType =>
+          c -> "dtn"
         case f => sys.error(
           s"stats column $c has unsupported type ${f.dataType.simpleString} " +
-            "(numeric and string columns only)")
+            "(numeric, string, timestamp, and date columns only)")
       }
     }.toMap
     // exact-summable types aggregate their sum as DECIMAL in the same
@@ -167,8 +179,16 @@ object DataSkipping {
     val sumCast: Map[String, Option[String]] = cols.map { c =>
       c -> sumCastTypeOf(data.schema.find(_.name == c).get.dataType)
     }.toMap
+    // min/max of the time kinds aggregate in their EPOCH unit (min of
+    // micros = micros of min — the mapping is monotone); other kinds
+    // aggregate the raw column
+    def statCol(c: String) = kinds(c) match {
+      case "tsn" => unix_micros(col(c))
+      case "dtn" => unix_date(col(c))
+      case _ => col(c)
+    }
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
-      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      min(statCol(c)).as(s"__min_$c"), max(statCol(c)).as(s"__max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
       // HyperLogLog++ NDV per slice (same one-job pass): the planner's
       // selectivity evidence — ~2% relative error, summed upward by
@@ -408,7 +428,7 @@ object DataSkipping {
                       fs: Seq[ColStats]): ColStats = {
     def pick(vals: Seq[String], takeMin: Boolean): Option[String] =
       if (vals.isEmpty) None
-      else if (kind == "num")
+      else if (numericKind(kind))
         try {
           val sorted = vals.sortBy(new BigDecimal(_))
           Some(if (takeMin) sorted.head else sorted.last)
@@ -869,13 +889,15 @@ object DataSkipping {
     (s.min, s.max) match {
       case (None, None) => true // all-null: zero matching rows either way
       case (Some(mn), Some(mx)) =>
-        if (s.kind == "num")
-          try {
-            val lo = new BigDecimal(lower.toString)
-            val hi = new BigDecimal(upper.toString)
-            new BigDecimal(mn).compareTo(lo) >= 0 &&
-              new BigDecimal(mx).compareTo(hi) <= 0
-          } catch { case _: NumberFormatException => false }
+        if (numericKind(s.kind))
+          (numericProbe(s.kind, lower), numericProbe(s.kind, upper)) match {
+            case (Some(lo), Some(hi)) =>
+              try {
+                new BigDecimal(mn).compareTo(lo) >= 0 &&
+                  new BigDecimal(mx).compareTo(hi) <= 0
+              } catch { case _: NumberFormatException => false }
+            case _ => false // unmappable probe: no containment evidence
+          }
         else
           cpCompare(mn, lower.toString) >= 0 && cpCompare(mx, upper.toString) <= 0
       case _ => false // half-recorded — no containment evidence
@@ -1172,19 +1194,64 @@ object DataSkipping {
     * cannot (a between predicate never matches null), and a recorded
     * interval strictly outside the bounds cannot.
     */
+  /** Kinds whose recorded bounds compare as exact decimals: plain
+    * numerics, and the time kinds — timestamps as epoch micros ("tsn"),
+    * dates as epoch days ("dtn"). Pre-r18 sidecars only ever carry
+    * "num"/"str", so old evidence reads back unchanged.
+    */
+  private[sources] def numericKind(kind: String): Boolean =
+    kind == "num" || kind == "tsn" || kind == "dtn"
+
+  /** A probe value normalized into the record kind's numeric unit:
+    * plain values parse as decimals under "num"; time probes map to the
+    * kind's epoch unit (micros for "tsn", days for "dtn"; date-only
+    * probes promote at UTC midnight, matching the unix_micros/unix_date
+    * recording). None = unmappable — no evidence, the caller keeps the
+    * slice (scan), never guesses.
+    */
+  private[sources] def numericProbe(kind: String, v: Any): Option[BigDecimal] = {
+    if (v == null) return None
+    if (kind == "num")
+      return scala.util.Try(new BigDecimal(String.valueOf(v))).toOption
+    val inst: Option[java.time.Instant] = v match {
+      case t: java.sql.Timestamp => Some(t.toInstant)
+      case d: java.sql.Date =>
+        Some(d.toLocalDate.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+      case d: java.time.LocalDate =>
+        Some(d.atStartOfDay(java.time.ZoneOffset.UTC).toInstant)
+      case i: java.time.Instant => Some(i)
+      case d: java.time.LocalDateTime =>
+        Some(d.toInstant(java.time.ZoneOffset.UTC))
+      case n: java.lang.Number => // already in the record's own unit
+        return scala.util.Try(new BigDecimal(n.toString)).toOption
+      case _ => None
+    }
+    kind match {
+      case "tsn" => inst.map(i =>
+        new BigDecimal(i.getEpochSecond).multiply(new BigDecimal(1000000L))
+          .add(new BigDecimal(i.getNano / 1000)))
+      case "dtn" => inst.map(i =>
+        new BigDecimal(java.lang.Math.floorDiv(i.getEpochSecond, 86400L)))
+      case _ => None
+    }
+  }
+
   private def intersects(s: ColStats, lower: Any, upper: Any): Boolean =
     (s.min, s.max) match {
       case (None, None) => s.rows == 0 // all-null ⇒ no match possible
       case (Some(mn), Some(mx)) =>
-        if (s.kind == "num") {
+        if (numericKind(s.kind)) {
           // NaN/Infinity bounds (a double column holding them) are not
-          // decimals — no usable evidence, keep the partition
-          try {
-            val lo = new BigDecimal(lower.toString)
-            val hi = new BigDecimal(upper.toString)
-            new BigDecimal(mx).compareTo(lo) >= 0 &&
-              new BigDecimal(mn).compareTo(hi) <= 0
-          } catch { case _: NumberFormatException => true }
+          // decimals — no usable evidence, keep the partition; an
+          // unmappable time probe likewise keeps it
+          (numericProbe(s.kind, lower), numericProbe(s.kind, upper)) match {
+            case (Some(lo), Some(hi)) =>
+              try {
+                new BigDecimal(mx).compareTo(lo) >= 0 &&
+                  new BigDecimal(mn).compareTo(hi) <= 0
+              } catch { case _: NumberFormatException => true }
+            case _ => true
+          }
         } else {
           cpCompare(mx, lower.toString) >= 0 && cpCompare(mn, upper.toString) <= 0
         }
@@ -1198,6 +1265,15 @@ object DataSkipping {
   private[sources] def looseCompare(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Number, y: java.lang.Number) =>
       new BigDecimal(x.toString).compareTo(new BigDecimal(y.toString))
+    // time literals order chronologically, never by rendering (a
+    // session-timezone toString could mis-fold two bounds on one
+    // column); java.sql.Timestamp extends java.util.Date, so mixed
+    // date/timestamp bounds compare at millis — ties pick either pushed
+    // bound, both of which are valid conjuncts (sound for pruning)
+    case (x: java.util.Date, y: java.util.Date) =>
+      java.lang.Long.compare(x.getTime, y.getTime)
+    case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
     case _ => cpCompare(String.valueOf(a), String.valueOf(b))
   }
 
@@ -1209,7 +1285,7 @@ object DataSkipping {
     * partition really cover non-interleaved key ranges.
     */
   private[sources] def boundLeq(kind: String, a: String, b: String): Boolean =
-    if (kind == "num")
+    if (numericKind(kind))
       try new BigDecimal(a).compareTo(new BigDecimal(b)) <= 0
       catch { case _: NumberFormatException => false }
     else cpCompare(a, b) <= 0

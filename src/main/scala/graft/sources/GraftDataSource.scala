@@ -814,7 +814,7 @@ final class GraftRelation(spark: SparkSession, val root: String,
         .filter(_.file.isEmpty).map(s => (s.partition, s.col) -> s).toMap)
         .toMap
     def kindCompare(kind: String, a: String, b: String): Int =
-      if (kind == "num")
+      if (DataSkipping.numericKind(kind)) // num + epoch-unit time kinds
         new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
       else DataSkipping.cpCompare(a, b)
     // evidence per (partition, col): Some((nulls, minOpt, maxOpt, kind))
@@ -847,6 +847,12 @@ final class GraftRelation(spark: SparkSession, val root: String,
         case d: DecimalType => new java.math.BigDecimal(v)
           .setScale(d.scale): java.math.BigDecimal
         case StringType => v
+        // time kinds recorded in their epoch units ("tsn" micros /
+        // "dtn" days): `SELECT min(ts), max(ts)` answers scan-free
+        case TimestampType => org.apache.spark.sql.catalyst.util
+          .DateTimeUtils.toJavaTimestamp(v.toLong)
+        case DateType => java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(v.toLong))
         case other => sys.error(s"unsupported aggregate type $other")
       }
     }
