@@ -737,7 +737,16 @@ final class GraftRelation(spark: SparkSession, val root: String,
     val (lows, highs) = foldBounds(filters, pc)
     (lows.keySet & highs.keySet)
       .filterNot(c => eqCols.contains(c) || c == pc).foreach { c =>
-        for (lo <- bd(lows(c)); hi <- bd(highs(c))) {
+        // probes normalize into the RECORD's unit under the column's
+        // sidecar kind (epoch micros/days for time columns) — so a
+        // retention-window predicate prices like any numeric range and
+        // a small window broadcasts its slice. No evidence ⇒ "num",
+        // which reproduces the plain-decimal behavior exactly
+        val kind = TableStats.columnStats(root, m, c, parts)
+          .map(_.kind).getOrElse("num")
+        def nbd(v: Any): Option[java.math.BigDecimal] =
+          DataSkipping.numericProbe(kind, v)
+        for (lo <- nbd(lows(c)); hi <- nbd(highs(c))) {
           // equi-depth histogram first (per-slice, skew-honest); only
           // evidence-less tables fall back to uniform interpolation of
           // the column's [min, max] envelope

@@ -144,9 +144,15 @@ object TableStats {
     * an ndv-annotated record for the column (pre-r15 sidecars lack the
     * field): estimates never guess over missing evidence.
     */
+  /** `kind` is the sidecar record kind ("num"/"str"/"tsn"/"dtn") — the
+    * numeric bounds of the TIME kinds are in their epoch units, and a
+    * caller pricing a probe against them must normalize it with
+    * [[DataSkipping.numericProbe]] under this kind.
+    */
   final case class ColumnStats(rows: Long, nonNull: Long, ndv: Long,
                                numMin: Option[java.math.BigDecimal],
-                               numMax: Option[java.math.BigDecimal])
+                               numMax: Option[java.math.BigDecimal],
+                               kind: String = "num")
 
   private val colCache = new java.util.concurrent.ConcurrentHashMap[
     (Key, String, Set[String]), Option[ColumnStats]]()
@@ -178,12 +184,17 @@ object TableStats {
     val ndv = math.min(rs.flatMap(_.ndv).sum, math.max(1L, nonNull))
     def bd(o: Option[String]): Option[java.math.BigDecimal] =
       o.flatMap(v => scala.util.Try(new java.math.BigDecimal(v)).toOption)
-    val numeric = rs.forall(_.kind == "num")
+    // one uniform kind required for usable bounds (mixed kinds across
+    // generations — a type rewrite mid-history — prove nothing)
+    val kind = rs.head.kind
+    val numeric = rs.forall(r => r.kind == kind) &&
+      DataSkipping.numericKind(kind)
     val mins = rs.flatMap(r => bd(r.min))
     val maxs = rs.flatMap(r => bd(r.max))
     Some(ColumnStats(rows, nonNull, ndv,
       if (numeric && mins.nonEmpty) Some(mins.min) else None,
-      if (numeric && maxs.nonEmpty) Some(maxs.max) else None))
+      if (numeric && maxs.nonEmpty) Some(maxs.max) else None,
+      kind))
   }
 
   // ---- equi-depth histogram selectivity ([[DataSkipping.analyze]]'s

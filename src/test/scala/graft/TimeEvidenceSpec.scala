@@ -124,6 +124,51 @@ class TimeEvidenceSpec extends SparkSpec {
         s"${after.inputFiles.length} of ${Compaction.countDataFiles(root)}")
   }
 
+  test("a time-range predicate prices its true selectivity (retention windows broadcast their slice)") {
+    val root = Files.createTempDirectory("graft_time_sel").toString
+    // 1000 rows uniform over 10 days, partitions NOT time-correlated —
+    // partition pruning removes nothing, so the estimate below must
+    // come from the envelope interpolation in epoch units
+    DataSkipping.commitWithStats(spark, root,
+      (0 until 1000).map { i =>
+        (i.toLong, ts(f"2024-08-${i % 10 + 1}%02d ${i % 24}%02d:00:00"),
+          s"P${i % 4}")
+      }.toDF("k", "ts", "p"), "p", Seq("ts"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.tsel", root)
+    try {
+      def scanRows(sql: String): Long = {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan
+        val scans = plan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan
+        }
+        assert(scans.nonEmpty, s"no v2 scan in:\n$plan")
+        (scans.head match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+            w.v1Scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+              .estimateStatistics()
+          case s =>
+            s.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+              .estimateStatistics()
+        }).numRows.getAsLong
+      }
+      // a ~1-day window of a 10-day table: actual 100 of 1000 — the
+      // epoch-unit interpolation must price it near that, not at the
+      // whole table (which is what an unparseable time probe left)
+      val window = scanRows(
+        "SELECT * FROM graft.tsel WHERE ts >= timestamp'2024-08-03 00:00:00' " +
+          "AND ts <= timestamp'2024-08-03 23:59:59'")
+      assert(window >= 30L && window <= 300L,
+        s"1-of-10-days window priced at $window rows (actual 100)")
+      val all = scanRows("SELECT * FROM graft.tsel")
+      assert(all === 1000L)
+    } finally {
+      spark.conf.unset("spark.graft.table.tsel")
+      spark.conf.unset("spark.sql.catalog.graft")
+    }
+  }
+
   test("sorted-days: reclustered co-days tables join on ts with zero shuffles AND zero sorts") {
     val rootA = Files.createTempDirectory("graft_time_sda").toString
     val rootB = Files.createTempDirectory("graft_time_sdb").toString
