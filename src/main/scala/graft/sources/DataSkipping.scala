@@ -1267,11 +1267,18 @@ object DataSkipping {
       new BigDecimal(x.toString).compareTo(new BigDecimal(y.toString))
     // time literals order chronologically, never by rendering (a
     // session-timezone toString could mis-fold two bounds on one
-    // column); java.sql.Timestamp extends java.util.Date, so mixed
-    // date/timestamp bounds compare at millis — ties pick either pushed
-    // bound, both of which are valid conjuncts (sound for pruning)
+    // column) — and at FULL precision via Instant: a millis-only
+    // compare (getTime) would tie sub-millisecond timestamps, and
+    // [[valueBounds]] built on a tied compare could pick an envelope
+    // that excludes a matching partition (silent row loss under large
+    // runtime key sets). Timestamp.toInstant carries nanos; a plain
+    // java.util.Date is millis-exact by construction.
     case (x: java.util.Date, y: java.util.Date) =>
-      java.lang.Long.compare(x.getTime, y.getTime)
+      def inst(d: java.util.Date): java.time.Instant = d match {
+        case t: java.sql.Timestamp => t.toInstant
+        case o => java.time.Instant.ofEpochMilli(o.getTime)
+      }
+      inst(x).compareTo(inst(y))
     case (x: java.time.Instant, y: java.time.Instant) => x.compareTo(y)
     case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
     case _ => cpCompare(String.valueOf(a), String.valueOf(b))

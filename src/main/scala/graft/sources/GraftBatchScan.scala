@@ -98,9 +98,17 @@ final class GraftBatchScan private[graft] (
     * partition) — the write path's invariant; a hand-written layout
     * that violates it falls back to the identity report, never to a
     * wrong grouping.
+    *
+    * The IDENTITY face wins whenever the derived partition column
+    * itself is projected: a query that touches `ts_day`/`k_bucket`
+    * explicitly (day-grain rollup joins, `PARTITION BY ts_day` windows)
+    * keeps the identity grouping and `[pc ASC]` ordering it always had —
+    * the transform report serves exactly the queries where the derived
+    * column never appears, which is the hidden-partitioning contract.
     */
   private val transformFace: Option[HiddenPartitioning.Spec] =
-    relation.snapshotOpt().flatMap { m =>
+    if (pcRequired) None
+    else relation.snapshotOpt().flatMap { m =>
       HiddenPartitioning.specOf(m)
         .filter(spec => requiredData.fieldNames.contains(spec.source) &&
           m.entries.keys.forall(pv =>
@@ -496,27 +504,40 @@ object GraftBatchScan {
     if (spark.sessionState.conf.getConfString(EnabledConf, "false") != "true")
       return None
     relation.snapshotOpt().flatMap { m =>
-      qualify(relation, m, required, filters).orElse {
-        if (autoMaterialize(relation, m))
+      // the snapshot's delete evidence, computed AT MOST ONCE per
+      // planning: qualification consumes it, and on an equality-shaped
+      // rejection the self-heal policy reuses the same reading instead
+      // of re-walking the vector sidecars. None = the snapshot holds NO
+      // vectors (zero evidence I/O); an unreadable evidence state stays
+      // a LOUD failure, exactly as before — silently qualifying without
+      // deletes would resurrect rows
+      def evidenceOf(mm: AtomicCommit.Manifest)
+          : Option[AtomicCommit.DeleteEvidence] =
+        if (mm.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty)) None
+        else Some(AtomicCommit.deleteEvidence(spark, relation.root, mm))
+      val ev0 = evidenceOf(m)
+      qualify(relation, m, required, filters, ev0).orElse {
+        if (autoMaterialize(relation, m, ev0))
           // the commit advanced the table: re-resolve and re-qualify
           // against the CURRENT snapshot (the healed one — or whatever
           // a racing writer published, which must re-gate honestly)
-          relation.snapshotOpt()
-            .flatMap(m2 => qualify(relation, m2, required, filters))
+          relation.snapshotOpt().flatMap(m2 =>
+            qualify(relation, m2, required, filters, evidenceOf(m2)))
         else None
       }
     }
   }
 
   private def qualify(relation: GraftRelation, m: AtomicCommit.Manifest,
-                      required: StructType,
-                      filters: Array[Filter]): Option[GraftBatchScan] = {
+                      required: StructType, filters: Array[Filter],
+                      evOpt: Option[AtomicCommit.DeleteEvidence])
+      : Option[GraftBatchScan] = {
     val clean = AtomicCommit.renamesOf(m).isEmpty &&
       AtomicCommit.droppedOf(m).isEmpty &&
       AtomicCommit.widenedOf(m).isEmpty
     if (!clean) None
     else for {
-      bitmaps <- deleteBitmaps(relation, m)
+      bitmaps <- deleteBitmaps(evOpt)
       ds <- uniformFooterSchema(relation, m)
     } yield new GraftBatchScan(relation, withAdded(ds, m), required,
       filters, bitmaps)
@@ -527,17 +548,21 @@ object GraftBatchScan {
     * only when (a) the policy is enabled and the read is not a pinned
     * time-travel/tag snapshot (materialization commits on the CURRENT
     * table — healing an old view would be wrong twice over), (b) the
-    * snapshot would qualify but for equality records — mapping state or
-    * anti-join-only position vectors reject as before (materialization
-    * can't heal those alone), and (c) the outstanding key count fits
-    * the conf budget, bounding the planning-time job at two passes over
-    * the bloom-narrowed marked partitions. Failures — including a
-    * concurrent commit racing the materialization ([[AtomicCommit
-    * .PartitionConflictException]]) — degrade to the V1 fallback for
-    * THIS query; the next planning retries.
+    * snapshot would qualify but for equality records — mapping state,
+    * anti-join-only position vectors, AND non-uniform footer schemas
+    * reject as before (materialization can't heal those, and a commit
+    * that cannot re-qualify the face would burn a version for nothing),
+    * and (c) the outstanding key count and the marked partitions' byte
+    * footprint fit the conf budgets, bounding the planning-time job at
+    * two passes over the narrowed marked partitions. Failures —
+    * including a concurrent commit racing the materialization
+    * ([[AtomicCommit.PartitionConflictException]]) — degrade to the V1
+    * fallback for THIS query; the next planning retries.
     */
   private def autoMaterialize(relation: GraftRelation,
-                              m: AtomicCommit.Manifest): Boolean = {
+                              m: AtomicCommit.Manifest,
+                              evOpt: Option[AtomicCommit.DeleteEvidence])
+      : Boolean = {
     val spark = relation.session
     val cap = Try(spark.sessionState.conf
         .getConfString(AutoMaterializeConf, AutoMaterializeDefault.toString)
@@ -546,22 +571,26 @@ object GraftBatchScan {
     if (AtomicCommit.renamesOf(m).nonEmpty ||
       AtomicCommit.droppedOf(m).nonEmpty ||
       AtomicCommit.widenedOf(m).nonEmpty) return false
-    if (m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty))
-      return false
+    // the footer gate qualify enforces: a snapshot that would STILL be
+    // rejected after the heal must not pay (or conflict-risk) a commit.
+    // uniformFooterSchema is memoized per (root, generation set) — the
+    // qualify call above already computed it
+    if (uniformFooterSchema(relation, m).isEmpty) return false
     val byteCap = Try(spark.sessionState.conf
         .getConfString(AutoMaterializeBytesConf,
           AutoMaterializeBytesDefault.toString).toLong).getOrElse(0L)
     Try {
-      val ev = AtomicCommit.deleteEvidence(spark, relation.root, m)
-      ev.eqs.nonEmpty && ev.positions.isEmpty &&
-        ev.eqs.iterator.map(_.values.size.toLong).sum <= cap && {
-          // what the resolution will READ: the marked partitions' live
-          // bytes (sidecar metadata only) — bounded or refused
-          val marked = ev.eqs.map(_.partition).toSet
-          TableStats.sizeInBytes(relation.root, m, marked) <= byteCap
-        } &&
-        Deletes.materializeEqDeletes(spark, relation.root,
-          relation.store).nonEmpty
+      evOpt.exists { ev =>
+        ev.eqs.nonEmpty && ev.positions.isEmpty &&
+          ev.eqs.iterator.map(_.values.size.toLong).sum <= cap && {
+            // what the resolution will READ: the marked partitions' live
+            // bytes (sidecar metadata only) — bounded or refused
+            val marked = ev.eqs.map(_.partition).toSet
+            TableStats.sizeInBytes(relation.root, m, marked) <= byteCap
+          } &&
+          Deletes.materializeEqDeletes(spark, relation.root,
+            relation.store).nonEmpty
+      }
     }.getOrElse(false)
   }
 
@@ -603,15 +632,13 @@ object GraftBatchScan {
     * overflows the bitmap budget (only the anti-join frame can apply
     * it) — the V1 composition handles all of those.
     */
-  private def deleteBitmaps(relation: GraftRelation, m: AtomicCommit.Manifest)
+  private def deleteBitmaps(evOpt: Option[AtomicCommit.DeleteEvidence])
       : Option[Map[String, Map[(UTF8String, UTF8String), DvBitmap.Bitmap]]] =
-    if (m.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty))
-      Some(Map.empty)
-    else {
-      val ev = AtomicCommit.deleteEvidence(relation.session, relation.root, m)
-      if (ev.eqs.isEmpty && ev.positions.isEmpty)
+    evOpt match {
+      case None => Some(Map.empty) // no vectors at all: zero evidence I/O
+      case Some(ev) if ev.eqs.isEmpty && ev.positions.isEmpty =>
         Some(ev.bitmaps.getOrElse(Map.empty))
-      else None
+      case _ => None
     }
 
   /** ALTER-added columns no footer carries yet ([[AtomicCommit

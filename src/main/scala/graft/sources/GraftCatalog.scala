@@ -88,8 +88,11 @@ final class GraftCatalog extends TableCatalog with FunctionCatalog {
       case "months" => GraftMonthsFunction
       // width-pinned prefix transforms (truncate_3, truncate_8, …): the
       // width rides the NAME so the reported transform keeps one leaf —
-      // see [[GraftTruncateFunction]]
-      case TruncateFn(w) => new GraftTruncateFunction(w.toInt)
+      // see [[GraftTruncateFunction]]. A malformed width (overflow,
+      // zero) is NOT a function here — the FunctionCatalog contract is
+      // NoSuchFunctionException, never an internal-looking crash
+      case TruncateFn(w) if w.toIntOption.exists(_ > 0) =>
+        new GraftTruncateFunction(w.toInt)
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }

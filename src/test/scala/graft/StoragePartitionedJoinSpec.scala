@@ -497,6 +497,31 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(!factShuffled,
         s"the days-partitioned side must never shuffle\n$mixedPlan")
 
+      // queries touching the DERIVED day column keep the identity face:
+      // a join written on ts_day (day-grain rollups) must stay
+      // shuffle-free too — the transform report serves only queries
+      // where the derived column never appears
+      val joinDerived =
+        """SELECT a.k, b.name FROM graft.spj_ta a
+          |JOIN graft.spj_tb b ON a.ts_day = b.ts_day""".stripMargin
+      val offD = withSQLConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")(rowsOf(spark.sql(joinDerived)))
+      val (onD, planD) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(joinDerived); (rowsOf(d), executed(d))
+      }
+      assert(onD === offD)
+      assert(shuffles(planD) === 0,
+        s"a derived-column join must keep the identity-face SPJ\n$planD")
+
+      // malformed width-pinned function names are "no such function",
+      // never an internal crash (the FunctionCatalog contract)
+      val cat = new graft.sources.GraftCatalog
+      for (bad <- Seq("truncate_0", "truncate_99999999999", "truncate_x"))
+        intercept[org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException] {
+          cat.loadFunction(org.apache.spark.sql.connector.catalog.Identifier
+            .of(Array.empty[String], bad))
+        }
+
       // TRUNCATE-transform SPJ: prefix layouts with ESCAPE-needing
       // values ("a/b…" dirs into a%2Fb) join on the raw string
       val rootC = Files.createTempDirectory("graft_spj_tra").toString
@@ -769,6 +794,29 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       assert(pinnedRows === expect2)
       assert(AtomicCommit.readManifest(root).get.version === v3,
         "a pinned read must not auto-materialize")
+
+      // a snapshot the heal could never re-qualify (non-uniform footer
+      // schemas) must not burn a maintenance commit: append a wider
+      // footer, then a face read refuses BOTH the face and the heal
+      val rootF = Files.createTempDirectory("graft_spj_amf").toString
+      AtomicCommit.commitReplacePartitions(spark, rootF,
+        Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+      AtomicCommit.commitAppendPartitions(spark, rootF,
+        Seq((3L, 1.5, "A")).toDF("k", "extra", "p"), "p")
+      Deletes.deleteKeysMoR(spark, rootF, new PosixManifestStore(rootF),
+        "k", Seq(1L))
+      register("spj_amf", rootF)
+      val vF = AtomicCommit.readManifest(rootF).get.version
+      val qF = "SELECT k, p FROM graft.spj_amf"
+      val expectF = rowsOf(spark.sql(qF))
+      val (gotF, planF) = withSQLConf(BatchOn) {
+        val d = spark.sql(qF); (rowsOf(d), executed(d))
+      }
+      assert(gotF === expectF)
+      assert(batchScans(planF) === 0, s"mixed footers stay on V1\n$planF")
+      assert(AtomicCommit.readManifest(rootF).get.version === vF,
+        "a heal that cannot re-qualify the face must not commit")
+      unregister("spj_amf")
 
       // raising the cap heals the second batch too, and the SPJ join
       // rides the healed face shuffle-free

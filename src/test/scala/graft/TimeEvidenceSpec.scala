@@ -124,6 +124,18 @@ class TimeEvidenceSpec extends SparkSpec {
         s"${after.inputFiles.length} of ${Compaction.countDataFiles(root)}")
   }
 
+  test("timestamp bound folding is exact at full precision (sub-millisecond envelopes)") {
+    // valueBounds drives envelope pruning for large runtime key sets: a
+    // millis-truncating compare would tie these and could pick an
+    // envelope that excludes a matching partition (silent row loss)
+    val t1 = ts("2024-05-01 00:00:00"); t1.setNanos(100000) // .000100
+    val t2 = ts("2024-05-01 00:00:00"); t2.setNanos(900000) // .000900
+    val t3 = ts("2024-05-01 00:00:01")
+    val (lo, hi) = graft.sources.DataSkipping.valueBounds(Seq(t2, t3, t1)).get
+    assert(lo === t1, s"true min is the sub-ms-earlier value: $lo")
+    assert(hi === t3)
+  }
+
   test("a time-range predicate prices its true selectivity (retention windows broadcast their slice)") {
     val root = Files.createTempDirectory("graft_time_sel").toString
     // 1000 rows uniform over 10 days, partitions NOT time-correlated —
