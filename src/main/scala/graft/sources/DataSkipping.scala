@@ -313,12 +313,24 @@ object DataSkipping {
     */
   private def computeHists(data: DataFrame, partitionCol: String,
                            cols: Seq[String]): Seq[ColHist] = {
-    val numeric = cols.filter(c => data.schema.find(_.name == c)
-      .exists(_.dataType.isInstanceOf[NumericType]))
+    def typeOf(c: String) = data.schema.find(_.name == c).map(_.dataType)
+    // time columns histogram in their EPOCH units (micros/days — the
+    // same units their stats records and normalized probes use), so a
+    // skewed event-time distribution prices its true bucket mass: a
+    // burst day no longer reads like 1/Nth of the range
+    val numeric = cols.filter(c => typeOf(c).exists(t =>
+      t.isInstanceOf[NumericType] ||
+        t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.DateType))
     if (numeric.isEmpty) return Nil
+    def histCol(c: String) = typeOf(c) match {
+      case Some(org.apache.spark.sql.types.TimestampType) => unix_micros(col(c))
+      case Some(org.apache.spark.sql.types.DateType) => unix_date(col(c))
+      case _ => col(c)
+    }
     val pcts = (0 to HistBuckets).map(_.toDouble / HistBuckets)
     val aggs = numeric.map(c =>
-      percentile_approx(col(c), typedlit(pcts), lit(10000)).as(s"__h_$c"))
+      percentile_approx(histCol(c), typedlit(pcts), lit(10000)).as(s"__h_$c"))
     val rows = data.groupBy(col(partitionCol).cast("string").as("__p"))
       .agg(aggs.head, aggs.tail: _*).collect()
     rows.toSeq.flatMap { r =>
@@ -368,7 +380,9 @@ object DataSkipping {
     // retrofit pass); an empty-bounds record (all-null slice) is
     // complete evidence
     def histable(c: String): Boolean =
-      tableTypes.get(c).exists(_.isInstanceOf[NumericType])
+      tableTypes.get(c).exists(t => t.isInstanceOf[NumericType] ||
+        t == org.apache.spark.sql.types.TimestampType ||
+        t == org.apache.spark.sql.types.DateType)
     var written = 0
     genParts.foreach { case (gen, parts) =>
       val existing = readStats(root, gen)

@@ -181,6 +181,55 @@ class TimeEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE histograms on ts: a skewed burst day prices its true mass, not 1/Nth of the range") {
+    val root = Files.createTempDirectory("graft_time_hist").toString
+    // 900 of 1000 rows on day 1 (the burst), 100 spread over days 2-10;
+    // partitions not time-correlated so the estimate is all selectivity
+    DataSkipping.commitWithStats(spark, root,
+      (0 until 1000).map { i =>
+        val t =
+          if (i < 900) ts(f"2024-09-01 ${i % 24}%02d:00:00")
+          else ts(f"2024-09-${i % 9 + 2}%02d 00:00:00")
+        (i.toLong, t, s"P${i % 4}")
+      }.toDF("k", "ts", "p"), "p", Seq("ts"))
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.thist", root)
+    try {
+      def scanRows(sql: String): Long = {
+        val plan = spark.sql(sql).queryExecution.optimizedPlan
+        val scans = plan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan
+        }
+        (scans.head match {
+          case w: org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper =>
+            w.v1Scan.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+              .estimateStatistics()
+          case s =>
+            s.asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+              .estimateStatistics()
+        }).numRows.getAsLong
+      }
+      val q = "SELECT * FROM graft.thist WHERE " +
+        "ts >= timestamp'2024-09-01 00:00:00' AND " +
+        "ts <= timestamp'2024-09-01 23:59:59'"
+      // envelope-only: uniform interpolation under-prices the burst
+      val uniform = scanRows(q)
+      assert(uniform < 450L,
+        s"uniform interpolation should under-price the burst day: $uniform")
+      // ANALYZE writes the epoch-unit equi-depth histogram; the same
+      // window now prices near its true 900 rows
+      spark.sql("ANALYZE TABLE graft.thist COMPUTE STATISTICS FOR COLUMNS ts")
+        .collect()
+      val hist = scanRows(q)
+      assert(hist >= 450L && hist <= 1000L,
+        s"histogram must price the burst day near 900 rows, got $hist")
+    } finally {
+      spark.conf.unset("spark.graft.table.thist")
+      spark.conf.unset("spark.sql.catalog.graft")
+    }
+  }
+
   test("sorted-days: reclustered co-days tables join on ts with zero shuffles AND zero sorts") {
     val rootA = Files.createTempDirectory("graft_time_sda").toString
     val rootB = Files.createTempDirectory("graft_time_sdb").toString
