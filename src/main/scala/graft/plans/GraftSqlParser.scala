@@ -288,7 +288,9 @@ final case class DescribeDetailGraftTable(ident: String)
     AttributeReference("added_columns", StringType, nullable = true)(),
     AttributeReference("sort_order", StringType, nullable = true)(),
     AttributeReference("num_delete_vectors", LongType, nullable = false)(),
-    AttributeReference("num_equality_deletes", LongType, nullable = false)())
+    AttributeReference("num_equality_deletes", LongType, nullable = false)(),
+    AttributeReference("auto_materialize", StringType, nullable = false)(),
+    AttributeReference("last_heal_version", LongType, nullable = true)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val (root, store, _) = GraftSqlParser.resolve(spark, ident)
@@ -354,11 +356,18 @@ final case class DescribeDetailGraftTable(ident: String)
     // as its key grouping; null for identity-partitioned tables
     val spec = graft.sources.HiddenPartitioning.specOf(m)
       .map(_.render).orNull
+    // the read path's self-heal policy surface: what THIS session's
+    // next face read would apply (conf caps, or "off"), and the last
+    // read-triggered maintenance commit the table carries — together
+    // the operator's answer to "can/did a SELECT commit here"
+    val healPolicy = graft.sources.GraftBatchScan.autoMaterializePolicy(spark)
+    val lastHeal = m.props.get(AtomicCommit.HealVersionProp)
+      .flatMap(_.toLongOption).map(java.lang.Long.valueOf).orNull
     Seq(Row("graft", root, m.partitionCol, spec, m.version, when,
       m.entries.size.toLong, files, TableStats.sizeInBytes(root, m),
       gens.length.toLong, orNull(cons), orNull(renamed), orNull(dropped),
       orNull(widened), orNull(added), sortOrder,
-      dvEntries.length.toLong, eqCount))
+      dvEntries.length.toLong, eqCount, healPolicy, lastHeal))
   }
 }
 

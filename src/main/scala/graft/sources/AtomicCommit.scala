@@ -761,6 +761,18 @@ object AtomicCommit {
     */
   val CommitWhenProp = "graft.commit.when"
 
+  /** Set by the batch face's read-triggered self-heal ([[graft.sources
+    * .GraftBatchScan]] auto-materialization) on the maintenance commit
+    * it lands: the value is the VERSION NUMBER the heal created. Props
+    * carry forward across later commits, so the marker does double
+    * duty — [[history]] classifies exactly that version as kind
+    * `"heal"` (the value names the one version it describes; carried
+    * copies never match a later version number), and the current
+    * snapshot's copy answers "when did a SELECT last commit to this
+    * table" (DESCRIBE DETAIL's `last_heal_version`).
+    */
+  val HealVersionProp = "graft.heal.version"
+
   /** The commit props for a new version: `props` plus a commit timestamp
     * that is MONOTONIC within the lineage (wall clock, floored at the
     * previous version's stamp + 1 ms — the Delta rule, so a clock step
@@ -1705,7 +1717,14 @@ object AtomicCommit {
         (p.entries.keySet ++ m.entries.keySet)
           .filter(k => p.entries.get(k) != m.entries.get(k)).toSeq.sorted
       }
-      val kind = prevOpt match {
+      // the self-heal marker names the one version it created — a
+      // read-triggered maintenance commit must be distinguishable from
+      // an operator-initiated rewrite ("why did version N appear during
+      // a SELECT"). Checked first: at the manifest level a heal is just
+      // a rewrite/rowdelete shape, so the generic classifier below
+      // cannot see it
+      val kind = if (m.props.get(HealVersionProp).contains(v.toString)) "heal"
+      else prevOpt match {
         case None => if (v == 1L) "replace" else "unknown-base"
         case Some(p) if p.partitionCol != m.partitionCol => "repartition"
         case Some(p) =>

@@ -368,9 +368,27 @@ object Deletes {
     materializeEqDeletes(spark, root, new PosixManifestStore(root))
 
   def materializeEqDeletes(spark: SparkSession, root: String,
-                           store: ManifestStore): Option[Long] = {
+                           store: ManifestStore): Option[Long] =
+    materializeEqDeletes(spark, root, store, _ => Map.empty)
+
+  /** `props(v)` — where `v` is the version this commit will publish —
+    * rides the commit (merged into the published manifest's props
+    * atomically with the flip). The read path's self-heal tags its
+    * maintenance commit here so DESCRIBE HISTORY can answer "why did
+    * version N appear during a SELECT" ([[AtomicCommit
+    * .HealVersionProp]] — version-valued, so the function form keeps
+    * the tag exact even when a writer advanced the table between the
+    * caller's snapshot read and this one); a manual `OPTIMIZE …
+    * MATERIALIZE DELETES` passes nothing and classifies as the rewrite
+    * it is.
+    */
+  def materializeEqDeletes(spark: SparkSession, root: String,
+                           store: ManifestStore,
+                           propsFor: Long => Map[String, String])
+      : Option[Long] = {
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
+    val props = propsFor(m.version + 1)
     val pc = m.partitionCol
     // the snapshot's own evidence view: records scoped to live entries
     // and — critically — their columns mapped through the RENAME chain
@@ -442,7 +460,7 @@ object Deletes {
       val staged =
         if (keep.isEmpty)
           AtomicCommit.Staged("", pc, Nil, m.version, baseOwners,
-            drops = drops)
+            props = props, drops = drops)
         else {
           val dvGen = s"g${java.util.UUID.randomUUID.toString.take(12)}"
           // carried position frames re-home; carried EQS are exactly the
@@ -466,7 +484,7 @@ object Deletes {
               if (withEvidence(p)) Some(dvGen) else None)
           }.toMap
           AtomicCommit.Staged(dvGen, pc, keep, m.version, baseOwners,
-            drops = drops, overrides = overrides)
+            props = props, drops = drops, overrides = overrides)
         }
       Some(AtomicCommit.publish(root, store, staged))
     }

@@ -450,7 +450,7 @@ final class GraftBatchScan private[graft] (
   }
 }
 
-object GraftBatchScan {
+object GraftBatchScan extends org.apache.spark.internal.Logging {
   /** Session opt-in for the storage-partitioned batch face. Pair with
     * `spark.sql.sources.v2.bucketing.enabled` (Spark's side of the
     * handshake) to plan co-partitioned joins shuffle-free.
@@ -554,10 +554,30 @@ object GraftBatchScan {
     * that cannot re-qualify the face would burn a version for nothing),
     * and (c) the outstanding key count and the marked partitions' byte
     * footprint fit the conf budgets, bounding the planning-time job at
-    * two passes over the narrowed marked partitions. Failures —
-    * including a concurrent commit racing the materialization
-    * ([[AtomicCommit.PartitionConflictException]]) — degrade to the V1
-    * fallback for THIS query; the next planning retries.
+    * two passes over the narrowed marked partitions.
+    *
+    * OBSERVABILITY AND FAILURE DISCIPLINE (a SELECT that writes a
+    * commit is a big enough side effect that both outcomes must leave
+    * a trace):
+    *  - a LANDED heal logs at WARN (operators won't expect a read to
+    *    advance the version) and its commit carries [[AtomicCommit
+    *    .HealVersionProp]], so DESCRIBE HISTORY classifies it `heal`
+    *    and DESCRIBE DETAIL reports it as `last_heal_version`;
+    *  - a concurrent commit racing the materialization ([[AtomicCommit
+    *    .PartitionConflictException]]) is the documented benign race:
+    *    logged, NOT cached (the table advanced — the next planning
+    *    reads a different snapshot anyway), degrade to V1 for THIS
+    *    query;
+    *  - any OTHER failure (unreadable sidecar, read-only store, a
+    *    half-broken eq file) logs the cause at WARN and is CACHED per
+    *    (root, snapshot version) — without the cache a persistently
+    *    failing heal would re-run the two-pass materialization job
+    *    during EVERY query's planning and fail silently each time, an
+    *    invisible repeated planning-time tax. The cache clears itself
+    *    by construction: any new commit changes the version key.
+    * A policy REFUSAL (over-budget, pinned read, un-healable snapshot)
+    * is not a failure — it is cheap metadata arithmetic, recomputed
+    * per planning, never logged or cached.
     */
   private def autoMaterialize(relation: GraftRelation,
                               m: AtomicCommit.Manifest,
@@ -579,19 +599,82 @@ object GraftBatchScan {
     val byteCap = Try(spark.sessionState.conf
         .getConfString(AutoMaterializeBytesConf,
           AutoMaterializeBytesDefault.toString).toLong).getOrElse(0L)
-    Try {
-      evOpt.exists { ev =>
+    val key = (relation.root, m.version)
+    if (healFailures.containsKey(key)) return false
+    try {
+      val due = evOpt.exists { ev =>
         ev.eqs.nonEmpty && ev.positions.isEmpty &&
           ev.eqs.iterator.map(_.values.size.toLong).sum <= cap && {
             // what the resolution will READ: the marked partitions' live
             // bytes (sidecar metadata only) — bounded or refused
             val marked = ev.eqs.map(_.partition).toSet
             TableStats.sizeInBytes(relation.root, m, marked) <= byteCap
-          } &&
-          Deletes.materializeEqDeletes(spark, relation.root,
-            relation.store).nonEmpty
+          }
       }
-    }.getOrElse(false)
+      if (!due) return false
+      Deletes.materializeEqDeletes(spark, relation.root, relation.store,
+          v => Map(AtomicCommit.HealVersionProp -> v.toString)) match {
+        case Some(v) =>
+          logWarning(s"graft auto-materialize: read-triggered " +
+            s"maintenance commit landed version $v at ${relation.root} " +
+            "(outstanding equality deletes materialized to position " +
+            "bitmaps so the batch face re-qualifies; disable with " +
+            s"$AutoMaterializeConf=0)")
+          true
+        case None => false
+      }
+    } catch {
+      case e: AtomicCommit.PartitionConflictException =>
+        logWarning(s"graft auto-materialize: concurrent commit raced " +
+          s"the maintenance commit at ${relation.root} " +
+          s"(v${m.version} base) — falling back to V1 for this query; " +
+          s"the next planning re-reads the advanced snapshot: " +
+          s"${e.getMessage}")
+        false
+      case scala.util.control.NonFatal(e) =>
+        if (healFailures.size >= 4096) healFailures.clear()
+        healFailures.put(key, e.toString)
+        logWarning(s"graft auto-materialize: heal FAILED at " +
+          s"${relation.root} v${m.version} — falling back to V1 " +
+          "(correct, slower); this snapshot version will not be " +
+          s"retried until a new commit changes it. Cause: $e")
+        false
+    }
+  }
+
+  /** Per-(root, snapshot-version) record of heal attempts that failed
+    * for a non-conflict cause: the value is the failure's rendering.
+    * Bounds the planning-time tax of a persistently failing heal to ONE
+    * attempt per snapshot — a new commit changes the version and so
+    * retries naturally. Conflicts are never recorded (the racing commit
+    * already changed the version).
+    */
+  private val healFailures =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+
+  /** Why the last heal attempt on this exact snapshot failed, if one
+    * did — the ops/test window into the failure cache.
+    */
+  private[graft] def healFailure(root: String, version: Long)
+      : Option[String] = Option(healFailures.get((root, version)))
+
+  /** The session's auto-materialization policy, rendered for the
+    * operator surface (DESCRIBE DETAIL): `off` when disabled or the
+    * face itself is off (a heal can only fire from a face read), else
+    * the two caps a face read would apply.
+    */
+  private[graft] def autoMaterializePolicy(
+      spark: org.apache.spark.sql.SparkSession): String = {
+    val conf = spark.sessionState.conf
+    val faceOn = conf.getConfString(EnabledConf, "false") == "true"
+    val cap = Try(conf.getConfString(AutoMaterializeConf,
+      AutoMaterializeDefault.toString).toLong).getOrElse(0L)
+    if (!faceOn || cap <= 0L) "off"
+    else {
+      val byteCap = Try(conf.getConfString(AutoMaterializeBytesConf,
+        AutoMaterializeBytesDefault.toString).toLong).getOrElse(0L)
+      s"maxRecords=$cap maxBytes=$byteCap"
+    }
   }
 
   /** Whether a manifest entry's raw dir name is SHAPED like `spec`'s

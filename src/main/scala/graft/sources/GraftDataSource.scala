@@ -700,8 +700,6 @@ final class GraftRelation(spark: SparkSession, val root: String,
                                    parts: Set[String], total: Long): Long = {
     if (total == 0L || filters.isEmpty) return total
     val pc = m.partitionCol
-    def bd(v: Any): Option[java.math.BigDecimal] =
-      scala.util.Try(new java.math.BigDecimal(String.valueOf(v))).toOption
     var est = total.toDouble
     var applied = false
     // equality and IN: each matching value keeps ~nonNull/NDV rows —
@@ -724,8 +722,14 @@ final class GraftRelation(spark: SparkSession, val root: String,
             if (vs.length > 64) cs.nonNull.toDouble *
               math.min(1.0, vs.length.toDouble / cs.ndv)
             else vs.map { v =>
-              val heavy = bd(v).flatMap(b =>
-                TableStats.histogramPointRows(root, m, c, parts, b))
+              // probes normalize into the record's unit under the
+              // column's sidecar kind, exactly like the range path
+              // below — a raw BigDecimal parse fails for Timestamp/
+              // Date probes, which silently priced every time-column
+              // point predicate at uniform 1/ndv
+              val heavy = DataSkipping.numericProbe(cs.kind, v)
+                .flatMap(b =>
+                  TableStats.histogramPointRows(root, m, c, parts, b))
                 .getOrElse(0.0)
               math.max(heavy, uniformPer)
             }.sum

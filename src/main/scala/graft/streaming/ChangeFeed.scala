@@ -303,6 +303,25 @@ object ChangeFeed {
         // belong to the table's owner, not its subscribers).
         val useFace = spark.sessionState.conf.getConfString(
           graft.sources.GraftBatchScan.EnabledConf, "false") == "true"
+        // the relation rides with a registered graft catalog when the
+        // session has one: Spark resolves a TRANSFORM-reported key
+        // grouping (days/bucket/… on a hidden-partitioned source)
+        // through the relation's FunctionCatalog — with catalog=None
+        // only the identity report is resolvable. The tick itself
+        // re-aggregates BY THE PARTITION COLUMN, which projects it and
+        // keeps the scan on the identity face (exchange-free without a
+        // catalog); the catalog matters when the subscriber's agg also
+        // joins the slice on the raw source column
+        def graftCatalog: Option[
+            org.apache.spark.sql.connector.catalog.CatalogPlugin] = {
+          val prefix = "spark.sql.catalog."
+          val cls = classOf[graft.sources.GraftCatalog].getName
+          spark.conf.getAll.collectFirst {
+            case (k, v) if k.startsWith(prefix) && v == cls &&
+              !k.stripPrefix(prefix).contains(".") => k.stripPrefix(prefix)
+          }.flatMap(n => scala.util.Try(
+            spark.sessionState.catalogManager.catalog(n)).toOption)
+        }
         Some(
           if (useFace)
             org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
@@ -311,7 +330,7 @@ object ChangeFeed {
                   new graft.sources.GraftTable(s"graft.feed($srcRoot)",
                     new graft.sources.GraftRelation(spark, srcRoot,
                       srcStore, Some(sliceM))),
-                  None, None))
+                  graftCatalog, None))
           else AtomicCommit.scanManifest(spark, srcRoot, sliceM))
       }
     val resultOpt = sliceOpt.map(agg)

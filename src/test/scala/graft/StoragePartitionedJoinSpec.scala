@@ -1007,4 +1007,171 @@ class StoragePartitionedJoinSpec extends SparkSpec {
       unregister("spj_son")
     } finally unregister("spj_so")
   }
+
+  test("a failed heal degrades to V1 loudly once: cached per snapshot, no version burned, retried only on a new commit") {
+    val root = Files.createTempDirectory("graft_spj_hfail").toString
+    val df = (0 until 12).map(i => (i.toLong, i * 1.0, s"P${i % 2}"))
+      .toDF("k", "v", "p")
+    AtomicCommit.commitReplacePartitions(spark, root, df, "p")
+    Deletes.deleteKeysMoR(spark, root, new PosixManifestStore(root),
+      "k", Seq(3L, 8L))
+    val v1 = AtomicCommit.readManifest(root).get.version
+    val expect = rowsOf(spark.read.format("graft").option("path", root)
+      .load().selectExpr("k", "v", "p"))
+
+    // a store whose PUBLISH fails (read-only backend): the heal's
+    // maintenance commit dies at putIfAbsent, reads keep working
+    val attempts = new java.util.concurrent.atomic.AtomicInteger
+    val failing = new graft.sources.ManifestStore {
+      private val inner = new PosixManifestStore(root)
+      override def putIfAbsent(name: String, body: Array[Byte]): Boolean = {
+        attempts.incrementAndGet()
+        throw new RuntimeException("manifest store is read-only")
+      }
+      override def get(name: String): Option[Array[Byte]] = inner.get(name)
+      override def list(): Seq[String] = inner.list()
+      override def delete(name: String): Unit = inner.delete(name)
+    }
+    val rel = new GraftRelation(spark, root, failing, None)
+    val tbl = new graft.sources.GraftTable("graft.spj_hfail", rel)
+    def faceRead() = withSQLConf(BatchOn) {
+      val d = org.apache.spark.sql.classic.GraftBridge.ofRows(spark,
+        org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation.create(tbl, None, None))
+        .selectExpr("k", "v", "p")
+      (rowsOf(d), executed(d))
+    }
+
+    // first read: the heal ATTEMPTS (reaches the store), fails, and the
+    // query still answers correctly on the V1 fallback with the version
+    // unburned and the failure recorded per snapshot
+    val (got1, plan1) = faceRead()
+    assert(got1 === expect, "a failed heal must not change visible rows")
+    assert(batchScans(plan1) === 0,
+      s"an unhealed equality snapshot stays on V1\n$plan1")
+    assert(attempts.get === 1, "the heal must reach the store exactly once")
+    assert(AtomicCommit.readManifest(root).get.version === v1,
+      "a failed heal must not burn a version")
+    assert(GraftBatchScan.healFailure(root, v1).isDefined,
+      "the failure must be recorded for this snapshot")
+
+    // second read of the SAME snapshot: the cached failure suppresses
+    // the retry — a persistently failing heal is one attempt per
+    // snapshot, not a per-query planning tax
+    val (got2, _) = faceRead()
+    assert(got2 === expect)
+    assert(attempts.get === 1,
+      "a cached heal failure must not re-run the materialization job")
+
+    // a NEW commit changes the snapshot version: the policy naturally
+    // retries once against the new snapshot (and fails again here)
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((100L, 1.0, "P0")).toDF("k", "v", "p"), "p")
+    val v2 = AtomicCommit.readManifest(root).get.version
+    assert(v2 === v1 + 1)
+    val expect2 = rowsOf(spark.read.format("graft").option("path", root)
+      .load().selectExpr("k", "v", "p"))
+    val (got3, _) = faceRead()
+    assert(got3 === expect2)
+    assert(attempts.get === 2, "a new snapshot version must retry the heal")
+
+    // through a WORKING store the heal lands, and the commit is
+    // OBSERVABLE: DESCRIBE HISTORY classifies exactly that version as
+    // kind "heal", DESCRIBE DETAIL reports it as last_heal_version next
+    // to the session's policy caps. (The failure cache keys on the
+    // snapshot VERSION — advance it first, since v2's failure above is
+    // rightly remembered regardless of which store instance reads it.)
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((200L, 3.0, "P1")).toDF("k", "v", "p"), "p")
+    val v2b = AtomicCommit.readManifest(root).get.version
+    val expect2b = rowsOf(spark.read.format("graft").option("path", root)
+      .load().selectExpr("k", "v", "p"))
+    register("spj_hfail", root)
+    try {
+      val (got4, plan4) = withSQLConf(BatchOn) {
+        val d = spark.sql("SELECT k, v, p FROM graft.spj_hfail")
+        (rowsOf(d), executed(d))
+      }
+      assert(got4 === expect2b)
+      assert(batchScans(plan4) === 1,
+        s"the healed snapshot must serve on the batch face\n$plan4")
+      val v3 = AtomicCommit.readManifest(root).get.version
+      assert(v3 === v2b + 1, "exactly one maintenance commit")
+      val hist = AtomicCommit.history(root)
+      assert(hist.find(_.version == v3).map(_.kind) === Some("heal"),
+        s"the read-triggered commit must classify as a heal: $hist")
+      assert(hist.count(_.kind == "heal") === 1,
+        "carried props must not re-classify later versions")
+      val detail = withSQLConf(BatchOn) {
+        spark.sql("DESCRIBE DETAIL graft.spj_hfail").collect().head
+      }
+      assert(detail.getAs[Long]("last_heal_version") === v3)
+      assert(detail.getAs[String]("auto_materialize")
+        .startsWith("maxRecords="),
+        "the session policy caps must print when the face is on")
+      val detailOff = spark.sql("DESCRIBE DETAIL graft.spj_hfail")
+        .collect().head
+      assert(detailOff.getAs[String]("auto_materialize") === "off",
+        "a session without the face opt-in cannot heal — policy is off")
+      // an append on top of the heal classifies as itself, and the
+      // carried marker still names the heal version
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((101L, 2.0, "P1")).toDF("k", "v", "p"), "p")
+      val hist2 = AtomicCommit.history(root)
+      assert(hist2.find(_.version == v3 + 1).map(_.kind) === Some("append"))
+      val detail2 = spark.sql("DESCRIBE DETAIL graft.spj_hfail")
+        .collect().head
+      assert(detail2.getAs[Long]("last_heal_version") === v3)
+    } finally unregister("spj_hfail")
+  }
+
+  test("pinned snapshots serve on the batch face: a VERSION AS OF read on a qualifying snapshot joins and aggregates exchange-free") {
+    val rootA = Files.createTempDirectory("graft_spj_pin_a").toString
+    val rootB = Files.createTempDirectory("graft_spj_pin_b").toString
+    val parts = Seq("P0", "P1", "P2")
+    AtomicCommit.commitReplacePartitions(spark, rootA,
+      (0 until 30).map(i => (i.toLong, i * 1.0, parts(i % 3)))
+        .toDF("k", "v", "p"), "p")
+    AtomicCommit.commitReplacePartitions(spark, rootB,
+      parts.map(p => (s"dim-$p", p)).toDF("name", "p"), "p")
+    // advance BOTH tables past the pinned version: the historical
+    // reprocessing case reads an OLD snapshot while the head moved on
+    AtomicCommit.commitAppendPartitions(spark, rootA,
+      Seq((999L, 9.9, "P0")).toDF("k", "v", "p"), "p")
+    AtomicCommit.commitAppendPartitions(spark, rootB,
+      Seq(("late", "P1")).toDF("name", "p"), "p")
+    register("spj_pin_a", rootA)
+    register("spj_pin_b", rootB)
+    try {
+      // the pinned AGGREGATE: groupBy on the partition column plans
+      // with no exchange below the aggregate
+      val agg = "SELECT p, count(*) AS c, sum(v) AS s " +
+        "FROM graft.spj_pin_a VERSION AS OF 1 GROUP BY p"
+      val expAgg = rowsOf(spark.sql(agg))
+      val (gotAgg, planAgg) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(agg); (rowsOf(d), executed(d))
+      }
+      assert(gotAgg === expAgg)
+      assert(batchScans(planAgg) === 1,
+        s"a qualifying pinned snapshot must serve on the face\n$planAgg")
+      assert(shuffles(planAgg) === 0,
+        s"the pinned aggregate must plan exchange-free\n$planAgg")
+
+      // the pinned JOIN: both sides pinned to their version-1 snapshots,
+      // co-partitioned on p — zero shuffles, and the answer is the OLD
+      // data (the appends above must not leak into the pinned read)
+      val join =
+        """SELECT a.k, b.name FROM graft.spj_pin_a VERSION AS OF 1 a
+          |JOIN graft.spj_pin_b VERSION AS OF 1 b ON a.p = b.p""".stripMargin
+      val expJoin = rowsOf(spark.sql(join))
+      assert(!expJoin.exists(_.contains("999")),
+        "the pinned read must not see rows appended after the pin")
+      val (gotJoin, planJoin) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(gotJoin === expJoin)
+      assert(shuffles(planJoin) === 0,
+        s"pinned co-partitioned reads must join shuffle-free\n$planJoin")
+    } finally unregister("spj_pin_a", "spj_pin_b")
+  }
 }
