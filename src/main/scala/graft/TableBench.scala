@@ -30,6 +30,16 @@ import graft.sources.{AtomicCommit, DataSkipping}
   */
 object TableBench {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("meta")) {
+      metaProbe(args.drop(1).headOption.map(_.toLong).getOrElse(16000000L),
+        args.drop(2).headOption.map(_.toInt).getOrElse(5000))
+      return
+    }
+    if (args.headOption.contains("skew")) {
+      skewProbe(args.drop(1).headOption.map(_.toLong).getOrElse(16000000L),
+        args.drop(2).headOption.map(_.toInt).getOrElse(200))
+      return
+    }
     val n = args.headOption.map(_.toLong).getOrElse(4000000L)
     val p = args.drop(1).headOption.map(_.toInt).getOrElse(200)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -940,6 +950,227 @@ object TableBench {
       spark.conf.unset("spark.sql.sources.v2.bucketing.pushPartValues.enabled")
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+    spark.stop()
+  }
+
+  /** SPJ UNDER SKEW (the realistic zipfian fact): HALF the table under
+    * ONE hot key written as many files, the rest uniform over P-1 keys.
+    * Prices the join three ways — plain shuffle (face off), coalesced
+    * SPJ (the hot key's files fold into ONE split, so one task owns
+    * half the table), and partially-clustered distribution (Spark keeps
+    * the hot key's splits separate and replicates the dim side to
+    * spread them over tasks). The question the probe answers: does the
+    * hot-key-serializes cost of the coalesced face exceed what the
+    * eliminated exchange saved — i.e., where is the cliff, and does PCD
+    * recover it without giving the shuffle back.
+    *
+    * Usage: runMain graft.TableBench skew [N] [P]
+    */
+  private def skewProbe(n: Long, p: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      println(f"[tablebench] skew $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+    val rootF = Files.createTempDirectory("graft_tb_skf").toString
+    val rootD = Files.createTempDirectory("graft_tb_skd").toString
+    val fact = spark.range(n).select(
+      when(col("id") % 2 === 0, "hot0000")
+        .otherwise(format_string("p%04d",
+          (pmod(xxhash64(col("id")), lit(p - 1)) + 1).cast("int"))).as("pk"),
+      col("id").as("v"), md5(col("id").cast("string")).as("payload"))
+    timed(s"setup: skewed fact ($n rows, $p keys, 50% hot)") {
+      // many files under the hot key: the split-level shape PCD spreads
+      AtomicCommit.commitReplacePartitions(spark, rootF, fact, "pk",
+        filesPerDir = 16)
+    }
+    val dim = spark.range(p).select(
+      when(col("id") === 0, "hot0000")
+        .otherwise(format_string("p%04d", col("id").cast("int"))).as("pk"),
+      concat(lit("name-"), col("id")).as("name"))
+    AtomicCommit.commitReplacePartitions(spark, rootD, dim, "pk")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.skf", rootF)
+    spark.conf.set("spark.graft.table.skd", rootD)
+    val q = "SELECT count(*), sum(length(f.payload) + length(d.name)) " +
+      "FROM graft.skf f JOIN graft.skd d ON f.pk = d.pk"
+    def run(): org.apache.spark.sql.Row = spark.sql(q).head()
+    val spjConfs = Seq(
+      graft.sources.GraftBatchScan.EnabledConf -> "true",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val pcdConf =
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+    def withConfs[A](pairs: Seq[(String, String)])(body: => A): A = {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
+    }
+    val base = withConfs(Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")) {
+      val r = timed("plain shuffle join (face off)")(run())
+      timed("plain shuffle join (2nd)")(run()); r
+    }
+    val co = withConfs(spjConfs) {
+      val r = timed("coalesced SPJ (hot key = 1 task)")(run())
+      timed("coalesced SPJ (2nd)")(run()); r
+    }
+    require(co == base, s"coalesced SPJ answer drifted: $co vs $base")
+    val pcd = withConfs(spjConfs :+ (pcdConf -> "true")) {
+      val r = timed("partially-clustered SPJ (hot key spread)")(run())
+      timed("partially-clustered SPJ (2nd)")(run()); r
+    }
+    require(pcd == base, s"PCD answer drifted: $pcd vs $base")
+    println(s"[tablebench] skew rows=${base.getLong(0)}")
+    spark.conf.unset("spark.graft.table.skf")
+    spark.conf.unset("spark.graft.table.skd")
+    spark.stop()
+  }
+
+  /** The PARTITION-COUNT axis of metadata scaling: every other probe in
+    * this file runs at ≤400 partitions, but at 100 TB a natural layout
+    * is 10⁴–10⁶ partitions — and the places planning is O(partitions)
+    * are all DRIVER-side: the single-JSON manifest parse, the
+    * per-generation stats-sidecar first touch, [[TableStats
+    * .partitionBytes]]' per-partition directory walk, and DESCRIBE
+    * DETAIL's live-file walk. This mode builds an N-row table over P
+    * partition values and splits COLD-vs-WARM planning cost along
+    * exactly those seams, plus the end-to-end reads the costs feed
+    * (pruned 1-partition read, unpruned planning, batch-face
+    * qualification) and a 1-partition append's conflict check.
+    *
+    * Usage: runMain graft.TableBench meta [N] [P]
+    * (BASELINE.md records the curve at P = 200 / 5,000 / 50,000.)
+    */
+  private def metaProbe(n: Long, p: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    def timedMs[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val a = body
+      println(f"[tablebench] meta p=$p%-6d $label%-42s " +
+        f"${(System.nanoTime() - t0) / 1e6}%9.1f ms")
+      a
+    }
+    val root = Files.createTempDirectory(s"graft_tb_meta_$p").toString
+    // partition k owns n/p contiguous rows; repartition by key so each
+    // write task touches few directories
+    val df = spark.range(n).select(
+      format_string("p%05d", (col("id") % p).cast("int")).as("pk"),
+      col("id").as("v"), md5(col("id").cast("string")).as("payload"))
+      .repartition(col("pk"))
+    timedMs(s"setup: commitWithStats ($n rows)") {
+      DataSkipping.commitWithStats(spark, root, df, "pk", Seq("v"))
+    }
+    val store = new graft.sources.PosixManifestStore(root)
+    val manifestBytes = store.get(f"_graft_manifest.v${1L}%08d.json")
+      .map(_.length).getOrElse(-1)
+    println(s"[tablebench] meta p=$p manifest bytes: $manifestBytes")
+
+    // 1. manifest resolve+parse — paid on EVERY planning (snapshots
+    // re-resolve per query); no cache exists by design
+    var m = timedMs("manifest resolve+parse (per-planning)") {
+      AtomicCommit.readManifest(store).get
+    }
+    m = timedMs("manifest resolve+parse (2nd, still parses)") {
+      AtomicCommit.readManifest(store).get
+    }
+    require(m.entries.size == p, s"expected $p entries, got ${m.entries.size}")
+
+    // 2. partitionBytes: cold = a directory-size walk per partition;
+    // warm = the per-snapshot cache
+    timedMs("partitionBytes COLD (dir walk x P)") {
+      graft.sources.TableStats.sizeInBytes(root, m)
+    }
+    timedMs("partitionBytes WARM (snapshot cache)") {
+      graft.sources.TableStats.sizeInBytes(root, m)
+    }
+
+    // 3. column statistics: cold = the generation sidecar's first touch
+    // (O(partitions) records parsed); warm = per-snapshot cache
+    val allParts = m.entries.keySet
+    timedMs("columnStats(v) COLD (sidecar parse)") {
+      graft.sources.TableStats.columnStats(root, m, "v", allParts)
+    }
+    timedMs("columnStats(v) WARM") {
+      graft.sources.TableStats.columnStats(root, m, "v", allParts)
+    }
+
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.metap", root)
+
+    // 4. pruned read: 1 of P partitions, end-to-end (planning still
+    // parses the manifest and prunes over all P entries)
+    val rowsPer = n / p
+    val pruned = timedMs("pruned read 1 partition (plan+exec)") {
+      spark.sql("SELECT count(*), sum(v) FROM graft.metap " +
+        "WHERE pk = 'p00007'").head()
+    }
+    require(pruned.getLong(0) == rowsPer ||
+      pruned.getLong(0) == rowsPer + (if (7 < n % p) 1 else 0),
+      s"pruned read wrong: $pruned")
+    timedMs("pruned read 1 partition (2nd)") {
+      spark.sql("SELECT count(*), sum(v) FROM graft.metap " +
+        "WHERE pk = 'p00019'").head()
+    }
+
+    // 5. unpruned PLANNING only (no execution): what a full-table query
+    // pays the driver before the first task launches
+    timedMs("unpruned planning (executedPlan, no run)") {
+      spark.sql("SELECT sum(length(payload)) FROM graft.metap")
+        .queryExecution.executedPlan
+    }
+
+    // 6. batch-face qualification: the gate walk (mapping state, footer
+    // probe, delete evidence) that decides SPJ eligibility
+    val relation = new graft.sources.GraftRelation(spark, root, store, None)
+    val schema = relation.schema
+    spark.conf.set(graft.sources.GraftBatchScan.EnabledConf, "true")
+    timedMs("face qualification COLD") {
+      require(graft.sources.GraftBatchScan
+        .eligibleScan(relation, schema,
+          Array.empty[org.apache.spark.sql.sources.Filter]).nonEmpty,
+        "the clean snapshot must qualify")
+    }
+    timedMs("face qualification WARM") {
+      graft.sources.GraftBatchScan.eligibleScan(relation, schema,
+        Array.empty[org.apache.spark.sql.sources.Filter])
+    }
+    spark.conf.unset(graft.sources.GraftBatchScan.EnabledConf)
+
+    // 7. append commit touching 1 partition: staging is O(batch), but
+    // publish renders the FULL manifest and re-checks conflicts
+    timedMs("append-commit 1 partition (5 rows)") {
+      AtomicCommit.commitAppendPartitions(spark, root,
+        spark.range(5).select(lit("p00007").as("pk"),
+          (col("id") + n).as("v"),
+          md5(col("id").cast("string")).as("payload")), "pk")
+    }
+
+    // 8. DESCRIBE DETAIL: the operator surface's own live-file walk
+    timedMs("DESCRIBE DETAIL") {
+      spark.sql("DESCRIBE DETAIL graft.metap").collect()
+    }
+
+    spark.conf.unset("spark.graft.table.metap")
     spark.stop()
   }
 }

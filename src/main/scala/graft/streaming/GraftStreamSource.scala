@@ -200,7 +200,10 @@ object GraftStreamSource {
   private[graft] def schemaFor(spark: org.apache.spark.sql.SparkSession,
                                    root: String, store: ManifestStore,
                                    feed: String): StructType = {
-    val base = AtomicCommit.read(spark, root, store).schema
+    // schema-only: the O(generations) derivation, not a full read plan
+    val base = AtomicCommit.scanSchema(spark, root,
+      AtomicCommit.readManifest(store).getOrElse(
+        sys.error(s"no manifest at $root — not an AtomicCommit table")))
     if (feed == "cdc")
       StructType(base.fields :+ org.apache.spark.sql.types.StructField(
         "__cf_tombstone", org.apache.spark.sql.types.BooleanType,

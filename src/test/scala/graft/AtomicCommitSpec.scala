@@ -287,6 +287,43 @@ class AtomicCommitSpec extends SparkSpec {
     assert(got === Set((1L, "A", 1.0, None), (2L, "B", 2.0, Some(0.9))))
   }
 
+  test("scanSchema equals the full scan's schema across every evolution shape, probing one partition per generation") {
+    val root = freshRoot()
+    val store = new graft.sources.PosixManifestStore(root)
+    def check(label: String): Unit = {
+      val m = AtomicCommit.readManifest(store).get
+      assert(AtomicCommit.scanSchema(spark, root, m) ===
+        AtomicCommit.scanManifest(spark, root, m).schema,
+        s"scanSchema diverged after: $label")
+    }
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1, "A", 1.0), (2, "B", 2.0)).toDF("k", "flag", "v"), "flag")
+    check("plain commit")
+    // a generation carrying a NEW column: unionByName appends it
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((3, "C", 3.0, 0.9)).toDF("k", "flag", "v", "score"), "flag")
+    check("additive generation")
+    // appends: multi-owner entries (several generations per partition)
+    AtomicCommit.commitAppendPartitions(spark, root,
+      Seq((4, "A", 4.0)).toDF("k", "flag", "v"), "flag")
+    check("append")
+    // mapping state: rename + widen ride the logical view
+    AtomicCommit.renameColumn(spark, root, store, "v", "val")
+    check("rename")
+    AtomicCommit.widenColumn(spark, root, store, "k",
+      org.apache.spark.sql.types.LongType)
+    check("widen")
+    // ALTER-added column no footer carries: NULL-backfilled
+    AtomicCommit.addColumnsAtomic(spark, root, store,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("note",
+          org.apache.spark.sql.types.StringType))))
+    check("added column")
+    // merge-on-read delete evidence (schema-neutral but on the path)
+    graft.sources.Deletes.deleteKeysMoR(spark, root, store, "k", Seq(2L))
+    check("MoR delete evidence")
+  }
+
   test("manifest props ride the atomic swap, carry forward, and reject braces") {
     val root = freshRoot()
     val s1 = AtomicCommit.stage(spark, root,

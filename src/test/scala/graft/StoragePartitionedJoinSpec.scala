@@ -1125,6 +1125,73 @@ class StoragePartitionedJoinSpec extends SparkSpec {
     } finally unregister("spj_hfail")
   }
 
+  test("SPJ under skew: a zipfian hot key keeps parity in coalesced mode AND under partially-clustered distribution, shuffle-free in both") {
+    val rootF = Files.createTempDirectory("graft_spj_skew_f").toString
+    val rootD = Files.createTempDirectory("graft_spj_skew_d").toString
+    // ~90% of the fact under ONE key, written from several tasks so the
+    // hot partition holds multiple files (the shape coalescing folds
+    // into one giant split and PCD deliberately keeps apart)
+    val fact = spark.range(16000).select(
+      when($"id" % 10 < 9, "HOT").otherwise(concat(lit("t"), $"id" % 7))
+        .as("p"),
+      $"id".as("k"), ($"id" * 1.0).as("v"))
+    AtomicCommit.commitReplacePartitions(spark, rootF, fact, "p")
+    // append a second hot batch: the HOT entry now owns TWO
+    // generations, guaranteeing multiple files for the key — the shape
+    // coalescing folds into one giant split and PCD keeps apart
+    AtomicCommit.commitAppendPartitions(spark, rootF,
+      spark.range(16000, 20000).select(lit("HOT").as("p"),
+        $"id".as("k"), ($"id" * 1.0).as("v")), "p")
+    val hotOwners = AtomicCommit.ownersOf(
+      AtomicCommit.readManifest(rootF).get.entries("HOT"))
+    assert(hotOwners.size === 2, "the hot key must span several files")
+    AtomicCommit.commitReplacePartitions(spark, rootD,
+      ("HOT" +: (0 until 7).map(i => s"t$i")).map(p => (p, s"dim-$p"))
+        .toDF("p", "name"), "p")
+    register("spj_skew_f", rootF)
+    register("spj_skew_d", rootD)
+    try {
+      // a plain join, not a join+groupBy: PCD's whole point is letting
+      // one key span several output partitions, so only the JOIN is
+      // exchange-free — a downstream key-grouped agg would rightly
+      // re-shuffle there
+      val join =
+        """SELECT f.k, f.v, d.name
+          |FROM graft.spj_skew_f f JOIN graft.spj_skew_d d ON f.p = d.p
+          |""".stripMargin
+      val off = rowsOf(spark.sql(join))
+
+      // coalesced SPJ: the hot key serializes into one task — correct,
+      // shuffle-free, the skew cost is wall-clock only (TableBench's
+      // skew A/B prices it)
+      val (co, coPlan) = withSQLConf(SpjConfs: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(co === off, "coalesced SPJ changed answers under skew")
+      assert(shuffles(coPlan) === 0,
+        s"coalesced SPJ must stay shuffle-free\n$coPlan")
+      assert(batchScans(coPlan) === 2,
+        s"both sides must serve on the face\n$coPlan")
+
+      // partially-clustered distribution: Spark keeps the hot key's
+      // splits separate to spread them over tasks; coalescePerKey
+      // yields (no stale one-split-per-key shape, no wrong ordering
+      // claim) and the join still plans without an exchange
+      val pcd = SpjConfs :+
+        ("spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"
+          -> "true")
+      val (sk, skPlan) = withSQLConf(pcd: _*) {
+        val d = spark.sql(join); (rowsOf(d), executed(d))
+      }
+      assert(sk === off,
+        "partially-clustered distribution changed answers under skew")
+      assert(shuffles(skPlan) === 0,
+        s"PCD is still storage-partitioned — no exchange\n$skPlan")
+      assert(batchScans(skPlan) === 2,
+        s"PCD must not gate the face out\n$skPlan")
+    } finally unregister("spj_skew_f", "spj_skew_d")
+  }
+
   test("pinned snapshots serve on the batch face: a VERSION AS OF read on a qualifying snapshot joins and aggregates exchange-free") {
     val rootA = Files.createTempDirectory("graft_spj_pin_a").toString
     val rootB = Files.createTempDirectory("graft_spj_pin_b").toString
