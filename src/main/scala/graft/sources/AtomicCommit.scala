@@ -259,6 +259,10 @@ object AtomicCommit {
     require(parts.nonEmpty,
       s"staging produced no partition directories at $root/$gen — refusing " +
         "to commit an empty replace (filter upstream, or skip the commit)")
+    // the generation's FILE INDEX, from the walk the stage just paid:
+    // readers plan file sets from metadata instead of listing each
+    // partition directory per query
+    DataSkipping.writeFileIndex(root, gen, partitionCol)
     Staged(gen, partitionCol, parts,
       prev.map(_.version).getOrElse(0L),
       prev.map(_.entries.filter { case (p, _) => parts.contains(p) })
@@ -507,6 +511,7 @@ object AtomicCommit {
     require(parts.nonEmpty,
       s"repartition staged no partition directories at $root/$gen — does " +
         s"$newPartitionCol hold only nulls?")
+    DataSkipping.writeFileIndex(root, gen, newPartitionCol)
     val staged = Staged(gen, newPartitionCol, parts, m.version, Map.empty)
     staged.copy(enforced = Some(enforceConstraints(spark, root, staged, Some(m))))
   }

@@ -49,6 +49,21 @@ object DataSkipping {
 
   val StatsFile = "_graft_stats.jsonl"
 
+  /** The FILE INDEX sidecar: one line per data file of the generation —
+    * `{"partition": <raw dir value>, "file": <basename>, "bytes": N}` —
+    * written at STAGE time from one walk of the directory the stage
+    * just produced (the listing the commit already paid). Readers
+    * ([[partitionFilesSized]], [[listParquetIndexed]]) then plan file
+    * sets from driver metadata instead of listing partition directories
+    * per query: at 50k partitions that is 50k LIST calls per unpruned
+    * face plan on an object store — this is the same move Iceberg makes
+    * by recording data files in manifests. Generations are immutable
+    * after publish, so the index never invalidates; absent (pre-index
+    * tables, hand-written generations) or unreadable ⇒ every consumer
+    * falls back to the live listing, correct and merely slower.
+    */
+  val FilesFile = "_graft_files.jsonl"
+
   /** One (partition, column) statistics record. `min`/`max` are None only
     * when every value in the partition is null. `file` present makes the
     * record FILE-granular — the bounds of one parquet data file (by
@@ -237,6 +252,101 @@ object DataSkipping {
     Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
+
+  /** Write the generation's FILE INDEX ([[FilesFile]]) from one
+    * recursive walk — called at stage time by every data-generation
+    * writer, before publish (a crash leaves it inside an unreferenced
+    * directory, invisible like the data). Atomic temp+move like every
+    * sidecar here.
+    */
+  private[graft] def writeFileIndex(root: String, gen: String,
+                                      pc: String): Unit = {
+    val base = Paths.get(root, gen)
+    if (!Files.isDirectory(base)) return
+    val prefix = s"$pc="
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val s = Files.walk(base)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.toString.endsWith(".parquet") && Files.isRegularFile(f)) {
+          val rel = base.relativize(f)
+          if (rel.getNameCount >= 2) {
+            val d = rel.getName(0).toString
+            if (d.startsWith(prefix)) lines += s"""{"partition": "${esc(
+              d.stripPrefix(prefix))}", "file": "${esc(
+              f.getFileName.toString)}", "bytes": ${Files.size(f)}}"""
+          }
+        }
+      }
+    } finally s.close()
+    val target = Paths.get(root, gen, FilesFile)
+    val tmp = Paths.get(root, gen, s".$FilesFile.tmp")
+    Files.write(tmp, lines.sorted.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** [[statsMemo]]'s twin for the file index. Value: partition raw dir
+    * value → (file basename, bytes) pairs, name-sorted. None = no index
+    * (or unreadable — an acceleration sidecar degrades, never fails).
+    */
+  private val filesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String),
+    ((java.nio.file.attribute.FileTime, Long),
+      Map[String, Seq[(String, Long)]])]()
+
+  private[graft] def readFileIndex(root: String, gen: String)
+      : Option[Map[String, Seq[(String, Long)]]] = {
+    val p = Paths.get(root, gen, FilesFile)
+    if (!Files.exists(p)) return None
+    scala.util.Try {
+      val stamp = (Files.getLastModifiedTime(p), Files.size(p))
+      val key = (root, gen)
+      val hit = filesMemo.get(key)
+      if (hit != null && hit._1 == stamp) hit._2
+      else {
+        val str = (""""partition"\s*:\s*"((?:[^"\\]|\\.)*)"""".r,
+          """"file"\s*:\s*"((?:[^"\\]|\\.)*)"""".r,
+          """"bytes"\s*:\s*(\d+)""".r)
+        val fresh = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+          .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+            (unesc(str._1.findFirstMatchIn(line).get.group(1)),
+              (unesc(str._2.findFirstMatchIn(line).get.group(1)),
+                str._3.findFirstMatchIn(line).get.group(1).toLong))
+          }.groupBy(_._1)
+          .map { case (pv, xs) => pv -> xs.map(_._2).sortBy(_._1) }
+        if (filesMemo.size > 256) filesMemo.clear()
+        filesMemo.put(key, (stamp, fresh))
+        fresh
+      }
+    }.toOption
+  }
+
+  /** The (basename, bytes) pairs of one partition directory: from the
+    * generation's file index when present (driver metadata, no LIST),
+    * else a live listing — identical result either way on an intact
+    * table. `dir` must be `$root/$gen/$pc=$pv`.
+    */
+  private[graft] def partitionFilesSized(root: String, gen: String,
+                                           pv: String, dir: String)
+      : Seq[(String, Long)] =
+    readFileIndex(root, gen).map(_.getOrElse(pv, Nil)).getOrElse(
+      listParquet(dir).sorted.map(f =>
+        f -> scala.util.Try(Files.size(Paths.get(dir, f))).getOrElse(0L)))
+
+  /** [[partitionFilesSized]] names-only — the indexed replacement for
+    * per-query [[listParquet]] at evidence-check sites.
+    */
+  private[graft] def listParquetIndexed(root: String, gen: String,
+                                          pv: String, dir: String)
+      : Seq[String] =
+    readFileIndex(root, gen) match {
+      case Some(ix) => ix.getOrElse(pv, Nil).map(_._1)
+      case None => listParquet(dir)
+    }
 
   /** `ANALYZE TABLE` engine: retrofit or refresh the statistics sidecars
     * of the snapshot's CURRENT owner generations for `cols`, without
@@ -685,7 +795,7 @@ object DataSkipping {
               // unrecorded data files have no evidence against them:
               // scanned (generations are immutable — only foreign or
               // hand-edited sidecars hit this)
-              val unrecorded = listParquet(dir).filterNot(recorded)
+              val unrecorded = listParquetIndexed(root, gen, pv, dir).filterNot(recorded)
               (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
             }
           }
@@ -755,7 +865,7 @@ object DataSkipping {
               // a data file the sidecar never recorded has no evidence
               // against it — scanned (generations are immutable, so this
               // only fires on a foreign or hand-edited sidecar)
-              val unrecorded = listParquet(dir).filterNot(recorded)
+              val unrecorded = listParquetIndexed(root, gen, pv, dir).filterNot(recorded)
               (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
             }
           }
@@ -870,7 +980,7 @@ object DataSkipping {
             }
           }
           // soundness: files the sidecar never recorded must be scanned
-          listParquet(dir).filterNot(files.toSet)
+          listParquetIndexed(root, gen, pv, dir).filterNot(files.toSet)
             .foreach(f => queue(gen, s"$dir/$f"))
         } else decide(c => recs.find(s => s.col == c && s.file.isEmpty)) match {
           case Some(n) => metaCount += n
@@ -1094,7 +1204,7 @@ object DataSkipping {
               val keepFiles = fileRecs.filter(admits).flatMap(_.file)
               // unrecorded files (all-null keys, foreign sidecars) have
               // no evidence against them — scanned
-              val unrecorded = listParquet(dir).filterNot(recorded)
+              val unrecorded = listParquetIndexed(root, gen, pv, dir).filterNot(recorded)
               (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
             }
           }

@@ -854,8 +854,8 @@ object GraftBatchScan extends org.apache.spark.internal.Logging {
     // (part-file names encode the writing task, so name order is the
     // recluster job's range order)
     val filesByPart: Map[String, Seq[String]] =
-      entries.keysIterator.map(pv => pv -> DataSkipping.listParquet(
-        s"$root/$gen/${m.partitionCol}=$pv").sorted).toMap
+      entries.keysIterator.map(pv => pv -> DataSkipping.listParquetIndexed(
+        root, gen, pv, s"$root/$gen/${m.partitionCol}=$pv").sorted).toMap
     def verified(c: String): Boolean = entries.keys.forall { pv =>
       val files = filesByPart(pv)
       val recs = byPartCol.getOrElse((pv, c), Nil)

@@ -694,10 +694,11 @@ final class GraftRelation(spark: SparkSession, val root: String,
     val out = entries.toSeq.sortBy(_._1).map { case (pv, entry) =>
       val files = AtomicCommit.ownersOf(entry).flatMap { gen =>
         val dir = s"$root/$gen/$pc=$pv"
-        DataSkipping.listParquet(dir)
-          .map(f => s"$dir/$f")
-          .filter(p => allowed.forall(s => s(p) || s(dir)))
-          .map(p => p -> java.nio.file.Files.size(java.nio.file.Paths.get(p)))
+        // (name, bytes) from the generation's file index when present —
+        // no per-query directory listing; live listing otherwise
+        DataSkipping.partitionFilesSized(root, gen, pv, dir)
+          .map { case (f, len) => (s"$dir/$f", len) }
+          .filter { case (p, _) => allowed.forall(s => s(p) || s(dir)) }
       }
       pv -> files
     }.filter(_._2.nonEmpty)
