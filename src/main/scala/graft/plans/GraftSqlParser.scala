@@ -301,38 +301,25 @@ final case class DescribeDetailGraftTable(ident: String)
       .map(ms => java.time.Instant.ofEpochMilli(ms).toString).orNull
     val gens = m.entries.values
       .flatMap(AtomicCommit.ownersOf).toSeq.distinct
-    // LIVE files only — one walk per GENERATION, attributing each file
-    // to its partition dir and counting only (gen, partition) pairs the
-    // manifest owns: superseded partition dirs a prior REPLACE left
-    // behind in a shared generation are visited but never counted, so
-    // num_files still matches size_bytes — at O(generations) stream
-    // setups instead of O(partitions) (the 50k-partition lesson,
-    // TableBench `meta`)
+    // LIVE files only — the generation's file index when present (the
+    // same catalog the scan plans from, so num_files matches the
+    // planned file set), else the shared one-walk-per-generation
+    // fallback; only (gen, partition) pairs the manifest owns count,
+    // so superseded partition dirs a prior REPLACE left behind in a
+    // shared generation never inflate num_files vs size_bytes
     val files = m.entries.toSeq.flatMap { case (pv, entry) =>
       AtomicCommit.ownersOf(entry).map(_ -> pv)
     }.groupBy(_._1).toSeq.map { case (g, ps) =>
       val owned = ps.iterator.map(_._2).toSet
-      val base = java.nio.file.Paths.get(root, g)
-      if (!java.nio.file.Files.isDirectory(base)) 0L
-      else {
-        val s = java.nio.file.Files.walk(base)
-        try {
+      graft.sources.DataSkipping.readFileIndex(root, g) match {
+        case Some(ix) =>
+          owned.iterator.map(pv => ix.getOrElse(pv, Nil).size.toLong).sum
+        case None =>
           var n = 0L
-          val it = s.iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.toString.endsWith(".parquet") &&
-              java.nio.file.Files.isRegularFile(f)) {
-              val rel = base.relativize(f)
-              if (rel.getNameCount >= 2) {
-                val d = rel.getName(0).toString
-                if (d.startsWith(s"${m.partitionCol}=") &&
-                  owned(d.stripPrefix(s"${m.partitionCol}="))) n += 1
-              }
-            }
+          TableStats.walkGenFiles(root, g, m.partitionCol) { (pv, _) =>
+            if (owned(pv)) n += 1
           }
           n
-        } finally s.close()
       }
     }.sum
     def orNull(s: String): String = if (s.isEmpty) null else s

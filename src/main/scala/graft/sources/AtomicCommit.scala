@@ -401,16 +401,24 @@ object AtomicCommit {
           if (staged.overrides.nonEmpty) staged.overrides
           else staged.partitions.map(_ -> staged.gen).toMap) --
           staged.drops
+      val v = prev.map(_.version + 1).getOrElse(1L)
       val next = Manifest(
-        prev.map(_.version + 1).getOrElse(1L),
+        v,
         staged.partitionCol, nextEntries,
         // graft.txn.* props describe ONE specific version (a pending or
         // revert manifest), never the lineage — committing on top always
         // strips them, unless this commit IS a transaction prepare
-        // re-asserting its own markers via staged.props
+        // re-asserting its own markers via staged.props.
+        // [[VersionValueSentinel]] values resolve HERE, per attempt: a
+        // staged prop cannot know its landed version up front (a lost
+        // CAS re-merges and retries at a higher one), so naming-the-
+        // version props would otherwise name another writer's commit
         stampWhen(prev.map(_.props),
-          prev.map(_.props.filterNot(_._1.startsWith(Transactions.TxnPrefix)))
-            .getOrElse(Map.empty) ++ staged.props -- staged.propDrops))
+          (prev.map(_.props.filterNot(_._1.startsWith(Transactions.TxnPrefix)))
+            .getOrElse(Map.empty) ++ staged.props -- staged.propDrops)
+            .map { case (k, value) =>
+              k -> (if (value == VersionValueSentinel) v.toString else value)
+            }))
       require(next.entries.nonEmpty,
         s"commit would leave $root with zero partitions — an empty table " +
           "has no manifest form; drop the table directory instead")
@@ -539,7 +547,11 @@ object AtomicCommit {
           "(vacuumed before publish?) — the commit cannot proceed")
     val next = Manifest(prev.version + 1, staged.partitionCol,
       staged.partitions.map(_ -> staged.gen).toMap,
-      stampWhen(Some(prev.props), prev.props ++ staged.props))
+      stampWhen(Some(prev.props), (prev.props ++ staged.props)
+        .map { case (k, value) =>
+          k -> (if (value == VersionValueSentinel)
+            (prev.version + 1).toString else value)
+        }))
     if (!store.putIfAbsent(manifestName(next.version),
       renderJson(next).getBytes(StandardCharsets.UTF_8)))
       throw new PartitionConflictException(
@@ -777,6 +789,14 @@ object AtomicCommit {
     * table" (DESCRIBE DETAIL's `last_heal_version`).
     */
   val HealVersionProp = "graft.heal.version"
+
+  /** A staged prop VALUE equal to this resolves, at publish time and
+    * per CAS attempt, to the version number the commit actually lands —
+    * the only correct way to stage a version-naming prop: a lost CAS
+    * re-merges and retries at a higher version, so a pre-computed
+    * `base + 1` can end up naming a concurrent writer's commit.
+    */
+  val VersionValueSentinel = "@commit-version"
 
   /** The commit props for a new version: `props` plus a commit timestamp
     * that is MONOTONIC within the lineage (wall clock, floored at the

@@ -61,6 +61,17 @@ object DataSkipping {
     * after publish, so the index never invalidates; absent (pre-index
     * tables, hand-written generations) or unreadable ⇒ every consumer
     * falls back to the live listing, correct and merely slower.
+    *
+    * AUTHORITY CONTRACT: when present, the index IS the generation's
+    * file catalog. A parquet file dropped into a published generation
+    * behind the format's back is not part of the table on indexed
+    * paths (exactly Iceberg's rule — files outside manifests do not
+    * exist), while the listing fallback and the V1 whole-directory
+    * read would still discover it; writing into a published generation
+    * violates the format's immutability contract and has no defined
+    * visibility. The STATS/bloom sidecars keep their own soundness
+    * rule unchanged: an index-listed file the stats never recorded has
+    * no evidence against it and is scanned.
     */
   val FilesFile = "_graft_files.jsonl"
 
@@ -272,7 +283,12 @@ object DataSkipping {
         val f = it.next()
         if (f.toString.endsWith(".parquet") && Files.isRegularFile(f)) {
           val rel = base.relativize(f)
-          if (rel.getNameCount >= 2) {
+          // DIRECT children of the partition dir only (nameCount == 2):
+          // every consumer resolves the basename one level under the
+          // dir, and the live-listing fallback is shallow — indexing a
+          // nested stray would plan a phantom path instead of skipping
+          // it like the listing does
+          if (rel.getNameCount == 2) {
             val d = rel.getName(0).toString
             if (d.startsWith(prefix)) lines += s"""{"partition": "${esc(
               d.stripPrefix(prefix))}", "file": "${esc(
@@ -792,9 +808,12 @@ object DataSkipping {
               val keepFiles = recorded.toSeq.filter(f => keepSlice(
                 c => sFiles.find(s => s.col == c && s.file.contains(f)),
                 c => bFiles.find(b => b.col == c && b.file.contains(f))))
-              // unrecorded data files have no evidence against them:
-              // scanned (generations are immutable — only foreign or
-              // hand-edited sidecars hit this)
+              // data files the STATS sidecar never recorded have no
+              // evidence against them: scanned. The enumeration comes
+              // from the file index when present (its authority
+              // contract: files outside it are outside the generation),
+              // so a hand-edited stats sidecar still cannot hide an
+              // indexed file
               val unrecorded = listParquetIndexed(root, gen, pv, dir).filterNot(recorded)
               (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
             }
@@ -862,9 +881,9 @@ object DataSkipping {
               val recorded = fileRecs.flatMap(_.file).toSet
               val keepFiles = recorded.toSeq.filter(f =>
                 keepSlice(c => fileRecs.find(s => s.col == c && s.file.contains(f))))
-              // a data file the sidecar never recorded has no evidence
-              // against it — scanned (generations are immutable, so this
-              // only fires on a foreign or hand-edited sidecar)
+              // a data file the stats sidecar never recorded has no
+              // evidence against it — scanned; enumerated from the file
+              // index when present (see FilesFile's authority contract)
               val unrecorded = listParquetIndexed(root, gen, pv, dir).filterNot(recorded)
               (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
             }
@@ -979,7 +998,8 @@ object DataSkipping {
               case None => queue(gen, s"$dir/$f")
             }
           }
-          // soundness: files the sidecar never recorded must be scanned
+          // soundness: files the stats sidecar never recorded must be
+          // scanned (index-enumerated when present)
           listParquetIndexed(root, gen, pv, dir).filterNot(files.toSet)
             .foreach(f => queue(gen, s"$dir/$f"))
         } else decide(c => recs.find(s => s.col == c && s.file.isEmpty)) match {
@@ -1202,8 +1222,9 @@ object DataSkipping {
             else {
               val recorded = fileRecs.flatMap(_.file).toSet
               val keepFiles = fileRecs.filter(admits).flatMap(_.file)
-              // unrecorded files (all-null keys, foreign sidecars) have
-              // no evidence against them — scanned
+              // files without bloom records (all-null keys, foreign
+              // sidecars) have no evidence against them — scanned;
+              // enumerated from the file index when present
               val unrecorded = listParquetIndexed(root, gen, pv, dir).filterNot(recorded)
               (keepFiles ++ unrecorded).sorted.map(f => s"$dir/$f")
             }

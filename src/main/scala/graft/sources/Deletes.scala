@@ -369,26 +369,23 @@ object Deletes {
 
   def materializeEqDeletes(spark: SparkSession, root: String,
                            store: ManifestStore): Option[Long] =
-    materializeEqDeletes(spark, root, store, _ => Map.empty)
+    materializeEqDeletes(spark, root, store, Map.empty[String, String])
 
-  /** `props(v)` — where `v` is the version this commit will publish —
-    * rides the commit (merged into the published manifest's props
-    * atomically with the flip). The read path's self-heal tags its
-    * maintenance commit here so DESCRIBE HISTORY can answer "why did
-    * version N appear during a SELECT" ([[AtomicCommit
-    * .HealVersionProp]] — version-valued, so the function form keeps
-    * the tag exact even when a writer advanced the table between the
-    * caller's snapshot read and this one); a manual `OPTIMIZE …
-    * MATERIALIZE DELETES` passes nothing and classifies as the rewrite
-    * it is.
+  /** `props` ride the commit (merged into the published manifest's
+    * props atomically with the flip). The read path's self-heal tags
+    * its maintenance commit here so DESCRIBE HISTORY can answer "why
+    * did version N appear during a SELECT" ([[AtomicCommit
+    * .HealVersionProp]], staged as [[AtomicCommit.VersionValueSentinel]]
+    * so the tag names the version the publish ACTUALLY lands, CAS
+    * retries included); a manual `OPTIMIZE … MATERIALIZE DELETES`
+    * passes nothing and classifies as the rewrite it is.
     */
   def materializeEqDeletes(spark: SparkSession, root: String,
                            store: ManifestStore,
-                           propsFor: Long => Map[String, String])
+                           props: Map[String, String])
       : Option[Long] = {
     val m = AtomicCommit.readManifest(store).getOrElse(
       sys.error(s"no manifest at $root — not an AtomicCommit table"))
-    val props = propsFor(m.version + 1)
     val pc = m.partitionCol
     // the snapshot's own evidence view: records scoped to live entries
     // and — critically — their columns mapped through the RENAME chain

@@ -601,8 +601,13 @@ object GraftBatchScan extends org.apache.spark.internal.Logging {
           AutoMaterializeBytesDefault.toString).toLong).getOrElse(0L)
     val key = (relation.root, m.version)
     if (healFailures.containsKey(key)) return false
-    try {
-      val due = evOpt.exists { ev =>
+    // the ELIGIBILITY arithmetic sits OUTSIDE the caching catch: it is
+    // cheap metadata work recomputed per planning, and a transient
+    // error in it (a vacuum racing the sizeInBytes walk) must degrade
+    // to a refusal for THIS query — caching it would disable healing
+    // for the whole snapshot off a blip that never attempted a heal
+    val due = try {
+      evOpt.exists { ev =>
         ev.eqs.nonEmpty && ev.positions.isEmpty &&
           ev.eqs.iterator.map(_.values.size.toLong).sum <= cap && {
             // what the resolution will READ: the marked partitions' live
@@ -611,9 +616,18 @@ object GraftBatchScan extends org.apache.spark.internal.Logging {
             TableStats.sizeInBytes(relation.root, m, marked) <= byteCap
           }
       }
-      if (!due) return false
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"graft auto-materialize: eligibility check failed " +
+          s"at ${relation.root} v${m.version} — refusing for this query " +
+          s"(not cached; the next planning recomputes): $e")
+        false
+    }
+    if (!due) return false
+    try {
       Deletes.materializeEqDeletes(spark, relation.root, relation.store,
-          v => Map(AtomicCommit.HealVersionProp -> v.toString)) match {
+          Map(AtomicCommit.HealVersionProp ->
+            AtomicCommit.VersionValueSentinel)) match {
         case Some(v) =>
           logWarning(s"graft auto-materialize: read-triggered " +
             s"maintenance commit landed version $v at ${relation.root} " +

@@ -270,7 +270,6 @@ private[sources] object FilterColumns {
 object GraftRelation {
   private val DiscoveryParallelismKey =
     "spark.sql.sources.parallelPartitionDiscovery.parallelism"
-  private val DiscoveryParallelismSparkDefault = "10000"
 
   /** Bound the file-listing job's task count, once, unless the user
     * chose one: Spark's default (10000) makes the partition-discovery
@@ -281,12 +280,16 @@ object GraftRelation {
     * bound scales with the cluster (2× default parallelism, floored at
     * 64 so small drivers still fan out against high-latency stores,
     * capped at 1024). Set-once and monotonic — never toggled around a
-    * read (the r13 inference-conf race lesson), and an explicit user
-    * setting (any value other than Spark's default) is left alone.
+    * read (the r13 inference-conf race lesson). "Explicitly set" is
+    * tested with [[org.apache.spark.sql.internal.SQLConf.contains]]
+    * (the set-entries map), NOT getOption — getOption returns the
+    * registered DEFAULT for unset keys, which both clobbered a
+    * deliberate user 10000 and re-clobbered any later user change back
+    * to it; contains also makes our own set sticky, so this really is
+    * one write per session.
     */
   private[sources] def tunePartitionDiscovery(spark: SparkSession): Unit =
-    if (spark.conf.getOption(DiscoveryParallelismKey)
-        .forall(_ == DiscoveryParallelismSparkDefault)) {
+    if (!spark.sessionState.conf.contains(DiscoveryParallelismKey)) {
       val n = math.min(1024,
         math.max(64, spark.sparkContext.defaultParallelism * 2))
       spark.conf.set(DiscoveryParallelismKey, n.toString)

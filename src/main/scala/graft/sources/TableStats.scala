@@ -60,14 +60,16 @@ object TableStats {
     bytesCache.computeIfAbsent(keyOf(root, m), _ => computeBytes(root, m))
   }
 
-  /** ONE recursive walk per GENERATION, attributing files to their
-    * partition directory — not one walk per (generation, partition):
-    * the inode count visited is the same, but stream setup drops from
-    * O(partitions) to O(generations), and on an object store this is
-    * one LIST per generation prefix instead of one per partition
-    * (measured ~1 s of 50k per-dir walks at 16M/50000 — TableBench
-    * `meta`). Files in directories the manifest does not own for this
-    * generation (superseded partitions) are visited but never sized.
+  /** Per-partition live bytes: the generation's FILE INDEX when it has
+    * one ([[DataSkipping.readFileIndex]] — bytes are recorded at stage
+    * time, zero I/O beyond the memoized sidecar read), else ONE
+    * recursive walk per GENERATION attributing files to their partition
+    * directory — never one walk per (generation, partition): stream
+    * setup stays O(generations), and on an object store that is one
+    * LIST per generation prefix instead of one per partition (measured
+    * ~1 s of 50k per-dir walks at 16M/50000 — TableBench `meta`). Files
+    * in directories the manifest does not own for this generation
+    * (superseded partitions) are never sized on either path.
     */
   private def computeBytes(root: String, m: Manifest): Map[String, Long] = {
     val pc = m.partitionCol
@@ -76,29 +78,44 @@ object TableStats {
       .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
       .groupBy(_._1).foreach { case (gen, ps) =>
         val owned = ps.iterator.map(_._2).toSet
-        val base = Paths.get(root, gen)
-        if (Files.isDirectory(base)) {
-          val s = Files.walk(base)
-          try {
-            val it = s.iterator()
-            while (it.hasNext) {
-              val f = it.next()
-              if (f.toString.endsWith(".parquet") && Files.isRegularFile(f)) {
-                val rel = base.relativize(f)
-                if (rel.getNameCount >= 2) {
-                  val d = rel.getName(0).toString
-                  if (d.startsWith(s"$pc=")) {
-                    val pv = d.stripPrefix(s"$pc=")
-                    if (owned(pv))
-                      acc(pv) = acc.getOrElse(pv, 0L) + Files.size(f)
-                  }
-                }
-              }
-            }
-          } finally s.close()
+        DataSkipping.readFileIndex(root, gen) match {
+          case Some(ix) => owned.foreach { pv =>
+            acc(pv) = acc.getOrElse(pv, 0L) +
+              ix.getOrElse(pv, Nil).iterator.map(_._2).sum
+          }
+          case None => walkGenFiles(root, gen, pc) { (pv, f) =>
+            if (owned(pv)) acc(pv) = acc.getOrElse(pv, 0L) + Files.size(f)
+          }
         }
       }
     m.entries.map { case (p, _) => p -> acc.getOrElse(p, 0L) }
+  }
+
+  /** The shared fallback walk: visit every `*.parquet` under the
+    * generation ONCE, handing (partition raw value, path) to `f` —
+    * the one place the attribute-by-first-path-component logic lives
+    * (computeBytes and DESCRIBE DETAIL's num_files both fall back
+    * here when a generation predates the file index).
+    */
+  private[graft] def walkGenFiles(root: String, gen: String, pc: String)(
+      f: (String, Path) => Unit): Unit = {
+    val base = Paths.get(root, gen)
+    if (!Files.isDirectory(base)) return
+    val prefix = s"$pc="
+    val s = Files.walk(base)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.toString.endsWith(".parquet") && Files.isRegularFile(p)) {
+          val rel = base.relativize(p)
+          if (rel.getNameCount >= 2) {
+            val d = rel.getName(0).toString
+            if (d.startsWith(prefix)) f(d.stripPrefix(prefix), p)
+          }
+        }
+      }
+    } finally s.close()
   }
 
   /** Bytes of the whole snapshot, or of a pruned subset of partitions

@@ -103,6 +103,34 @@ class AtomicCommitSpec extends SparkSpec {
     assert(snap(root) === Map(("A", 7L) -> 7.0))
   }
 
+  test("a version-naming prop staged as the sentinel resolves to the version the CAS actually lands") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
+    val staged = AtomicCommit.stage(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+      .copy(props = Map("graft.test.version" ->
+        AtomicCommit.VersionValueSentinel))
+    // a concurrent writer wins v2 between our read and our link: the
+    // retry lands at v3, and the sentinel must name 3 — not the
+    // pre-computable base+1=2, which now belongs to the other writer
+    val m1 = AtomicCommit.readManifest(root).get
+    val tmp = Files.createTempFile(java.nio.file.Paths.get(root),
+      "_graft_manifest.tmp_", "")
+    Files.write(tmp,
+      s"""{"version":2,"partitionCol":"flag","entries":{${
+        m1.entries.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      }}}""".getBytes("UTF-8"))
+    Files.createLink(
+      java.nio.file.Paths.get(root, f"_graft_manifest.v${2L}%08d.json"), tmp)
+    Files.delete(tmp)
+    val v = AtomicCommit.publish(root, staged)
+    assert(v === 3L)
+    assert(AtomicCommit.readManifest(root).get
+      .props("graft.test.version") === "3",
+      "the sentinel must resolve to the landed version, per CAS attempt")
+  }
+
   test("CAS under true thread concurrency: simultaneous publishes both land, neither clobbers") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,

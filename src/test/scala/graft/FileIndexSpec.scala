@@ -95,4 +95,42 @@ class FileIndexSpec extends SparkSpec {
       === catExpect)
     spark.conf.unset("spark.graft.table.fidx")
   }
+
+  test("authority: a file smuggled into a published generation is not part of the table on indexed paths; removing the index re-exposes it to the listing fallback") {
+    val root = Files.createTempDirectory("graft_fidx_auth").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.fauth", root)
+    try {
+      // the batch face plans its splits from partitionFileLayout — the
+      // index-backed path (V1 reads discover via Spark's own listing,
+      // which is exactly the undefined-visibility split the contract
+      // documents)
+      def faceRows(): Int = withSQLConf(
+        graft.sources.GraftBatchScan.EnabledConf -> "true") {
+        spark.sql("SELECT k, p FROM graft.fauth WHERE p = 'A'")
+          .collect().length
+      }
+      assert(faceRows() === 1)
+      // violate immutability: copy B's data file into A's directory
+      // behind the format's back (rows read back AS p=A there)
+      val m = AtomicCommit.readManifest(root).get
+      val gen = AtomicCommit.ownersOf(m.entries("A")).head
+      val bFile = Paths.get(root, gen, "p=B").toFile.listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(bFile.toPath,
+        Paths.get(root, gen, "p=A", "smuggled.parquet"))
+      // indexed planning: the foreign file does not exist for the table
+      assert(faceRows() === 1,
+        "the index is the generation's file catalog — files outside it " +
+          "are outside the table")
+      // without the index, the listing fallback discovers it — the
+      // documented consequence of violating generation immutability
+      Files.delete(Paths.get(root, gen, DataSkipping.FilesFile))
+      assert(faceRows() === 2)
+    } finally {
+      spark.conf.unset("spark.graft.table.fauth")
+    }
+  }
 }
