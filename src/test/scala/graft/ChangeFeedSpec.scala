@@ -249,6 +249,60 @@ class ChangeFeedSpec extends SparkSpec {
     assert(viewRows() === expect(), "V1 tick diverged after face ticks")
   }
 
+  test("hidden-partitioned sources: the day-grain tick aggregates exchange-free (identity face — the derived column is projected, so the transform face correctly stands down)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit, sum => fsum, to_timestamp, col => fcol}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val srcRoot = Files.createTempDirectory("graft_cf_hp_s").toString
+    val dstRoot = Files.createTempDirectory("graft_cf_hp_d").toString
+    val rows = (0 until 30).map(i =>
+      (i.toLong, f"2024-06-${(i % 3) + 1}%02dT${i % 24}%02d:00:00Z"))
+      .toDF("k", "iso")
+      .select(fcol("k"), to_timestamp(fcol("iso")).as("ts"))
+    graft.sources.HiddenPartitioning.commitReplace(spark, srcRoot, rows,
+      graft.sources.HiddenPartitioning.Days("ts"))
+    val pc = AtomicCommit.readManifest(srcRoot).get.partitionCol
+    var captured: org.apache.spark.sql.DataFrame = null
+    def agg(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.groupBy(pc).agg(fcount(flit(1)).as("n"), fsum("k").as("sk"))
+      captured = out
+      out
+    }
+    // the graft catalog registered: the tick threads it into the slice
+    // relation (needed only when a subscriber resolves a TRANSFORM
+    // grouping; the identity face here must stay exchange-free with or
+    // without it)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    try withSQLConf(graft.sources.GraftBatchScan.EnabledConf -> "true") {
+      ChangeFeed.syncAggregate(spark, srcRoot, dstRoot, "mvh")(agg)
+      val got = AtomicCommit.read(spark, dstRoot).select(pc, "n", "sk")
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val exp = AtomicCommit.read(spark, srcRoot).groupBy(pc)
+        .agg(fcount(flit(1)).as("n"), fsum("k").as("sk"))
+        .select(fcol(pc).cast("string"), fcol("n"), fcol("sk"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === exp, "hidden-partitioned face tick diverged")
+      captured.collect()
+      val plan = captured.queryExecution.executedPlan
+      assert(nodes(plan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.datasources.v2.BatchScanExec]),
+        s"the tick's slice must read on the batch face\n$plan")
+      assert(nodes(plan).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) === 0,
+        s"the day-keyed tick aggregate must not exchange\n$plan")
+    } finally spark.conf.unset("spark.sql.catalog.graft")
+  }
+
   test("a consumer lagging past the vacuum horizon fails loudly, never skips silently") {
     val srcRoot = Files.createTempDirectory("graft_cf_vac").toString
     val dstRoot = Files.createTempDirectory("graft_cf_vacd").toString
