@@ -1920,6 +1920,21 @@ object AtomicCommit {
     */
   private[graft] def scanSchema(spark: SparkSession, root: String,
                                 m: Manifest): org.apache.spark.sql.types.StructType = {
+    // memoized per (root, manifest CONTENT): the schema derives from
+    // the generation set's footers (immutable per generation name — all
+    // named in `entries`) and the mapping-state props, both part of
+    // Manifest equality; branches sharing a root and a version number
+    // still key apart by content. Saves the per-relation footer probe —
+    // relations are instantiated several times per query's analysis
+    if (schemaMemo.size > 64) schemaMemo.clear()
+    schemaMemo.computeIfAbsent((root, m), _ => scanSchema0(spark, root, m))
+  }
+
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Manifest), org.apache.spark.sql.types.StructType]()
+
+  private def scanSchema0(spark: SparkSession, root: String,
+                          m: Manifest): org.apache.spark.sql.types.StructType = {
     val keep: Set[String] = m.entries.toSeq
       .flatMap { case (p, e) => ownersOf(e).map(_ -> p) }
       .groupBy(_._1).map { case (g, ps) =>
