@@ -412,12 +412,16 @@ object AtomicCommit {
         // [[VersionValueSentinel]] values resolve HERE, per attempt: a
         // staged prop cannot know its landed version up front (a lost
         // CAS re-merges and retries at a higher one), so naming-the-
-        // version props would otherwise name another writer's commit
+        // version props would otherwise name another writer's commit.
+        // Only keys THIS commit staged resolve — a carried-over prop
+        // whose value happens to be the literal sentinel string (a user
+        // TBLPROPERTY) is preserved verbatim, never rewritten
         stampWhen(prev.map(_.props),
           (prev.map(_.props.filterNot(_._1.startsWith(Transactions.TxnPrefix)))
             .getOrElse(Map.empty) ++ staged.props -- staged.propDrops)
             .map { case (k, value) =>
-              k -> (if (value == VersionValueSentinel) v.toString else value)
+              k -> (if (value == VersionValueSentinel &&
+                staged.props.contains(k)) v.toString else value)
             }))
       require(next.entries.nonEmpty,
         s"commit would leave $root with zero partitions — an empty table " +
@@ -549,7 +553,10 @@ object AtomicCommit {
       staged.partitions.map(_ -> staged.gen).toMap,
       stampWhen(Some(prev.props), (prev.props ++ staged.props)
         .map { case (k, value) =>
-          k -> (if (value == VersionValueSentinel)
+          // staged keys only — see the casLoop note: a carried prop whose
+          // value is the literal sentinel stays verbatim
+          k -> (if (value == VersionValueSentinel &&
+            staged.props.contains(k))
             (prev.version + 1).toString else value)
         }))
     if (!store.putIfAbsent(manifestName(next.version),

@@ -306,39 +306,42 @@ object DataSkipping {
   }
 
   /** [[statsMemo]]'s twin for the file index. Value: partition raw dir
-    * value → (file basename, bytes) pairs, name-sorted. None = no index
-    * (or unreadable — an acceleration sidecar degrades, never fails).
+    * value → (file basename, bytes) pairs, name-sorted — or None for an
+    * UNPARSABLE index at that stamp (negative cache: an acceleration
+    * sidecar degrades, never fails, but a corrupt one must cost ONE read
+    * until its bytes change, not a re-read per (generation, partition)
+    * per plan — O(P × file bytes) per query otherwise).
     */
   private val filesMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String),
     ((java.nio.file.attribute.FileTime, Long),
-      Map[String, Seq[(String, Long)]])]()
+      Option[Map[String, Seq[(String, Long)]]])]()
 
   private[graft] def readFileIndex(root: String, gen: String)
       : Option[Map[String, Seq[(String, Long)]]] = {
     val p = Paths.get(root, gen, FilesFile)
     if (!Files.exists(p)) return None
-    scala.util.Try {
-      val stamp = (Files.getLastModifiedTime(p), Files.size(p))
-      val key = (root, gen)
-      val hit = filesMemo.get(key)
-      if (hit != null && hit._1 == stamp) hit._2
-      else {
-        val str = (""""partition"\s*:\s*"((?:[^"\\]|\\.)*)"""".r,
-          """"file"\s*:\s*"((?:[^"\\]|\\.)*)"""".r,
-          """"bytes"\s*:\s*(\d+)""".r)
-        val fresh = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-          .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
-            (unesc(str._1.findFirstMatchIn(line).get.group(1)),
-              (unesc(str._2.findFirstMatchIn(line).get.group(1)),
-                str._3.findFirstMatchIn(line).get.group(1).toLong))
-          }.groupBy(_._1)
-          .map { case (pv, xs) => pv -> xs.map(_._2).sortBy(_._1) }
-        if (filesMemo.size > 256) filesMemo.clear()
-        filesMemo.put(key, (stamp, fresh))
-        fresh
-      }
+    // stamp failure (file vanished between exists and stat) = no index
+    val stamp = scala.util.Try(
+      (Files.getLastModifiedTime(p), Files.size(p))).getOrElse(return None)
+    val key = (root, gen)
+    val hit = filesMemo.get(key)
+    if (hit != null && hit._1 == stamp) return hit._2
+    val parsed = scala.util.Try {
+      val str = (""""partition"\s*:\s*"((?:[^"\\]|\\.)*)"""".r,
+        """"file"\s*:\s*"((?:[^"\\]|\\.)*)"""".r,
+        """"bytes"\s*:\s*(\d+)""".r)
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+          (unesc(str._1.findFirstMatchIn(line).get.group(1)),
+            (unesc(str._2.findFirstMatchIn(line).get.group(1)),
+              str._3.findFirstMatchIn(line).get.group(1).toLong))
+        }.groupBy(_._1)
+        .map { case (pv, xs) => pv -> xs.map(_._2).sortBy(_._1) }
     }.toOption
+    if (filesMemo.size > 256) filesMemo.clear()
+    filesMemo.put(key, (stamp, parsed))
+    parsed
   }
 
   /** The (basename, bytes) pairs of one partition directory: from the
@@ -350,8 +353,12 @@ object DataSkipping {
                                            pv: String, dir: String)
       : Seq[(String, Long)] =
     readFileIndex(root, gen).map(_.getOrElse(pv, Nil)).getOrElse(
+      // a stat failure on a file the listing just returned (vacuum race,
+      // transient IO) propagates and fails the query loudly — mapping it
+      // to 0 would plan the file as an EMPTY slice and silently drop its
+      // rows from the answer
       listParquet(dir).sorted.map(f =>
-        f -> scala.util.Try(Files.size(Paths.get(dir, f))).getOrElse(0L)))
+        f -> Files.size(Paths.get(dir, f))))
 
   /** [[partitionFilesSized]] names-only — the indexed replacement for
     * per-query [[listParquet]] at evidence-check sites.

@@ -600,7 +600,9 @@ object GraftBatchScan extends org.apache.spark.internal.Logging {
         .getConfString(AutoMaterializeBytesConf,
           AutoMaterializeBytesDefault.toString).toLong).getOrElse(0L)
     val key = (relation.root, m.version)
-    if (healFailures.containsKey(key)) return false
+    // get, not containsKey: the failure cache is access-ordered LRU, and
+    // a snapshot still being planned against must stay resident
+    if (healFailures.get(key) != null) return false
     // the ELIGIBILITY arithmetic sits OUTSIDE the caching catch: it is
     // cheap metadata work recomputed per planning, and a transient
     // error in it (a vacuum racing the sizeInBytes walk) must degrade
@@ -646,7 +648,6 @@ object GraftBatchScan extends org.apache.spark.internal.Logging {
           s"${e.getMessage}")
         false
       case scala.util.control.NonFatal(e) =>
-        if (healFailures.size >= 4096) healFailures.clear()
         healFailures.put(key, e.toString)
         logWarning(s"graft auto-materialize: heal FAILED at " +
           s"${relation.root} v${m.version} — falling back to V1 " +
@@ -661,10 +662,28 @@ object GraftBatchScan extends org.apache.spark.internal.Logging {
     * Bounds the planning-time tax of a persistently failing heal to ONE
     * attempt per snapshot — a new commit changes the version and so
     * retries naturally. Conflicts are never recorded (the racing commit
-    * already changed the version).
+    * already changed the version). Bounded LRU (access-ordered, evicts
+    * ONE eldest entry past 4096) — never a wholesale clear, which would
+    * momentarily forget every cached failure and permit a retry storm
+    * of up to 4096 two-pass materialization attempts at planning time.
+    * Synchronized map: heal attempts are rare, planning-thread-count
+    * contention is irrelevant next to the attempt it gates.
     */
-  private val healFailures =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+  private val healFailures: java.util.Map[(String, Long), String] =
+    boundedLru(4096)
+
+  /** Access-ordered bounded LRU, thread-safe. Factory (not inline) so the
+    * eviction discipline is spec-testable at a small cap.
+    */
+  private[graft] def boundedLru(cap: Int)
+      : java.util.Map[(String, Long), String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), String](
+        64, 0.75f, /*accessOrder=*/ true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), String]): Boolean =
+          size() > cap
+      })
 
   /** Why the last heal attempt on this exact snapshot failed, if one
     * did — the ops/test window into the failure cache.

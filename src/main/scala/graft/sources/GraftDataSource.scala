@@ -267,7 +267,7 @@ private[sources] object FilterColumns {
   }
 }
 
-object GraftRelation {
+object GraftRelation extends org.apache.spark.internal.Logging {
   private val DiscoveryParallelismKey =
     "spark.sql.sources.parallelPartitionDiscovery.parallelism"
 
@@ -287,12 +287,27 @@ object GraftRelation {
     * deliberate user 10000 and re-clobbered any later user change back
     * to it; contains also makes our own set sticky, so this really is
     * one write per session.
+    *
+    * DELIBERATE SESSION-WIDE SIDE EFFECT: the conf governs EVERY
+    * file-source listing in the session, so instantiating any graft
+    * relation also bounds the discovery task count for non-graft parquet
+    * scans from then on. Scoping it to graft's own reads (a set/restore
+    * around relation construction) would race concurrent planning
+    * threads — the r13 inference-conf lesson — so the set is one-shot
+    * and monotone instead, announced at INFO once. The bound is a
+    * strict improvement for any directory count where it matters (it
+    * caps scheduler overhead, never listing parallelism below 64), a
+    * user-set value always wins, and index-backed graft tables skip the
+    * listing entirely ([[graft.sources.GraftFileIndex]]).
     */
   private[sources] def tunePartitionDiscovery(spark: SparkSession): Unit =
     if (!spark.sessionState.conf.contains(DiscoveryParallelismKey)) {
       val n = math.min(1024,
         math.max(64, spark.sparkContext.defaultParallelism * 2))
       spark.conf.set(DiscoveryParallelismKey, n.toString)
+      logInfo(s"graft: bounded $DiscoveryParallelismKey=$n for this " +
+        "session (session-wide — affects all file-source listings; " +
+        "set it yourself to override)")
     }
 
   /** Equality-set pruning cap: above this many IN values, per-value

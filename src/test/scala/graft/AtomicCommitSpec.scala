@@ -131,6 +131,41 @@ class AtomicCommitSpec extends SparkSpec {
       "the sentinel must resolve to the landed version, per CAS attempt")
   }
 
+  test("sentinel resolution is staged-keys-only: a carried prop whose value is the literal sentinel survives verbatim") {
+    val root = freshRoot()
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A", 1.0)).toDF("k", "flag", "v"), "flag")
+    // an externally-authored manifest (the one path that can hold the
+    // literal: every API publish resolves its own staged sentinels) with
+    // a user prop whose VALUE happens to be the sentinel string
+    val m1 = AtomicCommit.readManifest(root).get
+    val tmp = Files.createTempFile(java.nio.file.Paths.get(root),
+      "_graft_manifest.tmp_", "")
+    Files.write(tmp,
+      s"""{"version":2,"partitionCol":"flag","props":{"user.note":"${
+        AtomicCommit.VersionValueSentinel}"},"entries":{${
+        m1.entries.toSeq.sorted.map { case (k, v) => s""""$k":"$v"""" }
+          .mkString(",")
+      }}}""".getBytes("UTF-8"))
+    Files.createLink(
+      java.nio.file.Paths.get(root, f"_graft_manifest.v${2L}%08d.json"), tmp)
+    Files.delete(tmp)
+    // a commit on top, itself staging a DIFFERENT sentinel prop: the
+    // staged key must resolve to the landed version, the carried user
+    // prop must NOT be rewritten
+    val staged = AtomicCommit.stage(spark, root,
+      Seq((7L, "A", 7.0)).toDF("k", "flag", "v"), "flag")
+      .copy(props = Map("graft.test.version" ->
+        AtomicCommit.VersionValueSentinel))
+    val v = AtomicCommit.publish(root, staged)
+    assert(v === 3L)
+    val props = AtomicCommit.readManifest(root).get.props
+    assert(props("graft.test.version") === "3")
+    assert(props("user.note") === AtomicCommit.VersionValueSentinel,
+      "a carried (non-staged) prop valued as the literal sentinel must " +
+        "survive publish verbatim")
+  }
+
   test("CAS under true thread concurrency: simultaneous publishes both land, neither clobbers") {
     val root = freshRoot()
     AtomicCommit.commitReplacePartitions(spark, root,
