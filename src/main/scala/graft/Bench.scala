@@ -82,6 +82,27 @@ object Bench {
       try (1 to 5).map(_ => anchorOnce()).min
       catch { case e: Throwable =>
         System.err.println(s"[bench] anchor FAILED: ${e.getMessage}"); -1.0 }
+    // SECOND ANCHOR (r19 verdict task 5): anchor_sec swung 0.1369–0.1807
+    // across same-day identical-code runs (BASELINE.md r19 adjudication
+    // table) — a 32% spread on the denominator every cross-round
+    // adjudication divides by, which already manufactured one false flag
+    // (q08, r18). A 4× longer run with a MEDIAN estimator has far less
+    // relative spread (scheduler blips amortize; the median ignores the
+    // outlier runs the min chases). Emitted ALONGSIDE the frozen anchor —
+    // anchor_sec's value is byte-identity across rounds and never changes;
+    // adjudications should prefer anchor2_sec where both sides carry it.
+    // Like the others: DO NOT change the query, size, or estimator.
+    def anchor2Once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(1L << 28).selectExpr("sum(id * (id % 7))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val anchor2Sec =
+      try {
+        val xs = (1 to 5).map(_ => anchor2Once()).sorted
+        xs(xs.length / 2)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] anchor2 FAILED: ${e.getMessage}"); -1.0 }
     // I/O ANCHOR (r12 verdict task 3): the CPU anchor above cannot see
     // I/O-path drift (page cache, filesystem, parquet decode), which
     // manufactured a spurious 1.30 close-to-close ratio in r12 — scan-bound
@@ -156,7 +177,7 @@ object Bench {
       rs.map { case (k, v) => "\"" + keyOf(k) + "\":" + f(v) }
         .mkString("{", ",", "}")
     def lineWith(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs$extra,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest},"anchor_sec":${fmt(anchorSec)},"anchor_io_sec":${fmt(anchorIoSec)},"cpus":"$cpus"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$qs$extra,"sf":"$sfDir","failed":$failed,"runs":$Runs,"agg":"min","slow5_runs":${Runs + ExtraRunsSlowest},"anchor_sec":${fmt(anchorSec)},"anchor2_sec":${fmt(anchor2Sec)},"anchor_io_sec":${fmt(anchorIoSec)},"cpus":"$cpus"}"""
     // The driver captures only the LAST ~2,000 chars of stdout and sbt's
     // trailing "[success] Total time…" line eats ~85 of them, so the stdout
     // line must stay ≤ ~1,900 bytes. Full query names at 82+ queries blew

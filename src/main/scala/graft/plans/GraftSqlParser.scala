@@ -311,15 +311,21 @@ final case class DescribeDetailGraftTable(ident: String)
       AtomicCommit.ownersOf(entry).map(_ -> pv)
     }.groupBy(_._1).toSeq.map { case (g, ps) =>
       val owned = ps.iterator.map(_._2).toSet
-      graft.sources.DataSkipping.readFileIndex(root, g) match {
-        case Some(ix) =>
-          owned.iterator.map(pv => ix.getOrElse(pv, Nil).size.toLong).sum
-        case None =>
-          var n = 0L
-          TableStats.walkGenFiles(root, g, m.partitionCol) { (pv, _) =>
-            if (owned(pv)) n += 1
+      // fully-owned generation: the stage-time digest answers in O(1)
+      // (owned ⊆ on-disk, so equal cardinality is whole ownership)
+      graft.sources.DataSkipping.readDigest(root, g) match {
+        case Some((parts, nFiles, _)) if parts == owned.size => nFiles
+        case _ =>
+          graft.sources.DataSkipping.readFileIndex(root, g) match {
+            case Some(ix) =>
+              owned.iterator.map(pv => ix.getOrElse(pv, Nil).size.toLong).sum
+            case None =>
+              var n = 0L
+              TableStats.walkGenFiles(root, g, m.partitionCol) { (pv, _) =>
+                if (owned(pv)) n += 1
+              }
+              n
           }
-          n
       }
     }.sum
     def orNull(s: String): String = if (s.isEmpty) null else s

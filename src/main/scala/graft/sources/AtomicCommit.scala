@@ -1886,23 +1886,32 @@ object AtomicCommit {
     val scan = byGen.map { case (gen, parts) =>
       val base = s"$root/$gen"
       val owned = parts.map(_._2).distinct
-      // whole-generation fast path: when THIS manifest owns every
-      // partition directory the generation holds (one shallow listing
-      // to check), the generation ROOT replaces the per-partition path
-      // list — Spark then discovers partitions in one parallelized
-      // pass instead of the driver qualifying every explicit path
-      // (measured ~2 ms/path: 10⁵ paths would put ~2 minutes of driver
-      // time in front of every unpruned scan). A generation holding
-      // superseded dirs this manifest no longer owns keeps the exact
-      // path list — reading the root would resurrect replaced rows.
-      val paths =
-        if (wholeGenOwned(root, gen, m.partitionCol, owned)) Seq(base)
-        else owned.sorted.map(v => s"$base/${m.partitionCol}=$v")
+      // INDEX-BACKED fast path first: a generation carrying a file index
+      // plans from driver metadata — zero directory listings (the
+      // unpruned plan's remaining 5.8 s at 50k partitions was genuine
+      // listing; on an object store, 50k LIST requests per cold query).
+      // Absent/corrupt index, or an owned partition it doesn't cover:
+      // the listing paths below decide, identical results.
+      val read = GraftFileIndex.frameFor(spark, root, gen, m.partitionCol,
+          owned.sorted.map(_ -> (None: Option[Seq[String]])))
+        .getOrElse {
+          // whole-generation fast path: when THIS manifest owns every
+          // partition directory the generation holds (one shallow listing
+          // to check), the generation ROOT replaces the per-partition path
+          // list — Spark then discovers partitions in one parallelized
+          // pass instead of the driver qualifying every explicit path
+          // (measured ~2 ms/path: 10⁵ paths would put ~2 minutes of driver
+          // time in front of every unpruned scan). A generation holding
+          // superseded dirs this manifest no longer owns keeps the exact
+          // path list — reading the root would resurrect replaced rows.
+          val paths =
+            if (wholeGenOwned(root, gen, m.partitionCol, owned)) Seq(base)
+            else owned.sorted.map(v => s"$base/${m.partitionCol}=$v")
+          readVerbatim(spark, base, m.partitionCol, paths)
+        }
       // logical view BEFORE deletes: equality records arrive from
       // deleteEvidence already chain-translated to current names
-      applyDeletes(logicalView(readVerbatim(spark, base, m.partitionCol,
-          paths), m),
-        m.partitionCol, gen, ev)
+      applyDeletes(logicalView(read, m), m.partitionCol, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     // ALTER-added columns no footer carries yet ([[SchemaAddedProp]])
     // NULL-backfill here, so EVERY face — Scala reads, SQL, deletes,
@@ -2004,11 +2013,53 @@ object AtomicCommit {
     if (byGen.isEmpty) return None
     val ev = deleteEvidence(spark, root, m)
     val scan = byGen.map { case (gen, paths) =>
-      applyDeletes(logicalView(readVerbatim(spark, s"$root/$gen",
-          m.partitionCol, paths), m),
+      applyDeletes(logicalView(
+          readSlices(spark, root, gen, m.partitionCol, paths), m),
         m.partitionCol, gen, ev)
     }.reduce(_.unionByName(_, allowMissingColumns = true))
     Some(backfillAdded(scan, m))
+  }
+
+  /** One generation's explicit-paths read, INDEX-BACKED when the file
+    * index can serve it, live-listed otherwise — the shared leg under
+    * [[scanPaths]] and every [[DataSkipping]] evidence-pruned scan
+    * (readWhereAll, countWhere, readEq): identical rows either way; the
+    * indexed form plans without qualifying or listing any directory.
+    */
+  private[sources] def readSlices(spark: SparkSession, root: String,
+                                  gen: String, pc: String,
+                                  paths: Seq[String]): DataFrame =
+    indexedPathsFrame(spark, root, gen, pc, paths)
+      .getOrElse(readVerbatim(spark, s"$root/$gen", pc, paths))
+
+  /** [[GraftFileIndex.frameFor]] over [[DataSkipping.prunedScanPaths]]'
+    * explicit path lists: each path is `$root/$gen/$pc=$pv` (whole
+    * partition) or `$root/$gen/$pc=$pv/$file` (file-granular pruning).
+    * Any other shape — or a file-granular request mixed with its own
+    * whole-dir request — falls back to the listing read. A pv appearing
+    * only through file paths reads exactly those files.
+    */
+  private def indexedPathsFrame(spark: SparkSession, root: String,
+                                gen: String, pc: String,
+                                paths: Seq[String]): Option[DataFrame] = {
+    val prefix = s"$root/$gen/"
+    val pcEq = s"$pc="
+    val parsed = paths.map { p =>
+      if (!p.startsWith(prefix)) return None
+      p.stripPrefix(prefix).split('/') match {
+        case Array(d) if d.startsWith(pcEq) =>
+          (d.stripPrefix(pcEq), None: Option[String])
+        case Array(d, f) if d.startsWith(pcEq) && f.endsWith(".parquet") =>
+          (d.stripPrefix(pcEq), Some(f))
+        case _ => return None
+      }
+    }
+    val wanted = parsed.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (pv, xs) =>
+        val files = xs.map(_._2)
+        pv -> (if (files.contains(None)) None else Some(files.flatten.sorted))
+      }
+    GraftFileIndex.frameFor(spark, root, gen, pc, wanted)
   }
 
   /** The union of every deletion-vector generation the manifest's entries

@@ -760,7 +760,10 @@ final class GraftV1Scan(
       override def schema: StructType = required
       override def needConversion: Boolean = false
       override def buildScan(): RDD[Row] =
-        relation.buildScan(required.fieldNames, effective, limitHint)
+        // effective prunes; only the planner-pushed subset inlines —
+        // runtime sets are prune-only (see GraftRelation.buildScan)
+        relation.buildScan(required.fieldNames, effective, limitHint,
+          pushed)
     }.asInstanceOf[T]
 }
 

@@ -1208,7 +1208,7 @@ final class GraftRelation(spark: SparkSession, val root: String,
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] =
-    buildScan(requiredColumns, filters, None)
+    buildScan(requiredColumns, filters, None, filters)
 
   /** [[buildScan]] with a PUSHED LIMIT hint (partial semantics — Spark
     * re-applies the exact limit above): when the sidecars can PROVE a
@@ -1219,9 +1219,18 @@ final class GraftRelation(spark: SparkSession, val root: String,
     * LIMIT 10` touches one partition of a thousand. Unprovable = read
     * everything, still correct.
     */
+  /** `filters` drive pruning (manifest, stats, limit proofs) and may
+    * include RUNTIME-delivered sets; `inline` is the subset Spark itself
+    * pushed, which also enters the inner plan as row predicates. Runtime
+    * filters stay PRUNE-ONLY by contract (RuntimeFilteringSpec pins the
+    * full-partition row counts): the join above re-applies them exactly,
+    * so inlining would only move its work into a potentially huge IN
+    * evaluated per row at the scan.
+    */
   private[sources] def buildScan(requiredColumns: Array[String],
                                  filters: Array[Filter],
-                                 limitHint: Option[Int]): RDD[Row] = {
+                                 limitHint: Option[Int],
+                                 inline: Array[Filter]): RDD[Row] = {
     val mOpt = snapshotOpt()
     if (mOpt.isEmpty) // declared, never written — zero rows, any projection
       return spark.sparkContext.emptyRDD[Row]
@@ -1272,10 +1281,21 @@ final class GraftRelation(spark: SparkSession, val root: String,
     val df = addedOf(m).filterNot(f => base.columns.contains(f.name))
       .foldLeft(base)((d, f) => d.withColumn(f.name,
         org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+    // push the translated predicates INTO the inner plan too: Spark
+    // re-applies every filter above the returned RDD (the
+    // PrunedFilteredScan contract), but only an in-plan filter reaches
+    // the parquet reader (PushedFilters — row-group/page skipping) and
+    // the file source's own partition pruning (listFiles partition
+    // filters — the index-backed scan prunes partitions there even for
+    // shapes manifest pruning can't decide, e.g. `pc <> v`).
+    // Untranslatable filters stay outside-only, exactly as before.
+    val constrained = inline.toIndexedSeq.flatMap(FilterColumns.toColumn)
+      .reduceOption(_ && _).map(df.filter).getOrElse(df)
     val projected =
-      if (requiredColumns.isEmpty) df.select() // 0-width rows, counts intact
-      else df.select(requiredColumns.map(org.apache.spark.sql.functions.col)
-        .toIndexedSeq: _*)
+      if (requiredColumns.isEmpty) // 0-width rows, counts intact
+        constrained.select()
+      else constrained.select(requiredColumns
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 }

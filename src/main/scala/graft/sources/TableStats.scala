@@ -121,9 +121,51 @@ object TableStats {
   /** Bytes of the whole snapshot, or of a pruned subset of partitions
     * (the DSv2 scan calls this AFTER manifest/stats pruning, so the
     * planner prices the partitions the scan will actually read).
+    *
+    * Whole-snapshot form: O(generations) via the stage-time DIGESTS when
+    * every generation is fully owned by this manifest (the common case —
+    * a generation is shared-and-partial only after a REPLACE superseded
+    * some of its partitions), so the FIRST query of a snapshot no longer
+    * pays the O(partitions) file-index parse just to price the scan
+    * (measured 433 ms at 16M/50k — TableBench `meta`). Any generation
+    * without a usable digest falls back to the exact per-partition path.
     */
-  def sizeInBytes(root: String, m: Manifest): Long =
-    partitionBytes(root, m).values.sum
+  def sizeInBytes(root: String, m: Manifest): Long = {
+    val key = keyOf(root, m)
+    val cached = bytesCache.get(key)
+    if (cached != null) return cached.values.sum
+    bounded(sizeCache)
+    sizeCache.computeIfAbsent(key, _ =>
+      digestBytes(root, m).getOrElse(partitionBytes(root, m).values.sum))
+  }
+
+  /** Whole-snapshot byte total, memoized per immutable snapshot (the
+    * digest path resolves it without materializing the per-partition
+    * map, so it gets its own cache).
+    */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[Key, Long]()
+
+  /** Digest-summed snapshot bytes: Some only when EVERY generation
+    * carries a digest whose partition count equals the count this
+    * manifest owns in it (owned ⊆ on-disk by the commit invariant, so
+    * equal cardinality means the manifest owns the whole generation and
+    * the generation total is exactly the owned total).
+    */
+  private def digestBytes(root: String, m: Manifest): Option[Long] = {
+    var total = 0L
+    val ok = m.entries.toSeq
+      .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
+      .groupBy(_._1).forall { case (gen, ps) =>
+        DataSkipping.readDigest(root, gen) match {
+          case Some((parts, _, bytes))
+              if parts == ps.map(_._2).distinct.size =>
+            total += bytes; true
+          case _ => false
+        }
+      }
+    if (ok) Some(total) else None
+  }
 
   def sizeInBytes(root: String, m: Manifest, parts: Set[String]): Long = {
     val all = partitionBytes(root, m)

@@ -2,9 +2,11 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
 import org.apache.spark.sql.functions._
 
-import graft.sources.{AtomicCommit, DataSkipping}
+import graft.sources.{AtomicCommit, DataSkipping, Deletes, GraftFileIndex}
 
 /** The generation FILE INDEX (`_graft_files.jsonl`): written by every
   * data-generation stage from the walk the commit already paid, so
@@ -94,6 +96,165 @@ class FileIndexSpec extends SparkSpec {
       graft.sources.GraftBatchScan.EnabledConf -> "true")(catRows())
       === catExpect)
     spark.conf.unset("spark.graft.table.fidx")
+  }
+
+  /** Execute `df`, then return its file-source scan leaves (simple
+    * scan/filter/union shapes — no exchange, so no AQE re-plan).
+    */
+  private def scanLeaves(df: DataFrame): Seq[FileSourceScanExec] = {
+    df.collect()
+    df.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+  }
+
+  test("V1 scans PLAN from the index: GraftFileIndex leaves, zero-listing partition pruning, byte-exact stats; deleting the index reverts the leaf") {
+    val root = Files.createTempDirectory("graft_fidx_plan").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0 until 300).map(i => (i.toLong, i * 1.0, Seq("A", "B", "C")(i % 3)))
+        .toDF("k", "v", "p"), "p", filesPerDir = 3)
+    val all = AtomicCommit.read(spark, root)
+    val leaves = scanLeaves(all)
+    assert(leaves.nonEmpty &&
+      leaves.forall(_.relation.location.isInstanceOf[GraftFileIndex]),
+      s"an indexed generation must serve V1 scans from the file index\n${
+        all.queryExecution.executedPlan}")
+    // inputFiles render QUALIFIED, like the listed path's statuses —
+    // downstream URI parsing (and _metadata.file_path) must not change
+    assert(all.inputFiles.nonEmpty &&
+      all.inputFiles.forall(_.startsWith("file:")),
+      s"index-backed statuses must be fs-qualified: ${all.inputFiles.head}")
+    // exact plan statistics from the index: sizeInBytes equals the sum
+    // of the real file lengths (what the listed path would report)
+    val realBytes = (for (pv <- Seq("A", "B", "C");
+        f <- Paths.get(root, AtomicCommit.ownersOf(
+          AtomicCommit.readManifest(root).get.entries(pv)).head, s"p=$pv")
+          .toFile.listFiles if f.getName.endsWith(".parquet"))
+      yield f.length).sum
+    assert(leaves.map(_.relation.location.sizeInBytes).sum === realBytes)
+
+    // partition pruning flows through listFiles: one partition of three,
+    // exactly its on-disk files — no directory was listed to decide that
+    val aFiles = Paths.get(root, AtomicCommit.ownersOf(
+        AtomicCommit.readManifest(root).get.entries("A")).head, "p=A")
+      .toFile.listFiles.count(_.getName.endsWith(".parquet"))
+    val one = AtomicCommit.read(spark, root).filter(col("p") === "A")
+    assert(one.count() === 100)
+    val pruned = scanLeaves(one)
+    assert(pruned.map(_.metrics("numFiles").value).sum === aFiles,
+      s"a p='A' scan must read exactly partition A's $aFiles files")
+    assert(aFiles < 9, "pruning must have excluded B and C's files")
+
+    // drop the index: the same read falls back to the listing leaf,
+    // rows identical
+    val gen = AtomicCommit.ownersOf(
+      AtomicCommit.readManifest(root).get.entries("A")).head
+    val expect = all.collect().map(_.toString).sorted.toSeq
+    Files.delete(Paths.get(root, gen, DataSkipping.FilesFile))
+    val relisted = AtomicCommit.read(spark, root)
+    assert(scanLeaves(relisted)
+      .forall(!_.relation.location.isInstanceOf[GraftFileIndex]),
+      "without a sidecar the read must plan from the live listing")
+    assert(relisted.collect().map(_.toString).sorted.toSeq === expect)
+  }
+
+  test("delete read paths ride the indexed plan unchanged: positional MoR, equality MoR, and file-granular pruned reads answer identically with and without the index") {
+    val root = Files.createTempDirectory("graft_fidx_del").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0 until 400).map(i => (i.toLong, i % 7, Seq("A", "B")(i % 2)))
+        .toDF("k", "g", "p"), "p", filesPerDir = 2)
+    // positional merge-on-read (addresses by _metadata file/row_index —
+    // the columns the indexed leaf must keep serving) + an equality record
+    Deletes.deleteWhereMoR(spark, root, col("k") % 5 === 0)
+    Deletes.deleteKeysMoR(spark, root, "g", Seq(3))
+    val expect = (0 until 400).filter(i => i % 5 != 0 && i % 7 != 3)
+      .map(i => s"[$i,${i % 7},${Seq("A", "B")(i % 2)}]").sorted
+    val got = AtomicCommit.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq
+    assert(got === expect, "MoR deletes must apply on the indexed plan")
+    // the DATA generation still plans from its index (delete evidence
+    // rides sidecars/bitmaps, not the scan shape)
+    assert(scanLeaves(AtomicCommit.read(spark, root))
+      .exists(_.relation.location.isInstanceOf[GraftFileIndex]))
+
+    // strip every generation's index: same rows through the listing path
+    val m = AtomicCommit.readManifest(root).get
+    for (g <- m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct;
+         p = Paths.get(root, g, DataSkipping.FilesFile) if Files.exists(p))
+      Files.delete(p)
+    assert(AtomicCommit.read(spark, root).collect()
+      .map(_.toString).sorted.toSeq === got)
+  }
+
+  test("file-granular pruned reads (readWhere over a reclustered layout) plan from the index and keep row parity with the listing path") {
+    val root = Files.createTempDirectory("graft_fidx_rw").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0 until 1000).map(i => (i.toLong, i % 10, if (i < 500) "L" else "H"))
+        .toDF("k", "b", "p"), "p", filesPerDir = 1)
+    // sorted, stats-annotated layout → per-file min/max evidence on k
+    graft.sources.Compaction.recluster(spark, root,
+      sortCols = Seq("k"), filesPerDir = 4, statsCols = Seq("k"))
+    val q = DataSkipping.readWhere(spark, root, "k", 10L, 60L)
+    val rows = q.collect().map(_.toString).sorted.toSeq
+    assert(rows.size === 51)
+    val leaves = scanLeaves(DataSkipping.readWhere(spark, root, "k", 10L, 60L))
+    assert(leaves.forall(_.relation.location.isInstanceOf[GraftFileIndex]),
+      "the explicit-paths pruned read must serve from the index")
+    assert(leaves.map(_.metrics("numFiles").value).sum < 8,
+      "file evidence must keep the indexed read file-granular")
+    // listing-path parity
+    val m = AtomicCommit.readManifest(root).get
+    for (g <- m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct;
+         p = Paths.get(root, g, DataSkipping.FilesFile) if Files.exists(p))
+      Files.delete(p)
+    assert(DataSkipping.readWhere(spark, root, "k", 10L, 60L)
+      .collect().map(_.toString).sorted.toSeq === rows)
+  }
+
+  test("the stage-time digest prices whole snapshots in O(generations): byte/file totals exact, partial ownership and absence fall back to the exact path") {
+    import graft.sources.TableStats
+    val root = Files.createTempDirectory("graft_digest").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0 until 300).map(i => (i.toLong, Seq("A", "B", "C")(i % 3)))
+        .toDF("k", "p"), "p", filesPerDir = 2)
+    val m1 = AtomicCommit.readManifest(root).get
+    val g1 = AtomicCommit.ownersOf(m1.entries("A")).head
+    assert(Files.exists(Paths.get(root, g1, DataSkipping.DigestFile)),
+      "every staged generation must carry a digest")
+    def realBytes(m: AtomicCommit.Manifest): Long =
+      (for ((pv, e) <- m.entries.toSeq; g <- AtomicCommit.ownersOf(e);
+            f <- Paths.get(root, g, s"p=$pv").toFile.listFiles
+            if f.getName.endsWith(".parquet")) yield f.length).sum
+    assert(TableStats.sizeInBytes(root, m1) === realBytes(m1),
+      "the digest-priced snapshot must match the on-disk byte total")
+
+    // REPLACE one partition: gen1 becomes PARTIALLY owned (A, B only) —
+    // the digest no longer applies to it and the exact path must price
+    // the snapshot without gen1's superseded partition C
+    AtomicCommit.commitReplacePartitions(spark, root,
+      (0 until 40).map(i => (i.toLong, "C")).toDF("k", "p"), "p")
+    val m2 = AtomicCommit.readManifest(root).get
+    assert(AtomicCommit.ownersOf(m2.entries("A")).head === g1 &&
+      AtomicCommit.ownersOf(m2.entries("C")).head != g1)
+    assert(TableStats.sizeInBytes(root, m2) === realBytes(m2),
+      "a partially-owned generation must fall back to per-partition bytes")
+
+    // DESCRIBE DETAIL num_files: digest-backed count equals the live one
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.graft.table.fdig", root)
+    try {
+      val reported = spark.sql("DESCRIBE DETAIL graft.fdig")
+        .collect().head.getAs[Long]("num_files")
+      val live = (for ((pv, e) <- m2.entries.toSeq;
+            g <- AtomicCommit.ownersOf(e);
+            f <- Paths.get(root, g, s"p=$pv").toFile.listFiles
+            if f.getName.endsWith(".parquet")) yield 1L).sum
+      assert(reported === live)
+      // digests gone: everything still answers identically
+      for (g <- m2.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct;
+           p = Paths.get(root, g, DataSkipping.DigestFile)
+           if Files.exists(p)) Files.delete(p)
+      assert(spark.sql("DESCRIBE DETAIL graft.fdig")
+        .collect().head.getAs[Long]("num_files") === live)
+    } finally spark.conf.unset("spark.graft.table.fdig")
   }
 
   test("authority: a file smuggled into a published generation is not part of the table on indexed paths; removing the index re-exposes it to the listing fallback") {
