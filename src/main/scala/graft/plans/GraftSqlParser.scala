@@ -312,9 +312,11 @@ final case class DescribeDetailGraftTable(ident: String)
     }.groupBy(_._1).toSeq.map { case (g, ps) =>
       val owned = ps.iterator.map(_._2).toSet
       // fully-owned generation: the stage-time digest answers in O(1)
-      // (owned ⊆ on-disk, so equal cardinality is whole ownership)
+      // (owned ⊆ on-disk, so equal cardinality + set signature is whole
+      // ownership)
       graft.sources.DataSkipping.readDigest(root, g) match {
-        case Some((parts, nFiles, _)) if parts == owned.size => nFiles
+        case Some((parts, nFiles, _, psig)) if parts == owned.size &&
+            psig == graft.sources.DataSkipping.partSig(owned) => nFiles
         case _ =>
           graft.sources.DataSkipping.readFileIndex(root, g) match {
             case Some(ix) =>

@@ -158,9 +158,11 @@ object TableStats {
       .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
       .groupBy(_._1).forall { case (gen, ps) =>
         DataSkipping.readDigest(root, gen) match {
-          case Some((parts, _, bytes))
-              if parts == ps.map(_._2).distinct.size =>
-            total += bytes; true
+          case Some((parts, _, bytes, psig)) =>
+            val owned = ps.map(_._2).distinct
+            if (parts == owned.size &&
+              psig == DataSkipping.partSig(owned)) { total += bytes; true }
+            else false
           case _ => false
         }
       }
@@ -253,6 +255,15 @@ object TableStats {
                                  parts: Set[String]): Option[ColumnStats] = {
     val selected = m.entries.filter { case (p, _) => parts(p) }
     if (selected.isEmpty) return None
+    // WHOLE-TABLE fast path via the generation column rollups: when the
+    // request covers every entry and every generation is fully owned
+    // (owned count == rollup `parts` — owned ⊆ on-disk, so equal
+    // cardinality is whole ownership), the combine is O(generations)
+    // and numerically identical to the exact path below. Any gap —
+    // missing rollup, partial ownership, mixed kinds the exact path
+    // would also reject bounds for — falls through to the sidecar parse.
+    if (parts == m.entries.keySet)
+      rollupColumnStats(root, m, colName).foreach(r => return r)
     val gens = selected.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
     val byGen: Map[String, Map[String, DataSkipping.ColStats]] = gens.map { g =>
       g -> DataSkipping.readStats(root, g)
@@ -280,6 +291,45 @@ object TableStats {
       if (numeric && mins.nonEmpty) Some(mins.min) else None,
       if (numeric && maxs.nonEmpty) Some(maxs.max) else None,
       kind))
+  }
+
+  /** The rollup combine: OUTER None = the rollups cannot decide (fall
+    * through to the exact parse); Some(inner) = the decided answer,
+    * where inner None reproduces the exact path's refusal (a partition
+    * record without NDV exists, encoded as an absent rollup `ndv`).
+    */
+  private def rollupColumnStats(root: String, m: Manifest, colName: String)
+      : Option[Option[ColumnStats]] = {
+    val byGen = m.entries.toSeq
+      .flatMap { case (p, e) => AtomicCommit.ownersOf(e).map(_ -> p) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+    val sums = byGen.map { case (gen, ps) =>
+      val owned = ps.map(_._2).distinct
+      DataSkipping.readColSummary(root, gen).flatMap(_.get(colName))
+        .filter(s => s.parts == owned.size &&
+          s.psig == DataSkipping.partSig(owned))
+    }
+    if (sums.exists(_.isEmpty)) return None // a gap: exact path decides
+    val rs = sums.flatten
+    if (rs.exists(_.ndv.isEmpty)) return Some(None) // exact would refuse
+    // kind uniformity: mixed kinds (a type rewrite mid-history) keep the
+    // exact path's record-level judgment
+    if (rs.exists(_.kind.isEmpty) || rs.exists(_.kind != rs.head.kind))
+      return None
+    val rows = rs.map(_.rows).sum
+    val nonNull = rs.map(r => r.rows - r.nulls).sum
+    val ndv = math.min(rs.flatMap(_.ndv).sum, math.max(1L, nonNull))
+    def bd(o: Option[String]): Option[java.math.BigDecimal] =
+      o.flatMap(v => scala.util.Try(new java.math.BigDecimal(v)).toOption)
+    val kind = rs.head.kind
+    val numeric = kind.nonEmpty && rs.forall(_.kind == kind) &&
+      DataSkipping.numericKind(kind)
+    val mins = rs.flatMap(r => bd(r.min))
+    val maxs = rs.flatMap(r => bd(r.max))
+    Some(Some(ColumnStats(rows, nonNull, ndv,
+      if (numeric && mins.nonEmpty) Some(mins.min) else None,
+      if (numeric && maxs.nonEmpty) Some(maxs.max) else None,
+      kind)))
   }
 
   // ---- equi-depth histogram selectivity ([[DataSkipping.analyze]]'s

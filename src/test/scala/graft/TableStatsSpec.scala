@@ -48,6 +48,50 @@ class TableStatsSpec extends SparkSpec {
     assert(TableStats.sizeInBytes(root, m2) >= TableStats.sizeInBytes(root, m1))
   }
 
+  test("the generation column rollup answers whole-table columnStats exactly; any gap falls back to the sidecar parse") {
+    // two identical tables, one stripped of its rollup sidecars: the
+    // O(generations) fast path and the O(partitions) exact parse must
+    // return the SAME ColumnStats (rows, ndv, bounds, kind)
+    def build(): String = {
+      val root = Files.createTempDirectory("graft_ts_roll").toString
+      DataSkipping.commitWithStats(spark, root,
+        (0 until 600).map(i => (i.toLong, (i % 37).toLong,
+          Seq("A", "B", "C", "a/b")(i % 4))).toDF("k", "v", "p"),
+        "p", Seq("k", "v"))
+      // an APPEND (then ANALYZE-annotated) so the whole-table combine
+      // spans two generations, exercising the cross-generation sum
+      AtomicCommit.commitAppendPartitions(spark, root,
+        Seq((1000L, 999L, "A"), (1001L, 998L, "B")).toDF("k", "v", "p"), "p")
+      DataSkipping.analyze(spark, root,
+        AtomicCommit.readManifest(root).get, Seq("k", "v"))
+      root
+    }
+    val fast = build()
+    val slow = build()
+    val mS = AtomicCommit.readManifest(slow).get
+    for (g <- mS.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct;
+         p = java.nio.file.Paths.get(slow, g, DataSkipping.ColSumFile)
+         if Files.exists(p)) Files.delete(p)
+    val mF = AtomicCommit.readManifest(fast).get
+    for (c <- Seq("k", "v")) {
+      val got = TableStats.columnStats(fast, mF, c, mF.entries.keySet)
+      val expect = TableStats.columnStats(slow, mS, c, mS.entries.keySet)
+      assert(got === expect, s"rollup and exact disagree on $c")
+      assert(got.nonEmpty && got.get.rows === 602L)
+    }
+    // a PARTIAL-ownership snapshot refuses the rollup and stays exact:
+    // replace one partition, then whole-table stats on the new manifest
+    AtomicCommit.commitReplacePartitions(spark, fast,
+      Seq((5000L, 5L, "C")).toDF("k", "v", "p"), "p")
+    val mF2 = AtomicCommit.readManifest(fast).get
+    val after = TableStats.columnStats(fast, mF2, "k", mF2.entries.keySet)
+    // the new C generation is un-annotated → the exact path refuses
+    // (None); gen1's rollup no longer matches its shrunken owned set
+    // (psig), so the rollup must not fabricate an answer either
+    assert(after.isEmpty,
+      "a partially-owned generation must not validate its rollup")
+  }
+
   test("NDV selectivity: selective predicates price within 2× of actual row counts") {
     val root = Files.createTempDirectory("graft_ts_ndv").toString
     // 1000 unique keys, a 50-distinct value column, 4 partitions;
