@@ -640,13 +640,20 @@ object TableBench {
       // tiny), and everything after rides broadcasts.
       val rootM = Files.createTempDirectory("graft_tb_mid").toString
       val rootSel = Files.createTempDirectory("graft_tb_sel").toString
+      // the selective keys must SURVIVE the deleteRange above (which
+      // dropped partition 0, v < rowsPer) AND land inside mid's 0..1M-1
+      // key range at every probe scale — anchor them in partition 1
+      val selStep = math.max(1L, rowsPer / 200)
+      require(rowsPer + 99 * selStep < math.min(2 * rowsPer, 1000000L),
+        s"selective-key fixture out of range at n=$n p=$p")
       timed("commit mid (1M rows) + selective (100 rows)") {
         DataSkipping.commitWithStats(spark, rootM,
           spark.range(1000000).select(col("id").as("mk"),
             md5(col("id").cast("string")).as("mpad"), lit("A").as("pp")),
           "pp", Seq("mk"))
         DataSkipping.commitWithStats(spark, rootSel,
-          spark.range(100).select((col("id") * 1000L).as("sk"),
+          spark.range(100).select(
+            (col("id") * selStep + rowsPer).as("sk"),
             lit("A").as("pp")), "pp", Seq("sk"))
       }
       spark.conf.set("spark.graft.table.rtmid", rootM)
