@@ -185,6 +185,9 @@ object Bench {
     // Fix: the stdout line keys each query by its unique qNN prefix
     // ("q01":0.2654 ≈ 13 B/query → ~1.2 KB at 82 queries, headroom to ~140);
     // bench_out.json keeps the full-name map for human/BASELINE use.
+    // Past ~140 queries (or any future envelope-field growth) the
+    // slowest-40 fallback below bounds the line at ~800 B regardless —
+    // at the current 150 queries that fallback IS the emitted shape.
     def shortKey(name: String): String = {
       val cut = name.indexOf('_')
       if (cut > 0) name.substring(0, cut) else name

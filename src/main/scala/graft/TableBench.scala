@@ -642,10 +642,16 @@ object TableBench {
       val rootSel = Files.createTempDirectory("graft_tb_sel").toString
       // the selective keys must SURVIVE the deleteRange above (which
       // dropped partition 0, v < rowsPer) AND land inside mid's 0..1M-1
-      // key range at every probe scale — anchor them in partition 1
-      val selStep = math.max(1L, rowsPer / 200)
-      require(rowsPer + 99 * selStep < math.min(2 * rowsPer, 1000000L),
-        s"selective-key fixture out of range at n=$n p=$p")
+      // key range — spread them across [rowsPer, min(n, 1M)) so the
+      // fixture adapts to any (n, p) shape instead of assuming
+      // rowsPer < 100k (the r17 fixture's silent premise, which emptied
+      // the join at 64M/400 and crashed the A/B on a null aggregate)
+      val selLo = rowsPer
+      val selHi = math.min(n, 1000000L)
+      require(selLo + 100 <= selHi,
+        s"join-reorder fixture needs 100 surviving keys under 1M: " +
+          s"rowsPer=$rowsPer leaves none (n=$n p=$p)")
+      val selStep = math.max(1L, (selHi - selLo) / 100)
       timed("commit mid (1M rows) + selective (100 rows)") {
         DataSkipping.commitWithStats(spark, rootM,
           spark.range(1000000).select(col("id").as("mk"),
@@ -653,7 +659,7 @@ object TableBench {
           "pp", Seq("mk"))
         DataSkipping.commitWithStats(spark, rootSel,
           spark.range(100).select(
-            (col("id") * selStep + rowsPer).as("sk"),
+            (col("id") * selStep + selLo).as("sk"),
             lit("A").as("pp")), "pp", Seq("sk"))
       }
       spark.conf.set("spark.graft.table.rtmid", rootM)

@@ -2057,7 +2057,17 @@ object AtomicCommit {
     val wanted = parsed.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (pv, xs) =>
         val files = xs.map(_._2)
-        pv -> (if (files.contains(None)) None else Some(files.flatten.sorted))
+        // a whole-dir request mixed with (or duplicating) file-granular
+        // requests for the same partition would read those files TWICE
+        // on the listing path — decline, as documented, rather than
+        // silently folding to a different (deduplicated) answer.
+        // Unreachable from prunedScanPaths (per-pv it emits either the
+        // dir or distinct files); the guard keeps the equivalence
+        // contract honest for any future caller
+        if (files.contains(None) && files.exists(_.isDefined)) return None
+        val names = files.flatten
+        if (names.distinct.size != names.size) return None
+        pv -> (if (files.contains(None)) None else Some(names.sorted))
       }
     GraftFileIndex.frameFor(spark, root, gen, pc, wanted)
   }

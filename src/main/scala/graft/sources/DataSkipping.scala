@@ -358,6 +358,11 @@ object DataSkipping {
     if (!Files.isDirectory(base)) return
     val prefix = s"$pc="
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    // the DIGEST rollups accumulate from the same loop, on the RAW dir
+    // names readers compare against (psig must hash those, not their
+    // JSON-escaped rendering)
+    val parts = scala.collection.mutable.HashSet.empty[String]
+    var bytes = 0L
     val s = Files.walk(base)
     try {
       val it = s.iterator()
@@ -372,9 +377,18 @@ object DataSkipping {
           // it like the listing does
           if (rel.getNameCount == 2) {
             val d = rel.getName(0).toString
-            if (d.startsWith(prefix)) lines += s"""{"partition": "${esc(
-              d.stripPrefix(prefix))}", "file": "${esc(
-              f.getFileName.toString)}", "bytes": ${Files.size(f)}}"""
+            if (d.startsWith(prefix)) {
+              val pv = d.stripPrefix(prefix)
+              val sz = Files.size(f)
+              // mtime travels with the catalog: the index-backed V1
+              // FileIndex surfaces it as _metadata.file_modification_time,
+              // which must match what the listed read would report
+              val mt = Files.getLastModifiedTime(f).toMillis
+              lines += s"""{"partition": "${esc(pv)}", "file": "${esc(
+                f.getFileName.toString)}", "bytes": $sz, "mtime": $mt}"""
+              parts += pv
+              bytes += sz
+            }
           }
         }
       }
@@ -390,16 +404,6 @@ object DataSkipping {
     // (planner sizeInBytes, DESCRIBE DETAIL num_files) are O(generations)
     // — the per-file index above is O(partitions) to parse, which at 50k
     // partitions put ~0.4 s in front of the first query per snapshot
-    val parts = scala.collection.mutable.HashSet.empty[String]
-    var bytes = 0L
-    val pRe = """"partition"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
-    val bRe = """"bytes"\s*:\s*(\d+)""".r
-    lines.foreach { l =>
-      // unesc: psig must hash the RAW dir names readers compare against,
-      // not their JSON-escaped rendering
-      pRe.findFirstMatchIn(l).foreach(m => parts += unesc(m.group(1)))
-      bRe.findFirstMatchIn(l).foreach(m => bytes += m.group(1).toLong)
-    }
     val dTarget = Paths.get(root, gen, DigestFile)
     val dTmp = Paths.get(root, gen, s".$DigestFile.tmp")
     // psig: order-free signature of the partition SET (count equality
@@ -459,19 +463,25 @@ object DataSkipping {
   }
 
   /** [[statsMemo]]'s twin for the file index. Value: partition raw dir
-    * value → (file basename, bytes) pairs, name-sorted — or None for an
-    * UNPARSABLE index at that stamp (negative cache: an acceleration
-    * sidecar degrades, never fails, but a corrupt one must cost ONE read
-    * until its bytes change, not a re-read per (generation, partition)
-    * per plan — O(P × file bytes) per query otherwise).
+    * value → (file basename, bytes, mtime-millis) triples, name-sorted —
+    * or None for an UNPARSABLE index at that stamp (negative cache: an
+    * acceleration sidecar degrades, never fails, but a corrupt one must
+    * cost ONE read until its bytes change, not a re-read per
+    * (generation, partition) per plan — O(P × file bytes) per query
+    * otherwise). Only a PARSE failure is cached: the content at a given
+    * (mtime, size) stamp is deterministic, so re-parsing cannot succeed.
+    * A transient READ failure (IO blip, interrupt) is NOT cached — the
+    * next call retries, so one bad read never pins a session to the
+    * listing path (and its weaker authority) for an immutable
+    * generation.
     */
   private val filesMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String),
     ((java.nio.file.attribute.FileTime, Long),
-      Option[Map[String, Seq[(String, Long)]]])]()
+      Option[Map[String, Seq[(String, Long, Long)]]])]()
 
   private[graft] def readFileIndex(root: String, gen: String)
-      : Option[Map[String, Seq[(String, Long)]]] = {
+      : Option[Map[String, Seq[(String, Long, Long)]]] = {
     val p = Paths.get(root, gen, FilesFile)
     if (!Files.exists(p)) return None
     // stamp failure (file vanished between exists and stat) = no index
@@ -480,16 +490,24 @@ object DataSkipping {
     val key = (root, gen)
     val hit = filesMemo.get(key)
     if (hit != null && hit._1 == stamp) return hit._2
+    // read (transient, retryable — never cached) …
+    val raw = try new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    // … then parse (deterministic at this stamp — negative-cacheable)
     val parsed = scala.util.Try {
       val str = (""""partition"\s*:\s*"((?:[^"\\]|\\.)*)"""".r,
         """"file"\s*:\s*"((?:[^"\\]|\\.)*)"""".r,
-        """"bytes"\s*:\s*(\d+)""".r)
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
-          (unesc(str._1.findFirstMatchIn(line).get.group(1)),
-            (unesc(str._2.findFirstMatchIn(line).get.group(1)),
-              str._3.findFirstMatchIn(line).get.group(1).toLong))
-        }.groupBy(_._1)
+        """"bytes"\s*:\s*(\d+)""".r,
+        """"mtime"\s*:\s*(\d+)""".r)
+      raw.split('\n').toSeq.map(_.trim).filter(_.nonEmpty).map { line =>
+        (unesc(str._1.findFirstMatchIn(line).get.group(1)),
+          (unesc(str._2.findFirstMatchIn(line).get.group(1)),
+            str._3.findFirstMatchIn(line).get.group(1).toLong,
+            // 0 = a pre-mtime index: still authoritative for names and
+            // bytes; the V1 FileIndex declines it (metadata-column parity)
+            str._4.findFirstMatchIn(line).map(_.group(1).toLong)
+              .getOrElse(0L)))
+      }.groupBy(_._1)
         .map { case (pv, xs) => pv -> xs.map(_._2).sortBy(_._1) }
     }.toOption
     if (filesMemo.size > 256) filesMemo.clear()
@@ -505,13 +523,15 @@ object DataSkipping {
   private[graft] def partitionFilesSized(root: String, gen: String,
                                            pv: String, dir: String)
       : Seq[(String, Long)] =
-    readFileIndex(root, gen).map(_.getOrElse(pv, Nil)).getOrElse(
-      // a stat failure on a file the listing just returned (vacuum race,
-      // transient IO) propagates and fails the query loudly — mapping it
-      // to 0 would plan the file as an EMPTY slice and silently drop its
-      // rows from the answer
-      listParquet(dir).sorted.map(f =>
-        f -> Files.size(Paths.get(dir, f))))
+    readFileIndex(root, gen)
+      .map(_.getOrElse(pv, Nil).map { case (n, b, _) => (n, b) })
+      .getOrElse(
+        // a stat failure on a file the listing just returned (vacuum race,
+        // transient IO) propagates and fails the query loudly — mapping it
+        // to 0 would plan the file as an EMPTY slice and silently drop its
+        // rows from the answer
+        listParquet(dir).sorted.map(f =>
+          f -> Files.size(Paths.get(dir, f))))
 
   /** [[partitionFilesSized]] names-only — the indexed replacement for
     * per-query [[listParquet]] at evidence-check sites.

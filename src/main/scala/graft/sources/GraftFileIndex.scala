@@ -41,7 +41,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[graft] class GraftFileIndex(
     basePath: String,
     pc: String,
-    layout: Seq[(String, Seq[(String, Long)])],
+    layout: Seq[(String, Seq[(String, Long, Long)])],
     hadoopConf: org.apache.hadoop.conf.Configuration)
   extends FileIndex {
 
@@ -66,8 +66,11 @@ private[graft] class GraftFileIndex(
     val v: Any =
       if (raw == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
       else UTF8String.fromString(ExternalCatalogUtils.unescapePathName(raw))
-    PartitionDirectory(InternalRow(v), fs.map { case (name, bytes) =>
-      new FileStatus(bytes, false, 0, GraftFileIndex.BlockSize, 0L,
+    // mtime rides from the index so _metadata.file_modification_time
+    // matches the listed read's answer — files are immutable once
+    // published, so the stage-time reading is the true one
+    PartitionDirectory(InternalRow(v), fs.map { case (name, bytes, mtime) =>
+      new FileStatus(bytes, false, 0, GraftFileIndex.BlockSize, mtime,
         new Path(new Path(qualifiedBase, s"$pc=$raw"), name))
     }.toArray)
   }
@@ -165,13 +168,17 @@ private[graft] object GraftFileIndex {
           case None => all
           case Some(ns) =>
             val want = ns.toSet
-            all.filter { case (n, _) => want(n) }
+            all.filter { case (n, _, _) => want(n) }
         })
       }
-      // every requested partition must be covered, and file-granular
-      // requests must resolve every name — else the index cannot serve
-      // this read faithfully and the listing path decides
+      // every requested partition must be covered, file-granular
+      // requests must resolve every name, and every selected file must
+      // carry a real mtime (a pre-mtime index would answer
+      // _metadata.file_modification_time with epoch-0 where the listed
+      // read reports the true stamp) — else the index cannot serve this
+      // read faithfully and the listing path decides
       val complete = layout.forall(_._2.nonEmpty) &&
+        layout.forall(_._2.forall(_._3 > 0L)) &&
         wanted.forall { case (raw, names) =>
           names.forall(_.toSet.subsetOf(
             ix.getOrElse(raw, Nil).map(_._1).toSet))

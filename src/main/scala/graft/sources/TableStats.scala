@@ -132,8 +132,18 @@ object TableStats {
     */
   def sizeInBytes(root: String, m: Manifest): Long = {
     val key = keyOf(root, m)
+    // O(1) warm path first — re-summing the per-partition map on every
+    // call would be an O(partitions) fold per planning touch whenever
+    // partitionBytes happened to materialize before the first
+    // whole-snapshot ask
+    if (sizeCache.containsKey(key)) return sizeCache.get(key)
     val cached = bytesCache.get(key)
-    if (cached != null) return cached.values.sum
+    if (cached != null) {
+      val total = cached.values.sum
+      bounded(sizeCache)
+      sizeCache.put(key, total)
+      return total
+    }
     bounded(sizeCache)
     sizeCache.computeIfAbsent(key, _ =>
       digestBytes(root, m).getOrElse(partitionBytes(root, m).values.sum))

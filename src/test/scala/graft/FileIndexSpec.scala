@@ -294,4 +294,65 @@ class FileIndexSpec extends SparkSpec {
       spark.conf.unset("spark.graft.table.fauth")
     }
   }
+
+  test("_metadata.file_modification_time parity: indexed plans report the true file stamps, identical to the listed fallback") {
+    val root = Files.createTempDirectory("graft_fidx_mt").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+    def stamped(): Seq[String] = AtomicCommit.read(spark, root)
+      .select(col("k"),
+        col("_metadata.file_modification_time").cast("long").as("mt"))
+      .collect().map(_.toString).sorted.toSeq
+    val probe = AtomicCommit.read(spark, root)
+    assert(scanLeaves(probe)
+      .forall(_.relation.location.isInstanceOf[GraftFileIndex]),
+      "premise: the indexed plan serves this read")
+    val indexed = stamped()
+    assert(AtomicCommit.read(spark, root)
+      .select(col("_metadata.file_modification_time").cast("long"))
+      .collect().forall(_.getLong(0) > 0L),
+      "index-backed metadata must carry real stamps, not epoch-0")
+    val m = AtomicCommit.readManifest(root).get
+    for (g <- m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct;
+         p = Paths.get(root, g, DataSkipping.FilesFile) if Files.exists(p))
+      Files.delete(p)
+    assert(stamped() === indexed,
+      "the listed fallback must report the same modification times")
+  }
+
+  test("a pre-mtime index still serves names and bytes to evidence consumers, but V1 scans decline it (metadata-column parity) and fall back to the listing") {
+    val root = Files.createTempDirectory("graft_fidx_old").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+    val expect = AtomicCommit.read(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    val m = AtomicCommit.readManifest(root).get
+    val gens = m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+    // rewrite each index in the r19 line shape: no mtime field
+    for (g <- gens) {
+      val lines = for (pv <- m.entries.keys.toSeq.sorted
+             if AtomicCommit.ownersOf(m.entries(pv)).contains(g);
+           f <- Paths.get(root, g, s"p=$pv").toFile.listFiles.sortBy(_.getName)
+             if f.getName.endsWith(".parquet"))
+        yield s"""{"partition": "$pv", "file": "${f.getName}", "bytes": ${
+          f.length}}"""
+      Files.write(Paths.get(root, g, DataSkipping.FilesFile),
+        lines.mkString("", "\n", "\n").getBytes)
+    }
+    // evidence consumers: names and bytes still come from the index
+    for ((pv, e) <- m.entries; g <- AtomicCommit.ownersOf(e)) {
+      val live = Paths.get(root, g, s"p=$pv").toFile.listFiles
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length).sortBy(_._1).toSeq
+      assert(DataSkipping.partitionFilesSized(
+        root, g, pv, s"$root/$g/p=$pv") === live)
+    }
+    // V1 scans: no GraftFileIndex leaf (it cannot answer
+    // file_modification_time faithfully), same rows via the listing
+    val relisted = AtomicCommit.read(spark, root)
+    assert(scanLeaves(relisted)
+      .forall(!_.relation.location.isInstanceOf[GraftFileIndex]),
+      "an mtime-less index must not serve the V1 FileIndex path")
+    assert(relisted.collect().map(_.toString).sorted.toSeq === expect)
+  }
 }
