@@ -299,8 +299,7 @@ final case class DescribeDetailGraftTable(ident: String)
     val when = m.props.get(AtomicCommit.CommitWhenProp)
       .flatMap(_.toLongOption)
       .map(ms => java.time.Instant.ofEpochMilli(ms).toString).orNull
-    val gens = m.entries.values
-      .flatMap(AtomicCommit.ownersOf).toSeq.distinct
+    val gens = m.ownerGens
     // LIVE files only — the generation's file index when present (the
     // same catalog the scan plans from, so num_files matches the
     // planned file set), else the shared one-walk-per-generation

@@ -94,7 +94,46 @@ object AtomicCommit {
     */
   final case class Manifest(version: Long, partitionCol: String,
                             entries: Map[String, String],
-                            props: Map[String, String] = Map.empty)
+                            props: Map[String, String] = Map.empty) {
+
+    /** Content fingerprint of the ENTRY MAP (plus partition column):
+      * the O(1)-to-hash stand-in for keying snapshot-scoped caches by
+      * `entries` itself, whose Map hashCode is O(partitions) PER LOOKUP
+      * (Scala collections don't cache it — measured 71 ms per warm
+      * [[TableStats.partitionBytes]] call at 200k partitions). Computed
+      * once per parsed instance — [[AtomicCommit.parseJson]] memoizes by
+      * manifest text, so repeated plannings of one snapshot share the
+      * instance and the fingerprint. Deliberately EXCLUDES version and
+      * props: two manifests with identical entries share caches keyed by
+      * it (a metadata-only commit must not invalidate byte/row caches),
+      * exactly the sharing the old entries-valued keys had.
+      */
+    @transient lazy val entriesDigest: String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(partitionCol.getBytes(StandardCharsets.UTF_8))
+      entries.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        md.update(0.toByte)
+        md.update(k.getBytes(StandardCharsets.UTF_8))
+        md.update(1.toByte)
+        md.update(v.getBytes(StandardCharsets.UTF_8))
+      }
+      md.digest().map("%02x".format(_)).mkString
+    }
+
+    /** Whether ANY entry carries a deletion-vector token — the
+      * qualification gate's first question, asked once per instance
+      * instead of one [[dvOf]] parse per entry per planning.
+      */
+    @transient lazy val hasVectors: Boolean =
+      entries.valuesIterator.exists(e => dvOf(e).nonEmpty)
+
+    /** The snapshot's distinct DATA owner generations, sorted — the
+      * O(generations) identity several per-planning sites previously
+      * re-derived with an O(partitions) flatMap+distinct per call.
+      */
+    @transient lazy val ownerGens: Seq[String] =
+      entries.valuesIterator.flatMap(ownersOf).toSeq.distinct.sorted
+  }
 
   /** Decode an entry's comma-joined owner list — DATA owners only. An
     * entry may additionally carry ONE deletion-vector token (`~<gen>`,

@@ -513,7 +513,7 @@ object GraftBatchScan extends org.apache.spark.internal.Logging {
       // deletes would resurrect rows
       def evidenceOf(mm: AtomicCommit.Manifest)
           : Option[AtomicCommit.DeleteEvidence] =
-        if (mm.entries.values.forall(e => AtomicCommit.dvOf(e).isEmpty)) None
+        if (!mm.hasVectors) None
         else Some(AtomicCommit.deleteEvidence(spark, relation.root, mm))
       val ev0 = evidenceOf(m)
       qualify(relation, m, required, filters, ev0).orElse {
@@ -785,8 +785,10 @@ object GraftBatchScan extends org.apache.spark.internal.Logging {
     */
   private[sources] def uniformFooterSchema(relation: GraftRelation,
                                            m: AtomicCommit.Manifest): Option[StructType] = {
-    val gens = m.entries.values.flatMap(AtomicCommit.ownersOf)
-      .toSeq.distinct.sorted
+    // ownerGens is the manifest instance's own lazy derivation — the
+    // per-call O(partitions) flatMap this key construction used to pay
+    // was most of the warm qualification cost at 200k partitions
+    val gens = m.ownerGens
     schemaCache.computeIfAbsent((relation.root, gens), _ => Try {
       val schemas = gens.map { g =>
         val f = AtomicCommit.probeParquet(Seq(s"${relation.root}/$g"))

@@ -1159,12 +1159,11 @@ final class GraftRelation(spark: SparkSession, val root: String,
     case None => Nil
     case Some(m) =>
       val cached = filterableCache
-      // VALUE equality: each snapshotOpt() re-reads the manifest into a
-      // fresh map, so a reference check would never hit and every call
-      // would re-read the sidecars
-      if (cached != null && cached._1 == m.entries) return cached._2
-      val gens = m.entries.values.flatMap(AtomicCommit.ownersOf)
-        .toSeq.distinct
+      // CONTENT equality via the manifest's own entry fingerprint —
+      // value-stable across manifest re-reads (the old Map == compare
+      // was too, but cost an O(partitions) element walk per call)
+      if (cached != null && cached._1 == m.entriesDigest) return cached._2
+      val gens = m.ownerGens
       val evidenced = (gens.flatMap(g =>
         DataSkipping.readStats(root, g).filter(_.file.isEmpty).map(_.col)) ++
         gens.flatMap(g =>
@@ -1172,10 +1171,10 @@ final class GraftRelation(spark: SparkSession, val root: String,
         .distinct
       val out = (Seq(m.partitionCol) ++
         HiddenPartitioning.specOf(m).map(_.source) ++ evidenced).distinct
-      filterableCache = (m.entries, out)
+      filterableCache = (m.entriesDigest, out)
       out
   }
-  @volatile private var filterableCache: (Map[String, String], Seq[String]) = null
+  @volatile private var filterableCache: (String, Seq[String]) = null
 
   /** Fold pushed comparison filters into the tightest per-column bounds
     * (shared by sidecar pruning and selectivity pricing): `lows` holds

@@ -39,9 +39,13 @@ object TableStats {
     * adds sidecar evidence WITHOUT changing any entry — the marker
     * commit is what moves cached "no evidence" to the fresh numbers.
     */
-  private type Key = (String, String, Map[String, String], String)
+  private type Key = (String, String, String)
   private def keyOf(root: String, m: Manifest): Key =
-    (root, m.partitionCol, m.entries,
+    // entriesDigest stands in for the entry map itself: same
+    // (partitionCol, entries) → same digest → identical cache sharing
+    // to the old entries-valued key, at O(1) hashing per lookup instead
+    // of an O(partitions) Map.hashCode per cache touch
+    (root, m.entriesDigest,
       m.props.getOrElse(AtomicCommit.StatsAnalyzedProp, ""))
 
   /** partition → live data bytes, cached per immutable snapshot. */
