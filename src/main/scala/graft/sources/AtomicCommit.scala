@@ -2093,20 +2093,19 @@ object AtomicCommit {
         case _ => return None
       }
     }
+    // ANY repeated request — the same dir twice, the same file twice, or
+    // a dir mixed with its own files — would read rows TWICE on the
+    // listing path (spark.read.parquet duplicates repeated roots);
+    // decline, as documented, rather than silently folding to a
+    // different (deduplicated) answer. Unreachable from prunedScanPaths
+    // (per-pv it emits either the dir or distinct files); the guard
+    // keeps the equivalence contract honest for any future caller
+    if (parsed.distinct.size != parsed.size) return None
     val wanted = parsed.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (pv, xs) =>
         val files = xs.map(_._2)
-        // a whole-dir request mixed with (or duplicating) file-granular
-        // requests for the same partition would read those files TWICE
-        // on the listing path — decline, as documented, rather than
-        // silently folding to a different (deduplicated) answer.
-        // Unreachable from prunedScanPaths (per-pv it emits either the
-        // dir or distinct files); the guard keeps the equivalence
-        // contract honest for any future caller
         if (files.contains(None) && files.exists(_.isDefined)) return None
-        val names = files.flatten
-        if (names.distinct.size != names.size) return None
-        pv -> (if (files.contains(None)) None else Some(names.sorted))
+        pv -> (if (files.contains(None)) None else Some(files.flatten.sorted))
       }
     GraftFileIndex.frameFor(spark, root, gen, pc, wanted)
   }

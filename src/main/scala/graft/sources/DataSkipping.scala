@@ -510,10 +510,70 @@ object DataSkipping {
       }.groupBy(_._1)
         .map { case (pv, xs) => pv -> xs.map(_._2).sortBy(_._1) }
     }.toOption
+    // pre-mtime (r19-format) index: stat each file ONCE and rewrite the
+    // sidecar with the stamps, so an existing table regains the
+    // zero-listing V1 plan (which declines mtime-less catalogs for
+    // _metadata parity) instead of re-listing forever. Best-effort: a
+    // read-only store or a vanished file leaves the parsed index as-is
+    // — names and bytes still serve every evidence consumer
+    val (upgraded, memoStamp) = parsed match {
+      case Some(ix) if ix.nonEmpty &&
+          ix.valuesIterator.exists(_.exists(_._3 == 0L)) =>
+        backfillMtimes(root, gen, p, ix) match {
+          case Some(fixed) =>
+            val s2 = scala.util.Try(
+              (Files.getLastModifiedTime(p), Files.size(p))).getOrElse(stamp)
+            (Some(fixed), s2)
+          case None => (parsed, stamp)
+        }
+      case _ => (parsed, stamp)
+    }
     if (filesMemo.size > 256) filesMemo.clear()
-    filesMemo.put(key, (stamp, parsed))
-    parsed
+    filesMemo.put(key, (memoStamp, upgraded))
+    upgraded
   }
+
+  /** Upgrade an mtime-less file index in place: resolve the partition
+    * dir prefix from the generation's own children (the index predates
+    * the field, so the caller has no column name to offer), stat every
+    * file missing a stamp, and atomically rewrite the sidecar in the
+    * current line shape. One O(files) stat pass, paid once — the exact
+    * cost the catalog then saves per query. None on any failure.
+    */
+  private def backfillMtimes(root: String, gen: String,
+                             target: java.nio.file.Path,
+                             ix: Map[String, Seq[(String, Long, Long)]])
+      : Option[Map[String, Seq[(String, Long, Long)]]] = scala.util.Try {
+    val genDir = Paths.get(root, gen)
+    val pc = {
+      val s = Files.list(genDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .map(_.getFileName.toString).find(_.contains('='))
+          .map(d => d.substring(0, d.indexOf('='))).get
+      } finally s.close()
+    }
+    val fixed = ix.map { case (pv, fs) =>
+      pv -> fs.map { case (n, b, mt) =>
+        if (mt > 0L) (n, b, mt)
+        else (n, b, Files.getLastModifiedTime(
+          genDir.resolve(s"$pc=$pv").resolve(n)).toMillis)
+      }
+    }
+    val lines = fixed.toSeq.flatMap { case (pv, fs) =>
+      fs.map { case (n, b, mt) =>
+        s"""{"partition": "${esc(pv)}", "file": "${esc(n)}", "bytes": $b, "mtime": $mt}"""
+      }
+    }.sorted
+    val tmp = genDir.resolve(s".$FilesFile.tmp")
+    Files.write(tmp, lines.mkString("", "\n", "\n")
+      .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    fixed
+  }.toOption
 
   /** The (basename, bytes) pairs of one partition directory: from the
     * generation's file index when present (driver metadata, no LIST),
@@ -802,7 +862,7 @@ object DataSkipping {
     // interval must never stand in for its partition's (the toMap would
     // otherwise keep an arbitrary record per (partition, col) key)
     val statsByGen: Map[String, Map[(String, String), ColStats]] =
-      m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+      m.ownerGens
         .map(g => g -> readStats(root, g).filter(_.file.isEmpty)
           .map(s => (s.partition, s.col) -> s).toMap)
         .toMap
@@ -891,7 +951,7 @@ object DataSkipping {
                                              colName: String,
                                              values: Seq[Any]): Map[String, String] = {
     val statsByGen: Map[String, Map[(String, String), ColStats]] =
-      m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+      m.ownerGens
         .map(g => g -> readStats(root, g).filter(_.file.isEmpty)
           .map(s => (s.partition, s.col) -> s).toMap)
         .toMap

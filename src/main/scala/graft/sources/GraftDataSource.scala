@@ -1161,8 +1161,14 @@ final class GraftRelation(spark: SparkSession, val root: String,
       val cached = filterableCache
       // CONTENT equality via the manifest's own entry fingerprint —
       // value-stable across manifest re-reads (the old Map == compare
-      // was too, but cost an O(partitions) element walk per call)
-      if (cached != null && cached._1 == m.entriesDigest) return cached._2
+      // was too, but cost an O(partitions) element walk per call). The
+      // ANALYZE marker joins the key exactly as in [[TableStats.keyOf]]:
+      // analyze retrofits sidecar evidence WITHOUT changing any entry,
+      // and its marker commit is what must move this cache off a stale
+      // "no evidence" answer
+      val ck = (m.entriesDigest,
+        m.props.getOrElse(AtomicCommit.StatsAnalyzedProp, ""))
+      if (cached != null && cached._1 == ck) return cached._2
       val gens = m.ownerGens
       val evidenced = (gens.flatMap(g =>
         DataSkipping.readStats(root, g).filter(_.file.isEmpty).map(_.col)) ++
@@ -1171,10 +1177,10 @@ final class GraftRelation(spark: SparkSession, val root: String,
         .distinct
       val out = (Seq(m.partitionCol) ++
         HiddenPartitioning.specOf(m).map(_.source) ++ evidenced).distinct
-      filterableCache = (m.entriesDigest, out)
+      filterableCache = (ck, out)
       out
   }
-  @volatile private var filterableCache: (String, Seq[String]) = null
+  @volatile private var filterableCache: ((String, String), Seq[String]) = null
 
   /** Fold pushed comparison filters into the tightest per-column bounds
     * (shared by sidecar pruning and selectivity pricing): `lows` holds

@@ -139,8 +139,12 @@ object TableStats {
     // O(1) warm path first — re-summing the per-partition map on every
     // call would be an O(partitions) fold per planning touch whenever
     // partitionBytes happened to materialize before the first
-    // whole-snapshot ask
-    if (sizeCache.containsKey(key)) return sizeCache.get(key)
+    // whole-snapshot ask. ONE typed lookup: a containsKey-then-get pair
+    // races bounded()'s clear() on another planning thread, and Scala
+    // would unbox the resulting null to 0L — a zero-byte snapshot price
+    // that silently green-lights broadcasting an arbitrary fact table
+    val hit = sizeCache.get(key)
+    if (hit != null) return hit.longValue
     val cached = bytesCache.get(key)
     if (cached != null) {
       val total = cached.values.sum
@@ -149,16 +153,17 @@ object TableStats {
       return total
     }
     bounded(sizeCache)
-    sizeCache.computeIfAbsent(key, _ =>
-      digestBytes(root, m).getOrElse(partitionBytes(root, m).values.sum))
+    sizeCache.computeIfAbsent(key, _ => Long.box(
+      digestBytes(root, m).getOrElse(partitionBytes(root, m).values.sum)))
   }
 
   /** Whole-snapshot byte total, memoized per immutable snapshot (the
     * digest path resolves it without materializing the per-partition
-    * map, so it gets its own cache).
+    * map, so it gets its own cache). Values are BOXED so an absent key
+    * reads as null, never as an unboxed 0.
     */
   private val sizeCache =
-    new java.util.concurrent.ConcurrentHashMap[Key, Long]()
+    new java.util.concurrent.ConcurrentHashMap[Key, java.lang.Long]()
 
   /** Digest-summed snapshot bytes: Some only when EVERY generation
     * carries a digest whose partition count equals the count this
@@ -201,7 +206,7 @@ object TableStats {
   }
 
   private def computeRows(root: String, m: Manifest): Option[Map[String, Long]] = {
-    val gens = m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+    val gens = m.ownerGens
     val byGen: Map[String, Map[String, Long]] = gens.map { g =>
       g -> DataSkipping.readStats(root, g)
         .filter(_.file.isEmpty)

@@ -320,7 +320,7 @@ class FileIndexSpec extends SparkSpec {
       "the listed fallback must report the same modification times")
   }
 
-  test("a pre-mtime index still serves names and bytes to evidence consumers, but V1 scans decline it (metadata-column parity) and fall back to the listing") {
+  test("a pre-mtime index is upgraded in place on first read (one stat pass) and then serves the V1 FileIndex path with true stamps") {
     val root = Files.createTempDirectory("graft_fidx_old").toString
     AtomicCommit.commitReplacePartitions(spark, root,
       Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
@@ -339,7 +339,8 @@ class FileIndexSpec extends SparkSpec {
       Files.write(Paths.get(root, g, DataSkipping.FilesFile),
         lines.mkString("", "\n", "\n").getBytes)
     }
-    // evidence consumers: names and bytes still come from the index
+    // evidence consumers: names and bytes come from the index; the read
+    // also triggers the one-time backfill
     for ((pv, e) <- m.entries; g <- AtomicCommit.ownersOf(e)) {
       val live = Paths.get(root, g, s"p=$pv").toFile.listFiles
         .filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -347,12 +348,59 @@ class FileIndexSpec extends SparkSpec {
       assert(DataSkipping.partitionFilesSized(
         root, g, pv, s"$root/$g/p=$pv") === live)
     }
-    // V1 scans: no GraftFileIndex leaf (it cannot answer
-    // file_modification_time faithfully), same rows via the listing
+    // the sidecar now carries stamps on disk…
+    for (g <- gens)
+      assert(new String(Files.readAllBytes(
+        Paths.get(root, g, DataSkipping.FilesFile))).contains("\"mtime\""),
+        s"backfill must rewrite $g's index with mtimes")
+    // …and the V1 path serves from the index again, true stamps included
+    val upgraded = AtomicCommit.read(spark, root)
+    assert(scanLeaves(upgraded)
+      .exists(_.relation.location.isInstanceOf[GraftFileIndex]),
+      "an upgraded index must serve the V1 FileIndex path")
+    assert(upgraded.collect().map(_.toString).sorted.toSeq === expect)
+    assert(AtomicCommit.read(spark, root)
+      .select(col("_metadata.file_modification_time").cast("long"))
+      .collect().forall(_.getLong(0) > 0L))
+  }
+
+  test("an mtime-less index whose backfill cannot complete (a stat fails) keeps serving evidence and V1 scans decline to the listing") {
+    val root = Files.createTempDirectory("graft_fidx_ro").toString
+    AtomicCommit.commitReplacePartitions(spark, root,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), "p")
+    val expect = AtomicCommit.read(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    val m = AtomicCommit.readManifest(root).get
+    val gens = m.entries.values.flatMap(AtomicCommit.ownersOf).toSeq.distinct
+    for (g <- gens) {
+      val lines = (for (pv <- m.entries.keys.toSeq.sorted
+             if AtomicCommit.ownersOf(m.entries(pv)).contains(g);
+           f <- Paths.get(root, g, s"p=$pv").toFile.listFiles.sortBy(_.getName)
+             if f.getName.endsWith(".parquet"))
+        yield s"""{"partition": "$pv", "file": "${f.getName}", "bytes": ${
+          f.length}}""") :+
+        // a record whose file does not exist on disk: the backfill's
+        // stat pass fails and must leave the sidecar untouched
+        """{"partition": "zz", "file": "ghost.parquet", "bytes": 1}"""
+      Files.write(Paths.get(root, g, DataSkipping.FilesFile),
+        lines.mkString("", "\n", "\n").getBytes)
+    }
     val relisted = AtomicCommit.read(spark, root)
     assert(scanLeaves(relisted)
       .forall(!_.relation.location.isInstanceOf[GraftFileIndex]),
-      "an mtime-less index must not serve the V1 FileIndex path")
+      "an un-upgradable mtime-less index must not serve the V1 path")
     assert(relisted.collect().map(_.toString).sorted.toSeq === expect)
+    for (g <- gens)
+      assert(!new String(Files.readAllBytes(
+        Paths.get(root, g, DataSkipping.FilesFile))).contains("\"mtime\""),
+        "a failed backfill must not rewrite the sidecar")
+    // names and bytes still serve evidence consumers from the index
+    for ((pv, e) <- m.entries; g <- AtomicCommit.ownersOf(e)) {
+      val live = Paths.get(root, g, s"p=$pv").toFile.listFiles
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.length).sortBy(_._1).toSeq
+      assert(DataSkipping.partitionFilesSized(
+        root, g, pv, s"$root/$g/p=$pv") === live)
+    }
   }
 }
