@@ -60,17 +60,27 @@ object GraphOps {
                           maxIter: Int = 20, fallback: Boolean = true): DataFrame = {
     // materialize the (typically expensive) edge relation ONCE — without
     // this every round's join would recompute the upstream plan (for the
-    // dedup use case, the whole similarity join) from the scan. The
-    // DIRECTED edges checkpoint first (r9): the symmetrizing union
-    // references the input twice, so building `und` straight from `edges`
-    // would execute the upstream pair join twice before the checkpoint —
-    // measured ~0.7 s per graph query at sf0.1
-    val dir = edges
+    // dedup use case, the whole similarity join) from the scan.
+    // r20: the symmetrization is a per-row EXPLODE of both orientations,
+    // not a self-union — a union references the upstream plan twice (the
+    // r9 fix checkpointed the directed edges first to avoid executing the
+    // pair join twice, at the cost of a second checkpoint job + a second
+    // materialization pass); the explode reads the upstream exactly once
+    // and lands the symmetrized relation in ONE checkpoint. Same rows.
+    // (r20 note: an explicit repartition(shuffleWidth, v) + local sort of
+    // this checkpoint was also tried, to pre-align the loop joins — it
+    // REGRESSED ~1 s/query at sf0.1: the label relation is broadcast in
+    // the loop, so no und-side shuffle existed to save, while pinning the
+    // checkpoint to the full shuffle width turned every round's 1–2-task
+    // jobs into 32-task jobs. AQE's coalescing already sizes these
+    // relations; keep the checkpoint at its natural partitioning.)
+    val und = edges
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint(true)
-    val und = dir.union(dir.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    unpersistLocalCheckpoint(dir)
     // seed with the 1-HOP minimum (min over self and direct neighbors) —
     // one aggregation on the already-materialized edge list, no join: the
     // first propagation round comes free, and a diameter-1 clique (the
@@ -82,14 +92,20 @@ object GraphOps {
     while (!converged && i < maxIter) {
       val nbrMin = und.join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
         .groupBy("u").agg(min(col("vlbl")).as("nlbl"))
-      // the convergence check rides on the SAME materialized round result
-      // (old label carried as a column) — no second join, no extra shuffle
+      // r20: the convergence check is an OBSERVED metric on the round's own
+      // materializing action — the changed-label count is collected by the
+      // checkpoint job itself (Dataset.observe riding localCheckpoint),
+      // replacing the per-round follow-up `isEmpty` job. One driver action
+      // per round instead of two; the metric is exact (count over every
+      // row the checkpoint writes), not a sample.
       val prev = labels
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
       val next = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .observe(obs, count(when(col("lbl") =!= col("old"), 1)).as("changed"))
         .localCheckpoint(true)
-      converged = next.filter(col("lbl") =!= col("old")).isEmpty
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       labels = next.select("u", "lbl")
       // `next` is eagerly materialized above, so round i−1's checkpoint
       // blocks can be dropped now (only the newest label relation — and
@@ -210,15 +226,24 @@ object GraphOps {
     * min-oriented form of a skewed graph is the standard mitigation) and
     * by dedup graphs being clique-shaped with bounded clique sizes.
     */
-  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
+  /** `assumeCanonical = true` (r20): the caller asserts `edges` is already
+    * DISTINCT and oriented src < dst per row (the similarity-pair shape),
+    * so the canonicalizing least/greatest + `distinct()` shuffle is
+    * skipped — identical output for such inputs.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+                     assumeCanonical: Boolean = false): DataFrame = {
+    val e0 = edges
       .select(col(srcCol).cast("long").as("a0"), col(dstCol).cast("long").as("b0"))
       .filter(col("a0") =!= col("b0"))
-      // canonicalize rather than assume orientation: a reversed or
-      // duplicated input edge must not silently drop (or double) a triangle
-      .select(least(col("a0"), col("b0")).as("a"),
-        greatest(col("a0"), col("b0")).as("b"))
-      .distinct()
+    val e = (if (assumeCanonical)
+        e0.select(col("a0").as("a"), col("b0").as("b"))
+      else e0
+        // canonicalize rather than assume orientation: a reversed or
+        // duplicated input edge must not silently drop (or double) a triangle
+        .select(least(col("a0"), col("b0")).as("a"),
+          greatest(col("a0"), col("b0")).as("b"))
+        .distinct())
       .localCheckpoint(true)
     val tri = e.select(col("a").as("x"), col("b").as("y"))
       .join(e.select(col("a").as("y"), col("b").as("z")), "y")
@@ -255,20 +280,33 @@ object GraphOps {
     * checkpoint is unpersisted. Fixed `iters` (no convergence probe):
     * rank consumers want a bounded-cost estimate, not a fixpoint.
     */
+  /** `edgesCanonical = true` (r20): the caller asserts `edges` is already
+    * DISTINCT with src < dst per row (exactly what the similarity-pair
+    * relations emit — one row per unordered pair), so the symmetrizing
+    * union cannot produce duplicates and the edge-relation-sized
+    * `distinct()` shuffle is skipped. Results are identical for such
+    * inputs; leave false for edge lists of unknown provenance.
+    */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 3, damping: Double = 0.85): DataFrame = {
+               iters: Int = 3, damping: Double = 0.85,
+               edgesCanonical: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters $iters")
-    // directed edges checkpoint BEFORE the symmetrizing union (r9): the
-    // union references its input twice, which would execute the upstream
-    // pair join twice (the connectedComponents lesson)
-    val se = edges
+    // r20: symmetrize by EXPLODING both orientations per row instead of a
+    // self-union — the union referenced the upstream plan twice, forcing a
+    // separate directed-edge checkpoint first (the r9 fix); the explode
+    // reads the upstream exactly once, so the whole symmetrized relation
+    // lands in one checkpoint job. Same rows.
+    val symRaw = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // canonical input ⇒ the symmetrizing explode is duplicate-free by
+    // construction and the edge-relation-sized distinct() shuffle drops out
+    val sym = (if (edgesCanonical) symRaw else symRaw.distinct())
       .localCheckpoint(true)
-    val sym = se.union(se.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    unpersistLocalCheckpoint(se)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     // out-degree rides the edge list ONCE — joining deg inside the loop
@@ -276,9 +314,16 @@ object GraphOps {
     val symDeg = sym.join(deg, "src").localCheckpoint(true)
     unpersistLocalCheckpoint(sym)
     val n = deg.agg(count(lit(1)).cast("double").as("n"))
+    // the seed ranks are a cheap projection of the (checkpointed) degree
+    // relation — r20 drops their separate checkpoint job: iteration 1
+    // simply computes them inline, and lineage cannot grow because every
+    // iteration checkpoints its own result
     var ranks = deg.crossJoin(broadcast(n))
       .select(col("src").as("node"), (lit(1.0) / col("n")).as("r"))
-      .localCheckpoint(true)
+    // the seed `ranks` is NOT a checkpoint (its plan rides deg's), so the
+    // first iteration must not unpersist through it — deg would become
+    // unrecomputable while `n` still reads it
+    var ranksCheckpointed = false
     for (_ <- 1 to iters) {
       val next = symDeg
         .join(ranks, col("src") === col("node"))
@@ -289,8 +334,9 @@ object GraphOps {
         .select(col("dst").as("node"),
           (lit(1.0 - damping) / col("n") + lit(damping) * col("in_sum")).as("r"))
         .localCheckpoint(true)
-      unpersistLocalCheckpoint(ranks)
+      if (ranksCheckpointed) unpersistLocalCheckpoint(ranks)
       ranks = next
+      ranksCheckpointed = true
     }
     // every iteration's plan materialized eagerly above, so the degree
     // relations have no remaining consumer; the returned `ranks`

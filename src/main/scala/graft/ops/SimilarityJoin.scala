@@ -160,14 +160,15 @@ object SimilarityJoin {
   def jaccardSelfAuto(docs: DataFrame, idCol: String, textCol: String,
                       blockCols: Seq[String], tau: Double,
                       usePrefix: Option[Boolean] = None,
-                      saltCandidates: Option[Boolean] = None): DataFrame = {
+                      saltCandidates: Option[Boolean] = None,
+                      sorted: Boolean = true): DataFrame = {
     val sets = tokenized(docs, textCol)
     lazy val skew = vocabSkew(sets, "tokens")
     val prefix = usePrefix.getOrElse(skew >= PrefixSkewThreshold)
     val salted = prefix && saltCandidates.getOrElse(skew >= SaltSkewThreshold)
     if (prefix) jaccardSelfPrefixOnSets(sets, idCol, "tokens", blockCols, tau,
-      nSalts = if (salted) CandidateSalts else 1)
-    else jaccardSelfOnSets(sets, idCol, "tokens", blockCols, tau)
+      nSalts = if (salted) CandidateSalts else 1, sorted = sorted)
+    else jaccardSelfOnSets(sets, idCol, "tokens", blockCols, tau, sorted = sorted)
   }
 
   /** Exact set-Jaccard self-join over an arbitrary precomputed array column
@@ -175,8 +176,17 @@ object SimilarityJoin {
     * tokens) and the char-n-gram join (gram sets). Same inverted-index +
     * length-filter plan.
     */
+  /** `sorted = false` (r20 optimization round) skips the final global
+    * ORDER BY for consumers that immediately re-aggregate or re-key the
+    * pairs (graph closures, anti-joins): those callers eagerly materialize
+    * the pair relation (GraphOps checkpoints its edge input), which would
+    * otherwise execute a range exchange + full sort whose order the
+    * consumer then destroys. Row SET is identical; only presentation order
+    * is dropped.
+    */
   def jaccardSelfOnSets(sets: DataFrame, idCol: String, setCol: String,
-                        blockCols: Seq[String], tau: Double): DataFrame = {
+                        blockCols: Seq[String], tau: Double,
+                        sorted: Boolean = true): DataFrame = {
     val toks = sets
       .select(col(idCol).as("id") +: size(col(setCol)).as("sz") +:
         col(setCol).as("tokens") +: blockCols.map(col): _*)
@@ -208,7 +218,13 @@ object SimilarityJoin {
         col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
       .filter(col("sim") >= tau)
       .select(col("a_id"), col("b_id"), Det.round6(col("sim")).as("sim"))
-      .orderBy("a_id", "b_id")
+      .maybeOrdered(sorted, "a_id", "b_id")
+  }
+
+  /** Conditional total order — see [[jaccardSelfOnSets]]'s `sorted` note. */
+  private implicit class MaybeOrdered(private val df: DataFrame) {
+    def maybeOrdered(sorted: Boolean, cols: String*): DataFrame =
+      if (sorted) df.orderBy(cols.map(col): _*) else df
   }
 
   /** Exact token-set Jaccard R-S join: each row of `queries` against each
@@ -566,7 +582,8 @@ object SimilarityJoin {
   def jaccardSelfPrefixOnSets(sets: DataFrame, idCol: String, setCol: String,
                               blockCols: Seq[String], tau: Double,
                               vocabBroadcast: Option[Boolean] = None,
-                              nSalts: Int = 1): DataFrame = {
+                              nSalts: Int = 1,
+                              sorted: Boolean = true): DataFrame = {
     val withSz = sets.withColumn("_sz", size(col(setCol)))
     val toks = withSz
       .select(col(idCol).as("id") +: col("_sz").as("sz") +:
@@ -631,6 +648,6 @@ object SimilarityJoin {
         col("inter").cast("double") / (col("a_sz") + col("b_sz") - col("inter")).cast("double"))
       .filter(col("sim") >= tau)
       .select(col("a_id"), col("b_id"), Det.round6(col("sim")).as("sim"))
-      .orderBy("a_id", "b_id")
+      .maybeOrdered(sorted, "a_id", "b_id")
   }
 }

@@ -50,8 +50,12 @@ object TfIdf {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " +")).as("tok"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-    val dfr = toks.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    // r20: df directly from the tf aggregation — tf already holds exactly
+    // one row per distinct (doc, token), so counting its rows per token IS
+    // the document frequency. The previous distinct() re-exploded and
+    // re-shuffled every token occurrence; this aggregates the already-
+    // aggregated relation (guide §2.3: aggregate before you shuffle).
+    val dfr = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
     val nDocs = docs.select(count(lit(1)).cast("double").as("n_docs"))
     // the vocabulary relation broadcasts only while provably bounded —
     // probed ONCE here, shared by both weight joins (freqJoined protocol)

@@ -20,9 +20,11 @@ object SimilarityQueries {
     * edge input itself).
     */
   private[queries] def docPairs(s: org.apache.spark.sql.SparkSession, d: String,
-                                tau: Double = 0.8): org.apache.spark.sql.DataFrame =
+                                tau: Double = 0.8,
+                                sorted: Boolean = true): org.apache.spark.sql.DataFrame =
     SimilarityJoin.jaccardSelfAuto(
-      Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), tau)
+      Tables.documents(s, d), "doc_id", "text", Seq("lang", "source"), tau,
+      sorted = sorted)
 
   /** The near-dup CLUSTER closure over [[docPairs]] — `(doc_id,
     * cluster_id)` for every doc in ≥1 pair (q71's semantics), shared by
@@ -30,7 +32,12 @@ object SimilarityQueries {
     */
   private[queries] def docClusters(s: org.apache.spark.sql.SparkSession, d: String,
                                    tau: Double = 0.8): org.apache.spark.sql.DataFrame =
-    graft.ops.GraphOps.connectedComponents(docPairs(s, d, tau), "a_id", "b_id")
+    // `sorted = false` (r20): GraphOps eagerly checkpoints the pair
+    // relation, so a sorted docPairs would EXECUTE its range exchange +
+    // global sort only for the closure to immediately re-key by node —
+    // the cluster output carries its own total order
+    graft.ops.GraphOps.connectedComponents(
+        docPairs(s, d, tau, sorted = false), "a_id", "b_id")
       .withColumnRenamed("a_id", "doc_id")
 
   /** q36 ★flagship — token-set Jaccard self-join on documents, blocked by
@@ -170,7 +177,10 @@ object SimilarityQueries {
     "q41_dedup_near",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = docPairs(s, d)
+      // unsorted pairs (r20): the anti-join destroys pair order anyway —
+      // dropping the ORDER BY at the source spares the optimizer the
+      // eliminate-sort round-trip and can never execute it by accident
+      val pairs = docPairs(s, d, sorted = false)
       docs.join(pairs.select(col("b_id")), col("doc_id") === col("b_id"), "left_anti")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_survivors"))
@@ -682,7 +692,8 @@ object SimilarityQueries {
   val q123 = Q(
     "q123_triangle_count",
     (s, d) => graft.ops.GraphOps.triangleCounts(
-      docPairs(s, d), "a_id", "b_id").withColumnRenamed("a_id", "doc_id"),
+      docPairs(s, d, sorted = false), "a_id", "b_id",
+      assumeCanonical = true).withColumnRenamed("a_id", "doc_id"),
     Some("""
       WITH t AS (
         SELECT doc_id, lang, source,
@@ -781,7 +792,8 @@ object SimilarityQueries {
   val q135 = Q(
     "q135_pagerank",
     (s, d) => graft.ops.GraphOps.pageRank(
-      docPairs(s, d), "a_id", "b_id", iters = 3)
+      docPairs(s, d, sorted = false), "a_id", "b_id", iters = 3,
+      edgesCanonical = true)
       .select(col("node").as("doc_id"), round(col("r"), 6).as("pagerank"))
       .orderBy("doc_id"),
     Some("""
