@@ -48,6 +48,19 @@ object Bpe {
     * batches differ from sequential only in that pairs CREATED mid-round
     * wait for the next round's counts — the standard batched-BPE trade.
     */
+  /** `ckptEvery` (r20): rounds between lineage-truncating checkpoints of
+    * the vocab relation. Each eager checkpoint is a driver action (a
+    * whole Spark job) on a vocab-sized relation; between checkpoints the
+    * plan merely accumulates one chained `regexp_replace` layer per
+    * round, which Catalyst handles fine for a handful of layers — it was
+    * UNBOUNDED growth (hundreds of layers) that OOM'd, not nesting per
+    * se. Checkpointing every 8th round keeps plan depth ≤ 8 while
+    * cutting the per-merge job count roughly in half at small merge
+    * counts (q118/q119's 5 merges now pay ZERO mid-loop checkpoints).
+    * Results are identical at any cadence — it is pure plan shape.
+    */
+  val CkptEvery: Int = 8
+
   def learnMerges(docs: DataFrame, textCol: String, nMerges: Int,
                   batchSize: Int = 1): DataFrame = {
     require(batchSize >= 1, s"batchSize=$batchSize")
@@ -60,12 +73,14 @@ object Bpe {
     // merges at sf0.1 died in explainString). Checkpointing truncates the
     // plan to an RDD scan each round, keeping plan size O(1) in rounds —
     // the [[GraphOps]] iteration discipline.
-    var cur = docs
+    var base = docs
       .select(explode(split(col(textCol), " +")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("n"))
       .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("n"))
       .localCheckpoint(true) // vocab-sized at any corpus scale
+    var cur = base
+    var roundsSinceCkpt = 0
     val merges = ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
@@ -100,18 +115,27 @@ object Bpe {
           }
         // the whole round is ONE projection over the vocab-sized relation:
         // chained \b-guarded replaces (order-independent by disjointness)
-        val prev = cur
         val seqCol = picked.foldLeft(col("seq")) { case (c, (pair, _)) =>
           regexp_replace(c, "\\b" + pair + "\\b", pair.replace(" ", ""))
         }
-        cur = prev.select(seqCol.as("seq"), col("n")).localCheckpoint(true)
-        unpersistLocalCheckpoint(prev) // round r−1's blocks drop eagerly
+        cur = cur.select(seqCol.as("seq"), col("n"))
+        roundsSinceCkpt += 1
+        // truncate lineage only every CkptEvery rounds (see its note) —
+        // between truncations `cur` is a plain projection chain over the
+        // last checkpoint, so each round costs only its top-k collect job
+        if (roundsSinceCkpt >= CkptEvery) {
+          val newBase = cur.localCheckpoint(true)
+          unpersistLocalCheckpoint(base) // superseded ancestor's blocks drop
+          base = newBase
+          cur = newBase
+          roundsSinceCkpt = 0
+        }
         picked.foreach { case (pair, cnt) =>
           merges += ((merges.size + 1, pair, pair.replace(" ", ""), cnt))
         }
       }
     }
-    unpersistLocalCheckpoint(cur)
+    unpersistLocalCheckpoint(base)
     import spark.implicits._
     merges.toSeq.toDF("step", "pair", "merged", "cnt").orderBy("step")
   }

@@ -96,6 +96,20 @@ object VectorSearch {
     assignToCentroids(emb, idCol, vecCol, centroidPred, maxCentroids)
       .select(col("id"), col("centroid_id"), col("sim"))
 
+  /** [[kmeansAssign]] with the (double-cast) input vector still attached:
+    * `(id, v, centroid_id, sim)`. r20: consumers that need both the
+    * assignment and the vector (SemDeDup's within-cluster pair join) were
+    * joining `kmeansAssign`'s output back to the embedding table on id —
+    * a data×data shuffle join re-attaching a column the assignment's
+    * map pass had just projected away. The assignment is map-only, so
+    * carrying `v` through costs nothing and the join disappears.
+    */
+  def kmeansAssignWithVectors(emb: DataFrame, idCol: String, vecCol: String,
+                              centroidPred: Column,
+                              maxCentroids: Int = MaxCentroids): DataFrame =
+    assignToCentroids(emb, idCol, vecCol, centroidPred, maxCentroids)
+      .select(col("id"), col("v"), col("centroid_id"), col("sim"))
+
   /** Shared E-step core: per-row nearest centroid with the input vector
     * still attached, so [[kmeansUpdate]] can recompute centers without a
     * join back to the data.

@@ -736,11 +736,13 @@ object SimilarityQueries {
       graft.functions.VectorExprs.register(s)
       import graft.functions.VectorExprs.{dot, norm}
       val emb = Tables.embeddings(s, d)
-      val asg = VectorSearch.kmeansAssign(emb, "vec_id", "embedding", col("id") < 8)
-        .select(col("id").as("vec_id"), col("centroid_id"))
-      val e = emb.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
-      val withVec = asg.join(e, "vec_id")
+      // r20: the assignment carries the vector through its map pass
+      // (kmeansAssignWithVectors) instead of being joined back to the
+      // embedding table on vec_id — that join shuffled BOTH data-sized
+      // sides only to re-attach a column the assignment had projected away
+      val withVec = VectorSearch.kmeansAssignWithVectors(
+          emb, "vec_id", "embedding", col("id") < 8)
+        .select(col("id").as("vec_id"), col("centroid_id"), col("v"))
       val a = withVec.select(col("vec_id").as("aid"), col("centroid_id"),
         col("v").as("va"))
       val b = withVec.select(col("vec_id").as("bid"), col("centroid_id"),

@@ -115,6 +115,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(r === r2)
   }
 
+  test("r20: canonical-edge fast paths equal the defaults on canonical input") {
+    import spark.implicits._
+    // DISTINCT, low<high oriented — the similarity-pair shape the flags
+    // assert; the fast paths must be bit-identical to the safe defaults
+    val canon = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L)) ++ (20L until 24L).map(i => (i, i + 1))).toDF("a", "b")
+    val triFast = GraphOps.triangleCounts(canon, "a", "b", assumeCanonical = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val triSafe = GraphOps.triangleCounts(canon, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(triFast === triSafe)
+    val prFast = GraphOps.pageRank(canon, "a", "b", iters = 3, edgesCanonical = true)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val prSafe = GraphOps.pageRank(canon, "a", "b", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(prFast === prSafe)
+  }
+
   test("pagerank: empty and self-loop-only edge lists yield empty ranks (r8)") {
     import spark.implicits._
     assert(graft.ops.GraphOps.pageRank(
