@@ -67,8 +67,11 @@ object Bm25 {
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-    val df = toks.select("doc_id", "tok").distinct()
-      .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+    // r20: df from the tf aggregation — tf holds one row per distinct
+    // (doc, token), so its per-token row count IS the document frequency;
+    // the previous distinct() re-shuffled every matching token occurrence
+    // (guide §2.3: aggregate before you shuffle)
+    val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
 
     val contrib: Column = Det.round6(
       log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)

@@ -404,7 +404,10 @@ object SimilarityQueries {
       val base = docs.filter(col("doc_id") < 250)
       val delta = docs.filter(col("doc_id") >= 250)
       val dups = SimilarityJoin.jaccardRS(delta, base, "doc_id", "text", Seq("lang"), 0.8)
-      delta.join(dups.select(col("q_id").as("doc_id")).distinct(),
+      // r20: no distinct() on the anti-join's build side — LEFT ANTI
+      // already treats duplicate keys as one (a delta doc survives iff NO
+      // matching key exists), so the dedup was a pure extra exchange
+      delta.join(dups.select(col("q_id").as("doc_id")),
           Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")

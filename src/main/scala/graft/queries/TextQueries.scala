@@ -184,8 +184,8 @@ object TextQueries {
       val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-      val df = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      // r20: df from tf's per-token row count — see q115/Bm25/TfIdf
+      val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
       tf.join(broadcast(df), "tok")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
@@ -838,8 +838,10 @@ object TextQueries {
       val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
         avg(col("dl")).as("avgdl"))
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("tf"))
-      val df = toks.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
+      // r20: df from tf's per-token row count (one row per distinct
+      // (doc, tok) by construction) — drops a distinct() re-shuffle of
+      // every matching token occurrence; same Bm25/TfIdf move
+      val df = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("df"))
       val joined = tf.join(broadcast(df), "tok")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
@@ -1067,13 +1069,16 @@ object TextQueries {
   val q143 = Q(
     "q143_contamination_rate",
     (s, d) => {
+      // r20: the (doc_id, shingle) dedup is PER-DOC, so it is computed
+      // map-side with array_distinct before the explode instead of a
+      // global distinct() — drops a full shuffle of every shingle
+      // occurrence (the per-row dedup is exactly the same row set)
       val sh = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " +").as("t"))
         .filter(size(col("t")) >= 3)
         .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"))
+          "array_distinct(transform(sequence(0, size(t)-3), i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"))
           .as("sh"))
-        .distinct()
       val train = sh.filter(col("doc_id") % 10 =!= 0)
         .select(col("sh").as("tr_sh")).distinct()
       sh.filter(col("doc_id") % 10 === 0)
