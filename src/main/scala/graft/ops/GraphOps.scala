@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   *    logical plan doubles every iteration and Catalyst re-analysis, not
   *    the shuffle, becomes the bottleneck (the standard iterative-DataFrame
   *    pattern).
-  *  - convergence is probed with a bounded `isEmpty` (limit-1 scan) on the
-  *    changed-label set — a scalar per round, same protocol as every other
-  *    bounded probe in this library.
+  *  - convergence is an OBSERVED metric (changed-label count) collected
+  *    by each round's own materializing checkpoint action (r20) — one
+  *    driver action per round, no follow-up probe job.
   */
 object GraphOps {
 
