@@ -54,9 +54,16 @@ object SortedNeighborhood {
     require(parts >= 1, s"parts must be >= 1, got $parts")
     val spark = df.sparkSession
     val cols = df.columns.toSeq
+    // r20: materialize the range sort ONCE (eager local checkpoint) — the
+    // head-collect job and the pair-generation job are two separate
+    // actions over this RDD, so the un-materialized form paid the range
+    // sort (plus the RangePartitioner's boundary-sampling job) twice per
+    // pass. The checkpoint blocks are ContextCleaner-released when the
+    // caller drops the returned pair relation.
     val sorted = df
       .repartitionByRange(parts, sortCols.map(df.col): _*)
       .sortWithinPartitions(sortCols.map(df.col): _*)
+      .localCheckpoint(true)
     val rdd = sorted.rdd
     // first w rows of each partition — bounded driver state (parts × w)
     val heads: Map[Int, Array[Row]] = rdd
