@@ -30,6 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Process-wide observation-name uniquifier — see the note at the use
+    * site (observed metrics are delivered by name).
+    */
+  private val ObsId = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Free the block-manager storage behind a `localCheckpoint(true)`-backed
     * relation once the NEXT round is materialized — without this every
     * round's label relation stays cached and storage grows linearly with
@@ -99,7 +104,12 @@ object GraphOps {
       // per round instead of two; the metric is exact (count over every
       // row the checkpoint writes), not a sample.
       val prev = labels
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
+      // a fresh name per observation, process-wide: Spark delivers observed
+      // metrics to listeners BY NAME, so two concurrent connectedComponents
+      // calls in one session (e.g. parallel test suites) sharing a
+      // "cc_round_0" name could read each other's changed-count
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_round_${i}_${ObsId.incrementAndGet()}")
       val next = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
